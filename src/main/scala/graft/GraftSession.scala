@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session factory for the graft engine.
+  *
+  * Local-mode defaults are tuned for the test harness (local[32],
+  * 32 shuffle partitions); on a real cluster the same builder is used
+  * with `master` unset and `shufflePartitions` sized to ~2-3x total
+  * executor cores. AQE stays on in both: it coalesces small shuffle
+  * partitions and splits skewed ones at runtime, which is the scale
+  * story for the skewed keys this engine deals with (first-letter
+  * partitioning of English words, hot join keys).
+  */
+object GraftSession {
+  def builder(
+      appName: String = "graft",
+      master: Option[String] = Some(s"local[${Runtime.getRuntime.availableProcessors()}]"),
+      shufflePartitions: Int = 32,
+  ): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores timestamp[ns]; Spark's parquet reader maps
+      // INT64(TIMESTAMP_NANOS) to LongType under this flag instead of
+      // failing. Query code treats events.ts as nanos-since-epoch Long.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    master.foreach(b.master)
+    b
+  }
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
