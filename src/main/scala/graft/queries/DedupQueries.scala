@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.text
+import graft.operators.Dedup
+
+/** Dedup query surface over `documents` (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), each with a DuckDB oracle generated from the SAME
+  * constants as the Spark implementation (Dedup.A/B/P etc.), so the two
+  * sides cannot drift.
+  */
+object DedupQueries {
+
+  import TextCorpus.tokensSql
+
+  /** DuckDB replica of textstats.rollingHash over expression `e`. */
+  def rollSql(e: String): String =
+    s"CASE WHEN length($e) = 0 THEN 0 ELSE " +
+      s"list_reduce(list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"(x, y) -> (x * 31 + y) % ${Dedup.P}) END"
+
+  /** DuckDB replica of Dedup.shingles over a token-list expression. */
+  def shinglesSql(toks: String): String =
+    s"list_transform(range(1, len($toks) - ${Dedup.shingleSize - 2}), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${Dedup.shingleSize - 1}), ' '))"
+
+  private def q23(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(Dedup.normalizedText(col("text")).cast("binary")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
+      .select(col("h").as("md5_norm"), col("n_copies"), col("canonical_doc_id"))
+      .orderBy(col("md5_norm"))
+
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Dedup.lshCandidates(Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
+
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val toks = text.normalizedTokens(col("text"))
+    val tri = Tables.documents(s, d)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= Dedup.shingleSize)
+      .select(col("doc_id"), explode(Dedup.shingles(col("toks"))).as("tri"))
+      .distinct()
+    val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = tri.as("a")
+      .join(tri.as("b"), col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared minhash CTE text (mirrors Dedup.minhashSignatures). */
+  private def minhashCte: String = {
+    val mh = (0 until Dedup.numHashes).map { i =>
+      s"list_min(list_transform(sh, s -> (${Dedup.A(i)} * ${rollSql("s")} + ${Dedup.B(i)}) % ${Dedup.P})) AS mh$i"
+    }.mkString(",\n  ")
+    s"""t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |f AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t WHERE len(toks) >= ${Dedup.shingleSize}),
+       |m AS (SELECT doc_id,
+       |  $mh
+       |FROM f)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q23_dedup_exact", q23, Some(
+      s"""WITH n AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS h FROM documents)
+         |SELECT h AS md5_norm, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+         |FROM n GROUP BY h ORDER BY md5_norm""".stripMargin)),
+    QueryDef("q24_minhash_signatures", q24, Some(
+      s"""WITH $minhashCte
+         |SELECT * FROM m ORDER BY doc_id""".stripMargin)),
+    QueryDef("q25_lsh_candidates", q25, Some {
+      val bands = (0 until Dedup.numHashes)
+        .map(i => s"SELECT doc_id, $i AS band, mh$i AS key FROM m")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $minhashCte,
+         |bands AS ($bands)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+    }),
+    QueryDef("q26_simhash", q26, Some {
+      val sums = (0 until Dedup.simhashBits)
+        .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val bits = (0 until Dedup.simhashBits)
+        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |hh AS (SELECT doc_id, ${rollSql("word")} AS h FROM w),
+         |s AS (SELECT doc_id,
+         |  $sums
+         |FROM hh GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+    }),
+    QueryDef("q27_ngram_jaccard", q27, Some(
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100),
+         |g AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("toks")}) AS tri
+         |      FROM t WHERE len(toks) >= ${Dedup.shingleSize}),
+         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |       FROM g a JOIN g b ON a.tri = b.tri AND a.doc_id < b.doc_id
+         |       GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+         |FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+  )
+}

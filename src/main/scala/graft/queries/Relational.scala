@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operator surface over the TPC-H-ish star schema
+  * (SURVEY.md §2 generalization + §7 step 6): scan/filter/project with
+  * pushdown, hash & broadcast joins, semi/anti joins, partial+final
+  * aggregation, distinct aggregation, rollup, window functions, top-k,
+  * set operations, scalar/date/JSON functions.
+  *
+  * Scale notes per query are inline; the common ones: filters and column
+  * pruning reach the parquet scan (verified via explain in
+  * QueryPlanSpec), dimension joins are broadcast, fact-fact joins shuffle
+  * on their join key and AQE handles skew.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: partial aggregation map-side, 6-group
+    * output — shuffles only the tiny partial-agg state at any scale.
+    */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection: both the predicate and the
+    * 4-column read schema must reach the parquet scan (no full-width read).
+    */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Fact-fact shuffle join + aggregate + deterministic top-k. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "O")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"),
+      )
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-join with broadcast dimension (nation is 25 rows at any SF). */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val n = Tables.nation(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Hierarchical rollup over broadcast-joined dims (region->nation). */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"),
+        col("total_acctbal"),
+      )
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers with at least one open order. */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "P")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no pending order. */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "P")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Per-group top-k via ranking window (row_number, full tie-break). */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, d)
+      .select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** Running-total window over a deterministic frame order. */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_total"),
+      )
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Exact distinct aggregation (count-distinct expands + reshuffles). */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Set operators: UNION (distinct), INTERSECT, EXCEPT on key sets. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.where(col("c_acctbal") > 7000).select(col("c_custkey"))
+    def tagCount(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+    tagCount(building.union(rich).distinct(), "building_or_rich")
+      .unionAll(tagCount(building.intersect(rich), "building_and_rich"))
+      .unionAll(tagCount(building.except(rich), "building_not_rich"))
+      .orderBy(col("op"))
+  }
+
+  /** Scalar-function gamut: string, math, conditional, modulo. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - 25).as("size_dev"),
+        round(col("p_retailprice") * 1.1, 2).as("inflated"),
+        when(col("p_size") >= 25, "large").otherwise("small").as("size_class"),
+        (col("p_partkey") % 7).as("bucket7"),
+      )
+      .orderBy(col("p_partkey"))
+
+  /** Date-part extraction + aggregation (timestamps never in output). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("yr"), col("mon"))
+
+  /** Event-time bucketing on the nanosecond epoch. events.ts reads as Long
+    * (nanosAsLong); `div` keeps the bucket arithmetic in exact integer
+    * space — a double division would lose sub-256ns precision at 2024
+    * epochs and mis-bucket boundary events.
+    */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        expr("ts div 300000000000").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** JSON scalar extraction over the events.props payload. */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("k")), 2).as("avg_k"),
+        max(col("k")).as("max_k"),
+        min(col("k")).as("min_k"),
+      )
+      .orderBy(col("event_type"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01,
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |round(avg(l_quantity),2) AS avg_qty, round(avg(l_discount),2) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    QueryDef("q02_filter_pushdown", q02,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    QueryDef("q03_top_revenue_orders", q03,
+      Some("""SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderstatus = 'O'
+             |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+    QueryDef("q04_revenue_by_nation", q04,
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+    QueryDef("q05_region_rollup", q05,
+      Some("""SELECT coalesce(r_name,'ALL') AS region_name, coalesce(n_name,'ALL') AS nation_name,
+             |count(*) AS n_customers, round(sum(c_acctbal),2) AS total_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY region_name, nation_name""".stripMargin)),
+    QueryDef("q06_semi_join", q06,
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q07_anti_join", q07,
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q08_topk_per_group", q08,
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) t
+             |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)),
+    QueryDef("q09_window_running_total", q09,
+      Some("""SELECT o_custkey, o_orderkey,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+             |FROM orders ORDER BY o_custkey, rn""".stripMargin)),
+    QueryDef("q10_distinct_agg", q10,
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q11_set_operations", q11,
+      Some("""SELECT 'building_or_rich' AS op, count(*) AS n FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  UNION SELECT c_custkey FROM customer WHERE c_acctbal > 7000) u
+             |UNION ALL
+             |SELECT 'building_and_rich' AS op, count(*) AS n FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 7000) i
+             |UNION ALL
+             |SELECT 'building_not_rich' AS op, count(*) AS n FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 7000) e
+             |ORDER BY op""".stripMargin)),
+    QueryDef("q12_scalar_gamut", q12,
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+             |length(p_name) AS name_len, substr(p_name,1,5) AS name_pre,
+             |concat(p_brand,'#',p_type) AS brand_type, abs(p_size-25) AS size_dev,
+             |round(p_retailprice*1.1,2) AS inflated,
+             |CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+             |p_partkey % 7 AS bucket7
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    QueryDef("q13_date_parts", q13,
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+             |count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY yr, mon ORDER BY yr, mon""".stripMargin)),
+    QueryDef("q14_event_time_buckets", q14,
+      Some("""SELECT epoch_ns(ts) // 300000000000 AS bucket, event_type,
+             |count(*) AS n, round(sum(value),2) AS total
+             |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin)),
+    QueryDef("q15_json_extract", q15,
+      Some("""SELECT event_type, round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),2) AS avg_k,
+             |max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k,
+             |min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.vectors
+
+/** Similarity search over `embeddings` (ArrayType(FloatType), 64-dim):
+  * embedding-cosine near-dup pairs, brute-force ANN top-k (the exactness
+  * baseline), and the LSH-bucketed scale path.
+  *
+  * Scale notes: brute-force is O(n*q) — correct as the small-q baseline
+  * or re-rank stage; the production path is the random-hyperplane LSH
+  * bucketing (q30): signature is a per-row map, bucketing is one shuffle
+  * on the signature, and candidate generation joins within buckets only.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random integer hyperplanes (engine-portable:
+    * same literals appear in the SQL oracle).
+    */
+  val dims = 64
+  val numPlanes = 8
+  val planes: Seq[Seq[Int]] =
+    (0 until numPlanes).map(j => (0 until dims).map(k => ((j * 131 + k * 37) % 17) - 8))
+
+  val neardupThreshold = 0.3
+
+  /** DuckDB replicas of the double-precision sequential folds in
+    * [[graft.functions.vectors]] (bit-identical op order).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
+
+  private def ssSql(a: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)"
+
+  def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${ssSql(a)}) * sqrt(${ssSql(b)})))"
+
+  /** All-pairs embedding-cosine near-duplicates above the threshold.
+    * Norms are hoisted (computed once per vector, not once per pair) and
+    * the streamed side is repartitioned so the nested-loop pair
+    * generation parallelizes across all cores; cos = dot/(norm_a*norm_b)
+    * is the same double arithmetic as the inline formula.
+    */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .repartition(col("vec_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("c"))
+      .where(col("c") >= neardupThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Brute-force cosine top-k: 5 query vectors against the full corpus.
+    * Per-group top-k via ranking window with full tie-break.
+    */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn"))
+      .repartition(col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vectors.dot(col("qe"), col("ne")) / (col("nq") * col("nn"))).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH bucket inventory: random-hyperplane signature per vector, bucket
+    * stats (the candidate-generation structure for ANN at scale).
+    */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), vectors.lshSignature(col("embedding"), planes).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("sig"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q28_embedding_neardup", q28, Some(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${cosSql("a.embedding", "b.embedding")} AS c
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p
+         |WHERE c >= $neardupThreshold ORDER BY vec_a, vec_b""".stripMargin)),
+    QueryDef("q29_ann_bruteforce", q29, Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        ${cosSql("q.qe", "e.embedding")} AS c
+         |      FROM q JOIN embeddings e ON q.query_id <> e.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |      FROM c)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+    QueryDef("q30_ann_lsh_buckets", q30, Some {
+      val sig = planes.zipWithIndex.map { case (p, j) =>
+        val lits = p.mkString("[", ", ", "]")
+        s"CASE WHEN ${dotSql("embedding", lits)} > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM embeddings)
+         |SELECT sig, count(*) AS n_vecs, min(vec_id) AS min_vec
+         |FROM s GROUP BY sig ORDER BY sig""".stripMargin
+    }),
+  )
+}

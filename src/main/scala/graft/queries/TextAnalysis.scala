@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{text, textstats}
+
+/** Text-analysis pipeline queries over `documents`: language ID, quality
+  * scoring, token statistics, fingerprinting. Every scalar is a narrow
+  * per-row map over the scan — embarrassingly parallel, no shuffle except
+  * final ordering, so these hold at any scale.
+  */
+object TextAnalysis {
+
+  import TextCorpus.tokensSql
+
+  /** DuckDB CASE replicating [[textstats.predictLang]] (alphabetical
+    * language order = tie-break order).
+    */
+  private val langs = textstats.stopwords.keys.toSeq.sorted
+
+  private def hitsSql(lang: String): String = {
+    val list = textstats.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_distinct(list_intersect($tokensSql, $list)))"
+  }
+
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val toks = text.normalizedTokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        textstats.predictLang(toks).as("pred_lang"),
+        textstats.stopwordHits(toks, "en").as("hits_en"),
+        textstats.stopwordHits(toks, "de").as("hits_de"),
+      )
+      .withColumn("agrees", (col("pred_lang") === col("labeled_lang")).cast("int").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ratios are computed in integer centi/milli units via floor, not
+    * round(x, n): Spark's round() rounds the shortest decimal repr
+    * (BigDecimal.valueOf) while DuckDB rounds the raw double, so exact
+    * halves like 189/40 = 4.725 diverge (4.73 vs 4.72). floor of an
+    * integer-ratio double is stable in both engines: the quotient is
+    * either an exactly-representable integer or at least 1/den away from
+    * one.
+    */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val toks = text.normalizedTokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        size(toks).cast("long").as("n_tokens"),
+        textstats.punctCount(col("text")).as("n_punct"),
+        textstats.stopwordOccurrences(toks).as("n_stopwords"),
+        textstats.totalTokenChars(toks).as("token_chars"),
+      )
+      .withColumn("stopword_milli",
+        floor(lit(1000) * col("n_stopwords") / greatest(col("n_tokens"), lit(1L))))
+      .withColumn("punct_milli",
+        floor(lit(1000) * col("n_punct") / greatest(col("n_chars_text"), lit(1L))))
+      .withColumn("avg_token_len",
+        floor(lit(100) * col("token_chars") / greatest(col("n_tokens"), lit(1L))) / lit(100.0))
+      .withColumn("stopword_ratio", col("stopword_milli") / lit(1000.0))
+      .withColumn("quality",
+        (lit(1000) - least(col("stopword_milli") * 2, lit(500L))
+          - least(col("punct_milli"), lit(500L))) / lit(1000.0))
+      .drop("stopword_milli", "punct_milli")
+      .orderBy(col("doc_id"))
+  }
+
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(text.whitespaceTokens(col("text"))).cast("long").as("ws_tokens"),
+        textstats.wordShapeCount(col("text")).as("shape_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        col("n_chars"),
+      )
+      .orderBy(col("doc_id"))
+
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val norm = concat_ws(" ", text.normalizedTokens(col("text")))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_raw"),
+        md5(norm.cast("binary")).as("md5_norm"),
+        textstats.rollingHash(norm).as("roll_hash"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q19_lang_id", q19, Some {
+      val hits = langs.map(l => s"${hitsSql(l)} AS hits_$l").mkString(", ")
+      val m = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN hits_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang, $hits FROM documents),
+         |p AS (SELECT *, $m AS m FROM scored)
+         |SELECT doc_id, labeled_lang, CASE $cases ELSE 'und' END AS pred_lang,
+         |hits_en, hits_de,
+         |CAST(CASE $cases ELSE 'und' END = labeled_lang AS BIGINT) AS agrees
+         |FROM p ORDER BY doc_id""".stripMargin
+    }),
+    QueryDef("q20_quality_score", q20, Some {
+      val en = textstats.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id, length(text) AS n_chars_text,
+         |  len($tokensSql) AS n_tokens,
+         |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+         |  len(list_filter($tokensSql, t -> list_contains($en, t))) AS n_stopwords,
+         |  length(array_to_string($tokensSql, '')) AS token_chars
+         |  FROM documents),
+         |r AS (SELECT *,
+         |  floor(1000 * n_stopwords / greatest(n_tokens, 1)) AS stopword_milli,
+         |  floor(1000 * n_punct / greatest(n_chars_text, 1)) AS punct_milli
+         |  FROM base)
+         |SELECT doc_id, n_chars_text, n_tokens, n_punct, n_stopwords, token_chars,
+         |  floor(100 * token_chars / greatest(n_tokens, 1)) / 100.0 AS avg_token_len,
+         |  stopword_milli / 1000.0 AS stopword_ratio,
+         |  (1000 - least(stopword_milli * 2, 500) - least(punct_milli, 500)) / 1000.0 AS quality
+         |FROM r ORDER BY doc_id""".stripMargin
+    }),
+    QueryDef("q21_token_stats", q21, Some(
+      s"""SELECT doc_id,
+         |len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS ws_tokens,
+         |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS shape_tokens,
+         |length(text) AS n_chars_text, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q22_fingerprint", q22, Some(
+      s"""WITH n AS (SELECT doc_id, text, array_to_string($tokensSql, ' ') AS norm FROM documents)
+         |SELECT doc_id, md5(text) AS md5_raw, md5(norm) AS md5_norm,
+         |CASE WHEN length(norm) = 0 THEN 0 ELSE
+         |  list_reduce(list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT)),
+         |              (a, b) -> (a * 31 + b) % 1000000007) END AS roll_hash
+         |FROM n ORDER BY doc_id""".stripMargin)),
+  )
+}
