@@ -31,6 +31,10 @@ object Bench {
       val ok = try { q.fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Off the clock: drop leftover cached blocks/broadcasts so one
+      // query's garbage doesn't tax the next one's measurement.
+      spark.catalog.clearCache()
+      System.gc()
       q.name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -53,18 +53,17 @@ object textstats {
   def wordShapeCount(textCol: Column): Column =
     regexp_count(textCol, lit("[A-Za-z]+|[0-9]+")).cast("long")
 
-  /** Polynomial rolling hash of a string (base 31, mod 1e9+7), computed as
-    * a higher-order fold over characters. Matches DuckDB's
-    * `list_reduce(list_transform(string_split(s,''), c->ascii(c)),
-    * (a,b)->(a*31+b)%p)` exactly: with init 0, the accumulator after the
-    * first character equals that character's code, which is list_reduce's
-    * first-element seed.
+  /** Polynomial rolling hash of a string (base 31, mod 1e9+7). Matches
+    * DuckDB's `list_reduce(list_transform(string_split(s,''),
+    * c->ascii(c)), (a,b)->(a*31+b)%p)` exactly: with init 0, the
+    * accumulator after the first character equals that character's code,
+    * which is list_reduce's first-element seed; empty string hashes to 0.
+    * Codegen'd custom expression — see
+    * [[graft.expressions.StringPolyHash]] for why not a declarative fold.
     */
-  def rollingHash(textCol: Column): Column =
-    when(length(textCol) === 0, lit(0L)).otherwise(
-      aggregate(
-        split(textCol, ""),
-        lit(0L),
-        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L,
-      ))
+  def rollingHash(textCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.StringPolyHash(ColumnBridge.expression(textCol)))
+  }
 }

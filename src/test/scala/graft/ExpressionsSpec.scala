@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{textstats, vectors}
+
+/** The custom codegen expressions must be value-identical to the
+  * declarative higher-order-function folds they replaced (which in turn
+  * mirror the DuckDB oracle formulations).
+  */
+class ExpressionsSpec extends SparkSpec {
+
+  test("StringPolyHash == declarative aggregate(split) fold") {
+    val spark0 = spark
+    import spark0.implicits._
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\'', '.', 'ü', 'é'))).map(_.mkString)
+    val inputs = Gen.listOfN(200, gen).sample.get :+ "" :+ "abc"
+    val df = inputs.toDF("s")
+    val got = df.select(
+      textstats.rollingHash(col("s")).as("fast"),
+      when(length(col("s")) === 0, lit(0L)).otherwise(
+        aggregate(split(col("s"), ""), lit(0L),
+          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)).as("slow"),
+    ).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("StringPolyHash known value") {
+    val spark0 = spark
+    import spark0.implicits._
+    // ((0*31+97)*31+98)*31+99 = 96354 — same value DuckDB's fold yields.
+    val v = Seq("abc").toDF("s").select(textstats.rollingHash(col("s"))).head().getLong(0)
+    assert(v == 96354L)
+  }
+
+  test("VectorDotProduct == declarative zip_with/aggregate fold") {
+    val spark0 = spark
+    import spark0.implicits._
+    val gen = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f))
+    val rows = Gen.listOfN(50, Gen.zip(gen, gen)).sample.get
+    val df = rows.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+    val got = df.select(
+      vectors.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("slow"),
+    ).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+}
