@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-phase (salted) aggregation.
+  *
+  * A straight `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer. Salting splits each key into `buckets` sub-groups for the
+  * first (wide) aggregation, then merges the per-salt partials in a second
+  * aggregation whose input is at most `buckets` rows per key. The result
+  * is EXACTLY the direct aggregation (addition is associative), so the
+  * oracle is the plain GROUP BY — this operator changes the shuffle shape,
+  * never the answer.
+  *
+  * The reference's English-letter partitioning is the motivating skew
+  * (test_out/s.txt is 3,985 lines vs z.txt 33; SURVEY.md §4); AQE's skew
+  * handling covers joins, but hot-key AGGREGATION state is what salting
+  * addresses at 100 TB.
+  */
+object Salted {
+
+  /** count + sum(weight) per key, salted. The salt only needs to spread
+    * rows of one key across reducers; any deterministic row-level value
+    * works (hash of a companion column here, keeping results
+    * engine-portable — never rand(), which breaks retry idempotence).
+    */
+  def countAndSum(
+      df: DataFrame,
+      key: Column,
+      saltSource: Column,
+      weight: Column,
+      buckets: Int = 16,
+  ): DataFrame =
+    df.select(key.as("k"), pmod(saltSource, lit(buckets)).as("salt"), weight.as("w"))
+      .groupBy(col("k"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("w")).as("ps"))
+      .groupBy(col("k"))
+      .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
+}

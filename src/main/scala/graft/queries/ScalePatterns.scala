@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Dedup, Salted}
+
+/** Operators whose point is the 100 TB shuffle shape: salted (two-phase)
+  * aggregation for hot keys, sketch-based distinct counting, and the
+  * union+window as-of join.
+  */
+object ScalePatterns {
+
+  import TextCorpus.tokensSql
+
+  /** Word counts via salted two-phase aggregation. The salt changes the
+    * shuffle shape only — the oracle is the PLAIN group-by, proving
+    * result-equivalence of the skew-safe plan.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val words = graft.operators.InvertedIndex.words(Tables.documents(s, d), "doc_id", "text")
+    Salted.countAndSum(
+      words, key = col("word"), saltSource = col("file_id"),
+      weight = length(col("word")).cast("long"))
+      .select(col("k").as("word"), col("n"), col("total").as("total_chars"))
+      .orderBy(col("word"))
+  }
+
+  /** Sketch-based distinct counting (HLL++): the 100 TB replacement for
+    * exact count-distinct / collect_set where a few % error is fine. No
+    * SQL oracle — DuckDB's approx_count_distinct is a different sketch —
+    * so the companion exact counts (oracle-checked in q10/q18) bound it;
+    * the spec asserts the error envelope instead.
+    */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** As-of join: each event looks up the user's most recent order at the
+    * event's time. Oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      // o_orderdate reads as TIMESTAMP_NTZ; with the session pinned to UTC
+      // the LTZ cast is exact and matches DuckDB's naive epoch_ms.
+      .select(
+        col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        col("o_orderkey"))
+    val events = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"))
+    AsOfJoin.lookup(
+      events, probeKey = "user_id", probeTime = "t_us", probeId = "event_id",
+      orders, buildKey = "o_custkey", buildTime = "t_us", buildRef = "o_orderkey")
+      .select(col("id").as("event_id"), col("k").as("user_id"), col("asof_ref").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q33_salted_word_counts", q33, Some(
+      s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+         |SELECT word, count(*) AS n, CAST(sum(length(word)) AS BIGINT) AS total_chars
+         |FROM w GROUP BY word ORDER BY word""".stripMargin)),
+    QueryDef("q34_approx_distinct", q34, None),
+    QueryDef("q35_asof_join", q35, Some(
+      """WITH b AS (SELECT o_custkey AS uid, epoch_ms(o_orderdate)*1000 AS t, max(o_orderkey) AS ref
+        |           FROM orders GROUP BY uid, epoch_ms(o_orderdate)*1000),
+        |p AS (SELECT user_id AS uid, epoch_ns(ts)//1000 AS t, event_id FROM events)
+        |SELECT p.event_id, p.uid AS user_id, coalesce(b.ref, -1) AS asof_orderkey
+        |FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND p.t >= b.t
+        |ORDER BY event_id""".stripMargin)),
+  )
+}

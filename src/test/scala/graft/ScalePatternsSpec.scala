@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Salted}
+
+/** Semantics of the scale-pattern operators beyond what the DuckDB oracle
+  * covers: salted == direct aggregation, approx-distinct error envelope,
+  * as-of tie semantics.
+  */
+class ScalePatternsSpec extends SparkSpec {
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val words = graft.operators.InvertedIndex.words(
+      Tables.documents(spark, sf0001), "doc_id", "text")
+    val salted = Salted.countAndSum(
+      words, col("word"), col("file_id"), length(col("word")).cast("long"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), sum(length(col("word")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val li = Tables.lineitem(spark, sf0001)
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
+  }
+
+  test("as-of join: equal-time build row is visible; no match yields default") {
+    val spark0 = spark
+    import spark0.implicits._
+    val build = Seq((1L, 10L, 100L), (1L, 10L, 101L), (1L, 20L, 102L), (2L, 50L, 200L))
+      .toDF("k", "t", "ref")
+    val probe = Seq((1L, 10L, 1L), (1L, 15L, 2L), (1L, 25L, 3L), (2L, 40L, 4L), (3L, 5L, 5L))
+      .toDF("k", "t", "id")
+    val got = AsOfJoin.lookup(probe, "k", "t", "id", build, "k", "t", "ref")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // id 1: equal time -> sees build@10, deduped to max ref 101
+    // id 2: last build <= 15 is build@10 -> 101; id 3 -> build@20 -> 102
+    // id 4: build@50 is in the future -> default; id 5: key absent -> default
+    assert(got == Map(1L -> 101L, 2L -> 101L, 3L -> 102L, 4L -> -1L, 5L -> -1L))
+  }
+}
