@@ -43,6 +43,13 @@ object Similarity {
   def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${ssSql(a)}) * sqrt(${ssSql(b)})))"
 
+  /** DuckDB replica of vectors.lshSignature over `v`. */
+  def sigSql(v: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql(v, lits)} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   /** All-pairs embedding-cosine near-duplicates above the threshold.
     * Norms are hoisted (computed once per vector, not once per pair) and
     * the streamed side is repartitioned so the nested-loop pair
@@ -93,6 +100,30 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("sig"))
 
+  /** The full scalable near-dup pipeline: LSH signature -> bucket
+    * equi-join (candidates only, one shuffle on the signature) -> exact
+    * cosine verification. Contrast with q28's all-pairs baseline: same
+    * verification math, O(collisions) instead of O(n^2) candidates.
+    */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(
+        col("vec_id"), col("embedding"),
+        vectors.lshSignature(col("embedding"), planes).as("sig"),
+        vectors.norm(col("embedding")).as("nrm"))
+      .localCheckpoint() // feeds both sides of the bucket self-join
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("sig").as("sig_a"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("sig").as("sig_b"), col("nrm").as("nb"))
+    a.join(b, col("sig_a") === col("sig_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("sig_a").as("sig"),
+        (vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("c"))
+      .where(col("c") >= neardupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("sig"), round(col("c"), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_embedding_neardup", q28, Some(
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -111,14 +142,17 @@ object Similarity {
          |      FROM c)
          |SELECT query_id, neighbor_id, rank, round(c, 6) AS cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
-    QueryDef("q30_ann_lsh_buckets", q30, Some {
-      val sig = planes.zipWithIndex.map { case (p, j) =>
-        val lits = p.mkString("[", ", ", "]")
-        s"CASE WHEN ${dotSql("embedding", lits)} > 0 THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH s AS (SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM embeddings)
+    QueryDef("q30_ann_lsh_buckets", q30, Some(
+      s"""WITH s AS (SELECT vec_id, CAST(${sigSql("embedding")} AS BIGINT) AS sig FROM embeddings)
          |SELECT sig, count(*) AS n_vecs, min(vec_id) AS min_vec
-         |FROM s GROUP BY sig ORDER BY sig""".stripMargin
-    }),
+         |FROM s GROUP BY sig ORDER BY sig""".stripMargin)),
+    QueryDef("q36_lsh_neardup", q36, Some(
+      s"""WITH s AS (SELECT vec_id, embedding, CAST(${sigSql("embedding")} AS BIGINT) AS sig,
+         |             sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig,
+         |        ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS c
+         |      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sig, round(c, 6) AS cos FROM p
+         |WHERE c >= $neardupThreshold ORDER BY vec_a, vec_b""".stripMargin)),
   )
 }

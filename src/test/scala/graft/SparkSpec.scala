@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-test-warehouse")
+    System.setProperty("derby.system.home", tmp.toString)
     val s = GraftSession
       .builder(appName = "graft-test", master = Some("local[4]"), shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir", tmp.resolve("warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
