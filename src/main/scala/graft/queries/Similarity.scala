@@ -124,6 +124,29 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF coarse quantization: assign every vector to its nearest of 16
+    * "centroids" (deterministically: the first 16 vectors — a real IVF
+    * would Lloyd-iterate, which only moves the centroid table, not the
+    * assignment shape). The centroid table broadcasts; assignment is one
+    * pass over the corpus; probing then searches only the query's cluster
+    * — the third ANN regime next to brute force (q29) and LSH (q30/q36).
+    */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("cluster"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_embedding_neardup", q28, Some(
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -154,5 +177,16 @@ object Similarity {
          |      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, sig, round(c, 6) AS cos FROM p
          |WHERE c >= $neardupThreshold ORDER BY vec_a, vec_b""".stripMargin)),
+    QueryDef("q37_ivf_assign", q37, Some(
+      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+         |a AS (SELECT e.vec_id, c.cid,
+         |        ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
+         |      FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |      FROM a)
+         |SELECT cid AS cluster, count(*) AS n_vecs, min(vec_id) AS min_vec
+         |FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin)),
   )
 }
