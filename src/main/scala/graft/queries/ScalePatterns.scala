@@ -62,6 +62,32 @@ object ScalePatterns {
       .orderBy(col("event_id"))
   }
 
+  /** CUBE over two grouping dimensions (all 4 grouping-set combinations). */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Banded range join: event pairs of the same user within one hour,
+    * via the bucketed equi-join (no O(n^2) nested loop).
+    */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val bandUs = 3600L * 1000000
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"))
+      .localCheckpoint() // feeds both sides of the banded self-join
+    graft.operators.RangeJoin
+      .bandedSelfJoin(e, key = "user_id", value = "t_us", id = "event_id", band = bandUs)
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_salted_word_counts", q33, Some(
       s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
@@ -75,5 +101,16 @@ object ScalePatterns {
         |SELECT p.event_id, p.uid AS user_id, coalesce(b.ref, -1) AS asof_orderkey
         |FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND p.t >= b.t
         |ORDER BY event_id""".stripMargin)),
+    QueryDef("q38_cube", q38, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)),
+    QueryDef("q39_range_join", q39, Some(
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_ns(a.ts) // 1000 - epoch_ns(b.ts) // 1000) <= 3600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
   )
 }

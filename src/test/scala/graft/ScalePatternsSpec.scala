@@ -31,6 +31,17 @@ class ScalePatternsSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
   }
 
+  test("banded self-join finds each in-band pair exactly once, boundary inclusive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L), (1L, 31L, 4L), (2L, 5L, 5L))
+      .toDF("k", "v", "id").localCheckpoint()
+    val got = graft.operators.RangeJoin.bandedSelfJoin(rows, "k", "v", "id", band = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    // |0-10| = 10 inclusive; |10-20| = 10; |20-31| = 11 out; cross-key out.
+    assert(got == Seq((1L, 2L), (2L, 3L)))
+  }
+
   test("as-of join: equal-time build row is visible; no match yields default") {
     val spark0 = spark
     import spark0.implicits._
