@@ -52,6 +52,43 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("watermark drops late data in append mode") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late-events")
+    val t0 = 1700000000L * 1000000000L // nanos, aligned far from corpus times
+    def stageEvents(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-late-stage")
+      rows.map { case (id, tsNs) => (id, tsNs, 1L, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+    val q = EventStreams.windowedAggregates(stream).writeStream
+      .format("memory").queryName("w_late").outputMode("append").start()
+    try {
+      // Batch 1: events spanning 0..20min -> watermark advances to +10min.
+      stageEvents(Seq((1L, t0), (2L, t0 + 20L * 60 * 1000000000L)), "000.parquet")
+      q.processAllAvailable()
+      // Batch 2: one event 60min BEFORE t0 (far past the watermark -> must
+      // be dropped) plus one at +40min to advance watermark and flush.
+      stageEvents(
+        Seq((3L, t0 - 60L * 60 * 1000000000L), (4L, t0 + 40L * 60 * 1000000000L)),
+        "001.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("w_late")
+      .select(col("window_start")).as[Long].collect().toSet
+    val lateWindow = (t0 / 1000000000L - 3600) / 300 * 300
+    val firstWindow = t0 / 1000000000L / 300 * 300
+    assert(emitted.contains(firstWindow), s"on-time window missing from $emitted")
+    assert(!emitted.contains(lateWindow), s"late event's window was emitted: $emitted")
+  }
+
   test("stateful user totals (mapGroupsWithState): streaming == batch groupBy") {
     import org.apache.spark.sql.functions._
     val streamed = runStream(
