@@ -60,6 +60,33 @@ object TextCorpus {
       .select(col("word"), col("doc_freq"), text.firstLetter(col("word")).as("letter"))
       .orderBy(col("doc_freq").desc, col("word"))
 
+  /** TF-IDF top terms per document. idf is floor'd to integer milli-units
+    * before ranking: raw double tf*ln(N/df) scores can be mathematically
+    * equal across different (tf, df) pairs (2*ln4 == 4*ln2) yet differ by
+    * an ulp between engines, flipping ranks; integer scores rank
+    * identically everywhere (ln itself matches — both engines use the
+    * platform natural log and the floor sits ulp-safely inside the
+    * interval for non-boundary values).
+    */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // corpus size: one tiny driver-side scalar
+    val tf = words(s, d)
+      .groupBy(col("file_id").as("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_milli").desc, col("word"))
+    tf.join(df, "word")
+      .withColumn("idf_milli", floor(lit(1000) * log(lit(nDocs.toDouble) / col("df"))))
+      .withColumn("score_milli", col("tf") * col("idf_milli"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"),
+        (col("score_milli") / lit(1000.0)).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q16_doc_token_counts", q16,
       Some(s"""SELECT doc_id, len($tokensSql) AS n_tokens
@@ -75,5 +102,17 @@ object TextCorpus {
               |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)
               |SELECT word, count(*) AS doc_freq, substr(word,1,1) AS letter
               |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),
+    QueryDef("q40_tfidf_top_terms", q40, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |        tf.tf * floor(1000 * ln(CAST(n.n_docs AS DOUBLE) / df.df)) AS score_milli
+         |      FROM tf JOIN df USING (word) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score_milli DESC, word) AS rank FROM s)
+         |SELECT doc_id, rank, word, tf, df, score_milli / 1000.0 AS tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
   )
 }
