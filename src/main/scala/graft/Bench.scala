@@ -28,8 +28,10 @@ object Bench {
 
     val results = SparkEntry.allDefs.map { q =>
       val t0 = System.nanoTime()
+      // NonFatal only: an OOM/JVM-corrupting error must abort the bench
+      // rather than distort every subsequent measurement.
       val ok = try { q.fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
+      catch { case scala.util.control.NonFatal(_) => false }
       val sec = (System.nanoTime() - t0) / 1e9
       // Off the clock: drop leftover cached blocks/broadcasts so one
       // query's garbage doesn't tax the next one's measurement.

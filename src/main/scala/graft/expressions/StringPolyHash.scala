@@ -9,11 +9,16 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 /** Polynomial rolling hash of a string: fold over code points of
   * `(acc * base + cp) % mod`, starting from acc = 0.
   *
-  * Semantically identical to the declarative
-  * `aggregate(split(s, ""), 0L, (acc, c) => (acc*31 + ascii(c)) % P)` and
-  * to the DuckDB oracle's `list_reduce(list_transform(string_split(s, ''),
-  * c -> ascii(c)), (a, b) -> (a*31 + b) % P)` — but codegen'd as one tight
-  * loop instead of an interpreted per-character fold (StringSplit allocates
+  * The fold is over UNICODE CODE POINTS — matching the DuckDB oracle's
+  * `list_reduce(list_transform(string_split(s, ''), c -> ascii(c)),
+  * (a, b) -> (a*31 + b) % P)` for ALL input (DuckDB is UTF-8 native: its
+  * string_split('') yields whole code points and ascii() their scalar
+  * values; asserted for the supplementary plane in ExpressionsSpec).
+  * Spark's own `aggregate(split(s, ""), 0L, (acc, c) => (acc*31 +
+  * ascii(c)) % P)` is equivalent only for BMP text — split("") cuts
+  * UTF-16 SURROGATE HALVES for supplementary characters, diverging from
+  * both this expression and the oracle. Codegen'd as one tight loop
+  * instead of an interpreted per-character fold (StringSplit allocates
   * a per-char array and ArrayAggregate re-evaluates a lambda tree per
   * element; on the MinHash shingle path that was the whole benchmark).
   *

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Fused dot product over two ArrayType(FloatType) columns.
+/** Fused dot product over two array<float> / array<double> columns (each
+  * side independently; mixed widths widen the float element to double —
+  * the same CAST-to-DOUBLE the oracle applies).
   *
   * Semantically identical to the declarative fold
   * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,v) => acc+v)` —
@@ -18,32 +20,41 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * The accumulation order matches DuckDB's
   * `list_reduce(list_prepend(0.0, list_transform(list_zip(a,b), ...)))`
-  * oracle bit-for-bit, so results hash-compare exactly.
+  * oracle bit-for-bit, so results hash-compare exactly. The double-side
+  * support exists for the IVF path, whose Lloyd centroids are exact
+  * integer-ratio doubles (identical in both engines by construction).
   */
 case class VectorDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
-        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  private def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -54,11 +65,13 @@ case class VectorDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val xv = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yv = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += $xv * $yv;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, textstats}
@@ -31,12 +32,19 @@ object Dedup {
   def normalizedText(textCol: Column): Column =
     concat_ws(" ", text.normalizedTokens(textCol))
 
-  /** word-`shingleSize`-gram strings of the normalized token array. */
+  /** word-`shingleSize`-gram strings of the normalized token array.
+    * Guarded: fewer than `shingleSize` tokens yields an empty array
+    * (unguarded, `sequence(1, size-2)` with stop < start infers step -1
+    * and the resulting slice(toks, 0, 3) errors at runtime).
+    */
   def shingles(tokens: Column): Column =
-    transform(
-      sequence(lit(1), size(tokens) - (shingleSize - 1)),
-      i => concat_ws(" ", slice(tokens, i, lit(shingleSize))),
-    )
+    when(
+      size(tokens) >= shingleSize,
+      transform(
+        sequence(lit(1), size(tokens) - (shingleSize - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(shingleSize))),
+      ),
+    ).otherwise(array().cast("array<string>"))
 
   /** MinHash signature columns mh0..mh{k-1} over the shingle set. */
   def minhashCols(shingleCol: Column): Seq[Column] =
@@ -56,20 +64,72 @@ object Dedup {
       .select(Seq(col("doc_id")) ++ minhashCols(shingles(col("toks"))): _*)
   }
 
-  /** LSH candidate pairs: docs sharing >= 1 of the `numHashes` single-row
-    * bands (r=1, b=numHashes — tuned for low-jaccard corpora; banding
-    * params are the knob for precision/recall at scale). The band join
-    * shuffles on (band, key): candidate generation is O(collisions), not
-    * O(n^2).
+  /** Degenerate-bucket cutoff for LSH band joins: a band key shared by B
+    * docs contributes B*(B-1)/2 candidate pairs, so one hot key (a
+    * boilerplate shingle whose hash is the corpus-wide minimum) turns the
+    * O(collisions) join quadratic. Buckets above the cap carry no dedup
+    * signal (they would pair everything with everything) and are dropped
+    * — standard LSH practice. The default never binds on the test corpora
+    * (both engines apply it, so output agrees either way).
     */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
-    val bands = signatures.select(
+  val defaultMaxBucket = 1000
+
+  /** LSH candidate pairs: docs sharing >= 1 of the `numHashes` single-row
+    * bands (r=1, b=numHashes — tuned for low-jaccard corpora; see
+    * [[lshCandidatesBanded]] for the general (b, r) precision knob). The
+    * band join shuffles on (band, key): candidate generation is
+    * O(collisions), not O(n^2), and `maxBucket` bounds the worst key so a
+    * degenerate bucket cannot re-create the quadratic blowup.
+    */
+  def lshCandidates(signatures: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame =
+    pairsFromBands(bandRows(signatures, 1), maxBucket)
+
+  /** Classic (b, r) LSH banding with r = `rowsPerBand` rows per band and
+    * b = numHashes / r bands: a pair becomes a candidate iff ALL r
+    * minhashes of some band agree, so per-band match probability is s^r
+    * (s = Jaccard similarity) — the precision/recall knob. r = 1 is
+    * [[lshCandidates]]; larger r filters low-similarity noise before the
+    * exact verify stage pays for it.
+    */
+  def lshCandidatesBanded(
+      signatures: DataFrame,
+      rowsPerBand: Int,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
+    pairsFromBands(bandRows(signatures, rowsPerBand), maxBucket)
+
+  /** One (doc_id, band, key) row per band. The key packs the band's r
+    * consecutive minhashes injectively into one BIGINT: each mh < P, so
+    * they are base-P digits (r <= 2 stays exact in signed 64-bit;
+    * P^2 ~ 1e18). Engine-portable — the oracle rebuilds the same digits.
+    */
+  def bandRows(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, s"numHashes=$numHashes not divisible by r=$rowsPerBand")
+    require(rowsPerBand <= 2, s"base-P band key packing overflows BIGINT for r > 2 (r=$rowsPerBand)")
+    val numBands = numHashes / rowsPerBand
+    signatures.select(
       col("doc_id"),
-      explode(array((0 until numHashes).map(i =>
-        struct(lit(i).as("band"), col(s"mh$i").as("key"))): _*)).as("b"),
+      explode(array((0 until numBands).map { bnd =>
+        val key = (0 until rowsPerBand)
+          .map(r => col(s"mh${bnd * rowsPerBand + r}"))
+          .reduce((acc, mh) => acc * P + mh)
+        struct(lit(bnd).as("band"), key.as("key"))
+      }: _*)).as("b"),
     ).select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-    val a = bands.as("a")
-    val b = bands.as("b")
+  }
+
+  /** Self-join band rows into distinct candidate pairs, dropping
+    * degenerate buckets above `maxBucket` first (the count window shuffles
+    * on the same (band, key) the join needs, so the partitioning is
+    * reused, not re-shuffled).
+    */
+  private def pairsFromBands(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("key"))
+    val capped = bands
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

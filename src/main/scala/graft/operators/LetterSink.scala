@@ -1,8 +1,10 @@
 package graft.operators
 
-import java.io.{BufferedWriter, File, FileWriter}
-import java.nio.file.{Files, Paths}
+import java.io.BufferedWriter
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,16 +20,18 @@ import org.apache.spark.sql.functions._
   * to its letter files. The explicit `repartition(26, letter)` pins the
   * partitioning so AQE coalescing cannot split a letter across tasks (AQE
   * only merges whole partitions, which preserves the one-task-per-letter
-  * invariant; sortWithinPartitions order survives a merge of disjoint letter
-  * sets only because rows are letter-prefixed and merged partitions are
-  * concatenated — we disable coalescing ambiguity entirely by writing from
-  * the pinned 26-partition exchange).
+  * invariant).
   *
-  * Each letter file is opened in TRUNCATE mode by the single task that owns
-  * the letter, so task retries are idempotent. Files are pre-created empty on
-  * the driver for the empty-letter invariant. At cluster scale the same
-  * pattern writes to a shared filesystem via temp-file + atomic rename; the
-  * local test harness keeps it simple.
+  * Commit protocol: each task writes a letter to a task-attempt-private
+  * temp file (`.tmp-<letter>-<taskAttemptId>`) in UTF-8 and ATOMICALLY
+  * renames it over `<letter>.txt` when that letter's rows are exhausted.
+  * Readers therefore never observe a partial file, a retried task simply
+  * re-renames a complete file over the previous one, and two concurrent
+  * speculative attempts cannot interleave — each renames its own complete
+  * temp, and whichever commits last wins wholesale. Failed attempts leave
+  * only `.tmp-*` litter that the next successful rename ignores. (On a
+  * multi-node cluster `outDir` must be a shared filesystem whose rename is
+  * atomic — the same contract HDFS/NFS output committers rely on.)
   */
 object LetterSink {
 
@@ -53,22 +57,30 @@ object LetterSink {
       .sortWithinPartitions(col("letter").asc, col("doc_freq").desc, col("word").asc)
       .as[(String, String, Seq[Int], Int)]
       .foreachPartition { (it: Iterator[(String, String, Seq[Int], Int)]) =>
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
         var current: String = null
+        var tmp: Path = null
         var out: BufferedWriter = null
+        def commit(): Unit = if (out != null) {
+          out.close(); out = null
+          Files.move(tmp, Paths.get(outDir, s"$current.txt"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
         try {
           it.foreach { case (letter, word, ids, _) =>
             if (letter != current) {
-              if (out != null) out.close()
-              out = new BufferedWriter(
-                new FileWriter(new File(outDir, s"$letter.txt"), false))
+              commit()
               current = letter
+              tmp = Paths.get(outDir, s".tmp-$letter-$attempt")
+              out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
             }
             out.write(word)
             out.write(":[")
             out.write(ids.mkString(" "))
             out.write("]\n")
           }
-        } finally if (out != null) out.close()
+          commit()
+        } finally if (out != null) { out.close(); Files.deleteIfExists(tmp) }
       }
   }
 }

@@ -54,29 +54,44 @@ object DedupQueries {
   private def q26(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** Exact n-gram Jaccard verification, driven by the LSH candidate set —
+    * the verify stage of the full dedup pipeline (signatures -> band join
+    * -> exact compare), corpus-wide. Shingle SETS are aggregated once per
+    * doc and joined to the candidate pairs, so the exact comparison pays
+    * O(candidates), never all-pairs: the shape that survives 100 TB.
+    */
   private def q27(s: SparkSession, d: String): DataFrame = {
     val toks = text.normalizedTokens(col("text"))
-    val tri = Tables.documents(s, d)
-      .where(col("doc_id") < 100)
+    val sh = Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= Dedup.shingleSize)
-      .select(col("doc_id"), explode(Dedup.shingles(col("toks"))).as("tri"))
-      .distinct()
-      // Feeds both sides of the overlap self-join (see q25 note).
-      .localCheckpoint()
-    val sz = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = tri.as("a")
-      .join(tri.as("b"), col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sz.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .select(
-        col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("toks"))).as("sh"))
+      .localCheckpoint() // feeds the signatures AND both sides of the verify join
+    // min over the distinct shingle set == min over the multiset.
+    val sigs = sh.select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("sh")): _*)
+    val cands = Dedup.lshCandidates(sigs).select(col("doc_a"), col("doc_b"))
+    cands
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** (b, r) banding with r = 2: candidates must agree on both minhashes
+    * of some band — the precision knob next to q25's r = 1 recall knob.
+    */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Dedup.lshCandidatesBanded(
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text").localCheckpoint(),
+      rowsPerBand = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Shared minhash CTE text (mirrors Dedup.minhashSignatures). */
   private def minhashCte: String = {
@@ -90,6 +105,28 @@ object DedupQueries {
        |FROM f)""".stripMargin
   }
 
+  /** band rows + degenerate-bucket cap + distinct candidate pairs, as
+    * CTEs `bands`/`cf`/`cand` (mirrors Dedup.bandRows + pairsFromBands,
+    * including the base-P key packing for r > 1).
+    */
+  private def candCte(rowsPerBand: Int): String = {
+    val numBands = Dedup.numHashes / rowsPerBand
+    val bands = (0 until numBands).map { bnd =>
+      val key = (0 until rowsPerBand)
+        .map(j => s"mh${bnd * rowsPerBand + j}")
+        .reduce((acc, mh) => s"($acc * ${Dedup.P} + $mh)")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""bands AS ($bands),
+       |cf AS (SELECT doc_id, band, key FROM (
+       |         SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bucket_n
+       |         FROM bands)
+       |       WHERE bucket_n <= ${Dedup.defaultMaxBucket}),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+       |         FROM cf a JOIN cf b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |         GROUP BY doc_a, doc_b)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(
       s"""WITH n AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS h FROM documents)
@@ -98,16 +135,10 @@ object DedupQueries {
     QueryDef("q24_minhash_signatures", q24, Some(
       s"""WITH $minhashCte
          |SELECT * FROM m ORDER BY doc_id""".stripMargin)),
-    QueryDef("q25_lsh_candidates", q25, Some {
-      val bands = (0 until Dedup.numHashes)
-        .map(i => s"SELECT doc_id, $i AS band, mh$i AS key FROM m")
-        .mkString("\n  UNION ALL ")
+    QueryDef("q25_lsh_candidates", q25, Some(
       s"""WITH $minhashCte,
-         |bands AS ($bands)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
-    }),
+         |${candCte(1)}
+         |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("q26_simhash", q26, Some {
       val sums = (0 until Dedup.simhashBits)
         .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -123,16 +154,19 @@ object DedupQueries {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
     }),
     QueryDef("q27_ngram_jaccard", q27, Some(
-      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100),
-         |g AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("toks")}) AS tri
-         |      FROM t WHERE len(toks) >= ${Dedup.shingleSize}),
-         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-         |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |       FROM g a JOIN g b ON a.tri = b.tri AND a.doc_id < b.doc_id
-         |       GROUP BY doc_a, doc_b)
-         |SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
-         |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-         |FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      s"""WITH $minhashCte,
+         |${candCte(1)},
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM f)
+         |SELECT c.doc_a, c.doc_b,
+         |  len(list_intersect(sa.s, sb.s)) AS n_common,
+         |  len(sa.s) AS n_a, len(sb.s) AS n_b,
+         |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+         |FROM cand c JOIN ds sa ON sa.doc_id = c.doc_a JOIN ds sb ON sb.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("q41_banded_lsh", q41, Some(
+      s"""WITH $minhashCte,
+         |${candCte(2)}
+         |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

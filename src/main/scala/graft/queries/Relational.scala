@@ -44,31 +44,46 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** Fact-fact shuffle join + aggregate + deterministic top-k. */
+  /** Fact-fact join + aggregate + deterministic top-k. The aggregation
+    * runs BELOW the join (same key, l_orderkey == o_orderkey), so the
+    * shuffle carries one narrow partial-agg row per order instead of
+    * every full-width lineitem row, and the join's probe side arrives
+    * already co-partitioned on the join key. The final top-10 plans as
+    * TakeOrderedAndProject (no global sort).
+    */
   private def q03(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
-    val o = Tables.orders(s, d).where(col("o_orderstatus") === "O")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
         count(lit(1)).as("n_items"),
       )
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "O").select(col("o_orderkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), round(col("rev"), 2).as("revenue"), col("n_items"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
 
-  /** Multi-join with broadcast dimension (nation is 25 rows at any SF). */
+  /** Multi-join with broadcast dimension (nation is 25 rows at any SF).
+    * lineitem pre-aggregates to one revenue row per order below the join
+    * (grouping key == join key), so both fact shuffles move order-grain
+    * rows, not lineitem-grain; the nation sum then just re-aggregates the
+    * per-order partials (sum-of-sums, same value within float noise the
+    * 2-digit rounding absorbs).
+    */
   private def q04(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d)
-    val l = Tables.lineitem(s, d)
+    val lAgg = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(s, d)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    lAgg.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
       .orderBy(col("n_name"))
   }
 

@@ -50,23 +50,44 @@ object Similarity {
       s"CASE WHEN ${dotSql(v, lits)} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  /** All-pairs embedding-cosine near-duplicates above the threshold.
-    * Norms are hoisted (computed once per vector, not once per pair) and
-    * the streamed side is repartitioned so the nested-loop pair
-    * generation parallelizes across all cores; cos = dot/(norm_a*norm_b)
-    * is the same double arithmetic as the inline formula.
+  /** Blocks for triangle-partitioned all-pairs generation (q28): P blocks
+    * give P*(P+1)/2 shuffle keys and a replication factor of P+1 per row.
+    * Scale knob: raise with the cluster so each block-pair's (n/P)^2
+    * comparisons fit one task.
+    */
+  val pairBlocks = 8
+
+  /** All-pairs embedding-cosine near-duplicates above the threshold, via
+    * block-partitioned ("triangle") pair generation: each vector lands in
+    * one of [[pairBlocks]] blocks and is replicated to every block-pair it
+    * participates in — side A carries (pi = blk, pj >= blk), side B
+    * (pi <= blk, pj = blk) — so the pair space becomes an EQUI-join on the
+    * block-pair key. Each unordered cross-block pair meets under exactly
+    * one key; same-block pairs are deduped by `vec_a < vec_b`. Nothing is
+    * broadcast and no nested-loop/cartesian appears in the plan
+    * (plan-asserted in QueryPlanSpec): the n^2/2 comparisons distribute
+    * over the shuffle, which is what survives when the table is far past
+    * broadcast size. Norms are hoisted (once per vector, not per pair);
+    * dot and norm-product are term-commutative, so the unnormalized pair
+    * orientation reproduces the ordered-pair cosine bit-for-bit.
     */
   private def q28(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      .repartition(col("vec_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"),
+        pmod(col("vec_id"), lit(pairBlocks)).cast("int").as("blk"))
+      .localCheckpoint() // feeds both sides of the block-pair self-join
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"),
+      col("blk").as("pi"), explode(sequence(col("blk"), lit(pairBlocks - 1))).as("pj"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"),
+      explode(sequence(lit(0), col("blk"))).as("qi"), col("blk").as("qj"))
+    a.hint("shuffle_hash")
+      .join(b, col("pi") === col("qi") && col("pj") === col("qj")
+        && (col("pi") =!= col("pj") || col("vec_a") < col("vec_b")))
+      .select(least(col("vec_a"), col("vec_b")).as("va"),
+        greatest(col("vec_a"), col("vec_b")).as("vb"),
         (vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("c"))
       .where(col("c") >= neardupThreshold)
-      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), round(col("c"), 6).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -147,6 +168,75 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** Quantization scale for the Lloyd centroid mean: components become
+    * floor(v*1000) BIGINTs whose sums are exact and order-independent —
+    * the property that makes the centroid bit-identical across engines
+    * and across shuffle orders (a raw double sum is neither).
+    */
+  val quantScale = 1000
+
+  /** One Lloyd iteration + cluster-probe ANN: (1) assign every vector to
+    * its nearest seed centroid (the first 16 vectors, as q37); (2) Lloyd
+    * step — recompute each centroid as the element-wise mean of its
+    * members in quantized integer space; (3) reassign the corpus to the
+    * new centroids; (4) probe — each query searches ONLY its nearest
+    * cluster's members and re-ranks them exactly. That is the IVF trade
+    * at scale: a 16-row broadcast centroid pass plus one cluster's
+    * members instead of the whole corpus (recall vs q29 brute force is
+    * measured in SimilaritySpec). The centroid table is 16 rows at any
+    * corpus size; the only corpus-wide work is two narrow assignment
+    * passes and the final per-cluster re-rank.
+    */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+      .localCheckpoint() // corpus projection feeds four consumers
+    val c0 = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+    def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cos").desc, col("cid"))
+      df.join(broadcast(cents))
+        .select(col(id), col("cid"),
+          (vectors.dot(col(vec), col("ce")) / (col(nrm) * col("cn"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col(id), col("cid"))
+    }
+
+    val asg0 = nearest(e, c0, "vec_id", "embedding", "nrm")
+    val cent = asg0.join(e, "vec_id")
+      .select(col("cid"), posexplode(col("embedding")))
+      .select(col("cid"), col("pos"),
+        floor(col("col").cast("double") * quantScale).cast("long").as("qv"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+      .groupBy(col("cid"))
+      .agg(collect_list(
+        struct(col("pos"), (col("sq").cast("double") / col("cnt")).as("comp"))).as("lst"))
+      // 16 tiny arrays: the interpreted transform/array_sort is off the
+      // data path (never per-corpus-row).
+      .select(col("cid"), transform(array_sort(col("lst")), x => x.getField("comp")).as("ce"))
+      .select(col("cid"), col("ce"), sqrt(vectors.dot(col("ce"), col("ce"))).as("cn"))
+      .localCheckpoint() // feeds two broadcast joins
+    val asg1 = nearest(e, cent, "vec_id", "embedding", "nrm")
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
+    val qc = nearest(qs, cent, "query_id", "qe", "nq")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    qc.join(asg1.select(col("cid"), col("vec_id").as("neighbor_id")), "cid")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qs), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (vectors.dot(col("qe"), col("ne")) / (col("nq") * col("nn"))).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_embedding_neardup", q28, Some(
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -188,5 +278,41 @@ object Similarity {
          |      FROM a)
          |SELECT cid AS cluster, count(*) AS n_vecs, min(vec_id) AS min_vec
          |FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin)),
+    QueryDef("q42_ivf_probe", q42, Some(
+      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+         |a0 AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
+         |       FROM e CROSS JOIN c0 c),
+         |g0 AS (SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a0),
+         |asg0 AS (SELECT vec_id, cid FROM g0 WHERE rn = 1),
+         |comp AS (SELECT a.cid, unnest(range(1, ${dims + 1})) AS pos,
+         |           CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * $quantScale) AS BIGINT) AS qv
+         |         FROM asg0 a JOIN e ON e.vec_id = a.vec_id),
+         |cs AS (SELECT cid, pos, sum(qv) AS sq, count(*) AS cnt FROM comp GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(CAST(sq AS DOUBLE) / cnt ORDER BY pos) AS ce FROM cs GROUP BY cid),
+         |cn AS (SELECT cid, ce, sqrt(${ssSql("ce")}) AS cn FROM cent),
+         |a1 AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
+         |       FROM e CROSS JOIN cn c),
+         |g1 AS (SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a1),
+         |asg1 AS (SELECT vec_id, cid FROM g1 WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
+         |pq AS (SELECT query_id, cid FROM (
+         |         SELECT q.query_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
+         |         FROM q CROSS JOIN cn c) WHERE rn = 1),
+         |cand AS (SELECT pq.query_id, m.vec_id AS neighbor_id,
+         |           ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
+         |         FROM pq JOIN asg1 m ON m.cid = pq.cid
+         |         JOIN q qq ON qq.query_id = pq.query_id
+         |         JOIN e e2 ON e2.vec_id = m.vec_id
+         |         WHERE m.vec_id <> pq.query_id)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cos FROM (
+         |  SELECT query_id, neighbor_id, c,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
   )
 }

@@ -45,11 +45,27 @@ object ManifestSource {
       .select(
         // input_file_name() yields a URI ("file:///root/..."); normalize the
         // scheme back to a plain absolute path to join against the manifest.
-        // Paths are URI-encoded, so decode (reference corpora are plain ASCII,
-        // but keep it correct for e.g. spaces).
-        url_decode(regexp_replace(input_file_name(), "^file:/+", "/")).as("path"),
+        // Paths are URI-encoded, so decode — but '+' in a URI PATH is a
+        // literal plus (only query strings encode spaces as '+'), while
+        // url_decode treats it as a space; protect it as %2B first or a
+        // manifest path containing '+' silently matches nothing and the
+        // inner join drops every line of that file.
+        url_decode(regexp_replace(
+          regexp_replace(input_file_name(), "^file:/+", "/"),
+          "\\+", "%2B")).as("path"),
         col("value").as("line"),
       )
+    // Guard the decode logic without touching data: round-trip each
+    // manifest path through the same URI encoding the scan will emit and
+    // the same decode the column above applies. A mismatch would silently
+    // lose the whole file to the inner join — fail at plan time instead.
+    manifest.foreach { case (_, path) =>
+      val uri = Paths.get(path).toUri.toASCIIString
+      val normalized = uri.replaceFirst("^file:/+", "/").replace("+", "%2B")
+      val decoded = java.net.URLDecoder.decode(normalized, "UTF-8")
+      require(decoded == path,
+        s"manifest path would not survive the scan's URI round-trip: '$path' -> '$decoded'")
+    }
     raw
       .join(broadcast(byPath), Seq("path"))
       .select(col("file_id"), col("line"))

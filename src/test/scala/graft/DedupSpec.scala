@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Semantics of the MinHash/LSH dedup operators beyond the DuckDB oracle:
+  * the shingles short-input guard, (b, r) banding precision/recall vs
+  * exact Jaccard, and the degenerate-bucket cap that keeps a hot band key
+  * from turning candidate generation quadratic.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("doc_id", "text").localCheckpoint()
+  }
+
+  private def candidatePairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Exact word-shingle Jaccard for every pair of the fixture (test-side
+    * all-pairs: fine on a fixture, never the engine path).
+    */
+  private def exactJaccard(rows: Seq[(Long, String)]): Map[(Long, Long), Double] = {
+    def sh(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").toSeq.sliding(Dedup.shingleSize).map(_.mkString(" ")).toSet
+    val sets = rows.map { case (id, t) => id -> sh(t) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+    } yield (a, b) ->
+      (if ((sa | sb).isEmpty) 0.0 else (sa & sb).size.toDouble / (sa | sb).size)).toMap
+  }
+
+  test("shingles yields an empty array for token arrays shorter than shingleSize") {
+    val spark0 = spark
+    import spark0.implicits._
+    val got = Seq(Seq("a"), Seq("a", "b"), Seq.empty[String], Seq("a", "b", "c"))
+      .toDF("toks")
+      .select(Dedup.shingles(col("toks")).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq(), Seq(), Seq(), Seq("a b c")))
+  }
+
+  // Fixture: an identical pair (J = 1), a near pair (high J), a moderate
+  // pair (low J), and unrelated filler docs.
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town"
+  private val fixture: Seq[(Long, String)] = Seq(
+    1L -> base,
+    2L -> base, // identical to 1
+    3L -> (base + " at dusk"), // near-duplicate of 1/2
+    4L -> "the quick brown fox sleeps under a warm sun in a distant meadow far away from here",
+    5L -> "completely different words populate this document about spark catalyst optimizer rules",
+    6L -> "another unrelated text mentions parquet shuffles broadcast joins and watermarks only",
+  )
+
+  test("(b, r) banding: r=2 candidates are a subset of r=1; identical pairs survive; precision does not drop") {
+    val sigs = Dedup.minhashSignatures(docsDF(fixture), "doc_id", "text").localCheckpoint()
+    val r1 = candidatePairs(Dedup.lshCandidates(sigs))
+    val r2 = candidatePairs(Dedup.lshCandidatesBanded(sigs, rowsPerBand = 2))
+    assert(r2.subsetOf(r1), s"r2=$r2 not a subset of r1=$r1")
+
+    val jac = exactJaccard(fixture)
+    // Recall at J >= 0.8: identical/near-identical pairs must survive both
+    // bandings (all/most minhashes agree).
+    val similar = jac.filter(_._2 >= 0.8).keySet
+    assert(similar.nonEmpty, "fixture lost its similar pairs")
+    assert(similar.subsetOf(r1), s"r1 missed a similar pair: ${similar -- r1}")
+    assert(similar.subsetOf(r2), s"r2 missed a similar pair: ${similar -- r2}")
+    // Unrelated docs (no shared shingles) can never be candidates: a shared
+    // minhash requires a shared shingle (injective up to hash collision).
+    val disjoint = jac.filter(_._2 == 0.0).keySet
+    assert((r1 & disjoint).isEmpty, s"r1 paired disjoint docs: ${r1 & disjoint}")
+    // Precision (mean exact Jaccard of emitted candidates) must not drop
+    // when bands demand agreement on 2 hashes at once.
+    def meanJ(c: Set[(Long, Long)]): Double =
+      if (c.isEmpty) 1.0 else c.toSeq.map(jac).sum / c.size
+    assert(meanJ(r2) >= meanJ(r1), s"precision dropped: r2=${meanJ(r2)} < r1=${meanJ(r1)}")
+  }
+
+  test("degenerate band buckets above maxBucket are dropped (bounded candidates under adversarial corpus)") {
+    // 30 identical docs: every band key is shared by all 30 -> uncapped
+    // candidate generation is C(30,2) pairs from EVERY band.
+    val rows = (0L until 30L).map(i => i -> base)
+    val sigs = Dedup.minhashSignatures(docsDF(rows), "doc_id", "text").localCheckpoint()
+    val uncapped = Dedup.lshCandidates(sigs)
+    assert(uncapped.count() == 30L * 29 / 2, "uncapped should emit all pairs")
+    // Cap 10: every bucket is degenerate (30 members), so zero candidates
+    // — the hot key cannot explode the join.
+    val capped = Dedup.lshCandidates(sigs, maxBucket = 10)
+    assert(capped.count() == 0, "capped degenerate buckets must emit no pairs")
+  }
+}

@@ -35,6 +35,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(v == 96354L)
   }
 
+  test("StringPolyHash folds supplementary-plane CODE POINTS (DuckDB semantics, not surrogate halves)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // U+1D11E MUSICAL SYMBOL G CLEF (non-BMP: a UTF-16 surrogate pair).
+    // The intended semantics — and what DuckDB's string_split('')+ascii()
+    // oracle computes — fold the single code point 0x1D11E, NOT the two
+    // surrogate halves that Spark's split(s, "") would produce.
+    val s = "a𝄞b"
+    val expected = Seq(0x61L, 0x1D11EL, 0x62L)
+      .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 1000000007L)
+    val surrogateFold = Seq(0x61L, 0xD834L, 0xDD1EL, 0x62L)
+      .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 1000000007L)
+    val v = Seq(s).toDF("s").select(textstats.rollingHash(col("s"))).head().getLong(0)
+    assert(v == expected, s"expected code-point fold $expected, got $v")
+    assert(v != surrogateFold, "must not match the UTF-16 surrogate-half fold")
+  }
+
   test("VectorDotProduct == declarative zip_with/aggregate fold") {
     val spark0 = spark
     import spark0.implicits._

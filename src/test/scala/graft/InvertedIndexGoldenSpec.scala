@@ -68,6 +68,23 @@ class InvertedIndexGoldenSpec extends SparkSpec {
     }
   }
 
+  test("re-running the sink over existing output leaves byte-identical files and no temp litter") {
+    // The atomic-rename commit must make retries idempotent: a second
+    // complete write (a retried/speculative task in miniature) swaps in
+    // an identical file rather than interleaving with the first.
+    val out = Files.createTempDirectory("graft-rewrite")
+    val manifest = writeManifest(
+      out,
+      (1 to 3).map(i => checker.resolve(s"test_in_small/file$i.txt")))
+    ReferenceJob.run(spark, manifest.toString, out.toString)
+    val first = letterFiles(out)
+    ReferenceJob.run(spark, manifest.toString, out.toString)
+    assert(letterFiles(out) == first, "second write changed the output")
+    val litter = Files.list(out).iterator.asScala
+      .filter(_.getFileName.toString.startsWith(".tmp-")).toSeq
+    assert(litter.isEmpty, s"uncommitted temp files left behind: $litter")
+  }
+
   test("output is invariant under shuffle-partition count (reference M/R invariance)") {
     // Mirrors checker.sh:141-246: all parallelism configs must agree.
     val manifestDir = Files.createTempDirectory("graft-invariance")

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Plan-shape assertions: the optimizations the engine's scale story
   * depends on must actually appear in the physical plans — filter/column
   * pushdown into the parquet scan, broadcast joins for dimensions,
@@ -47,6 +49,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("*("), p)
   }
 
+  test("q28 all-pairs never broadcasts a table or plans a nested loop/cartesian") {
+    // The triangle-blocked pair generation must be a shuffle equi-join on
+    // the block-pair key — the shape that survives when the table is far
+    // past broadcast size. Guards the 100 TB design claim.
+    val p = plan("q28_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q06/q07 plan semi/anti joins (no full join + filter)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), "semi")
     assert(plan("q07_anti_join").contains("LeftAnti"), "anti")
@@ -54,5 +67,40 @@ class QueryPlanSpec extends SparkSpec {
 
   test("q31 multimodal extraction has no hash shuffle (only the final sort's range exchange)") {
     assert(!plan("q31_multimodal_features").contains("Exchange hashpartitioning"))
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // Ties GraftSession's AQE claims to evidence: one hot key holds ~100k
+    // rows while the rest hold 1; with the skew thresholds scaled down to
+    // test size, the final adaptive plan must mark the sort-merge join
+    // skew-handled. Mirrors exactly what saves a production join when one
+    // customer/document dominates a 100 TB shuffle.
+    val spark0 = spark
+    import spark0.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val left = spark.range(0, 100000)
+        .select(when(col("id") < 99000, lit(0L)).otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      joined.collect() // finalize the adaptive plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
