@@ -45,6 +45,82 @@ object EventStreams {
         unix_timestamp(col("sw.start")).as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup with BOUNDED state: the first event per
+    * event_id is emitted, later duplicates arriving within the watermark
+    * horizon are dropped, and the key's dedup state is evicted once the
+    * watermark passes it. That eviction is what makes dedup feasible on
+    * an unbounded stream — a plain dropDuplicates pins every key seen
+    * forever. The streaming form of the exact-dedup pipeline op (q23).
+    */
+  def dedupedEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  case class RawEvent(user_id: Long, event_ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(start_ms: Long, end_ms: Long, n: Long, total: Double)
+  case class ClosedSession(
+      user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, session_value: Double)
+
+  /** Event-time sessionization with EXPLICIT closure via
+    * flatMapGroupsWithState + EventTimeTimeout: a user's open session
+    * closes (and is emitted, exactly once, in append mode) either when a
+    * later event arrives beyond the gap, or when the watermark passes
+    * session end + gap (the timeout path — no further event needed).
+    * State is one small OpenSession record per active user, evicted on
+    * close; contrast q32's session_window aggregation, which emits the
+    * same sessions but only exposes them through the aggregation output.
+    * In-batch disorder is handled by sorting the group's events; a
+    * cross-batch event older than (session start - gap) would need
+    * multi-session state — out of scope for this surface.
+    */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    withEventTime(events)
+      .withWatermark("event_ts", "10 minutes")
+      .select(col("user_id"), col("event_ts"), col("value"))
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[RawEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.start_ms / 1000, s.end_ms / 1000, s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.event_ts.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.event_ts.getTime
+              cur match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  cur = Some(OpenSession(
+                    math.min(s.start_ms, t), math.max(s.end_ms, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start_ms / 1000, s.end_ms / 1000, s.n, s.total)
+                  cur = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Timeout fires when the event-time watermark passes
+              // session end + gap; must stay above the current watermark.
+              state.setTimeoutTimestamp(
+                math.max(s.end_ms + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom stateful aggregation via mapGroupsWithState: running per-user
     * event count + value total (the arbitrary-state API surface; state is
     * one small record per key, partitioned by the grouping key).

@@ -1,0 +1,41 @@
+package graft
+
+/** IVF probe (q42) quality vs the brute-force oracle (q29): the probe
+  * searches one cluster only, so its results must be exact WITHIN that
+  * cluster (identical cosines where the two overlap, never beating the
+  * true best) and its recall against brute-force top-5 is measured —
+  * the number a production tuning loop would watch when trading probes
+  * for latency.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("q42 probe is exact within its cluster; recall vs q29 brute force is measured and sane") {
+    val probe = SparkEntry.queries("q42_ivf_probe")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val brute = SparkEntry.queries("q29_ann_bruteforce")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val queries = brute.map(_._1).distinct.sorted
+    assert(probe.map(_._1).distinct.sorted.sameElements(queries), "query sets differ")
+
+    val bruteCos = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+    probe.foreach { case (q, n, c) =>
+      // Exactness: a probe cosine for a pair the brute-force top-5 also
+      // ranked must be the identical (round-6) value...
+      bruteCos.get((q, n)).foreach(bc => assert(bc == c, s"cos mismatch for ($q,$n)"))
+      // ...and no probe result can beat the true best neighbor.
+      assert(c <= bruteBest(q) + 1e-12, s"probe ($q,$n,$c) beats brute best ${bruteBest(q)}")
+    }
+
+    val bruteTop = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val probeTop = probe.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = queries.map(q => (bruteTop(q) & probeTop.getOrElse(q, Set.empty)).size / 5.0)
+    val mean = recalls.sum / recalls.size
+    info(f"IVF 1-probe recall@5 vs brute force: mean $mean%.2f (per-query ${recalls.mkString(", ")})")
+    // With 16 clusters and a single probe, recall is corpus-dependent;
+    // the structural guarantee is that each query finds SOMETHING in its
+    // cluster and overall recall is non-degenerate.
+    assert(probeTop.values.forall(_.nonEmpty), "a query's probe came back empty")
+    assert(mean > 0.0, "probe recall is zero — clustering is broken")
+  }
+}

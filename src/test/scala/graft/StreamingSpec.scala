@@ -89,6 +89,92 @@ class StreamingSpec extends SparkSpec {
     assert(!emitted.contains(lateWindow), s"late event's window was emitted: $emitted")
   }
 
+  /** Stage a mini event batch file into a streaming source directory. */
+  private def stageBatch(dir: java.nio.file.Path, name: String,
+      rows: Seq[(Long, Long, Long, Double)]): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+    rows.map { case (id, tsNs, uid, v) => (id, tsNs, uid, "click", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve(name))
+  }
+
+  private val minNs = 60L * 1000000000L
+
+  test("dropDuplicatesWithinWatermark: duplicates collapse within the horizon, state evicts after it") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-events")
+    val t0 = 1800000000L * 1000000000L
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+    val q = EventStreams.dedupedEvents(stream).writeStream
+      .format("memory").queryName("w_dedup").outputMode("append").start()
+    try {
+      // Batch 1: id 1 twice (in-batch dup) + id 2 -> emits ids 1, 2 once.
+      stageBatch(dir, "000.parquet",
+        Seq((1L, t0, 1L, 1.0), (1L, t0 + minNs, 1L, 1.0), (2L, t0, 2L, 1.0)))
+      q.processAllAvailable()
+      // Batch 2: id 1 again within the horizon -> dropped; id 9 at +60min
+      // advances the watermark to +50min, past id 1's state horizon.
+      stageBatch(dir, "001.parquet",
+        Seq((1L, t0 + 2 * minNs, 1L, 1.0), (9L, t0 + 60 * minNs, 9L, 1.0)))
+      q.processAllAvailable()
+      // Batch 3: id 1 re-appears ABOVE the watermark after its dedup state
+      // was evicted -> emitted again (bounded state, not eternal dedup).
+      stageBatch(dir, "002.parquet", Seq((1L, t0 + 55 * minNs, 1L, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("w_dedup").groupBy(col("event_id"))
+      .count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 9L -> 1L), counts.toString)
+  }
+
+  test("flatMapGroupsWithState closes sessions by gap and event-time timeout; closed set matches batch session_window") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-session-events")
+    val t0 = 1900000000L * 1000000000L
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+    val q = EventStreams.closedSessions(stream).toDF().writeStream
+      .format("memory").queryName("w_closed").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session); user 2: one event.
+      stageBatch(dir, "000.parquet",
+        Seq((1L, t0, 1L, 2.0), (2L, t0 + 5 * minNs, 1L, 3.0), (3L, t0 + 2 * minNs, 2L, 7.0)))
+      q.processAllAvailable()
+      // user 1 again 3h later: closes their first session by gap, and the
+      // watermark jump times out user 2's session. The 3h session stays open.
+      stageBatch(dir, "001.parquet", Seq((4L, t0 + 180 * minNs, 1L, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("w_closed")
+      .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val t0s = t0 / 1000000000L
+    assert(closed == Set(
+      (1L, t0s, 2L, 5.0),
+      (2L, t0s + 2 * 60, 1L, 7.0),
+    ), closed.toString)
+    // The closed sessions must agree with the batch session_window result
+    // over the same data (unified-API cross-check; the open 3h session
+    // appears only in batch).
+    val batchRows = Seq(
+      (1L, t0, 1L, "click", 2.0, "{}"), (2L, t0 + 5 * minNs, 1L, "click", 3.0, "{}"),
+      (3L, t0 + 2 * minNs, 2L, "click", 7.0, "{}"), (4L, t0 + 180 * minNs, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batchSessions = EventStreams.sessionWindows(batchRows, "30 minutes")
+      .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(closed.subsetOf(batchSessions),
+      s"closed $closed not within batch sessions $batchSessions")
+  }
+
   test("stateful user totals (mapGroupsWithState): streaming == batch groupBy") {
     import org.apache.spark.sql.functions._
     val streamed = runStream(
