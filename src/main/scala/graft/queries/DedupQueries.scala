@@ -54,23 +54,29 @@ object DedupQueries {
   private def q26(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
-  /** Exact n-gram Jaccard verification, driven by the LSH candidate set —
-    * the verify stage of the full dedup pipeline (signatures -> band join
-    * -> exact compare), corpus-wide. Shingle SETS are aggregated once per
-    * doc and joined to the candidate pairs, so the exact comparison pays
-    * O(candidates), never all-pairs: the shape that survives 100 TB.
+  /** Distinct word-shingle sets per doc (docs with >= shingleSize tokens),
+    * checkpointed once: feeds the signature computation AND both sides of
+    * the verification join.
     */
-  private def q27(s: SparkSession, d: String): DataFrame = {
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
     val toks = text.normalizedTokens(col("text"))
-    val sh = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= Dedup.shingleSize)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("toks"))).as("sh"))
-      .localCheckpoint() // feeds the signatures AND both sides of the verify join
-    // min over the distinct shingle set == min over the multiset.
+      .localCheckpoint()
+  }
+
+  /** The verify-stage core shared by q27/q43: LSH candidate pairs with
+    * exact shingle-set intersection stats. Shingle sets are aggregated
+    * once per doc and joined to the candidate pairs, so the exact
+    * comparison pays O(candidates), never all-pairs: the shape that
+    * survives 100 TB. (Min over the distinct shingle set == min over the
+    * multiset, so the signatures match Dedup.minhashSignatures.)
+    */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sigs = sh.select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("sh")): _*)
-    val cands = Dedup.lshCandidates(sigs).select(col("doc_a"), col("doc_b"))
-    cands
+    Dedup.lshCandidates(sigs).select(col("doc_a"), col("doc_b"))
       .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
       .drop("doc_id")
       .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
@@ -79,9 +85,38 @@ object DedupQueries {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"))
+  }
+
+  /** Exact n-gram Jaccard verification, driven by the LSH candidate set —
+    * the verify stage of the full dedup pipeline (signatures -> band join
+    * -> exact compare), corpus-wide.
+    */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(shingleSets(s, d))
       .withColumn("jaccard",
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** End-to-end dedup pipeline output: every document mapped to a
+    * canonical id — the min doc_id among its verified near-duplicates
+    * (exact Jaccard >= 1/2, compared in integer space: 3*n_common >=
+    * n_a+n_b, so no float boundary) or itself. Single-pass (1-hop)
+    * canonicalization: transitive chains need the same op iterated to a
+    * fixpoint, which at corpus scale is the standard min-label
+    * propagation loop over this exact building block.
+    */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val v = jaccardPairs(shingleSets(s, d))
+      .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(v.select(col("doc_b").as("doc_id"), col("doc_a").as("cand")), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("cand")).as("mc"))
+      .select(
+        col("doc_id"),
+        coalesce(col("mc"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
+      .orderBy(col("doc_id"))
   }
 
   /** (b, r) banding with r = 2: candidates must agree on both minhashes
@@ -168,5 +203,18 @@ object DedupQueries {
       s"""WITH $minhashCte,
          |${candCte(2)}
          |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("q43_dedup_pipeline", q43, Some(
+      s"""WITH $minhashCte,
+         |${candCte(1)},
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM f),
+         |jp AS (SELECT c.doc_a, c.doc_b,
+         |         len(list_intersect(sa.s, sb.s)) AS n_common,
+         |         len(sa.s) AS n_a, len(sb.s) AS n_b
+         |       FROM cand c JOIN ds sa ON sa.doc_id = c.doc_a JOIN ds sb ON sb.doc_id = c.doc_b),
+         |v AS (SELECT doc_a, doc_b FROM jp WHERE 3 * n_common >= n_a + n_b),
+         |canon AS (SELECT d.doc_id, coalesce(min(v.doc_a), d.doc_id) AS canonical_id
+         |          FROM documents d LEFT JOIN v ON v.doc_b = d.doc_id GROUP BY d.doc_id)
+         |SELECT doc_id, canonical_id, CAST(doc_id <> canonical_id AS BIGINT) AS is_dup
+         |FROM canon ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -88,6 +88,33 @@ object ScalePatterns {
       .orderBy(col("user_id"))
   }
 
+  /** PIVOT: per-year order counts and revenue spread across the three
+    * order-status columns. With the pivot values enumerated, Spark plans
+    * ONE pass with conditional aggregates (no per-value scan) — same as
+    * the oracle's FILTER clauses.
+    */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("yr"))
+
+  /** Exact percentiles (median/p90) per group. Exact linear-interpolation
+    * percentile shuffles the group's values to one reducer (sort-based) —
+    * fine for bounded groups; the sketch alternative for unbounded ones
+    * is approx_percentile (cf. q34's HLL trade).
+    */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+      )
+      .orderBy(col("l_returnflag"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_salted_word_counts", q33, Some(
       s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
@@ -112,5 +139,17 @@ object ScalePatterns {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_ns(a.ts) // 1000 - epoch_ns(b.ts) // 1000) <= 3600000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
+    QueryDef("q44_pivot", q44, Some(
+      """SELECT year(o_orderdate) AS yr,
+        |round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O",
+        |round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F",
+        |round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P"
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)),
+    QueryDef("q45_percentiles", q45, Some(
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+        |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+        |round(quantile_cont(l_quantity, 0.5), 2) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
   )
 }

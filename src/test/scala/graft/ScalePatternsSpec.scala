@@ -22,6 +22,24 @@ class ScalePatternsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted skew join equals the plain equi-join (hot key + duplicate rows)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Key 1 is hot (1000 rows incl. exact duplicates); keys 2/3 are not.
+    val probe = ((1 to 1000).map(i => (1L, i.toLong % 7)) ++ Seq((2L, 10L), (2L, 10L), (3L, 5L)))
+      .toDF("k", "v").localCheckpoint()
+    val build = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "name").localCheckpoint()
+    val salted = Salted.skewJoin(probe, build, "k", factor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = probe.join(build, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    // And the salt actually spreads the hot key across replicas.
+    val saltSpread = probe.where(col("k") === 1L)
+      .select(pmod(hash(col("k"), col("v")), lit(8))).distinct().count()
+    assert(saltSpread > 1, "hot key not spread across salt buckets")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val row = li.agg(
