@@ -148,6 +148,23 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** RANGE-frame window: 30-day trailing revenue per customer. Unlike
+    * q09's ROWS frame, the frame bound is a VALUE distance on the order
+    * key (all same-day peers enter together), computed over integer
+    * epoch-days so the frame arithmetic is exact in both engines.
+    */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d")).rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"),
+        col("o_totalprice"))
+      .withColumn("trailing30", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("d"), col("trailing30"))
+      .orderBy(col("o_custkey"), col("d"), col("o_orderkey"))
+  }
+
   /** Exact distinct aggregation (count-distinct expands + reshuffles). */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -275,6 +292,14 @@ object Relational {
              |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
              |FROM orders ORDER BY o_custkey, rn""".stripMargin)),
+    QueryDef("q47_range_frame_window", q47,
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             |  o_totalprice FROM orders)
+             |SELECT o_custkey, o_orderkey, d,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing30
+             |FROM o ORDER BY o_custkey, d, o_orderkey""".stripMargin)),
     QueryDef("q10_distinct_agg", q10,
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
              |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
