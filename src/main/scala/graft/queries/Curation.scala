@@ -3,16 +3,27 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The end-to-end training-data curation pipeline, composed from the
-  * already-verified building blocks: language ID (q19) + quality scoring
-  * (q20) + near-duplicate canonicalization (q43), joined on doc_id and
+import graft.Tables
+import graft.functions.{text, textstats}
+
+/** The end-to-end training-data curation pipeline: language ID (q19) +
+  * quality scoring (q20) + near-duplicate removal (q43's verify stage),
   * filtered to the kept corpus. This is the query an LLM-pipeline user
   * actually runs — "give me the clean, deduplicated, language-confident
-  * documents" — and it exists here as ONE declarative plan: Catalyst sees
-  * through the composition (all three branches share the documents scan)
-  * rather than executing three materialized stages. The oracle composes
-  * the exact same three oracle subqueries, so the two sides reuse the
-  * per-stage verification.
+  * documents".
+  *
+  * Scale shape: the naive composition of the three registered queries
+  * scans (and tokenizes!) the corpus once per branch — Spark does not
+  * dedupe identical subtrees across join branches. Here the plan is
+  * FUSED instead: one corpus pass computes every per-row feature
+  * (language, quality, token count — tokenization runs once), one more
+  * pass builds the checkpointed shingle sets for the dedup branch, and
+  * near-duplicates are removed with a left-anti join against verified
+  * duplicate ids (doc_b of a verified pair always exceeds doc_a, so
+  * "is a dup" == "appears as doc_b"). Two corpus reads total — the
+  * difference between 2x and 4x the scan bill at 100 TB. The oracle
+  * still composes the three verified oracle subqueries, so the fused
+  * plan is checked against the per-stage semantics.
   */
 object Curation {
 
@@ -31,12 +42,19 @@ object Curation {
   val qualityFloor = 0.25
 
   private def q46(s: SparkSession, d: String): DataFrame = {
-    val lang = langDef.fn(s, d).select(col("doc_id"), col("pred_lang"))
-    val quality = qualityDef.fn(s, d).select(col("doc_id"), col("quality"), col("n_tokens"))
-    val dedup = dedupDef.fn(s, d).select(col("doc_id"), col("is_dup"))
-    lang.join(quality, "doc_id").join(dedup, "doc_id")
-      .where(col("pred_lang") =!= "und" && col("quality") >= qualityFloor
-        && col("is_dup") === 0)
+    val toks = text.normalizedTokens(col("text"))
+    val features = Tables.documents(s, d).select(
+      col("doc_id"),
+      textstats.predictLang(toks).as("pred_lang"),
+      TextAnalysis.qualityCol(col("text"), toks).as("quality"),
+      size(toks).cast("long").as("n_tokens"))
+    val dupIds = DedupQueries.jaccardPairs(DedupQueries.shingleSets(s, d))
+      .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    features
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .where(col("pred_lang") =!= "und" && col("quality") >= qualityFloor)
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }

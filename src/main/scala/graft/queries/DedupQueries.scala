@@ -58,7 +58,7 @@ object DedupQueries {
     * checkpointed once: feeds the signature computation AND both sides of
     * the verification join.
     */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame = {
     val toks = text.normalizedTokens(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
@@ -74,7 +74,7 @@ object DedupQueries {
     * survives 100 TB. (Min over the distinct shingle set == min over the
     * multiset, so the signatures match Dedup.minhashSignatures.)
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  private[queries] def jaccardPairs(sh: DataFrame): DataFrame = {
     val sigs = sh.select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("sh")): _*)
     Dedup.lshCandidates(sigs).select(col("doc_a"), col("doc_b"))
       .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -70,6 +70,18 @@ object TextAnalysis {
           - least(col("punct_milli"), lit(500L))) / lit(1000.0))
       .drop("stopword_milli", "punct_milli")
       .orderBy(col("doc_id"))
+  }
+
+  /** Self-contained quality score (same expression tree as q20's
+    * stopword/punct milli formulation — q46's oracle composes q20's SQL,
+    * so any drift between the two fails the correctness gate).
+    */
+  private[queries] def qualityCol(textCol: Column, toks: Column): Column = {
+    val sm = floor(lit(1000) * textstats.stopwordOccurrences(toks)
+      / greatest(size(toks).cast("long"), lit(1L)))
+    val pm = floor(lit(1000) * textstats.punctCount(textCol)
+      / greatest(length(textCol).cast("long"), lit(1L)))
+    (lit(1000) - least(sm * 2, lit(500L)) - least(pm, lit(500L))) / lit(1000.0)
   }
 
   private def q21(s: SparkSession, d: String): DataFrame =
