@@ -52,6 +52,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(v != surrogateFold, "must not match the UTF-16 surrogate-half fold")
   }
 
+  test("ArrayIntersectSize counts exactly what size(array_intersect) would (dups, empties, disjoint)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val alphabet = Seq("a", "b", "c", "d", "e")
+    val gen = Gen.listOf(Gen.oneOf(alphabet))
+    val rows = Gen.listOfN(200, Gen.zip(gen, gen)).sample.get :+
+      ((Nil, Nil)) :+ ((List("a", "a", "b"), List("a"))) :+ ((List("x"), List("y")))
+    val df = rows.map { case (a, b) => (a, b) }.toDF("a", "b")
+    // The optimizer rewrites the composed spelling below into
+    // ArrayIntersectSize, so assert against a driver-side model instead
+    // of comparing the expression to itself.
+    val got = df.select(size(array_intersect(col("a"), col("b")))).as[Int].collect()
+    rows.map { case (a, b) => a.distinct.count(b.contains) }
+      .zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+        assert(want == g, s"row $i: want $want got $g (${rows(i)})")
+      }
+  }
+
   test("VectorDotProduct == declarative zip_with/aggregate fold") {
     val spark0 = spark
     import spark0.implicits._

@@ -69,6 +69,14 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan("q31_multimodal_features").contains("Exchange hashpartitioning"))
   }
 
+  test("optimizer fuses size(array_intersect) on the dedup verify path") {
+    // IntersectSizeRewrite must replace the composed form (which would
+    // materialize an intersection array per candidate pair) with the
+    // count-only codegen expression.
+    val p = plan("q27_ngram_jaccard")
+    assert(p.contains("array_intersect_size"), p.take(3000))
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // Ties GraftSession's AQE claims to evidence: one hot key holds ~100k
     // rows while the rest hold 1; with the skew thresholds scaled down to
