@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, Salted}
+import graft.operators.{AsOfJoin, Dedup, Salted, Scored, TopKAggregator}
 
 /** Operators whose point is the 100 TB shuffle shape: salted (two-phase)
   * aggregation for hot keys, sketch-based distinct counting, and the
@@ -115,6 +115,28 @@ object ScalePatterns {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Per-group top-k via the bounded typed Aggregator ([[TopKAggregator]]):
+    * the map-side partial keeps at most k rows per group per task, so the
+    * exchange moves O(groups*k) rows where q08's window formulation
+    * shuffles and sorts everything. The oracle is exactly q08's
+    * row_number SQL (k = 3) — the two formulations must agree row-for-row,
+    * which is what makes the bounded version a safe drop-in at scale.
+    */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .select(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => Scored(t._2, t._3))
+      .agg(new TopKAggregator(3).toColumn.name("tops"))
+      .flatMap { case (brand, tops) =>
+        tops.zipWithIndex.map { case (t, i) => (brand, t.id, t.score, (i + 1).toLong) }
+      }
+      .toDF("p_brand", "p_partkey", "p_retailprice", "rn")
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_salted_word_counts", q33, Some(
       s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
@@ -151,5 +173,11 @@ object ScalePatterns {
         |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
         |round(quantile_cont(l_quantity, 0.5), 2) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q48_topk_aggregator", q48,
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) t
+             |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)),
   )
 }

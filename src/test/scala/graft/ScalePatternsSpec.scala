@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Salted}
+import graft.operators.{AsOfJoin, Salted, Scored, TopKAggregator}
 
 /** Semantics of the scale-pattern operators beyond what the DuckDB oracle
   * covers: salted == direct aggregation, approx-distinct error envelope,
@@ -20,6 +20,17 @@ class ScalePatternsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(length(col("word")).cast("long")).as("t"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(salted == direct)
+  }
+
+  test("TopKAggregator buffer stays bounded, ordered, tie-broken by id; saturated reduce is a no-op") {
+    val agg = new TopKAggregator(2)
+    val items = Seq(Scored(1.0, 5), Scored(3.0, 2), Scored(3.0, 1), Scored(2.0, 9), Scored(0.5, 0))
+    val r = items.foldLeft(agg.zero)(agg.reduce)
+    assert(r == Seq(Scored(3.0, 1), Scored(3.0, 2)), r.toString)
+    // A row that cannot enter the saturated top-k must return the SAME buffer.
+    assert(agg.reduce(r, Scored(0.1, 99)) eq r)
+    val m = agg.merge(Seq(Scored(9.0, 7)), r)
+    assert(m == Seq(Scored(9.0, 7), Scored(3.0, 1)), m.toString)
   }
 
   test("salted skew join equals the plain equi-join (hot key + duplicate rows)") {
