@@ -194,15 +194,18 @@ object Similarity {
     val c0 = e.where(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
 
-    def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cos").desc, col("cid"))
+    // Argmax by AGGREGATION, not a ranking window: max(struct(cos, -cid))
+    // picks the highest cosine with ties to the LOWEST cid (same answer as
+    // row_number over (cos desc, cid)), but a groupBy partial-aggregates
+    // map-side — each task sends one candidate row per vector into the
+    // exchange — where a window must shuffle and sort all n*k rows first.
+    def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame =
       df.join(broadcast(cents))
         .select(col(id), col("cid"),
           (vectors.dot(col(vec), col("ce")) / (col(nrm) * col("cn"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col(id), col("cid"))
-    }
+        .groupBy(col(id))
+        .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+        .select(col(id), (-col("m.neg")).as("cid"))
 
     val asg0 = nearest(e, c0, "vec_id", "embedding", "nrm")
     val cent = asg0.join(e, "vec_id")
