@@ -75,16 +75,19 @@ object Multimodal {
 
   /** Frame sampling for chunked payloads ("video"): split the payload into
     * fixed-size chunks and keep every k-th — pure Spark-side byte
-    * plumbing (substring on binary), no UDF.
+    * plumbing (substring on binary), no UDF. Guarded: a zero-byte payload
+    * yields an empty frame list (unguarded, `sequence(0, -1)` infers step
+    * -1 and produces phantom chunks).
     */
   def sampleFrames(media: DataFrame, chunkBytes: Int = 32, every: Int = 4): DataFrame =
     media.select(
       col("media_id"),
-      filter(
-        transform(
-          sequence(lit(0), floor((octet_length(col("payload")) - 1) / chunkBytes).cast("int")),
-          i => col("payload").substr(i * chunkBytes + 1, lit(chunkBytes))),
-        (_, i) => i % every === 0,
-      ).as("frames"),
+      when(octet_length(col("payload")) === 0, array().cast("array<binary>"))
+        .otherwise(filter(
+          transform(
+            sequence(lit(0), floor((octet_length(col("payload")) - 1) / chunkBytes).cast("int")),
+            i => col("payload").substr(i * chunkBytes + 1, lit(chunkBytes))),
+          (_, i) => i % every === 0,
+        )).as("frames"),
     ).withColumn("n_frames", size(col("frames")).cast("long"))
 }

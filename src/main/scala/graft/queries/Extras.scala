@@ -21,6 +21,20 @@ object Extras {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** Frame sampling over the media payloads: every 4th 32-byte chunk,
+    * one row per kept frame with its content hash. Exercises the binary
+    * chunking path end-to-end against the oracle (the corpus is ASCII,
+    * so byte slicing == character slicing on the DuckDB side).
+    */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.fromDocuments(Tables.documents(s, d)).toDF())
+      .select(col("media_id"), posexplode(col("frames")))
+      .select(
+        col("media_id"),
+        col("pos").cast("long").as("frame_idx"),
+        md5(col("col")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   /** Event-time session windows (8h gap) per user — the same transform
     * the streaming path runs.
     */
@@ -45,6 +59,15 @@ object Extras {
          |$checksum AS checksum64
          |FROM documents ORDER BY media_id""".stripMargin
     }),
+    QueryDef("q49_frame_sample", q49, Some(
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
+        |idx AS (SELECT media_id, text,
+        |          unnest(range(0, CAST(floor((length(text) - 1) / 32) AS BIGINT) + 1)) AS i
+        |        FROM m),
+        |kept AS (SELECT media_id, i, substr(text, CAST(i * 32 + 1 AS BIGINT), 32) AS frame
+        |         FROM idx WHERE i % 4 = 0)
+        |SELECT media_id, i // 4 AS frame_idx, md5(frame) AS frame_md5
+        |FROM kept ORDER BY media_id, frame_idx""".stripMargin)),
     QueryDef("q32_session_windows", q32, Some {
       val gapUs = 8L * 3600 * 1000000
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),

@@ -240,6 +240,20 @@ object Relational {
       )
       .orderBy(col("event_type"))
 
+  /** The SQL API surface: the same engine drives `spark.sql(...)` over
+    * registered views — Catalyst plans the text exactly as it plans the
+    * DataFrame API (the oracle runs the identical statement).
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01,
       Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -338,5 +352,10 @@ object Relational {
              |max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k,
              |min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("q50_sql_api", q50,
+      Some("""SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
   )
 }
