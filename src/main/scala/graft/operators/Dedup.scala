@@ -138,6 +138,46 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
 
+  /** Connected-component canonicalization by min-label propagation
+    * (Pregel-style): every doc starts labeled with itself; each round,
+    * a doc adopts the minimum label among itself and its neighbors in
+    * the near-duplicate pair graph; at the fixpoint every member of a
+    * connected component carries the component's minimum doc_id — the
+    * TRANSITIVE closure the 1-hop canonicalization (q43) approximates.
+    * Rounds needed = component diameter (near-dup clusters are shallow).
+    * Each iteration is one join + one aggregation, labels are
+    * checkpointed per round (truncating the iterative lineage), and the
+    * only driver-side value is the per-round convergence boolean — the
+    * standard shape for iterative graph algorithms at scale.
+    */
+  def canonicalLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("nbr")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("label")), "nbr")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .where(col("label") =!= col("old"))
+        .limit(1).count() > 0 // one driver-side boolean per round
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash over occurrence-weighted token hashes. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(

@@ -119,6 +119,23 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Full transitive canonicalization: min-label propagation over the
+    * verified near-duplicate graph until fixpoint, so chains A~B~C all
+    * map to min(A) even when A and C never matched directly (q43 is the
+    * single-pass approximation). Oracle: a recursive-CTE reachability
+    * closure — tractable for the oracle because near-dup components are
+    * tiny; the Spark side never materializes reachability, only labels.
+    */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val v = jaccardPairs(shingleSets(s, d))
+      .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.canonicalLabels(Tables.documents(s, d).select(col("doc_id")), v)
+      .select(col("doc_id"), col("label").as("canonical_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (b, r) banding with r = 2: candidates must agree on both minhashes
     * of some band — the precision knob next to q25's r = 1 recall knob.
     */
@@ -203,6 +220,21 @@ object DedupQueries {
       s"""WITH $minhashCte,
          |${candCte(2)}
          |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("q51_dedup_components", q51, Some(
+      s"""WITH RECURSIVE $minhashCte,
+         |${candCte(1)},
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM f),
+         |jp AS (SELECT c.doc_a, c.doc_b,
+         |         len(list_intersect(sa.s, sb.s)) AS n_common,
+         |         len(sa.s) AS n_a, len(sb.s) AS n_b
+         |       FROM cand c JOIN ds sa ON sa.doc_id = c.doc_a JOIN ds sb ON sb.doc_id = c.doc_b),
+         |vp AS (SELECT doc_a, doc_b FROM jp WHERE 3 * n_common >= n_a + n_b),
+         |e AS (SELECT doc_a AS u, doc_b AS w FROM vp UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach AS (SELECT doc_id AS u, doc_id AS w FROM documents
+         |          UNION
+         |          SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u)
+         |SELECT u AS doc_id, min(w) AS canonical_id, CAST(min(w) <> u AS BIGINT) AS is_dup
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
     QueryDef("q43_dedup_pipeline", q43, Some(
       s"""WITH $minhashCte,
          |${candCte(1)},

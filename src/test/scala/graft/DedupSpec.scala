@@ -80,6 +80,17 @@ class DedupSpec extends SparkSpec {
     assert(meanJ(r2) >= meanJ(r1), s"precision dropped: r2=${meanJ(r2)} < r1=${meanJ(r1)}")
   }
 
+  test("canonicalLabels propagates the component minimum across chains (beyond 1-hop)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Chain 1-2-3 (1 and 3 never paired directly), pair 4-5, singleton 6.
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.canonicalLabels(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L), got.toString)
+  }
+
   test("degenerate band buckets above maxBucket are dropped (bounded candidates under adversarial corpus)") {
     // 30 identical docs: every band key is shared by all 30 -> uncapped
     // candidate generation is C(30,2) pairs from EVERY band.
