@@ -254,6 +254,18 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** UNPIVOT (wide -> long): one row per (part, metric). The inverse of
+    * q44's pivot; plans as a generator over the row, no shuffle until
+    * the final ordering.
+    */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01,
       Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -357,5 +369,10 @@ object Relational {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderstatus = 'F'
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+    QueryDef("q52_unpivot", q52,
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+             |ORDER BY p_partkey, metric""".stripMargin)),
   )
 }
