@@ -51,6 +51,19 @@ class ScalePatternsSpec extends SparkSpec {
     assert(saltSpread > 1, "hot key not spread across salt buckets")
   }
 
+  test("approx_percentile within 2% of exact percentile (q45's sketch sibling)") {
+    // Exact percentile sorts each group's values; the sketch is the
+    // unbounded-group escape hatch — bound its error like q34 does for
+    // distinct counts.
+    val li = Tables.lineitem(spark, sf0001)
+    val row = li.agg(
+      org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("e"),
+      org.apache.spark.sql.functions.expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a"),
+    ).head()
+    val (e, a) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val row = li.agg(
