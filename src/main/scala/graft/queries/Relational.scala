@@ -254,6 +254,19 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** lead/lag offset window: per-user inter-event gap in exact integer
+    * microseconds (the gap-analysis primitive sessionization builds on;
+    * first event's gap is 0 via coalesce).
+    */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+      .withColumn("gap_us", col("t_us") - coalesce(lag(col("t_us"), 1).over(w), col("t_us")))
+      .select(col("user_id"), col("event_id"), col("t_us"), col("gap_us"))
+      .orderBy(col("user_id"), col("t_us"), col("event_id"))
+  }
+
   /** UNPIVOT (wide -> long): one row per (part, metric). The inverse of
     * q44's pivot; plans as a generator over the row, no shuffle until
     * the final ordering.
@@ -374,5 +387,10 @@ object Relational {
              |UNION ALL
              |SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
              |ORDER BY p_partkey, metric""".stripMargin)),
+    QueryDef("q53_lead_lag", q53,
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us FROM events)
+             |SELECT user_id, event_id, t_us,
+             |t_us - coalesce(lag(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id), t_us) AS gap_us
+             |FROM e ORDER BY user_id, t_us, event_id""".stripMargin)),
   )
 }
