@@ -267,6 +267,21 @@ object Relational {
       .orderBy(col("user_id"), col("t_us"), col("event_id"))
   }
 
+  /** Statistical aggregates: sample stddev, correlation, covariance per
+    * group (moment sketches merge associatively, so these partial-
+    * aggregate like sums; 2-digit rounding absorbs the order-dependent
+    * float tail).
+    */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 2).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 2).as("cov_qty_disc"),
+      )
+      .orderBy(col("l_returnflag"))
+
   /** UNPIVOT (wide -> long): one row per (part, metric). The inverse of
     * q44's pivot; plans as a generator over the row, no shuffle until
     * the final ordering.
@@ -392,5 +407,10 @@ object Relational {
              |SELECT user_id, event_id, t_us,
              |t_us - coalesce(lag(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id), t_us) AS gap_us
              |FROM e ORDER BY user_id, t_us, event_id""".stripMargin)),
+    QueryDef("q54_stat_aggregates", q54,
+      Some("""SELECT l_returnflag, round(stddev_samp(l_quantity), 2) AS sd_qty,
+             |round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
+             |round(covar_samp(l_quantity, l_discount), 2) AS cov_qty_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
   )
 }
