@@ -121,6 +121,16 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * CURRENT static table (planned per batch — broadcast when the dim is
+    * small), the standard shape for enriching an event stream with
+    * dimension attributes. Stream-static inner joins need no watermark:
+    * the static side is not stateful.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("value"))
+      .join(dim, "user_id")
+
   /** Custom stateful aggregation via mapGroupsWithState: running per-user
     * event count + value total (the arbitrary-state API surface; state is
     * one small record per key, partitioned by the grouping key).

@@ -175,6 +175,19 @@ class StreamingSpec extends SparkSpec {
       s"closed $closed not within batch sessions $batchSessions")
   }
 
+  test("stream-static enrichment join: streaming == batch") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), pmod(col("user_id"), lit(4))))
+      .localCheckpoint()
+    val streamed = runStream("w_enriched", EventStreams.enriched(_, dim), "append")
+    val batch = EventStreams.enriched(batchEvents, dim)
+    assert(streamed.count() == batch.count())
+    assert(asSet(streamed) == asSet(batch))
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once (no duplicates, no loss)") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
