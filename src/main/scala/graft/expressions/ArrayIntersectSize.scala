@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** Count of distinct elements of `left` that also occur in `right` —
   * value-identical to `size(array_intersect(left, right))` (including
@@ -21,17 +21,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 case class ArrayIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isArray(dt: DataType): Boolean = dt.isInstanceOf[ArrayType]
+  private def isSupportedArray(dt: DataType): Boolean = dt match {
+    // Only element types whose boxed equals/hashCode match Spark's
+    // array_intersect semantics: strings and integral types. Floats
+    // (-0.0 vs 0.0 boxing) and binary (Array[Byte] reference equality)
+    // would silently diverge in the JHashSet kernel, so reject them here
+    // rather than advertise a domain the kernel does not honor.
+    case ArrayType(StringType | ByteType | ShortType | IntegerType | LongType, _) => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isArray(left.dataType) && isArray(right.dataType)
+    if (isSupportedArray(left.dataType) && isSupportedArray(right.dataType)
       && left.dataType.asInstanceOf[ArrayType].elementType ==
         right.dataType.asInstanceOf[ArrayType].elementType)
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two arrays of the same element type, got " +
-          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+        s"$prettyName requires two arrays of the same string or integral " +
+          s"element type, got ${left.dataType.catalogString} and " +
+          s"${right.dataType.catalogString}")
 
   override def dataType: DataType = IntegerType
 

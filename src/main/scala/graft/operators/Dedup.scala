@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, textstats}
@@ -116,22 +117,30 @@ object Dedup {
     ).select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
   }
 
-  /** Turn band rows into distinct candidate pairs: gather each bucket's
-    * doc ids into one sorted array (a doc appears at most once per
-    * bucket), drop degenerate buckets above `maxBucket`, and explode the
-    * in-bucket pairs directly — `slice(ids, i+2, n)` enumerates each
+  /** Turn band rows into distinct candidate pairs: count each bucket's
+    * cardinality with a window on the same (band, key) partitioning and
+    * drop degenerate buckets BEFORE any array is built — the window
+    * buffers plain band rows in a spill-backed array, so a corpus-wide
+    * hot key spills to disk instead of materializing an unbounded
+    * collect_list aggregation buffer on one reducer; the surviving
+    * buckets' collect_list then holds at most `maxBucket` ids. The
+    * window's sort reuses the shuffle, so this is still ONE exchange on
+    * (band, key). Pair expansion: gather each bucket's ids into one
+    * sorted array (a doc appears at most once per bucket) and explode
+    * the in-bucket pairs — `slice(ids, i+2, n)` enumerates each
     * element's strictly-later partners without a lambda HOF, so the pair
-    * generator stays codegen-friendly. One shuffle on (band, key) and one
-    * on the pair key — the band-table SELF-JOIN this replaces shuffled
-    * the n*numHashes rows twice and materialized a join build side for
-    * the same output (measured 3.6s -> faster at sf0.1). The cap bounds
-    * both the quadratic blowup AND the per-bucket array memory.
+    * generator stays codegen-friendly. The band-table SELF-JOIN this
+    * replaces shuffled the n*numHashes rows twice and materialized a
+    * join build side for the same output (measured 3.6s -> faster at
+    * sf0.1).
     */
   private def pairsFromBands(bands: DataFrame, maxBucket: Int): DataFrame =
     bands
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .where(col("bn").between(2, maxBucket))
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
       .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
       .select(col("doc_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
@@ -171,10 +180,16 @@ object Dedup {
         .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
         .where(col("label") =!= col("old"))
         .limit(1).count() > 0 // one driver-side boolean per round
+      // `next` is eagerly materialized by localCheckpoint and `changed` is
+      // computed, so the superseded round's checkpoint blocks can be freed
+      // — without this, executor storage grows by one label-table copy per
+      // iteration (up to maxIter cached copies).
+      labels.unpersist()
       labels = next
       converged = !changed
       i += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -48,10 +48,25 @@ object Salted {
     * after planning; explicit salting is the a-priori form that also
     * covers shuffled-hash joins, and the salt is content-derived (never
     * rand()) so task retries and speculation stay idempotent.
+    *
+    * The default salt hashes ALL probe columns, which spreads a hot key
+    * only as far as its rows differ: byte-identical duplicate rows (the
+    * duplicate-row skew case) collapse onto one salt value and the
+    * mitigation silently degrades to the plain join (still correct).
+    * When hot-key rows may be identical, pass `saltCols` naming
+    * high-cardinality DETERMINISTIC per-row columns (a line number, an
+    * event id — never rand()/monotonically_increasing_id, which change
+    * across task retries).
     */
-  def skewJoin(probe: DataFrame, build: DataFrame, key: String, factor: Int = 8): DataFrame = {
-    val salted = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(factor)))
+  def skewJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      factor: Int = 8,
+      saltCols: Seq[Column] = Nil,
+  ): DataFrame = {
+    val saltSrc = if (saltCols.nonEmpty) saltCols else probe.columns.map(col).toSeq
+    val salted = probe.withColumn("__salt", pmod(hash(saltSrc: _*), lit(factor)))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

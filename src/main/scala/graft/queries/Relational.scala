@@ -268,18 +268,36 @@ object Relational {
   }
 
   /** Statistical aggregates: sample stddev, correlation, covariance per
-    * group (moment sketches merge associatively, so these partial-
-    * aggregate like sums; 2-digit rounding absorbs the order-dependent
-    * float tail).
+    * group. Built-in stddev/corr/covar accumulate float moments in a
+    * partition-dependent order, so their low bits are not engine-portable
+    * (r2 shipped that version and it failed the oracle hash). Instead the
+    * moments are EXACT integer sums over centi-quantized inputs (decimal
+    * sums on the Spark side, HUGEINT on DuckDB's — both exact), and the
+    * statistics derive from those via an identical IEEE-double formula, so
+    * the output doubles are bit-identical with no rounding needed. Still
+    * one partial-aggregating shuffle: the sums merge associatively, same
+    * as the built-in moment sketch.
     */
   private def q54(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS DECIMAL(18,0))").as("qx"),
+        expr("CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))").as("px"),
+        expr("CAST(round(l_discount * 100) AS DECIMAL(18,0))").as("dx"))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 2).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 2).as("cov_qty_disc"),
-      )
+        count(lit(1)).as("n"),
+        sum(col("qx")).as("sq"), sum(col("qx") * col("qx")).as("sqq"),
+        sum(col("px")).as("sp"), sum(col("px") * col("px")).as("spp"),
+        sum(col("dx")).as("sd"), sum(col("qx") * col("px")).as("sqp"),
+        sum(col("qx") * col("dx")).as("sqd"))
+      .select(col("l_returnflag"),
+        expr("sqrt(CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) / CAST(100 AS DOUBLE)")
+          .as("sd_qty"),
+        expr("CAST(n*sqp - sq*sp AS DOUBLE) / sqrt(CAST(n*sqq - sq*sq AS DOUBLE) * CAST(n*spp - sp*sp AS DOUBLE))")
+          .as("corr_qty_price"),
+        expr("CAST(n*sqd - sq*sd AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / CAST(10000 AS DOUBLE)")
+          .as("cov_qty_disc"))
       .orderBy(col("l_returnflag"))
 
   /** UNPIVOT (wide -> long): one row per (part, metric). The inverse of
@@ -408,9 +426,18 @@ object Relational {
              |t_us - coalesce(lag(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id), t_us) AS gap_us
              |FROM e ORDER BY user_id, t_us, event_id""".stripMargin)),
     QueryDef("q54_stat_aggregates", q54,
-      Some("""SELECT l_returnflag, round(stddev_samp(l_quantity), 2) AS sd_qty,
-             |round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
-             |round(covar_samp(l_quantity, l_discount), 2) AS cov_qty_disc
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+      Some("""WITH qq AS (SELECT l_returnflag,
+             |  CAST(round(l_quantity*100) AS BIGINT) AS qx,
+             |  CAST(round(l_extendedprice*100) AS BIGINT) AS px,
+             |  CAST(round(l_discount*100) AS BIGINT) AS dx FROM lineitem),
+             |m AS (SELECT l_returnflag, count(*) AS n,
+             |  sum(qx) AS sq, sum(qx*qx) AS sqq, sum(px) AS sp, sum(px*px) AS spp,
+             |  sum(dx) AS sd, sum(qx*px) AS sqp, sum(qx*dx) AS sqd
+             |  FROM qq GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |sqrt(CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) / CAST(100 AS DOUBLE) AS sd_qty,
+             |CAST(n*sqp - sq*sp AS DOUBLE) / sqrt(CAST(n*sqq - sq*sq AS DOUBLE) * CAST(n*spp - sp*sp AS DOUBLE)) AS corr_qty_price,
+             |CAST(n*sqd - sq*sd AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / CAST(10000 AS DOUBLE) AS cov_qty_disc
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
   )
 }
