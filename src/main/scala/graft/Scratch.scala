@@ -24,16 +24,8 @@ object Scratch {
         struct(lit(i).as("band"), col(s"mh$i").as("key"))): _*)).as("b"),
     ).select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
 
-    def joinImpl(): Long = {
-      val w = Window.partitionBy(col("band"), col("key"))
-      val capped = bands.withColumn("bn", count(lit(1)).over(w))
-        .where(col("bn") <= 1000).drop("bn")
-      capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id"), col("b.doc_id")).count().count()
-    }
-    def bucketImpl(): Long =
+    // A: r2 shape — collect_list first, size filter after (unbounded buffer).
+    def collectFirst(): Long =
       bands.groupBy(col("band"), col("key"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .where(size(col("ids")).between(2, 1000))
@@ -42,10 +34,23 @@ object Scratch {
           explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).count().count()
 
+    // B: r3 shape — windowed pre-count drops degenerate buckets before
+    // any array is built (bounded buffer, same single exchange).
+    def windowPrecount(): Long =
+      bands.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+        .where(col("bn").between(2, 1000))
+        .groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+        .select(col("doc_a"),
+          explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).count().count()
+
     // Interleave to cancel machine-load drift.
-    time("join_1")(joinImpl()); time("bucket_1")(bucketImpl())
-    time("join_2")(joinImpl()); time("bucket_2")(bucketImpl())
-    time("join_3")(joinImpl()); time("bucket_3")(bucketImpl())
+    time("collect_1")(collectFirst()); time("window_1")(windowPrecount())
+    time("collect_2")(collectFirst()); time("window_2")(windowPrecount())
+    time("collect_3")(collectFirst()); time("window_3")(windowPrecount())
     spark.stop()
   }
 }

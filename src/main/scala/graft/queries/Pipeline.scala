@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{text, textstats}
+
+/** Training-data pipeline operators beyond dedup/similarity: deterministic
+  * dataset splitting, context-window sequence packing, collocation mining,
+  * and statistical outlier filtering. Everything is engine-portable by
+  * construction (integer or integer-ratio arithmetic only — see
+  * oracle-portability notes in the repo memory) and shuffle-parallel:
+  * per-row hashing is a narrow map, the rest is one partial-aggregating
+  * shuffle or one window sort each.
+  */
+object Pipeline {
+
+  /** Deterministic stratified train/val/test split. The split is a pure
+    * function of doc_id (portable polynomial hash, mod 10 → 80/10/10), so
+    * any executor — and any retry, and tomorrow's incremental run — puts
+    * the same document in the same split without coordination: the
+    * property a reproducible 100 TB corpus split actually needs (a
+    * rand()-based split has none of it). Summarized per (lang, split).
+    */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(textstats.rollingHash(col("doc_id").cast("string")), lit(10))
+    Tables.documents(s, d)
+      .select(
+        col("lang"),
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test").as("split"),
+        col("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget context
+    * batches (the LLM pretraining sharder). Documents are laid out in
+    * deterministic (lang, doc_id) order; a doc's batch is the budget
+    * window its cumulative-token OFFSET falls in — one window sort per
+    * language partition, no driver loop, and the layout is stable under
+    * any parallelism. Emits per-batch occupancy (docs, tokens, first doc).
+    */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(text.normalizedTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("batch_id", expr(s"(cum - n_tok) div $budget"))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
+  /** Collocation mining: bigrams ranked by pointwise mutual information.
+    * PMI = log(p(xy)/(p(x)p(y))) is monotone in n_xy*N/(n_x*n_y), so the
+    * ranking uses that ratio floor-scaled to integer milli-units — exact
+    * in both engines, no log and no float ties. Corpus totals travel as a
+    * broadcast 1-row table (no driver-side scalar).
+    */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(text.normalizedTokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val bigrams = docs
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("N"))
+    bigrams
+      .join(uni.select(col("w").as("w1"), col("n").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_y")), "w2")
+      .crossJoin(broadcast(total))
+      .where(col("n_xy") >= 5)
+      .withColumn("pmi_milli", expr("(1000 * n_xy * N) div (n_x * n_y)"))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"), col("pmi_milli"))
+      .orderBy(col("pmi_milli").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** Quality filter: documents whose length is a per-language outlier
+    * (|z| > 2 on n_chars). The test runs ENTIRELY in exact integer space:
+    * with per-group count n, sum s, sum-of-squares q, the sample z²>4
+    * condition cross-multiplies to (n-1)·(n·x − s)² > 4·n·(n·q − s²) —
+    * decimal sums on the Spark side, HUGEINT in the oracle, so there is
+    * no float boundary for engines to disagree on. Group moments are a
+    * 4-row broadcast; the filter itself is a narrow map over the corpus.
+    */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val st = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+      sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("sxx"))
+    docs.join(broadcast(st), "lang")
+      .withColumn("dd", col("n") * col("n_chars") - col("sx"))
+      .where((col("n") - 1) * col("dd") * col("dd")
+        > lit(4) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val hashSql =
+    "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+      "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31+b) % 1000000007)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_train_test_split", q55, Some(
+      s"""WITH h AS (SELECT lang, n_chars, $hashSql % 10 AS b FROM documents)
+         |SELECT lang,
+         |CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+         |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM h GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+    QueryDef("q56_sequence_packing", q56, Some(
+      s"""WITH t AS (SELECT lang, doc_id, len(${TextCorpus.tokensSql}) AS n_tok FROM documents),
+         |c AS (SELECT lang, doc_id, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS batch_id,
+         |count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |min(doc_id) AS first_doc
+         |FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin)),
+    QueryDef("q57_bigram_collocations", q57, Some(
+      s"""WITH toks AS (SELECT ${TextCorpus.tokensSql} AS t FROM documents),
+         |pairs AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |          FROM toks WHERE len(t) >= 2),
+         |bg AS (SELECT w1, w2, count(*) AS n_xy FROM pairs GROUP BY w1, w2),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |unic AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM unic)
+         |SELECT w1, w2, n_xy, x.n AS n_x, y.n AS n_y,
+         |CAST((1000 * n_xy * n_total) // (x.n * y.n) AS BIGINT) AS pmi_milli
+         |FROM bg JOIN unic x ON bg.w1 = x.w JOIN unic y ON bg.w2 = y.w CROSS JOIN tot
+         |WHERE n_xy >= 5
+         |ORDER BY pmi_milli DESC, w1, w2 LIMIT 50""".stripMargin)),
+    QueryDef("q62_outlier_docs", q62, Some(
+      """WITH st AS (SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS HUGEINT) AS sx,
+        |  CAST(sum(n_chars * n_chars) AS HUGEINT) AS sxx
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, documents.lang AS lang, n_chars
+        |FROM documents JOIN st ON documents.lang = st.lang
+        |WHERE (n - 1) * (n*n_chars - sx) * (n*n_chars - sx)
+        |      > 4 * n * (n*sxx - sx*sx)
+        |ORDER BY doc_id""".stripMargin)),
+  )
+}

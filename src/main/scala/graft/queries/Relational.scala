@@ -300,6 +300,48 @@ object Relational {
           .as("cov_qty_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Explicit GROUPING SETS with grouping_id: two independent single-
+    * dimension aggregates plus the grand total in ONE pass over the join
+    * (Spark expands the sets map-side; no per-set rescan), disambiguated
+    * by the same grouping_id bit vector DuckDB computes. Complements
+    * q05's ROLLUP and q38's CUBE — the three cover the whole multi-
+    * dimensional aggregation surface.
+    */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("n_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .select(
+        col("gid"),
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("total_acctbal"))
+      .orderBy(col("gid"), col("region_name"), col("nation_name"))
+
+  /** Quantile binning: ntile quartiles plus percent_rank/cume_dist in
+    * integer milli-units per order within its priority class. The ranks
+    * are integer ratios computed by one IEEE division in both engines
+    * (then floor-scaled), so no float boundary survives to the output —
+    * the binning primitive for length-balanced batch construction.
+    */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr_milli", floor(percent_rank().over(w) * 1000).cast("long"))
+      .withColumn("cd_milli", floor(cume_dist().over(w) * 1000).cast("long"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
   /** UNPIVOT (wide -> long): one row per (part, metric). The inverse of
     * q44's pivot; plans as a generator over the row, no shuffle until
     * the final ordering.
@@ -425,6 +467,22 @@ object Relational {
              |SELECT user_id, event_id, t_us,
              |t_us - coalesce(lag(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id), t_us) AS gap_us
              |FROM e ORDER BY user_id, t_us, event_id""".stripMargin)),
+    QueryDef("q59_grouping_sets", q59, Some(
+      """SELECT GROUPING_ID(r_name, n_name) AS gid,
+        |coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
+        |count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY gid, region_name, nation_name""".stripMargin)),
+    QueryDef("q61_quantile_binning", q61, Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |CAST(floor(percent_rank() OVER w * 1000) AS BIGINT) AS pr_milli,
+        |CAST(floor(cume_dist() OVER w * 1000) AS BIGINT) AS cd_milli
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)),
     QueryDef("q54_stat_aggregates", q54,
       Some("""WITH qq AS (SELECT l_returnflag,
              |  CAST(round(l_quantity*100) AS BIGINT) AS qx,

@@ -115,6 +115,26 @@ object ScalePatterns {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Changelog compaction (latest-wins upsert): reduce an event stream to
+    * each key's newest record — the MERGE/compaction primitive dataset
+    * versioning is built on. One aggregation via max(struct(time, id,
+    * payload...)): the struct max partial-aggregates map-side (each task
+    * keeps ONE row per key before the exchange), where the row_number
+    * window the oracle uses would shuffle and sort every event. (t_us,
+    * event_id) is unique per key, so the payload fields behind them never
+    * decide the comparison.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("t_us"), col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.t_us").as("last_t_us"),
+        col("m.event_id").as("last_event_id"), col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
+      .orderBy(col("user_id"))
+
   /** Per-group top-k via the bounded typed Aggregator ([[TopKAggregator]]):
     * the map-side partial keeps at most k rows per group per task, so the
     * exchange moves O(groups*k) rows where q08's window formulation
@@ -173,6 +193,14 @@ object ScalePatterns {
         |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
         |round(quantile_cont(l_quantity, 0.5), 2) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q58_changelog_compact", q58, Some(
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id, event_type, value
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY t_us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, t_us AS last_t_us, event_id AS last_event_id,
+        |event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     QueryDef("q48_topk_aggregator", q48,
       Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
              |  SELECT p_brand, p_partkey, p_retailprice,

@@ -87,6 +87,43 @@ object TextCorpus {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Sparse top-k text retrieval: score query documents against the
+    * corpus through the inverted index (postings join on shared terms),
+    * never materializing any dense vector or all-pairs product — the
+    * scale path for text similarity, complementing dense q29/q30. Terms
+    * are weighted tf * linear-idf in exact integer milli-units
+    * (floor(1000*N/df), no log, no float), the corpus total rides along
+    * as a broadcast 1-row table, and cost is O(sum over query terms of
+    * posting-list length) — each query touches only documents sharing a
+    * term. The weighted postings table is localCheckpoint'd because both
+    * sides of the query-corpus join derive from it.
+    */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val tf = words(s, d)
+      .groupBy(col("file_id").as("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("N"))
+    val weighted = tf.join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"),
+        expr("tf * ((1000 * N) div df)").as("w_milli"))
+      .localCheckpoint()
+    val queries = weighted
+      .where(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("q_id"), col("word"), col("w_milli").as("wq"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dot").desc, col("doc_id"))
+    queries.join(weighted, "word")
+      .where(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("wq") * col("w_milli")).as("dot"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("dot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q16_doc_token_counts", q16,
       Some(s"""SELECT doc_id, len($tokensSql) AS n_tokens
@@ -102,6 +139,21 @@ object TextCorpus {
               |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)
               |SELECT word, count(*) AS doc_freq, substr(word,1,1) AS letter
               |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),
+    QueryDef("q60_sparse_topk", q60, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*) AS N FROM documents),
+         |wt AS (SELECT doc_id, word, tf * ((1000 * N) // df) AS w_milli
+         |       FROM tf JOIN df USING (word) CROSS JOIN n),
+         |q AS (SELECT doc_id AS q_id, word, w_milli AS wq FROM wt WHERE doc_id % 100 = 7),
+         |dots AS (SELECT q.q_id, wt.doc_id, CAST(sum(q.wq * wt.w_milli) AS BIGINT) AS dot
+         |         FROM q JOIN wt USING (word) WHERE wt.doc_id <> q.q_id
+         |         GROUP BY q.q_id, wt.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY dot DESC, doc_id) AS rank FROM dots)
+         |SELECT q_id, rank, doc_id, dot FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin)),
     QueryDef("q40_tfidf_top_terms", q40, Some(
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),

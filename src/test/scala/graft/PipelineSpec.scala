@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the training-data pipeline operators (q55-q62) beyond
+  * the oracle's value equality: determinism under re-partitioning,
+  * conservation laws, and the plan shapes their scale story claims.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("q55 split is a pure function of doc_id: invariant under shuffle-partition count") {
+    val a = SparkEntry.queries("q55_train_test_split")(spark, sf0001).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = SparkEntry.queries("q55_train_test_split")(spark, sf0001).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // All three splits materialize and train dominates (hash is spreading).
+    val bySplit = a.map(r => r.getString(1) -> r.getLong(2))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit)
+    assert(bySplit("train") > bySplit("val") + bySplit("test"), bySplit)
+  }
+
+  test("q56 packing conserves tokens and numbers batches contiguously from 0") {
+    val batches = SparkEntry.queries("q56_sequence_packing")(spark, sf0001).collect()
+    val perLang = batches.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (0L until ids.size).toSeq, s"$lang batch ids not contiguous: $ids")
+    }
+    val packed = batches.map(_.getLong(3)).sum
+    val total = Tables.documents(spark, sf0001)
+      .select(sum(size(graft.functions.text.normalizedTokens(col("text"))).cast("long")))
+      .first().getLong(0)
+    assert(packed == total, s"packed=$packed total=$total")
+  }
+
+  test("q62 flags exactly the docs with sample |z| > 2 (float cross-check)") {
+    val flagged = SparkEntry.queries("q62_outlier_docs")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stats = Tables.documents(spark, sf0001)
+      .groupBy(col("lang"))
+      .agg(avg(col("n_chars")).as("mu"), stddev_samp(col("n_chars")).as("sd"))
+    val expected = Tables.documents(spark, sf0001)
+      .join(stats, "lang")
+      .where(abs(col("n_chars") - col("mu")) > lit(2.0) * col("sd"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == expected)
+    assert(flagged.nonEmpty || expected.isEmpty)
+  }
+
+  test("q58 compaction partial-aggregates (no window sort of the full stream)") {
+    val df = SparkEntry.queries("q58_changelog_compact")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max") || p.contains("partial_first"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q60 retrieval ranks 5 hits per query doc, never the query itself") {
+    val rows = SparkEntry.queries("q60_sparse_topk")(spark, sf0001).collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    perQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L), s"ranks for $q")
+      assert(!rs.map(_.getLong(2)).contains(q), s"query $q retrieved itself")
+      // Scores are non-increasing in rank.
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"scores not monotone for $q: $byRank")
+    }
+  }
+}
