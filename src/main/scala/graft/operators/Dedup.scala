@@ -46,11 +46,23 @@ object Dedup {
       ),
     ).otherwise(array().cast("array<string>"))
 
-  /** MinHash signature columns mh0..mh{k-1} over the shingle set. */
-  def minhashCols(shingleCol: Column): Seq[Column] =
+  /** Base hashes of each shingle, as one materialized array column. The
+    * string hashing is the expensive part of a signature; computing it in
+    * its own projection guarantees it runs ONCE per shingle — inlining it
+    * into the `numHashes` minhash lambdas (the r2 shape) re-hashed every
+    * shingle once per hash function, because HOF lambda bodies evaluate
+    * interpreted with no cross-column subexpression sharing.
+    */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => textstats.rollingHash(s))
+
+  /** MinHash signature columns mh0..mh{k-1} over pre-hashed shingles
+    * ([[shingleHashes]]): each permutation is a cheap affine map over
+    * longs, min-reduced.
+    */
+  def minhashCols(hashCol: Column): Seq[Column] =
     (0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s =>
-        (lit(A(i)) * textstats.rollingHash(s) + lit(B(i))) % P)).as(s"mh$i")
+      array_min(transform(hashCol, h => (lit(A(i)) * h + lit(B(i))) % P)).as(s"mh$i")
     }
 
   /** doc_id + minhash signature for every document with >= shingleSize
@@ -61,7 +73,8 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= shingleSize)
-      .select(Seq(col("doc_id")) ++ minhashCols(shingles(col("toks"))): _*)
+      .select(col("doc_id"), shingleHashes(shingles(col("toks"))).as("hs"))
+      .select(Seq(col("doc_id")) ++ minhashCols(col("hs")): _*)
   }
 
   /** Degenerate-bucket cutoff for LSH band joins: a band key shared by B
@@ -154,39 +167,38 @@ object Dedup {
     * connected component carries the component's minimum doc_id — the
     * TRANSITIVE closure the 1-hop canonicalization (q43) approximates.
     * Rounds needed = component diameter (near-dup clusters are shallow).
-    * Each iteration is one join + one aggregation, labels are
-    * checkpointed per round (truncating the iterative lineage), and the
-    * only driver-side value is the per-round convergence boolean — the
-    * standard shape for iterative graph algorithms at scale.
+    * Each iteration is ONE join (labels onto edges), unioned with the
+    * self-labels and min-aggregated — no second join for the old-vs-new
+    * comparison: labels only ever decrease, so the exact decimal label
+    * SUM is strictly decreasing until fixpoint and a narrow aggregate
+    * over the new table detects convergence. Labels are checkpointed per
+    * round (truncating the iterative lineage) and the superseded round's
+    * blocks are freed immediately, keeping executor storage flat; the
+    * only driver-side values are the per-round sums.
     */
   def canonicalLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("nbr")))
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("nbr"), col("label")), "nbr")
-        .groupBy(col("u").as("doc_id"))
-        .agg(min(col("label")).as("nmin"))
       val next = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .union(edges
+          .join(labels.select(col("doc_id").as("nbr"), col("label")), "nbr")
+          .select(col("u").as("doc_id"), col("label")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .where(col("label") =!= col("old"))
-        .limit(1).count() > 0 // one driver-side boolean per round
-      // `next` is eagerly materialized by localCheckpoint and `changed` is
-      // computed, so the superseded round's checkpoint blocks can be freed
-      // — without this, executor storage grows by one label-table copy per
-      // iteration (up to maxIter cached copies).
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
-      converged = !changed
       i += 1
     }
     edges.unpersist()

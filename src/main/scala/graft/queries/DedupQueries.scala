@@ -75,7 +75,9 @@ object DedupQueries {
     * multiset, so the signatures match Dedup.minhashSignatures.)
     */
   private[queries] def jaccardPairs(sh: DataFrame): DataFrame = {
-    val sigs = sh.select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("sh")): _*)
+    val sigs = sh
+      .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
+      .select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("hs")): _*)
     Dedup.lshCandidates(sigs).select(col("doc_a"), col("doc_b"))
       .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
       .drop("doc_id")
