@@ -109,6 +109,53 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Ordered funnel analysis: per user, the earliest view, the earliest
+    * click AFTER that view, and the earliest purchase AFTER that click —
+    * the stage-dependency makes this three chained aggregations (each one
+    * shuffle on user_id), not a single conditional aggregate; absent
+    * stages surface as -1 so the row schema is dense. The canonical
+    * product-analytics asymmetric-sequence query over the event stream.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("t") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("t") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("t_purchase").isNotNull, "purchase")
+          .when(col("t_click").isNotNull, "click").otherwise("view").as("stage"),
+        col("t_view").as("t_view_us"),
+        coalesce(col("t_click"), lit(-1L)).as("t_click_us"),
+        coalesce(col("t_purchase"), lit(-1L)).as("t_purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic uniform corpus sample: rank documents per language by
+    * portable content-independent hash and keep the first k — the
+    * reproducible eval-subset selector (same rows on every run, engine,
+    * and cluster size; contrast TABLESAMPLE/rand(), which are none of
+    * those). One window sort per language partition.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        textstats.rollingHash(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   private val hashSql =
     "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
       "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31+b) % 1000000007)"
@@ -142,6 +189,27 @@ object Pipeline {
          |FROM bg JOIN unic x ON bg.w1 = x.w JOIN unic y ON bg.w2 = y.w CROSS JOIN tot
          |WHERE n_xy >= 5
          |ORDER BY pmi_milli DESC, w1, w2 LIMIT 50""".stripMargin)),
+    QueryDef("q63_funnel", q63, Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(t) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > t_click GROUP BY e.user_id)
+        |SELECT user_id,
+        |CASE WHEN t_purchase IS NOT NULL THEN 'purchase'
+        |     WHEN t_click IS NOT NULL THEN 'click' ELSE 'view' END AS stage,
+        |t_view AS t_view_us,
+        |coalesce(t_click, -1) AS t_click_us,
+        |coalesce(t_purchase, -1) AS t_purchase_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+    QueryDef("q64_corpus_sample", q64, Some(
+      s"""WITH h AS (SELECT lang, doc_id, $hashSql AS h FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+         |SELECT lang, rk, doc_id FROM r WHERE rk <= 20
+         |ORDER BY lang, rk""".stripMargin)),
     QueryDef("q62_outlier_docs", q62, Some(
       """WITH st AS (SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS HUGEINT) AS sx,

@@ -342,6 +342,50 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** FULL OUTER join — the one join type the rest of the surface doesn't
+    * exercise (inner/left q03-q05, semi q06, anti q07, range q39, as-of
+    * q35). BUILDING-segment customers against per-customer pending-order
+    * counts: both sides contribute unmatched rows, and the reconciliation
+    * columns (has_customer/has_orders) make the outer semantics
+    * observable. Plans as one shuffle per side on the join key.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val pend = Tables.orders(s, d)
+      .where(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_pending"))
+    cust.join(pend, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.cast("long").as("has_customer"),
+        col("o_custkey").isNotNull.cast("long").as("has_orders"),
+        coalesce(col("n_pending"), lit(0L)).as("n_pending"),
+        coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Correlated scalar subqueries through the SQL planner: customers
+    * whose balance beats their nation's average. Catalyst decorrelates
+    * the subqueries into an aggregated join — the rewrite this query
+    * exists to exercise (plan-asserted: no per-row subplan survives).
+    * The comparison cross-multiplies centi-quantized integers
+    * (bal*100*count > sum) so no float average ever exists to disagree
+    * on a boundary row.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |       FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** UNPIVOT (wide -> long): one row per (part, metric). The inverse of
     * q44's pivot; plans as a generator over the row, no shuffle until
     * the final ordering.
@@ -483,6 +527,24 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)),
+    QueryDef("q65_full_outer", q65, Some(
+      """WITH cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |pend AS (SELECT o_custkey, count(*) AS n_pending FROM orders
+        |         WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |CAST(c_custkey IS NOT NULL AS BIGINT) AS has_customer,
+        |CAST(o_custkey IS NOT NULL AS BIGINT) AS has_orders,
+        |coalesce(n_pending, 0) AS n_pending,
+        |coalesce(c_acctbal, -1.0) AS acctbal
+        |FROM cust FULL OUTER JOIN pend ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin)),
+    QueryDef("q66_correlated_subquery", q66, Some(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)),
     QueryDef("q54_stat_aggregates", q54,
       Some("""WITH qq AS (SELECT l_returnflag,
              |  CAST(round(l_quantity*100) AS BIGINT) AS qx,

@@ -77,6 +77,19 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("array_intersect_size"), p.take(3000))
   }
 
+  test("q66 correlated scalar subqueries decorrelate into aggregated joins") {
+    // Catalyst's RewriteCorrelatedScalarSubquery must turn both per-row
+    // subqueries into aggregate + join — a surviving scalar-subquery node
+    // would mean one subplan execution per customer row.
+    val p = plan("q66_correlated_subquery")
+    assert(!p.toLowerCase.contains("scalarsubquery"), p.take(3000))
+    assert(p.contains("Join"), p.take(3000))
+  }
+
+  test("q65 plans a genuine full outer join") {
+    assert(plan("q65_full_outer").contains("FullOuter"), "full outer")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // Ties GraftSession's AQE claims to evidence: one hot key holds ~100k
     // rows while the rest hold 1; with the skew thresholds scaled down to
