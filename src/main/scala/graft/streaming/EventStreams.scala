@@ -131,6 +131,34 @@ object EventStreams {
     events.select(col("event_id"), col("user_id"), col("value"))
       .join(dim, "user_id")
 
+  /** Stream-stream interval join: each click pairs with the same user's
+    * views from the preceding `maxGapMinutes`. BOTH sides carry a
+    * watermark and the join condition bounds click_ts - view_ts to
+    * [0, maxGap], which is what makes the join feasible on unbounded
+    * streams: the runtime can evict a buffered view once the click-side
+    * watermark passes view_ts + maxGap (an unconstrained stream-stream
+    * join would pin both sides' state forever). Inner matches emit as
+    * soon as both rows arrive. The streaming form of q63's first funnel
+    * hop / q39's banded range join.
+    */
+  def viewClickPairs(events: DataFrame, maxGapMinutes: Int = 30): DataFrame = {
+    val views = withEventTime(events).where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = withEventTime(events).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        unix_timestamp(col("view_ts")).as("view_s"),
+        unix_timestamp(col("click_ts")).as("click_s"))
+  }
+
   /** Custom stateful aggregation via mapGroupsWithState: running per-user
     * event count + value total (the arbitrary-state API surface; state is
     * one small record per key, partitioned by the grouping key).

@@ -217,6 +217,13 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"exactly-once violated: $ids")
   }
 
+  test("stream-stream interval join (view->click self-join): streaming == batch") {
+    val streamed = runStream("w_ssjoin", EventStreams.viewClickPairs(_), "append")
+    val batch = EventStreams.viewClickPairs(batchEvents)
+    assert(streamed.count() > 0)
+    assert(asSet(streamed) == asSet(batch))
+  }
+
   test("stateful user totals (mapGroupsWithState): streaming == batch groupBy") {
     import org.apache.spark.sql.functions._
     val streamed = runStream(
