@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Semi-join reduction via a Bloom runtime filter — the shuffle-pruning
+  * technique big selective joins need at 100 TB: build a compact Bloom
+  * sketch over the (small, filtered) build side's join keys, then drop
+  * probe rows that cannot match BEFORE they enter the join's exchange.
+  * False positives only let extra rows into the shuffle; the exact join
+  * then drops them, so the result is EXACTLY the plain join while the
+  * shuffled volume falls to (selectivity + fpp) of the probe side.
+  *
+  * Uses Spark's own sketch expressions ([[BloomFilterAggregate]] /
+  * [[BloomFilterMightContain]], the pair behind Catalyst's automatic
+  * InjectRuntimeFilter) wired explicitly: the build aggregates
+  * distributed (partial sketches merged), only the serialized sketch
+  * crosses the driver, and the probe-side test is a codegen'd predicate,
+  * not a UDF.
+  */
+object RuntimeFilter {
+
+  /** Distributed Bloom build over `key`; returns the serialized sketch. */
+  def buildBloom(build: DataFrame, key: Column, expectedItems: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(key))), expectedItems)
+      .toAggregateExpression()
+    build.select(ColumnBridge.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen membership probe against a serialized sketch. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(ColumnBridge.expression(key)))))
+
+  /** Equi-join with the probe side pre-pruned by the build side's Bloom
+    * sketch. Result is exactly `probe JOIN build ON probeKey = buildKey`.
+    */
+  def bloomPrunedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val bloom = buildBloom(build, build(buildKey), expectedItems)
+    probe
+      .where(mightContain(bloom, probe(probeKey)))
+      .join(build, probe(probeKey) === build(buildKey))
+  }
+}

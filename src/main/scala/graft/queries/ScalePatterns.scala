@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, Salted, Scored, TopKAggregator}
+import graft.operators.{AsOfJoin, Dedup, RuntimeFilter, Salted, Scored, TopKAggregator}
 
 /** Operators whose point is the 100 TB shuffle shape: salted (two-phase)
   * aggregation for hot keys, sketch-based distinct counting, and the
@@ -157,7 +157,28 @@ object ScalePatterns {
       .orderBy(col("p_brand"), col("rn"))
   }
 
+  /** Bloom-pruned selective join: orders against BUILDING customers, with
+    * the order stream pre-filtered by a Bloom sketch of the qualifying
+    * customer keys before it reaches the join shuffle. The oracle is the
+    * PLAIN join — like q33's salting, the runtime filter changes the
+    * shuffle volume, never the answer.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    RuntimeFilter.bloomPrunedJoin(
+      Tables.orders(s, d), dim, "o_custkey", "c_custkey", expectedItems = 100000L)
+      .select(col("o_orderkey"), col("c_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q67_bloom_prune", q67, Some(
+      """SELECT o_orderkey, c_custkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("q33_salted_word_counts", q33, Some(
       s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
          |SELECT word, count(*) AS n, CAST(sum(length(word)) AS BIGINT) AS total_chars

@@ -84,6 +84,20 @@ class ScalePatternsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("bloom-pruned join equals the plain join; the probe predicate is in the plan") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf0001)
+    val dim = Tables.customer(spark, sf0001)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val pruned = graft.operators.RuntimeFilter
+      .bloomPrunedJoin(orders, dim, "o_custkey", "c_custkey", expectedItems = 10000L)
+      .select(col("o_orderkey"), col("c_custkey"))
+    val plain = orders.join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    assert(pruned.collect().toSet == plain.collect().toSet)
+    assert(pruned.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
   test("as-of join: equal-time build row is visible; no match yields default") {
     val spark0 = spark
     import spark0.implicits._
