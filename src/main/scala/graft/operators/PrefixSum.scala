@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running total (prefix sum) — the scalable replacement for
+  * `sum over (partition by group order by ...)` when a group's rows far
+  * exceed one reducer: a plain window puts EVERY row of the group on a
+  * single task (a 100 TB corpus with 4 languages would run 4 tasks). The
+  * classic two-level decomposition restores parallelism:
+  *
+  *   1. local running totals per (group, bucket) — parallel across
+  *      buckets, where `bucket` is any order-aligned split of the order
+  *      column (e.g. `doc_id div 500`);
+  *   2. per-bucket totals rolled into EXCLUSIVE bucket offsets by a
+  *      second window over the tiny (group, bucket) table;
+  *   3. offsets joined back (broadcast-sized) and added to the local
+  *      totals.
+  *
+  * Exact same result as the single-partition window (addition is
+  * associative and the bucket order extends the row order), proven in
+  * PipelineSpec.
+  */
+object PrefixSum {
+
+  /** Adds `out` = running total of `valueCol` over rows ordered by
+    * `orderCols` within each `groupCols` group. `bucketCol` must be
+    * monotone in the order (equal order prefix => equal bucket).
+    */
+  def withRunningTotal(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucketCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String): DataFrame = {
+    val keys = (groupCols :+ bucketCol).map(col)
+    val localW = Window.partitionBy(keys: _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsetW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df
+      .groupBy(keys: _*)
+      .agg(sum(col(valueCol)).as("__btot"))
+      .withColumn("__off", coalesce(sum(col("__btot")).over(offsetW), lit(0L)))
+      .select(keys :+ col("__off"): _*)
+    // One offset row per (group, bucket): pick the bucket width so this
+    // stays broadcast-sized (one bucket per input split, not per row
+    // range) — AQE then broadcasts it; under a coarse mis-sizing the
+    // equi-join still runs as a correct shuffle join.
+    df
+      .withColumn("__local", sum(col(valueCol)).over(localW))
+      .join(offsets, groupCols :+ bucketCol)
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__local", "__off")
+  }
+}

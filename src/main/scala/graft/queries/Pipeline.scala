@@ -39,18 +39,22 @@ object Pipeline {
   /** Sequence packing: assign documents to fixed token-budget context
     * batches (the LLM pretraining sharder). Documents are laid out in
     * deterministic (lang, doc_id) order; a doc's batch is the budget
-    * window its cumulative-token OFFSET falls in — one window sort per
-    * language partition, no driver loop, and the layout is stable under
-    * any parallelism. Emits per-batch occupancy (docs, tokens, first doc).
+    * window its cumulative-token OFFSET falls in. The running total is
+    * the DISTRIBUTED prefix sum ([[graft.operators.PrefixSum]]) — a plain
+    * `sum over (partition by lang order by doc_id)` would put an entire
+    * language on one reducer, which dies at corpus scale; bucketing by
+    * `doc_id div 500` keeps the result identical (proven in PipelineSpec)
+    * with parallelism = buckets. Emits per-batch occupancy.
     */
   private def q56(s: SparkSession, d: String): DataFrame = {
     val budget = 2048
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
-        size(text.normalizedTokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+        size(text.normalizedTokens(col("text"))).cast("long").as("n_tok"),
+        expr("doc_id div 500").as("bkt"))
+      .localCheckpoint() // feeds both the local windows and the offsets
+    graft.operators.PrefixSum
+      .withRunningTotal(base, Seq("lang"), "bkt", Seq("doc_id"), "n_tok", "cum")
       .withColumn("batch_id", expr(s"(cum - n_tok) div $budget"))
       .groupBy(col("lang"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),

@@ -37,6 +37,21 @@ class PipelineSpec extends SparkSpec {
     assert(packed == total, s"packed=$packed total=$total")
   }
 
+  test("distributed prefix sum equals the single-partition window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        expr("doc_id div 97").as("bkt")) // deliberately odd bucket width
+    val scalable = graft.operators.PrefixSum
+      .withRunningTotal(base, Seq("lang"), "bkt", Seq("doc_id"), "n_chars", "cum")
+      .select(col("doc_id"), col("cum"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = base.withColumn("cum", sum(col("n_chars")).over(w))
+      .select(col("doc_id"), col("cum"))
+    assert(scalable.collect().toSet == plain.collect().toSet)
+  }
+
   test("q62 flags exactly the docs with sample |z| > 2 (float cross-check)") {
     val flagged = SparkEntry.queries("q62_outlier_docs")(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
