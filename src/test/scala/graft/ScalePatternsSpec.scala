@@ -84,6 +84,28 @@ class ScalePatternsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("count-min sketch bounds word-count estimates (never under, over by < eps*N)") {
+    // Completes the sketch family next to HLL (q34) and Bloom (q67): the
+    // distributed count_min_sketch aggregate merges per-partition sketches
+    // and guarantees exact-count <= estimate <= exact + eps*N w.h.p.
+    import org.apache.spark.sql.functions._
+    val words = graft.operators.InvertedIndex
+      .words(Tables.documents(spark, sf0001), "doc_id", "text")
+    val skBytes = words
+      .select(expr("count_min_sketch(word, 0.01d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val exact = words.groupBy(col("word")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (w, c) =>
+      val est = sketch.estimateCount(w)
+      assert(est >= c, s"$w underestimated: $est < $c")
+      assert(est <= c + (0.01 * n).toLong + 1, s"$w overestimated: $est vs $c (N=$n)")
+    }
+  }
+
   test("bloom-pruned join equals the plain join; the probe predicate is in the plan") {
     import org.apache.spark.sql.functions._
     val orders = Tables.orders(spark, sf0001)
