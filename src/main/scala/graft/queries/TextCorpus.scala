@@ -102,9 +102,14 @@ object TextCorpus {
     val tf = words(s, d)
       .groupBy(col("file_id").as("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("N"))
-    val weighted = tf.join(df, "word")
+    // df as a count-over-word window on the tf table: one shuffle by word
+    // produces the document frequency AND leaves the postings partitioned
+    // for weighting — the separate groupBy(word) + join spelling shuffled
+    // the tf table twice for the same result.
+    val weighted = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("word"),
         expr("tf * ((1000 * N) div df)").as("w_milli"))
