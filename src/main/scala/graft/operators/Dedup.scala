@@ -160,6 +160,30 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
 
+  /** Asymmetric LSH candidates for INCREMENTAL ingest: pair each incoming
+    * document with the existing-corpus documents sharing >= 1 band — the
+    * production shape for admitting a new batch into an already-deduped
+    * 100 TB corpus, where re-running the full self-join (q25) per batch
+    * would re-pay the whole corpus. Cost is one shuffle of each side on
+    * (band, key); the existing side's degenerate buckets are capped with
+    * the same spill-backed windowed pre-count as [[lshCandidates]].
+    */
+  def lshCandidatesAgainst(
+      incoming: DataFrame,
+      existing: DataFrame,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val in = bandRows(incoming, 1)
+      .select(col("doc_id").as("doc_new"), col("band"), col("key"))
+    val ex = bandRows(existing, 1)
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .where(col("bn") <= maxBucket)
+      .select(col("doc_id").as("doc_old"), col("band"), col("key"))
+    in.join(ex, Seq("band", "key"))
+      .groupBy(col("doc_new"), col("doc_old"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Connected-component canonicalization by min-label propagation
     * (Pregel-style): every doc starts labeled with itself; each round,
     * a doc adopts the minimum label among itself and its neighbors in

@@ -138,6 +138,37 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental ingest dedup: the incoming batch (doc_id % 5 == 0, a
+    * scale-proportional 20% slice) is matched against the EXISTING corpus
+    * only — asymmetric band join (never the corpus self-join), then the
+    * exact integer-space Jaccard verify. Output: every incoming doc
+    * mapped to its canonical existing near-duplicate, or itself when
+    * genuinely new — the decision a production pipeline makes per batch
+    * before admitting documents.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d)
+    val sigs = sh
+      .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
+      .select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("hs")): _*)
+    val cand = Dedup.lshCandidatesAgainst(
+      sigs.where(col("doc_id") % 5 === 0),
+      sigs.where(col("doc_id") % 5 =!= 0))
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_new"), col("sh").as("sh_a")), "doc_new")
+      .join(sh.select(col("doc_id").as("doc_old"), col("sh").as("sh_b")), "doc_old")
+      .where(lit(3) * size(array_intersect(col("sh_a"), col("sh_b")))
+        >= size(col("sh_a")) + size(col("sh_b")))
+      .select(col("doc_new"), col("doc_old"))
+    Tables.documents(s, d).select(col("doc_id")).where(col("doc_id") % 5 === 0)
+      .join(verified.select(col("doc_new").as("doc_id"), col("doc_old")), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("doc_old")).as("mo"))
+      .select(col("doc_id"), coalesce(col("mo"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_new", (col("doc_id") === col("canonical_id")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (b, r) banding with r = 2: candidates must agree on both minhashes
     * of some band — the precision knob next to q25's r = 1 recall knob.
     */
@@ -237,6 +268,32 @@ object DedupQueries {
          |          SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u)
          |SELECT u AS doc_id, min(w) AS canonical_id, CAST(min(w) <> u AS BIGINT) AS is_dup
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+    QueryDef("q68_incremental_dedup", q68, Some {
+      val bands = (0 until Dedup.numHashes)
+        .map(i => s"SELECT doc_id, $i AS band, mh$i AS key FROM m")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $minhashCte,
+         |bands AS ($bands),
+         |cf AS (SELECT doc_id, band, key FROM (
+         |         SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bn
+         |         FROM bands WHERE doc_id % 5 <> 0)
+         |       WHERE bn <= ${Dedup.defaultMaxBucket}),
+         |cand AS (SELECT n.doc_id AS doc_new, e.doc_id AS doc_old
+         |         FROM bands n JOIN cf e USING (band, key)
+         |         WHERE n.doc_id % 5 = 0
+         |         GROUP BY doc_new, doc_old),
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM f),
+         |v AS (SELECT doc_new, doc_old
+         |      FROM cand JOIN ds sa ON sa.doc_id = cand.doc_new
+         |                JOIN ds sb ON sb.doc_id = cand.doc_old
+         |      WHERE 3 * len(list_intersect(sa.s, sb.s)) >= len(sa.s) + len(sb.s)),
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+         |SELECT base.doc_id,
+         |coalesce(min(v.doc_old), base.doc_id) AS canonical_id,
+         |CAST(coalesce(min(v.doc_old), base.doc_id) = base.doc_id AS BIGINT) AS is_new
+         |FROM base LEFT JOIN v ON v.doc_new = base.doc_id
+         |GROUP BY base.doc_id ORDER BY doc_id""".stripMargin
+    }),
     QueryDef("q43_dedup_pipeline", q43, Some(
       s"""WITH $minhashCte,
          |${candCte(1)},
