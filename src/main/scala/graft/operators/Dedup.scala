@@ -201,12 +201,16 @@ object Dedup {
     * only driver-side values are the per-round sums.
     */
   def canonicalLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("nbr")))
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+      // sum over zero rows is null -> ZERO, so an empty doc set converges
+      // on the first round instead of NPE'ing in the comparison.
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -221,11 +225,13 @@ object Dedup {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
+      // Dataset.unpersist() would only clear cache-manager state; the
+      // checkpoint blocks live on the underlying RDD.
+      DatasetBridge.unpersistCheckpoint(labels)
       labels = next
       i += 1
     }
-    edges.unpersist()
+    DatasetBridge.unpersistCheckpoint(edges)
     labels
   }
 

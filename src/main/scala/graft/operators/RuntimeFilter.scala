@@ -39,6 +39,13 @@ object RuntimeFilter {
 
   /** Equi-join with the probe side pre-pruned by the build side's Bloom
     * sketch. Result is exactly `probe JOIN build ON probeKey = buildKey`.
+    *
+    * NOTE: constructing this DataFrame is EAGER — the sketch must exist
+    * before the probe filter can be planned, so the build side runs as a
+    * job here (inherent to explicit runtime filters; Catalyst's automatic
+    * variant hides the same work in a subquery). The build side is
+    * localCheckpoint'd so the sketch build and the join consume one
+    * materialization instead of scanning it twice.
     */
   def bloomPrunedJoin(
       probe: DataFrame,
@@ -46,9 +53,10 @@ object RuntimeFilter {
       probeKey: String,
       buildKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
-    val bloom = buildBloom(build, build(buildKey), expectedItems)
+    val b = build.localCheckpoint()
+    val bloom = buildBloom(b, b(buildKey), expectedItems)
     probe
       .where(mightContain(bloom, probe(probeKey)))
-      .join(build, probe(probeKey) === build(buildKey))
+      .join(b, probe(probeKey) === b(buildKey))
   }
 }

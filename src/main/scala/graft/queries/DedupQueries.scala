@@ -151,6 +151,7 @@ object DedupQueries {
     val sigs = sh
       .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
       .select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("hs")): _*)
+      .localCheckpoint() // feeds BOTH sides of the asymmetric band join
     val cand = Dedup.lshCandidatesAgainst(
       sigs.where(col("doc_id") % 5 === 0),
       sigs.where(col("doc_id") % 5 =!= 0))

@@ -71,12 +71,16 @@ object Pipeline {
   private def q57(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(text.normalizedTokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 2)
     val bigrams = docs
+      .where(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+    // Unigram counts and the corpus total come from ALL documents — only
+    // the bigram source needs the >= 2-token guard. (The oracle's uni CTE
+    // is unfiltered too; scoping both to multi-token docs would diverge
+    // on any corpus containing a single-token document.)
     val uni = docs.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val total = uni.agg(sum(col("n")).as("N"))
@@ -160,9 +164,11 @@ object Pipeline {
       .orderBy(col("lang"), col("rk"))
   }
 
-  private val hashSql =
-    "list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
-      "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31+b) % 1000000007)"
+  /** DuckDB replica of the doc_id hash — the ONE shared rolling-hash
+    * replica ([[DedupQueries.rollSql]]), so a future hash/modulus change
+    * cannot drift these oracles out of sync with the dedup ones.
+    */
+  private val hashSql = DedupQueries.rollSql("CAST(doc_id AS VARCHAR)")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_train_test_split", q55, Some(

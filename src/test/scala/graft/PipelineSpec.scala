@@ -52,18 +52,23 @@ class PipelineSpec extends SparkSpec {
     assert(scalable.collect().toSet == plain.collect().toSet)
   }
 
-  test("q62 flags exactly the docs with sample |z| > 2 (float cross-check)") {
+  test("q62 flags the docs with sample |z| > 2 (float cross-check, ulp-tolerant)") {
     val flagged = SparkEntry.queries("q62_outlier_docs")(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val stats = Tables.documents(spark, sf0001)
       .groupBy(col("lang"))
       .agg(avg(col("n_chars")).as("mu"), stddev_samp(col("n_chars")).as("sd"))
-    val expected = Tables.documents(spark, sf0001)
+    // The exact integer test and the float moments can legitimately differ
+    // on a row whose |z| sits within rounding error of 2.0, so bracket:
+    // strictly-outside rows must be flagged, strictly-inside must not be.
+    def zFiltered(factor: Double) = Tables.documents(spark, sf0001)
       .join(stats, "lang")
-      .where(abs(col("n_chars") - col("mu")) > lit(2.0) * col("sd"))
+      .where(abs(col("n_chars") - col("mu")) > lit(factor) * col("sd"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(flagged == expected)
-    assert(flagged.nonEmpty || expected.isEmpty)
+    val strictlyOutside = zFiltered(2.0 + 1e-9)
+    val looseOutside = zFiltered(2.0 - 1e-9)
+    assert(strictlyOutside.subsetOf(flagged), s"missing ${strictlyOutside -- flagged}")
+    assert(flagged.subsetOf(looseOutside), s"extra ${flagged -- looseOutside}")
   }
 
   test("q58 compaction partial-aggregates (no window sort of the full stream)") {
