@@ -73,6 +73,37 @@ object Multimodal {
     }
   }
 
+  /** Resized media row (deterministic fake — see resizeStub). */
+  case class ResizedMedia(
+      media_id: Long,
+      orig_bytes: Long,
+      new_bytes: Long,
+      resized: Array[Byte],
+  )
+
+  /** STUB resize: a real implementation would decode, nearest-neighbor
+    * downsample, and re-encode here; the deterministic stand-in keeps
+    * every `factor`-th payload byte (so the oracle can replicate it as
+    * every factor-th character of the ASCII corpus). Same batched
+    * signature as decodeStub — the shape a codec library wants.
+    */
+  def resizeStub(batch: Seq[MediaRecord], factor: Int): Seq[ResizedMedia] =
+    batch.map { r =>
+      val out = r.payload.indices.collect {
+        case i if i % factor == 0 => r.payload(i)
+      }.toArray
+      ResizedMedia(r.media_id, r.payload.length.toLong, out.length.toLong, out)
+    }
+
+  /** Partition-parallel batched resize — no shuffle, like extractFeatures. */
+  def resize(media: Dataset[MediaRecord], factor: Int = 3): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(batch => resizeStub(batch, factor))
+    }
+  }
+
   /** Frame sampling for chunked payloads ("video"): split the payload into
     * fixed-size chunks and keep every k-th — pure Spark-side byte
     * plumbing (substring on binary), no UDF. Guarded: a zero-byte payload

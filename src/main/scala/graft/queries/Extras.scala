@@ -35,6 +35,19 @@ object Extras {
         md5(col("col")).as("frame_md5"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Batched stub-resize over the media payloads: every 3rd byte kept
+    * (the deterministic stand-in for decode -> downsample -> re-encode),
+    * emitted with before/after sizes and a content hash. Completes the
+    * multimodal op set next to decode/extract (q31) and frame sampling
+    * (q49); same partition-parallel batch shape, no shuffle.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Multimodal.resize(Multimodal.fromDocuments(Tables.documents(s, d)))
+      .toDF()
+      .select(col("media_id"), col("orig_bytes"), col("new_bytes"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy(col("media_id"))
+
   /** Event-time session windows (8h gap) per user — the same transform
     * the streaming path runs.
     */
@@ -68,6 +81,16 @@ object Extras {
         |         FROM idx WHERE i % 4 = 0)
         |SELECT media_id, i // 4 AS frame_idx, md5(frame) AS frame_md5
         |FROM kept ORDER BY media_id, frame_idx""".stripMargin)),
+    QueryDef("q70_resize", q70, Some(
+      """WITH rz AS (SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        |  array_to_string(list_transform(
+        |    list_filter(range(0, length(text)), i -> i % 3 = 0),
+        |    i -> substr(text, CAST(i + 1 AS BIGINT), 1)), '') AS rs
+        |  FROM documents)
+        |SELECT media_id, orig_bytes, CAST(length(rs) AS BIGINT) AS new_bytes,
+        |md5(rs) AS resized_md5
+        |FROM rz ORDER BY media_id""".stripMargin)),
     QueryDef("q32_session_windows", q32, Some {
       val gapUs = 8L * 3600 * 1000000
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),

@@ -107,7 +107,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary Zipf coverage: rank words by corpus frequency and report
+    * the cumulative share of all tokens the top-k cover (integer
+    * milli-units) — the curve that sizes stopword lists and BPE vocab
+    * budgets. The ranking window is global but runs over the VOCABULARY
+    * table (one row per distinct word), never the corpus; a vocabulary
+    * too large for one reducer would use the [[graft.operators.PrefixSum]]
+    * decomposition with frequency-range buckets.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.operators.InvertedIndex
+      .words(Tables.documents(s, d), "doc_id", "text")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("word"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("word"), col("n"),
+        expr("(1000 * cum) div n_total").as("cum_milli"))
+      .orderBy(col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q69_zipf_coverage", q69, Some(
+      s"""WITH wds AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS n FROM wds GROUP BY word),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+         |r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank,
+         |        CAST(sum(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM c)
+         |SELECT rank, word, n, CAST((1000 * cum) // n_total AS BIGINT) AS cum_milli
+         |FROM r CROSS JOIN t ORDER BY rank""".stripMargin)),
     QueryDef("q19_lang_id", q19, Some {
       val hits = langs.map(l => s"${hitsSql(l)} AS hits_$l").mkString(", ")
       val m = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
