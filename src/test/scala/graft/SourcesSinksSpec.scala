@@ -28,6 +28,14 @@ class SourcesSinksSpec extends SparkSpec {
       nation.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("ORC round-trip preserves rows") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    nation.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      nation.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("partitioned parquet write lays out one directory per key (letter-sink generalization)") {
     val dir = Files.createTempDirectory("graft-partwrite")
     val idx = graft.operators.InvertedIndex.fromLines(
