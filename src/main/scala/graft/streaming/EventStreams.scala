@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts [nanos-as-long], user_id, event_type, value, props).
@@ -183,5 +184,39 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** The same running totals on Spark 4's transformWithState — the
+    * successor arbitrary-state API (typed per-key state variables on the
+    * RocksDB state store, with timers and TTL available). Kept alongside
+    * the mapGroupsWithState form so the suite proves both state APIs
+    * produce identical results; transformWithState is where schema
+    * evolution and multiple state variables live at scale.
+    */
+  class UserTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[UserEvent], tv: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserTotals(key, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def statefulUserTotalsTws(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

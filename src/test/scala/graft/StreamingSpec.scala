@@ -224,6 +224,30 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("transformWithState (RocksDB ValueState): streaming == batch groupBy") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    // transformWithState requires the RocksDB state store provider.
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream(
+        "w_tws", df => EventStreams.statefulUserTotalsTws(df).toDF(), "update")
+      val batch = batchEvents.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      assert(streamed.count() == batch.count())
+      val s = streamed.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val b = batch.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(s.keySet == b.keySet)
+      s.foreach { case (k, (n, tot)) =>
+        assert(n == b(k)._1, s"user $k count")
+        assert(math.abs(tot - b(k)._2) < 1e-6, s"user $k total")
+      }
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
+
   test("stateful user totals (mapGroupsWithState): streaming == batch groupBy") {
     import org.apache.spark.sql.functions._
     val streamed = runStream(
