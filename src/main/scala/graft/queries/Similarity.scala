@@ -187,7 +187,17 @@ object Similarity {
     * corpus size; the only corpus-wide work is two narrow assignment
     * passes and the final per-cluster re-rank.
     */
-  private def q42(s: SparkSession, d: String): DataFrame = {
+  private def q42(s: SparkSession, d: String): DataFrame = ivfProbe(s, d, nprobe = 1)
+
+  /** Multi-probe variant: each query searches its `nprobe` nearest
+    * clusters (disjoint member sets — every vector lives in exactly one
+    * cluster), trading a proportionally larger re-rank for recall; the
+    * spec asserts 2-probe recall >= 1-probe recall against q29's brute
+    * force. Cost remains centroid-table-broadcast + probed clusters only.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame = ivfProbe(s, d, nprobe = 2)
+
+  private def ivfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
       .localCheckpoint() // corpus projection feeds four consumers
@@ -225,7 +235,16 @@ object Similarity {
     val asg1 = nearest(e, cent, "vec_id", "embedding", "nrm")
     val qs = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
-    val qc = nearest(qs, cent, "query_id", "qe", "nq")
+    // Query-side probe list: ranking window instead of the argmax
+    // aggregate so nprobe > 1 keeps the next-nearest clusters (the window
+    // runs over 5 * 16 rows — off the data path).
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
+    val qc = qs.join(broadcast(cent))
+      .select(col("query_id"), col("cid"),
+        (vectors.dot(col("qe"), col("ce")) / (col("nq") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
     qc.join(asg1.select(col("cid"), col("vec_id").as("neighbor_id")), "cid")
       .where(col("neighbor_id") =!= col("query_id"))
@@ -281,8 +300,13 @@ object Similarity {
          |      FROM a)
          |SELECT cid AS cluster, count(*) AS n_vecs, min(vec_id) AS min_vec
          |FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin)),
-    QueryDef("q42_ivf_probe", q42, Some(
-      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
+    QueryDef("q42_ivf_probe", q42, Some(ivfProbeSql(1))),
+    QueryDef("q71_ivf_multiprobe", q71, Some(ivfProbeSql(2))),
+  )
+
+  /** Oracle for [[ivfProbe]], parameterized by probe width. */
+  private def ivfProbeSql(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
          |a0 AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
          |       FROM e CROSS JOIN c0 c),
@@ -305,7 +329,7 @@ object Similarity {
          |         SELECT q.query_id, c.cid,
          |           row_number() OVER (PARTITION BY q.query_id
          |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
-         |         FROM q CROSS JOIN cn c) WHERE rn = 1),
+         |         FROM q CROSS JOIN cn c) WHERE rn <= $nprobe),
          |cand AS (SELECT pq.query_id, m.vec_id AS neighbor_id,
          |           ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
          |         FROM pq JOIN asg1 m ON m.cid = pq.cid
@@ -316,6 +340,5 @@ object Similarity {
          |  SELECT query_id, neighbor_id, c,
          |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
          |  FROM cand)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
-  )
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

@@ -37,5 +37,17 @@ class SimilaritySpec extends SparkSpec {
     // cluster and overall recall is non-degenerate.
     assert(probeTop.values.forall(_.nonEmpty), "a query's probe came back empty")
     assert(mean > 0.0, "probe recall is zero — clustering is broken")
+
+    // Multi-probe (q71, nprobe=2) must dominate: a wider probe searches a
+    // superset of clusters, so per-query recall can only stay or rise.
+    val probe2 = SparkEntry.queries("q71_ivf_multiprobe")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probe2Top = probe2.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls2 = queries.map(q => (bruteTop(q) & probe2Top.getOrElse(q, Set.empty)).size / 5.0)
+    val mean2 = recalls2.sum / recalls2.size
+    info(f"IVF 2-probe recall@5 vs brute force: mean $mean2%.2f (per-query ${recalls2.mkString(", ")})")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      assert(recalls2(i) >= recalls(i) - 1e-12, s"2-probe recall dropped for query $q")
+    }
   }
 }
