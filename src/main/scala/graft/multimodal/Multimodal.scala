@@ -89,10 +89,12 @@ object Multimodal {
     */
   def resizeStub(batch: Seq[MediaRecord], factor: Int): Seq[ResizedMedia] =
     batch.map { r =>
-      val out = r.payload.indices.collect {
-        case i if i % factor == 0 => r.payload(i)
-      }.toArray
-      ResizedMedia(r.media_id, r.payload.length.toLong, out.length.toLong, out)
+      val len = r.payload.length
+      val out = new Array[Byte]((len + factor - 1) / factor)
+      var i = 0
+      var j = 0
+      while (j < len) { out(i) = r.payload(j); i += 1; j += factor }
+      ResizedMedia(r.media_id, len.toLong, out.length.toLong, out)
     }
 
   /** Partition-parallel batched resize — no shuffle, like extractFeatures. */

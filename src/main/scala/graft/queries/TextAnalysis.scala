@@ -121,8 +121,13 @@ object TextAnalysis {
       .words(Tables.documents(s, d), "doc_id", "text")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("n").desc, col("word"))
-    val total = counts.agg(sum(col("n")).as("n_total"))
-    counts.crossJoin(broadcast(total))
+    // The corpus total comes from a full-frame window over the SAME
+    // vocabulary pass — a separate aggregate + crossJoin would re-inline
+    // (and re-run) the tokenize/explode pipeline into both branches.
+    counts
+      .withColumn("n_total",
+        sum(col("n")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum",
         sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
