@@ -342,6 +342,22 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * per-element multiplicities (min / truncated-difference of the two
+    * sides' counts), which q11's distinct variants erase. Spark plans
+    * both as a single aggregation over tagged counts, no row explosion.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val b = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val ia = a.intersectAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val ea = a.exceptAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    ia.union(ea).orderBy(col("op"))
+  }
+
   /** FULL OUTER join — the one join type the rest of the surface doesn't
     * exercise (inner/left q03-q05, semi q06, anti q07, range q39, as-of
     * q35). BUILDING-segment customers against per-customer pending-order
@@ -527,6 +543,15 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)),
+    QueryDef("q72_set_ops_all", q72, Some(
+      """SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') i
+        |UNION ALL
+        |SELECT 'except_all' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') e
+        |ORDER BY op""".stripMargin)),
     QueryDef("q65_full_outer", q65, Some(
       """WITH cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'),
         |pend AS (SELECT o_custkey, count(*) AS n_pending FROM orders
