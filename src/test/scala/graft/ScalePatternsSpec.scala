@@ -84,6 +84,26 @@ class ScalePatternsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("skewJoin saltCols spreads an identical-row hot key the default salt cannot") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    // Hot key whose rows are byte-identical except a row-id column — the
+    // duplicate-row skew case the default all-column salt collapses on.
+    val probe = (1 to 400).map(i => (1L, "x", i.toLong)).toDF("k", "payload", "row_id")
+    val build = Seq((1L, "dim")).toDF("k", "dim")
+    val salted = graft.operators.Salted
+      .skewJoin(probe, build, "k", factor = 8, saltCols = Seq(col("row_id")))
+    assert(salted.count() == 400) // exactly the plain join
+    // The explicit salt really fans the hot key across replicas.
+    val spread = probe.select(pmod(hash(col("row_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread > 1, s"salt did not spread: $spread bucket(s)")
+    // Degraded-but-correct: byte-identical rows under the default salt.
+    val dupProbe = (1 to 400).map(_ => (1L, "x")).toDF("k", "payload")
+    assert(graft.operators.Salted.skewJoin(dupProbe, build, "k", factor = 8).count() == 400)
+  }
+
   test("count-min sketch bounds word-count estimates (never under, over by < eps*N)") {
     // Completes the sketch family next to HLL (q34) and Bloom (q67): the
     // distributed count_min_sketch aggregate merges per-partition sketches
