@@ -87,7 +87,8 @@ object Multimodal {
     * every factor-th character of the ASCII corpus). Same batched
     * signature as decodeStub — the shape a codec library wants.
     */
-  def resizeStub(batch: Seq[MediaRecord], factor: Int): Seq[ResizedMedia] =
+  def resizeStub(batch: Seq[MediaRecord], factor: Int): Seq[ResizedMedia] = {
+    require(factor > 0, s"resize factor must be positive, got $factor")
     batch.map { r =>
       val len = r.payload.length
       val out = new Array[Byte]((len + factor - 1) / factor)
@@ -96,9 +97,11 @@ object Multimodal {
       while (j < len) { out(i) = r.payload(j); i += 1; j += factor }
       ResizedMedia(r.media_id, len.toLong, out.length.toLong, out)
     }
+  }
 
   /** Partition-parallel batched resize — no shuffle, like extractFeatures. */
   def resize(media: Dataset[MediaRecord], factor: Int = 3): Dataset[ResizedMedia] = {
+    require(factor > 0, s"resize factor must be positive, got $factor") // fail at call time, not per task
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>

@@ -202,10 +202,14 @@ object Dedup {
     */
   def canonicalLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.DatasetBridge
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // Restrict edges to endpoints that exist in `docs` (the union-based
+    // iteration would otherwise materialize a phantom label row for any
+    // pair endpoint outside the doc set).
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("nbr")))
+      .join(labels.select(col("doc_id").as("u")), Seq("u"), "left_semi")
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // sum over zero rows is null -> ZERO, so an empty doc set converges
       // on the first round instead of NPE'ing in the comparison.

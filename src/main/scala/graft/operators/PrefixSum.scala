@@ -42,19 +42,26 @@ object PrefixSum {
     val offsetW = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val keyNames = groupCols :+ bucketCol
     val offsets = df
       .groupBy(keys: _*)
       .agg(sum(col(valueCol)).as("__btot"))
       .withColumn("__off", coalesce(sum(col("__btot")).over(offsetW), lit(0L)))
-      .select(keys :+ col("__off"): _*)
+      .select(keyNames.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }
+        :+ col("__off"): _*)
     // One offset row per (group, bucket): pick the bucket width so this
     // stays broadcast-sized (one bucket per input split, not per row
     // range) — AQE then broadcasts it; under a coarse mis-sizing the
-    // equi-join still runs as a correct shuffle join.
+    // equi-join still runs as a correct shuffle join. The join is
+    // NULL-SAFE (<=>): a window treats a NULL group as its own partition
+    // and emits its rows, so the decomposition must too.
+    val joinCond = keyNames.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__k$i") }
+      .reduce(_ && _)
     df
       .withColumn("__local", sum(col(valueCol)).over(localW))
-      .join(offsets, groupCols :+ bucketCol)
+      .join(offsets, joinCond)
       .withColumn(out, col("__local") + col("__off"))
-      .drop("__local", "__off")
+      .drop(keyNames.indices.map(i => s"__k$i") ++ Seq("__local", "__off"): _*)
   }
 }

@@ -71,6 +71,7 @@ object Pipeline {
   private def q57(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(text.normalizedTokens(col("text")).as("toks"))
+      .localCheckpoint() // tokenization feeds the bigram AND unigram branches
     val bigrams = docs
       .where(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -83,6 +84,7 @@ object Pipeline {
     // on any corpus containing a single-token document.)
     val uni = docs.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // vocab-sized; feeds the n_x join, the n_y join, and the total
     val total = uni.agg(sum(col("n")).as("N"))
     bigrams
       .join(uni.select(col("w").as("w1"), col("n").as("n_x")), "w1")
@@ -96,12 +98,15 @@ object Pipeline {
   }
 
   /** Quality filter: documents whose length is a per-language outlier
-    * (|z| > 2 on n_chars). The test runs ENTIRELY in exact integer space:
-    * with per-group count n, sum s, sum-of-squares q, the sample z²>4
-    * condition cross-multiplies to (n-1)·(n·x − s)² > 4·n·(n·q − s²) —
-    * decimal sums on the Spark side, HUGEINT in the oracle, so there is
-    * no float boundary for engines to disagree on. Group moments are a
-    * 4-row broadcast; the filter itself is a narrow map over the corpus.
+    * (|z| > 2 on n_chars). The MOMENTS are exact (decimal sums on the
+    * Spark side, HUGEINT in the oracle — order-independent, no float
+    * accumulation); the z²>4 comparison then evaluates the identical
+    * IEEE-double expression on those exact inputs in both engines, so
+    * the boolean cannot diverge — and unlike a fully-integer
+    * cross-multiplication, (n-1)·dd² never overflows decimal(38) at any
+    * group size (doubles carry the magnitude; exactness lives in the
+    * inputs). Group moments are a 4-row broadcast; the filter itself is
+    * a narrow map over the corpus.
     */
   private def q62(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -111,8 +116,9 @@ object Pipeline {
       sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("sxx"))
     docs.join(broadcast(st), "lang")
       .withColumn("dd", col("n") * col("n_chars") - col("sx"))
-      .where((col("n") - 1) * col("dd") * col("dd")
-        > lit(4) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .where(expr(
+        "CAST(n - 1 AS DOUBLE) * CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE)" +
+          " > CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -227,8 +233,8 @@ object Pipeline {
         |  FROM documents GROUP BY lang)
         |SELECT doc_id, documents.lang AS lang, n_chars
         |FROM documents JOIN st ON documents.lang = st.lang
-        |WHERE (n - 1) * (n*n_chars - sx) * (n*n_chars - sx)
-        |      > 4 * n * (n*sxx - sx*sx)
+        |WHERE CAST(n - 1 AS DOUBLE) * CAST(n*n_chars - sx AS DOUBLE) * CAST(n*n_chars - sx AS DOUBLE)
+        |      > CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n*sxx - sx*sx AS DOUBLE)
         |ORDER BY doc_id""".stripMargin)),
   )
 }
