@@ -46,15 +46,31 @@ object RuntimeFilter {
     * variant hides the same work in a subquery). The build side is
     * localCheckpoint'd so the sketch build and the join consume one
     * materialization instead of scanning it twice.
+    *
+    * Sketch sizing: the serialized sketch is embedded as a plan LITERAL,
+    * shipped inside every probe task's serialized plan — oversizing it is
+    * paid once per task, so `expectedItems` defaults to the build side's
+    * ACTUAL row count (free: the checkpoint already materialized it)
+    * rather than a fixed worst case. Pass an explicit estimate only to
+    * avoid the count on a non-reused build side. An EMPTY build side
+    * yields a null sketch from the global aggregate; `might_contain(null)`
+    * is null, the filter drops every probe row, and the result is the
+    * empty join — pinned in ScalePatternsSpec so that path can't regress.
     */
   def bloomPrunedJoin(
       probe: DataFrame,
       build: DataFrame,
       probeKey: String,
       buildKey: String,
-      expectedItems: Long = 1000000L): DataFrame = {
+      expectedItems: Long = -1L): DataFrame = {
     val b = build.localCheckpoint()
-    val bloom = buildBloom(b, b(buildKey), expectedItems)
+    // Clamp into BloomFilterAggregate's accepted range (it rejects
+    // estimates above spark.sql.optimizer.runtime.bloomFilter.maxNumItems,
+    // 4M by default — past that a Bloom filter stops paying anyway).
+    val items = math.min(
+      if (expectedItems > 0) expectedItems else math.max(b.count(), 64L),
+      4000000L)
+    val bloom = buildBloom(b, b(buildKey), items)
     probe
       .where(mightContain(bloom, probe(probeKey)))
       .join(b, probe(probeKey) === b(buildKey))

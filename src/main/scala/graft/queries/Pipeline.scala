@@ -91,7 +91,15 @@ object Pipeline {
       .join(uni.select(col("w").as("w2"), col("n").as("n_y")), "w2")
       .crossJoin(broadcast(total))
       .where(col("n_xy") >= 5)
-      .withColumn("pmi_milli", expr("(1000 * n_xy * N) div (n_x * n_y)"))
+      // The numerator is promoted to decimal(38,0) BEFORE multiplying:
+      // in 64-bit longs 1000*n_xy*N wraps silently (ANSI off) once the
+      // corpus token count passes ~3e9, while DuckDB raises — decimal
+      // keeps both engines exact to 1e38 (n_xy <= N, so the product is
+      // bounded by 1000*N^2: safe past a 10^17-token corpus). `div` on
+      // decimals is Spark's IntegralDivide — still an exact integer
+      // quotient, returned as BIGINT.
+      .withColumn("pmi_milli",
+        expr("(CAST(1000 AS DECIMAL(38,0)) * n_xy * N) div (CAST(n_x AS DECIMAL(38,0)) * n_y)"))
       .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"), col("pmi_milli"))
       .orderBy(col("pmi_milli").desc, col("w1"), col("w2"))
       .limit(50)
@@ -110,15 +118,24 @@ object Pipeline {
     */
   private def q62(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // Each operand is promoted to decimal(38,0) BEFORE its multiply: the
+    // long-space spellings (n_chars * n_chars, n * n_chars) wrap silently
+    // past n_chars ~3e9 with ANSI off while DuckDB errors — promotion
+    // first keeps the moments genuinely exact to 1e38. The variance
+    // combination n*sxx - sx*sx CAN top decimal(38) on huge groups, so it
+    // runs in double space with the identical spelling in the oracle
+    // (IEEE ops on exact inputs — both engines round the same way).
     val st = docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n"),
       sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
-      sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("sxx"))
+      sum(col("n_chars").cast("decimal(38,0)") * col("n_chars").cast("decimal(38,0)")).as("sxx"))
     docs.join(broadcast(st), "lang")
-      .withColumn("dd", col("n") * col("n_chars") - col("sx"))
+      .withColumn("dd",
+        col("n").cast("decimal(38,0)") * col("n_chars").cast("decimal(38,0)") - col("sx"))
       .where(expr(
         "CAST(n - 1 AS DOUBLE) * CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE)" +
-          " > CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)"))
+          " > CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)" +
+          " * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -201,7 +218,7 @@ object Pipeline {
          |unic AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM unic)
          |SELECT w1, w2, n_xy, x.n AS n_x, y.n AS n_y,
-         |CAST((1000 * n_xy * n_total) // (x.n * y.n) AS BIGINT) AS pmi_milli
+         |CAST((1000 * CAST(n_xy AS HUGEINT) * n_total) // (CAST(x.n AS HUGEINT) * y.n) AS BIGINT) AS pmi_milli
          |FROM bg JOIN unic x ON bg.w1 = x.w JOIN unic y ON bg.w2 = y.w CROSS JOIN tot
          |WHERE n_xy >= 5
          |ORDER BY pmi_milli DESC, w1, w2 LIMIT 50""".stripMargin)),
@@ -234,7 +251,8 @@ object Pipeline {
         |SELECT doc_id, documents.lang AS lang, n_chars
         |FROM documents JOIN st ON documents.lang = st.lang
         |WHERE CAST(n - 1 AS DOUBLE) * CAST(n*n_chars - sx AS DOUBLE) * CAST(n*n_chars - sx AS DOUBLE)
-        |      > CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n*sxx - sx*sx AS DOUBLE)
+        |      > CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -145,24 +145,34 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Argmax by AGGREGATION, not a ranking window: max(struct(cos, -cid))
+    * picks the highest cosine with ties to the LOWEST cid (same answer as
+    * row_number over (cos desc, cid)), but a groupBy partial-aggregates
+    * map-side — each task sends one candidate row per vector into the
+    * exchange — where a window must shuffle and sort all n*k rows first.
+    */
+  private def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame =
+    df.join(broadcast(cents))
+      .select(col(id), col("cid"),
+        (vectors.dot(col(vec), col("ce")) / (col(nrm) * col("cn"))).as("cos"))
+      .groupBy(col(id))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+      .select(col(id), (-col("m.neg")).as("cid"))
+
   /** IVF coarse quantization: assign every vector to its nearest of 16
     * "centroids" (deterministically: the first 16 vectors — a real IVF
     * would Lloyd-iterate, which only moves the centroid table, not the
     * assignment shape). The centroid table broadcasts; assignment is one
-    * pass over the corpus; probing then searches only the query's cluster
-    * — the third ANN regime next to brute force (q29) and LSH (q30/q36).
+    * pass over the corpus via [[nearest]]'s map-side argmax aggregation;
+    * probing then searches only the query's cluster — the third ANN
+    * regime next to brute force (q29) and LSH (q30/q36).
     */
   private def q37(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
     val cents = e.where(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-    e.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    nearest(e, cents, "vec_id", "embedding", "nrm")
       .groupBy(col("cid").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("cluster"))
@@ -189,6 +199,19 @@ object Similarity {
     */
   private def q42(s: SparkSession, d: String): DataFrame = ivfProbe(s, d, nprobe = 1)
 
+  /** Bound on Lloyd rounds for q73 — fixed so the DuckDB oracle can
+    * unroll exactly this many centroid updates; the engine may stop
+    * earlier at the assignment fixed point (provably the same result).
+    */
+  val lloydSteps = 3
+
+  /** IVF probe after Lloyd iteration to convergence (<= [[lloydSteps]]
+    * rounds): the production IVF build, where the centroid table is
+    * trained rather than seeded once. SimilaritySpec measures recall vs
+    * q29's brute force across iteration depths.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame = lloydProbe(s, d, nprobe = 1)
+
   /** Multi-probe variant: each query searches its `nprobe` nearest
     * clusters (disjoint member sets — every vector lives in exactly one
     * cluster), trading a proportionally larger re-rank for recall; the
@@ -197,28 +220,14 @@ object Similarity {
     */
   private def q71(s: SparkSession, d: String): DataFrame = ivfProbe(s, d, nprobe = 2)
 
-  private def ivfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
-      .localCheckpoint() // corpus projection feeds four consumers
-    val c0 = e.where(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-
-    // Argmax by AGGREGATION, not a ranking window: max(struct(cos, -cid))
-    // picks the highest cosine with ties to the LOWEST cid (same answer as
-    // row_number over (cos desc, cid)), but a groupBy partial-aggregates
-    // map-side — each task sends one candidate row per vector into the
-    // exchange — where a window must shuffle and sort all n*k rows first.
-    def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame =
-      df.join(broadcast(cents))
-        .select(col(id), col("cid"),
-          (vectors.dot(col(vec), col("ce")) / (col(nrm) * col("cn"))).as("cos"))
-        .groupBy(col(id))
-        .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
-        .select(col(id), (-col("m.neg")).as("cid"))
-
-    val asg0 = nearest(e, c0, "vec_id", "embedding", "nrm")
-    val cent = asg0.join(e, "vec_id")
+  /** The Lloyd centroid update: each centroid becomes the element-wise
+    * mean of its members, computed in quantized integer space —
+    * floor(v*1000) BIGINT component sums are exact and order-independent,
+    * which is what makes the new centroid table bit-identical across
+    * engines and shuffle orders.
+    */
+  private def centroids(e: DataFrame, asg: DataFrame): DataFrame =
+    asg.join(e, "vec_id")
       .select(col("cid"), posexplode(col("embedding")))
       .select(col("cid"), col("pos"),
         floor(col("col").cast("double") * quantScale).cast("long").as("qv"))
@@ -231,8 +240,71 @@ object Similarity {
       // data path (never per-corpus-row).
       .select(col("cid"), transform(array_sort(col("lst")), x => x.getField("comp")).as("ce"))
       .select(col("cid"), col("ce"), sqrt(vectors.dot(col("ce"), col("ce"))).as("cn"))
+
+  /** Lloyd iteration to (bounded) convergence: up to `maxSteps` centroid
+    * updates with an exact early-stop — the round's reassignment is
+    * compared to the previous one and the loop ends when NO vector
+    * changed cluster (a fixed point: identical assignment => identical
+    * means => every further step is a no-op, which is what lets the
+    * oracle unroll a FIXED step count while the engine stops early).
+    * Same checkpoint discipline as [[graft.operators.Dedup.canonicalLabels]]:
+    * each round's tables are localCheckpoint'd (truncating the iterative
+    * lineage) and the superseded round's blocks are freed immediately, so
+    * executor storage stays flat however many rounds run; the only
+    * driver-side value is the per-round changed-count scalar.
+    */
+  private def lloydConverged(
+      e: DataFrame, c0: DataFrame, maxSteps: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    var asg = nearest(e, c0, "vec_id", "embedding", "nrm").localCheckpoint()
+    var cent: DataFrame = null
+    var step = 0
+    var converged = false
+    while (step < maxSteps && !converged) {
+      val newCent = centroids(e, asg).localCheckpoint() // feeds asg + probe joins
+      val newAsg = nearest(e, newCent, "vec_id", "embedding", "nrm").localCheckpoint()
+      val changed = newAsg.withColumnRenamed("cid", "cid_new")
+        .join(asg, "vec_id")
+        .where(col("cid_new") =!= col("cid")).count()
+      DatasetBridge.unpersistCheckpoint(asg)
+      if (cent != null) DatasetBridge.unpersistCheckpoint(cent)
+      asg = newAsg
+      cent = newCent
+      converged = changed == 0
+      step += 1
+    }
+    (cent, asg)
+  }
+
+  private def ivfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+      .localCheckpoint() // corpus projection feeds four consumers
+    val c0 = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+    val asg0 = nearest(e, c0, "vec_id", "embedding", "nrm")
+    val cent = centroids(e, asg0)
       .localCheckpoint() // feeds two broadcast joins
     val asg1 = nearest(e, cent, "vec_id", "embedding", "nrm")
+    probeTail(e, cent, asg1, nprobe)
+  }
+
+  /** Multi-step variant backing q73: Lloyd to convergence (bounded by
+    * [[lloydSteps]]), then the same cluster probe.
+    */
+  private def lloydProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val c0 = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val (cent, asg) = lloydConverged(e, c0, lloydSteps)
+    probeTail(e, cent, asg, nprobe)
+  }
+
+  private def probeTail(
+      e: DataFrame, cent: DataFrame, asg: DataFrame, nprobe: Int): DataFrame = {
     val qs = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
     // Query-side probe list: ranking window instead of the argmax
@@ -246,7 +318,7 @@ object Similarity {
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("cid"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
-    qc.join(asg1.select(col("cid"), col("vec_id").as("neighbor_id")), "cid")
+    qc.join(asg.select(col("cid"), col("vec_id").as("neighbor_id")), "cid")
       .where(col("neighbor_id") =!= col("query_id"))
       .join(broadcast(qs), "query_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
@@ -302,37 +374,46 @@ object Similarity {
          |FROM r WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin)),
     QueryDef("q42_ivf_probe", q42, Some(ivfProbeSql(1))),
     QueryDef("q71_ivf_multiprobe", q71, Some(ivfProbeSql(2))),
+    QueryDef("q73_lloyd_probe", q73, Some(ivfProbeSql(1, lloydSteps))),
   )
 
-  /** Oracle for [[ivfProbe]], parameterized by probe width. */
-  private def ivfProbeSql(nprobe: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
+  /** Oracle for [[ivfProbe]]/[[lloydProbe]], parameterized by probe width
+    * and UNROLLED Lloyd step count (the engine's early convergence stop is
+    * a fixed point, so extra unrolled steps are no-ops — see
+    * [[lloydConverged]]).
+    */
+  private def ivfProbeSql(nprobe: Int, steps: Int = 1): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
          |a0 AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
          |       FROM e CROSS JOIN c0 c),
          |g0 AS (SELECT vec_id, cid,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a0),
-         |asg0 AS (SELECT vec_id, cid FROM g0 WHERE rn = 1),
-         |comp AS (SELECT a.cid, unnest(range(1, ${dims + 1})) AS pos,
+         |asg0 AS (SELECT vec_id, cid FROM g0 WHERE rn = 1)""".stripMargin
+    val rounds = (1 to steps).map { k =>
+      s"""comp$k AS (SELECT a.cid, unnest(range(1, ${dims + 1})) AS pos,
          |           CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * $quantScale) AS BIGINT) AS qv
-         |         FROM asg0 a JOIN e ON e.vec_id = a.vec_id),
-         |cs AS (SELECT cid, pos, sum(qv) AS sq, count(*) AS cnt FROM comp GROUP BY cid, pos),
-         |cent AS (SELECT cid, list(CAST(sq AS DOUBLE) / cnt ORDER BY pos) AS ce FROM cs GROUP BY cid),
-         |cn AS (SELECT cid, ce, sqrt(${ssSql("ce")}) AS cn FROM cent),
-         |a1 AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
-         |       FROM e CROSS JOIN cn c),
-         |g1 AS (SELECT vec_id, cid,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a1),
-         |asg1 AS (SELECT vec_id, cid FROM g1 WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
+         |         FROM asg${k - 1} a JOIN e ON e.vec_id = a.vec_id),
+         |cs$k AS (SELECT cid, pos, sum(qv) AS sq, count(*) AS cnt FROM comp$k GROUP BY cid, pos),
+         |cent$k AS (SELECT cid, list(CAST(sq AS DOUBLE) / cnt ORDER BY pos) AS ce FROM cs$k GROUP BY cid),
+         |cn$k AS (SELECT cid, ce, sqrt(${ssSql("ce")}) AS cn FROM cent$k),
+         |a$k AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
+         |       FROM e CROSS JOIN cn$k c),
+         |g$k AS (SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a$k),
+         |asg$k AS (SELECT vec_id, cid FROM g$k WHERE rn = 1)""".stripMargin
+    }
+    val tail =
+      s"""q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
          |pq AS (SELECT query_id, cid FROM (
          |         SELECT q.query_id, c.cid,
          |           row_number() OVER (PARTITION BY q.query_id
          |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
-         |         FROM q CROSS JOIN cn c) WHERE rn <= $nprobe),
+         |         FROM q CROSS JOIN cn$steps c) WHERE rn <= $nprobe),
          |cand AS (SELECT pq.query_id, m.vec_id AS neighbor_id,
          |           ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
-         |         FROM pq JOIN asg1 m ON m.cid = pq.cid
+         |         FROM pq JOIN asg$steps m ON m.cid = pq.cid
          |         JOIN q qq ON qq.query_id = pq.query_id
          |         JOIN e e2 ON e2.vec_id = m.vec_id
          |         WHERE m.vec_id <> pq.query_id)
@@ -341,4 +422,6 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    (Seq(head) ++ rounds :+ tail).mkString(",\n")
+  }
 }

@@ -110,28 +110,37 @@ object TextAnalysis {
   /** Vocabulary Zipf coverage: rank words by corpus frequency and report
     * the cumulative share of all tokens the top-k cover (integer
     * milli-units) — the curve that sizes stopword lists and BPE vocab
-    * budgets. The ranking window is global but runs over the VOCABULARY
-    * table (one row per distinct word), never the corpus; a vocabulary
-    * too large for one reducer would use the [[graft.operators.PrefixSum]]
-    * decomposition with frequency-range buckets.
+    * budgets.
+    *
+    * Both the rank and the cumulative sum run through the
+    * [[graft.operators.PrefixSum]] two-level decomposition, bucketed by
+    * frequency band `-floor(log2(n))` (order-aligned with `n desc, word`:
+    * the band is a function of n alone and non-decreasing as n falls), so
+    * no single reducer ever sorts the whole vocabulary — at 100 TB with
+    * noisy tokens the vocabulary is billions of rows, and the band split
+    * keeps each local pass parallel while the only partition-less window
+    * runs over the ~64-row band-totals table. rank == running count of 1
+    * over the same order. The vocabulary pass is localCheckpoint'd: the
+    * corpus total and the ranked output both consume it, and without the
+    * checkpoint the tokenize/explode pipeline would re-run in each branch.
     */
   private def q69(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PrefixSum
     val counts = graft.operators.InvertedIndex
       .words(Tables.documents(s, d), "doc_id", "text")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("word"))
-    // The corpus total comes from a full-frame window over the SAME
-    // vocabulary pass — a separate aggregate + crossJoin would re-inline
-    // (and re-run) the tokenize/explode pipeline into both branches.
-    counts
-      .withColumn("n_total",
-        sum(col("n")).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum",
-        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("rank"), col("word"), col("n"),
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    val base = counts
+      .withColumn("neg_n", -col("n"))
+      .withColumn("bkt", -floor(log2(col("n"))).cast("long"))
+      .withColumn("one", lit(1L))
+    val cum = PrefixSum.withRunningTotal(
+      base, Seq.empty, "bkt", Seq("neg_n", "word"), "n", "cum")
+    val ranked = PrefixSum.withRunningTotal(
+      cum, Seq.empty, "bkt", Seq("neg_n", "word"), "one", "rank")
+    ranked.crossJoin(broadcast(tot))
+      .select(col("rank").cast("long").as("rank"), col("word"), col("n"),
         expr("(1000 * cum) div n_total").as("cum_milli"))
       .orderBy(col("rank"))
   }

@@ -87,39 +87,70 @@ object TextCorpus {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Stopword prune for sparse retrieval: drop terms present in more than
+    * `dfCapPct`% of documents BEFORE the query-postings join. A corpus-wide
+    * stopword ("the") otherwise multiplies every query containing it by the
+    * whole corpus — O(queries x corpus). Pruned terms contribute ~0 to
+    * linear-idf scores anyway (their weight is floor(1000N/df) < 1000/0.9).
+    */
+  val dfCapPct = 90
+
+  /** Impact-ordered posting cap: each surviving term keeps only its
+    * `postingCap` highest-weight postings (weight desc, doc_id asc). This
+    * bounds the per-query-term candidate count even for terms just under
+    * the df cap — the second half of the standard sparse-retrieval prune
+    * (WAND-style impact ordering, truncated).
+    */
+  val postingCap = 256
+
   /** Sparse top-k text retrieval: score query documents against the
     * corpus through the inverted index (postings join on shared terms),
     * never materializing any dense vector or all-pairs product — the
     * scale path for text similarity, complementing dense q29/q30. Terms
     * are weighted tf * linear-idf in exact integer milli-units
     * (floor(1000*N/df), no log, no float), the corpus total rides along
-    * as a broadcast 1-row table, and cost is O(sum over query terms of
-    * posting-list length) — each query touches only documents sharing a
-    * term. The weighted postings table is localCheckpoint'd because both
-    * sides of the query-corpus join derive from it.
+    * as a broadcast 1-row table.
+    *
+    * Hot-term safety, in order: (1) df comes from a groupBy — map-side
+    * partial combine, never a count-over-window that lands a hot word's
+    * every posting on one task; (2) terms with df > [[dfCapPct]]%·N are
+    * dropped on BOTH the query and posting sides; (3) surviving posting
+    * lists are truncated to their [[postingCap]] highest-impact entries
+    * via the bounded [[TopKAggregator]] (k-row partial buffers — no
+    * per-word sort task), so the join fans out at most `postingCap`
+    * candidates per query term. Queries keep their own full (pruned)
+    * term weights — the cap is a corpus-side index-build decision.
+    * Exactness note: the aggregator ranks on double(w_milli), exact while
+    * w_milli < 2^53 (w_milli = tf·floor(1000N/df) — holds until tf·idf
+    * exceeds 9e15, far past any real weight).
     */
   private def q60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val tf = words(s, d)
       .groupBy(col("file_id").as("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("N"))
-    // df as a count-over-word window on the tf table: one shuffle by word
-    // produces the document frequency AND leaves the postings partitioned
-    // for weighting — the separate groupBy(word) + join spelling shuffled
-    // the tf table twice for the same result.
-    val weighted = tf
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
+    val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfTab, "word")
       .crossJoin(broadcast(nDocs))
+      .where(col("df") * lit(100) <= col("N") * lit(dfCapPct))
       .select(col("doc_id"), col("word"),
         expr("tf * ((1000 * N) div df)").as("w_milli"))
-      .localCheckpoint()
+      .localCheckpoint() // feeds the query side, and the cap + join sides
+    val capped = weighted
+      .select(col("word"), col("w_milli"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.operators.Scored(t._2.toDouble, t._3))
+      .agg(new graft.operators.TopKAggregator(postingCap).toColumn.name("tops"))
+      .flatMap { case (word, tops) => tops.map(t => (word, t.id, t.score.toLong)) }
+      .toDF("word", "doc_id", "w_milli")
     val queries = weighted
       .where(col("doc_id") % 100 === 7)
       .select(col("doc_id").as("q_id"), col("word"), col("w_milli").as("wq"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("dot").desc, col("doc_id"))
-    queries.join(weighted, "word")
+    queries.join(capped, "word")
       .where(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("wq") * col("w_milli")).as("dot"))
@@ -150,11 +181,16 @@ object TextCorpus {
          |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
          |n AS (SELECT count(*) AS N FROM documents),
          |wt AS (SELECT doc_id, word, tf * ((1000 * N) // df) AS w_milli
-         |       FROM tf JOIN df USING (word) CROSS JOIN n),
+         |       FROM tf JOIN df USING (word) CROSS JOIN n
+         |       WHERE df * 100 <= N * $dfCapPct),
+         |cap AS (SELECT doc_id, word, w_milli FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY word
+         |           ORDER BY w_milli DESC, doc_id) AS ir FROM wt)
+         |        WHERE ir <= $postingCap),
          |q AS (SELECT doc_id AS q_id, word, w_milli AS wq FROM wt WHERE doc_id % 100 = 7),
-         |dots AS (SELECT q.q_id, wt.doc_id, CAST(sum(q.wq * wt.w_milli) AS BIGINT) AS dot
-         |         FROM q JOIN wt USING (word) WHERE wt.doc_id <> q.q_id
-         |         GROUP BY q.q_id, wt.doc_id),
+         |dots AS (SELECT q.q_id, cap.doc_id, CAST(sum(q.wq * cap.w_milli) AS BIGINT) AS dot
+         |         FROM q JOIN cap USING (word) WHERE cap.doc_id <> q.q_id
+         |         GROUP BY q.q_id, cap.doc_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY dot DESC, doc_id) AS rank FROM dots)
          |SELECT q_id, rank, doc_id, dot FROM r WHERE rank <= 5

@@ -142,7 +142,23 @@ object EventStreams {
     * soon as both rows arrive. The streaming form of q63's first funnel
     * hop / q39's banded range join.
     */
-  def viewClickPairs(events: DataFrame, maxGapMinutes: Int = 30): DataFrame = {
+  def viewClickPairs(events: DataFrame, maxGapMinutes: Int = 30): DataFrame =
+    viewClickJoin(events, maxGapMinutes, "inner")
+
+  /** LEFT OUTER variant of [[viewClickPairs]]: views with NO click inside
+    * the gap are still emitted, with null click columns — the funnel
+    * drop-off shape. Outer rows cannot be emitted when they arrive: the
+    * runtime holds each view until the click-side watermark proves no
+    * future click can match (watermark past view_ts + maxGap), emits the
+    * null-extended row, and evicts the state — the eviction semantics an
+    * inner join never exercises (StreamingSpec drives the watermark
+    * forward and asserts the expiry-time emission).
+    */
+  def viewClickPairsOuter(events: DataFrame, maxGapMinutes: Int = 30): DataFrame =
+    viewClickJoin(events, maxGapMinutes, "left_outer")
+
+  private def viewClickJoin(
+      events: DataFrame, maxGapMinutes: Int, joinType: String): DataFrame = {
     val views = withEventTime(events).where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("event_ts").as("view_ts"))
@@ -154,8 +170,11 @@ object EventStreams {
     views.join(clicks,
       col("v_user") === col("c_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"))
-      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"),
+      joinType)
+      // user_id comes from the view side: present on every row, including
+      // the null-extended outer rows (c_user is null there).
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         unix_timestamp(col("view_ts")).as("view_s"),
         unix_timestamp(col("click_ts")).as("click_s"))
   }

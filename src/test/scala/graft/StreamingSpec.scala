@@ -224,6 +224,64 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched views emit at watermark expiry; == batch") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-outer-events")
+    val t0 = 1900000000L * 1000000000L
+    def stage(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-outer-stage")
+      rows.map { case (id, tsNs, uid, typ) => (id, tsNs, uid, typ, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    val batch1 = Seq(
+      (1L, t0, 1L, "view"),              // matched by click 2
+      (2L, t0 + 5 * minNs, 1L, "click"),
+      (3L, t0, 2L, "view"),              // never clicked -> outer row
+      (4L, t0 + 2 * minNs, 3L, "click")) // click without view -> NOT emitted
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir.toString)
+    val q = EventStreams.viewClickPairsOuter(stream).writeStream
+      .format("memory").queryName("w_outer").outputMode("append").start()
+    try {
+      stage("000.parquet", batch1)
+      q.processAllAvailable()
+      // Watermark is only max(event_ts) - 10min = t0 - 5min: view 3 COULD
+      // still be clicked (gap is 30min), so only the inner match may emit.
+      val afterB1 = spark.table("w_outer").select(col("view_id")).as[Long].collect().toSet
+      assert(afterB1 == Set(1L), s"outer row emitted before watermark expiry: $afterB1")
+      // Batch 2 drives BOTH sides' watermarks to t0 + 110min (the global
+      // watermark is the MIN across the two watermark operators — a
+      // view-only batch would leave the click side at t0 - 5min and the
+      // outer row could never expire), far past view 3's join window
+      // (t0 + 30min): the null-extended row must now emit. The flush
+      // click belongs to user 8, who has no view, so it adds no row.
+      stage("001.parquet", Seq(
+        (9L, t0 + 120 * minNs, 9L, "view"),
+        (10L, t0 + 120 * minNs, 8L, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("w_outer")
+    val got = streamed.collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, -1L)), s"got $got")
+    // Batch equivalence: the batch left join additionally emits view 9
+    // (null-extended) — in the stream its state is still open because the
+    // watermark never passed t0 + 120min + gap. Everything the stream
+    // emitted must match the batch result minus that held row.
+    val batchDf = EventStreams.viewClickPairsOuter(
+      batch1.union(Seq(
+          (9L, t0 + 120 * minNs, 9L, "view"),
+          (10L, t0 + 120 * minNs, 8L, "click")))
+        .map { case (id, tsNs, uid, typ) => (id, tsNs, uid, typ, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(asSet(streamed) == asSet(batchDf.where(col("view_id") =!= 9)))
+  }
+
   test("transformWithState (RocksDB ValueState): streaming == batch groupBy") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
