@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed storage layout — pre-shuffling at WRITE time so repeated
+  * equi-joins stop paying a per-query exchange. Both sides bucketed by
+  * their join key into the SAME bucket count hash-align on disk: the
+  * join plans as a SortMergeJoin whose inputs need NO Exchange (each
+  * bucket pairs with exactly one bucket on the other side), the
+  * dominant cost of a large-fact x large-fact join at 100 TB. The
+  * per-bucket `sortBy` additionally lets single-file buckets skip the
+  * sort. Registry-surfaced by q74 (write + shuffle-free read-back in
+  * one query) and plan-asserted in both QueryPlanSpec and StorageSpec.
+  */
+object BucketedStore {
+
+  /** Save as a bucketed + per-bucket-sorted managed parquet table
+    * (overwrite). Bucket count is the scale knob: size it so one bucket
+    * of the LARGER table fits an executor's sort buffer.
+    */
+  def saveBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Co-located equi-join of two same-bucket-count tables on their
+    * bucket keys. The `merge` hint keeps the sort-merge path even when
+    * one side is broadcast-small at test scale, so the plan exercised
+    * locally IS the at-scale plan (broadcast would trivially avoid the
+    * exchange and prove nothing about the layout).
+    */
+  def colocatedJoin(
+      s: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    s.table(left).hint("merge")
+      .join(s.table(right), col(leftKey) === col(rightKey))
+}

@@ -20,10 +20,26 @@ object Dedup {
 
   val P: Long = 1000000007L
 
-  /** MinHash permutation parameters h_i(x) = (A(i)*x + B(i)) mod P. */
-  val A: Seq[Long] = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
-  val B: Seq[Long] = Seq(1L, 7L, 13L, 19L, 25L, 31L, 37L, 43L)
-  val numHashes: Int = A.size
+  /** MinHash permutation parameters h_i(x) = (A(i)*x + B(i)) mod P.
+    * Sixteen permutations are available; the REGISTRY default signature
+    * width stays [[numHashes]] = 8 (the first eight — so widening the
+    * pool changed no existing signature). Width is the recall/cost knob:
+    * with (b, r) banding the candidate probability is 1-(1-s^r)^b, so
+    * the default r=1, b=8 catches half of all pairs at Jaccard ~0.08
+    * (near-everything above 0.3), while r=2, b=4 moves that 50% point to
+    * s ~ 0.40 — the curves are measured, not just derived, in
+    * DedupSpec's (b, r) sweep.
+    */
+  val A: Seq[Long] = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L,
+    23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L)
+  val B: Seq[Long] = Seq(1L, 7L, 13L, 19L, 25L, 31L, 37L, 43L,
+    49L, 55L, 61L, 67L, 73L, 79L, 85L, 91L)
+
+  /** Widest available signature. */
+  val maxHashes: Int = A.size
+
+  /** Registry-default signature width (unchanged across rounds). */
+  val numHashes: Int = 8
 
   val shingleSize = 3
   val simhashBits = 16
@@ -58,23 +74,26 @@ object Dedup {
 
   /** MinHash signature columns mh0..mh{k-1} over pre-hashed shingles
     * ([[shingleHashes]]): each permutation is a cheap affine map over
-    * longs, min-reduced.
+    * longs, min-reduced. `k` is the signature-width knob (<= maxHashes).
     */
-  def minhashCols(hashCol: Column): Seq[Column] =
-    (0 until numHashes).map { i =>
+  def minhashCols(hashCol: Column, k: Int = numHashes): Seq[Column] = {
+    require(k >= 1 && k <= maxHashes, s"signature width $k outside [1, $maxHashes]")
+    (0 until k).map { i =>
       array_min(transform(hashCol, h => (lit(A(i)) * h + lit(B(i))) % P)).as(s"mh$i")
     }
+  }
 
   /** doc_id + minhash signature for every document with >= shingleSize
     * tokens. One narrow map stage — no shuffle.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = numHashes): DataFrame = {
     val toks = text.normalizedTokens(col(textCol))
     docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= shingleSize)
       .select(col("doc_id"), shingleHashes(shingles(col("toks"))).as("hs"))
-      .select(Seq(col("doc_id")) ++ minhashCols(col("hs")): _*)
+      .select(Seq(col("doc_id")) ++ minhashCols(col("hs"), k): _*)
   }
 
   /** Degenerate-bucket cutoff for LSH band joins: a band key shared by B
@@ -116,9 +135,13 @@ object Dedup {
     * P^2 ~ 1e18). Engine-portable — the oracle rebuilds the same digits.
     */
   def bandRows(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
-    require(numHashes % rowsPerBand == 0, s"numHashes=$numHashes not divisible by r=$rowsPerBand")
+    // Signature width is read off the schema, so banding works for any
+    // minhashSignatures(k) without threading the width through callers.
+    val width = signatures.columns.count(_.matches("mh\\d+"))
+    require(width >= 1, s"no mh* signature columns in ${signatures.columns.mkString(",")}")
+    require(width % rowsPerBand == 0, s"width=$width not divisible by r=$rowsPerBand")
     require(rowsPerBand <= 2, s"base-P band key packing overflows BIGINT for r > 2 (r=$rowsPerBand)")
-    val numBands = numHashes / rowsPerBand
+    val numBands = width / rowsPerBand
     signatures.select(
       col("doc_id"),
       explode(array((0 until numBands).map { bnd =>

@@ -81,6 +81,12 @@ object Extras {
         |         FROM idx WHERE i % 4 = 0)
         |SELECT media_id, i // 4 AS frame_idx, md5(frame) AS frame_md5
         |FROM kept ORDER BY media_id, frame_idx""".stripMargin)),
+    // LOAD-BEARING INVARIANT: the Spark side keeps every 3rd BYTE of the
+    // UTF-8 payload while this oracle keeps every 3rd CHARACTER (DuckDB
+    // has no BLOB substring to write the byte form) — equal only while
+    // the corpus is pure ASCII. MultimodalSpec pins length(text) ==
+    // octet_length(utf8(text)) over the whole table, so a non-ASCII
+    // corpus fails loudly there instead of silently diverging here.
     QueryDef("q70_resize", q70, Some(
       """WITH rz AS (SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,

@@ -173,6 +173,28 @@ object ScalePatterns {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Storage-layout round trip: write orders + lineitem as 8-bucket
+    * tables keyed by order key, read them back, and join WITHOUT any
+    * exchange on the join keys (plan-asserted in QueryPlanSpec) — the
+    * write-once / join-many layout that removes the dominant shuffle of
+    * a repeated fact-fact join at scale. The result itself is an
+    * ordinary oracled aggregate, so the correctness gate covers the
+    * whole write -> catalog -> bucketed-scan -> join path. Table names
+    * carry the source-dir suffix so concurrent scale factors don't
+    * collide in the session catalog.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BucketedStore
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    BucketedStore.saveBucketed(Tables.orders(s, d), s"orders_bkt_$sfx", 8, "o_orderkey")
+    BucketedStore.saveBucketed(Tables.lineitem(s, d), s"lineitem_bkt_$sfx", 8, "l_orderkey")
+    BucketedStore
+      .colocatedJoin(s, s"lineitem_bkt_$sfx", s"orders_bkt_$sfx", "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q67_bloom_prune", q67, Some(
       """SELECT o_orderkey, c_custkey, o_totalprice
@@ -222,6 +244,11 @@ object ScalePatterns {
         |SELECT user_id, t_us AS last_t_us, event_id AS last_event_id,
         |event_type AS last_type, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+    QueryDef("q74_bucketed_join", q74, Some(
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     QueryDef("q48_topk_aggregator", q48,
       Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
              |  SELECT p_brand, p_partkey, p_retailprice,

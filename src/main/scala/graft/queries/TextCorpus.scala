@@ -124,27 +124,45 @@ object TextCorpus {
     * w_milli < 2^53 (w_milli = tf·floor(1000N/df) — holds until tf·idf
     * exceeds 9e15, far past any real weight).
     */
-  private def q60(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val tf = words(s, d)
+  /** Stopword-pruned tf-weighted postings over a documents table
+    * (doc_id, text): terms with df > capPct%·N are dropped BEFORE any
+    * join can fan them out. Exposed for the adversarial-skew spec.
+    */
+  private[graft] def weightedPostings(docs: DataFrame, capPct: Int): DataFrame = {
+    val tf = InvertedIndex.words(docs, "doc_id", "text")
       .groupBy(col("file_id").as("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("N"))
+    val nDocs = docs.agg(count(lit(1)).as("N"))
     val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val weighted = tf.join(dfTab, "word")
+    tf.join(dfTab, "word")
       .crossJoin(broadcast(nDocs))
-      .where(col("df") * lit(100) <= col("N") * lit(dfCapPct))
+      .where(col("df") * lit(100) <= col("N") * lit(capPct))
       .select(col("doc_id"), col("word"),
         expr("tf * ((1000 * N) div df)").as("w_milli"))
-      .localCheckpoint() // feeds the query side, and the cap + join sides
-    val capped = weighted
+  }
+
+  /** Impact-ordered truncation: keep each term's `cap` highest-weight
+    * postings (w_milli desc, doc_id asc) through the bounded
+    * [[graft.operators.TopKAggregator]] — k-row partial buffers, never a
+    * per-word sort task. Exposed for the adversarial-skew spec.
+    */
+  private[graft] def cappedPostings(weighted: DataFrame, cap: Int): DataFrame = {
+    val s = weighted.sparkSession
+    import s.implicits._
+    weighted
       .select(col("word"), col("w_milli"), col("doc_id"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapValues(t => graft.operators.Scored(t._2.toDouble, t._3))
-      .agg(new graft.operators.TopKAggregator(postingCap).toColumn.name("tops"))
+      .agg(new graft.operators.TopKAggregator(cap).toColumn.name("tops"))
       .flatMap { case (word, tops) => tops.map(t => (word, t.id, t.score.toLong)) }
       .toDF("word", "doc_id", "w_milli")
+  }
+
+  private[graft] def sparseTopK(docs: DataFrame, capPct: Int, cap: Int): DataFrame = {
+    val weighted = weightedPostings(docs, capPct)
+      .localCheckpoint() // feeds the query side, and the cap + join sides
+    val capped = cappedPostings(weighted, cap)
     val queries = weighted
       .where(col("doc_id") % 100 === 7)
       .select(col("doc_id").as("q_id"), col("word"), col("w_milli").as("wq"))
@@ -159,6 +177,9 @@ object TextCorpus {
       .select(col("q_id"), col("rank"), col("doc_id"), col("dot"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private def q60(s: SparkSession, d: String): DataFrame =
+    sparseTopK(Tables.documents(s, d), dfCapPct, postingCap)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q16_doc_token_counts", q16,

@@ -80,6 +80,49 @@ class DedupSpec extends SparkSpec {
     assert(meanJ(r2) >= meanJ(r1), s"precision dropped: r2=${meanJ(r2)} < r1=${meanJ(r1)}")
   }
 
+  test("(b, r) x width sweep: candidate curves measured over a graded-Jaccard corpus") {
+    // One pair per k: docs (2k, 2k+1) share their first k of 21 words, so
+    // exact shingle Jaccard (k-2)/(38-(k-2)) sweeps ~0.03 .. 1.0 in 19
+    // steps; all cross-pair vocabulary is disjoint (J = 0). Indices are
+    // letter-encoded (tokenization strips digits).
+    def let(n: Int): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    val W = 21
+    val rows: Seq[(Long, String)] = (3 to W).flatMap { k =>
+      val a = (0 until W).map(j => s"p${let(k)}w${let(j)}")
+      val b = (0 until W).map(j => if (j < k) a(j) else s"q${let(k)}w${let(j)}")
+      Seq((2L * k) -> a.mkString(" "), (2L * k + 1) -> b.mkString(" "))
+    }
+    val jac = exactJaccard(rows)
+    val docs = docsDF(rows)
+    val sig8 = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
+    val sig16 = Dedup.minhashSignatures(docs, "doc_id", "text", k = 16).localCheckpoint()
+    val c81 = candidatePairs(Dedup.lshCandidates(sig8))
+    val c42 = candidatePairs(Dedup.lshCandidatesBanded(sig8, rowsPerBand = 2))
+    val c161 = candidatePairs(Dedup.lshCandidates(sig16))
+    val c82 = candidatePairs(Dedup.lshCandidatesBanded(sig16, rowsPerBand = 2))
+    // Structural dominance: an agreeing r=2 band implies both of its r=1
+    // bands agree, and the first 8 of 16 permutations ARE the 8-wide
+    // signature — so each tightening is a subset, each widening a superset.
+    assert(c42.subsetOf(c81), s"(4,2) not within (8,1): ${c42 -- c81}")
+    assert(c81.subsetOf(c161), s"(8,1) not within (16,1): ${c81 -- c161}")
+    assert(c82.subsetOf(c161), s"(8,2) not within (16,1): ${c82 -- c161}")
+    assert(c42.subsetOf(c82), s"(4,2) not within (8,2): ${c42 -- c82}")
+    val pairs = (3 to W).map(k => ((2L * k, 2L * k + 1), jac((2L * k, 2L * k + 1))))
+    pairs.foreach { case (p, j) =>
+      info(f"J=$j%.3f  (8,1)=${c81(p)}  (4,2)=${c42(p)}  (16,1)=${c161(p)}  (8,2)=${c82(p)}")
+    }
+    // Measured thresholds must bracket the analytic 50% points
+    // (s50 = 0.083 for (8,1), 0.399 for (4,2)): everything at J >= 0.8
+    // is caught by every config, and sharpening r to 2 must actually
+    // DROP some low-J pair that r=1 caught (the precision the knob buys).
+    pairs.filter(_._2 >= 0.8).foreach { case (p, j) =>
+      assert(c81(p) && c42(p) && c161(p) && c82(p), s"missed high-J pair $p (J=$j)")
+    }
+    val lowJ = pairs.filter(_._2 < 0.3).map(_._1)
+    assert(lowJ.exists(p => c81(p) && !c42(p)),
+      "r=2 banding dropped no low-J candidate — the precision knob is inert on this corpus")
+  }
+
   test("canonicalLabels propagates the component minimum across chains (beyond 1-hop)") {
     val spark0 = spark
     import spark0.implicits._

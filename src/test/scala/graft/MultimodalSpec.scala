@@ -12,6 +12,18 @@ class MultimodalSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf0001)
 
+  test("corpus text is pure ASCII (chars == UTF-8 bytes) — q49/q70 oracle equivalence depends on it") {
+    import org.apache.spark.sql.functions._
+    // The q70 (and q49) oracles slice CHARACTERS while the engine slices
+    // payload BYTES; DuckDB cannot slice BLOBs, so the char/byte
+    // equivalence is load-bearing. Pin it corpus-wide: any future
+    // multibyte document must fail HERE, not silently diverge there.
+    val nonAscii = Tables.documents(spark, sf0001)
+      .where(length(col("text")) =!= length(col("text").cast("binary")))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii documents contain multibyte characters")
+  }
+
   test("extractFeatures: one feature row per media row, deterministic values") {
     val media = Multimodal.fromDocuments(docs)
     val feats = Multimodal.extractFeatures(media).toDF()

@@ -60,6 +60,34 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q69 ranks via PrefixSum bands — no partition-less window over the vocabulary") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q69_zipf_coverage")(spark, sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window operators in q69")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "no bucket-partitioned local window found — PrefixSum decomposition missing")
+    // The ONLY partition-less windows allowed are the bucket-offset
+    // passes, which run over the ~64-row band-totals AGGREGATE (grouped
+    // by the bkt band column) — never over the raw vocabulary.
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overBandTotals = w.collectFirst {
+        case a: Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "bkt")) => a
+      }.isDefined
+      assert(overBandTotals, s"partition-less window not over band totals:\n$w")
+    }
+  }
+
+  test("q74 bucketed join reads back with NO exchange on the join keys") {
+    val p = plan("q74_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // The bucketed layout must carry the co-location: any hash exchange
+    // on a join key means the write-time shuffle was wasted.
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
   test("q06/q07 plan semi/anti joins (no full join + filter)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), "semi")
     assert(plan("q07_anti_join").contains("LeftAnti"), "anti")

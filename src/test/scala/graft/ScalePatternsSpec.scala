@@ -140,6 +140,57 @@ class ScalePatternsSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("might_contain"))
   }
 
+  test("bloomPrunedJoin with an EMPTY build side returns the empty join (null-sketch path)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // The global BloomFilterAggregate over zero rows yields a NULL sketch;
+    // might_contain(null) is null, the filter drops every probe row, and
+    // the result equals the empty inner join. Pinned so the implicit
+    // null-sketch path can't regress.
+    val probe = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val build = Seq((1L, "x")).toDF("bk", "bv").where(col("bk") < 0)
+    assert(graft.operators.RuntimeFilter.bloomPrunedJoin(probe, build, "k", "bk").count() == 0)
+  }
+
+  test("q60 df prune: a corpus-wide stopword contributes NOTHING to the candidate join") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 300 docs; EVERY doc contains "the" (df = 100% > 90% cap); each block
+    // of 10 docs shares a mid-frequency word (df = 10); each doc carries a
+    // unique rare word. Without the prune, every query's candidate set is
+    // the whole corpus via "the" — O(queries x corpus).
+    // Tokenization strips non-letters, so the indices are spelled in
+    // letters ("42" -> "ec") to keep every word distinct post-normalize.
+    def let(n: Int): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    val docs = (0 until 300).map(i => (i.toLong, s"the shared${let(i / 10)} uniq${let(i)}"))
+      .toDF("doc_id", "text")
+    val weighted = graft.queries.TextCorpus.weightedPostings(docs, 90)
+    val words = weighted.select("word").distinct().as[String].collect().toSet
+    assert(!words.contains("the"), "corpus-wide stopword survived the df prune")
+    assert(words.exists(_.startsWith("shared")), "mid-frequency terms were lost")
+    val res = graft.queries.TextCorpus.sparseTopK(docs, 90, 256).collect()
+    // Queries are doc_id % 100 == 7 -> 7, 107, 207; each has exactly 9
+    // shared-block peers, so each fills its top-5 — and every neighbor
+    // must come from the query's own block (the stopword never leaked).
+    assert(res.length == 15, s"expected 3 queries x 5 rows, got ${res.length}")
+    res.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(q / 10 == n / 10, s"candidate $n for query $q outside its block: stopword leaked")
+    }
+  }
+
+  test("q60 posting cap keeps exactly the top-k impact-ordered postings of a hot term") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (0 until 1000).map(i => (i.toLong, "hot", (i % 100).toLong))
+    val capped = graft.queries.TextCorpus
+      .cappedPostings(rows.toDF("doc_id", "word", "w_milli"), 256)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val expected = rows.map { case (id, _, w) => (id, w) }
+      .sortBy { case (id, w) => (-w, id) }.take(256).toSet
+    assert(capped == expected, "cap did not keep the (w_milli desc, doc_id asc) top-256")
+  }
+
   test("as-of join: equal-time build row is visible; no match yields default") {
     val spark0 = spark
     import spark0.implicits._
@@ -153,5 +204,26 @@ class ScalePatternsSpec extends SparkSpec {
     // id 2: last build <= 15 is build@10 -> 101; id 3 -> build@20 -> 102
     // id 4: build@50 is in the future -> default; id 5: key absent -> default
     assert(got == Map(1L -> 101L, 2L -> 101L, 3L -> 102L, 4L -> -1L, 5L -> -1L))
+  }
+
+  test("bucketed as-of join == plain form on a hot-key timeline (empty buckets, negative times, ties)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    // Key 1 is hot (2000 probes over [-299, 299]) with SPARSE builds, so
+    // most buckets are empty and answers flow through the carry window;
+    // duplicate build times exercise the max-ref dedup; key 3 has no
+    // build rows at all (default path).
+    val build = Seq(
+      (1L, -95L, 10L), (1L, 0L, 11L), (1L, 7L, 12L), (1L, 7L, 9L),
+      (1L, 230L, 13L), (2L, 50L, 200L)).toDF("k", "t", "ref")
+    val probe = ((0 until 2000).map(i => (1L, rnd.nextLong() % 300, i.toLong))
+      ++ Seq((2L, 40L, 9001L), (2L, 60L, 9002L), (3L, 5L, 9003L))).toDF("k", "t", "id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val plain = asMap(AsOfJoin.lookup(probe, "k", "t", "id", build, "k", "t", "ref"))
+    val bucketed = asMap(AsOfJoin.lookupBucketed(
+      probe, "k", "t", "id", build, "k", "t", "ref", bucketWidth = 16L))
+    assert(bucketed == plain)
   }
 }
