@@ -1,16 +1,20 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc profiling entry (not part of the library surface).
   *
-  * Current experiment: the q43 r2->r3 bench delta (1.03 -> 1.23 s at
-  * sf0.1, n=3) — interleaved A/B of the r3 shape (signatures derived
-  * from the checkpointed shingle-set table, hashing each shingle once)
-  * against the r2 shape (an independent minhashSignatures pass that
-  * re-tokenizes the corpus), n=5 each in ONE JVM with cache-clear + GC
-  * between runs. Bench-noise rule: never conclude a regression from
-  * single contended runs.
+  * Current experiment: q60's posting-cap implementation. Candidates:
+  *   A typed TopKAggregator (bounded buffers, but a typed boundary —
+  *     encode/decode per row — and an extra stage);
+  *   B salted two-level window: rank within (word, salt) partitions,
+  *     keep <= cap per slice, then rank the <= nSalt*cap survivors per
+  *     word — all codegen windows, per-task sort bounded by df/nSalt;
+  *   C single per-word ranking window (the unbounded-sort baseline);
+  *   D no cap at all (the r3 join-explosion shape).
+  * Each run ends in the same query-postings join + top-5 output.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,54 +26,63 @@ object Scratch {
       println(f"TIMING $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       spark.catalog.clearCache(); System.gc()
     }
-    import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
+    val cap = 256
 
-    def shingleSets() = {
-      val toks = graft.functions.text.normalizedTokens(col("text"))
-      docs.select(col("doc_id"), toks.as("toks"))
-        .where(size(col("toks")) >= Dedup.shingleSize)
-        .select(col("doc_id"), array_distinct(Dedup.shingles(col("toks"))).as("sh"))
-        .localCheckpoint()
-    }
+    def weighted(): DataFrame =
+      graft.queries.TextCorpus.weightedPostings(docs, 90).localCheckpoint()
 
-    def verify(sh: org.apache.spark.sql.DataFrame,
-        sigs: org.apache.spark.sql.DataFrame): Long = {
-      val v = Dedup.lshCandidates(sigs).select(col("doc_a"), col("doc_b"))
-        .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-        .drop("doc_id")
-        .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
-        .drop("doc_id")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
-          size(col("sh_a")).cast("long").as("n_a"),
-          size(col("sh_b")).cast("long").as("n_b"))
-        .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
-      docs.select(col("doc_id"))
-        .join(v.select(col("doc_b").as("doc_id"), col("doc_a").as("cand")), Seq("doc_id"), "left")
-        .groupBy(col("doc_id")).agg(min(col("cand")).as("mc"))
-        .select(col("doc_id"), coalesce(col("mc"), col("doc_id")).as("canonical_id"))
+    def finish(w: DataFrame, capped: DataFrame): Long = {
+      val queries = w.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("q_id"), col("word"), col("w_milli").as("wq"))
+      val rankW = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("doc_id"))
+      queries.join(capped, "word")
+        .where(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("wq") * col("w_milli")).as("dot"))
+        .withColumn("rank", row_number().over(rankW))
+        .where(col("rank") <= 5)
         .count()
     }
 
-    // A (r3 shape): signatures from the checkpointed shingle table.
-    def fromShingles(): Long = {
-      val sh = shingleSets()
-      val sigs = sh.select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
-        .select(Seq(col("doc_id")) ++ Dedup.minhashCols(col("hs")): _*)
-      verify(sh, sigs)
+    def typedAgg(): Long = {
+      val w = weighted()
+      finish(w, graft.queries.TextCorpus.cappedPostings(w, cap))
     }
 
-    // B (r2 shape): an independent signature pass re-tokenizing the corpus.
-    def independent(): Long = {
-      val sh = shingleSets()
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      verify(sh, sigs)
+    def salted(): Long = {
+      val w = weighted()
+      val s1 = Window.partitionBy(col("word"), pmod(col("doc_id"), lit(16)))
+        .orderBy(col("w_milli").desc, col("doc_id"))
+      val s2 = Window.partitionBy(col("word"))
+        .orderBy(col("w_milli").desc, col("doc_id"))
+      val capped = w
+        .withColumn("r1", row_number().over(s1)).where(col("r1") <= cap)
+        .withColumn("r2", row_number().over(s2)).where(col("r2") <= cap)
+        .select(col("word"), col("doc_id"), col("w_milli"))
+      finish(w, capped)
     }
 
-    (1 to 5).foreach { i =>
-      time(s"fromShingles_$i")(fromShingles())
-      time(s"independent_$i")(independent())
+    def plainWindow(): Long = {
+      val w = weighted()
+      val s2 = Window.partitionBy(col("word"))
+        .orderBy(col("w_milli").desc, col("doc_id"))
+      val capped = w
+        .withColumn("r2", row_number().over(s2)).where(col("r2") <= cap)
+        .select(col("word"), col("doc_id"), col("w_milli"))
+      finish(w, capped)
+    }
+
+    def noCap(): Long = {
+      val w = weighted()
+      finish(w, w.select(col("word"), col("doc_id"), col("w_milli")))
+    }
+
+    (1 to 3).foreach { i =>
+      time(s"typedAgg_$i")(typedAgg())
+      time(s"salted_$i")(salted())
+      time(s"plainWin_$i")(plainWindow())
+      time(s"noCap_$i")(noCap())
     }
     spark.stop()
   }

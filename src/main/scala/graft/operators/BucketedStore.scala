@@ -19,10 +19,22 @@ object BucketedStore {
     * (overwrite). Bucket count is the scale knob: size it so one bucket
     * of the LARGER table fits an executor's sort buffer.
     */
-  def saveBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  def saveBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    val s = df.sparkSession
+    // The in-memory catalog is per-JVM but the warehouse directory is
+    // not: a location left by a previous session makes CREATE fail with
+    // LOCATION_ALREADY_EXISTS even in overwrite mode (the new catalog
+    // does not know the table). Clear the orphan before writing.
+    if (!s.catalog.tableExists(table)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Co-located equi-join of two same-bucket-count tables on their
     * bucket keys. The `merge` hint keeps the sort-merge path even when

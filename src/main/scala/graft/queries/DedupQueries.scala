@@ -73,6 +73,14 @@ object DedupQueries {
     * comparison pays O(candidates), never all-pairs: the shape that
     * survives 100 TB. (Min over the distinct shingle set == min over the
     * multiset, so the signatures match Dedup.minhashSignatures.)
+    *
+    * Bench note (r3->r4): q43's recorded 1.03 -> 1.23 s drift was load
+    * noise — an interleaved n=5 single-JVM A/B (Scratch) measured this
+    * checkpoint-shared shape at 0.83-0.97 s warm vs 0.76-0.90 s for an
+    * independent re-tokenizing signature pass. The ~0.08 s residual is
+    * the checkpoint read-back, which locally costs slightly more than
+    * recomputing a tiny corpus; at scale the trade inverts (one corpus
+    * tokenize instead of two), so the shared shape stays.
     */
   private[queries] def jaccardPairs(sh: DataFrame): DataFrame = {
     val sigs = sh
