@@ -31,10 +31,27 @@ object BucketedStore {
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
     }
-    df.write.mode("overwrite").format("parquet")
+    // Pre-partition on the bucket key with the bucket count: the write
+    // then runs one task per bucket (parallel instead of one task
+    // spraying all buckets) AND produces exactly one file per bucket —
+    // the layout where Spark trusts the per-bucket sortBy at read time
+    // and drops the SortExec under a sort-merge join.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
   }
+
+  /** Create the bucketed table only if this session has not already
+    * created it — the write-once / join-many amortization that motivates
+    * the layout (a repeated caller pays the pre-shuffle exactly once;
+    * every later join is exchange-free reads). A fresh session always
+    * (re)writes, so cross-session staleness reduces to the orphan
+    * handling in [[saveBucketed]].
+    */
+  def ensureBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      saveBucketed(df, table, buckets, key)
 
   /** Co-located equi-join of two same-bucket-count tables on their
     * bucket keys. The `merge` hint keeps the sort-merge path even when

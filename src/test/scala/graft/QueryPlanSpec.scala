@@ -79,6 +79,13 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("q60 candidate join is a hash/merge equi-join with partial-aggregated df (no nested loop)") {
+    val p = plan("q60_sparse_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // df and the dot-product aggregation must partial-aggregate map-side.
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q74 bucketed join reads back with NO exchange on the join keys") {
     val p = plan("q74_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
