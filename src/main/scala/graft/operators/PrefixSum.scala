@@ -34,7 +34,23 @@ object PrefixSum {
       bucketCol: String,
       orderCols: Seq[String],
       valueCol: String,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    withRunningTotals(df, groupCols, bucketCol, orderCols, Seq(valueCol -> out))
+
+  /** Multi-value form: every (valueCol -> out) pair rides the SAME
+    * decomposition — one local window pass, one bucket-totals aggregate,
+    * one offsets window, one join — where N sequential
+    * [[withRunningTotal]] calls would pay the shuffle and join N times.
+    * (q69 computes its rank — running count of 1 — and its cumulative
+    * token sum together this way.)
+    */
+  def withRunningTotals(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucketCol: String,
+      orderCols: Seq[String],
+      valueOuts: Seq[(String, String)]): DataFrame = {
+    require(valueOuts.nonEmpty, "need at least one (valueCol, out) pair")
     val keys = (groupCols :+ bucketCol).map(col)
     val localW = Window.partitionBy(keys: _*)
       .orderBy(orderCols.map(col): _*)
@@ -45,10 +61,16 @@ object PrefixSum {
     val keyNames = groupCols :+ bucketCol
     val offsets = df
       .groupBy(keys: _*)
-      .agg(sum(col(valueCol)).as("__btot"))
-      .withColumn("__off", coalesce(sum(col("__btot")).over(offsetW), lit(0L)))
-      .select(keyNames.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }
-        :+ col("__off"): _*)
+      .agg(
+        sum(col(valueOuts.head._1)).as("__btot0"),
+        valueOuts.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(col(v)).as(s"__btot${i + 1}")
+        }: _*)
+      .select(
+        keyNames.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }
+          ++ valueOuts.indices.map { i =>
+            coalesce(sum(col(s"__btot$i")).over(offsetW), lit(0L)).as(s"__off$i")
+          }: _*)
     // One offset row per (group, bucket): pick the bucket width so this
     // stays broadcast-sized (one bucket per input split, not per row
     // range) — AQE then broadcasts it; under a coarse mis-sizing the
@@ -58,10 +80,16 @@ object PrefixSum {
     val joinCond = keyNames.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__k$i") }
       .reduce(_ && _)
-    df
-      .withColumn("__local", sum(col(valueCol)).over(localW))
-      .join(offsets, joinCond)
-      .withColumn(out, col("__local") + col("__off"))
-      .drop(keyNames.indices.map(i => s"__k$i") ++ Seq("__local", "__off"): _*)
+    val withLocals = valueOuts.zipWithIndex.foldLeft(df) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__local$i", sum(col(v)).over(localW))
+    }
+    val joined = valueOuts.zipWithIndex.foldLeft(withLocals.join(offsets, joinCond)) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(s"__local$i") + col(s"__off$i"))
+    }
+    joined.drop(
+      keyNames.indices.map(i => s"__k$i")
+        ++ valueOuts.indices.flatMap(i => Seq(s"__local$i", s"__off$i")): _*)
   }
 }

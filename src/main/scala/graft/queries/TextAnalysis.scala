@@ -135,10 +135,9 @@ object TextAnalysis {
       .withColumn("neg_n", -col("n"))
       .withColumn("bkt", -floor(log2(col("n"))).cast("long"))
       .withColumn("one", lit(1L))
-    val cum = PrefixSum.withRunningTotal(
-      base, Seq.empty, "bkt", Seq("neg_n", "word"), "n", "cum")
-    val ranked = PrefixSum.withRunningTotal(
-      cum, Seq.empty, "bkt", Seq("neg_n", "word"), "one", "rank")
+    val ranked = PrefixSum.withRunningTotals(
+      base, Seq.empty, "bkt", Seq("neg_n", "word"),
+      Seq("n" -> "cum", "one" -> "rank"))
     ranked.crossJoin(broadcast(tot))
       .select(col("rank").cast("long").as("rank"), col("word"), col("n"),
         expr("(1000 * cum) div n_total").as("cum_milli"))

@@ -52,6 +52,24 @@ class PipelineSpec extends SparkSpec {
     assert(scalable.collect().toSet == plain.collect().toSet)
   }
 
+  test("multi-value prefix sum == two single-partition windows (one pass, both outputs)") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        expr("doc_id div 97").as("bkt"), lit(1L).as("one"))
+    val scalable = graft.operators.PrefixSum
+      .withRunningTotals(base, Seq("lang"), "bkt", Seq("doc_id"),
+        Seq("n_chars" -> "cum", "one" -> "rk"))
+      .select(col("doc_id"), col("cum"), col("rk"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = base
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("rk", sum(col("one")).over(w))
+      .select(col("doc_id"), col("cum"), col("rk"))
+    assert(scalable.collect().toSet == plain.collect().toSet)
+  }
+
   test("q62 flags the docs with sample |z| > 2 (float cross-check, ulp-tolerant)") {
     val flagged = SparkEntry.queries("q62_outlier_docs")(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
