@@ -198,7 +198,34 @@ object ScalePatterns {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Partition-pruned layout round trip (the partitionBy sibling of
+    * q74's bucketBy): write events partitioned by event_type, read back
+    * with an event_type filter, and aggregate — at scale the filter
+    * becomes directory pruning (the scan never lists, opens, or reads
+    * the other partitions' files; `PartitionFilters` plan-asserted in
+    * QueryPlanSpec). The oracle is the plain filtered aggregate over the
+    * original table, so the correctness gate covers the whole
+    * write -> partition-discovery -> pruned-scan path.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_bytype_$sfx").getAbsolutePath
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), round(sum(col("value")), 2).as("click_value"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_partitioned_prune", q76, Some(
+      """SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS click_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
     QueryDef("q67_bloom_prune", q67, Some(
       """SELECT o_orderkey, c_custkey, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

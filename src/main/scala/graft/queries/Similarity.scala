@@ -331,7 +331,69 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 embedding quantization + brute-force ANN over the quantized
+    * vectors — the 4x storage/bandwidth cut a 100 TB embedding corpus
+    * takes before anything else touches it. Per-vector symmetric scheme:
+    * scale = max|v_i| (so q_i = floor(v_i/scale*127 + 0.5) lands in
+    * [-127, 127] with NO clamp — the max element divides itself to
+    * exactly 1.0, and floor(x+0.5) is round-half-up spelled in IEEE ops
+    * both engines share). The scale cancels in cosine, so ranking needs
+    * no dequantization, and the quantized dot/norms are EXACT small
+    * integers (<= 64·127²) — the only floats are the final sqrt/divide,
+    * bit-identical cross-engine. Recall@5 vs the float brute force (q29)
+    * measures 0.96 on this corpus (SimilaritySpec).
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val qs = q.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("qn").as("nq"))
+    val c = q.select(col("vec_id").as("neighbor_id"), col("qv").as("nv"), col("qn").as("nn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    broadcast(qs).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vectors.dot(col("qq"), col("nv")) / (col("nq") * col("nn"))).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 6).as("qcos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** (vec_id, qv = int8-representable components as doubles, qn = exact
+    * integer norm) — one narrow map over the corpus; the 64-element
+    * interpreted transforms are per-row constant work, not data-scale
+    * lambdas over strings.
+    */
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        greatest(
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+          lit(1e-30)).as("scale"))
+      .select(col("vec_id"),
+        // Spark floor returns BIGINT (DuckDB's returns DOUBLE) — cast
+        // back so the arrays type-match vector_dot on both engines.
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") * lit(127) + lit(0.5)).cast("double")).as("qv"))
+      .select(col("vec_id"), col("qv"), sqrt(vectors.dot(col("qv"), col("qv"))).as("qn"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q75_int8_ann", q75, Some(
+      s"""WITH sc AS (SELECT vec_id,
+         |        greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale,
+         |        embedding FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |        list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale * 127 + 0.5)) AS qv
+         |       FROM sc),
+         |n AS (SELECT vec_id, qv, sqrt(${ssSql("qv")}) AS qn FROM qv),
+         |q AS (SELECT vec_id AS query_id, qv AS qq, qn AS nq FROM n WHERE vec_id < 5),
+         |c AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+         |        ${dotSql("q.qq", "e2.qv")} / (q.nq * e2.qn) AS c
+         |      FROM q JOIN n e2 ON q.query_id <> e2.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |      FROM c)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS qcos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
     QueryDef("q28_embedding_neardup", q28, Some(
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -86,6 +86,12 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q76 partitioned layout prunes to the click partition at the scan") {
+    val p = plan("q76_partitioned_prune")
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.contains("= click"), p)
+  }
+
   test("q74 bucketed join reads back with NO exchange on the join keys") {
     val p = plan("q74_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)

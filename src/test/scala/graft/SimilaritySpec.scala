@@ -84,4 +84,27 @@ class SimilaritySpec extends SparkSpec {
     assert(lloydTop.values.forall(_.nonEmpty), "a query's probe came back empty")
     assert(rL.sum / rL.size >= 0.5, s"trained-centroid recall collapsed: $rL")
   }
+
+  test("q75 int8 quantization: components integral in [-127, 127]; recall vs float brute force") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val comps = graft.queries.Similarity.quantized(spark, sf0001)
+      .select(explode(col("qv"))).as[Double].collect()
+    assert(comps.nonEmpty)
+    comps.foreach { v =>
+      assert(v == math.floor(v) && v >= -127 && v <= 127,
+        s"non-int8 quantized component $v")
+    }
+    val brute = SparkEntry.queries("q29_ann_bruteforce")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val int8 = SparkEntry.queries("q75_int8_ann")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bTop = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val qTop = int8.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = bTop.keys.toSeq.sorted.map(q => (bTop(q) & qTop.getOrElse(q, Set.empty)).size / 5.0)
+    info(f"int8 recall@5 vs float brute force: mean ${recalls.sum / recalls.size}%.2f")
+    // Measured 0.96 at sf0.001 and sf0.01; floor leaves noise headroom.
+    assert(recalls.sum / recalls.size >= 0.9, s"int8 recall collapsed: $recalls")
+  }
 }
