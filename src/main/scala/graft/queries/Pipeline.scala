@@ -193,7 +193,120 @@ object Pipeline {
     */
   private val hashSql = DedupQueries.rollSql("CAST(doc_id AS VARCHAR)")
 
+  /** Chunk window/stride for q77: 48-token windows every 32 tokens
+    * (16-token overlap) — the context-window split a tokenized corpus
+    * goes through before packing/training. Sized to the test corpus
+    * (10-99 tokens/doc) so most documents genuinely produce several
+    * chunks; a production run raises both with the model context.
+    */
+  val chunkWindow = 48
+  val chunkStride = 32
+
+  /** Context-window chunking with overlap: split each document's token
+    * stream into [[chunkWindow]]-token chunks every [[chunkStride]]
+    * tokens. One narrow map + explode per document — embarrassingly
+    * parallel, no shuffle until the output sort; chunk count per doc is
+    * ceil(max(n-W,0)/S)+1 in exact integer arithmetic on both engines.
+    * Each chunk is emitted with its token span and a content hash so the
+    * oracle verifies the actual chunk text, not just the arithmetic.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (chunkWindow, chunkStride)
+    Tables.documents(s, d)
+      .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .withColumn("kmax",
+        expr(s"CASE WHEN n <= $w THEN 0 ELSE (n - $w + ${st - 1}) div $st END"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("kmax"))).as("k"))
+      .withColumn("chunk_start", col("k") * st)
+      .withColumn("chunk_len", least(lit(w), col("n") - col("chunk_start")))
+      .select(
+        col("doc_id"),
+        col("k").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col("chunk_len").cast("long").as("chunk_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_start") + 1, col("chunk_len"))).cast("binary"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Decontamination n-gram length for q78. The right length is a
+    * vocabulary property: real corpora use 8-13 tokens (chance
+    * collisions vanish); this synthetic corpus draws from a 31-word
+    * vocabulary, where 4 is the length that separates genuinely shared
+    * passages from zero signal (measured: g=4 flags 8 train docs at
+    * sf0.01, g>=6 flags none).
+    */
+  val contamGram = 4
+
+  /** Train/eval decontamination: flag every train document sharing at
+    * least one [[contamGram]]-token n-gram with the held-out eval set
+    * (doc_id % 97 == 0 here; in production, the benchmark suite). The
+    * eval side's distinct n-grams are the SMALL side — they broadcast —
+    * and the train side streams through the semi-join shape without ever
+    * pairing documents: cost is O(train n-grams), the only admissible
+    * shape when the train corpus is 100 TB. n_shared counts distinct
+    * shared n-grams per document (the triage signal a removal pass
+    * ranks by).
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val g = contamGram
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= g)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (g - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(g)))))).as("gram"))
+    val evalGrams = grams.where(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    val hits = grams.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d)
+      .where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q77_chunk_overlap", q77, Some(
+      s"""WITH toks AS (SELECT doc_id, ${TextCorpus.tokensSql} AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |km AS (SELECT doc_id, t, n,
+         |        CASE WHEN n <= $chunkWindow THEN 0
+         |             ELSE (n - $chunkWindow + ${chunkStride - 1}) // $chunkStride END AS kmax
+         |       FROM d),
+         |c AS (SELECT doc_id, t, n, unnest(range(0, kmax + 1)) AS k FROM km),
+         |ch AS (SELECT doc_id, k AS chunk_id, k * $chunkStride AS chunk_start,
+         |        least($chunkWindow, n - k * $chunkStride) AS chunk_len, t FROM c)
+         |SELECT doc_id, chunk_id, chunk_start, chunk_len,
+         |md5(array_to_string(t[CAST(chunk_start + 1 AS BIGINT):CAST(chunk_start + chunk_len AS BIGINT)], ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+    QueryDef("q78_decontamination", q78, Some(
+      s"""WITH toks AS (SELECT doc_id, ${TextCorpus.tokensSql} AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(1, len(t) - ${contamGram - 2}),
+         |        i -> array_to_string(t[i:i + ${contamGram - 1}], ' ')))) AS gram
+         |      FROM toks WHERE len(t) >= $contamGram),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |hits AS (SELECT doc_id, count(*) AS n_shared
+         |         FROM g JOIN ev USING (gram) WHERE doc_id % 97 <> 0
+         |         GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+         |CAST(coalesce(n_shared, 0) > 0 AS BIGINT) AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         |LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q55_train_test_split", q55, Some(
       s"""WITH h AS (SELECT lang, n_chars, $hashSql % 10 AS b FROM documents)
          |SELECT lang,
