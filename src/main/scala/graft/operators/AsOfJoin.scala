@@ -102,13 +102,21 @@ object AsOfJoin {
       .select(col("k"), col("bkt"), col("m.ref").as("bref"))
     val carryW = Window.partitionBy(col("k")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = u.select(col("k"), col("bkt")).distinct()
-      .join(bucketLast, Seq("k", "bkt"), "left")
+    // Both joins here are NULL-SAFE (<=>): the windows in [[lookup]]
+    // treat a NULL key as its own partition and emit its probe rows, so
+    // the decomposition must too (a plain equi-join would silently drop
+    // them) — same contract as PrefixSum's offsets join.
+    val bucketsRaw = u.select(col("k"), col("bkt")).distinct()
+      .join(
+        bucketLast.select(col("k").as("__lk"), col("bkt").as("__lb"), col("bref")),
+        col("k") <=> col("__lk") && col("bkt") <=> col("__lb"), "left")
+      .select(col("k"), col("bkt"), col("bref"))
+    val buckets = bucketsRaw
       .withColumn("carry", last(col("bref"), ignoreNulls = true).over(carryW))
-      .select(col("k"), col("bkt"), col("carry"))
+      .select(col("k").as("__bk"), col("bkt").as("__bb"), col("carry"))
     u.withColumn("loc", last(col("ref"), ignoreNulls = true).over(localW))
       .where(col("side") === 1)
-      .join(buckets, Seq("k", "bkt"))
+      .join(buckets, col("k") <=> col("__bk") && col("bkt") <=> col("__bb"))
       .select(
         col("id"),
         col("k"),

@@ -214,11 +214,18 @@ class ScalePatternsSpec extends SparkSpec {
     // most buckets are empty and answers flow through the carry window;
     // duplicate build times exercise the max-ref dedup; key 3 has no
     // build rows at all (default path).
-    val build = Seq(
+    def withNullKey(df: org.apache.spark.sql.DataFrame, t: Long, v: Long) =
+      df.unionByName(df.limit(1).select(
+        expr("CAST(NULL AS BIGINT)").as(df.columns(0)),
+        lit(t).as(df.columns(1)), lit(v).as(df.columns(2))))
+    // A NULL key is its own window partition in the plain form; the
+    // bucketed decomposition must preserve that (null-safe joins).
+    val build = withNullKey(Seq(
       (1L, -95L, 10L), (1L, 0L, 11L), (1L, 7L, 12L), (1L, 7L, 9L),
-      (1L, 230L, 13L), (2L, 50L, 200L)).toDF("k", "t", "ref")
-    val probe = ((0 until 2000).map(i => (1L, rnd.nextLong() % 300, i.toLong))
-      ++ Seq((2L, 40L, 9001L), (2L, 60L, 9002L), (3L, 5L, 9003L))).toDF("k", "t", "id")
+      (1L, 230L, 13L), (2L, 50L, 200L)).toDF("k", "t", "ref"), 3L, 777L)
+    val probe = withNullKey(((0 until 2000).map(i => (1L, rnd.nextLong() % 300, i.toLong))
+      ++ Seq((2L, 40L, 9001L), (2L, 60L, 9002L), (3L, 5L, 9003L))).toDF("k", "t", "id"),
+      5L, 9004L)
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val plain = asMap(AsOfJoin.lookup(probe, "k", "t", "id", build, "k", "t", "ref"))
