@@ -42,10 +42,7 @@ object ScalePatterns {
       )
       .orderBy(col("l_returnflag"))
 
-  /** As-of join: each event looks up the user's most recent order at the
-    * event's time. Oracle is DuckDB's native ASOF LEFT JOIN.
-    */
-  private def q35(s: SparkSession, d: String): DataFrame = {
+  private def asofInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val orders = Tables.orders(s, d)
       // o_orderdate reads as TIMESTAMP_NTZ; with the session pinned to UTC
       // the LTZ cast is exact and matches DuckDB's naive epoch_ms.
@@ -55,9 +52,33 @@ object ScalePatterns {
         col("o_orderkey"))
     val events = Tables.events(s, d)
       .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"))
+    (events, orders)
+  }
+
+  /** As-of join: each event looks up the user's most recent order at the
+    * event's time. Oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val (events, orders) = asofInputs(s, d)
     AsOfJoin.lookup(
       events, probeKey = "user_id", probeTime = "t_us", probeId = "event_id",
       orders, buildKey = "o_custkey", buildTime = "t_us", buildRef = "o_orderkey")
+      .select(col("id").as("event_id"), col("k").as("user_id"), col("asof_ref").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The hot-key-safe as-of: [[AsOfJoin.lookupBucketed]] with one-day
+    * time buckets, against EXACTLY q35's oracle — same answer, but no
+    * task ever sorts more than one (user, day) slice, which is what
+    * survives when one key owns a data-scale share of the timeline (the
+    * q48-style drop-in-equivalence proof, on the correctness gate).
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val (events, orders) = asofInputs(s, d)
+    AsOfJoin.lookupBucketed(
+      events, probeKey = "user_id", probeTime = "t_us", probeId = "event_id",
+      orders, buildKey = "o_custkey", buildTime = "t_us", buildRef = "o_orderkey",
+      bucketWidth = 86400000000L)
       .select(col("id").as("event_id"), col("k").as("user_id"), col("asof_ref").as("asof_orderkey"))
       .orderBy(col("event_id"))
   }
@@ -237,6 +258,13 @@ object ScalePatterns {
          |FROM w GROUP BY word ORDER BY word""".stripMargin)),
     QueryDef("q34_approx_distinct", q34, None),
     QueryDef("q35_asof_join", q35, Some(
+      """WITH b AS (SELECT o_custkey AS uid, epoch_ms(o_orderdate)*1000 AS t, max(o_orderkey) AS ref
+        |           FROM orders GROUP BY uid, epoch_ms(o_orderdate)*1000),
+        |p AS (SELECT user_id AS uid, epoch_ns(ts)//1000 AS t, event_id FROM events)
+        |SELECT p.event_id, p.uid AS user_id, coalesce(b.ref, -1) AS asof_orderkey
+        |FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND p.t >= b.t
+        |ORDER BY event_id""".stripMargin)),
+    QueryDef("q79_asof_bucketed", q79, Some(
       """WITH b AS (SELECT o_custkey AS uid, epoch_ms(o_orderdate)*1000 AS t, max(o_orderkey) AS ref
         |           FROM orders GROUP BY uid, epoch_ms(o_orderdate)*1000),
         |p AS (SELECT user_id AS uid, epoch_ns(ts)//1000 AS t, event_id FROM events)
