@@ -144,7 +144,77 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Fixed TextRank iteration count — the oracle unrolls exactly this
+    * many power steps (PageRank has no finite fixed point to early-stop
+    * on, so both engines run the same count).
+    */
+  val textrankIters = 3
+
+  /** TextRank keyword extraction: PageRank power iteration (damping
+    * 0.85) over the word co-occurrence graph (adjacent-token pairs,
+    * symmetrized, count-weighted). Every arithmetic step is exact
+    * integer: ranks live in micro-units and each edge's contribution is
+    * the integer quotient (850·w·r) div (1000·d) — order-independent
+    * summands, so shuffle order cannot perturb the result, and the
+    * numerator is promoted to decimal(38,0)/HUGEINT so corpus-scale edge
+    * weights cannot wrap. Per iteration: one vocab-sized join + one
+    * partial-aggregating shuffle — the graph tables are vocabulary-sized,
+    * never corpus-sized. The top-20 selection is a distributed
+    * TakeOrdered (orderBy + limit), NOT a partition-less ranking window;
+    * the row_number that labels the final ranks runs over 20 rows.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, d)
+      .select(text.normalizedTokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val und = pairs.select(col("w1").as("u"), col("w2").as("v"))
+      .unionAll(pairs.select(col("w2").as("u"), col("w1").as("v")))
+    val e = und.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val deg = e.groupBy(col("u")).agg(sum(col("w")).as("d"))
+      .withColumnRenamed("u", "v")
+    val ed = e.join(deg, "v").localCheckpoint() // feeds every iteration
+    var r = ed.select(col("u")).distinct().withColumn("r", lit(1000000L))
+    (1 to textrankIters).foreach { _ =>
+      r = ed.join(r.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), expr(
+          "(CAST(850 AS DECIMAL(38,0)) * w * r) div (CAST(1000 AS DECIMAL(38,0)) * d)").as("term"))
+        .groupBy(col("u"))
+        .agg((lit(150000L) + sum(col("term"))).as("r"))
+    }
+    r.orderBy(col("r").desc, col("u")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("r").desc, col("u"))).cast("long"))
+      .select(col("rank"), col("u").as("word"), col("r").as("rank_micro"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle for [[q80]]: the same power iteration unrolled. */
+  private def textrankSql: String = {
+    val rounds = (1 to textrankIters).map { k =>
+      s"""r$k AS (SELECT e.u, 150000 + CAST(sum(
+         |          (CAST(850 AS HUGEINT) * e.w * p.r) // (CAST(1000 AS HUGEINT) * d.dv)
+         |        ) AS BIGINT) AS r
+         |        FROM e JOIN r${k - 1} p ON p.u = e.v JOIN d ON d.v = e.v
+         |        GROUP BY e.u)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT $tokensSql AS t FROM documents),
+       |pairs AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       |          FROM toks WHERE len(t) >= 2),
+       |und AS (SELECT w1 AS u, w2 AS v FROM pairs UNION ALL SELECT w2, w1 FROM pairs),
+       |e AS (SELECT u, v, count(*) AS w FROM und GROUP BY u, v),
+       |d AS (SELECT u AS v, CAST(sum(w) AS BIGINT) AS dv FROM e GROUP BY u),
+       |r0 AS (SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS r FROM e),
+       |${rounds.mkString(",\n")}
+       |SELECT row_number() OVER (ORDER BY r DESC, u) AS rank, u AS word, r AS rank_micro
+       |FROM r$textrankIters ORDER BY rank LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q80_textrank", q80, Some(textrankSql)),
     QueryDef("q69_zipf_coverage", q69, Some(
       s"""WITH wds AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
          |c AS (SELECT word, count(*) AS n FROM wds GROUP BY word),
