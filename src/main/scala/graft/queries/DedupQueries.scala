@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.text
+import graft.functions.{text, vectors}
 import graft.operators.Dedup
 
 /** Dedup query surface over `documents` (exact, MinHash+LSH, SimHash,
@@ -178,6 +178,37 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic near-duplicate detection (the SemDeDup shape): candidate
+    * pairs come from the TEXT side's MinHash band join — cheap, bounded,
+    * never all-pairs — and the verdict from the EMBEDDING side's exact
+    * cosine over the vec_id == doc_id correspondence. This is the hybrid
+    * a production curation stack runs: surface-form LSH recalls the
+    * candidates, the semantic space decides, so paraphrase-level
+    * duplicates get a signal token overlap alone cannot give. Cost: the
+    * band join plus two embedding-table equi-joins on the candidate set —
+    * O(candidates), the admissible shape at 100 TB. Every pair is
+    * emitted with its cosine and the threshold verdict (the downstream
+    * removal pass filters; keeping the row count equal to the candidate
+    * count makes the query's cost profile independent of the threshold).
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text").localCheckpoint())
+      .select(col("doc_a"), col("doc_b"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("c"))
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("cos"),
+        (col("c") >= lit(Similarity.neardupThreshold)).cast("long").as("is_semdup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** (b, r) banding with r = 2: candidates must agree on both minhashes
     * of some band — the precision knob next to q25's r = 1 recall knob.
     */
@@ -303,6 +334,16 @@ object DedupQueries {
          |FROM base LEFT JOIN v ON v.doc_new = base.doc_id
          |GROUP BY base.doc_id ORDER BY doc_id""".stripMargin
     }),
+    QueryDef("q84_semantic_dedup", q84, Some(
+      s"""WITH $minhashCte,
+         |${candCte(1)},
+         |p AS (SELECT c.doc_a, c.doc_b,
+         |        ${Similarity.cosSql("ea.embedding", "eb.embedding")} AS cs
+         |      FROM cand c JOIN embeddings ea ON ea.vec_id = c.doc_a
+         |                  JOIN embeddings eb ON eb.vec_id = c.doc_b)
+         |SELECT doc_a, doc_b, round(cs, 6) AS cos,
+         |CAST(cs >= CAST(${Similarity.neardupThreshold} AS DOUBLE) AS BIGINT) AS is_semdup
+         |FROM p ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("q43_dedup_pipeline", q43, Some(
       s"""WITH $minhashCte,
          |${candCte(1)},

@@ -193,6 +193,32 @@ object Pipeline {
     */
   private val hashSql = DedupQueries.rollSql("CAST(doc_id AS VARCHAR)")
 
+  /** Document budget the q83 mixture allocates across languages. */
+  val mixtureBudget = 100000L
+
+  /** Temperature-balanced language mixture (alpha = 1/2 — the resampling
+    * a multilingual pretraining corpus applies so high-resource languages
+    * stop drowning low-resource ones): per-language sampling weights and
+    * target document counts proportional to sqrt(n_docs). Exactness:
+    * isqrt = floor(sqrt(n)) is the same IEEE double in both engines
+    * (sqrt is correctly rounded, and on integer inputs below 2^52 the
+    * cast is exact), and every ratio after it is pure integer arithmetic.
+    * Cost: ONE map-side-combined corpus pass; the language table and its
+    * 1-row total are broadcast-sized.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = st.agg(sum(col("isq")).as("sum_isq"))
+    st.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("isq"),
+        expr("(1000 * isq) div sum_isq").as("weight_milli"),
+        expr(s"($mixtureBudget * isq) div sum_isq").as("target_docs"))
+      .withColumn("upsample_milli", expr("(1000 * target_docs) div n_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** Chunk window/stride for q77: 48-token windows every 32 tokens
     * (16-token overlap) — the context-window split a tokenized corpus
     * goes through before packing/training. Sized to the test corpus
@@ -307,6 +333,16 @@ object Pipeline {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          |LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q83_lang_mixture", q83, Some(
+      s"""WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |i AS (SELECT lang, n_docs,
+         |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq FROM st),
+         |t AS (SELECT CAST(sum(isq) AS BIGINT) AS sum_isq FROM i)
+         |SELECT lang, n_docs, isq,
+         |(1000 * isq) // sum_isq AS weight_milli,
+         |($mixtureBudget * isq) // sum_isq AS target_docs,
+         |(1000 * (($mixtureBudget * isq) // sum_isq)) // n_docs AS upsample_milli
+         |FROM i CROSS JOIN t ORDER BY lang""".stripMargin)),
     QueryDef("q55_train_test_split", q55, Some(
       s"""WITH h AS (SELECT lang, n_chars, $hashSql % 10 AS b FROM documents)
          |SELECT lang,

@@ -144,6 +144,36 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Intra-document repetition (the Gopher-style repetition quality
+    * signal): the fraction of repeated tokens and repeated bigrams within
+    * each document, in exact integer milli-units — high repetition is the
+    * classic boilerplate/spam marker a pretraining filter cuts on. Pure
+    * per-row map over the scan (each document's arrays live inside its own
+    * row — no shuffle, no join), so the signal costs one corpus pass at
+    * any scale. The bigram branch is CASE-guarded for 1-token documents
+    * (both engines evaluate CASE lazily, so the guarded transform never
+    * sees a negative sequence bound).
+    */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .where(col("n_tok") >= 1)
+      .withColumn("n_dtok", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_dbg",
+        when(col("n_tok") >= 2,
+          size(array_distinct(expr(
+            "transform(sequence(1, size(toks)-1), i -> concat(toks[i-1], ' ', toks[i]))")))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("n_bg", greatest(col("n_tok") - 1, lit(0L)))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(1000 * (n_tok - n_dtok)) div n_tok").as("tok_rep_milli"),
+        col("n_bg"),
+        expr("CASE WHEN n_bg = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE (1000 * (n_bg - n_dbg)) div n_bg END").as("bigram_rep_milli"))
+      .orderBy(col("doc_id"))
+
   /** Fixed TextRank iteration count — the oracle unrolls exactly this
     * many power steps (PageRank has no finite fixed point to early-stop
     * on, so both engines run the same count).
@@ -214,6 +244,19 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_repetition", q81, Some(
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_dtok,
+         |        CASE WHEN len(toks) >= 2 THEN len(list_distinct(
+         |          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+         |        ELSE 0 END AS n_dbg
+         |      FROM t WHERE len(toks) >= 1)
+         |SELECT doc_id, n_tok,
+         |(1000 * (n_tok - n_dtok)) // n_tok AS tok_rep_milli,
+         |greatest(n_tok - 1, 0) AS n_bg,
+         |CASE WHEN n_tok - 1 <= 0 THEN CAST(0 AS BIGINT)
+         |     ELSE (1000 * ((n_tok - 1) - n_dbg)) // (n_tok - 1) END AS bigram_rep_milli
+         |FROM b ORDER BY doc_id""".stripMargin)),
     QueryDef("q80_textrank", q80, Some(textrankSql)),
     QueryDef("q69_zipf_coverage", q69, Some(
       s"""WITH wds AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),

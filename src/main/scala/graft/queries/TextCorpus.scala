@@ -193,6 +193,28 @@ object TextCorpus {
   private def q60(s: SparkSession, d: String): DataFrame =
     sparseTopK(Tables.documents(s, d), dfCapPct, postingCap)
 
+  /** BPE-style pair statistics — the merge-candidate table a
+    * byte-pair-encoding tokenizer trainer computes each round: adjacent
+    * character pairs inside each vocabulary word, weighted by the word's
+    * corpus frequency, ranked by total corpus occurrences. The only
+    * corpus-scale work is the word-count aggregation (map-side combine,
+    * one shuffle on the word); the character-pair explode then runs over
+    * the VOCABULARY table — orders of magnitude smaller than the corpus —
+    * so the interpreted transform lambda is off the data path (same
+    * rationale as the Lloyd centroid assembly in Similarity).
+    */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    words(s, d)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .where(length(col("word")) >= 2)
+      .select(col("word"), col("n"),
+        explode(expr(
+          "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(countDistinct(col("word")).as("n_words"), sum(col("n")).as("total"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(40)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q16_doc_token_counts", q16,
       Some(s"""SELECT doc_id, len($tokensSql) AS n_tokens
@@ -208,6 +230,14 @@ object TextCorpus {
               |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)
               |SELECT word, count(*) AS doc_freq, substr(word,1,1) AS letter
               |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),
+    QueryDef("q82_bpe_pairs", q82, Some(
+      s"""WITH wds AS (SELECT unnest($tokensSql) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS n FROM wds GROUP BY word),
+         |p AS (SELECT word, n,
+         |        unnest(list_transform(range(1, length(word)), i -> word[i:i+1])) AS pair
+         |      FROM c WHERE length(word) >= 2)
+         |SELECT pair, count(DISTINCT word) AS n_words, CAST(sum(n) AS BIGINT) AS total
+         |FROM p GROUP BY pair ORDER BY total DESC, pair LIMIT 40""".stripMargin)),
     QueryDef("q60_sparse_topk", q60, Some(
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
