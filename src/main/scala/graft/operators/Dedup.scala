@@ -262,6 +262,35 @@ object Dedup {
     labels
   }
 
+  /** Hamming near-dup candidates over a (doc_id, simhash) table by
+    * pigeonhole banding: the signature splits into `numBands` contiguous
+    * bit bands, and any pair within Hamming distance `numBands - 1` must
+    * agree exactly on at least one band — so candidate generation is a
+    * band EQUI-join (one shuffle on (band, key)), never an all-pairs
+    * distance scan. Same spill-backed windowed bucket cap and
+    * lambda-free pair expansion as the MinHash path. Scale note: the
+    * band key space is 2^(bits/numBands) — at corpus scale the signature
+    * (and with it each band) must widen so buckets stay sub-quadratic;
+    * the cap is the backstop, not the plan.
+    */
+  def hammingCandidates(
+      simhashes: DataFrame,
+      bits: Int = simhashBits,
+      numBands: Int = 4,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    require(bits % numBands == 0, s"bits=$bits not divisible by numBands=$numBands")
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val bands = simhashes.select(
+      col("doc_id"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    pairsFromBands(bands, maxBucket)
+  }
+
   /** 16-bit SimHash over occurrence-weighted token hashes. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(

@@ -54,6 +54,36 @@ object DedupQueries {
   private def q26(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** Hamming radius for q85. Pigeonhole: b bands cover distance <= b-1,
+    * so radius 1 needs only [[hammingBands]] = 2 bands — and FEWER bands
+    * mean WIDER band keys (8 bits -> 256 values instead of 4 bits -> 16),
+    * which is what keeps the band buckets sub-quadratic: the radius knob
+    * directly buys candidate-join selectivity. (Radius 1 is also the
+    * meaningful near-dup band on this corpus: the all-pairs Hamming
+    * distribution is measured dense from distance 3 up.)
+    */
+  val hammingMax = 1
+  val hammingBands = 2
+
+  /** SimHash near-duplicate PAIRS (q26 computes signatures; this is the
+    * pairing stage): pigeonhole band equi-join for candidates — one
+    * shuffle, never an all-pairs distance scan — then the exact
+    * bit_count(xor) Hamming verify on the candidate set only. The
+    * signature table is checkpointed once and feeds the band explode and
+    * both verify joins.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.simhash(Tables.documents(s, d), "doc_id", "text").localCheckpoint()
+    Dedup.hammingCandidates(sh, numBands = hammingBands)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .where(col("hamming") <= hammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Distinct word-shingle sets per doc (docs with >= shingleSize tokens),
     * checkpointed once: feeds the signature computation AND both sides of
     * the verification join.
@@ -218,6 +248,25 @@ object DedupQueries {
       rowsPerBand = 2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Shared simhash CTE (mirrors [[graft.operators.Dedup.simhash]]):
+    * yields table sh(doc_id, simhash); used by q26 and q85 so the two
+    * oracles cannot drift.
+    */
+  private def simhashCte: String = {
+    val sums = (0 until Dedup.simhashBits)
+      .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n  ")
+    val bits = (0 until Dedup.simhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+       |hh AS (SELECT doc_id, ${rollSql("word")} AS h FROM w),
+       |s AS (SELECT doc_id,
+       |  $sums
+       |FROM hh GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
+
   /** Shared minhash CTE text (mirrors Dedup.minhashSignatures). */
   private def minhashCte: String = {
     val mh = (0 until Dedup.numHashes).map { i =>
@@ -264,19 +313,29 @@ object DedupQueries {
       s"""WITH $minhashCte,
          |${candCte(1)}
          |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
-    QueryDef("q26_simhash", q26, Some {
-      val sums = (0 until Dedup.simhashBits)
-        .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(",\n  ")
-      val bits = (0 until Dedup.simhashBits)
-        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
-         |hh AS (SELECT doc_id, ${rollSql("word")} AS h FROM w),
-         |s AS (SELECT doc_id,
-         |  $sums
-         |FROM hh GROUP BY doc_id)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+    QueryDef("q26_simhash", q26, Some(
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin)),
+    QueryDef("q85_simhash_neardup", q85, Some {
+      val bandBits = Dedup.simhashBits / hammingBands
+      val mask = (1L << bandBits) - 1
+      s"""WITH $simhashCte,
+         |bands AS (SELECT doc_id, band, (simhash >> ($bandBits * band)) & $mask AS key
+         |          FROM sh CROSS JOIN (SELECT unnest(range(0, $hammingBands)) AS band) b),
+         |cf AS (SELECT doc_id, band, key FROM (
+         |         SELECT doc_id, band, key,
+         |           count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
+         |       WHERE bn <= ${Dedup.defaultMaxBucket}),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM cf a JOIN cf b ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |p AS (SELECT doc_a, doc_b,
+         |        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |                JOIN sh sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $hammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin
     }),
     QueryDef("q27_ngram_jaccard", q27, Some(
       s"""WITH $minhashCte,

@@ -196,6 +196,28 @@ object Pipeline {
   /** Document budget the q83 mixture allocates across languages. */
   val mixtureBudget = 100000L
 
+  /** Output shard count for the q86 manifest. */
+  val numShards = 32
+
+  /** Deterministic output-shard manifest: assign every document to one of
+    * [[numShards]] shards by the portable content-independent doc_id hash
+    * and audit the balance (doc count, byte mass, id range per shard) —
+    * the writer fan-out decision a 100 TB pipeline makes before the final
+    * write, where shard skew becomes straggler tasks. Hash sharding is
+    * retry-idempotent and cluster-size-independent (the same document
+    * lands in the same shard on every run — `repartition(rand)` is
+    * neither); the audit itself is one map-side-combined pass.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(textstats.rollingHash(col("doc_id").cast("string")), lit(numShards))
+          .as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
   /** Temperature-balanced language mixture (alpha = 1/2 — the resampling
     * a multilingual pretraining corpus applies so high-resource languages
     * stop drowning low-resource ones): per-language sampling weights and
@@ -333,6 +355,11 @@ object Pipeline {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          |LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q86_shard_manifest", q86, Some(
+      s"""WITH h AS (SELECT doc_id, n_chars, $hashSql % $numShards AS shard FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
     QueryDef("q83_lang_mixture", q83, Some(
       s"""WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          |i AS (SELECT lang, n_docs,
