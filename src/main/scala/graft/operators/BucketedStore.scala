@@ -15,19 +15,35 @@ import org.apache.spark.sql.functions.col
   */
 object BucketedStore {
 
+  /** Physical (catalog) name for a logical table name: unqualified only
+    * (the orphan cleanup below derives a warehouse path, which is only
+    * valid in the default database), suffixed with this JVM's PID so two
+    * concurrent sessions sharing a warehouse directory can never delete
+    * or overwrite each other's live table directories (the in-memory
+    * catalog is per-JVM but the warehouse dir is not). PID reuse implies
+    * the previous owner is dead, so reclaiming its directory is safe.
+    */
+  private def physicalName(table: String): String = {
+    require(!table.contains("."),
+      s"BucketedStore requires an unqualified (default-database) table name, got '$table'")
+    s"${table}_p${ProcessHandle.current().pid()}"
+  }
+
   /** Save as a bucketed + per-bucket-sorted managed parquet table
     * (overwrite). Bucket count is the scale knob: size it so one bucket
     * of the LARGER table fits an executor's sort buffer.
     */
   def saveBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
     val s = df.sparkSession
+    val phys = physicalName(table)
     // The in-memory catalog is per-JVM but the warehouse directory is
-    // not: a location left by a previous session makes CREATE fail with
-    // LOCATION_ALREADY_EXISTS even in overwrite mode (the new catalog
-    // does not know the table). Clear the orphan before writing.
-    if (!s.catalog.tableExists(table)) {
+    // not: a location left by a previous (dead, same-PID) session makes
+    // CREATE fail with LOCATION_ALREADY_EXISTS even in overwrite mode
+    // (the new catalog does not know the table). Clear the orphan before
+    // writing — the PID suffix guarantees no LIVE session owns this dir.
+    if (!s.catalog.tableExists(phys)) {
       val wh = s.conf.get("spark.sql.warehouse.dir")
-      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val path = new org.apache.hadoop.fs.Path(wh, phys.toLowerCase)
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
     }
@@ -39,7 +55,7 @@ object BucketedStore {
     df.repartition(buckets, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+      .saveAsTable(phys)
   }
 
   /** Create the bucketed table only if this session has not already
@@ -50,8 +66,15 @@ object BucketedStore {
     * handling in [[saveBucketed]].
     */
   def ensureBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
+    if (!df.sparkSession.catalog.tableExists(physicalName(table)))
       saveBucketed(df, table, buckets, key)
+
+  /** Whether the logical table already exists in this session (i.e. the
+    * next [[ensureBucketed]] is a no-op and a join is exchange-free
+    * steady state).
+    */
+  def isMaterialized(s: SparkSession, table: String): Boolean =
+    s.catalog.tableExists(physicalName(table))
 
   /** Co-located equi-join of two same-bucket-count tables on their
     * bucket keys. The `merge` hint keeps the sort-merge path even when
@@ -62,6 +85,6 @@ object BucketedStore {
   def colocatedJoin(
       s: SparkSession, left: String, right: String,
       leftKey: String, rightKey: String): DataFrame =
-    s.table(left).hint("merge")
-      .join(s.table(right), col(leftKey) === col(rightKey))
+    s.table(physicalName(left)).hint("merge")
+      .join(s.table(physicalName(right)), col(leftKey) === col(rightKey))
 }

@@ -139,6 +139,13 @@ object Dedup {
     // minhashSignatures(k) without threading the width through callers.
     val width = signatures.columns.count(_.matches("mh\\d+"))
     require(width >= 1, s"no mh* signature columns in ${signatures.columns.mkString(",")}")
+    // Contiguity, not just count: a frame with mh0..mh7 plus a stray mh9
+    // would pass the count check and then band over a hole. Require
+    // exactly mh0..mh{width-1}.
+    val missing = (0 until width).map(i => s"mh$i").filterNot(signatures.columns.contains)
+    require(missing.isEmpty,
+      s"mh* columns not contiguous from mh0: missing ${missing.mkString(",")} " +
+        s"in ${signatures.columns.filter(_.matches("mh\\d+")).mkString(",")}")
     require(width % rowsPerBand == 0, s"width=$width not divisible by r=$rowsPerBand")
     require(rowsPerBand <= 2, s"base-P band key packing overflows BIGINT for r > 2 (r=$rowsPerBand)")
     val numBands = width / rowsPerBand
@@ -291,21 +298,48 @@ object Dedup {
     pairsFromBands(bands, maxBucket)
   }
 
-  /** 16-bit SimHash over occurrence-weighted token hashes. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash over occurrence-weighted token hashes ([[simhashBits]] wide
+    * by default). `bits` is the scale knob the band-width curve in
+    * DedupSpec measures: each of [[hammingCandidates]]'s band keys spans
+    * bits/numBands bits, so widening the signature grows the key space
+    * (2^(bits/numBands)) and shrinks band buckets — the lever that keeps
+    * candidate generation sub-quadratic as the corpus grows. bits = 64
+    * is exact: each summand below is a distinct power of two, so the
+    * wrap-around on bit 63 lands exactly on the sign bit (the bit
+    * pattern stays injective; the arithmetic-shift band extraction masks
+    * the sign extension off).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = simhashBits): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")
     val words = docs.select(
       col(idCol).as("doc_id"),
       explode(text.normalizedTokens(col(textCol))).as("word"))
-    val h = words.select(col("doc_id"), textstats.rollingHash(col("word")).as("h"))
-    val sums = (0 until simhashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"s$j")
+    val h = words.select(col("doc_id"), col("word"),
+      textstats.rollingHash(col("word")).as("h"))
+    // Bits beyond the oracled 16-wide default draw from per-bit SEEDED
+    // re-hashes of the token: the base hash is mod 1e9+7, so its bits
+    // 30+ are constant and its TOP in-range bits (16..29) are the weak
+    // bits of a mod-P value — bands built from either collapse into few
+    // buckets and a "wider" signature silently gets WORSE (measured in
+    // DedupSpec's width curve, not hypothetical). The seed goes in FRONT
+    // of the token (a suffix seed only perturbs the last fold step, so
+    // seeds of equal parity produce identical hash parities) and the
+    // extracted bit is a middle one (bit 0 is the polynomial's parity,
+    // which a +-1 seed change simply flips globally). The oracled
+    // default ([[simhashBits]] = 16) uses base-hash bits only, unchanged.
+    val sums = (0 until bits).map { j =>
+      val bit =
+        if (j < 16) shiftright(col("h"), j).bitwiseAND(lit(1L))
+        else shiftright(
+          textstats.rollingHash(concat(lit(s"$j#"), col("word"))), 15).bitwiseAND(lit(1L))
+      sum(when(bit === 1L, 1L).otherwise(-1L)).as(s"s$j")
     }
     h.groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(
         col("doc_id"),
-        (0 until simhashBits)
+        (0 until bits)
           .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"),
       )

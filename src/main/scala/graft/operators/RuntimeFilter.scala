@@ -63,13 +63,18 @@ object RuntimeFilter {
       probeKey: String,
       buildKey: String,
       expectedItems: Long = -1L): DataFrame = {
+    require(expectedItems == -1L || expectedItems > 0L,
+      s"expectedItems must be -1 (auto: count the build side) or positive, got $expectedItems")
     val b = build.localCheckpoint()
-    // Clamp into BloomFilterAggregate's accepted range (it rejects
-    // estimates above spark.sql.optimizer.runtime.bloomFilter.maxNumItems,
-    // 4M by default — past that a Bloom filter stops paying anyway).
+    // Clamp into BloomFilterAggregate's accepted range: it rejects
+    // estimates above spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    // (4M by default — past that a Bloom filter stops paying anyway), so
+    // read the session's actual conf rather than hard-coding the default.
+    val maxItems = build.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val items = math.min(
       if (expectedItems > 0) expectedItems else math.max(b.count(), 64L),
-      4000000L)
+      maxItems)
     val bloom = buildBloom(b, b(buildKey), items)
     probe
       .where(mightContain(bloom, probe(probeKey)))

@@ -48,6 +48,20 @@ object Extras {
         md5(col("resized")).as("resized_md5"))
       .orderBy(col("media_id"))
 
+  /** Tumbling 5-minute event-time windows per event type — EXACTLY the
+    * transform the streaming path runs ([[EventStreams.windowedAggregates]],
+    * watermark included), executed in batch mode so the DuckDB oracle
+    * gate covers the streaming surface's flagship aggregation (the
+    * batch==streaming output equivalence itself is asserted in
+    * StreamingSpec; this pins the VALUES against an independent engine).
+    */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    EventStreams.windowedAggregates(Tables.events(s, d))
+      .select(
+        col("window_start"), col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Event-time session windows (8h gap) per user — the same transform
     * the streaming path runs.
     */
@@ -110,5 +124,12 @@ object Extras {
          |  count(*) AS n_events, round(sum(value), 2) AS session_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
     }),
+    // Tumbling windows align to the epoch (Spark's window() default), so
+    // window_start = floor(event seconds / 300) * 300.
+    QueryDef("q87_windowed_agg", q87, Some(
+      """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
+        |event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin)),
   )
 }

@@ -175,17 +175,41 @@ object Pipeline {
     * and cluster size; contrast TABLESAMPLE/rand(), which are none of
     * those). One window sort per language partition.
     */
-  private def q64(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
+  /** Salt slices for the q64 sampler — same role as
+    * [[TextCorpus.postingSalt]]: a hot language ranks in `sampleSalt`
+    * parallel slices instead of shipping its whole corpus to one task.
+    */
+  val sampleSalt = 16
+
+  /** Per-language top-k sampler with bounded per-task state: rank within
+    * (lang, doc_id % salt) slices and keep <= k per slice (every global
+    * top-k row survives its own slice's cap), then rank the <= salt*k
+    * survivors per language for the final rk. Identical to the plain
+    * per-language `row_number <= k` — but no task ever sorts a whole
+    * language's corpus (at 100 TB one language IS most of the corpus),
+    * and both passes stay in whole-stage codegen (the typed
+    * TopKAggregator alternative pays a per-row encode/decode plus a
+    * first-execution JIT cliff — see [[TextCorpus.cappedPostings]]).
+    * Exposed for the hot-language spec.
+    */
+  private[graft] def sampledPerLang(docs: DataFrame, k: Int): DataFrame = {
+    val slice = Window
+      .partitionBy(col("lang"), pmod(col("doc_id"), lit(sampleSalt)))
       .orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, d)
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
       .select(col("lang"), col("doc_id"),
         textstats.rollingHash(col("doc_id").cast("string")).as("h"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= 20)
+      .withColumn("r1", row_number().over(slice)).where(col("r1") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .where(col("rk") <= k)
       .select(col("lang"), col("rk"), col("doc_id"))
-      .orderBy(col("lang"), col("rk"))
   }
+
+  private def q64(s: SparkSession, d: String): DataFrame =
+    sampledPerLang(Tables.documents(s, d), 20)
+      .orderBy(col("lang"), col("rk"))
 
   /** DuckDB replica of the doc_id hash — the ONE shared rolling-hash
     * replica ([[DedupQueries.rollSql]]), so a future hash/modulus change
@@ -422,7 +446,7 @@ object Pipeline {
     QueryDef("q62_outlier_docs", q62, Some(
       """WITH st AS (SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS HUGEINT) AS sx,
-        |  CAST(sum(n_chars * n_chars) AS HUGEINT) AS sxx
+        |  sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx
         |  FROM documents GROUP BY lang)
         |SELECT doc_id, documents.lang AS lang, n_chars
         |FROM documents JOIN st ON documents.lang = st.lang

@@ -220,6 +220,62 @@ object Similarity {
     */
   private def q71(s: SparkSession, d: String): DataFrame = ivfProbe(s, d, nprobe = 2)
 
+  /** IVF index dirs this JVM has already built (the write-once /
+    * probe-many amortization a production ANN index lives by).
+    */
+  private val ivfWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Build the persisted IVF index once per session: train (one Lloyd
+    * step over the seed centroids — q42's construction) and materialize
+    * BOTH index tables as parquet: `centroids` (16 rows) and
+    * `assignments` (corpus-sized (vec_id, cid) — the inverted file).
+    * Returns (centroidsDir, assignmentsDir). PID-suffixed path, so
+    * concurrent sessions (bench + verify) never clobber each other's
+    * live index files; later calls in the same session are no-ops and
+    * probes serve purely from the persisted tables.
+    */
+  private[graft] def ensureIvfIndex(s: SparkSession, d: String): (String, String) = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_${sfx}_p${ProcessHandle.current().pid()}")
+    val centDir = new java.io.File(base, "centroids").getAbsolutePath
+    val asgDir = new java.io.File(base, "assignments").getAbsolutePath
+    if (ivfWritten.add(base.getAbsolutePath)) {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+        .localCheckpoint() // feeds both assignment passes + the centroid train
+      val c0 = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val cent = centroids(e, nearest(e, c0, "vec_id", "embedding", "nrm"))
+        .localCheckpoint() // feeds the write AND the assignment pass
+      cent.write.mode("overwrite").parquet(centDir)
+      nearest(e, cent, "vec_id", "embedding", "nrm")
+        .write.mode("overwrite").parquet(asgDir)
+      DatasetBridge.unpersistCheckpoint(cent)
+      DatasetBridge.unpersistCheckpoint(e)
+    }
+    (centDir, asgDir)
+  }
+
+  /** Probe-only ANN against the PERSISTED IVF index: [[ensureIvfIndex]]
+    * amortizes training + corpus assignment into one write, and this
+    * query's own plan contains NO training stages — just scans of the
+    * two index tables, the broadcast centroid ranking, and the probed
+    * cluster's exact re-rank (plan-asserted in SimilaritySpec). Same
+    * result as q42 (the index persists exactly q42's construction, and
+    * parquet round-trips doubles losslessly), so it shares q42's oracle
+    * — what changes is the serving cost: at 100 TB the corpus is
+    * assigned once, then every query pays only centroid-broadcast +
+    * one cluster.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val (centDir, asgDir) = ensureIvfIndex(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    probeTail(e, s.read.parquet(centDir), s.read.parquet(asgDir), nprobe = 1)
+  }
+
   /** The Lloyd centroid update: each centroid becomes the element-wise
     * mean of its members, computed in quantized integer space —
     * floor(v*1000) BIGINT component sums are exact and order-independent,
@@ -437,6 +493,7 @@ object Similarity {
     QueryDef("q42_ivf_probe", q42, Some(ivfProbeSql(1))),
     QueryDef("q71_ivf_multiprobe", q71, Some(ivfProbeSql(2))),
     QueryDef("q73_lloyd_probe", q73, Some(ivfProbeSql(1, lloydSteps))),
+    QueryDef("q88_ivf_persisted_probe", q88, Some(ivfProbeSql(1))),
   )
 
   /** Oracle for [[ivfProbe]]/[[lloydProbe]], parameterized by probe width

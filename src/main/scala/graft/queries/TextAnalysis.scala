@@ -207,13 +207,23 @@ object TextAnalysis {
     val deg = e.groupBy(col("u")).agg(sum(col("w")).as("d"))
       .withColumnRenamed("u", "v")
     val ed = e.join(deg, "v").localCheckpoint() // feeds every iteration
-    var r = ed.select(col("u")).distinct().withColumn("r", lit(1000000L))
+    // Per-round checkpoint-and-free (the canonicalLabels discipline):
+    // each round's rank table truncates the previous round's lineage and
+    // frees its blocks, so raising textrankIters grows neither the plan
+    // nor executor storage. The tables are vocabulary-sized, so the
+    // checkpoint itself is cheap.
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    var r = ed.select(col("u")).distinct()
+      .withColumn("r", lit(1000000L)).localCheckpoint()
     (1 to textrankIters).foreach { _ =>
-      r = ed.join(r.withColumnRenamed("u", "v"), "v")
+      val next = ed.join(r.withColumnRenamed("u", "v"), "v")
         .select(col("u"), expr(
           "(CAST(850 AS DECIMAL(38,0)) * w * r) div (CAST(1000 AS DECIMAL(38,0)) * d)").as("term"))
         .groupBy(col("u"))
         .agg((lit(150000L) + sum(col("term"))).as("r"))
+        .localCheckpoint()
+      DatasetBridge.unpersistCheckpoint(r)
+      r = next
     }
     r.orderBy(col("r").desc, col("u")).limit(20)
       .withColumn("rank",

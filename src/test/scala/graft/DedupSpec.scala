@@ -123,6 +123,33 @@ class DedupSpec extends SparkSpec {
       "r=2 banding dropped no low-J candidate — the precision knob is inert on this corpus")
   }
 
+  test("simhash band-width curve: candidate volume vs signature width, measured (16/32/64 bits)") {
+    // The q85 scale note claims widening the signature is what keeps the
+    // pigeonhole band join sub-quadratic (band key space = 2^(bits/b)).
+    // Measure it: same real corpus, same band count, three widths, RAW
+    // candidate volume (cap disabled — the cap is the backstop, not the
+    // plan; measuring through it would hide the curve it bounds).
+    val docs = Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val counts = Seq(16, 32, 64).map { bits =>
+      val sh = Dedup.simhash(docs, "doc_id", "text", bits).localCheckpoint()
+      bits -> Dedup.hammingCandidates(sh, bits = bits,
+        numBands = graft.queries.DedupQueries.hammingBands,
+        maxBucket = Int.MaxValue).count()
+    }.toMap
+    val allPairs = nDocs * (nDocs - 1) / 2
+    info(s"docs=$nDocs allPairs=$allPairs; candidates: 16b=${counts(16)} 32b=${counts(32)} 64b=${counts(64)}")
+    // The curve must be monotone: every widening strictly grows the band
+    // key space, so random collisions can only fall.
+    assert(counts(32) <= counts(16), counts.toString)
+    assert(counts(64) <= counts(32), counts.toString)
+    // Width is the effective lever on this corpus: 16 -> 64 bits must cut
+    // candidate volume by >= 10x (else the scale note is empty words).
+    assert(counts(16) >= 10 * math.max(counts(64), 1), counts.toString)
+    // And the widest setting is genuinely sub-quadratic.
+    assert(counts(64) * 10 < allPairs, s"64-bit candidates not sub-quadratic: $counts vs $allPairs")
+  }
+
   test("canonicalLabels propagates the component minimum across chains (beyond 1-hop)") {
     val spark0 = spark
     import spark0.implicits._

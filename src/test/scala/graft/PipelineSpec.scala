@@ -97,6 +97,45 @@ class PipelineSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q64 sampler == plain per-language window on a hot language, with bounded slices") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // One language is 99% of the corpus — the shape that makes a plain
+    // per-language row_number window ship most of the dataset to one task.
+    val docs = ((0 until 990).map(i => (i.toLong, "hot", "x")) ++
+      (990 until 1000).map(i => (i.toLong, s"l${i % 5}", "y")))
+      .toDF("doc_id", "lang", "text").localCheckpoint()
+    val sampled = graft.queries.Pipeline.sampledPerLang(docs, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val plain = docs
+      .select(col("lang"), col("doc_id"),
+        graft.functions.textstats.rollingHash(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sampled == plain)
+    // Bounded per-task state: the hot language really spreads across salt
+    // slices, so no first-pass task ranks more than ~1/salt of it...
+    val spread = docs.where(col("lang") === "hot")
+      .select(pmod(col("doc_id"), lit(graft.queries.Pipeline.sampleSalt)))
+      .distinct().count()
+    assert(spread == graft.queries.Pipeline.sampleSalt, s"salt spread: $spread")
+    // ...and the second pass ranks at most salt*k survivors per language.
+    val survivors = {
+      val slice = Window
+        .partitionBy(col("lang"), pmod(col("doc_id"), lit(graft.queries.Pipeline.sampleSalt)))
+        .orderBy(col("h"), col("doc_id"))
+      docs.select(col("lang"), col("doc_id"),
+          graft.functions.textstats.rollingHash(col("doc_id").cast("string")).as("h"))
+        .withColumn("r1", row_number().over(slice)).where(col("r1") <= 20)
+        .groupBy(col("lang")).count().collect().map(_.getLong(1)).max
+    }
+    assert(survivors <= 20L * graft.queries.Pipeline.sampleSalt, s"survivors: $survivors")
+  }
+
   test("q60 retrieval ranks 5 hits per query doc, never the query itself") {
     val rows = SparkEntry.queries("q60_sparse_topk")(spark, sf0001).collect()
     val perQuery = rows.groupBy(_.getLong(0))

@@ -107,4 +107,18 @@ class SimilaritySpec extends SparkSpec {
     // Measured 0.96 at sf0.001 and sf0.01; floor leaves noise headroom.
     assert(recalls.sum / recalls.size >= 0.9, s"int8 recall collapsed: $recalls")
   }
+
+  test("q88 persisted-index probe: same answer as q42, NO training stage in the probe plan") {
+    val probe = SparkEntry.queries("q88_ivf_persisted_probe")(spark, sf0001)
+    val got = probe.collect().toSeq
+    val q42 = SparkEntry.queries("q42_ivf_probe")(spark, sf0001).collect().toSeq
+    assert(got == q42, "persisted index diverged from the in-line q42 construction")
+    // The probe's own plan must serve purely from the persisted index:
+    // centroid training is a posexplode (Generate) + collect_list
+    // aggregate — neither may appear once the index exists.
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"), "centroid-train aggregate leaked into the probe plan")
+    assert(!p.contains("Generate"), "posexplode (centroid train) leaked into the probe plan")
+    assert(p.contains("graft_ivf_"), s"probe does not scan the persisted index: ${p.take(400)}")
+  }
 }
