@@ -301,7 +301,58 @@ object DedupQueries {
        |         GROUP BY doc_a, doc_b)""".stripMargin
   }
 
+  /** Corpus-overlap estimation between SOURCES via union minhash
+    * sketches — the planning query a multi-source 100 TB ingest runs
+    * BEFORE paying for pairwise document dedup: the minhash of a union
+    * is the min of the minhashes, so min-aggregating the per-document
+    * signatures by source yields each source's shingle-set sketch in one
+    * map-side-combining pass, and the pairwise Jaccard estimate is the
+    * fraction of agreeing permutations over the S-row sketch table
+    * (S = sources; the self-join is S^2 sketch rows, not data). The
+    * estimator's granularity is 1/numHashes (coarse at the default 8 —
+    * the signature-width knob trades sketch bytes for resolution);
+    * jaccard_milli is exact-integer on both engines. The sketch table is
+    * localCheckpoint'd so the tiny self-join does not re-inline the
+    * corpus pipeline into both sides.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val mins = (0 until Dedup.numHashes).map(i => min(col(s"mh$i")).as(s"mh$i"))
+    val srcSig = sigs.groupBy(col("source"))
+      .agg(mins.head, mins.tail: _*).localCheckpoint()
+    def side(tag: String) = srcSig.select(
+      col("source").as(s"src_$tag") +:
+        (0 until Dedup.numHashes).map(i => col(s"mh$i").as(s"$tag$i")): _*)
+    val agree = (0 until Dedup.numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    side("a").join(side("b"), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), agree.as("n_agree"))
+      .withColumn("jaccard_milli", col("n_agree") * lit(1000L / Dedup.numHashes))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Oracle for [[q90]]: same union-sketch construction over the shared
+    * minhash CTE.
+    */
+  private def sourceOverlapSql: String = {
+    val mins = (0 until Dedup.numHashes).map(i => s"min(mh$i) AS mh$i").mkString(", ")
+    val agree = (0 until Dedup.numHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $minhashCte,
+       |ds AS (SELECT m.*, d.source FROM m JOIN documents d USING (doc_id)),
+       |ss AS (SELECT source, $mins FROM ds GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST($agree AS BIGINT) AS n_agree,
+       |  CAST(($agree) * ${1000L / Dedup.numHashes} AS BIGINT) AS jaccard_milli
+       |FROM ss a JOIN ss b ON a.source < b.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q90_source_overlap", q90, Some(sourceOverlapSql)),
     QueryDef("q23_dedup_exact", q23, Some(
       s"""WITH n AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS h FROM documents)
          |SELECT h AS md5_norm, count(*) AS n_copies, min(doc_id) AS canonical_doc_id

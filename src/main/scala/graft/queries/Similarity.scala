@@ -414,6 +414,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** 1-bit (sign) binary quantization ANN — the extreme point of the
+    * quantization family (float q29 -> int8 q75 -> 1-bit here): each
+    * 64-dim float vector becomes its 64 sign bits, a 256x storage /
+    * bandwidth cut, and similarity ranking becomes integer Hamming
+    * distance (xor + popcount — exact, engine-portable, no floats
+    * anywhere). The bits pack into TWO BIGINT halves (lo = dims 0..31,
+    * hi = 32..63) rather than one: bit 63 would be the sign bit, whose
+    * portable construction (1 << 63) overflows DuckDB's BIGINT
+    * arithmetic — two halves keep both engines in plain positive-integer
+    * space. Ranking: 5-query broadcast against the corpus (q75's
+    * shape); recall@5 vs the float brute force is measured in
+    * SimilaritySpec. At 100 TB this is the candidate-generation tier
+    * that reads 16 bytes/vector instead of 4 KB.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val p = signPacked(s, d)
+    val qs = p.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    broadcast(qs)
+      .join(p.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) AS BIGINT)").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** (vec_id, lo, hi): sign bits of the 64 components packed into two
+    * BIGINT halves — one narrow map, constant per-row work.
+    */
+  private[graft] def signPacked(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      (0 until 32)
+        .map(j => when(element_at(col("embedding"), j + 1) > lit(0f), lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("lo"),
+      (32 until 64)
+        .map(j => when(element_at(col("embedding"), j + 1) > lit(0f), lit(1L << (j - 32))).otherwise(lit(0L)))
+        .reduce(_ + _).as("hi"))
+
   /** (vec_id, qv = int8-representable components as doubles, qn = exact
     * integer norm) — one narrow map over the corpus; the 64-element
     * interpreted transforms are per-row constant work, not data-scale
@@ -494,6 +537,22 @@ object Similarity {
     QueryDef("q71_ivf_multiprobe", q71, Some(ivfProbeSql(2))),
     QueryDef("q73_lloyd_probe", q73, Some(ivfProbeSql(1, lloydSteps))),
     QueryDef("q88_ivf_persisted_probe", q88, Some(ivfProbeSql(1))),
+    QueryDef("q89_binary_ann", q89, Some(
+      """WITH p AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    j -> CASE WHEN embedding[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS lo,
+        |  CAST(list_sum(list_transform(range(32, 64),
+        |    j -> CASE WHEN embedding[j+1] > 0 THEN (1::BIGINT << (j-32)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM p WHERE vec_id < 5),
+        |c AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+        |        CAST(bit_count(xor(q.qlo, p.lo)) + bit_count(xor(q.qhi, p.hi)) AS BIGINT) AS hamming
+        |      FROM q CROSS JOIN p WHERE p.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        |      FROM c)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
   )
 
   /** Oracle for [[ivfProbe]]/[[lloydProbe]], parameterized by probe width
