@@ -217,6 +217,32 @@ object Pipeline {
     */
   private val hashSql = DedupQueries.rollSql("CAST(doc_id AS VARCHAR)")
 
+  /** Length-decile stratification — the curriculum/length-bucketing pass
+    * (order the corpus by document length, cut into 10 equal-count
+    * strata, summarize each): a GLOBAL-order statistic, which the naive
+    * `row_number() OVER (ORDER BY ...)` computes by shipping the entire
+    * corpus to ONE task. Here the global rank rides the two-level
+    * [[graft.operators.PrefixSum]] instead (running count of 1 bucketed
+    * by the order-aligned `n_chars div 16`): local ranks parallel per
+    * bucket, exclusive offsets from the tiny bucket-totals table, N from
+    * a broadcast scalar — no task ever sees more than one bucket's rows.
+    * decile = ((rank-1)*10) div N is exact integer both engines.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("N"))
+    val base = docs.select(col("doc_id"), col("n_chars"), lit(1L).as("one"),
+      expr("n_chars div 16").as("bkt"))
+    graft.operators.PrefixSum
+      .withRunningTotal(base, Seq.empty, "bkt", Seq("n_chars", "doc_id"), "one", "rn")
+      .crossJoin(broadcast(n))
+      .select(col("n_chars"), expr("((rn - 1) * 10) div N").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("decile"))
+  }
+
   /** Document budget the q83 mixture allocates across languages. */
   val mixtureBudget = 100000L
 
@@ -437,6 +463,14 @@ object Pipeline {
         |coalesce(t_purchase, -1) AS t_purchase_us
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin)),
+    QueryDef("q91_length_deciles", q91, Some(
+      """WITH r AS (SELECT doc_id, n_chars,
+        |        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |        count(*) OVER () AS n FROM documents)
+        |SELECT ((rn - 1) * 10) // n AS decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin)),
     QueryDef("q64_corpus_sample", q64, Some(
       s"""WITH h AS (SELECT lang, doc_id, $hashSql AS h FROM documents),
          |r AS (SELECT lang, doc_id,

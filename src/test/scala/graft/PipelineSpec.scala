@@ -136,6 +136,35 @@ class PipelineSpec extends SparkSpec {
     assert(survivors <= 20L * graft.queries.Pipeline.sampleSalt, s"survivors: $survivors")
   }
 
+  test("q91 deciles: 10 balanced strata, conserved mass, no corpus-wide partition-less window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q91_length_deciles")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L), "expected exactly deciles 0..9")
+    val n = rows.map(_.getLong(1)).sum
+    val total = Tables.documents(spark, sf0001).count()
+    assert(n == total, s"decile doc counts $n != corpus $total")
+    // Equal-count cut: every stratum within 1 doc of N/10.
+    assert(rows.map(_.getLong(1)).max - rows.map(_.getLong(1)).min <= 1, rows.mkString(","))
+    // Strata are ordered: decile d's max length <= decile d+1's min.
+    val byDecile = rows.sortBy(_.getLong(0))
+    byDecile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2), s"strata overlap: $a vs $b")
+    }
+    // The global rank must ride the PrefixSum decomposition: any
+    // partition-less window runs over the bucket-totals aggregate
+    // (grouped by bkt), never over the corpus rows.
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty), "no bucket-partitioned local window")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overBucketTotals = w.collectFirst {
+        case a: Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "bkt")) => a
+      }.isDefined
+      assert(overBucketTotals, s"partition-less window not over bucket totals:\n$w")
+    }
+  }
+
   test("q60 retrieval ranks 5 hits per query doc, never the query itself") {
     val rows = SparkEntry.queries("q60_sparse_topk")(spark, sf0001).collect()
     val perQuery = rows.groupBy(_.getLong(0))
