@@ -62,6 +62,19 @@ object Extras {
         round(col("total"), 2).as("total"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding-window aggregate ([[EventStreams.slidingAggregates]]) in
+    * batch mode — completes the windowing family on the oracle gate
+    * (tumbling q87, session q32, sliding here). The oracle rebuilds the
+    * hop membership explicitly: an event at second t belongs to the
+    * windows starting at floor(t/300)*300 - k*300 for k in {0, 1}.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    EventStreams.slidingAggregates(Tables.events(s, d))
+      .select(
+        col("window_start"), col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Event-time session windows (8h gap) per user — the same transform
     * the streaming path runs.
     */
@@ -130,6 +143,14 @@ object Extras {
       """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
         |event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin)),
+    QueryDef("q92_sliding_agg", q92, Some(
+      """WITH e AS (SELECT event_type, value,
+        |        (epoch_ns(ts) // 1000000000) // 300 * 300 AS hop FROM events),
+        |x AS (SELECT event_type, value, hop - k * 300 AS window_start
+        |      FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k) ks)
+        |SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM x GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin)),
   )
 }

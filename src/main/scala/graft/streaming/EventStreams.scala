@@ -35,6 +35,21 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total"))
 
+  /** Sliding (hopping) 10-minute windows every 5 minutes per event type
+    * — each event contributes to size/slide = 2 overlapping windows (the
+    * trailing-indicator shape: "events in the LAST 10 minutes, refreshed
+    * every 5"). Same watermark-bounded state as the tumbling form; the
+    * duplication factor is the constant size/slide, not data-dependent.
+    */
+  def slidingAggregates(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
   /** Event-time session windows per user (gap-based). */
   def sessionWindows(events: DataFrame, gap: String = "8 hours"): DataFrame =
     withEventTime(events)

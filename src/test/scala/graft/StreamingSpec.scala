@@ -45,6 +45,16 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("sliding windows: streaming == batch; every event lands in exactly 2 hops") {
+    val streamed = runStream("w_sliding", EventStreams.slidingAggregates, "complete")
+    val batch = EventStreams.slidingAggregates(batchEvents)
+    assert(streamed.count() > 0)
+    assert(asSet(streamed) == asSet(batch))
+    // size/slide = 2: the sliding row mass is exactly twice the corpus.
+    val total = batch.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0)
+    assert(total == 2 * batchEvents.count(), s"hop duplication factor off: $total")
+  }
+
   test("session windows: streaming == batch") {
     val streamed = runStream("w_sessions", EventStreams.sessionWindows(_), "complete")
     val batch = EventStreams.sessionWindows(batchEvents)
