@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{text, vectors}
+import graft.functions.{text, textstats, vectors}
 import graft.operators.Dedup
 
 /** Dedup query surface over `documents` (exact, MinHash+LSH, SimHash,
@@ -239,6 +239,59 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Span width for exact substring-span dedup (q93). 8 normalized
+    * tokens locally; production exact-substring dedup uses ~50-token
+    * windows — the width only changes the explode factor, not the plan.
+    */
+  val spanWidth = 8
+
+  /** Exact substring-span dedup: the sub-document signal the doc-level
+    * family (exact q23, MinHash q25, SimHash q85, semantic q84) cannot
+    * give — a document that is 40% boilerplate shared with others scores
+    * dup_milli = 400 here while passing every whole-doc test. Per doc:
+    * total [[spanWidth]]-token span positions, positions whose span text
+    * occurs in >= 2 distinct documents, and the duplicated fraction in
+    * integer milli.
+    *
+    * Shape: explode to one row per span position (O(tokens) rows — the
+    * same mass every tokenize pass already handles), partial-agg groupBy
+    * (span_h, doc_id) so within-doc repeats combine map-side, then the
+    * distinct-doc count rides a count window over span_h (rows within a
+    * span_h group are distinct docs after the groupBy, so count(*) ==
+    * count distinct; spill-backed, no self-join, no corpus-scale
+    * checkpoint), and a final per-doc sum. Three shuffles total, each on
+    * a uniform hash key. A span shared by EVERY document makes its
+    * span_h window group corpus-doc-sized — bounded by n_docs, not
+    * occurrences (the groupBy collapsed those), the same envelope the
+    * LSH degenerate-bucket cap guards; WindowExec spills it.
+    */
+  def spanDupStats(docs: DataFrame, width: Int = spanWidth): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanCol = when(
+      size(col("toks")) >= width,
+      transform(
+        sequence(lit(1), size(col("toks")) - (width - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(width)))),
+    ).otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(spanCol).as("span"))
+      .select(col("doc_id"), textstats.rollingHash(col("span")).as("span_h"))
+      .groupBy(col("span_h"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("span_h"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        floor(lit(1000) * col("n_dup_spans") / col("n_spans")).cast("long").as("dup_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q93(s: SparkSession, d: String): DataFrame =
+    spanDupStats(Tables.documents(s, d))
+
   /** (b, r) banding with r = 2: candidates must agree on both minhashes
     * of some band — the precision knob next to q25's r = 1 recall knob.
     */
@@ -353,6 +406,21 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q90_source_overlap", q90, Some(sourceOverlapSql)),
+    QueryDef("q93_span_dedup", q93, Some(
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sp AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks) - ${spanWidth - 2}),
+         |           i -> array_to_string(list_slice(toks, i, i + ${spanWidth - 1}), ' '))) AS span
+         |       FROM t),
+         |h AS (SELECT doc_id, ${rollSql("span")} AS span_h FROM sp),
+         |g AS (SELECT span_h, doc_id, count(*) AS occ FROM h GROUP BY span_h, doc_id),
+         |w AS (SELECT doc_id, occ, count(*) OVER (PARTITION BY span_h) AS nd FROM g),
+         |a AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_spans,
+         |        CAST(coalesce(sum(occ) FILTER (WHERE nd >= 2), 0) AS BIGINT) AS n_dup_spans
+         |      FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         |  CAST(floor(1000 * n_dup_spans / n_spans) AS BIGINT) AS dup_milli
+         |FROM a ORDER BY doc_id""".stripMargin)),
     QueryDef("q23_dedup_exact", q23, Some(
       s"""WITH n AS (SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS h FROM documents)
          |SELECT h AS md5_norm, count(*) AS n_copies, min(doc_id) AS canonical_doc_id

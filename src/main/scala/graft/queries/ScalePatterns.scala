@@ -253,7 +253,46 @@ object ScalePatterns {
       .orderBy(col("user_id"))
   }
 
+  /** Format dirs this JVM has already written (q95's write-once
+    * amortization, mirroring q76/`BucketedStore.ensureBucketed`).
+    */
+  private val formatWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Source-format round trip: customer is written once per session as
+    * JSON Lines and nation as headered CSV, read back through the json/
+    * csv readers with EXPLICIT schemas (schema inference is itself a
+    * full scan — never pay it at scale, and never let a malformed row
+    * silently retype a column), then joined and aggregated. The oracle
+    * is the plain parquet-side aggregate, so the gate certifies the
+    * whole write -> read -> plan path for both text formats: quoting
+    * (nation comments carry commas), double round-tripping (acctbal),
+    * and the broadcast of the re-read dim. PID-suffixed path, same
+    * concurrency rationale as q76.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_formats_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    if (formatWritten.add(base)) {
+      Tables.customer(s, d).write.mode("overwrite").json(s"$base/customer_json")
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").csv(s"$base/nation_csv")
+    }
+    val cust = s.read.schema(Tables.customer(s, d).schema).json(s"$base/customer_json")
+    val nat = s.read.schema(Tables.nation(s, d).schema)
+      .option("header", "true").csv(s"$base/nation_csv")
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q95_format_roundtrip", q95, Some(
+      """SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
     QueryDef("q76_partitioned_prune", q76, Some(
       """SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS click_value
         |FROM events WHERE event_type = 'click'

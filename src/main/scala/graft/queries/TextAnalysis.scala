@@ -232,6 +232,38 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Corpus-relative rarity threshold (q94): a word is "in-vocab" when it
+    * appears in at least this many distinct documents.
+    */
+  val vocabMinDf = 5
+
+  /** Corpus-relative token quality (q94): per document, the fraction of
+    * token occurrences that are corpus hapaxes (document frequency 1 —
+    * the word exists nowhere else; OCR noise, mangled encodings and
+    * gibberish score high) and the fraction covered by the stable
+    * vocabulary (df >= [[vocabMinDf]]). Complements q20, whose signals
+    * are all doc-local: this one needs the corpus, which is exactly why
+    * it earns its two shuffles — one vocabulary aggregation (partial-agg
+    * friendly) and one words-to-vocab equi-join. The join key is
+    * Zipf-skewed ("the" is most of one partition), the shape AQE's
+    * skew-join split handles; the build side is one row per word.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), explode(text.normalizedTokens(col("text"))).as("word"))
+    val dfTab = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    w.join(dfTab, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
+        sum(when(col("df") >= vocabMinDf, lit(1L)).otherwise(lit(0L))).as("n_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"), col("n_vocab"),
+        floor(lit(1000) * col("n_hapax") / col("n_tokens")).cast("long").as("hapax_milli"),
+        floor(lit(1000) * col("n_vocab") / col("n_tokens")).cast("long").as("vocab_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle for [[q80]]: the same power iteration unrolled. */
   private def textrankSql: String = {
     val rounds = (1 to textrankIters).map { k =>
@@ -254,6 +286,18 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q94_rare_token_ratio", q94, Some(
+      s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+         |j AS (SELECT w.doc_id, df.df FROM w JOIN df USING (word)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(coalesce(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hapax,
+         |        CAST(coalesce(sum(CASE WHEN df >= $vocabMinDf THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_vocab
+         |      FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_hapax, n_vocab,
+         |  CAST(floor(1000 * n_hapax / n_tokens) AS BIGINT) AS hapax_milli,
+         |  CAST(floor(1000 * n_vocab / n_tokens) AS BIGINT) AS vocab_milli
+         |FROM a ORDER BY doc_id""".stripMargin)),
     QueryDef("q81_repetition", q81, Some(
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_dtok,

@@ -173,4 +173,38 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.lshCandidates(sigs, maxBucket = 10)
     assert(capped.count() == 0, "capped degenerate buckets must emit no pairs")
   }
+
+  test("spanDupStats counts duplicated span positions, not whole-doc similarity") {
+    // doc 1: 10 tokens (3 span positions at width 8); doc 2 shares doc 1's
+    // FIRST 8 tokens then diverges (boilerplate prefix); doc 3 disjoint;
+    // doc 4 too short for any span.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val rows = Seq(
+      1L -> (shared + " iota kappa"),
+      2L -> (shared + " lambda mu nu"),
+      3L -> "one two three four five six seven eight nine ten eleven",
+      4L -> "too short here",
+    )
+    val got = queries.DedupQueries.spanDupStats(docsDF(rows))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Only the exact shared 8-token window is duplicated: position 1 of
+    // docs 1 and 2. Doc 4 (< width tokens) contributes no rows.
+    assert(got == Map(
+      1L -> ((3L, 1L, 333L)),
+      2L -> ((4L, 1L, 250L)),
+      3L -> ((4L, 0L, 0L)),
+    ), got.toString)
+  }
+
+  test("spanDupStats: a span shared by every doc stays bounded by doc count and within-doc repeats combine") {
+    // Every doc repeats the SAME 8 tokens 4 times -> 32 tokens, 25 span
+    // positions, every span duplicated corpus-wide (rotations of the same
+    // 8 tokens). The span_h window group is <= n_docs rows because the
+    // (span_h, doc_id) pre-aggregation collapsed within-doc repeats.
+    val loop = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = (1L to 5L).map(i => i -> Seq.fill(4)(loop).mkString(" "))
+    val got = queries.DedupQueries.spanDupStats(docsDF(rows))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 5 && got.values.forall(_ == ((25L, 25L, 1000L))), got.toString)
+  }
 }
