@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -288,7 +288,71 @@ object ScalePatterns {
       .orderBy(col("n_name"))
   }
 
+  /** Morton (Z-order) interleave of two already-quantized non-negative
+    * ints of `bits` bits each — the multi-dimensional clustering key.
+    * Pure shift/mask built-ins, so the whole key is one codegen'd
+    * projection.
+    */
+  def mortonKey(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { k =>
+      shiftleft(shiftright(a, k).bitwiseAND(lit(1L)), 2 * k + 1)
+        .bitwiseOR(shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), 2 * k))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-order dirs this JVM has already written (q96). */
+  private val zorderWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Z-ordered (multi-dimensional-clustered) layout round trip: events
+    * are quantized to an 8-bit rank per dimension (user_id, event time —
+    * range bounds from one tiny min/max agg, the same prepass any
+    * OPTIMIZE-ZORDER implementation runs), Morton-interleaved, range-
+    * partitioned and sorted by the z-key, and written once per session.
+    * The payoff a 1-D sort cannot give: every file covers a bounded
+    * BLOCK in (user, time) space instead of a stripe, so a 2-D box
+    * predicate (the dashboard/debug slice: these users, that window)
+    * skips most files on parquet min/max stats for BOTH columns
+    * (clustering measured in StorageSpec; the z-key is layout-internal,
+    * so the gate checks the box aggregate itself against the plain
+    * parquet oracle). PID-suffixed path, q76's concurrency rationale.
+    */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_events_zorder_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    val fiveDaysNs = 5L * 86400L * 1000000000L
+    if (zorderWritten.add(dir)) {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val b = ev.agg(
+        min(col("user_id")), max(col("user_id")), min(col("ts")), max(col("ts"))).first()
+      val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      ev.withColumn("zkey", mortonKey(
+          expr(s"((user_id - $u0) * 255) div ${math.max(u1 - u0, 1L)}"),
+          expr(s"((ts - $t0) * 255) div ${math.max(t1 - t0, 1L)}"), bits = 8))
+        .repartitionByRange(32, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val minTs = s.read.parquet(dir).agg(min(col("ts"))).first().getLong(0)
+    s.read.parquet(dir)
+      .where(col("user_id").between(10, 99) && col("ts") < minTs + fiveDaysNs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q96_zorder_box", q96, Some(
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |round(sum(value), 2) AS total
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 99
+        |  AND epoch_ns(ts) < (SELECT min(epoch_ns(ts)) FROM events) + 432000000000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("q95_format_roundtrip", q95, Some(
       """SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

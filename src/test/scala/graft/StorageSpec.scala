@@ -33,6 +33,41 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order layout bounds both dimensions per file; a 1-D sort leaves the other dimension unclustered") {
+    import graft.queries.ScalePatterns
+    val ev = Tables.events(spark, sf001).select(col("user_id"), col("ts"))
+    val b = ev.agg(min(col("user_id")), max(col("user_id")), min(col("ts")), max(col("ts"))).first()
+    val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val q = ev
+      .withColumn("uq", expr(s"((user_id - $u0) * 255) div ${math.max(u1 - u0, 1L)}"))
+      .withColumn("tq", expr(s"((ts - $t0) * 255) div ${math.max(t1 - t0, 1L)}"))
+    // Per-file normalized [0,1] spread of each quantized dimension.
+    def spreads(df: org.apache.spark.sql.DataFrame): Seq[(Double, Double)] = {
+      val dir = Files.createTempDirectory("graft-zorder").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max(col("uq")) - min(col("uq"))) / 255.0).as("us"),
+          ((max(col("tq")) - min(col("tq"))) / 255.0).as("ts"))
+        .collect().toSeq.map(r => (r.getDouble(1), r.getDouble(2)))
+    }
+    val z = spreads(q
+      .withColumn("zkey", ScalePatterns.mortonKey(col("uq"), col("tq"), bits = 8))
+      .repartitionByRange(16, col("zkey")).sortWithinPartitions(col("zkey")))
+    val linear = spreads(q.repartitionByRange(16, col("user_id")))
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val (zu, zt) = (avg(z.map(_._1)), avg(z.map(_._2)))
+    val (lu, lt) = (avg(linear.map(_._1)), avg(linear.map(_._2)))
+    // 16 files over the 16-bit z-space = 4096 cells each = a 64x64 block:
+    // both dims bounded well below the full range.
+    assert(zu < 0.55 && zt < 0.55, s"z-order spreads not block-bounded: u=$zu t=$zt")
+    // The 1-D sort clusters user tightly but leaves time at ~full range.
+    assert(lu < 0.2, s"linear user spread unexpectedly wide: $lu")
+    assert(lt > 0.85, s"linear layout should NOT bound time: $lt")
+    // And z-order's time clustering is categorically better than linear's.
+    assert(zt < lt / 2, s"z-order time spread $zt vs linear $lt")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft-partitioned").toString
     Tables.events(spark, sf0001)
