@@ -38,6 +38,13 @@ object Scratch {
     time("q35_verify")(verifyStyle("q35_asof_join"))
     time("q79_verify_1")(verifyStyle("q79_asof_bucketed"))
     time("q79_verify_2")(verifyStyle("q79_asof_bucketed"))
+    // Round-5 plan audit: AQE-final plans of the new queries.
+    args.drop(1).foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      println(s"===== $q =====")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

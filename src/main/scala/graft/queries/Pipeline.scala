@@ -246,6 +246,36 @@ object Pipeline {
   /** Document budget the q83 mixture allocates across languages. */
   val mixtureBudget = 100000L
 
+  /** Exact-budget apportionment of the q83 temperature mixture (q97):
+    * Hamilton's largest-remainder method. q83's floor-divided targets
+    * under-shoot the budget by up to (n_langs - 1) docs; here the
+    * leftover goes to the languages with the largest division remainders
+    * (remainder desc, lang asc tie-break), so sum(target_docs) ==
+    * [[mixtureBudget]] EXACTLY — the invariant a downstream sampler
+    * needs before it can emit fixed-size shards. The ranking window is
+    * partition-less by construction but runs over the language table
+    * (bounded by the language inventory, never corpus rows).
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = st.agg(sum(col("isq")).as("sum_isq"))
+    val b = st.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr(s"($mixtureBudget * isq) div sum_isq").as("base"),
+        expr(s"($mixtureBudget * isq) % sum_isq").as("rem"))
+    val lo = b.agg((lit(mixtureBudget) - sum(col("base"))).as("leftover"))
+    b.crossJoin(broadcast(lo))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+      .select(col("lang"), col("n_docs"),
+        (col("base") + when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+          .as("target_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** Output shard count for the q86 manifest. */
   val numShards = 32
 
@@ -410,6 +440,22 @@ object Pipeline {
          |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
+    QueryDef("q97_mixture_apportion", q97, Some(
+      s"""WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |i AS (SELECT lang, n_docs,
+         |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq FROM st),
+         |t AS (SELECT CAST(sum(isq) AS BIGINT) AS sum_isq FROM i),
+         |b AS (SELECT lang, n_docs,
+         |        ($mixtureBudget * isq) // sum_isq AS base,
+         |        ($mixtureBudget * isq) % sum_isq AS rem
+         |      FROM i CROSS JOIN t),
+         |l AS (SELECT CAST($mixtureBudget - sum(base) AS BIGINT) AS leftover FROM b),
+         |r AS (SELECT b.*, leftover,
+         |        row_number() OVER (ORDER BY rem DESC, lang) AS rk
+         |      FROM b CROSS JOIN l)
+         |SELECT lang, n_docs,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS target_docs
+         |FROM r ORDER BY lang""".stripMargin)),
     QueryDef("q83_lang_mixture", q83, Some(
       s"""WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          |i AS (SELECT lang, n_docs,

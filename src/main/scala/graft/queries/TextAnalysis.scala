@@ -252,7 +252,12 @@ object TextAnalysis {
     val w = Tables.documents(s, d)
       .select(col("doc_id"), explode(text.normalizedTokens(col("text"))).as("word"))
     val dfTab = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
-    w.join(dfTab, "word")
+    // shuffle_hash: at test scale AQE would happily broadcast the token
+    // stream; at corpus scale neither side fits a broadcast and the real
+    // plan is a shuffled join on word with the vocab as build side —
+    // hint it so the plan we test IS the plan that runs at 100 TB (the
+    // q74 merge-hint discipline).
+    w.join(dfTab.hint("shuffle_hash"), "word")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),

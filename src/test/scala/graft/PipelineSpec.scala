@@ -165,6 +165,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q97 apportionment hits the budget exactly and never under-allocates q83's floors") {
+    import graft.queries.Pipeline
+    val rows = SparkEntry.queries("q97_mixture_apportion")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum == Pipeline.mixtureBudget,
+      "largest-remainder targets must sum to the budget exactly")
+    // Each language's exact-budget target is its q83 floor or floor + 1.
+    val floors = SparkEntry.queries("q83_lang_mixture")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    rows.foreach { r =>
+      val (lang, t) = (r.getString(0), r.getLong(2))
+      assert(t == floors(lang) || t == floors(lang) + 1, s"$lang: $t vs floor ${floors(lang)}")
+    }
+  }
+
   test("q60 retrieval ranks 5 hits per query doc, never the query itself") {
     val rows = SparkEntry.queries("q60_sparse_topk")(spark, sf0001).collect()
     val perQuery = rows.groupBy(_.getLong(0))
