@@ -414,7 +414,42 @@ object Relational {
       .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")), "metric", "value")
       .orderBy(col("p_partkey"), col("metric"))
 
+  /** Pure theta join (no equi key anywhere): classify every lineitem
+    * into a price band by range membership against a band TABLE. The
+    * only join strategy that can execute this is a nested loop, and the
+    * only admissible nested loop at 100 TB is broadcast-inner-side —
+    * which is exactly what a band/dimension table is (rows = band
+    * count, forever). Plan-asserted BroadcastNestedLoopJoin in
+    * QueryPlanSpec. When bands are STATIC this rewrites to a CASE
+    * projection; the join form is for band tables that arrive as data.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val bands = Seq(
+      ("b0_under_20k", 0.0, 20000.0), ("b1_20_40k", 20000.0, 40000.0),
+      ("b2_40_60k", 40000.0, 60000.0), ("b3_60_80k", 60000.0, 80000.0),
+      ("b4_80k_plus", 80000.0, 1e12)).toDF("band", "lo", "hi")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("band"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q98_band_theta_join", q98,
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('b0_under_20k', CAST(0 AS DOUBLE), CAST(20000 AS DOUBLE)),
+             |  ('b1_20_40k', CAST(20000 AS DOUBLE), CAST(40000 AS DOUBLE)),
+             |  ('b2_40_60k', CAST(40000 AS DOUBLE), CAST(60000 AS DOUBLE)),
+             |  ('b3_60_80k', CAST(60000 AS DOUBLE), CAST(80000 AS DOUBLE)),
+             |  ('b4_80k_plus', CAST(80000 AS DOUBLE), CAST(1e12 AS DOUBLE)))
+             |SELECT band, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN bands
+             |  ON l_extendedprice >= lo AND l_extendedprice < hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
     QueryDef("q01_pricing_summary", q01,
       Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
              |round(sum(l_extendedprice),2) AS sum_base_price,

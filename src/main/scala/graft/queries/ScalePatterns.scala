@@ -156,6 +156,35 @@ object ScalePatterns {
         col("m.value").as("last_value"))
       .orderBy(col("user_id"))
 
+  /** Upsert apply — the MERGE INTO shape (q99): fold q58's compacted
+    * changelog (latest event value per user) into a base snapshot
+    * (customer, keyed by custkey over the same id domain) and emit the
+    * merged state: updated where both sides have the key, carried-over
+    * base rows otherwise, inserts where the changelog introduces a new
+    * key. This is one latest-wins partial aggregation (map-side
+    * combining, O(keys) moved) plus ONE full-outer shuffle join on the
+    * key — the incremental-materialization step a snapshot+changelog
+    * lakehouse table runs per batch, and it stays two exchanges at any
+    * scale.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val latest = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("t_us"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id").as("key"), col("m.value").as("new_value"))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("base_value"))
+    base.join(latest, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("new_value").isNotNull && col("base_value").isNotNull, "updated")
+          .when(col("new_value").isNotNull, "inserted")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("new_value"), col("base_value")).as("merged_value"))
+      .orderBy(col("key"))
+  }
+
   /** Per-group top-k via the bounded typed Aggregator ([[TopKAggregator]]):
     * the map-side partial keeps at most k rows per group per task, so the
     * exchange moves O(groups*k) rows where q08's window formulation
@@ -408,6 +437,19 @@ object ScalePatterns {
         |round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
         |round(quantile_cont(l_quantity, 0.5), 2) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("q99_upsert_apply", q99, Some(
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY t_us DESC, event_id DESC) AS rn FROM e),
+        |latest AS (SELECT user_id AS key, value AS new_value FROM r WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key, c_acctbal AS base_value FROM customer)
+        |SELECT coalesce(base.key, latest.key) AS key,
+        |  CASE WHEN new_value IS NOT NULL AND base_value IS NOT NULL THEN 'updated'
+        |       WHEN new_value IS NOT NULL THEN 'inserted'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(new_value, base_value) AS merged_value
+        |FROM base FULL JOIN latest ON base.key = latest.key
+        |ORDER BY key""".stripMargin)),
     QueryDef("q58_changelog_compact", q58, Some(
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id, event_type, value
         |           FROM events),

@@ -101,6 +101,19 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("q98 pure theta join plans broadcast nested loop with the band table as build side") {
+    val p = plan("q98_band_theta_join")
+    // Build side = the broadcast(bands) right argument, never lineitem.
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
+  test("q99 upsert apply is one latest-wins partial aggregation plus one full-outer shuffle join") {
+    val p = plan("q99_upsert_apply")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("partial_max"), s"latest-wins must partial-aggregate map-side:\n$p")
+  }
+
   test("q06/q07 plan semi/anti joins (no full join + filter)") {
     assert(plan("q06_semi_join").contains("LeftSemi"), "semi")
     assert(plan("q07_anti_join").contains("LeftAnti"), "anti")
