@@ -211,6 +211,45 @@ object Pipeline {
     sampledPerLang(Tables.documents(s, d), 20)
       .orderBy(col("lang"), col("rk"))
 
+  /** Weighted deterministic sample (q100): priority sampling (Duffield/
+    * Lund/Thorup shape) — per source, keep the k docs with the smallest
+    * priority = hash(doc_id) / n_chars, so a document's inclusion odds
+    * scale with its weight (longer docs sampled preferentially) while
+    * the choice stays a pure function of the data: re-runs, retries and
+    * both engines pick the identical sample. The priority is one IEEE
+    * double division of two exact integers — correctly rounded and
+    * therefore bit-identical on every engine (same guarantee the
+    * floor(1000*n/d) ratios lean on), with doc_id as total tie-break.
+    * Ranking rides the q64 salted two-level window: slice ranks bound
+    * per-task state on a hot source, the second pass ranks <= salt*k
+    * survivors.
+    *
+    * The hash input is suffix-padded: the bare rolling hash of a 1-3
+    * char id string is dominated by its LENGTH (polynomial of degree
+    * len-1), so short ids would always win the minimum and erase the
+    * weight bias; the suffix multiplies every id's contribution by
+    * 31^9 mod P, spreading magnitudes over the full hash range
+    * (bias measured in PipelineSpec).
+    */
+  private[graft] def weightedSamplePerSource(docs: DataFrame, k: Int): DataFrame = {
+    val slice = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(sampleSalt)))
+      .orderBy(col("pri"), col("doc_id"))
+    val global = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (textstats.rollingHash(concat(col("doc_id").cast("string"), lit("#priority")))
+          .cast("double") / col("n_chars").cast("double")).as("pri"))
+      .withColumn("r1", row_number().over(slice)).where(col("r1") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+  }
+
+  private def q100(s: SparkSession, d: String): DataFrame =
+    weightedSamplePerSource(Tables.documents(s, d), 10)
+      .orderBy(col("source"), col("rk"))
+
   /** DuckDB replica of the doc_id hash — the ONE shared rolling-hash
     * replica ([[DedupQueries.rollSql]]), so a future hash/modulus change
     * cannot drift these oracles out of sync with the dedup ones.
@@ -440,6 +479,16 @@ object Pipeline {
          |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
+    QueryDef("q100_weighted_sample", q100, Some(
+      s"""WITH p AS (SELECT source, doc_id, n_chars,
+         |        CAST(${DedupQueries.rollSql("CAST(doc_id AS VARCHAR) || '#priority'")} AS DOUBLE)
+         |          / CAST(n_chars AS DOUBLE) AS pri
+         |      FROM documents),
+         |r AS (SELECT source, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+         |      FROM p)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
     QueryDef("q97_mixture_apportion", q97, Some(
       s"""WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          |i AS (SELECT lang, n_docs,

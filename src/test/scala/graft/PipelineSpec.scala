@@ -165,6 +165,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q100 weighted sampler == plain priority window on a hot source; weights bias inclusion") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // One source is 99% of the corpus; weights (n_chars) vary 1..1000.
+    val docs = ((0 until 990).map(i => (i.toLong, "hot", 1L + (i * 37) % 1000)) ++
+      (990 until 1000).map(i => (i.toLong, s"s${i % 5}", 500L)))
+      .toDF("doc_id", "source", "n_chars").localCheckpoint()
+    val sampled = graft.queries.Pipeline.weightedSamplePerSource(docs, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    val plain = docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (graft.functions.textstats.rollingHash(
+          concat(col("doc_id").cast("string"), lit("#priority"))).cast("double")
+          / col("n_chars").cast("double")).as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 10)
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getLong(1))).toSet
+    assert(sampled == plain)
+    // Weight bias: the hot source's sampled docs skew heavy — their mean
+    // weight beats the source's overall mean (uniform hash, 1/w priority).
+    val hotSampleMean = graft.queries.Pipeline.weightedSamplePerSource(docs, 10)
+      .where(col("source") === "hot").agg(avg(col("n_chars"))).first().getDouble(0)
+    val hotMean = docs.where(col("source") === "hot")
+      .agg(avg(col("n_chars"))).first().getDouble(0)
+    assert(hotSampleMean > hotMean, s"sample mean $hotSampleMean <= corpus mean $hotMean")
+  }
+
   test("q97 apportionment hits the budget exactly and never under-allocates q83's floors") {
     import graft.queries.Pipeline
     val rows = SparkEntry.queries("q97_mixture_apportion")(spark, sf0001).collect()
