@@ -309,6 +309,84 @@ object Dedup {
     * pattern stays injective; the arithmetic-shift band extraction masks
     * the sign extension off).
     */
+  /** EXACT set-similarity self-join by prefix filtering (the AllPairs /
+    * PPJoin candidate scheme, Bayardo et al. WWW'07 / Xiao et al.
+    * WWW'08) — the exact counterpart of the MinHash+LSH pipeline:
+    * guaranteed NO false negatives, candidates still generated by an
+    * equi-join instead of an all-pairs scan.
+    *
+    * Principle: order every set's elements by one GLOBAL total order
+    * (ascending document frequency, ties by value — rarest first). If
+    * J(A,B) >= tau then |A n B| >= ceil(tau * max(|A|,|B|)), and two
+    * sets sharing >= alpha elements must collide within their first
+    * (n - alpha + 1) elements under any common total order — so probing
+    * only each set's (n - ceil(tau*n) + 1)-prefix finds every qualifying
+    * pair. Rare-first ordering makes prefix tokens the LOW-df ones,
+    * which is what bounds the candidate join's bucket sizes: a
+    * corpus-wide stopword element lands in the (never-probed) suffix of
+    * every large set.
+    *
+    * Cost shape: one df-count aggregation, one per-set sort (bounded by
+    * set size), one equi-join on prefix elements (each bucket = the
+    * element's PREFIX df, <= its df), one exact verify join over
+    * candidates. The length filter (tau*|B| <= 1000*|A|, symmetric) is
+    * applied inside the candidate join, pruning cross-size pairs before
+    * the verify pays for them. All thresholds in exact integer milli —
+    * no float boundary.
+    *
+    * Returns qualifying pairs (doc_a < doc_b) with exact overlap stats.
+    * `sets` must hold one row per id with a DISTINCT-element array.
+    */
+  def prefixFilterPairs(sets: DataFrame, idCol: String, setCol: String,
+      tauMilli: Int): DataFrame = {
+    val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("els"),
+      size(col(setCol)).cast("long").as("n"))
+    val verified = prefixCandidates(sets, idCol, setCol, tauMilli)
+      .join(base.select(col("doc_id").as("doc_a"), col("els").as("els_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("els").as("els_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("els_a"), col("els_b"))).cast("long").as("n_common"),
+        size(col("els_a")).cast("long").as("n_a"),
+        size(col("els_b")).cast("long").as("n_b"))
+    // J >= tau  <=>  (1000 + tau) * inter >= tau * (n_a + n_b), exactly.
+    verified.where(col("n_common") * (1000 + tauMilli)
+      >= (col("n_a") + col("n_b")) * tauMilli)
+  }
+
+  /** The candidate stage of [[prefixFilterPairs]], exposed so the
+    * pruning factor (candidates vs the n*(n-1)/2 all-pairs space) is
+    * measurable in spec. Returns DISTINCT (doc_a < doc_b) pairs that
+    * collide on a prefix element and pass the length filter — a
+    * guaranteed superset of the qualifying pairs.
+    */
+  def prefixCandidates(sets: DataFrame, idCol: String, setCol: String,
+      tauMilli: Int): DataFrame = {
+    require(tauMilli >= 1 && tauMilli <= 1000, s"tauMilli must be 1..1000, got $tauMilli")
+    val ex = sets.select(col(idCol).as("doc_id"),
+      size(col(setCol)).cast("long").as("n"), explode(col(setCol)).as("el"))
+    val dfreq = ex.groupBy(col("el")).agg(count(lit(1)).as("df"))
+    // Re-assemble each set sorted by (df, el): array_sort on an array of
+    // structs orders field-lexicographically, so one bounded per-set sort
+    // realizes the global rare-first order with no window over the corpus.
+    val ordered = ex.join(dfreq, "el")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n"),
+        array_sort(collect_list(struct(col("df"), col("el")))).as("ord"))
+    // prefix length = n - ceil(tau*n) + 1 (integer ceil via (x+999)/1000)
+    val plen = (col("n") - floor((col("n") * tauMilli + 999) / 1000) + 1).cast("int")
+    val prefix = ordered
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ord"), lit(1), plen)).as("p"))
+      .select(col("doc_id"), col("n"), col("p.el").as("el"))
+    prefix.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("el"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("el")),
+        Seq("el"))
+      .where(col("doc_a") < col("doc_b")
+        && col("n_a") * tauMilli <= col("n_b") * 1000
+        && col("n_b") * tauMilli <= col("n_a") * 1000)
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = simhashBits): DataFrame = {
     require(bits >= 1 && bits <= 64, s"simhash width must be 1..64, got $bits")

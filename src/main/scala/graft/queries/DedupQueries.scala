@@ -88,7 +88,7 @@ object DedupQueries {
     * checkpointed once: feeds the signature computation AND both sides of
     * the verification join.
     */
-  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame = {
     val toks = text.normalizedTokens(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
@@ -404,7 +404,41 @@ object DedupQueries {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** Exact Jaccard >= 1/2 similarity self-join by prefix filtering
+    * (AllPairs/PPJoin) over the same word-shingle space as the LSH
+    * pipeline — the EXACT algorithm beside approximate q27: MinHash+LSH
+    * trades recall for cost (a pair can miss every band); the prefix
+    * filter is complete BY CONSTRUCTION (rare-first global order, prefix
+    * length n - ceil(tau*n) + 1), so its output is the ground truth the
+    * LSH recall knobs are tuned against. Candidates still come from an
+    * equi-join (on low-df prefix shingles), never an all-pairs scan;
+    * DedupSpec proves the pair set equals brute force and measures the
+    * candidate-count reduction. Oracle: brute-force all-pairs (exact is
+    * exact — tractable at oracle scale, the point of the prefix filter
+    * is that the ENGINE never pays this).
+    */
+  private def q101(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixFilterPairs(shingleSets(s, d), "doc_id", "sh", tauMilli = 500)
+      .withColumn("jaccard_milli",
+        floor(lit(1000) * col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common"))).cast("long"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q101_prefix_filter_join", q101, Some(
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |f AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM t
+         |      WHERE len(toks) >= ${Dedup.shingleSize}),
+         |n AS (SELECT doc_id, len(sh) AS n FROM f),
+         |e AS (SELECT doc_id, unnest(sh) AS el FROM f),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |      FROM e a JOIN e b ON a.el = b.el AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(p.n_common AS BIGINT) AS n_common,
+         |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |  CAST(floor(1000 * p.n_common / (na.n + nb.n - p.n_common)) AS BIGINT) AS jaccard_milli
+         |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+         |WHERE 1500 * p.n_common >= 500 * (na.n + nb.n)
+         |ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("q90_source_overlap", q90, Some(sourceOverlapSql)),
     QueryDef("q93_span_dedup", q93, Some(
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

@@ -196,6 +196,46 @@ class DedupSpec extends SparkSpec {
     ), got.toString)
   }
 
+  test("prefixFilterPairs: exact vs brute force on the real corpus; candidate pruning measured") {
+    // Exactness claim: the prefix filter has NO false negatives (and the
+    // verify stage kills every false positive), so its output must equal
+    // the brute-force all-pairs answer — checked on the real sf0.001
+    // corpus, not a toy fixture.
+    val sets = queries.DedupQueries.shingleSets(spark, sf0001)
+    val got = Dedup.prefixFilterPairs(sets, "doc_id", "sh", tauMilli = 500)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = sets.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      inter = (sa & sb).size if 3 * inter >= sa.size + sb.size
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // Pruning claim: the candidate equi-join explores a small corner of
+    // the n*(n-1)/2 pair space (rare-first prefixes keep high-df
+    // elements out of the probe set).
+    val nCand = Dedup.prefixCandidates(sets, "doc_id", "sh", tauMilli = 500).count()
+    val allPairs = all.length.toLong * (all.length - 1) / 2
+    info(s"docs=${all.length} allPairs=$allPairs candidates=$nCand matches=${want.size}")
+    assert(want.map { case (a, b) => (a, b) }.subsetOf(got))
+    assert(nCand * 10 < allPairs, s"prefix filter not pruning: $nCand of $allPairs")
+  }
+
+  test("prefixFilterPairs: threshold boundary is exact in integer space") {
+    // Sets engineered to land exactly ON and just BELOW J = 1/2.
+    // J(1,2) = 3/6 = 0.5 (keep: >= tau). J(3,4) = 4/9 < 0.5 (drop).
+    val spark0 = spark
+    import spark0.implicits._
+    val sets = Seq(
+      1L -> Seq("a", "b", "c", "d"), // |A|=4
+      2L -> Seq("a", "b", "c", "e", "f"), // inter=3, union=6 -> exactly 0.5
+      3L -> Seq("p", "q", "r", "s", "t", "u"), // |A|=6
+      4L -> Seq("p", "q", "r", "s", "x", "y", "z"), // inter=4, union=9 -> 0.444
+    ).toDF("doc_id", "sh").localCheckpoint()
+    val got = Dedup.prefixFilterPairs(sets, "doc_id", "sh", tauMilli = 500)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+
   test("spanDupStats: a span shared by every doc stays bounded by doc count and within-doc repeats combine") {
     // Every doc repeats the SAME 8 tokens 4 times -> 32 tokens, 25 span
     // positions, every span duplicated corpus-wide (rotations of the same
