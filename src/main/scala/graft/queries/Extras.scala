@@ -85,7 +85,69 @@ object Extras {
         round(col("session_value"), 2).as("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Semi-structured schema-on-read: `events.props` is a JSON string
+    * column; parse it ONCE per row with an EXPLICIT schema via
+    * `from_json` (codegen'd, vectorizable — never get_json_object per
+    * field, which re-parses the document for every extraction) and
+    * aggregate the extracted field. Malformed documents become NULL
+    * structs (PERMISSIVE), so the n_k < n_events gap is the built-in
+    * dead-letter signal — ExtrasSpec pins that routing on a fixture with
+    * broken JSON. At scale this is one narrow projection + one partial
+    * agg; the JSON never reaches the shuffle.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "k", org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** First-order Markov transition matrix over each user's event stream:
+    * next event via lead() within (user, time) — the per-user window is
+    * bounded by that user's event count, never corpus-global — then
+    * transition counts and a row-normalized milli-probability whose
+    * normalizing window runs over the TRANSITION-TYPE table (at most
+    * |event_types|^2 rows), not over events. The (ts, event_id) compound
+    * order makes simultaneous events deterministic on both engines.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_milli",
+        floor(lit(1000) * col("n_trans")
+          / sum(col("n_trans")).over(Window.partitionBy(col("event_type"))))
+          .cast("long"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_json_extract", q102, Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(try_cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+        |  CAST(sum(try_cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(try_cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(try_cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("q103_markov_transitions", q103, Some(
+      """WITH nx AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |      FROM events),
+        |t AS (SELECT event_type, next_type, count(*) AS n_trans
+        |      FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+        |  CAST(floor(1000 * n_trans / sum(n_trans) OVER (PARTITION BY event_type)) AS BIGINT) AS p_milli
+        |FROM t ORDER BY event_type, next_type""".stripMargin)),
     QueryDef("q31_multimodal_features", q31, Some {
       // encode() -> UTF-8 bytes; the corpus is ASCII so char ops == byte
       // ops (and the Spark side operates on the same UTF-8 payload bytes).

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Event-family invariants beyond the oracle: the schema-on-read
+  * dead-letter routing (q102) and Markov row-normalization (q103).
+  */
+class ExtrasSpec extends SparkSpec {
+
+  test("from_json schema-on-read routes malformed documents to NULL, not failure") {
+    // The q102 scale contract: a 100 TB ingest ALWAYS contains broken
+    // JSON; PERMISSIVE parsing turns each broken row into a NULL struct
+    // (counted, not thrown), so one bad document cannot kill the job.
+    val spark0 = spark
+    import spark0.implicits._
+    val props = Seq(
+      """{"k": 7}""", // well-formed
+      """{"k": "not a number"}""", // type mismatch -> k NULL
+      """{"j": 1}""", // missing field -> k NULL
+      """{broken""", // malformed -> NULL struct
+      "", // empty -> NULL struct
+    ).toDF("props")
+    val ks = props
+      .select(from_json(col("props"),
+        StructType(Seq(StructField("k", LongType)))).getField("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(ks == Seq(Some(7L), None, None, None, None), ks.toString)
+  }
+
+  test("q103 transition probabilities are row-normalized (milli rows sum to ~1000)") {
+    val rows = SparkEntry.queries("q103_markov_transitions")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // floor() loses < 1 milli per cell: each source type's outgoing row
+    // must sum within (1000 - n_cells, 1000].
+    rows.groupBy(_.getString(0)).foreach { case (src, out) =>
+      val s = out.map(_.getLong(3)).sum
+      assert(s <= 1000 && s > 1000 - out.length, s"$src: p_milli sum $s over ${out.length} cells")
+    }
+    // Conservation: total transitions = total events - one per user
+    // (each user's last event has no successor).
+    val events = Tables.events(spark, sf0001)
+    val nEvents = events.count()
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+}
