@@ -438,7 +438,52 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** Per-group exact least-squares trend (value vs event time): the
+    * drift-detection aggregate, via the q54 exactness recipe — moments
+    * are EXACT integer sums (decimal(38,0) here, HUGEINT in the oracle;
+    * x recentered to a fixed epoch so magnitudes stay small, y
+    * centi-quantized), and slope/intercept derive from them through the
+    * IDENTICAL IEEE-double spelling on both engines, so the output
+    * doubles are bit-identical with no rounding. The n*sxx - sx*sx
+    * variance combination runs in double space (q62's overflow note: at
+    * extreme group sizes the exact product can top decimal(38); doubles
+    * carry the magnitude, exactness lives in the inputs). One partial-agg
+    * shuffle; the regression itself is O(groups).
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    // num/den spelled once, inlined twice — Catalyst CSEs the copies.
+    val num = "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+    val den = "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (expr("ts div 1000000000") - lit(1704067200L)).cast("decimal(38,0)").as("x"),
+        expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        expr(s"$num / $den * CAST(86400 AS DOUBLE) / CAST(100 AS DOUBLE)")
+          .as("slope_per_day"),
+        expr(s"(CAST(sy AS DOUBLE) - $num / $den * CAST(sx AS DOUBLE))" +
+          " / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE)").as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q104_group_regression", q104,
+      Some("""WITH e AS (SELECT event_type,
+             |  epoch_ns(ts) // 1000000000 - 1704067200 AS x,
+             |  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+             |m AS (SELECT event_type, count(*) AS n,
+             |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |  sum(CAST(x AS HUGEINT)*CAST(y AS HUGEINT)) AS sxy,
+             |  sum(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS sxx
+             |  FROM e GROUP BY event_type)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * CAST(86400 AS DOUBLE) / CAST(100 AS DOUBLE) AS slope_per_day,
+             |(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE) AS intercept
+             |FROM m ORDER BY event_type""".stripMargin)),
     QueryDef("q98_band_theta_join", q98,
       Some("""WITH bands(band, lo, hi) AS (VALUES
              |  ('b0_under_20k', CAST(0 AS DOUBLE), CAST(20000 AS DOUBLE)),
