@@ -215,7 +215,50 @@ object TextCorpus {
       .orderBy(col("total").desc, col("pair"))
       .limit(40)
 
+  /** Misra-Gries counter budget for q105. 29 counters -> threshold
+    * n/30: sits INSIDE this corpus's near-uniform 31-word frequency
+    * spread at every scale factor, so the output is a nontrivial subset
+    * (neither empty nor the whole vocabulary) — the boundary the sketch
+    * has to actually decide.
+    */
+  val mgK = 29
+
+  /** Corpus heavy hitters through the Misra-Gries sketch: pass 1 is the
+    * bounded-state sketch aggregation ([[graft.operators
+    * .MisraGriesAggregator]] — at most [[mgK]] counters per task,
+    * NO vocabulary-wide shuffle, stream length rides in the same
+    * buffer); its <= mgK survivors — a guaranteed SUPERSET of every
+    * item above n/(k+1) — then scope pass 2, an exact count restricted
+    * to the survivor list, so the expensive exactness is paid for k
+    * items instead of the vocabulary. Driver-side state: one sketch
+    * (<= k counters), the Bloom-sketch precedent. Output: the exact
+    * heavy hitters with exact counts — which is why a plain-SQL oracle
+    * can check a sketch-driven plan. FrequentItemsSpec proves the
+    * survival guarantee adversarially (10k-item tail, merge path).
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = words(s, d).select(col("word"))
+    val sketch = w.as[String]
+      .select(new graft.operators.MisraGriesAggregator(mgK).toColumn).head()
+    val survivors = sketch.counts.keys.toSeq.sorted
+    w.where(col("word").isin(survivors: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .where(col("n") * (mgK + 1) > lit(sketch.n))
+      .withColumn("share_milli",
+        floor(lit(1000) * col("n") / lit(sketch.n)).cast("long"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_heavy_hitters", q105, Some(
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS word FROM documents),
+         |t AS (SELECT count(*) AS total FROM toks),
+         |c AS (SELECT word, count(*) AS n FROM toks GROUP BY word)
+         |SELECT word, CAST(n AS BIGINT) AS n,
+         |  CAST(floor(1000 * n / total) AS BIGINT) AS share_milli
+         |FROM c, t WHERE n * ${mgK + 1} > total
+         |ORDER BY n DESC, word""".stripMargin)),
     QueryDef("q16_doc_token_counts", q16,
       Some(s"""SELECT doc_id, len($tokensSql) AS n_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
