@@ -475,7 +475,82 @@ object Similarity {
           x => floor(x.cast("double") / col("scale") * lit(127) + lit(0.5)).cast("double")).as("qv"))
       .select(col("vec_id"), col("qv"), sqrt(vectors.dot(col("qv"), col("qv"))).as("qn"))
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the SPARSE ranking
+    * (q60's inverted-index impact dots) and the DENSE ranking (embedding
+    * cosine) for the same bounded query set — the standard two-tower
+    * fusion a retrieval stack runs when neither lexical nor semantic
+    * alone suffices. RRF needs only the two rank lists: contribution
+    * 1000000 div (60 + rank) in exact integer micro (the k=60 of
+    * Cormack et al. SIGIR'09), full-outer-joined on (q_id, doc_id) so a
+    * doc ranked by either tower scores. All corpus-scale work lives in
+    * the two tower pipelines (each already scale-shaped); the fusion
+    * itself joins two <= 5-row-per-query lists and ranks within a
+    * bounded window. The query set is FIXED (ids < 500 with the q60
+    * residue), so the dense tower's broadcast side is O(1) at any
+    * corpus size, and the sparse tower's query filter sits on the
+    * window partition key where Catalyst pushes it below the dot join.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val sparse = TextCorpus.sparseTopK(Tables.documents(s, d),
+      TextCorpus.dfCapPct, TextCorpus.postingCap,
+      queryPred = col("doc_id") % 100 === 7 && col("doc_id") < 500)
+      .select(col("q_id"), col("doc_id"), col("rank").as("sparse_rank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") % 100 === 7 && col("vec_id") < 500)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("nq"))
+    val denseW = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("doc_id"))
+    val dense = broadcast(q)
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("ne"),
+        col("nrm").as("nn")), col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        (vectors.dot(col("qe"), col("ne")) / (col("nq") * col("nn"))).as("c"))
+      .withColumn("dense_rank", row_number().over(denseW).cast("long"))
+      .where(col("dense_rank") <= 5)
+      .select(col("q_id"), col("doc_id"), col("dense_rank"))
+    val fusedW = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("sparse_rank"), lit(0L)).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf_micro",
+        when(col("sparse_rank") > 0, expr("1000000 div (60 + sparse_rank)"))
+          .otherwise(lit(0L))
+          + when(col("dense_rank") > 0, expr("1000000 div (60 + dense_rank)"))
+          .otherwise(lit(0L)))
+      .withColumn("fused_rank", row_number().over(fusedW).cast("long"))
+      .where(col("fused_rank") <= 5)
+      .select(col("q_id"), col("fused_rank"), col("doc_id"), col("rrf_micro"),
+        col("sparse_rank"), col("dense_rank"))
+      .orderBy(col("q_id"), col("fused_rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q106_hybrid_rrf", q106, Some(
+      s"""WITH ${TextCorpus.sparseSql("doc_id % 100 = 7 AND doc_id < 500")},
+         |sr AS (SELECT q_id, doc_id, rank AS sparse_rank FROM r WHERE rank <= 5),
+         |eq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |       WHERE vec_id % 100 = 7 AND vec_id < 500),
+         |dc AS (SELECT eq.q_id, e.vec_id AS doc_id, ${cosSql("eq.qe", "e.embedding")} AS c
+         |       FROM eq JOIN embeddings e ON eq.q_id <> e.vec_id),
+         |dr AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY c DESC, doc_id) AS dense_rank FROM dc),
+         |dd AS (SELECT q_id, doc_id, dense_rank FROM dr WHERE dense_rank <= 5),
+         |f AS (SELECT coalesce(sr.q_id, dd.q_id) AS q_id,
+         |        coalesce(sr.doc_id, dd.doc_id) AS doc_id,
+         |        CAST(coalesce(sr.sparse_rank, 0) AS BIGINT) AS sparse_rank,
+         |        CAST(coalesce(dd.dense_rank, 0) AS BIGINT) AS dense_rank
+         |      FROM sr FULL OUTER JOIN dd
+         |        ON sr.q_id = dd.q_id AND sr.doc_id = dd.doc_id),
+         |sc AS (SELECT *,
+         |        CAST((CASE WHEN sparse_rank > 0 THEN 1000000 // (60 + sparse_rank) ELSE 0 END)
+         |          + (CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END) AS BIGINT) AS rrf_micro
+         |       FROM f),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY rrf_micro DESC, doc_id) AS fused_rank FROM sc)
+         |SELECT q_id, fused_rank, doc_id, rrf_micro, sparse_rank, dense_rank
+         |FROM fr WHERE fused_rank <= 5 ORDER BY q_id, fused_rank""".stripMargin)),
     QueryDef("q75_int8_ann", q75, Some(
       s"""WITH sc AS (SELECT vec_id,
          |        greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -171,12 +171,13 @@ object TextCorpus {
       .select(col("word"), col("doc_id"), col("w_milli"))
   }
 
-  private[graft] def sparseTopK(docs: DataFrame, capPct: Int, cap: Int): DataFrame = {
+  private[graft] def sparseTopK(docs: DataFrame, capPct: Int, cap: Int,
+      queryPred: Column = col("doc_id") % 100 === 7): DataFrame = {
     val weighted = weightedPostings(docs, capPct)
       .localCheckpoint() // feeds the query side, and the cap + join sides
     val capped = cappedPostings(weighted, cap)
     val queries = weighted
-      .where(col("doc_id") % 100 === 7)
+      .where(queryPred)
       .select(col("doc_id").as("q_id"), col("word"), col("w_milli").as("wq"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("dot").desc, col("doc_id"))
@@ -192,6 +193,30 @@ object TextCorpus {
 
   private def q60(s: SparkSession, d: String): DataFrame =
     sparseTopK(Tables.documents(s, d), dfCapPct, postingCap)
+
+  /** The q60 oracle's CTE chain (toks..r), parameterized by the query
+    * predicate so q60 and the RRF fusion (q106) share one spelling of
+    * the sparse ranking and cannot drift. `r` holds (q_id, doc_id, dot,
+    * rank) for queries matching `qFilter`.
+    */
+  private[graft] def sparseSql(qFilter: String): String =
+    s"""toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT count(*) AS N FROM documents),
+       |wt AS (SELECT doc_id, word, tf * ((1000 * N) // df) AS w_milli
+       |       FROM tf JOIN df USING (word) CROSS JOIN n
+       |       WHERE df * 100 <= N * $dfCapPct),
+       |cap AS (SELECT doc_id, word, w_milli FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY word
+       |           ORDER BY w_milli DESC, doc_id) AS ir FROM wt)
+       |        WHERE ir <= $postingCap),
+       |q AS (SELECT doc_id AS q_id, word, w_milli AS wq FROM wt WHERE $qFilter),
+       |dots AS (SELECT q.q_id, cap.doc_id, CAST(sum(q.wq * cap.w_milli) AS BIGINT) AS dot
+       |         FROM q JOIN cap USING (word) WHERE cap.doc_id <> q.q_id
+       |         GROUP BY q.q_id, cap.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY dot DESC, doc_id) AS rank FROM dots)""".stripMargin
 
   /** BPE-style pair statistics — the merge-candidate table a
     * byte-pair-encoding tokenizer trainer computes each round: adjacent
@@ -282,23 +307,7 @@ object TextCorpus {
          |SELECT pair, count(DISTINCT word) AS n_words, CAST(sum(n) AS BIGINT) AS total
          |FROM p GROUP BY pair ORDER BY total DESC, pair LIMIT 40""".stripMargin)),
     QueryDef("q60_sparse_topk", q60, Some(
-      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
-         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         |n AS (SELECT count(*) AS N FROM documents),
-         |wt AS (SELECT doc_id, word, tf * ((1000 * N) // df) AS w_milli
-         |       FROM tf JOIN df USING (word) CROSS JOIN n
-         |       WHERE df * 100 <= N * $dfCapPct),
-         |cap AS (SELECT doc_id, word, w_milli FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY word
-         |           ORDER BY w_milli DESC, doc_id) AS ir FROM wt)
-         |        WHERE ir <= $postingCap),
-         |q AS (SELECT doc_id AS q_id, word, w_milli AS wq FROM wt WHERE doc_id % 100 = 7),
-         |dots AS (SELECT q.q_id, cap.doc_id, CAST(sum(q.wq * cap.w_milli) AS BIGINT) AS dot
-         |         FROM q JOIN cap USING (word) WHERE cap.doc_id <> q.q_id
-         |         GROUP BY q.q_id, cap.doc_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |        ORDER BY dot DESC, doc_id) AS rank FROM dots)
+      s"""WITH ${sparseSql("doc_id % 100 = 7")}
          |SELECT q_id, rank, doc_id, dot FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin)),
     QueryDef("q40_tfidf_top_terms", q40, Some(
