@@ -131,7 +131,41 @@ object Extras {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** Time-series gap-fill: densify each user's event history into a
+    * complete daily panel (missing days materialized with zero counts) —
+    * the resample step every downstream window/trend computation
+    * assumes. The generated dimension is bounded by span-days PER USER
+    * (sequence + explode over the per-user [min, max] day range), never
+    * a global calendar cross join; the panel then left-joins the daily
+    * aggregate on (user, day) — two shuffles over day-grain tables that
+    * are already orders of magnitude smaller than the event stream.
+    */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    span.select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNotNull.cast("long").as("active"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q107_gap_fill", q107, Some(
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+        |daily AS (SELECT user_id, day, count(*) AS n FROM e GROUP BY user_id, day),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |panel AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+        |SELECT p.user_id, p.day,
+        |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN daily.n IS NULL THEN 0 ELSE 1 END AS BIGINT) AS active
+        |FROM panel p LEFT JOIN daily ON p.user_id = daily.user_id AND p.day = daily.day
+        |ORDER BY p.user_id, p.day""".stripMargin)),
     QueryDef("q102_json_extract", q102, Some(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(try_cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,

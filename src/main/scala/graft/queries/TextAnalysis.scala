@@ -290,7 +290,54 @@ object TextAnalysis {
        |FROM r$textrankIters ORDER BY rank LIMIT 20""".stripMargin
   }
 
+  /** Exact TOKEN-WEIGHTED length percentiles per language (p25/p50/p75):
+    * "the document length below which half the language's TOKENS live" —
+    * the curriculum/budgeting statistic where the doc-count percentile
+    * (q61) misleads because long documents carry most of the mass. The
+    * running weight rides the [[graft.operators.PrefixSum]] two-level
+    * decomposition bucketed by `n_chars div 100` (a function of the
+    * leading order column, so bucket order extends row order) — no
+    * single reducer ever sorts a language's whole corpus; the crossing
+    * row is then picked by the pure predicate cum >= T > cum - w (w > 0
+    * makes it unique: zero-weight rows can never cross). Thresholds
+    * T = ceil(p*W/1000) in exact integer space; the per-language totals
+    * are a 4-row broadcast.
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(text.normalizedTokens(col("text"))).cast("long").as("w"))
+    val cum = PrefixSum.withRunningTotal(
+      t.withColumn("bkt", expr("n_chars div 100")),
+      Seq("lang"), "bkt", Seq("n_chars", "doc_id"), "w", "cum")
+      .where(col("w") > 0)
+    val tot = t.groupBy(col("lang")).agg(sum(col("w")).as("wtot"))
+    val ps = s.range(1)
+      .select(explode(array(lit(250L), lit(500L), lit(750L))).as("p_milli"))
+    cum.join(broadcast(tot), "lang")
+      .crossJoin(broadcast(ps))
+      .withColumn("thr", expr("(p_milli * wtot + 999) div 1000"))
+      .where(col("cum") >= col("thr") && col("cum") - col("w") < col("thr"))
+      .select(col("lang"), col("p_milli"), col("n_chars"), col("wtot"))
+      .orderBy(col("lang"), col("p_milli"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q108_weighted_percentiles", q108, Some(
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, len($tokensSql) AS w FROM documents),
+         |c AS (SELECT *, sum(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |tot AS (SELECT lang, sum(w) AS wtot FROM t GROUP BY lang),
+         |p AS (SELECT unnest([250, 500, 750]) AS p_milli),
+         |x AS (SELECT c.lang, p.p_milli, c.n_chars, c.w, c.cum, tot.wtot,
+         |        (p.p_milli * tot.wtot + 999) // 1000 AS thr
+         |      FROM c JOIN tot ON c.lang = tot.lang CROSS JOIN p
+         |      WHERE c.w > 0)
+         |SELECT lang, CAST(p_milli AS BIGINT) AS p_milli, n_chars,
+         |  CAST(wtot AS BIGINT) AS wtot
+         |FROM x WHERE cum >= thr AND cum - w < thr
+         |ORDER BY lang, p_milli""".stripMargin)),
     QueryDef("q94_rare_token_ratio", q94, Some(
       s"""WITH w AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
          |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
