@@ -470,7 +470,59 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Columns profiled by q110, with the type normalization applied on
+    * BOTH engines before aggregating (timestamp -> date so no timestamp
+    * reaches the output; double -> decimal(18,2) so the min/max string
+    * rendering agrees). min/max aggregate on the NATIVE type and cast to
+    * string after — casting first would rank "10" < "9".
+    */
+  private val profileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "l_orderkey",
+    "l_linenumber" -> "CAST(l_linenumber AS BIGINT)",
+    "l_quantity" -> "CAST(l_quantity AS DECIMAL(18,2))",
+    "l_returnflag" -> "l_returnflag",
+    "l_shipdate" -> "CAST(l_shipdate AS DATE)",
+  )
+
+  /** Table profiler — the data-quality summary an ingest runs before
+    * trusting a new source: per column, non-null count, exact distinct
+    * count, and min/max. ONE pass over the scan: all per-column
+    * aggregates ride a single groupBy-less aggregation (the multiple
+    * exact DISTINCTs cost one Expand of factor |columns| — the standard
+    * exact-profiler price; an approx_count_distinct variant drops the
+    * Expand when estimates suffice), and the single result row unpivots
+    * to per-column rows via stack() — no driver-side loop, no second
+    * scan. The oracle is GENERATED from the same [[profileCols]] list,
+    * so engine and oracle cannot profile different columns.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.lineitem(s, d).selectExpr(
+      profileCols.map { case (n, e) => s"$e AS $n" }: _*)
+    val aggs = profileCols.flatMap { case (n, _) =>
+      Seq(count(col(n)).as(s"${n}_n"),
+        countDistinct(col(n)).as(s"${n}_d"),
+        min(col(n)).cast("string").as(s"${n}_min"),
+        max(col(n)).cast("string").as(s"${n}_max"))
+    }
+    val stackArgs = profileCols
+      .map { case (n, _) => s"'$n', ${n}_n, ${n}_d, ${n}_min, ${n}_max" }
+      .mkString(", ")
+    t.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${profileCols.size}, $stackArgs)" +
+        " AS (col_name, n_nonnull, n_distinct, min_s, max_s)"))
+      .orderBy(col("col_name"))
+  }
+
+  private def profileSql: String =
+    profileCols.map { case (n, e) =>
+      s"""SELECT '$n' AS col_name, CAST(count($e) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+         |  CAST(min($e) AS VARCHAR) AS min_s, CAST(max($e) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_table_profile", q110, Some(profileSql)),
     QueryDef("q104_group_regression", q104,
       Some("""WITH e AS (SELECT event_type,
              |  epoch_ns(ts) // 1000000000 - 1704067200 AS x,

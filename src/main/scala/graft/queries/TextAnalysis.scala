@@ -323,7 +323,54 @@ object TextAnalysis {
       .orderBy(col("lang"), col("p_milli"))
   }
 
+  /** Corpus-trained bigram language-model fluency score per document:
+    * train P(w2|w1) = c(w1,w2) / c(w1,·) on the corpus itself (both
+    * counts from ONE adjacent-pair explode — c(w1,·) sums only pairs,
+    * so the denominator is "tokens with a successor", the exact LM
+    * normalizer), then score each document by the mean of its pairs'
+    * floored milli conditional probabilities. The statistical shape of
+    * perplexity-based quality filtering with every step in exact
+    * integer space (mean-of-floored-milli rather than a float geometric
+    * mean — monotone in the same signal, engine-portable). Cost: the
+    * pair explode (the mass a tokenize pass already handles), two
+    * vocabulary-scale count aggregations, and two equi-joins of the
+    * pair stream against those count tables; numerators promote to
+    * decimal/HUGEINT before the x1000 so corpus-scale counts cannot
+    * wrap.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        expr("(CAST(1000 AS DECIMAL(38,0)) * n2) div n1").as("p_milli"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(p_milli) div count(1)").as("fluency_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q109_bigram_fluency", q109, Some(
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+         |       FROM t WHERE len(toks) >= 2),
+         |p2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM p2 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM p2 GROUP BY w1),
+         |sc AS (SELECT doc_id,
+         |         CAST((CAST(1000 AS HUGEINT) * n2) // n1 AS BIGINT) AS p_milli
+         |       FROM p2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(p_milli) // count(*) AS BIGINT) AS fluency_milli
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QueryDef("q108_weighted_percentiles", q108, Some(
       s"""WITH t AS (SELECT doc_id, lang, n_chars, len($tokensSql) AS w FROM documents),
          |c AS (SELECT *, sum(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
