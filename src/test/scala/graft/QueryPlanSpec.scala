@@ -144,6 +144,35 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan("q65_full_outer").contains("FullOuter"), "full outer")
   }
 
+  test("q101 prefix-filter join: candidates from equi-joins only (no nested loop/cartesian)") {
+    // The exactness-without-all-pairs claim: every join in the plan must
+    // be a hash/merge equi-join (prefix-element candidates, verify
+    // lookups) — a nested-loop anywhere means the filter degenerated.
+    val p = plan("q101_prefix_filter_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q106 hybrid fusion: the dense tower broadcasts only the bounded query side") {
+    val p = plan("q106_hybrid_rrf")
+    // The fixed (< 500) query set is the only legitimate broadcast-side
+    // of the dense cosine join; the corpus side must arrive via shuffle
+    // or stream, and fusion joins the two rank lists as equi-joins.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // The corpus-embedding scan feeds the join's STREAMED side: no plan
+    // shape may broadcast the unbounded embeddings table (the build side
+    // always carries the vec_id < 500 filter).
+    val broadcastSections = p.split("BroadcastExchange").drop(1)
+    assert(broadcastSections.nonEmpty, p)
+  }
+
+  test("q110 profiler is one scan: a single lineitem read feeding one Expand") {
+    // AQE prints Final + Initial sections; count scans in the final only.
+    val p = plan("q110_table_profile").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+    assert(p.contains("Expand"), p)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // Ties GraftSession's AQE claims to evidence: one hot key holds ~100k
     // rows while the rest hold 1; with the skew thresholds scaled down to
