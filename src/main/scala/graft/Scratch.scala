@@ -1,6 +1,8 @@
 package graft
 
-/** Ad-hoc profiling entry (not part of the library surface).
+/** Ad-hoc profiling entry (not part of the library surface): times each
+  * named query twice (cold + warm within this JVM) on the given sf dir.
+  * Run: SPARK_GRAFT_CPUS=32 runMain graft.Scratch <sfDir> <query...>
   *
   * CLOSED (round 5): q79 (bucketed as-of) under VERIFY's exact
   * conditions — local[4], shufflePartitions=4, coalesce(1) parquet
@@ -12,7 +14,14 @@ package graft
   * r4 wall-time jump was machine-level load (the same fleet-wide
   * 1.6-1.9x multiplier the r4 verdict documented on untouched queries),
   * not q79.
-  * Run: SPARK_GRAFT_CPUS=4 runMain graft.Scratch /root/testdata/sf0.01
+  *
+  * CLOSED (round 5): q110 profiler fused-vs-split A/B at sf0.1,
+  * local[32] — fused single-aggregation spelling (countDistinct +
+  * min/max together -> keyed SortAggregate over the expanded stream)
+  * benched 7.52 s; the split two-pass spelling measured 5.38 s cold /
+  * 1.20 s warm on the same corpus (cold pays this JVM's first-codegen;
+  * the bench, which warms up first, sees the warm number). The split
+  * is the shipped shape.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -23,27 +32,15 @@ object Scratch {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = java.nio.file.Files.createTempDirectory("scratch").toString
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
       println(f"TIMING $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache(); System.gc()
     }
-    def verifyStyle(q: String): Unit =
-      SparkEntry.queries(q)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$out/$q")
-    time("q35_count")(SparkEntry.queries("q35_asof_join")(spark, sfDir).count())
-    time("q79_count")(SparkEntry.queries("q79_asof_bucketed")(spark, sfDir).count())
-    time("q35_verify")(verifyStyle("q35_asof_join"))
-    time("q79_verify_1")(verifyStyle("q79_asof_bucketed"))
-    time("q79_verify_2")(verifyStyle("q79_asof_bucketed"))
-    // Round-5 plan audit: AQE-final plans of the new queries.
     args.drop(1).foreach { q =>
-      val df = SparkEntry.queries(q)(spark, sfDir)
-      df.collect()
-      println(s"===== $q =====")
-      println(df.queryExecution.executedPlan.toString)
+      time(s"${q}_cold")(SparkEntry.queries(q)(spark, sfDir).count())
+      time(s"${q}_warm")(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
   }

@@ -37,6 +37,43 @@ object PrefixSum {
       out: String): DataFrame =
     withRunningTotals(df, groupCols, bucketCol, orderCols, Seq(valueCol -> out))
 
+  /** Running MINIMUM over the same two-level decomposition (min is
+    * associative, so the identical bucket argument applies): `out` =
+    * min of `valueCol` over all EARLIER rows (exclusive — the running
+    * "best so far" a dominance sweep compares against; the first row of
+    * each group gets NULL). Exclusivity makes the skyline predicate a
+    * pure per-row comparison with no self-reference.
+    */
+  def withRunningMinExclusive(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucketCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String): DataFrame = {
+    val keys = (groupCols :+ bucketCol).map(col)
+    val localW = Window.partitionBy(keys: _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keyNames = groupCols :+ bucketCol
+    val offsets = df
+      .groupBy(keys: _*)
+      .agg(min(col(valueCol)).as("__bmin"))
+      .select(
+        keyNames.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }
+          :+ min(col("__bmin")).over(offsetW).as("__moff"): _*)
+    val joinCond = keyNames.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__k$i") }
+      .reduce(_ && _)
+    df.withColumn("__mlocal", min(col(valueCol)).over(localW))
+      .join(offsets, joinCond)
+      .withColumn(out, least(col("__mlocal"), col("__moff")))
+      .drop(keyNames.indices.map(i => s"__k$i") ++ Seq("__mlocal", "__moff"): _*)
+  }
+
   /** Multi-value form: every (valueCol -> out) pair rides the SAME
     * decomposition — one local window pass, one bucket-totals aggregate,
     * one offsets window, one join — where N sequential

@@ -356,7 +356,80 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token-distribution entropy in integer milli-nats —
+    * the lexical-diversity quality signal (low entropy = repetitive/
+    * templated text; complements q81's repetition ratios with the
+    * information-theoretic form). Exact-portable spelling: H = ln(n) -
+    * (1/n)*sum(c*ln(c)) is quantized PER TERM as floor(1000*ln(k)) on
+    * integer k (deterministic on both engines — the q40 idf precedent),
+    * so the aggregation sums exact integers in any order; no float ever
+    * crosses the shuffle. Cost: the token-count aggregation the text
+    * family already pays, then a per-doc integer fold.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(text.normalizedTokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * floor(lit(1000) * log(col("c"))).cast("long")).as("s"))
+      .select(col("doc_id"), col("n"),
+        (floor(lit(1000) * log(col("n"))).cast("long")
+          - expr("s div n")).as("entropy_milli"))
+      .orderBy(col("doc_id"))
+
+  /** Chi-square contingency cells for lang x source independence — the
+    * categorical drift test a multi-source ingest runs to catch a
+    * source's language mix shifting. All counts (observed, marginals,
+    * total) are exact integers; each cell emits its expected count in
+    * exact integer milli and its chi-square contribution through the
+    * identical IEEE-double spelling on both engines (the q54 recipe —
+    * (o*N - r*c)^2 / (r*c*N), operands decimal/HUGEINT-promoted before
+    * multiplying). Contributions are PER CELL — no cross-cell float sum
+    * ever happens in-engine, so no accumulation-order drift; the
+    * |langs|x|sources| cell table is what a drift monitor thresholds.
+    */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val o = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val r = docs.groupBy(col("lang")).agg(count(lit(1)).as("rl"))
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+    val n = docs.agg(count(lit(1)).as("N"))
+    o.join(broadcast(r), "lang").join(broadcast(c), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("e_milli",
+        expr("(CAST(1000 AS DECIMAL(38,0)) * rl * cs) div N"))
+      .withColumn("chi_cell", expr(
+        "CAST(CAST(o AS DECIMAL(38,0)) * N - CAST(rl AS DECIMAL(38,0)) * cs AS DOUBLE)" +
+          " * CAST(CAST(o AS DECIMAL(38,0)) * N - CAST(rl AS DECIMAL(38,0)) * cs AS DOUBLE)" +
+          " / (CAST(CAST(rl AS DECIMAL(38,0)) * cs AS DOUBLE) * CAST(N AS DOUBLE))"))
+      .select(col("lang"), col("source"), col("o"), col("e_milli"), col("chi_cell"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_chi2_contingency", q114, Some(
+      """WITH o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, count(*) AS rl FROM documents GROUP BY lang),
+        |c AS (SELECT source, count(*) AS cs FROM documents GROUP BY source),
+        |n AS (SELECT count(*) AS N FROM documents)
+        |SELECT o.lang, o.source, CAST(o.o AS BIGINT) AS o,
+        |  CAST((CAST(1000 AS HUGEINT) * rl * cs) // N AS BIGINT) AS e_milli,
+        |  CAST(CAST(o.o AS HUGEINT) * N - CAST(rl AS HUGEINT) * cs AS DOUBLE)
+        |    * CAST(CAST(o.o AS HUGEINT) * N - CAST(rl AS HUGEINT) * cs AS DOUBLE)
+        |    / (CAST(CAST(rl AS HUGEINT) * cs AS DOUBLE) * CAST(N AS DOUBLE)) AS chi_cell
+        |FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+        |ORDER BY lang, source""".stripMargin)),
+    QueryDef("q112_token_entropy", q112, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |c AS (SELECT doc_id, word, count(*) AS c FROM toks GROUP BY doc_id, word),
+         |a AS (SELECT doc_id, sum(c) AS n,
+         |        sum(c * CAST(floor(1000 * ln(c)) AS BIGINT)) AS s
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n,
+         |  CAST(CAST(floor(1000 * ln(n)) AS BIGINT) - s // n AS BIGINT) AS entropy_milli
+         |FROM a ORDER BY doc_id""".stripMargin)),
     QueryDef("q109_bigram_fluency", q109, Some(
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

@@ -165,12 +165,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(broadcastSections.nonEmpty, p)
   }
 
-  test("q110 profiler is one scan: a single lineitem read feeding one Expand") {
-    // AQE prints Final + Initial sections; count scans in the final only.
+  test("q110 profiler: distinct path dedups in HashAggregate, never a keyed sort of the stream") {
+    // The two-pass split exists precisely so no SortAggregate ever sorts
+    // the column-expanded stream (min/max string buffers would force
+    // that in the fused spelling). Keyless SortAggregate (the
+    // count/min/max fold) is fine; a KEYED one is the regression.
+    // AQE prints Final + Initial sections; check the final only.
     val p = plan("q110_table_profile").split("== Initial Plan ==").head
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
-    assert(p.contains("Expand"), p)
+    assert(scans == 2, s"expected the 2-pass profile (basic + distinct), got $scans scans:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate(key=[col_name"), p)
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
