@@ -52,6 +52,22 @@ class PipelineSpec extends SparkSpec {
     assert(scalable.collect().toSet == plain.collect().toSet)
   }
 
+  test("exclusive running min equals the single-partition exclusive window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        expr("doc_id div 97").as("bkt"))
+    val scalable = graft.operators.PrefixSum
+      .withRunningMinExclusive(base, Seq("lang"), "bkt", Seq("doc_id"), "n_chars", "best")
+      .select(col("doc_id"), col("best"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plain = base.withColumn("best", min(col("n_chars")).over(w))
+      .select(col("doc_id"), col("best"))
+    // Set compare includes the per-group first rows (best = NULL).
+    assert(scalable.collect().toSet == plain.collect().toSet)
+  }
+
   test("multi-value prefix sum == two single-partition windows (one pass, both outputs)") {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(spark, sf0001)
