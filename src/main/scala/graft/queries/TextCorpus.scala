@@ -218,6 +218,68 @@ object TextCorpus {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY dot DESC, doc_id) AS rank FROM dots)""".stripMargin
 
+  /** BM25 posting weight in integer micro-units, as ONE expression
+    * string `expr`-parsed by Spark and pasted verbatim into the DuckDB
+    * oracle, so both engines evaluate the identical IEEE-double op tree
+    * (the q54/q104 recipe): every input (tf, df, dl, N, total_tokens)
+    * is an exactly-representable integer, every arithmetic op is
+    * correctly-rounded IEEE, and the single `ln` matches between
+    * engines at far better than the micro floor granularity (q40
+    * precedent at milli). k1=1.2, b=0.75 appear pre-folded as the exact
+    * decimal literals 2.2 (= k1+1), 1.2, 0.25 (= 1-b), 0.75.
+    */
+  private val bm25WeightSql: String =
+    "CAST(floor(1000000 * ln((CAST(N AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)" +
+      " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *" +
+      " (dl * (CAST(N AS DOUBLE) / total_tokens)))))) AS BIGINT)"
+
+  /** BM25-ranked sparse retrieval — the production scoring function on
+    * the q60 scale skeleton: same df stopword prune, same salted
+    * two-level impact-ordered posting cap ([[cappedPostings]]), but
+    * postings carry the full BM25 doc-side weight
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) quantized to integer
+    * micro ([[bm25WeightSql]]); a query contributes its raw term
+    * frequency (BM25 does not length-normalize the query side). Corpus
+    * passes: one tokenize+tf aggregation (checkpointed — it feeds dl,
+    * df, postings, and queries), then the bounded postings join. The
+    * per-doc length dl joins back on doc_id — one co-partitioned
+    * shuffle, no window.
+    */
+  private[graft] def bm25TopK(docs: DataFrame, capPct: Int, cap: Int,
+      queryPred: Column = col("doc_id") % 100 === 7): DataFrame = {
+    val tf = InvertedIndex.words(docs, "doc_id", "text")
+      .groupBy(col("file_id").as("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds dl, df, the postings, and the query side
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("N"))
+      .crossJoin(tf.agg(sum(col("tf")).as("total_tokens")))
+    val pruned = tf.join(dfTab, "word")
+      .crossJoin(broadcast(totals))
+      .where(col("df") * lit(100) <= col("N") * lit(capPct))
+    val weighted = pruned
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("word"), expr(bm25WeightSql).as("w_milli"))
+    val capped = cappedPostings(weighted, cap)
+    val queries = pruned
+      .where(queryPred)
+      .select(col("doc_id").as("q_id"), col("word"), col("tf").as("qtf"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    queries.join(capped, "word")
+      .where(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("qtf") * col("w_milli")).as("score"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def q115(s: SparkSession, d: String): DataFrame =
+    bm25TopK(Tables.documents(s, d), dfCapPct, postingCap)
+
   /** BPE-style pair statistics — the merge-candidate table a
     * byte-pair-encoding tokenizer trainer computes each round: adjacent
     * character pairs inside each vocabulary word, weighted by the word's
@@ -276,6 +338,31 @@ object TextCorpus {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q115_bm25_topk", q115, Some(
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+         |dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |n AS (SELECT (SELECT count(*) FROM documents) AS N,
+         |             (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS total_tokens),
+         |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |pr AS (SELECT doc_id, word, tf, df FROM tf JOIN dft USING (word)
+         |       CROSS JOIN n WHERE df * 100 <= N * $dfCapPct),
+         |wt AS (SELECT doc_id, word, $bm25WeightSql AS w_milli
+         |       FROM pr JOIN dlt USING (doc_id) CROSS JOIN n),
+         |cap AS (SELECT doc_id, word, w_milli FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY word
+         |           ORDER BY w_milli DESC, doc_id) AS ir FROM wt)
+         |        WHERE ir <= $postingCap),
+         |q AS (SELECT doc_id AS q_id, word, tf AS qtf FROM pr
+         |      WHERE doc_id % 100 = 7),
+         |dots AS (SELECT q.q_id, cap.doc_id,
+         |          CAST(sum(q.qtf * cap.w_milli) AS BIGINT) AS score
+         |         FROM q JOIN cap USING (word) WHERE cap.doc_id <> q.q_id
+         |         GROUP BY q.q_id, cap.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY score DESC, doc_id) AS rank FROM dots)
+         |SELECT q_id, rank, doc_id, score FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin)),
     QueryDef("q105_heavy_hitters", q105, Some(
       s"""WITH toks AS (SELECT unnest($tokensSql) AS word FROM documents),
          |t AS (SELECT count(*) AS total FROM toks),
