@@ -176,6 +176,37 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster representative selection — the "keep best" pass a
+    * curation pipeline runs AFTER canonicalization: within each
+    * transitive near-dup cluster (q51's min-label components), keep the
+    * document with the most content (max n_chars, ties to the smaller
+    * doc_id) rather than blindly the smallest id. Per-cluster argmax is
+    * a max-struct partial aggregation (the q58 idiom — map-side combine,
+    * one shuffle on the label, NO per-cluster window or sort), and the
+    * representative joins back on the label — co-partitioned with the
+    * aggregation's own exchange. Output: every doc with its cluster, its
+    * cluster's representative, and the keep verdict the downstream
+    * filter applies.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val v = jaccardPairs(shingleSets(s, d))
+      .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val labels = Dedup.canonicalLabels(docs.select(col("doc_id")), v)
+    val reps = labels.join(docs, "doc_id")
+      .groupBy(col("label"))
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("label"), (col("m.nd") * lit(-1L)).as("rep_doc_id"))
+    labels.join(reps, "label")
+      .select(
+        col("doc_id"),
+        col("label").as("canonical_id"),
+        col("rep_doc_id"),
+        (col("doc_id") === col("rep_doc_id")).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental ingest dedup: the incoming batch (doc_id % 5 == 0, a
     * scale-proportional 20% slice) is matched against the EXISTING corpus
     * only — asymmetric band join (never the corpus self-join), then the
@@ -520,6 +551,28 @@ object DedupQueries {
          |          SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u)
          |SELECT u AS doc_id, min(w) AS canonical_id, CAST(min(w) <> u AS BIGINT) AS is_dup
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+    QueryDef("q116_dedup_keep_best", q116, Some(
+      s"""WITH RECURSIVE $minhashCte,
+         |${candCte(1)},
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM f),
+         |jp AS (SELECT c.doc_a, c.doc_b,
+         |         len(list_intersect(sa.s, sb.s)) AS n_common,
+         |         len(sa.s) AS n_a, len(sb.s) AS n_b
+         |       FROM cand c JOIN ds sa ON sa.doc_id = c.doc_a JOIN ds sb ON sb.doc_id = c.doc_b),
+         |vp AS (SELECT doc_a, doc_b FROM jp WHERE 3 * n_common >= n_a + n_b),
+         |e AS (SELECT doc_a AS u, doc_b AS w FROM vp UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach AS (SELECT doc_id AS u, doc_id AS w FROM documents
+         |          UNION
+         |          SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u),
+         |lab AS (SELECT u AS doc_id, min(w) AS canonical_id FROM reach GROUP BY u),
+         |rk AS (SELECT l.canonical_id, d.doc_id,
+         |         row_number() OVER (PARTITION BY l.canonical_id
+         |           ORDER BY d.n_chars DESC, d.doc_id) AS r
+         |       FROM lab l JOIN documents d USING (doc_id)),
+         |rep AS (SELECT canonical_id, doc_id AS rep_doc_id FROM rk WHERE r = 1)
+         |SELECT l.doc_id, l.canonical_id, rep.rep_doc_id,
+         |  CAST(l.doc_id = rep.rep_doc_id AS BIGINT) AS keep
+         |FROM lab l JOIN rep USING (canonical_id) ORDER BY doc_id""".stripMargin)),
     QueryDef("q68_incremental_dedup", q68, Some {
       val bands = (0 until Dedup.numHashes)
         .map(i => s"SELECT doc_id, $i AS band, mh$i AS key FROM m")
