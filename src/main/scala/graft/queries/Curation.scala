@@ -59,7 +59,57 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Block-size cap for the fuzzy-match candidate join: an entity block
+    * larger than this is degenerate blocking (the key stopped
+    * discriminating) and is skipped rather than allowed to go quadratic —
+    * the same admission rule as the LSH bucket cap (Dedup
+    * .defaultMaxBucket), applied to record linkage.
+    */
+  val maxNameBlock = 1000
+
+  /** Fuzzy entity matching by blocking + edit-distance verify — record
+    * linkage done the only way that survives scale: first collapse the
+    * record table to its DISTINCT entity names with counts (vocabulary-
+    * sized, one map-side-combine shuffle — never pair raw records, where
+    * identical names alone would make the join quadratic), then generate
+    * candidates with a blocking equi-join (block key = the name's head
+    * noun, i.e. last token) capped at [[maxNameBlock]], and verify with
+    * exact Levenshtein <= 2 on the candidate set only. Output: the
+    * merge-suggestion table with per-name record counts — what a
+    * dedup/normalization pass applies back to the records.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val capped = names
+      .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("noun"))))
+      .where(col("block_n") <= maxNameBlock)
+    val a = capped.select(col("noun"), col("p_name").as("name_a"), col("n_parts").as("n_a"))
+    val b = capped.select(col("noun"), col("p_name").as("name_b"), col("n_parts").as("n_b"))
+    a.join(b, "noun")
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q117_fuzzy_name_match", q117, Some(
+      s"""WITH names AS (SELECT p_name, count(*) AS n_parts,
+         |         list_extract(string_split(p_name, ' '), -1) AS noun
+         |       FROM part GROUP BY p_name),
+         |c AS (SELECT * FROM (
+         |        SELECT *, count(*) OVER (PARTITION BY noun) AS block_n FROM names)
+         |      WHERE block_n <= $maxNameBlock)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         |  a.n_parts AS n_a, b.n_parts AS n_b
+         |FROM c a JOIN c b ON a.noun = b.noun AND a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) <= 2
+         |ORDER BY name_a, name_b""".stripMargin)),
     QueryDef("q46_curation", q46, Some(
       s"""WITH lang AS (SELECT doc_id, pred_lang FROM (${langDef.oracle.get})),
          |q AS (SELECT doc_id, quality, n_tokens FROM (${qualityDef.oracle.get})),

@@ -187,7 +187,64 @@ object Extras {
       .orderBy(col("user_id"))
   }
 
+  /** Open-interval sentinel for q118: epoch micros of 10000-01-01 —
+    * the conventional SCD "end of time" upper bound, so current rows
+    * still carry a closed BIGINT range (timestamps never appear in
+    * output columns).
+    */
+  val scdOpenEndUs = 253402300800000000L
+
+  /** SCD Type-2 history build — gaps-and-islands over the event stream:
+    * consecutive same-state events per user collapse into one validity
+    * interval, versioned in arrival order, with [valid_from, valid_to)
+    * closed by the NEXT island's start ([[scdOpenEndUs]] for the current
+    * one). Every window partitions by user_id (bounded per-entity
+    * history — the dimension-table grain), the island collapse is a
+    * map-side-combinable groupBy on (user, version), and the closing
+    * lead() runs over the already-collapsed island table, never the raw
+    * stream. The warehouse dimension-maintenance shape, derived from a
+    * changelog in one pass.
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    val wIsle = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val e = Tables.events(s, d).select(
+      col("user_id"), col("event_type").as("state"),
+      expr("ts div 1000").as("t_us"), col("event_id"))
+    e.withColumn("prev", lag(col("state"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("state"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("version", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("version"), col("state"))
+      .agg(min(col("t_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("nxt", lead(col("valid_from_us"), 1).over(wIsle))
+      .select(
+        col("user_id"), col("version"), col("state"), col("valid_from_us"),
+        coalesce(col("nxt"), lit(scdOpenEndUs)).as("valid_to_us"),
+        col("n_events"),
+        col("nxt").isNull.cast("long").as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q118_scd2_intervals", q118, Some(
+      s"""WITH e AS (SELECT user_id, event_type AS state,
+         |         epoch_ns(ts) // 1000 AS t_us, event_id FROM events),
+         |l AS (SELECT *, lag(state) OVER (PARTITION BY user_id
+         |        ORDER BY t_us, event_id) AS prev FROM e),
+         |v AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> state
+         |          THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |        ORDER BY t_us, event_id) AS BIGINT) AS version FROM l),
+         |g AS (SELECT user_id, version, state, min(t_us) AS valid_from_us,
+         |        count(*) AS n_events
+         |      FROM v GROUP BY user_id, version, state),
+         |t AS (SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id
+         |        ORDER BY version) AS nxt FROM g)
+         |SELECT user_id, version, state, valid_from_us,
+         |  coalesce(nxt, $scdOpenEndUs) AS valid_to_us, n_events,
+         |  CAST(nxt IS NULL AS BIGINT) AS is_current
+         |FROM t ORDER BY user_id, version""".stripMargin)),
     QueryDef("q113_incremental_view", q113, Some(
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi

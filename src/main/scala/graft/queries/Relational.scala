@@ -568,7 +568,53 @@ object Relational {
       .orderBy(col("p_size"), col("price_centi"))
   }
 
+  /** Referential-integrity audit: orphan counts for every FK edge of the
+    * schema in one result. Each edge is a LEFT ANTI join on the key (a
+    * NULL FK never matches, so it counts as an orphan — the audit
+    * semantics a loader wants) aggregated to a single count; small
+    * parents broadcast, the one big-big edge (lineitem -> orders)
+    * shuffles on the key it would shuffle on anyway. The per-edge
+    * aggregates are scalars, so the union glue is free — the whole
+    * audit costs one pass over each child table.
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(
+        child.select(col(key)).join(parent.select(col(pk).as(key)), Seq(key), "left_anti")
+          .agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    Seq(
+      edge("customer.nationkey", Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+      edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem.partkey", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+      edge("lineitem.suppkey", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      edge("nation.regionkey", Tables.nation(s, d), "n_regionkey", Tables.region(s, d), "r_regionkey"),
+      edge("orders.custkey", o, "o_custkey", Tables.customer(s, d), "c_custkey"),
+      edge("supplier.nationkey", Tables.supplier(s, d), "s_nationkey", Tables.nation(s, d), "n_nationkey"),
+    ).reduce(_ unionByName _).orderBy(col("edge"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q119_fk_audit", q119, Some {
+      val edges = Seq(
+        ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ).map { case (name, child, key, parent, pk) =>
+        s"""SELECT '$name' AS edge,
+           |  (SELECT count(*) FROM $child) AS n_rows,
+           |  (SELECT count(*) FROM $child c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$key)) AS n_orphans"""
+          .stripMargin
+      }
+      edges.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    }),
     QueryDef("q111_skyline", q111, Some(
       """WITH pt AS (SELECT p_size, CAST(round(p_retailprice * 100) AS BIGINT) AS price_centi
         |            FROM part),
