@@ -408,7 +408,66 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Robust per-language dispersion — exact median and MAD (median
+    * absolute deviation) of document length — the outlier-resistant
+    * spread statistic behind robust z-score filtering (q62's mean/std
+    * breaks under the heavy document-length tail; median/MAD does not).
+    * Exactness WITHOUT a per-group sort: lengths first collapse to the
+    * VALUE-GRAIN table (lang, n_chars, count) — one map-side-combinable
+    * shuffle, after which everything runs over the compressed domain —
+    * then each median is the unique crossing row (cum >= T > cum - cnt,
+    * T = (n+1) div 2) of a running count riding the [[graft.operators
+    * .PrefixSum]] banded decomposition, so no single reducer ever sees a
+    * language's whole value list. The deviation table reuses the SAME
+    * value-grain counts re-keyed by |n_chars - median| — the second
+    * median costs a vocabulary-scale regroup, not a corpus pass.
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val vc = Tables.documents(s, d)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the median pass and the deviation regroup
+    val tot = vc.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    def crossing(cum: DataFrame, valueCol: String, out: String): DataFrame =
+      cum.join(broadcast(tot), "lang")
+        .withColumn("thr", expr("(n + 1) div 2"))
+        .where(col("cum") >= col("thr") && col("cum") - col("cnt") < col("thr"))
+        .select(col("lang"), col(valueCol).as(out))
+    val med = crossing(
+      PrefixSum.withRunningTotal(vc.withColumn("bkt", expr("n_chars div 100")),
+        Seq("lang"), "bkt", Seq("n_chars"), "cnt", "cum"),
+      "n_chars", "median_chars")
+    val dc = vc.join(broadcast(med), "lang")
+      .select(col("lang"), abs(col("n_chars") - col("median_chars")).as("dev"), col("cnt"))
+      .groupBy(col("lang"), col("dev")).agg(sum(col("cnt")).as("cnt"))
+    val mad = crossing(
+      PrefixSum.withRunningTotal(dc.withColumn("bkt", expr("dev div 100")),
+        Seq("lang"), "bkt", Seq("dev"), "cnt", "cum"),
+      "dev", "mad_chars")
+    med.join(mad, "lang").join(tot, "lang")
+      .select(col("lang"), col("n").as("n_docs"), col("median_chars"), col("mad_chars"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q120_robust_dispersion", q120, Some(
+      """WITH vc AS (SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars),
+        |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY lang),
+        |c1 AS (SELECT *, sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |         ROWS UNBOUNDED PRECEDING) AS cum FROM vc),
+        |med AS (SELECT c1.lang, c1.n_chars AS median_chars
+        |        FROM c1 JOIN tot USING (lang)
+        |        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2),
+        |dc AS (SELECT vc.lang, abs(vc.n_chars - m.median_chars) AS dev,
+        |         CAST(sum(cnt) AS BIGINT) AS cnt
+        |       FROM vc JOIN med m ON vc.lang = m.lang GROUP BY vc.lang, dev),
+        |c2 AS (SELECT *, sum(cnt) OVER (PARTITION BY lang ORDER BY dev
+        |         ROWS UNBOUNDED PRECEDING) AS cum FROM dc),
+        |mad AS (SELECT c2.lang, c2.dev AS mad_chars FROM c2 JOIN tot USING (lang)
+        |        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2)
+        |SELECT m.lang, tot.n AS n_docs, m.median_chars, mad.mad_chars
+        |FROM med m JOIN mad USING (lang) JOIN tot USING (lang)
+        |ORDER BY lang""".stripMargin)),
     QueryDef("q114_chi2_contingency", q114, Some(
       """WITH o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
         |r AS (SELECT lang, count(*) AS rl FROM documents GROUP BY lang),

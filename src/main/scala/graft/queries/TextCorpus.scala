@@ -337,7 +337,48 @@ object TextCorpus {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** Vocabulary growth curve: new distinct word-shingles contributed by
+    * each corpus decile (arrival order = doc_id), cumulated — the
+    * Heaps'-law measurement behind "how much more data until the
+    * tokenizer's vocabulary saturates". Measured over the
+    * `Dedup.shingleSize`-gram space rather than unigrams (this corpus's
+    * unigram vocabulary saturates in decile 0; n-gram growth is the
+    * curve a tokenizer trainer actually watches). First-seen is a
+    * min-aggregate on the shingle (vocabulary-scale, map-side combine);
+    * the decile bucketing and both aggregations run over vocab- then
+    * 10-row tables. The only partition-less window is the final
+    * cumulation over the TEN decile rows.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg((max(col("doc_id")) + 1).as("nd"))
+    val fs = docs
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(text.normalizedTokens(col("text")))).as("sh"))
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    val w = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    fs.crossJoin(broadcast(nd))
+      .groupBy(expr("(first_doc * 10) div nd").as("decile"))
+      .agg(count(lit(1)).as("n_new_shingles"))
+      .withColumn("cum_vocab", sum(col("n_new_shingles")).over(w))
+      .orderBy(col("decile"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q121_vocab_growth", q121, Some(
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+         |      FROM t WHERE len(toks) >= 3),
+         |fs AS (SELECT sh, min(doc_id) AS first_doc FROM w GROUP BY sh),
+         |mx AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+         |d AS (SELECT (first_doc * 10) // nd AS decile, count(*) AS n_new_shingles
+         |      FROM fs CROSS JOIN mx GROUP BY decile)
+         |SELECT decile, CAST(n_new_shingles AS BIGINT) AS n_new_shingles,
+         |  CAST(sum(n_new_shingles) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |FROM d ORDER BY decile""".stripMargin)),
     QueryDef("q115_bm25_topk", q115, Some(
       s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
