@@ -176,6 +176,57 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sorted-neighborhood candidate window: each document pairs with the
+    * next `snmWindow - 1` documents in sort-key order. Window 4 is the
+    * classic SNM default band.
+    */
+  val snmWindow = 4
+
+  /** Sorted-neighborhood dedup — the third candidate-generation family
+    * beside MinHash-LSH (q25) and SimHash banding (q85): sort the corpus
+    * by a similarity-preserving key (the first 5 tokens of each doc's
+    * SORTED distinct token list — near-duplicates share sorted-token
+    * prefixes even when edits move words around) and pair each doc with
+    * its `snmWindow - 1` successors, then verify with the same exact
+    * integer-space Jaccard as the LSH path. The global rank is NOT a
+    * single-partition window: it rides the [[graft.operators.PrefixSum]]
+    * banded decomposition (bucket = the key's first character, monotone
+    * in key order), and the adjacency pairing is an EQUI-join on
+    * rank+offset (each row exploded `snmWindow - 1` times) — every stage
+    * parallel at corpus scale.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val sh = shingleSets(s, d)
+    val toks = text.normalizedTokens(col("text"))
+    val keys = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= Dedup.shingleSize)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(array_sort(array_distinct(col("toks"))), 1, 5)).as("k"))
+    val ranked = PrefixSum.withRunningTotal(
+      keys.withColumn("one", lit(1L)).withColumn("bkt", substring(col("k"), 1, 1)),
+      Nil, "bkt", Seq("k", "doc_id"), "one", "rank")
+      .select(col("doc_id"), col("rank"))
+      .localCheckpoint() // feeds both sides of the rank-offset equi-join
+    val cand = ranked
+      .select(col("doc_id").as("d0"), col("rank"),
+        explode(sequence(lit(1), lit(snmWindow - 1))).as("j"))
+      .select(col("d0"), (col("rank") + col("j")).as("rank"))
+      .join(ranked.select(col("doc_id").as("d1"), col("rank")), "rank")
+      .select(least(col("d0"), col("d1")).as("doc_a"),
+        greatest(col("d0"), col("d1")).as("doc_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"))
+      .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Duplicate-cluster representative selection — the "keep best" pass a
     * curation pipeline runs AFTER canonicalization: within each
     * transitive near-dup cluster (q51's min-label components), keep the
@@ -551,6 +602,23 @@ object DedupQueries {
          |          SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u)
          |SELECT u AS doc_id, min(w) AS canonical_id, CAST(min(w) <> u AS BIGINT) AS is_dup
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin)),
+    QueryDef("q122_sorted_neighborhood", q122, Some(
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |f AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t WHERE len(toks) >= ${Dedup.shingleSize}),
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM f),
+         |keys AS (SELECT doc_id,
+         |           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ' ') AS k
+         |         FROM t WHERE len(toks) >= ${Dedup.shingleSize}),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rank FROM keys),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db FROM r a JOIN r b
+         |         ON b.rank - a.rank BETWEEN 1 AND ${snmWindow - 1}),
+         |p AS (SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b FROM cand),
+         |j AS (SELECT p.doc_a, p.doc_b,
+         |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
+         |        CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b
+         |      FROM p JOIN ds sa ON sa.doc_id = p.doc_a JOIN ds sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_common, n_a, n_b FROM j
+         |WHERE 3 * n_common >= n_a + n_b ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("q116_dedup_keep_best", q116, Some(
       s"""WITH RECURSIVE $minhashCte,
          |${candCte(1)},

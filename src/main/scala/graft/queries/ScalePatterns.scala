@@ -374,7 +374,79 @@ object ScalePatterns {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch accuracy for q123's scoping pass: guaranteed rank error
+    * <= n / quantileAccuracy (Greenwald-Khanna bound), so bracketing
+    * the target with +/- 2/quantileAccuracy of rank margin makes the
+    * bracket PROVABLY contain the exact quantile.
+    */
+  val quantileAccuracy = 1000
+
+  /** Exact global quantiles (p50/p90) over a high-cardinality value, at
+    * scale — the q105 scope/decide recipe applied to ranks: pass 1 runs
+    * Spark's mergeable approx_percentile sketch ONCE to bracket each
+    * target ([p - 2eps, p + 2eps] ranks, eps = 1/[[quantileAccuracy]] —
+    * by the sketch's deterministic error bound the exact quantile value
+    * must lie inside); pass 2 makes one conditional scan that counts
+    * below-bracket mass and collapses ONLY in-bracket values to their
+    * centi-integer grain, and the exact crossing row (n_below + cum >=
+    * T > n_below + cum - cnt, T = ceil(p * n / 1000)) is picked by a
+    * running count riding the [[graft.operators.PrefixSum]] banded
+    * decomposition. No task ever sorts the corpus; the only ranked data
+    * is the sketch-scoped bracket at value grain. The plain-SQL oracle
+    * computes the same quantiles over ALL values — exactness of the
+    * sketch-driven plan is the check.
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val ps = Seq(500L, 900L)
+    val margin = 2.0 / quantileAccuracy
+    val li = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val qs = ps.flatMap(p => Seq(p / 1000.0 - margin, p / 1000.0 + margin))
+    val sketch = li.agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(v, array(${qs.mkString(", ")}), $quantileAccuracy)").as("b"))
+    val brackets = sketch.select(
+      col("n"),
+      explode(arrays_zip(
+        array(ps.map(lit): _*),
+        array(ps.indices.map(i => col("b")(2 * i)): _*),
+        array(ps.indices.map(i => col("b")(2 * i + 1)): _*))).as("z"))
+      .select(col("n"), col("z.0").as("p_milli"), col("z.1").as("lo"), col("z.2").as("hi"))
+    val grains = li.crossJoin(broadcast(brackets))
+      .withColumn("g",
+        when(col("v") < col("lo"), lit(-1L))
+          .when(col("v") <= col("hi"), col("v")))
+      .where(col("g").isNotNull)
+      .groupBy(col("p_milli"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val below = grains.where(col("g") === -1L)
+      .select(col("p_milli"), col("cnt").as("n_below"))
+    val cum = PrefixSum.withRunningTotal(
+      grains.where(col("g") >= 0L).withColumn("bkt", expr("g div 10000")),
+      Seq("p_milli"), "bkt", Seq("g"), "cnt", "cum")
+    cum.join(broadcast(below), Seq("p_milli"), "left")
+      .withColumn("n_below", coalesce(col("n_below"), lit(0L)))
+      .withColumn("thr", expr("(p_milli * n + 999) div 1000"))
+      .where(col("n_below") + col("cum") >= col("thr") &&
+        col("n_below") + col("cum") - col("cnt") < col("thr"))
+      .select(col("p_milli"), col("g").as("price_centi"), col("n").as("n_rows"))
+      .orderBy(col("p_milli"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q123_exact_quantile_scoped", q123, Some(
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |g AS (SELECT v, count(*) AS cnt FROM v GROUP BY v),
+        |c AS (SELECT *, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+        |p AS (SELECT unnest([500, 900]) AS p_milli),
+        |x AS (SELECT p.p_milli, c.v, c.cnt, c.cum, n.n,
+        |        (p.p_milli * n.n + 999) // 1000 AS thr
+        |      FROM c CROSS JOIN p CROSS JOIN n)
+        |SELECT CAST(p_milli AS BIGINT) AS p_milli, v AS price_centi,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM x WHERE cum >= thr AND cum - cnt < thr ORDER BY p_milli""".stripMargin)),
     QueryDef("q96_zorder_box", q96, Some(
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |round(sum(value), 2) AS total
