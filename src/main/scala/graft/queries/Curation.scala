@@ -78,14 +78,17 @@ object Curation {
     * merge-suggestion table with per-name record counts — what a
     * dedup/normalization pass applies back to the records.
     */
-  private def q117(s: SparkSession, d: String): DataFrame = {
+  /** The q117 core over any (p_name) record frame, exposed for the
+    * degenerate-block-cap spec.
+    */
+  private[graft] def fuzzyNameMatches(parts: DataFrame, maxBlock: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val names = Tables.part(s, d)
+    val names = parts
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
       .withColumn("noun", element_at(split(col("p_name"), " "), -1))
     val capped = names
       .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("noun"))))
-      .where(col("block_n") <= maxNameBlock)
+      .where(col("block_n") <= maxBlock)
     val a = capped.select(col("noun"), col("p_name").as("name_a"), col("n_parts").as("n_a"))
     val b = capped.select(col("noun"), col("p_name").as("name_b"), col("n_parts").as("n_b"))
     a.join(b, "noun")
@@ -95,6 +98,9 @@ object Curation {
       .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  private def q117(s: SparkSession, d: String): DataFrame =
+    fuzzyNameMatches(Tables.part(s, d), maxNameBlock)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q117_fuzzy_name_match", q117, Some(

@@ -195,23 +195,35 @@ object DedupQueries {
     * rank+offset (each row exploded `snmWindow - 1` times) — every stage
     * parallel at corpus scale.
     */
-  private def q122(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.PrefixSum
-    val sh = shingleSets(s, d)
-    val toks = text.normalizedTokens(col("text"))
-    val keys = Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("toks"))
-      .where(size(col("toks")) >= Dedup.shingleSize)
-      .select(col("doc_id"),
-        concat_ws(" ", slice(array_sort(array_distinct(col("toks"))), 1, 5)).as("k"))
-    val ranked = PrefixSum.withRunningTotal(
+  /** Banded global rank over the sort key (exposed for the
+    * single-partition-window equivalence spec): running count of 1
+    * riding PrefixSum, bucket = the key's first character (monotone in
+    * key order).
+    */
+  private[graft] def snmRanked(keys: DataFrame): DataFrame =
+    graft.operators.PrefixSum.withRunningTotal(
       keys.withColumn("one", lit(1L)).withColumn("bkt", substring(col("k"), 1, 1)),
       Nil, "bkt", Seq("k", "doc_id"), "one", "rank")
       .select(col("doc_id"), col("rank"))
+
+  /** The q122 core over any (doc_id, text) frame, exposed for the
+    * permuted-duplicate spec.
+    */
+  private[graft] def sortedNeighborhoodPairs(docs: DataFrame, window: Int): DataFrame = {
+    val toks = text.normalizedTokens(col("text"))
+    val base = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= Dedup.shingleSize)
+    val sh = base
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("toks"))).as("sh"))
+      .localCheckpoint() // feeds both sides of the verify join
+    val keys = base.select(col("doc_id"),
+      concat_ws(" ", slice(array_sort(array_distinct(col("toks"))), 1, 5)).as("k"))
+    val ranked = snmRanked(keys)
       .localCheckpoint() // feeds both sides of the rank-offset equi-join
     val cand = ranked
       .select(col("doc_id").as("d0"), col("rank"),
-        explode(sequence(lit(1), lit(snmWindow - 1))).as("j"))
+        explode(sequence(lit(1), lit(window - 1))).as("j"))
       .select(col("d0"), (col("rank") + col("j")).as("rank"))
       .join(ranked.select(col("doc_id").as("d1"), col("rank")), "rank")
       .select(least(col("d0"), col("d1")).as("doc_a"),
@@ -226,6 +238,9 @@ object DedupQueries {
       .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def q122(s: SparkSession, d: String): DataFrame =
+    sortedNeighborhoodPairs(Tables.documents(s, d), snmWindow)
 
   /** Duplicate-cluster representative selection — the "keep best" pass a
     * curation pipeline runs AFTER canonicalization: within each

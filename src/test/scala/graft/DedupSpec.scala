@@ -247,4 +247,72 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got.size == 5 && got.values.forall(_ == ((25L, 25L, 1000L))), got.toString)
   }
+
+  test("sorted-neighborhood banded rank equals the single-partition row_number on the real corpus") {
+    val toks = graft.functions.text.normalizedTokens(col("text"))
+    val keys = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= Dedup.shingleSize)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(array_sort(array_distinct(col("toks"))), 1, 5)).as("k"))
+      .localCheckpoint()
+    val banded = queries.DedupQueries.snmRanked(keys)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))
+    val plain = keys.select(col("doc_id"), row_number().over(w).cast("long").as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(banded == plain)
+  }
+
+  test("sorted-neighborhood pairs a mid-edit near-duplicate within window 2 among decoys") {
+    // Doc 2 is doc 1 with one mid-document token changed: the sorted-token
+    // key prefix is identical, so the two sort adjacent regardless of how
+    // far apart their ids are, and the shingle verify passes (15 of 18
+    // shingles shared). The decoys keep the window honest: window 2 means
+    // only rank-adjacent docs ever become candidates.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett" +
+      " kilo lima mike november oscar papa quebec romeo sierra tango"
+    val rows = Seq(
+      1L -> base,
+      5L -> base.replace("kilo", "zulu"),
+      2L -> "uniform victor whiskey xray yankee zulu aardvark badger camel dingo",
+      3L -> "quokka rabbit snake tiger unau vole wombat xerus yak zebra",
+      4L -> "echo golf india kilo mike oscar quebec sierra uniform whiskey",
+    )
+    val pairs = queries.DedupQueries.sortedNeighborhoodPairs(docsDF(rows), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 5L)), pairs.toString)
+  }
+
+  test("q116 keep-best: exactly one representative per cluster, carrying its maximum content") {
+    val docs = Tables.documents(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap // doc_id -> n_chars
+    val out = SparkEntry.queries("q116_dedup_keep_best")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.size)
+    out.groupBy(_._2).foreach { case (canon, members) =>
+      val reps = members.map(_._3).distinct
+      assert(reps.length == 1, s"cluster $canon has ${reps.length} representatives")
+      val rep = reps.head
+      assert(members.map(m => docs(m._1)).max == docs(rep),
+        s"cluster $canon representative $rep lacks the max n_chars")
+      assert(members.count(_._4 == 1L) == 1 &&
+        members.find(_._4 == 1L).get._1 == rep)
+    }
+  }
+
+  test("fuzzy name matching skips a degenerate block instead of going quadratic") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 10 distinct names share the 'gear' block key (> maxBlock = 5) — the
+    // block stopped discriminating, so it is dropped whole; the 2-name
+    // 'bolt' block survives and its 1-edit pair is found.
+    val hot = Seq("alpha", "bravo", "carol", "delta", "erica",
+      "frank", "grace", "henry", "irene", "julia").map(a => s"$a gear")
+    val rows = (hot.flatMap(n => Seq(n, n)) ++ Seq("cold bolt", "bold bolt"))
+      .toDF("p_name")
+    val got = queries.Curation.fuzzyNameMatches(rows, maxBlock = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("bold bolt", "cold bolt", 1L)), got.mkString(","))
+  }
 }

@@ -44,4 +44,23 @@ class ExtrasSpec extends SparkSpec {
     val nUsers = events.select(col("user_id")).distinct().count()
     assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
   }
+
+  test("q118 SCD2 intervals tile each user's timeline: dense versions, abutting ranges, alternating states") {
+    val rows = SparkEntry.queries("q118_scd2_intervals")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // Island event counts sum back to the full stream.
+    assert(rows.map(_._6).sum == Tables.events(spark, sf0001).count())
+    rows.groupBy(_._1).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_._2).toList
+      assert(rs.map(_._2) == (1L to rs.length).toList, s"user $u versions not dense")
+      assert(rs.count(_._7 == 1L) == 1 && rs.last._7 == 1L, s"user $u is_current")
+      rs.sliding(2).foreach {
+        case List(a, b) =>
+          assert(a._5 == b._4, s"user $u intervals do not abut")
+          assert(a._3 != b._3, s"user $u consecutive islands share a state")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -1,0 +1,35 @@
+package graft
+
+/** Behavior of the sparse-retrieval scoring family beyond the DuckDB
+  * oracle: BM25 (q115) shares q60's df-prune + capped-postings skeleton
+  * but must act like BM25 — dense rank lists, and document-length
+  * normalization that actually re-ranks relative to the linear-idf
+  * scorer on the same corpus.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def topLists(name: String): Map[Long, Seq[Long]] =
+    SparkEntry.queries(name)(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+
+  test("BM25 rank lists are dense top-5 per query and length normalization re-ranks vs linear-idf") {
+    val bm = SparkEntry.queries("q115_bm25_topk")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    bm.groupBy(_._1).foreach { case (q, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      assert(rs.map(_._2).toSeq == (1L to rs.length).toSeq, s"query $q ranks not dense")
+      assert(rs.length == 5, s"query $q returned ${rs.length} results")
+      // Scores non-increasing down the rank list (ties broken by doc_id).
+      assert(rs.map(_._4).toSeq == rs.map(_._4).sortBy(-_).toSeq, s"query $q score order")
+    }
+    val bmTop = topLists("q115_bm25_topk")
+    val linTop = topLists("q60_sparse_topk")
+    assert(bmTop.keySet == linTop.keySet)
+    // Same corpus, same candidate skeleton — if no query re-ranks, the
+    // length normalization is dead code. (At sf0.001 every query
+    // re-ranks; >= 1 keeps the pin robust to data regeneration.)
+    assert(bmTop.count { case (q, l) => linTop(q) != l } >= 1,
+      "BM25 produced identical rankings to linear-idf everywhere")
+  }
+}

@@ -233,4 +233,44 @@ class ScalePatternsSpec extends SparkSpec {
       probe, "k", "t", "id", build, "k", "t", "ref", bucketWidth = 16L))
     assert(bucketed == plain)
   }
+
+  test("q123 sketch bracket provably contains the exact quantile and prunes the decide set") {
+    // The scope/decide contract: the Greenwald-Khanna rank-error bound
+    // (n / accuracy) means quantiles queried at p +/- 2/accuracy MUST
+    // bracket the exact p-quantile; and the bracket must be SELECTIVE —
+    // the decide pass only ranks in-bracket mass.
+    val li = Tables.lineitem(spark, sf0001)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val exact = li.orderBy(col("v")).collect().map(_.getLong(0))
+    val n = exact.length
+    val m = 2.0 / graft.queries.ScalePatterns.quantileAccuracy
+    for (p <- Seq(500L, 900L)) {
+      val t = ((p * n + 999) / 1000).toInt
+      val ev = exact(t - 1)
+      val b = li.agg(expr(
+        s"approx_percentile(v, array(${p / 1000.0 - m}, ${p / 1000.0 + m}), " +
+          s"${graft.queries.ScalePatterns.quantileAccuracy})").as("b"))
+        .head().getSeq[Long](0)
+      assert(b(0) <= ev && ev <= b(1), s"p=$p bracket ${b(0)}..${b(1)} misses exact $ev")
+      val inBracket = exact.count(v => v >= b(0) && v <= b(1))
+      assert(inBracket * 10 < n, s"p=$p bracket keeps $inBracket of $n rows")
+    }
+  }
+
+  test("q120 median/MAD match a driver-side brute force per language") {
+    def lowMedian(xs: Array[Long]): Long = xs((xs.length + 1) / 2 - 1)
+    val byLang = Tables.documents(spark, sf0001).select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    val out = SparkEntry.queries("q120_robust_dispersion")(spark, sf0001).collect()
+    assert(out.length == byLang.size)
+    out.foreach { r =>
+      val xs = byLang(r.getString(0))
+      assert(r.getLong(1) == xs.length)
+      val med = lowMedian(xs)
+      assert(r.getLong(2) == med, s"${r.getString(0)} median")
+      assert(r.getLong(3) == lowMedian(xs.map(x => math.abs(x - med)).sorted),
+        s"${r.getString(0)} MAD")
+    }
+  }
 }
