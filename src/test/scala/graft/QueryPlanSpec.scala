@@ -178,6 +178,70 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate(key=[col_name"), p)
   }
 
+  /** The window-discipline check shared by the PrefixSum riders: every
+    * partition-less window in the optimized plan must run over a
+    * band-totals aggregate (grouped by the `bkt` column), never over
+    * row-grain data.
+    */
+  private def assertBandedWindowsDf(label: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overBandTotals = w.collectFirst {
+        case a: Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "bkt")) => a
+      }.isDefined
+      assert(overBandTotals, s"$label: partition-less window not over band totals:\n$w")
+    }
+  }
+
+  private def assertBandedWindows(name: String): Unit =
+    assertBandedWindowsDf(name, SparkEntry.queries(name)(spark, sf0001))
+
+  test("q115 BM25 joins are equi-joins, df/dot aggregations partial-aggregate, windows salted") {
+    val p = plan("q115_bm25_topk")
+    // The only nested-loop joins allowed are the broadcast crossJoins of
+    // the 1-row (N, total_tokens) totals — every data-scale join (df,
+    // dl, postings x queries) must be an equi-join.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assertBandedWindows("q115_bm25_topk")
+  }
+
+  test("q119 FK audit plans anti joins (never full join + filter)") {
+    val p = plan("q119_fk_audit")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q122 sorted-neighborhood: rank via PrefixSum bands, candidates from equi-joins only") {
+    val p = plan("q122_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // The ranking stage sits behind a localCheckpoint in the full query
+    // (lineage truncation hides its windows), so its window discipline is
+    // asserted on the stage's own plan.
+    val toks = graft.functions.text.normalizedTokens(col("text"))
+    val keys = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= graft.operators.Dedup.shingleSize)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(array_sort(array_distinct(col("toks"))), 1, 5)).as("k"))
+    assertBandedWindowsDf("q122 rank stage", graft.queries.DedupQueries.snmRanked(keys))
+  }
+
+  test("q123 scoped quantile: no corpus-grain window; decide pass rides PrefixSum bands") {
+    assertBandedWindows("q123_exact_quantile_scoped")
+  }
+
+  test("q117 fuzzy matching verifies AFTER the blocking equi-join (no distance cross product)") {
+    val p = plan("q117_fuzzy_name_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // Ties GraftSession's AQE claims to evidence: one hot key holds ~100k
     // rows while the rest hold 1; with the skew thresholds scaled down to
