@@ -61,7 +61,7 @@ object Bench {
     // query's write-once/read-many steady state.
     val layoutWrites = Seq(
       "q74_bucketed_join", "q76_partitioned_prune", "q88_ivf_persisted_probe",
-      "q95_format_roundtrip", "q96_zorder_box",
+      "q95_format_roundtrip", "q96_zorder_box", "q127_schema_evolution",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

@@ -227,7 +227,99 @@ object Extras {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Inter-arrival threshold for q124: 1 hour sits inside this stream's
+    * gap distribution (~2% of same-(user,type) gaps are shorter), so the
+    * filter provably drops something without flattening the stream.
+    */
+  val debounceUs = 3600L * 1000000
+
+  /** Event debouncing — the batch mirror of the streaming
+    * dropDuplicatesWithinWatermark path: an event is kept iff it is the
+    * first of its (user, type) key or arrives >= [[debounceUs]] after
+    * the key's previous RAW event (inter-arrival thinning — the
+    * retry-storm / double-click collapse every ingest runs). One
+    * bounded per-(user,type) lag window, then a map-side-combinable
+    * per-type rollup of kept/dropped counts.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("prev", lag(col("t_us"), 1).over(w))
+      .withColumn("kept",
+        (col("prev").isNull || col("t_us") - col("prev") >= debounceUs).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+      .withColumn("n_dropped", col("n_events") - col("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Attribution lookback for q125: purchases more than 24 h after the
+    * user's last marketing touch attribute to 'none'.
+    */
+  val attributionWindowUs = 24L * 3600 * 1000000
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRECEDING non-purchase event within
+    * [[attributionWindowUs]], else 'none'. The "which channel drove the
+    * conversion" rollup. The carried state is two last_value(IGNORE
+    * NULLS) columns over the same bounded per-user frame (rows between
+    * unbounded preceding and 1 preceding) — both pick the same source
+    * row because their NULL pattern is identical, so no struct payload
+    * has to ride the window. Purchases then roll up map-side per
+    * attributed type.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonPurchase = col("event_type") =!= "purchase"
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("src_t", last(when(nonPurchase, col("t_us")), ignoreNulls = true).over(w))
+      .withColumn("src_ty", last(when(nonPurchase, col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(when(col("src_t").isNotNull &&
+          col("t_us") - col("src_t") <= attributionWindowUs, col("src_ty"))
+        .otherwise(lit("none")).as("attributed_type"))
+      .groupBy(col("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("attributed_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q124_debounce", q124, Some(
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us, event_id
+         |           FROM events),
+         |l AS (SELECT *, lag(t_us) OVER (PARTITION BY user_id, event_type
+         |        ORDER BY t_us, event_id) AS prev FROM e),
+         |k AS (SELECT event_type,
+         |        CASE WHEN prev IS NULL OR t_us - prev >= $debounceUs
+         |          THEN 1 ELSE 0 END AS kept FROM l)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  count(*) - CAST(sum(kept) AS BIGINT) AS n_dropped
+         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("q125_last_touch", q125, Some(
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us, event_id
+         |           FROM events),
+         |s AS (SELECT *,
+         |        last_value(CASE WHEN event_type <> 'purchase' THEN t_us END IGNORE NULLS)
+         |          OVER (PARTITION BY user_id ORDER BY t_us, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_t,
+         |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |          OVER (PARTITION BY user_id ORDER BY t_us, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_ty
+         |      FROM e)
+         |SELECT CASE WHEN src_t IS NOT NULL AND t_us - src_t <= $attributionWindowUs
+         |         THEN src_ty ELSE 'none' END AS attributed_type,
+         |  count(*) AS n_purchases
+         |FROM s WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q118_scd2_intervals", q118, Some(
       s"""WITH e AS (SELECT user_id, event_type AS state,
          |         epoch_ns(ts) // 1000 AS t_us, event_id FROM events),

@@ -596,7 +596,64 @@ object Relational {
     ).reduce(_ unionByName _).orderBy(col("edge"))
   }
 
+  /** q126's measure columns (output order) with short moment keys. */
+  private val corrVars: Seq[(String, String)] = Seq(
+    "disc" -> "l_discount", "price" -> "l_extendedprice",
+    "qty" -> "l_quantity", "tax" -> "l_tax")
+
+  /** Exact-integer quantization of a q126 measure; `big` is the
+    * engine's wide-integer type (DECIMAL(38,0) on Spark, HUGEINT in the
+    * oracle) so corpus-scale moment sums cannot wrap.
+    */
+  private def corrQuant(c: String, big: String): String =
+    s"CAST(round($c * 100) AS $big)"
+
+  /** One Pearson cell from the named integer moments, spelled once and
+    * evaluated verbatim by BOTH engines (the q54/q104 recipe): every
+    * double op is correctly-rounded IEEE over identical integer inputs,
+    * so the result is bit-identical with no rounding in the output.
+    */
+  private def corrCell(a: String, b: String): String = {
+    def num(x: String, y: String) =
+      s"(CAST(n AS DOUBLE)*CAST(s_${x}_$y AS DOUBLE)" +
+        s" - CAST(s_$x AS DOUBLE)*CAST(s_$y AS DOUBLE))"
+    s"${num(a, b)} / (sqrt(${num(a, a)}) * sqrt(${num(b, b)}))"
+  }
+
+  private def corrMoments(big: String): Seq[String] =
+    corrVars.map { case (k, c) => s"sum(${corrQuant(c, big)}) AS s_$k" } ++
+      (for { i <- corrVars.indices; j <- i until corrVars.size } yield
+        s"sum(${corrQuant(corrVars(i)._2, big)} * ${corrQuant(corrVars(j)._2, big)})" +
+          s" AS s_${corrVars(i)._1}_${corrVars(j)._1}")
+
+  /** Pairwise Pearson correlation matrix over the lineitem measures —
+    * the feature-redundancy screen run before any modeling pass. ONE
+    * corpus scan computes every first/second integer moment (centi-
+    * quantized, decimal-38 accumulators — map-side combinable, a
+    * 15-number result); the 6 correlation cells are then pure
+    * arithmetic over that 1-row table in the shared bit-identical
+    * spelling. Adding a measure costs two moments, not a scan.
+    */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val aggs = (s"count(1) AS n" +: corrMoments("DECIMAL(38,0)")).map(expr)
+    val m = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val cells = for { i <- corrVars.indices; j <- i + 1 until corrVars.size } yield
+      m.select(
+        lit(corrVars(i)._1).as("var_a"), lit(corrVars(j)._1).as("var_b"),
+        expr(corrCell(corrVars(i)._1, corrVars(j)._1)).as("corr"))
+    cells.reduce(_ unionByName _).orderBy(col("var_a"), col("var_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q126_corr_matrix", q126, Some {
+      val cells = (for { i <- corrVars.indices; j <- i + 1 until corrVars.size } yield
+        s"""SELECT '${corrVars(i)._1}' AS var_a, '${corrVars(j)._1}' AS var_b,
+           |  ${corrCell(corrVars(i)._1, corrVars(j)._1)} AS corr FROM m""".stripMargin)
+      s"""WITH m AS (SELECT count(1) AS n, ${corrMoments("HUGEINT").mkString(",\n  ")}
+         |FROM lineitem)
+         |${cells.mkString("\nUNION ALL\n")}
+         |ORDER BY var_a, var_b""".stripMargin
+    }),
     QueryDef("q119_fk_audit", q119, Some {
       val edges = Seq(
         ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),

@@ -374,6 +374,42 @@ object ScalePatterns {
       .orderBy(col("event_type"))
   }
 
+  /** Schema-evolution dirs this JVM has already written (q127). */
+  private val evoWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Schema evolution round trip: two ingest batches of the customer
+    * table written with DIFFERENT projections (v1 carries c_name, v2
+    * carries c_mktsegment — the columns-added-over-time shape every
+    * long-lived dataset develops), read back through parquet
+    * mergeSchema into one unioned view where each batch's missing
+    * columns surface as NULLs, then audited: row count, per-column
+    * presence counts, exact centi balance total. Written once per
+    * session under a PID-suffixed dir (the q95 discipline); the merged
+    * read needs no user-supplied schema — the footer union IS the
+    * contract being exercised.
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_schema_evo_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    if (evoWritten.add(base)) {
+      val c = Tables.customer(s, d)
+      c.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      c.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_name")).as("n_with_name"),
+        count(col("c_mktsegment")).as("n_with_segment"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("acctbal_centi"))
+  }
+
   /** Sketch accuracy for q123's scoping pass: guaranteed rank error
     * <= n / quantileAccuracy (Greenwald-Khanna bound), so bracketing
     * the target with +/- 2/quantileAccuracy of rank margin makes the
@@ -435,6 +471,12 @@ object ScalePatterns {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q127_schema_evolution", q127, Some(
+      """SELECT count(*) AS n_rows,
+        |  count(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS n_with_name,
+        |  count(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS n_with_segment,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_centi
+        |FROM customer""".stripMargin)),
     QueryDef("q123_exact_quantile_scoped", q123, Some(
       """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
         |n AS (SELECT count(*) AS n FROM v),

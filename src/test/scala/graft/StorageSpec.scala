@@ -81,4 +81,18 @@ class StorageSpec extends SparkSpec {
     val total = spark.read.parquet(dir).count()
     assert(n > 0 && n < total)
   }
+
+  test("mergeSchema union: evolved batches surface as one schema with NULLs for absent columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val c = Tables.customer(spark, sf0001)
+    c.select(col("c_custkey"), col("c_name")).limit(3)
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    c.select(col("c_custkey"), col("c_mktsegment")).limit(3)
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.toSet == Set("c_custkey", "c_name", "c_mktsegment"))
+    // Each batch's foreign column reads as NULL, never as a failure.
+    assert(merged.where(col("c_name").isNull).count() == 3)
+    assert(merged.where(col("c_mktsegment").isNull).count() == 3)
+  }
 }
