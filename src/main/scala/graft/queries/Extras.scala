@@ -291,7 +291,59 @@ object Extras {
       .orderBy(col("attributed_type"))
   }
 
+  /** Cohort-grid day length for q128 (microseconds). Day grain, not week:
+    * this stream's users are all active every week (a week-grain grid
+    * degenerates to retention == 1000 everywhere), while day-grain cells
+    * genuinely vary — the query must discriminate, not rubber-stamp.
+    */
+  val cohortDayUs = 86400L * 1000000
+
+  /** Daily retention cohorts: a user's cohort is the day of their FIRST
+    * event; cell (cohort_day, offset_days) counts users active exactly
+    * that many days later, with the retention rate as an exact integer
+    * per-mille (`(1000 * n_active) div cohort_size` — no float division,
+    * so the cell values hash identically across engines).
+    *
+    * Shape for scale: (1) collapse the stream to distinct (user, day) —
+    * map-side combinable, the only corpus-sized shuffle; (2) per-user
+    * min-day on the already-collapsed table (user grain, bounded);
+    * (3) cells = user-day ⋈ first-day co-partitioned on user_id (both
+    * sides arrive hash-partitioned on user_id from their aggregations —
+    * no extra exchange), rolled up map-side to the days² cell grid;
+    * (4) cohort sizes join the cells at grid size (broadcast). No window
+    * ever sees more than one user's rows, and nothing downstream of (1)
+    * is corpus-sized.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $cohortDayUs").as("day"))
+      .distinct()
+    val first = wk.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    wk.join(first, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention_per_mille", expr("(1000 * n_active) div cohort_size"))
+      .select(col("cohort_day"), col("offset_days"), col("n_active"),
+        col("cohort_size"), col("retention_per_mille"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q128_retention_cohorts", q128, Some(
+      s"""WITH wk AS (SELECT DISTINCT user_id,
+         |        (epoch_ns(ts) // 1000) // $cohortDayUs AS day FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort_day FROM wk GROUP BY user_id),
+         |c AS (SELECT cohort_day, day - cohort_day AS offset_days,
+         |        count(*) AS n_active
+         |      FROM wk JOIN f USING (user_id) GROUP BY 1, 2),
+         |s AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1)
+         |SELECT cohort_day, offset_days, n_active, cohort_size,
+         |  (1000 * n_active) // cohort_size AS retention_per_mille
+         |FROM c JOIN s USING (cohort_day)
+         |ORDER BY cohort_day, offset_days""".stripMargin)),
     QueryDef("q124_debounce", q124, Some(
       s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us, event_id
          |           FROM events),

@@ -45,6 +45,28 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
   }
 
+  test("q128 retention cohorts: day-0 is total, cells bounded by cohort size, sizes partition the users") {
+    val rows = SparkEntry.queries("q128_retention_cohorts")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, o, active, size, mille) =>
+      assert(o >= 0, s"cohort $c has a negative offset $o")
+      assert(active >= 1 && active <= size, s"cell ($c,$o): n_active $active vs size $size")
+      assert(mille == 1000L * active / size, s"cell ($c,$o): per-mille not exact-integer")
+    }
+    // Day 0 of every cohort is by definition the whole cohort.
+    rows.filter(_._2 == 0L).foreach { case (c, _, active, size, mille) =>
+      assert(active == size && mille == 1000, s"cohort $c day-0 not total")
+    }
+    // Cohorts partition the user base: sizes sum to the distinct-user count.
+    val sizes = rows.groupBy(_._1).map { case (_, rs) => rs.head._4 }
+    val nUsers = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(sizes.sum == nUsers, s"cohort sizes ${sizes.sum} != $nUsers users")
+    // The grid must discriminate: not every cell fully retained.
+    assert(rows.exists(_._5 < 1000), "retention grid is degenerate (all 1000)")
+  }
+
   test("q118 SCD2 intervals tile each user's timeline: dense versions, abutting ranges, alternating states") {
     val rows = SparkEntry.queries("q118_scd2_intervals")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
