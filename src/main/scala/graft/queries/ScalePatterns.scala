@@ -470,7 +470,82 @@ object ScalePatterns {
       .orderBy(col("p_milli"))
   }
 
+  /** q129 layout knobs: "natural" shards are contiguous l_orderkey runs
+    * (the order the fact table is ingested in); "clustered" shards bucket
+    * the predicate column itself (what an OPTIMIZE/Z-order compaction
+    * produces). The predicate is a ~3-month ship-date window sitting
+    * inside the corpus's ~7-year span.
+    */
+  val zoneOrderSpan = 1000L
+  val zoneDaySpan = 128L
+  val zoneLoDay = 10000L
+  val zoneHiDay = 10090L
+
+  /** Zone-map data skipping, accounted: per-shard (min, max) stats over
+    * the ship date — the file-footer metadata every lakehouse keeps — and
+    * the scan/skip decision `NOT (zmax < lo OR zmin > hi)` evaluated for
+    * the SAME predicate against TWO layouts of the SAME rows. Output is
+    * one accounting row per layout: shards scanned, rows scanned, rows
+    * actually matching. On the natural (ingest-order) layout every shard
+    * straddles the whole date range and nothing skips; on the clustered
+    * layout only the shards overlapping the window survive — the measured
+    * demonstration that skipping is a property of the LAYOUT, not the
+    * predicate, which is why compaction/clustering is IO strategy #1 at
+    * 100 TB.
+    *
+    * Shape for scale: ONE corpus pass — each row fans out to its two
+    * (layout, shard) keys, one map-side-combinable aggregation computes
+    * every zone map, and the per-layout rollup is shard-count-sized.
+    * The skip decision itself never touches row data (it reads only the
+    * zone-map table), exactly as a real scan planner would.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val zones = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("day"))
+      .select(explode(array(
+        struct(lit("natural").as("layout"),
+          expr(s"l_orderkey div $zoneOrderSpan").as("shard"), col("day")),
+        struct(lit("clustered").as("layout"),
+          expr(s"day div $zoneDaySpan").as("shard"), col("day")))).as("r"))
+      .select(col("r.layout").as("layout"), col("r.shard").as("shard"), col("r.day").as("day"))
+      .groupBy(col("layout"), col("shard"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("day")).as("zmin"),
+        max(col("day")).as("zmax"),
+        sum(when(col("day").between(zoneLoDay, zoneHiDay), 1L).otherwise(0L)).as("m"))
+      .withColumn("scanned",
+        (col("zmax") >= zoneLoDay && col("zmin") <= zoneHiDay).cast("long"))
+    zones.groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("scanned")).as("n_shards_scanned"),
+        sum(col("n")).as("n_rows_total"),
+        sum(when(col("scanned") === 1L, col("n")).otherwise(0L)).as("n_rows_scanned"),
+        sum(col("m")).as("n_rows_match"))
+      .orderBy(col("layout"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q129_zone_map_skipping", q129, Some(
+      s"""WITH l AS (SELECT l_orderkey,
+         |        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day
+         |      FROM lineitem),
+         |x AS (SELECT 'natural' AS layout, l_orderkey // $zoneOrderSpan AS shard, day FROM l
+         |      UNION ALL
+         |      SELECT 'clustered' AS layout, day // $zoneDaySpan AS shard, day FROM l),
+         |z AS (SELECT layout, shard, count(*) AS n, min(day) AS zmin, max(day) AS zmax,
+         |        sum(CASE WHEN day BETWEEN $zoneLoDay AND $zoneHiDay THEN 1 ELSE 0 END) AS m
+         |      FROM x GROUP BY 1, 2),
+         |sc AS (SELECT *, CASE WHEN zmax >= $zoneLoDay AND zmin <= $zoneHiDay
+         |         THEN 1 ELSE 0 END AS scanned FROM z)
+         |SELECT layout, count(*) AS n_shards,
+         |  CAST(sum(scanned) AS BIGINT) AS n_shards_scanned,
+         |  CAST(sum(n) AS BIGINT) AS n_rows_total,
+         |  CAST(sum(CASE WHEN scanned = 1 THEN n ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+         |  CAST(sum(m) AS BIGINT) AS n_rows_match
+         |FROM sc GROUP BY layout ORDER BY layout""".stripMargin)),
     QueryDef("q127_schema_evolution", q127, Some(
       """SELECT count(*) AS n_rows,
         |  count(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS n_with_name,

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Salted, Scored, TopKAggregator}
+import graft.queries.ScalePatterns
 
 /** Semantics of the scale-pattern operators beyond what the DuckDB oracle
   * covers: salted == direct aggregation, approx-distinct error envelope,
@@ -272,5 +273,30 @@ class ScalePatternsSpec extends SparkSpec {
       assert(r.getLong(3) == lowMedian(xs.map(x => math.abs(x - med)).sorted),
         s"${r.getString(0)} MAD")
     }
+  }
+
+  test("q129 zone-map skipping is sound (skips lose no matches) and clustering pays") {
+    val rows = SparkEntry.queries("q129_zone_map_skipping")(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (_, _, cTotal, cScanned, cMatch) = rows("clustered")
+    val (nShards, nScannedShards, nTotal, nScanned, nMatch) = rows("natural")
+    // Both layouts hold the same rows and must surface the same matches —
+    // soundness: skipping a shard never loses a matching row (its zone
+    // range provably excludes the predicate window).
+    assert(cTotal == nTotal, s"layouts disagree on row count: $cTotal vs $nTotal")
+    assert(cMatch == nMatch, s"skipping lost matches: $cMatch vs $nMatch")
+    // Brute-force the match count straight off the table.
+    val want = Tables.lineitem(spark, sf0001)
+      .where(datediff(col("l_shipdate"), lit("1970-01-01"))
+        .between(ScalePatterns.zoneLoDay, ScalePatterns.zoneHiDay))
+      .count()
+    assert(cMatch == want, s"match count $cMatch != brute force $want")
+    // The ingest-ordered layout cannot skip (every shard straddles the
+    // window); the clustered layout must actually prune IO.
+    assert(nScannedShards == nShards && nScanned == nTotal, "natural layout skipped?")
+    assert(cScanned < nScanned, s"clustered scan $cScanned not below natural $nScanned")
+    // Scanned shards always cover at least the matching rows.
+    assert(cScanned >= cMatch)
   }
 }
