@@ -521,7 +521,78 @@ object DedupQueries {
           / (col("n_a") + col("n_b") - col("n_common"))).cast("long"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Triangle counting over the LSH candidate graph (edges = q25's
+    * deduped band-bucket pairs) by degree orientation — the duplicate-
+    * cluster DENSITY probe: q43/q51 tell you which component a document
+    * is in, triangles tell you how internally corroborated a cluster is
+    * (a hub with many pairwise-unrelated spokes has none; a true
+    * re-post cluster is triangle-dense).
+    *
+    * The at-scale contract (Suri & Vassilvitskii's MR triangle bound):
+    * orienting every edge from its lower (degree, id) endpoint to the
+    * higher one makes the graph a DAG whose out-degrees are O(sqrt(m)),
+    * so the wedge join — out-edges self-joined on their source — emits
+    * at most O(m^1.5) rows TOTAL no matter how skewed the degree
+    * distribution is; a naive wedge join at an unoriented hub would be
+    * deg² on one key. Every triangle {x,y,z} (ordered x<y<z by
+    * (deg, id)) is found exactly once: as the wedge at x closed by the
+    * oriented edge y→z. All stages are equi-joins/aggregations on vertex
+    * keys — no broadcast is required for the graph itself, so the shape
+    * survives graphs far past driver memory. The oriented edge table
+    * feeds three plan legs and is localCheckpoint'd once.
+    */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text").localCheckpoint())
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val aFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(aFirst, col("u")).otherwise(col("v")).as("a"),
+        when(aFirst, col("v")).otherwise(col("u")).as("b"),
+        when(aFirst, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("a"), col("b").as("b1"), col("db").as("db1"))
+      .join(oriented.select(col("a"), col("b").as("b2"), col("db").as("db2")), "a")
+      .where(col("db1") < col("db2") || (col("db1") === col("db2") && col("b1") < col("b2")))
+    wedges
+      .join(oriented.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[q130]]: identical degree-oriented construction over the
+    * shared minhash + candidate CTEs.
+    */
+  private def triangleSql: String =
+    s"""WITH $minhashCte,
+       |${candCte(1)},
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM cand),
+       |dg AS (SELECT x, count(*) AS deg FROM
+       |         (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x),
+       |o AS (SELECT
+       |        CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |          THEN e.u ELSE e.v END AS a,
+       |        CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |          THEN e.v ELSE e.u END AS b,
+       |        CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |          THEN dv.deg ELSE du.deg END AS db
+       |      FROM e JOIN dg du ON du.x = e.u JOIN dg dv ON dv.x = e.v),
+       |w AS (SELECT e1.a, e1.b AS b1, e2.b AS b2
+       |      FROM o e1 JOIN o e2 ON e1.a = e2.a
+       |      WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+       |tr AS (SELECT w.a, w.b1, w.b2 FROM w JOIN o ON o.a = w.b1 AND o.b = w.b2),
+       |xx AS (SELECT unnest([a, b1, b2]) AS doc_id FROM tr)
+       |SELECT doc_id, count(*) AS n_triangles FROM xx
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q130_triangle_count", q130, Some(triangleSql)),
     QueryDef("q101_prefix_filter_join", q101, Some(
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |f AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM t

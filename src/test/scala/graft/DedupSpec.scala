@@ -315,4 +315,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(("bold bolt", "cold bolt", 1L)), got.mkString(","))
   }
+
+  test("q130 per-vertex triangle counts equal a driver-side brute force over the candidate graph") {
+    val sigs = Dedup.minhashSignatures(
+      Tables.documents(spark, sf0001), "doc_id", "text").localCheckpoint()
+    val edges = Dedup.lshCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.toSet }
+    // Brute force: for each edge (a,b) with a<b, common neighbors c > b
+    // close a triangle counted once.
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).filter(_ > b).foreach { c =>
+        Seq(a, b, c).foreach(v => want(v) += 1)
+      }
+    }
+    val got = SparkEntry.queries("q130_triangle_count")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.sum % 3 == 0, "vertex incidences not a multiple of 3")
+    assert(got.values.sum > 0, "candidate graph has no triangles at sf0.001")
+    assert(got == want.toMap, s"per-vertex counts differ: got ${got.size} want ${want.size}")
+  }
 }
