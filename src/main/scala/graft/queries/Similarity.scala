@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -444,6 +444,140 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization geometry (q131): the [[dims]]-dim space splits
+    * into [[pqM]] contiguous subspaces of [[pqSubDim]] floats; each
+    * subspace carries a [[pqK]]-codeword codebook (deterministically, the
+    * subvectors of the first pqK corpus vectors — a production build
+    * Lloyd-trains per subspace, which moves only the pqM*pqK-row codebook
+    * table, never the shape). A code is pqM small ints per vector:
+    * 8 bytes standing in for 256 float bytes — the 32x memory/bandwidth
+    * compression that makes billion-vector ANN serveable at all.
+    */
+  val pqM = 8
+  val pqSubDim: Int = dims / pqM
+  val pqK = 16
+
+  /** Exact-integer grain for q131's ADC lookup table entries. */
+  val pqMicro = 1000000L
+
+  /** ADC shortlist size for q131's re-rank stage. The quantizer is lossy
+    * (8 bytes standing in for 256 — measured recall@5 of raw ADC top-5
+    * is ~0.3 on this corpus), so production PQ never serves raw ADC
+    * ranks: ADC GENERATES a bounded candidate list and an exact pass
+    * re-ranks it. 50-of-500 keeps the exact stage at 10% of the corpus
+    * per query; scale the ratio down as the corpus grows.
+    */
+  val pqShortlist = 50
+
+  /** (id, j, s): one row per (vector, subspace) with the subvector. */
+  private def pqSub(df: DataFrame, id: String): DataFrame =
+    df.select(col(id), explode(sequence(lit(0), lit(pqM - 1))).as("j"), col("embedding"))
+      .select(col(id), col("j"),
+        expr(s"slice(embedding, j * $pqSubDim + 1, $pqSubDim)").as("s"))
+
+  /** ||a - b||² as (Σa² - 2·Σab) + Σb² — three [[vectors.dot]] sequential
+    * folds composed in a fixed order, so the double is bit-identical to
+    * the oracle's same composition of list_reduce folds.
+    */
+  private def pqL2(a: Column, b: Column): Column =
+    vectors.sumSquares(a) - lit(2.0) * vectors.dot(a, b) + vectors.sumSquares(b)
+
+  /** Product-quantization ANN, the production two-stage shape:
+    * (1) ENCODE — every vector's pqM subvectors map to their nearest
+    * codeword (broadcast 128-row codebook, map-side argmin aggregation —
+    * the q37 pattern per subspace); the corpus then lives as the codes
+    * table, pqM small ints per vector. (2) ADC SHORTLIST — each query
+    * precomputes its distance to every codeword once (the lookup table:
+    * pqM*pqK entries per query, micro-integer grain), and a vector's
+    * approximate distance is the SUM of table lookups selected by its
+    * codes — a broadcast equi-join on (j, code) plus a partial
+    * aggregation; no float vector is touched while scanning the corpus.
+    * (3) EXACT RE-RANK — the [[pqShortlist]]-deep ADC candidates (and
+    * only they) are joined back to their float vectors and re-ranked by
+    * exact L2. Integer micro distances make both rankings
+    * hash-deterministic across engines and shuffle orders. Shortlist and
+    * end-to-end recall vs exact brute force are measured in
+    * SimilaritySpec. At scale this is the PQ bargain: the corpus-wide
+    * scan reads 8 bytes per vector instead of 256, and the 32x-bigger
+    * float rows are fetched for only shortlist*queries candidates.
+    */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cb = pqSub(e.where(col("vec_id") < pqK), "vec_id")
+      .select(col("j"), col("vec_id").as("code"), col("s").as("cw"))
+      .localCheckpoint() // feeds encode AND the LUT; 128 rows
+    val codes = pqSub(e, "vec_id").join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"), col("code"), pqL2(col("s"), col("cw")).as("dist"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.code").as("code"))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .localCheckpoint() // 5 rows: feeds the LUT and the re-rank
+    val lut = pqSub(q.select(col("query_id"), col("qe").as("embedding")), "query_id")
+      .join(broadcast(cb), "j")
+      .select(col("query_id"), col("j"), col("code"),
+        floor(lit(pqMicro) * pqL2(col("s"), col("cw")) + lit(0.5)).as("dmicro"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc_micro"), col("neighbor_id"))
+    val shortlist = codes.join(broadcast(lut), Seq("j", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dmicro")).as("adc_micro"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_micro"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= pqShortlist)
+    val wExact = Window.partitionBy(col("query_id")).orderBy(col("l2_micro"), col("neighbor_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(pqMicro) * pqL2(col("qe"), col("ne")) + lit(0.5)).as("l2_micro"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("l2_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for [[q131]]: identical subspace slicing, codebook, fold
+    * composition, micro quantization, and tie-breaks in DuckDB.
+    */
+  private def pqSql: String = {
+    def l2(a: String, b: String): String =
+      s"(${ssSql(a)} - 2 * ${dotSql(a, b)} + ${ssSql(b)})"
+    s"""WITH sub AS (SELECT vec_id, j,
+       |        list_slice(embedding, j * $pqSubDim + 1, j * $pqSubDim + $pqSubDim) AS s
+       |      FROM embeddings CROSS JOIN (SELECT unnest(range(0, $pqM)) AS j) jj),
+       |cb AS (SELECT j, vec_id AS code, s AS cw FROM sub WHERE vec_id < $pqK),
+       |enc AS (SELECT vec_id, j, code FROM (
+       |          SELECT sub.vec_id, sub.j, cb.code,
+       |            row_number() OVER (PARTITION BY sub.vec_id, sub.j
+       |              ORDER BY ${l2("sub.s", "cb.cw")}, cb.code) AS rn
+       |          FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+       |lut AS (SELECT sub.vec_id AS query_id, cb.j, cb.code,
+       |          CAST(floor($pqMicro * ${l2("sub.s", "cb.cw")} + 0.5) AS BIGINT) AS dmicro
+       |        FROM sub JOIN cb ON sub.j = cb.j WHERE sub.vec_id < 5),
+       |adc AS (SELECT lut.query_id, enc.vec_id AS neighbor_id,
+       |          CAST(sum(dmicro) AS BIGINT) AS adc_micro
+       |        FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+       |        WHERE enc.vec_id <> lut.query_id GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_micro, neighbor_id) AS adc_rank
+       |         FROM adc) WHERE adc_rank <= $pqShortlist),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |         CAST(floor($pqMicro * ${l2("eq.embedding", "en.embedding")} + 0.5) AS BIGINT)
+       |           AS l2_micro
+       |       FROM sl JOIN embeddings eq ON eq.vec_id = sl.query_id
+       |               JOIN embeddings en ON en.vec_id = sl.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, l2_micro,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY l2_micro, neighbor_id) AS rank
+       |      FROM ex)
+       |SELECT query_id, neighbor_id, rank, l2_micro
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** (vec_id, lo, hi): sign bits of the 64 components packed into two
     * BIGINT halves — one narrow map, constant per-row work.
     */
@@ -527,6 +661,7 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q131_pq_adc_ann", q131, Some(pqSql)),
     QueryDef("q106_hybrid_rrf", q106, Some(
       s"""WITH ${TextCorpus.sparseSql("doc_id % 100 = 7 AND doc_id < 500")},
          |sr AS (SELECT q_id, doc_id, rank AS sparse_rank FROM r WHERE rank <= 5),
