@@ -242,6 +242,48 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("q128 retention: corpus collapses in HashAggregate; only the cohort-size grid broadcasts") {
+    val p = plan("q128_retention_cohorts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Stage (1)'s distinct must partial-aggregate (map-side combine)
+    // before its shuffle — the only corpus-sized exchange in the query.
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q129 zone maps: ONE scan of the fact table, no join anywhere") {
+    // Both layouts' zone maps come from a single fan-out pass; a second
+    // scan or a join would mean the one-pass accounting claim regressed.
+    // Under AQE the executedPlan string appends an "== Initial Plan =="
+    // copy — count scans only in the final (first) section.
+    val p = plan("q129_zone_map_skipping").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 lineitem scan, found $scans\n$p")
+  }
+
+  test("q130 triangles: candidates and wedges from equi-joins only (no nested loop/cartesian)") {
+    // Degree orientation only bounds the wedge join if the joins stay
+    // hash/merge equi-joins; a nested-loop anywhere means the pair space
+    // degenerated to a scan.
+    val p = plan("q130_triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q131 PQ: corpus embeddings are never the broadcast side") {
+    // The codebook (128 rows), LUT (queries*128), query vectors (5), and
+    // ADC shortlist (queries*50) may broadcast; the full embeddings scan
+    // must always stream. Every BroadcastExchange subtree must therefore
+    // carry a vec_id filter — the unfiltered corpus-wide scan may appear
+    // only outside broadcast sections (encode input / re-rank probe side).
+    val p = plan("q131_pq_adc_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val corpusScanInBroadcast = p.split("BroadcastExchange").drop(1)
+      .exists(s => s.takeWhile(_ != '\n').contains("embeddings") &&
+        !s.contains("vec_id"))
+    assert(!corpusScanInBroadcast, p.take(4000))
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // Ties GraftSession's AQE claims to evidence: one hot key holds ~100k
     // rows while the rest hold 1; with the skew thresholds scaled down to
