@@ -591,7 +591,98 @@ object DedupQueries {
        |SELECT doc_id, count(*) AS n_triangles FROM xx
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Near-dup threshold (milli-Jaccard) for the q133 source matrix. */
+  val dupMatrixTau = 500
+
+  /** Cross-source duplication matrix: verified near-duplicate pairs
+    * (exact Jaccard ≥ [[dupMatrixTau]]/1000, integer cross-multiplied —
+    * no float threshold) rolled up per unordered source pair. The
+    * multi-crawl planning view: WHICH ingests duplicate each other, and
+    * how much, before any doc-level dedup decision is spent. Candidates
+    * come from the shared LSH band join (O(candidates), never
+    * all-pairs); the source lookup joins the bounded pair table against
+    * the two-column doc→source projection.
+    */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    jaccardPairs(shingleSets(s, d))
+      .where(col("n_common") * 1000 >=
+        lit(dupMatrixTau) * (col("n_a") + col("n_b") - col("n_common")))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Thresholds (milli-Jaccard) for the q134 yield curve, spanning the
+    * corpus's measured candidate distribution (bimodal: ~25 true dups at
+    * ≥ 900 milli, ~686 band-collision candidates under 100 milli) so
+    * the curve exhibits its knee — a threshold sweep that returns the
+    * same count everywhere carries no tuning information.
+    */
+  val yieldTaus = Seq(10, 50, 100, 500)
+
+  /** Dedup threshold yield curve: for each candidate milli-Jaccard
+    * threshold, how many verified pairs survive and how many documents
+    * are implicated — the report that TUNES the dedup knob before a
+    * 100 TB run commits to one. One verified-pair table (bounded by the
+    * LSH candidate set, localCheckpoint'd) fans out to all thresholds;
+    * the comparison is integer cross-multiplication, so the curve is
+    * exact and engine-portable.
+    */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val p = jaccardPairs(shingleSets(s, d))
+      .select(col("doc_a"), col("doc_b"), (col("n_common") * 1000).as("num"),
+        (col("n_a") + col("n_b") - col("n_common")).as("den"))
+      .localCheckpoint() // candidate-bounded; feeds every threshold
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(yieldTaus.map(lit): _*)).as("tau"), col("num"), col("den"))
+      .where(col("num") >= col("tau") * col("den"))
+    val pairs = p.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val docs = p.select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_dup_docs"))
+    pairs.join(docs, "tau")
+      .select(col("tau").cast("long").as("tau"), col("n_pairs"), col("n_dup_docs"))
+      .orderBy(col("tau"))
+  }
+
+  /** Shared verified-pair CTE text for the q133/q134 oracles. */
+  private def verifiedPairsCte: String =
+    s"""ds AS (SELECT doc_id, list_distinct(sh) AS s FROM f),
+       |vp AS (SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(sa.s, sb.s)) AS n_common,
+       |         len(sa.s) AS n_a, len(sb.s) AS n_b
+       |       FROM cand c JOIN ds sa ON sa.doc_id = c.doc_a
+       |                   JOIN ds sb ON sb.doc_id = c.doc_b)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q133_source_dup_matrix", q133, Some(
+      s"""WITH $minhashCte,
+         |${candCte(1)},
+         |$verifiedPairsCte,
+         |k AS (SELECT doc_a, doc_b FROM vp
+         |      WHERE n_common * 1000 >= $dupMatrixTau * (n_a + n_b - n_common)),
+         |mm AS (SELECT least(da.source, db.source) AS src_a,
+         |         greatest(da.source, db.source) AS src_b
+         |       FROM k JOIN documents da ON da.doc_id = k.doc_a
+         |              JOIN documents db ON db.doc_id = k.doc_b)
+         |SELECT src_a, src_b, count(*) AS n_dup_pairs
+         |FROM mm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q134_dedup_yield_curve", q134, Some(
+      s"""WITH $minhashCte,
+         |${candCte(1)},
+         |$verifiedPairsCte,
+         |x AS (SELECT doc_a, doc_b, tau
+         |      FROM vp CROSS JOIN (SELECT unnest([${yieldTaus.mkString(", ")}]) AS tau) tt
+         |      WHERE n_common * 1000 >= tau * (n_a + n_b - n_common)),
+         |pc AS (SELECT tau, count(*) AS n_pairs FROM x GROUP BY 1),
+         |dc AS (SELECT tau, count(*) AS n_dup_docs FROM (
+         |         SELECT DISTINCT tau, unnest([doc_a, doc_b]) AS doc FROM x) GROUP BY 1)
+         |SELECT CAST(tau AS BIGINT) AS tau, n_pairs, n_dup_docs
+         |FROM pc JOIN dc USING (tau) ORDER BY tau""".stripMargin)),
     QueryDef("q130_triangle_count", q130, Some(triangleSql)),
     QueryDef("q101_prefix_filter_join", q101, Some(
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

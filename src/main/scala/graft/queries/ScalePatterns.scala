@@ -527,7 +527,58 @@ object ScalePatterns {
       .orderBy(col("layout"))
   }
 
+  /** Pre-join hot-key audit — the query an ops team runs BEFORE paying
+    * for a 100 TB join: exact group-size statistics for a join key
+    * (here l_partkey, the lineitem self-join "co-shipped parts" key)
+    * and the exact output cardinality the self-join would produce
+    * (Σ n², since every key pairs its rows). p50/p99/max come from the
+    * group-size HISTOGRAM — value grain, distinct sizes only — with the
+    * cumulative rank riding the [[graft.operators.PrefixSum]] banded
+    * decomposition, so no task ever sorts the key table and nothing
+    * larger than the histogram is ever ranked. Thresholds are
+    * ceil(p·K/100) in exact integer arithmetic on both engines.
+    * All outputs integers; blowup_milli = 1000·Σn²/N exactly.
+    */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val g = Tables.lineitem(s, d).groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val h = g.groupBy(col("n")).agg(count(lit(1)).as("nk"))
+    val tot = g.agg(
+      count(lit(1)).as("n_keys_total"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_group"),
+      sum(col("n") * col("n")).as("selfjoin_rows"))
+    val cum = PrefixSum.withRunningTotal(
+      h.withColumn("bkt", expr("n div 16")), Seq.empty, "bkt", Seq("n"), "nk", "cum")
+    def pick(p: Int) = min(when(
+      col("cum") >= expr(s"($p * n_keys_total + 99) div 100"), col("n")))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n_rows")).as("n_rows"),
+        max(col("n_keys_total")).as("n_keys"),
+        max(col("max_group")).as("max_group"),
+        pick(50).as("p50_group"),
+        pick(99).as("p99_group"),
+        max(col("selfjoin_rows")).as("selfjoin_rows"))
+      .withColumn("blowup_milli", expr("(1000 * selfjoin_rows) div n_rows"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_join_explosion_audit", q132, Some(
+      """WITH g AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |h AS (SELECT n, count(*) AS nk FROM g GROUP BY 1),
+        |c AS (SELECT n, sum(nk) OVER (ORDER BY n) AS cum FROM h),
+        |t AS (SELECT count(*) AS n_keys_total, CAST(sum(n) AS BIGINT) AS n_rows,
+        |        max(n) AS max_group, CAST(sum(n * n) AS BIGINT) AS selfjoin_rows
+        |      FROM g)
+        |SELECT t.n_rows, t.n_keys_total AS n_keys, t.max_group,
+        |  (SELECT min(n) FROM c
+        |   WHERE cum >= (50 * t.n_keys_total + 99) // 100) AS p50_group,
+        |  (SELECT min(n) FROM c
+        |   WHERE cum >= (99 * t.n_keys_total + 99) // 100) AS p99_group,
+        |  t.selfjoin_rows,
+        |  (1000 * t.selfjoin_rows) // t.n_rows AS blowup_milli
+        |FROM t""".stripMargin)),
     QueryDef("q129_zone_map_skipping", q129, Some(
       s"""WITH l AS (SELECT l_orderkey,
          |        datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day

@@ -578,6 +578,72 @@ object Similarity {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF index-health report: per cluster of the q37 seeded assignment,
+    * the member count, COHESION (exact integer mean of per-member
+    * micro-quantized cosine distance to the centroid — each member's
+    * 1−cos is floored to micros first, so the mean is a deterministic
+    * integer div, never a float sum), and SEPARATION (micro cosine
+    * distance from the centroid to its nearest OTHER centroid, off the
+    * 16×16 centroid table). Separation ≫ cohesion is what makes 1-probe
+    * recall viable — this is the report that says whether an IVF index
+    * needs re-training or more probes BEFORE recall is paid for at
+    * query time. One broadcast-centroid corpus pass (the q37 argmax,
+    * keeping the winning cosine alongside the winning id) plus a
+    * 16-row self-join; nothing corpus-sized is ever ranked or re-read.
+    */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .localCheckpoint() // feeds the corpus pass AND the 16x16 self-join
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("cluster"),
+        floor(lit(1000000L) * (lit(1.0) - col("m.cos")) + lit(0.5)).as("scatter"))
+    val cohesion = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(scatter) div count(1)").as("cohesion_micro"))
+    val separation = cents.select(col("cid").as("cluster"), col("ce").as("ca"), col("cn").as("na"))
+      .join(cents.select(col("cid").as("other"), col("ce").as("cb"), col("cn").as("nb")),
+        col("cluster") =!= col("other"))
+      .select(col("cluster"),
+        floor(lit(1000000L) *
+          (lit(1.0) - vectors.dot(col("ca"), col("cb")) / (col("na") * col("nb"))) +
+          lit(0.5)).as("dist"))
+      .groupBy(col("cluster")).agg(min(col("dist")).as("separation_micro"))
+    cohesion.join(broadcast(separation), "cluster")
+      .select(col("cluster"), col("n_members"), col("cohesion_micro"), col("separation_micro"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle for [[q135]]: same argmax tie-break, micro flooring, and
+    * integer mean in DuckDB.
+    */
+  private def clusterHealthSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm
+       |           FROM embeddings),
+       |ct AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+       |cc AS (SELECT e.vec_id, ct.cid,
+       |         ${dotSql("e.embedding", "ct.ce")} / (e.nrm * ct.cn) AS c
+       |       FROM e CROSS JOIN ct),
+       |asg AS (SELECT vec_id, cid AS cluster,
+       |          CAST(floor(1000000 * (1.0 - c) + 0.5) AS BIGINT) AS scatter
+       |        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY c DESC, cid) AS rn FROM cc) WHERE rn = 1),
+       |coh AS (SELECT cluster, count(*) AS n_members,
+       |          CAST(sum(scatter) AS BIGINT) // count(*) AS cohesion_micro
+       |        FROM asg GROUP BY cluster),
+       |sep AS (SELECT a.cid AS cluster,
+       |          min(CAST(floor(1000000 * (1.0 - ${dotSql("a.ce", "b.ce")} / (a.cn * b.cn)) + 0.5)
+       |            AS BIGINT)) AS separation_micro
+       |        FROM ct a JOIN ct b ON a.cid <> b.cid GROUP BY a.cid)
+       |SELECT cluster, n_members, cohesion_micro, separation_micro
+       |FROM coh JOIN sep USING (cluster) ORDER BY cluster""".stripMargin
+
   /** (vec_id, lo, hi): sign bits of the 64 components packed into two
     * BIGINT halves — one narrow map, constant per-row work.
     */
@@ -661,6 +727,7 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q135_ivf_cluster_health", q135, Some(clusterHealthSql)),
     QueryDef("q131_pq_adc_ann", q131, Some(pqSql)),
     QueryDef("q106_hybrid_rrf", q106, Some(
       s"""WITH ${TextCorpus.sparseSql("doc_id % 100 = 7 AND doc_id < 500")},

@@ -316,6 +316,33 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(("bold bolt", "cold bolt", 1L)), got.mkString(","))
   }
 
+  test("q133/q134 source matrix and yield curve agree with the verified q27 pair table") {
+    val verified = SparkEntry.queries("q27_ngram_jaccard")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def survivors(tau: Long) = verified.filter { case (_, _, c, a, b) =>
+      c * 1000 >= tau * (a + b - c)
+    }
+    // q133: per-source-pair counts sum to the thresholded pair count,
+    // and every row is orientation-normalized.
+    val matrix = SparkEntry.queries("q133_source_dup_matrix")(spark, sf0001).collect()
+    assert(matrix.map(_.getLong(2)).sum ==
+      survivors(queries.DedupQueries.dupMatrixTau.toLong).length)
+    matrix.foreach(r => assert(r.getString(0) <= r.getString(1), "matrix not orientation-normalized"))
+    // q134: each threshold's counts equal the brute-forced survivors,
+    // and the curve is non-increasing (it must exhibit its knee).
+    val curve = SparkEntry.queries("q134_dedup_yield_curve")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    curve.foreach { case (tau, nPairs, nDocs) =>
+      val sv = survivors(tau)
+      assert(nPairs == sv.length, s"tau=$tau pairs $nPairs != ${sv.length}")
+      assert(nDocs == sv.flatMap(p => Seq(p._1, p._2)).distinct.length, s"tau=$tau docs")
+    }
+    assert(curve.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true },
+      s"yield curve not monotone: $curve")
+    assert(curve.head._2 > curve.last._2,
+      s"yield curve is flat — thresholds carry no tuning information: $curve")
+  }
+
   test("q130 per-vertex triangle counts equal a driver-side brute force over the candidate graph") {
     val sigs = Dedup.minhashSignatures(
       Tables.documents(spark, sf0001), "doc_id", "text").localCheckpoint()

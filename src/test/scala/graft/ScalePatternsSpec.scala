@@ -275,6 +275,22 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("q132 join-explosion audit equals a driver-side brute force over the key histogram") {
+    val sizes = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey")).count()
+      .collect().map(_.getLong(1)).sorted
+    val k = sizes.length
+    def pct(p: Int): Long = sizes((p * k + 99) / 100 - 1) // ceil(p*K/100)-th smallest
+    val r = SparkEntry.queries("q132_join_explosion_audit")(spark, sf0001).collect().head
+    assert(r.getLong(0) == sizes.sum, "n_rows")
+    assert(r.getLong(1) == k, "n_keys")
+    assert(r.getLong(2) == sizes.max, "max_group")
+    assert(r.getLong(3) == pct(50), s"p50 ${r.getLong(3)} != ${pct(50)}")
+    assert(r.getLong(4) == pct(99), s"p99 ${r.getLong(4)} != ${pct(99)}")
+    assert(r.getLong(5) == sizes.map(n => n * n).sum, "selfjoin_rows")
+    assert(r.getLong(6) == 1000L * sizes.map(n => n * n).sum / sizes.sum, "blowup_milli")
+  }
+
   test("q129 zone-map skipping is sound (skips lose no matches) and clustering pays") {
     val rows = SparkEntry.queries("q129_zone_map_skipping")(spark, sf0001).collect()
       .map(r => r.getString(0) ->

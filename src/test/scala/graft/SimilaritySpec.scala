@@ -150,6 +150,20 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("graft_ivf_"), s"probe does not scan the persisted index: ${p.take(400)}")
   }
 
+  test("q135 cluster health: members partition the corpus and agree with the q37 assignment") {
+    val health = SparkEntry.queries("q135_ivf_cluster_health")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val q37 = SparkEntry.queries("q37_ivf_assign")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(health.values.map(_._1).sum == n, "members do not partition the corpus")
+    assert(health.keySet == q37.keySet, "cluster sets differ from q37")
+    health.foreach { case (c, (members, cohesion, separation)) =>
+      assert(members == q37(c), s"cluster $c size disagrees with q37")
+      assert(cohesion >= 0 && separation > 0, s"cluster $c degenerate stats")
+    }
+  }
+
   test("q131 PQ-ADC recall vs exact L2 brute force is measured and non-degenerate") {
     val vecs = Tables.embeddings(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
