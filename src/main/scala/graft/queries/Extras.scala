@@ -331,7 +331,39 @@ object Extras {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Frame-level dedup across media: the q49 frame-sampling pipeline's
+    * content hashes grouped corpus-wide, keeping hashes that occur more
+    * than once — the multimodal mirror of exact text dedup (near-
+    * identical intro/outro/logo frames repeated across videos are the
+    * single biggest redundancy in a crawled video corpus, and exact
+    * frame-hash grouping is stage 1 of every frame-dedup stack). One
+    * map-side-combinable shuffle on the 16-byte hash; media lists never
+    * materialize — only counts and the min exemplar id travel.
+    */
+  private def q137(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.fromDocuments(Tables.documents(s, d)).toDF())
+      .select(col("media_id"), explode(col("frames")).as("frame"))
+      .select(col("media_id"), md5(col("frame")).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("media_id")).as("n_media"),
+        min(col("media_id")).as("exemplar_media"))
+      .where(col("n_occurrences") >= 2)
+      .orderBy(col("frame_md5"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q137_frame_dedup", q137, Some(
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
+        |idx AS (SELECT media_id, text,
+        |          unnest(range(0, CAST(floor((length(text) - 1) / 32) AS BIGINT) + 1)) AS i
+        |        FROM m),
+        |kept AS (SELECT media_id, md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5
+        |         FROM idx WHERE i % 4 = 0)
+        |SELECT frame_md5, count(*) AS n_occurrences,
+        |  count(DISTINCT media_id) AS n_media, min(media_id) AS exemplar_media
+        |FROM kept GROUP BY frame_md5 HAVING count(*) >= 2
+        |ORDER BY frame_md5""".stripMargin)),
     QueryDef("q128_retention_cohorts", q128, Some(
       s"""WITH wk AS (SELECT DISTINCT user_id,
          |        (epoch_ns(ts) // 1000) // $cohortDayUs AS day FROM events),

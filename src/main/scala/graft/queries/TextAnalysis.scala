@@ -449,7 +449,63 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Bin width (chars) for q136's length histogram: value grain, so the
+    * binned CDF tables are bounded by max(n_chars)/width, never by the
+    * corpus.
+    */
+  val driftBinChars = 50L
+
+  /** Per-source distribution drift — a Kolmogorov–Smirnov-style maximum
+    * CDF gap between each source's document-length distribution and the
+    * corpus's, in exact integer milli (both CDFs are floor(1000·cum/n),
+    * so the statistic hashes identically across engines). The ingest
+    * health monitor: a crawler that started truncating pages or a
+    * source that switched formats shows up as a drift spike long before
+    * any downstream metric moves. All cumulative sums run over the
+    * binned histogram grid (sources × length-bins — value grain,
+    * bounded), never over document rows; the only corpus-sized work is
+    * one map-side-combinable (source, bin) count.
+    */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), expr(s"n_chars div $driftBinChars").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+    val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+    val binTot = perSrc.groupBy(col("bin")).agg(sum(col("c")).as("cb"))
+    val nAll = binTot.agg(sum(col("cb")).as("n_all"))
+    val grid = srcTot.crossJoin(broadcast(binTot)).crossJoin(broadcast(nAll))
+      .join(perSrc, Seq("source", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+    grid
+      .withColumn("cum_src", sum(col("c")).over(w))
+      .withColumn("cum_all", sum(col("cb")).over(w))
+      .withColumn("gap", abs(
+        expr("(1000 * cum_src) div n_docs") - expr("(1000 * cum_all) div n_all")))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(max(col("gap")).as("ks_milli"))
+      .select(col("source"), col("n_docs"), col("ks_milli"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q136_source_drift", q136, Some(
+      s"""WITH ps AS (SELECT source, n_chars // $driftBinChars AS bin, count(*) AS c
+         |            FROM documents GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM ps GROUP BY 1),
+         |bt AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM ps GROUP BY 1),
+         |na AS (SELECT CAST(sum(cb) AS BIGINT) AS n_all FROM bt),
+         |grid AS (SELECT st.source, st.n_docs, bt.bin, bt.cb, na.n_all,
+         |           coalesce(ps.c, 0) AS c
+         |         FROM st CROSS JOIN bt CROSS JOIN na
+         |         LEFT JOIN ps ON ps.source = st.source AND ps.bin = bt.bin),
+         |cum AS (SELECT source, n_docs,
+         |          abs((1000 * sum(c) OVER (PARTITION BY source ORDER BY bin)) // n_docs
+         |            - (1000 * sum(cb) OVER (PARTITION BY source ORDER BY bin)) // n_all) AS gap
+         |        FROM grid)
+         |SELECT source, n_docs, CAST(max(gap) AS BIGINT) AS ks_milli
+         |FROM cum GROUP BY 1, 2 ORDER BY source""".stripMargin)),
     QueryDef("q120_robust_dispersion", q120, Some(
       """WITH vc AS (SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars),
         |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY lang),

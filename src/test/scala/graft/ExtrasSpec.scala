@@ -67,6 +67,46 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.exists(_._5 < 1000), "retention grid is degenerate (all 1000)")
   }
 
+  test("q136 per-source KS drift equals a driver-side brute force over binned CDFs") {
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val w = queries.TextAnalysis.driftBinChars
+    val bins = rows.map(_._2 / w).distinct.sorted
+    val nAll = rows.length.toLong
+    def cdfGap(src: String): Long = {
+      val mine = rows.filter(_._1 == src)
+      val n = mine.length.toLong
+      bins.map { b =>
+        val cumSrc = mine.count(_._2 / w <= b).toLong
+        val cumAll = rows.count(_._2 / w <= b).toLong
+        math.abs(1000 * cumSrc / n - 1000 * cumAll / nAll)
+      }.max
+    }
+    val got = SparkEntry.queries("q136_source_drift")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, nDocs, ks) =>
+      assert(nDocs == rows.count(_._1 == src), s"$src n_docs")
+      assert(ks >= 0 && ks <= 1000, s"$src ks out of range")
+      assert(ks == cdfGap(src), s"$src ks $ks != brute ${cdfGap(src)}")
+    }
+  }
+
+  test("q137 frame dedup is consistent with the q49 frame inventory") {
+    val frames = SparkEntry.queries("q49_frame_sample")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val want = frames.groupBy(_._2)
+      .map { case (h, fs) =>
+        h -> (fs.length.toLong, fs.map(_._1).distinct.length.toLong, fs.map(_._1).min)
+      }
+      .filter(_._2._1 >= 2)
+    val got = SparkEntry.queries("q137_frame_dedup")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"frame dedup differs: got ${got.size} want ${want.size}")
+    assert(got.nonEmpty, "no duplicated frames at sf0.001 — query exercises nothing")
+  }
+
   test("q118 SCD2 intervals tile each user's timeline: dense versions, abutting ranges, alternating states") {
     val rows = SparkEntry.queries("q118_scd2_intervals")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
