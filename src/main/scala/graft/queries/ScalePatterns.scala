@@ -83,6 +83,60 @@ object ScalePatterns {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-in-time join, BOTH directions — the sensor-fusion sibling of
+    * the backward-only as-of: each click matches the SAME USER's purchase
+    * whose time is closest in absolute distance, ties to the backward
+    * (earlier) side. (Clicks vs purchases inside the event stream: the
+    * two series genuinely interleave, so both directions occur — an
+    * events-vs-orders pairing would be degenerate here, the tables'
+    * eras are disjoint.) Composed from TWO [[AsOfJoin.lookup]] passes —
+    * backward as q35, forward the SAME operator on a NEGATED time axis
+    * (min t_b ≥ t is max −t_b ≤ −t, so one operator serves both
+    * directions) — carrying the matched TIME as the as-of ref; the
+    * chosen side's id is then recovered by one equi-join against the
+    * per-(key, time) max-ref table. Same scale posture as q35 (each
+    * pass is one partitioned-timeline window; hot keys escalate to the
+    * q79 bucketed variant unchanged). Distances exact in integer
+    * micros; unmatched probes surface as (-1, 'none'), never dropped.
+    */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"), col("event_type"))
+    val probes = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val builds = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val back = AsOfJoin.lookup(
+      probes, probeKey = "user_id", probeTime = "t_us", probeId = "event_id",
+      builds.select(col("user_id"), col("t_us"), col("t_us").as("bt")),
+      buildKey = "user_id", buildTime = "t_us", buildRef = "bt")
+      .select(col("id").as("event_id"),
+        when(col("asof_ref") =!= -1L, col("asof_ref")).as("t_back"))
+    val fwd = AsOfJoin.lookup(
+      probes.select(col("user_id"), (-col("t_us")).as("t_us"), col("event_id")),
+      probeKey = "user_id", probeTime = "t_us", probeId = "event_id",
+      builds.select(col("user_id"), (-col("t_us")).as("t_us"), col("t_us").as("bt")),
+      buildKey = "user_id", buildTime = "t_us", buildRef = "bt")
+      .select(col("id").as("event_id"),
+        when(col("asof_ref") =!= -1L, col("asof_ref")).as("t_fwd"))
+    val refs = builds.groupBy(col("user_id"), col("t_us").as("nearest_t"))
+      .agg(max(col("event_id")).as("ref"))
+    val chooseBack = col("t_back").isNotNull &&
+      (col("t_fwd").isNull || col("t_us") - col("t_back") <= col("t_fwd") - col("t_us"))
+    probes
+      .join(back, "event_id")
+      .join(fwd, "event_id")
+      .withColumn("nearest_t", when(chooseBack, col("t_back")).otherwise(col("t_fwd")))
+      .withColumn("dir0", when(chooseBack, lit("backward")).otherwise(lit("forward")))
+      .join(refs, Seq("user_id", "nearest_t"), "left")
+      .select(
+        col("event_id"), col("user_id"),
+        coalesce(col("ref"), lit(-1L)).as("nearest_purchase_id"),
+        coalesce(abs(col("t_us") - col("nearest_t")), lit(-1L)).as("dist_us"),
+        when(col("nearest_t").isNull, lit("none")).otherwise(col("dir0")).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
   /** CUBE over two grouping dimensions (all 4 grouping-set combinations). */
   private def q38(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -564,6 +618,28 @@ object ScalePatterns {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q138_nearest_in_time", q138, Some(
+      """WITH e AS (SELECT user_id AS uid, epoch_ns(ts)//1000 AS t, event_id, event_type
+        |           FROM events),
+        |b AS (SELECT uid, t, max(event_id) AS ref FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT uid, t, event_id FROM e WHERE event_type = 'click'),
+        |bk AS (SELECT p.event_id, p.uid, p.t, b.t AS t_back
+        |       FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND p.t >= b.t),
+        |fw AS (SELECT p.event_id, b.t AS t_fwd
+        |       FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND p.t <= b.t),
+        |c AS (SELECT bk.event_id, bk.uid, bk.t,
+        |        CASE WHEN t_back IS NOT NULL AND (t_fwd IS NULL OR bk.t - t_back <= t_fwd - bk.t)
+        |          THEN t_back ELSE t_fwd END AS nearest_t,
+        |        CASE WHEN t_back IS NOT NULL AND (t_fwd IS NULL OR bk.t - t_back <= t_fwd - bk.t)
+        |          THEN 'backward' ELSE 'forward' END AS dir0
+        |      FROM bk JOIN fw USING (event_id))
+        |SELECT c.event_id, c.uid AS user_id,
+        |  coalesce(b.ref, -1) AS nearest_purchase_id,
+        |  coalesce(abs(c.t - c.nearest_t), -1) AS dist_us,
+        |  CASE WHEN c.nearest_t IS NULL THEN 'none' ELSE c.dir0 END AS direction
+        |FROM c LEFT JOIN b ON b.uid = c.uid AND b.t = c.nearest_t
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("q132_join_explosion_audit", q132, Some(
       """WITH g AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
         |h AS (SELECT n, count(*) AS nk FROM g GROUP BY 1),

@@ -275,6 +275,34 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("q138 nearest-in-time equals a driver-side brute force and exercises both directions") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchases = ev.filter(_._4 == "purchase").groupBy(_._1)
+    val got = SparkEntry.queries("q138_nearest_in_time")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.length == ev.count(_._4 == "click"), "one row per click")
+    got.foreach { case (eid, uid, pid, dist, dir) =>
+      val (_, t, _, _) = ev.find(_._3 == eid).get
+      purchases.get(uid) match {
+        case None =>
+          assert(pid == -1 && dist == -1 && dir == "none", s"click $eid expected none")
+        case Some(ps) =>
+          val best = ps.map { case (_, pt, pe, _) =>
+            // distance, ties to backward (pt <= t first), then max id
+            (math.abs(pt - t), if (pt <= t) 0 else 1, pt, pe)
+          }.sorted.head
+          val bestId = ps.filter(p => p._2 == best._3).map(_._3).max
+          assert(dist == best._1, s"click $eid dist $dist != ${best._1}")
+          assert(pid == bestId, s"click $eid id $pid != $bestId")
+          assert(dir == (if (best._2 == 0) "backward" else "forward"), s"click $eid dir")
+      }
+    }
+    assert(got.exists(_._5 == "backward") && got.exists(_._5 == "forward"),
+      "nearest-in-time is degenerate: only one direction occurs")
+  }
+
   test("q132 join-explosion audit equals a driver-side brute force over the key histogram") {
     val sizes = Tables.lineitem(spark, sf0001)
       .groupBy(col("l_partkey")).count()
