@@ -352,7 +352,68 @@ object Extras {
       .where(col("n_occurrences") >= 2)
       .orderBy(col("frame_md5"))
 
+  /** Point-in-time cut for q139: 2024-01-16T00:00:00Z in epoch micros —
+    * mid-stream, so both the as-of and the post-cut tail are non-empty.
+    */
+  val snapshotTUs = 1705363200000000L
+
+  /** Point-in-time snapshot reconstruction ("AS OF T") with drift audit:
+    * per user, the latest event value AS OF [[snapshotTUs]] next to the
+    * end-of-stream latest, plus whether the user changed after the cut —
+    * the time-travel read every changelog-backed warehouse serves, as
+    * one aggregation. Both snapshots come from a SINGLE map-side-
+    * combinable pass: `max(struct(t, id, v))` is the latest-wins
+    * compaction (the q58 shape) and the AS OF variant is the same
+    * aggregate over a `when(t <= T)`-masked struct — no second scan, no
+    * window, no join. Users born after the cut surface with -1 (values
+    * are strictly positive), never dropped.
+    */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    e.groupBy(col("user_id"))
+      .agg(
+        max(when(col("t_us") <= snapshotTUs,
+          struct(col("t_us"), col("event_id"), col("v")))).as("at_t"),
+        max(struct(col("t_us"), col("event_id"), col("v"))).as("latest"),
+        sum(when(col("t_us") > snapshotTUs, 1L).otherwise(0L)).as("n_events_after"))
+      .select(
+        col("user_id"),
+        coalesce(col("at_t.v"), lit(-1L)).as("value_at_t_centi"),
+        col("latest.v").as("value_latest_centi"),
+        col("n_events_after"),
+        (col("at_t").isNull || col("at_t.t_us") =!= col("latest.t_us") ||
+          col("at_t.event_id") =!= col("latest.event_id")).cast("long")
+          .as("changed_after_t"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q139_snapshot_as_of", q139, Some(
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
+         |             CAST(round(value * 100) AS BIGINT) AS v
+         |           FROM events),
+         |l AS (SELECT user_id, t_us, event_id, v, row_number() OVER (
+         |        PARTITION BY user_id ORDER BY t_us DESC, event_id DESC) AS rn
+         |      FROM e),
+         |a AS (SELECT user_id, t_us, event_id, v, row_number() OVER (
+         |        PARTITION BY user_id ORDER BY t_us DESC, event_id DESC) AS rn
+         |      FROM e WHERE t_us <= $snapshotTUs),
+         |na AS (SELECT user_id, CAST(sum(CASE WHEN t_us > $snapshotTUs THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_events_after
+         |       FROM e GROUP BY user_id)
+         |SELECT l.user_id,
+         |  coalesce(a.v, -1) AS value_at_t_centi,
+         |  l.v AS value_latest_centi,
+         |  na.n_events_after,
+         |  CAST(CASE WHEN a.user_id IS NULL OR a.t_us <> l.t_us
+         |         OR a.event_id <> l.event_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS changed_after_t
+         |FROM (SELECT * FROM l WHERE rn = 1) l
+         |LEFT JOIN (SELECT * FROM a WHERE rn = 1) a USING (user_id)
+         |JOIN na USING (user_id)
+         |ORDER BY user_id""".stripMargin)),
     QueryDef("q137_frame_dedup", q137, Some(
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
         |idx AS (SELECT media_id, text,

@@ -67,6 +67,29 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.exists(_._5 < 1000), "retention grid is degenerate (all 1000)")
   }
 
+  test("q139 point-in-time snapshot equals a driver-side replay of the changelog") {
+    val t0 = queries.Extras.snapshotTUs
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = SparkEntry.queries("q139_snapshot_as_of")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == ev.map(_._1).distinct.length, "one row per user")
+    got.foreach { case (uid, atT, latest, nAfter, changed) =>
+      val mine = ev.filter(_._1 == uid)
+      def top(rows: Seq[(Long, Long, Long, Long)]) =
+        rows.maxByOption(r => (r._2, r._3)).map(_._4)
+      assert(latest == top(mine).get, s"user $uid latest")
+      assert(atT == top(mine.filter(_._2 <= t0)).getOrElse(-1L), s"user $uid as-of")
+      assert(nAfter == mine.count(_._2 > t0), s"user $uid n_after")
+      val expectChanged =
+        top(mine.filter(_._2 <= t0)).isEmpty ||
+          mine.maxBy(r => (r._2, r._3))._2 > t0
+      assert(changed == (if (expectChanged) 1L else 0L), s"user $uid changed flag")
+    }
+  }
+
   test("q136 per-source KS drift equals a driver-side brute force over binned CDFs") {
     val rows = Tables.documents(spark, sf0001)
       .select(col("source"), col("n_chars")).collect()
