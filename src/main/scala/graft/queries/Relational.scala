@@ -644,7 +644,56 @@ object Relational {
     cells.reduce(_ unionByName _).orderBy(col("var_a"), col("var_b"))
   }
 
+  /** Benford expected first-digit frequencies, milli grain: the SAME
+    * literals feed the engine expression and the oracle SQL (generated
+    * from this one map), so the two sides cannot drift.
+    */
+  val benfordMilli: Seq[(Int, Long)] = Seq(
+    1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+    6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+
+  /** Benford first-digit audit over order totals — the fraud/data-quality
+    * screen: the distribution of leading digits of o_totalprice against
+    * Benford's law, with per-digit deviation in exact integer milli.
+    * The leading digit is taken from the CENTI-integer total's decimal
+    * string (exact on both engines — no float log10 near power-of-ten
+    * boundaries); frequencies are floor(1000·n/N). One map-side-
+    * combinable pass over orders; the 9-row digit table joins the
+    * single-row total at grid size.
+    */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val expected = benfordMilli.foldLeft(lit(0L)) { case (acc, (dig, m)) =>
+      when(col("digit") === dig, lit(m)).otherwise(acc)
+    }
+    val digits = Tables.orders(s, d)
+      .select(substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = digits.agg(sum(col("n_orders")).as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("freq_milli", expr("(1000 * n_orders) div n_total"))
+      .withColumn("benford_milli", expected)
+      .withColumn("dev_milli", abs(col("freq_milli") - col("benford_milli")))
+      .select(col("digit"), col("n_orders"), col("freq_milli"),
+        col("benford_milli"), col("dev_milli"))
+      .orderBy(col("digit"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q142_benford_audit", q142, Some {
+      val cases = benfordMilli
+        .map { case (dig, m) => s"WHEN digit = $dig THEN $m" }.mkString(" ")
+      s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+         |        AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+         |h AS (SELECT digit, count(*) AS n_orders FROM dg GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM h),
+         |x AS (SELECT digit, n_orders, (1000 * n_orders) // n_total AS freq_milli,
+         |        CAST(CASE $cases ELSE 0 END AS BIGINT) AS benford_milli
+         |      FROM h CROSS JOIN t)
+         |SELECT digit, n_orders, freq_milli, benford_milli,
+         |  abs(freq_milli - benford_milli) AS dev_milli
+         |FROM x ORDER BY digit""".stripMargin
+    }),
     QueryDef("q126_corr_matrix", q126, Some {
       val cells = (for { i <- corrVars.indices; j <- i + 1 until corrVars.size } yield
         s"""SELECT '${corrVars(i)._1}' AS var_a, '${corrVars(j)._1}' AS var_b,

@@ -617,7 +617,133 @@ object ScalePatterns {
       .withColumn("blowup_milli", expr("(1000 * selfjoin_rows) div n_rows"))
   }
 
+  /** Deterministic deletion cohort for q140: user/customer keys ≡ 0
+    * (mod 37) — a synthetic "right-to-be-forgotten" request list that is
+    * derivable on both engines without a side table.
+    */
+  val erasureMod = 37L
+
+  /** GDPR-style erasure audit: for each table carrying a user key, the
+    * row counts before, removed, and after applying the deletion list,
+    * plus the count of listed keys still present AFTER the purge — which
+    * must be zero and is computed from the purged relation itself (the
+    * compliance evidence, not an assumption). The purge is a broadcast-
+    * able semi/anti filter per table (the deletion predicate pushes to
+    * the scan — no join needed when the list is rule-derived; a real
+    * list table would broadcast); each table contributes one
+    * aggregation pass and the audit rows union at table-count size.
+    */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: String): DataFrame = {
+      val listed = col(key) % erasureMod === 0
+      val before = df.agg(
+        count(lit(1)).as("n_before"), sum(listed.cast("long")).as("n_removed"))
+      // The leak count is evaluated over the PURGED relation — the purge
+      // filter and the audit predicate are applied independently, so a
+      // broken purge would actually surface here.
+      val after = df.where(!listed).agg(
+        count(lit(1)).as("n_after"),
+        coalesce(sum(listed.cast("long")), lit(0L)).as("n_leaked"))
+      before.crossJoin(after)
+        .select(lit(name).as("table_name"), col("n_before"), col("n_removed"),
+          col("n_after"), col("n_leaked"))
+    }
+    audit("customer", Tables.customer(s, d), "c_custkey")
+      .unionByName(audit("events", Tables.events(s, d), "user_id"))
+      .unionByName(audit("orders", Tables.orders(s, d), "o_custkey"))
+      .orderBy(col("table_name"))
+  }
+
+  /** Conversion-latency deciles: for every click that converts (a later
+    * purchase by the same user exists), the click→purchase delay in
+    * whole seconds, summarized as EXACT deciles — the SLA/attribution
+    * distribution, computed without ever sorting the latency table. The
+    * forward nearest is one [[AsOfJoin.lookup]] on the negated time axis
+    * (the q138 building block); the latencies then collapse to a
+    * value-grain histogram (distinct whole seconds) whose cumulative
+    * rank rides the [[graft.operators.PrefixSum]] banded decomposition,
+    * and each decile picks the smallest second with cum ≥ ceil(p·N/10)
+    * in exact integer arithmetic — the q123/q132 recipe, applied to a
+    * derived (joined) measure rather than a raw column.
+    */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val ev = Tables.events(s, d).select(
+      col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"), col("event_type"))
+    val probes = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val builds = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"))
+    val fwd = AsOfJoin.lookup(
+      probes.select(col("user_id"), (-col("t_us")).as("t_us"), col("event_id")),
+      probeKey = "user_id", probeTime = "t_us", probeId = "event_id",
+      builds.select(col("user_id"), (-col("t_us")).as("t_us"), col("t_us").as("bt")),
+      buildKey = "user_id", buildTime = "t_us", buildRef = "bt")
+      .select(col("id").as("event_id"),
+        when(col("asof_ref") =!= -1L, col("asof_ref")).as("t_fwd"))
+    val lat = probes.join(fwd, "event_id")
+      .where(col("t_fwd").isNotNull)
+      .select(expr("(t_fwd - t_us) div 1000000").as("sec"))
+    val h = lat.groupBy(col("sec")).agg(count(lit(1)).as("cnt"))
+    val tot = h.agg(sum(col("cnt")).as("n"))
+    val cum = PrefixSum.withRunningTotal(
+      h.withColumn("bkt", expr("sec div 3600")), Seq.empty, "bkt", Seq("sec"), "cnt", "cum")
+    cum.crossJoin(broadcast(tot))
+      .select(col("sec"), col("cum"), col("n"),
+        explode(array((1 to 9).map(lit): _*)).as("decile"))
+      .where(col("cum") >= expr("(decile * n + 9) div 10"))
+      .groupBy(col("decile"))
+      .agg(min(col("sec")).as("latency_s"), max(col("n")).as("n_conversions"))
+      .select(col("decile").cast("long").as("decile"), col("latency_s"), col("n_conversions"))
+      .orderBy(col("decile"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_conversion_latency", q141, Some(
+      """WITH e AS (SELECT user_id AS uid, epoch_ns(ts)//1000 AS t, event_id, event_type
+        |           FROM events),
+        |b AS (SELECT uid, t FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT uid, t, event_id FROM e WHERE event_type = 'click'),
+        |fw AS (SELECT p.event_id, p.t, b.t AS t_fwd
+        |       FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND p.t <= b.t),
+        |lat AS (SELECT (t_fwd - t) // 1000000 AS sec FROM fw WHERE t_fwd IS NOT NULL),
+        |h AS (SELECT sec, count(*) AS cnt FROM lat GROUP BY 1),
+        |c AS (SELECT sec, sum(cnt) OVER (ORDER BY sec) AS cum FROM h),
+        |t AS (SELECT count(*) AS n FROM lat),
+        |x AS (SELECT d.decile, c.sec, c.cum, t.n
+        |      FROM c CROSS JOIN t
+        |      CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d
+        |      WHERE c.cum >= (d.decile * t.n + 9) // 10)
+        |SELECT CAST(decile AS BIGINT) AS decile, min(sec) AS latency_s,
+        |  CAST(max(n) AS BIGINT) AS n_conversions
+        |FROM x GROUP BY decile ORDER BY decile""".stripMargin)),
+    QueryDef("q140_erasure_audit", q140, Some(
+      s"""WITH a AS (
+         |  SELECT 'customer' AS table_name,
+         |    (SELECT count(*) FROM customer) AS n_before,
+         |    (SELECT CAST(sum(CASE WHEN c_custkey % $erasureMod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM customer) AS n_removed,
+         |    (SELECT count(*) FROM customer WHERE c_custkey % $erasureMod <> 0) AS n_after,
+         |    (SELECT CAST(coalesce(sum(CASE WHEN c_custkey % $erasureMod = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |     FROM customer WHERE c_custkey % $erasureMod <> 0) AS n_leaked
+         |  UNION ALL
+         |  SELECT 'events',
+         |    (SELECT count(*) FROM events),
+         |    (SELECT CAST(sum(CASE WHEN user_id % $erasureMod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM events),
+         |    (SELECT count(*) FROM events WHERE user_id % $erasureMod <> 0),
+         |    (SELECT CAST(coalesce(sum(CASE WHEN user_id % $erasureMod = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |     FROM events WHERE user_id % $erasureMod <> 0)
+         |  UNION ALL
+         |  SELECT 'orders',
+         |    (SELECT count(*) FROM orders),
+         |    (SELECT CAST(sum(CASE WHEN o_custkey % $erasureMod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM orders),
+         |    (SELECT count(*) FROM orders WHERE o_custkey % $erasureMod <> 0),
+         |    (SELECT CAST(coalesce(sum(CASE WHEN o_custkey % $erasureMod = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |     FROM orders WHERE o_custkey % $erasureMod <> 0))
+         |SELECT table_name, n_before, n_removed, n_after, n_leaked
+         |FROM a ORDER BY table_name""".stripMargin)),
     QueryDef("q138_nearest_in_time", q138, Some(
       """WITH e AS (SELECT user_id AS uid, epoch_ns(ts)//1000 AS t, event_id, event_type
         |           FROM events),

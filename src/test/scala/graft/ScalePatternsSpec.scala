@@ -303,6 +303,58 @@ class ScalePatternsSpec extends SparkSpec {
       "nearest-in-time is degenerate: only one direction occurs")
   }
 
+  test("q140 erasure audit balances, leaks nothing, and matches recomputed purges") {
+    val rows = SparkEntry.queries("q140_erasure_audit")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("customer", "events", "orders"))
+    rows.foreach { case (t, before, removed, after, leaked) =>
+      assert(before == removed + after, s"$t does not balance")
+      assert(leaked == 0, s"$t leaked $leaked listed rows past the purge")
+      assert(removed > 0, s"$t removed nothing — the deletion list is empty here")
+    }
+    // Recompute one table's purge directly.
+    val ev = Tables.events(spark, sf0001).select(col("user_id")).collect().map(_.getLong(0))
+    val m = ScalePatterns.erasureMod
+    val want = ev.count(_ % m == 0).toLong
+    assert(rows.find(_._1 == "events").get._2 == ev.length)
+    assert(rows.find(_._1 == "events").get._3 == want)
+  }
+
+  test("q141 conversion-latency deciles equal a driver-side sort of the true latencies") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val purchases = ev.filter(_._3 == "purchase").groupBy(_._1)
+    val lats = ev.filter(_._3 == "click").flatMap { case (u, t, _) =>
+      purchases.getOrElse(u, Array.empty).map(_._2).filter(_ >= t)
+        .minOption.map(pt => (pt - t) / 1000000)
+    }.sorted
+    val got = SparkEntry.queries("q141_conversion_latency")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to 9L), "deciles 1..9 present")
+    got.foreach { case (dec, lat, n) =>
+      assert(n == lats.length, s"decile $dec conversion count")
+      // smallest latency whose cumulative count reaches ceil(d*N/10)
+      val want = lats(((dec * lats.length + 9) / 10 - 1).toInt)
+      assert(lat == want, s"decile $dec: $lat != $want")
+    }
+    assert(got.map(_._2).sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
+
+  test("q142 Benford audit: digits partition the orders and deviations are exact") {
+    val rows = SparkEntry.queries("q142_benford_audit")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(rows.map(_._2).sum == nOrders, "digit counts do not partition orders")
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 9), "leading digit out of range")
+    val expected = queries.Relational.benfordMilli.toMap
+    rows.foreach { case (dig, n, freq, ben, dev) =>
+      assert(freq == 1000L * n / nOrders, s"digit $dig freq not exact floor")
+      assert(ben == expected(dig.toInt), s"digit $dig expectation drifted")
+      assert(dev == math.abs(freq - ben), s"digit $dig deviation")
+    }
+  }
+
   test("q132 join-explosion audit equals a driver-side brute force over the key histogram") {
     val sizes = Tables.lineitem(spark, sf0001)
       .groupBy(col("l_partkey")).count()
