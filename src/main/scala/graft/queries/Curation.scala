@@ -102,7 +102,72 @@ object Curation {
   private def q117(s: SparkSession, d: String): DataFrame =
     fuzzyNameMatches(Tables.part(s, d), maxNameBlock)
 
+  /** Curation rule attribution — the "WHY was each document dropped"
+    * report behind q46's survivor list: per filter rule (language
+    * unidentified, quality below floor, near-duplicate), how many
+    * documents fail it, how many fail ONLY it (the rule's marginal
+    * kill count — what relaxing just that rule would recover), how many
+    * fail several, and how many survive. The numbers a pipeline owner
+    * reads before touching a threshold. Same fused single-pass feature
+    * computation as q46 (tokenize once, dup ids from the checkpointed
+    * shingle sets), collapsed to ONE aggregation row of exact counts;
+    * q46's kept count must equal n_kept (tied in spec).
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val toks = text.normalizedTokens(col("text"))
+    val features = Tables.documents(s, d).select(
+      col("doc_id"),
+      textstats.predictLang(toks).as("pred_lang"),
+      TextAnalysis.qualityCol(col("text"), toks).as("quality"))
+    val dupIds = DedupQueries.jaccardPairs(DedupQueries.shingleSets(s, d))
+      .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    val fl = col("pred_lang") === "und"
+    val fq = col("quality") < qualityFloor
+    val fd = col("is_dup") === 1L
+    val nf = (fl.cast("int") + fq.cast("int") + fd.cast("int")).as("n_fails")
+    features
+      .join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      .select(fl.as("fl"), fq.as("fq"), fd.as("fd"), nf)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("fl").cast("long")).as("n_lang_und"),
+        sum(col("fq").cast("long")).as("n_low_quality"),
+        sum(col("fd").cast("long")).as("n_near_dup"),
+        sum((col("fl") && col("n_fails") === 1).cast("long")).as("n_only_lang"),
+        sum((col("fq") && col("n_fails") === 1).cast("long")).as("n_only_quality"),
+        sum((col("fd") && col("n_fails") === 1).cast("long")).as("n_only_dup"),
+        sum((col("n_fails") >= 2).cast("long")).as("n_multi_rule"),
+        sum((col("n_fails") === 0).cast("long")).as("n_kept"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_curation_attribution", q143, Some(
+      s"""WITH lang AS (SELECT doc_id, pred_lang FROM (${langDef.oracle.get})),
+         |q AS (SELECT doc_id, quality FROM (${qualityDef.oracle.get})),
+         |dd AS (SELECT doc_id, is_dup FROM (${dedupDef.oracle.get})),
+         |f AS (SELECT
+         |        CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END AS fl,
+         |        CASE WHEN quality < $qualityFloor THEN 1 ELSE 0 END AS fq,
+         |        CASE WHEN is_dup = 1 THEN 1 ELSE 0 END AS fd
+         |      FROM lang l JOIN q ON q.doc_id = l.doc_id JOIN dd ON dd.doc_id = l.doc_id)
+         |SELECT count(*) AS n_total,
+         |  CAST(sum(fl) AS BIGINT) AS n_lang_und,
+         |  CAST(sum(fq) AS BIGINT) AS n_low_quality,
+         |  CAST(sum(fd) AS BIGINT) AS n_near_dup,
+         |  CAST(sum(CASE WHEN fl = 1 AND fl + fq + fd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_only_lang,
+         |  CAST(sum(CASE WHEN fq = 1 AND fl + fq + fd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_only_quality,
+         |  CAST(sum(CASE WHEN fd = 1 AND fl + fq + fd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_only_dup,
+         |  CAST(sum(CASE WHEN fl + fq + fd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multi_rule,
+         |  CAST(sum(CASE WHEN fl + fq + fd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM f""".stripMargin)),
     QueryDef("q117_fuzzy_name_match", q117, Some(
       s"""WITH names AS (SELECT p_name, count(*) AS n_parts,
          |         list_extract(string_split(p_name, ' '), -1) AS noun

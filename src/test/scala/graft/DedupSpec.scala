@@ -343,6 +343,21 @@ class DedupSpec extends SparkSpec {
       s"yield curve is flat — thresholds carry no tuning information: $curve")
   }
 
+  test("q143 rule attribution conserves documents and ties out with q46's survivors") {
+    val r = SparkEntry.queries("q143_curation_attribution")(spark, sf0001).collect().head
+    val (total, lang, qual, dup) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (onlyLang, onlyQual, onlyDup, multi, kept) =
+      (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    assert(total == Tables.documents(spark, sf0001).count(), "n_total")
+    // Conservation: every document is kept, fails exactly one rule, or
+    // fails several.
+    assert(kept + onlyLang + onlyQual + onlyDup + multi == total, "attribution leaks docs")
+    assert(onlyLang <= lang && onlyQual <= qual && onlyDup <= dup, "marginal > total")
+    // The survivor count IS q46's output size — same rules, same pass.
+    assert(kept == SparkEntry.queries("q46_curation")(spark, sf0001).count(),
+      "attribution disagrees with the curation pipeline")
+  }
+
   test("q130 per-vertex triangle counts equal a driver-side brute force over the candidate graph") {
     val sigs = Dedup.minhashSignatures(
       Tables.documents(spark, sf0001), "doc_id", "text").localCheckpoint()
