@@ -389,7 +389,42 @@ object Extras {
       .orderBy(col("user_id"))
   }
 
+  /** Top 3-step behavioral paths: the most frequent (event, next, next)
+    * trigrams over each user's time-ordered stream — q103's Markov
+    * transitions extended to the path grain (second-order behavior a
+    * first-order matrix cannot see, e.g. whether view→click converts
+    * differently after a search vs a purchase). Two bounded lead()
+    * columns over the per-user window, one map-side-combinable rollup
+    * on the (s1, s2, s3) key (bounded by |types|³), top-20 under a
+    * total order via TakeOrdered — never a global ranking window.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .where(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q144_top_paths", q144, Some(
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_ns(ts) // 1000 AS t_us, event_id FROM events),
+        |p AS (SELECT event_type AS s1,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS s2,
+        |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS s3
+        |      FROM e)
+        |SELECT s1, s2, s3, count(*) AS n_paths
+        |FROM p WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, s1, s2, s3 LIMIT 20""".stripMargin)),
     QueryDef("q139_snapshot_as_of", q139, Some(
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
          |             CAST(round(value * 100) AS BIGINT) AS v

@@ -698,7 +698,65 @@ object ScalePatterns {
       .orderBy(col("decile"))
   }
 
+  /** Session gap for q145's island construction (30 min, microseconds). */
+  val concGapUs = 1800L * 1000000
+
+  /** Peak concurrent sessions — the capacity-planning number: build each
+    * user's 30-min-gap sessions (per-user lag/island collapse, bounded
+    * windows), turn every session into a +1 at its start and a −1 just
+    * after its end, combine deltas per timestamp (map-side), and take
+    * the running sum over TIME — which rides the
+    * [[graft.operators.PrefixSum]] banded decomposition, so the classic
+    * sweep-line algorithm runs without ever sorting the endpoint table
+    * on one reducer. Output: session count, the peak concurrency, and
+    * the first instant it is reached — all exact integers. The interval
+    * convention is closed ([st, en] both active), encoded by placing
+    * the −1 at en + 1 µs.
+    */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("prev", lag(col("t_us"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("t_us") - col("prev") > concGapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t_us")).as("st"), max(col("t_us")).as("en"))
+    val deltas = sess.select(col("st").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("en") + 1).as("t"), lit(-1L).as("delta")))
+      .groupBy(col("t")).agg(sum(col("delta")).as("delta"))
+    val cum = PrefixSum.withRunningTotal(
+      deltas.withColumn("bkt", expr("t div 3600000000")),
+      Seq.empty, "bkt", Seq("t"), "delta", "conc")
+    val peak = cum.agg(max(col("conc")).as("peak"))
+    cum.crossJoin(broadcast(peak))
+      .where(col("conc") === col("peak"))
+      .agg(min(col("t")).as("first_peak_t_us"), max(col("peak")).as("peak_concurrency"))
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("n_sessions"), col("peak_concurrency"), col("first_peak_t_us"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q145_peak_concurrency", q145, Some(
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS t, event_id FROM events),
+         |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+         |      FROM e),
+         |v AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR t - prev > $concGapUs
+         |          THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |        ORDER BY t, event_id) AS BIGINT) AS sid FROM l),
+         |s AS (SELECT user_id, sid, min(t) AS st, max(t) AS en FROM v GROUP BY 1, 2),
+         |d AS (SELECT st AS t, 1 AS delta FROM s
+         |      UNION ALL SELECT en + 1, -1 FROM s),
+         |g AS (SELECT t, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY t),
+         |c AS (SELECT t, sum(delta) OVER (ORDER BY t) AS conc FROM g),
+         |m AS (SELECT max(conc) AS peak FROM c)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sessions,
+         |  CAST(m.peak AS BIGINT) AS peak_concurrency,
+         |  (SELECT min(t) FROM c, m WHERE c.conc = m.peak) AS first_peak_t_us
+         |FROM m""".stripMargin)),
     QueryDef("q141_conversion_latency", q141, Some(
       """WITH e AS (SELECT user_id AS uid, epoch_ns(ts)//1000 AS t, event_id, event_type
         |           FROM events),

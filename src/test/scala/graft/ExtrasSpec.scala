@@ -67,6 +67,20 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.exists(_._5 < 1000), "retention grid is degenerate (all 1000)")
   }
 
+  test("q144 top paths equal a driver-side trigram count under the same total order") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(w => (w(0), w(1), w(2))).toSeq
+    }.toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
+      .toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    val got = SparkEntry.queries("q144_top_paths")(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    assert(got.toSeq == want, s"top-20 paths differ\n got: ${got.take(3).mkString}\nwant: ${want.take(3).mkString}")
+  }
+
   test("q139 point-in-time snapshot equals a driver-side replay of the changelog") {
     val t0 = queries.Extras.snapshotTUs
     val ev = Tables.events(spark, sf0001)

@@ -303,6 +303,32 @@ class ScalePatternsSpec extends SparkSpec {
       "nearest-in-time is degenerate: only one direction occurs")
   }
 
+  test("q145 peak concurrency equals a driver-side sweep line over the session intervals") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = ScalePatterns.concGapUs
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var st = ts.head; var en = ts.head
+      ts.tail.foreach { t =>
+        if (t - en > gap) { out += ((st, en)); st = t }
+        en = t
+      }
+      out += ((st, en)); out
+    }.toSeq
+    val deltas = (sessions.map(s => s._1 -> 1L) ++ sessions.map(s => (s._2 + 1) -> -1L))
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+    val sweep = deltas.scanLeft((0L, 0L)) { case ((_, acc), (t, d)) => (t, acc + d) }.drop(1)
+    val peak = sweep.map(_._2).max
+    val r = SparkEntry.queries("q145_peak_concurrency")(spark, sf0001).collect().head
+    assert(r.getLong(0) == sessions.length, s"n_sessions ${r.getLong(0)} != ${sessions.length}")
+    assert(r.getLong(1) == peak, s"peak ${r.getLong(1)} != $peak")
+    assert(r.getLong(2) == sweep.find(_._2 == peak).get._1, "first peak instant")
+    assert(peak >= 2, "peak concurrency degenerate (never overlaps)")
+  }
+
   test("q140 erasure audit balances, leaks nothing, and matches recomputed purges") {
     val rows = SparkEntry.queries("q140_erasure_audit")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
