@@ -50,6 +50,35 @@ object TextCorpus {
       )
       .orderBy(col("doc_freq").desc, col("word"))
 
+  /** Incremental inverted-index maintenance: the corpus splits into a
+    * BASE (doc_id % 10 != 0) and a DELTA ingest batch (doc_id % 10 == 0);
+    * each side builds its own index independently, and the two indexes
+    * MERGE at the index grain — posting lists unioned (both already
+    * sorted + distinct), doc_freq recomputed from the merged list —
+    * producing exactly q17's output. The oracle is q17's own
+    * full-corpus rebuild, so the driver gate itself proves the index is
+    * ALGEBRAICALLY MERGEABLE: under continuous ingest only the delta
+    * needs tokenizing, and the base index is a table read (here both
+    * sides are built in-query because the test harness has no persisted
+    * index, but the merge never looks at base documents — only at base
+    * index rows).
+    */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def side(pred: Column) = InvertedIndex
+      .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+      .select(col("word"), col("file_ids"))
+    side(col("doc_id") % 10 =!= 0)
+      .unionByName(side(col("doc_id") % 10 === 0))
+      .groupBy(col("word"))
+      .agg(flatten(collect_list(col("file_ids"))).as("merged"))
+      .select(
+        col("word"),
+        concat_ws(" ", array_sort(array_distinct(col("merged")))).as("doc_ids"),
+        size(array_distinct(col("merged"))).cast("long").as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("word"))
+  }
+
   /** Document-frequency ranking with the reference's letter partition key
     * (main.cpp:41-46): scalable count-distinct form, no posting list.
     */
@@ -428,6 +457,14 @@ object TextCorpus {
     QueryDef("q16_doc_token_counts", q16,
       Some(s"""SELECT doc_id, len($tokensSql) AS n_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q146_incremental_index", q146,
+      // Oracle = q17's FULL-CORPUS rebuild: the driver gate itself
+      // enforces merged(base, delta) == rebuilt(all).
+      Some(s"""WITH w AS (
+              |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)
+              |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+              |count(*) AS doc_freq
+              |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),
     QueryDef("q17_inverted_index", q17,
       Some(s"""WITH w AS (
               |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Behavior of the sparse-retrieval scoring family beyond the DuckDB
   * oracle: BM25 (q115) shares q60's df-prune + capped-postings skeleton
   * but must act like BM25 — dense rank lists, and document-length
@@ -31,5 +33,17 @@ class RetrievalSpec extends SparkSpec {
     // re-ranks; >= 1 keeps the pin robust to data regeneration.)
     assert(bmTop.count { case (q, l) => linTop(q) != l } >= 1,
       "BM25 produced identical rankings to linear-idf everywhere")
+  }
+
+  test("q146 merged base+delta index is row-identical to q17's full rebuild") {
+    val merged = SparkEntry.queries("q146_incremental_index")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val full = SparkEntry.queries("q17_inverted_index")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(merged.toSeq == full.toSeq, "incremental merge diverged from rebuild")
+    // The split must be non-trivial: the delta batch carries real docs.
+    val nDelta = Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 10 === 0).count()
+    assert(nDelta > 0 && nDelta < Tables.documents(spark, sf0001).count())
   }
 }
