@@ -739,7 +739,63 @@ object ScalePatterns {
       .select(col("n_sessions"), col("peak_concurrency"), col("first_peak_t_us"))
   }
 
+  /** Target partition count for q147's range-boundary plan. */
+  val rangePlanParts = 32
+
+  /** Exact range-partition boundary planner: the EXACT version of what
+    * Spark's RangePartitioner estimates by sampling — for a target of
+    * [[rangePlanParts]] equal-weight partitions over the price column,
+    * the upper bound of each partition (smallest value whose cumulative
+    * count reaches ceil(p·N/P)) and the exact row count each partition
+    * would receive. The pre-sort audit that shows WHERE ties/skew make
+    * balanced range partitioning impossible (a heavy repeated value
+    * cannot be split, and this plan shows the resulting imbalance as
+    * data, before the shuffle is paid). Shape: one map-side-combinable
+    * collapse to the value-grain histogram, cumulative counts via the
+    * [[graft.operators.PrefixSum]] banded decomposition, a P-row argmin
+    * per boundary, and a lag() over the P-row plan table.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val tot = h.agg(sum(col("cnt")).as("n"))
+    val cum = PrefixSum.withRunningTotal(
+      h.withColumn("bkt", expr("v div 1000000")), Seq.empty, "bkt", Seq("v"), "cnt", "cum")
+    val plan = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("cum"), col("n"),
+        explode(array((1 to rangePlanParts).map(lit): _*)).as("pid"))
+      .where(col("cum") >= expr(s"(pid * n + ${rangePlanParts - 1}) div $rangePlanParts"))
+      .groupBy(col("pid"))
+      .agg(min(struct(col("v"), col("cum"))).as("m"))
+      .select(col("pid").cast("long").as("pid"),
+        col("m.v").as("upper_bound_centi"), col("m.cum").as("cum"))
+    plan
+      .withColumn("n_rows",
+        col("cum") - coalesce(lag(col("cum"), 1).over(Window.orderBy(col("pid"))), lit(0L)))
+      .select(col("pid"), col("upper_bound_centi"), col("n_rows"))
+      .orderBy(col("pid"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_range_plan", q147, Some(
+      s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |             count(*) AS cnt
+         |           FROM lineitem GROUP BY 1),
+         |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         |x AS (SELECT p.pid, c.v, c.cum
+         |      FROM c CROSS JOIN t
+         |      CROSS JOIN (SELECT unnest(range(1, ${rangePlanParts + 1})) AS pid) p
+         |      WHERE c.cum >= (p.pid * t.n + ${rangePlanParts - 1}) // $rangePlanParts),
+         |b AS (SELECT pid, min(v) AS upper_bound_centi FROM x GROUP BY pid),
+         |bc AS (SELECT b.pid, b.upper_bound_centi, c.cum
+         |       FROM b JOIN c ON c.v = b.upper_bound_centi)
+         |SELECT CAST(pid AS BIGINT) AS pid, upper_bound_centi,
+         |  CAST(cum - coalesce(lag(cum) OVER (ORDER BY pid), 0) AS BIGINT) AS n_rows
+         |FROM bc ORDER BY pid""".stripMargin)),
     QueryDef("q145_peak_concurrency", q145, Some(
       s"""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS t, event_id FROM events),
          |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev

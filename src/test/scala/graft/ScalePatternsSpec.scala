@@ -303,6 +303,28 @@ class ScalePatternsSpec extends SparkSpec {
       "nearest-in-time is degenerate: only one direction occurs")
   }
 
+  test("q147 range-partition plan equals a driver-side sort: exact boundaries, counts sum to N") {
+    val vs = Tables.lineitem(spark, sf0001)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val p = ScalePatterns.rangePlanParts
+    val got = SparkEntry.queries("q147_range_plan")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to p.toLong), "partition ids dense 1..P")
+    got.foreach { case (pid, bound, _) =>
+      // boundary = the ceil(pid*N/P)-th smallest value
+      val want = vs(((pid * vs.length + p - 1) / p - 1).toInt)
+      assert(bound == want, s"partition $pid bound $bound != $want")
+    }
+    assert(got.map(_._3).sum == vs.length, "partition counts do not sum to N")
+    assert(got.map(_._2).sliding(2).forall { case Array(a, b) => a < b; case _ => true },
+      "bounds not strictly increasing")
+    got.foreach { case (pid, bound, n) =>
+      assert(n == vs.count(_ <= bound) - (if (pid == 1) 0
+        else vs.count(_ <= got(pid.toInt - 2)._2)), s"partition $pid count")
+    }
+  }
+
   test("q145 peak concurrency equals a driver-side sweep line over the session intervals") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"))
