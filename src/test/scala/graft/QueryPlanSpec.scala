@@ -242,6 +242,34 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("q141/q145/q147 cumulative passes ride PrefixSum bands — partition-less windows only over band totals") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // The three newest sweep/quantile queries share the contract: any
+    // window without a partition spec must run over the bkt-grouped
+    // band-totals aggregate (bounded), never over value- or corpus-grain
+    // rows. (Per-user session windows in q145 are partitioned and fine.)
+    Seq("q141_conversion_latency", "q145_peak_concurrency", "q147_range_plan").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.exists(_.partitionSpec.nonEmpty) || name != "q145_peak_concurrency",
+        s"$name: expected at least one partitioned window")
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val overBandTotals = w.collectFirst {
+          case a: Aggregate
+              if a.groupingExpressions.exists(_.references.exists(_.name == "bkt")) => a
+        }.isDefined
+        // q147's final lag() runs over the P-row boundary PLAN table —
+        // itself an aggregate over pid, equally bounded.
+        val overPlanRows = w.collectFirst {
+          case a: Aggregate
+              if a.groupingExpressions.exists(_.references.exists(_.name == "pid")) => a
+        }.isDefined
+        assert(overBandTotals || overPlanRows,
+          s"$name: partition-less window not over band totals or the plan table:\n$w")
+      }
+    }
+  }
+
   test("q128 retention: corpus collapses in HashAggregate; only the cohort-size grid broadcasts") {
     val p = plan("q128_retention_cohorts")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
