@@ -413,7 +413,60 @@ object Extras {
       .limit(20)
   }
 
+  /** Inter-arrival burstiness audit, per event type: the coefficient of
+    * variation of same-(user, type) inter-arrival gaps — the
+    * Poisson-ness check an ops/capacity team runs (cv_milli ≈ 1000 for
+    * memoryless exponential arrivals; far above = bursty/retry-storm,
+    * far below = scheduled/heartbeat traffic). Gaps come from bounded
+    * per-(user, type) lag windows in whole seconds; the moments are
+    * EXACT (decimal(38) sums, HUGEINT in the oracle — order-independent,
+    * the q62 promotion discipline, and second-grain squares keep even
+    * the cross-term n·Σg² far inside decimal(38)); the final
+    * cv = sqrt(n·Σg² − (Σg)²)/Σg then evaluates one identical IEEE
+    * spelling on those exact inputs in both engines.
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("prev", lag(col("t_us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), expr("(t_us - prev) div 1000000").as("g"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("g").cast("decimal(38,0)")).as("sx"),
+        sum(col("g").cast("decimal(38,0)") * col("g").cast("decimal(38,0)")).as("sxx"))
+      .select(
+        col("event_type"), col("n_gaps"),
+        expr("CAST(sx div CAST(n_gaps AS DECIMAL(38,0)) AS BIGINT)").as("mean_gap_s"),
+        expr("CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)")
+          .as("cv_milli"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q148_arrival_burstiness", q148, Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t, event_id
+        |           FROM events),
+        |l AS (SELECT event_type,
+        |        (t - lag(t) OVER (PARTITION BY user_id, event_type
+        |           ORDER BY t, event_id)) // 1000000 AS g
+        |      FROM e),
+        |m AS (SELECT event_type, count(*) AS n_gaps,
+        |        sum(CAST(g AS HUGEINT)) AS sx,
+        |        sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sxx
+        |      FROM l WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  CAST(sx // CAST(n_gaps AS HUGEINT) AS BIGINT) AS mean_gap_s,
+        |  CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)
+        |    AS cv_milli
+        |FROM m ORDER BY event_type""".stripMargin)),
     QueryDef("q144_top_paths", q144, Some(
       """WITH e AS (SELECT user_id, event_type,
         |        epoch_ns(ts) // 1000 AS t_us, event_id FROM events),

@@ -67,6 +67,31 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.exists(_._5 < 1000), "retention grid is degenerate (all 1000)")
   }
 
+  test("q148 burstiness equals driver-side exact moments; synthetic arrivals read Poisson-like") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(r => (r._1, r._2)).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._3, r._4)).map(_._3)
+      ts.sliding(2).filter(_.length == 2).map(w => (rows.head._2, (w(1) - w(0)) / 1000000))
+    }.toSeq
+    val got = SparkEntry.queries("q148_arrival_burstiness")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (ty, n, mean, cv) =>
+      val g = gaps.filter(_._1 == ty).map(_._2)
+      assert(n == g.length, s"$ty n_gaps")
+      val (sx, sxx) = (BigInt(g.sum), g.map(x => BigInt(x) * x).sum)
+      assert(mean == (sx / n).toLong, s"$ty mean")
+      val want = math.floor(1000.0 *
+        math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) / sx.toDouble).toLong
+      assert(cv == want, s"$ty cv $cv != $want")
+      // The generator is memoryless by construction; cv must sit near
+      // the exponential's 1000 per-mille, not at heartbeat (~0) or
+      // heavy-burst (>2000) regimes.
+      assert(cv > 700 && cv < 1400, s"$ty cv $cv outside the Poisson band")
+    }
+  }
+
   test("q144 top paths equal a driver-side trigram count under the same total order") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"), col("event_type"))
