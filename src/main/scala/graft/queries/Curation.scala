@@ -82,13 +82,19 @@ object Curation {
     * degenerate-block-cap spec.
     */
   private[graft] def fuzzyNameMatches(parts: DataFrame, maxBlock: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val names = parts
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
       .withColumn("noun", element_at(split(col("p_name"), " "), -1))
-    val capped = names
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("noun"))))
+      .localCheckpoint() // vocabulary-sized; reused for block sizing + both join sides
+    // Block-size gate as a partial-agg groupBy + equi-join (q93's shape),
+    // not a count window: a degenerate block key never lands n_names rows
+    // on one window task — its size is combined map-side, and the join
+    // back is AQE-skew-splittable before the cap drops it anyway.
+    val blockOk = names.groupBy(col("noun"))
+      .agg(count(lit(1)).as("block_n"))
       .where(col("block_n") <= maxBlock)
+      .select(col("noun"))
+    val capped = names.join(blockOk, Seq("noun"))
     val a = capped.select(col("noun"), col("p_name").as("name_a"), col("n_parts").as("n_a"))
     val b = capped.select(col("noun"), col("p_name").as("name_b"), col("n_parts").as("n_b"))
     a.join(b, "noun")

@@ -353,30 +353,39 @@ object DedupQueries {
     * Shape: explode to one row per span position (O(tokens) rows — the
     * same mass every tokenize pass already handles), partial-agg groupBy
     * (span_h, doc_id) so within-doc repeats combine map-side, then the
-    * distinct-doc count rides a count window over span_h (rows within a
-    * span_h group are distinct docs after the groupBy, so count(*) ==
-    * count distinct; spill-backed, no self-join, no corpus-scale
-    * checkpoint), and a final per-doc sum. Three shuffles total, each on
-    * a uniform hash key. A span shared by EVERY document makes its
-    * span_h window group corpus-doc-sized — bounded by n_docs, not
-    * occurrences (the groupBy collapsed those), the same envelope the
-    * LSH degenerate-bucket cap guards; WindowExec spills it.
+    * distinct-doc count is a second partial-agg groupBy(span_h) joined
+    * back on span_h — NOT a count window. The window shape would put a
+    * corpus-ubiquitous span ("subscribe to our newsletter" in 30% of
+    * documents) into ONE unsplittable window group of ~n_docs rows on one
+    * task, with no partial aggregation and no AQE skew split.
+    * groupBy(span_h) partial-aggregates map-side (each task emits at most
+    * one row per span_h, so the hot key's reduce input is bounded by the
+    * task count, not n_docs), and the equi-join back IS
+    * AQE-skew-splittable (a skewed span_h join partition splits into
+    * multiple tasks against the replicated 2-column count side). Same
+    * answer, same oracle; pinned by QueryPlanSpec (no Window over span_h)
+    * and DedupSpec's ubiquitous-boilerplate adversarial case.
     */
   def spanDupStats(docs: DataFrame, width: Int = spanWidth): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spanCol = when(
       size(col("toks")) >= width,
       transform(
         sequence(lit(1), size(col("toks")) - (width - 1)),
         i => concat_ws(" ", slice(col("toks"), i, lit(width)))),
     ).otherwise(array().cast("array<string>"))
-    docs
+    val perDoc = docs
       .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(spanCol).as("span"))
       .select(col("doc_id"), textstats.rollingHash(col("span")).as("span_h"))
       .groupBy(col("span_h"), col("doc_id"))
       .agg(count(lit(1)).as("occ"))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("span_h"))))
+      .localCheckpoint() // reused on both sides of the join below
+    // Rows in perDoc are (span_h, doc_id)-distinct, so count(*) per span_h
+    // == count of distinct docs containing the span.
+    val spanDocFreq = perDoc.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("nd"))
+    perDoc
+      .join(spanDocFreq, Seq("span_h"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("occ")).as("n_spans"),

@@ -237,10 +237,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("spanDupStats: a span shared by every doc stays bounded by doc count and within-doc repeats combine") {
-    // Every doc repeats the SAME 8 tokens 4 times -> 32 tokens, 25 span
-    // positions, every span duplicated corpus-wide (rotations of the same
-    // 8 tokens). The span_h window group is <= n_docs rows because the
-    // (span_h, doc_id) pre-aggregation collapsed within-doc repeats.
+    // The adversarial ubiquitous-boilerplate case: every doc repeats the
+    // SAME 8 tokens 4 times -> 32 tokens, 25 span positions, every span
+    // duplicated corpus-wide (100% of documents — beyond the >= 50%
+    // threshold where a count window would serialize the corpus onto one
+    // task). The (span_h, doc_id) pre-aggregation collapses within-doc
+    // repeats map-side and the doc-frequency is a second partial-agg
+    // groupBy joined back — no window group exists at all (pinned in
+    // QueryPlanSpec).
     val loop = "alpha beta gamma delta epsilon zeta eta theta"
     val rows = (1L to 5L).map(i => i -> Seq.fill(4)(loop).mkString(" "))
     val got = queries.DedupQueries.spanDupStats(docsDF(rows))

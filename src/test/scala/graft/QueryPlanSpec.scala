@@ -240,6 +240,30 @@ class QueryPlanSpec extends SparkSpec {
     val p = plan("q117_fuzzy_name_match")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("levenshtein"), p)
+    // Block sizing is the q93 shape: groupBy(noun) + equi-join, never a
+    // count window (a degenerate block key must not serialize onto one
+    // window task before the cap can drop it).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q117_fuzzy_name_match")(spark, sf0001)
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q117 must not plan any window operator")
+  }
+
+  test("q93 span dedup: span doc-frequency via partial-agg groupBy + equi-join — NO window over span_h") {
+    // The scale pin for round 5's sole weak item: a corpus-ubiquitous
+    // boilerplate span must never become one unsplittable window group.
+    // The distinct-doc count must arrive as a map-side-combined
+    // HashAggregate over span_h joined back on span_h (AQE can skew-split
+    // that join; it cannot split a window partition).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q93_span_dedup")(spark, sf0001)
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q93 must not plan any window operator")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), s"span doc-freq must partial-aggregate map-side:\n$p")
   }
 
   test("q141/q145/q147 cumulative passes ride PrefixSum bands — partition-less windows only over band totals") {
