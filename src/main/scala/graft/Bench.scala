@@ -101,8 +101,21 @@ object Bench {
       .mkString("{", ",", "}")
     val cal = f"""{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f}"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"calibration":$cal,"layout_write_sec":$lw,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"calibration":$cal,"layout_write_sec":$lw,"sf":"$sfDir"}"""
+    println(json)
+    // Stdout-independent artifact: round 5's BENCH_r05.json lost the
+    // first ~86 per-query entries to log-tail truncation of the one big
+    // stdout line. The same JSON is also written whole to a file (env
+    // SPARK_GRAFT_BENCH_OUT, default BENCH_LATEST.json in the repo) so
+    // the committed bench record is always complete regardless of how
+    // much log the driver captured.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
   }
 }

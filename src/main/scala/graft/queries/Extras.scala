@@ -443,8 +443,14 @@ object Extras {
       .select(
         col("event_type"), col("n_gaps"),
         expr("CAST(sx div CAST(n_gaps AS DECIMAL(38,0)) AS BIGINT)").as("mean_gap_s"),
-        expr("CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)" +
-          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)")
+        // sx = 0 (every gap 0 whole seconds — same-second bursts) makes
+        // cv 0/0 = NaN; Spark's non-ANSI cast would silently NULL it
+        // while DuckDB errors on CAST(NaN AS BIGINT). Guard BOTH engines
+        // to an explicit NULL so the degenerate case agrees.
+        expr("CASE WHEN sx > 0 THEN" +
+          " CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)" +
+          " ELSE NULL END")
           .as("cv_milli"))
       .orderBy(col("event_type"))
   }
@@ -463,9 +469,10 @@ object Extras {
         |      FROM l WHERE g IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_gaps,
         |  CAST(sx // CAST(n_gaps AS HUGEINT) AS BIGINT) AS mean_gap_s,
-        |  CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)
-        |    AS cv_milli
+        |  CASE WHEN sx > 0 THEN
+        |    CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)
+        |  ELSE NULL END AS cv_milli
         |FROM m ORDER BY event_type""".stripMargin)),
     QueryDef("q144_top_paths", q144, Some(
       """WITH e AS (SELECT user_id, event_type,

@@ -368,6 +368,18 @@ class ScalePatternsSpec extends SparkSpec {
     assert(rows.find(_._1 == "events").get._3 == want)
   }
 
+  test("q140 leak check is independent of the purge: a broken purge surfaces n_leaked > 0") {
+    // Inject a purge that deletes NOTHING: the semi-join against the
+    // separately-derived deletion list must report every listed row as
+    // leaked. (An inline negation of the purge predicate — the pre-r6
+    // shape — would still report 0 here, proving nothing.)
+    val ev = Tables.events(spark, sf0001)
+    val r = ScalePatterns.erasureAudit("events", ev, "user_id",
+      purgedOverride = Some(ev)).collect().head
+    assert(r.getLong(4) == r.getLong(2) && r.getLong(4) > 0,
+      s"broken purge must leak all ${r.getLong(2)} listed rows, got ${r.getLong(4)}")
+  }
+
   test("q141 conversion-latency deciles equal a driver-side sort of the true latencies") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
