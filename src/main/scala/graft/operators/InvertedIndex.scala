@@ -60,6 +60,33 @@ object InvertedIndex {
     */
   def rankingOrder: Seq[Column] = Seq(col("doc_freq").desc, col("word").asc)
 
+  /** Index-grain retraction — the DELETION path of incremental index
+    * maintenance (the additive path is the q146 merge): remove a
+    * tombstone set of doc ids from every posting list WITHOUT re-reading
+    * or re-tokenizing any document. The tombstone relation collapses to
+    * one collect_set row and broadcasts (erasure request lists are
+    * bounded — thousands of ids against a corpus of billions — the same
+    * envelope as every broadcast dimension), so the retract is one
+    * map-only pass over index rows: `array_except` per posting list
+    * (order-preserving on the sorted first argument, codegen'd),
+    * doc_freq recomputed from the survivor list, and words whose lists
+    * empty out dropped — a word exists in the index iff it survives in
+    * at least one live document. No shuffle at all beyond the broadcast.
+    */
+  def retract(index: DataFrame, tombstones: DataFrame, idCol: String): DataFrame = {
+    val del = tombstones.agg(collect_set(col(idCol)).as("del_ids"))
+    index
+      .crossJoin(broadcast(del))
+      .select(col("word"), array_except(col("file_ids"), col("del_ids")).as("file_ids"))
+      .where(size(col("file_ids")) > 0)
+      .select(
+        col("word"),
+        col("file_ids"),
+        size(col("file_ids")).as("doc_freq"),
+        text.firstLetter(col("word")).as("letter"),
+      )
+  }
+
   /** Full pipeline from (id, text) rows to the ranked index. */
   def fromLines(lines: DataFrame, idCol: String, textCol: String): DataFrame =
     index(words(lines, idCol, textCol))

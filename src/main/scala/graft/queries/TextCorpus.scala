@@ -79,6 +79,32 @@ object TextCorpus {
       .orderBy(col("doc_freq").desc, col("word"))
   }
 
+  /** Incremental-index DELETION path — the retract q146's additive merge
+    * lacks: tombstone a deterministic slice of the corpus
+    * (doc_id % 10 == 3, the synthetic right-to-be-forgotten batch) and
+    * subtract it AT INDEX GRAIN via [[graft.operators.InvertedIndex
+    * .retract]] — broadcast tombstone set, one map-only `array_except`
+    * pass over posting lists, doc_freq recomputed from the survivor
+    * lists, emptied words dropped. No deleted document is ever re-read
+    * or re-tokenized (the row-grain GDPR audit q140 has no such
+    * index-grain counterpart until now). Oracle = q17's own SQL over
+    * the tombstone-filtered corpus, so the gate itself proves
+    * retract(index(all), D) == rebuild(all − D) — the algebraic
+    * property a maintainable index needs alongside q146's
+    * merge(base, delta) == rebuild(all).
+    */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val full = InvertedIndex.index(InvertedIndex.words(docs, "doc_id", "text"))
+    val tombstones = docs.where(col("doc_id") % 10 === 3).select(col("doc_id"))
+    InvertedIndex.retract(full, tombstones, "doc_id")
+      .select(
+        col("word"),
+        concat_ws(" ", col("file_ids")).as("doc_ids"),
+        col("doc_freq").cast("long").as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("word"))
+  }
+
   /** Document-frequency ranking with the reference's letter partition key
     * (main.cpp:41-46): scalable count-distinct form, no posting list.
     */
@@ -462,6 +488,15 @@ object TextCorpus {
       // enforces merged(base, delta) == rebuilt(all).
       Some(s"""WITH w AS (
               |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)
+              |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+              |count(*) AS doc_freq
+              |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),
+    QueryDef("q149_index_retract", q149,
+      // Oracle = q17's SQL over the corpus MINUS the tombstones: the
+      // driver gate enforces retract(index(all), D) == rebuild(all − D).
+      Some(s"""WITH w AS (
+              |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word
+              |  FROM documents WHERE doc_id % 10 <> 3)
               |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
               |count(*) AS doc_freq
               |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),

@@ -46,4 +46,26 @@ class RetrievalSpec extends SparkSpec {
       .where(col("doc_id") % 10 === 0).count()
     assert(nDelta > 0 && nDelta < Tables.documents(spark, sf0001).count())
   }
+
+  test("q149 index-grain retract is row-identical to a rebuild over the surviving corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val retracted = SparkEntry.queries("q149_index_retract")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // Ground truth: rebuild from scratch over the tombstone-filtered docs.
+    val rebuilt = graft.operators.InvertedIndex
+      .fromLines(docs.where(col("doc_id") % 10 =!= 3), "doc_id", "text")
+      .select(col("word"), concat_ws(" ", col("file_ids")).as("doc_ids"),
+        col("doc_freq").cast("long").as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("word")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(retracted.toSeq == rebuilt.toSeq, "retract diverged from rebuild")
+    // The tombstone batch must be non-trivial, and retraction must have
+    // actually shrunk something (some posting list lost a doc).
+    val nDel = docs.where(col("doc_id") % 10 === 3).count()
+    assert(nDel > 0 && nDel < docs.count())
+    val full = SparkEntry.queries("q17_inverted_index")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val shrunk = retracted.count { case (w, _, df) => full.getOrElse(w, 0L) > df }
+    assert(shrunk > 0, "no posting list shrank — tombstones touched nothing")
+  }
 }
