@@ -783,7 +783,12 @@ object ScalePatterns {
     * [[graft.operators.PrefixSum]] banded decomposition, a P-row argmin
     * per boundary, and a lag() over the P-row plan table.
     */
-  private def q147(s: SparkSession, d: String): DataFrame = {
+  /** The q147 boundary plan as a reusable relation (pid,
+    * upper_bound_centi, n_rows) — consumed by q147 itself and by q150's
+    * actual range-partitioned WRITE, so the planner and the layout can
+    * never drift.
+    */
+  private[graft] def rangePlan(s: SparkSession, d: String): DataFrame = {
     import graft.operators.PrefixSum
     import org.apache.spark.sql.expressions.Window
     val h = Tables.lineitem(s, d)
@@ -804,10 +809,92 @@ object ScalePatterns {
       .withColumn("n_rows",
         col("cum") - coalesce(lag(col("cum"), 1).over(Window.orderBy(col("pid"))), lit(0L)))
       .select(col("pid"), col("upper_bound_centi"), col("n_rows"))
-      .orderBy(col("pid"))
+  }
+
+  private def q147(s: SparkSession, d: String): DataFrame =
+    rangePlan(s, d).orderBy(col("pid"))
+
+  /** The fixed price band q150's reader scans, in centi (1000.00 to
+    * 2000.00 dollars) — constants so the DuckDB oracle is self-contained.
+    */
+  val rangeBandLoCenti = 100000L
+  val rangeBandHiCenti = 200000L
+
+  /** Range layouts this JVM has already written (q150, q76 discipline). */
+  private val rangeLayoutWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def rangeLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_lineitem_range_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+  }
+
+  /** Upper bounds of [[rangePlan]]'s partitions, ascending — the layout
+    * MANIFEST: [[rangePlanParts]] bounded scalars, the only driver-side
+    * state the layout needs (exactly what a table format keeps per
+    * partition).
+    */
+  private[graft] def rangeUppers(s: SparkSession, d: String): Array[Long] =
+    rangePlan(s, d).orderBy(col("pid")).select(col("upper_bound_centi"))
+      .collect().map(_.getLong(0))
+
+  /** pid assignment under the plan: partition p owns values in
+    * (upper[p-1], upper[p]], i.e. 1 + count of uppers strictly below v.
+    */
+  private[graft] def rangePid(uppers: Array[Long], v: Long): Int =
+    uppers.indexWhere(_ >= v) match {
+      case -1 => uppers.length + 1 // past the global max — no partition
+      case i => i + 1
+    }
+
+  /** q147's planner WIRED INTO AN ACTUAL LAYOUT: lineitem is written
+    * once per session range-partitioned by the plan's EXACT boundaries —
+    * each row's pid is `1 + |{uppers < v}|` over the broadcast 32-value
+    * boundary array (what Spark's RangePartitioner estimates by
+    * sampling, q147 computed exactly) — one parquet directory per pid.
+    * The reader then answers a fixed price-band aggregate by mapping the
+    * band to pid bounds through the same manifest (two bounded scalars)
+    * and scanning ONLY those directories: `PartitionFilters` on pid
+    * prune at the directory level before any file is opened, and the
+    * residual v-filter pushes into the surviving scans. Oracle = the
+    * plain filtered aggregate over the original table, so the gate
+    * certifies plan -> write -> manifest-prune -> read end to end;
+    * StorageSpec additionally proves each pid directory's row count
+    * equals the plan's n_rows column and measures rows-scanned vs an
+    * ingest-ordered copy of the same data.
+    */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val dir = rangeLayoutDir(d)
+    val uppers = rangeUppers(s, d)
+    if (rangeLayoutWritten.add(dir)) {
+      val upLit = array(uppers.map(lit).toSeq: _*)
+      Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          col("l_orderkey"), col("l_quantity"))
+        .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1)
+        .repartition(col("pid"))
+        .write.mode("overwrite").partitionBy("pid").parquet(dir)
+    }
+    val pidLo = rangePid(uppers, rangeBandLoCenti)
+    val pidHi = rangePid(uppers, rangeBandHiCenti)
+    s.read.parquet(dir)
+      .where(col("pid").between(pidLo, pidHi)
+        && col("v").between(rangeBandLoCenti, rangeBandHiCenti))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("total_centi"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_range_layout_scan", q150, Some(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_centi,
+         |  count(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem
+         |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
+         |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
     QueryDef("q147_range_plan", q147, Some(
       s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |             count(*) AS cnt

@@ -294,6 +294,17 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("q150 range layout: pid directory pruning at the scan plus pushed residual v-filter") {
+    val p = plan("q150_range_layout_scan")
+    // Directory-level pruning through the manifest-mapped pid bounds...
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.contains("pid#") || p.contains("(pid"), p)
+    // ...and the residual band filter pushed into the surviving files.
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(v,"), p)
+    assert(!p.contains("Join"), "manifest mapping must be driver-side scalars, not a join")
+  }
+
   test("q128 retention: corpus collapses in HashAggregate; only the cohort-size grid broadcasts") {
     val p = plan("q128_retention_cohorts")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

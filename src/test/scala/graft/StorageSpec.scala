@@ -82,6 +82,47 @@ class StorageSpec extends SparkSpec {
     assert(n > 0 && n < total)
   }
 
+  test("q150 range layout delivers the plan: per-pid rows == q147 n_rows; band scan reads a fraction of ingest order") {
+    import graft.queries.ScalePatterns
+    // Execute q150 once (writes the layout on first call in this JVM).
+    SparkEntry.queries("q150_range_layout_scan")(spark, sf0001).collect()
+    val dir = ScalePatterns.rangeLayoutDir(sf0001)
+    // 1. Per-file / per-pid balance: each pid directory's row count must
+    //    EQUAL the boundary plan's n_rows — the layout is exactly what
+    //    the planner computed, not an approximation of it.
+    val perPid = spark.read.parquet(dir).groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val plan = ScalePatterns.rangePlan(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(perPid == plan.filter(_._2 > 0),
+      s"layout rows diverge from plan: layout=$perPid plan=$plan")
+    // 2. Zone tightness: rows the band scan must read under the pruned
+    //    layout (only the pid dirs overlapping the band) vs under an
+    //    ingest-ordered copy (prices shuffled across all files — every
+    //    file's [min,max] straddles the band, nothing can be skipped).
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val (lo, hi) = (ScalePatterns.rangeBandLoCenti, ScalePatterns.rangeBandHiCenti)
+    val pidLo = ScalePatterns.rangePid(uppers, lo)
+    val pidHi = ScalePatterns.rangePid(uppers, hi)
+    val scannedRange = perPid.filter { case (p, _) => p >= pidLo && p <= pidHi }.values.sum
+    val total = perPid.values.sum
+    val ingestDir = Files.createTempDirectory("graft-ingest-order").toString
+    Tables.lineitem(spark, sf0001)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .repartition(32).write.mode("overwrite").parquet(ingestDir)
+    val scannedIngest = spark.read.parquet(ingestDir)
+      .groupBy(input_file_name()).agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      .where(col("mn") <= hi && col("mx") >= lo)
+      .agg(coalesce(sum(col("n")), lit(0L))).first().getLong(0)
+    info(s"band rows-scanned: range-layout=$scannedRange ingest-ordered=$scannedIngest total=$total")
+    val matches = spark.read.parquet(dir).where(col("v").between(lo, hi)).count()
+    assert(scannedRange >= matches, "pruned scan lost matching rows")
+    assert(scannedIngest == total, "ingest-ordered files should all straddle the band")
+    assert(scannedRange * 4 <= total,
+      s"range layout should scan <= 25% of rows for the band ($scannedRange of $total)")
+  }
+
   test("mergeSchema union: evolved batches surface as one schema with NULLs for absent columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
     val c = Tables.customer(spark, sf0001)
