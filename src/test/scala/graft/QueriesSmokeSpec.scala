@@ -21,4 +21,19 @@ class QueriesSmokeSpec extends SparkSpec {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
   }
+
+  test("QUERIES.md is current: row set equals allDefs, oracle flags match") {
+    // The generated index (tools/gen_queries_md.py) must track the
+    // registry name-for-name — regenerate it after adding a query.
+    val md = scala.io.Source.fromFile("QUERIES.md", "UTF-8").getLines().toSeq
+    val rows = md.filter(_.startsWith("| q"))
+      .map(_.split("\\|").map(_.trim))
+      .map(cells => cells(1) -> cells(3)) // name -> oracle yes/no
+      .toMap
+    val want = SparkEntry.allDefs.map(q => q.name -> (if (q.oracle.isDefined) "yes" else "no")).toMap
+    assert(rows.keySet == want.keySet,
+      s"QUERIES.md stale: missing=${want.keySet -- rows.keySet} extra=${rows.keySet -- want.keySet}")
+    val wrongOracle = rows.filter { case (n, o) => want(n) != o }
+    assert(wrongOracle.isEmpty, s"QUERIES.md oracle flags stale: $wrongOracle")
+  }
 }
