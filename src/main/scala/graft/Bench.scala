@@ -95,15 +95,23 @@ object Bench {
       q.name -> (if (ok) sec else -1.0)
     }
     val calEnd = calibrate()
+    // Aux measurements outside the oracled registry: q34's gate variant
+    // computes exact countDistinct next to the sketches (required for
+    // the envelope booleans), so its registry timing measures mostly the
+    // exact path. Time the sketch-only twin here so the artifact records
+    // the sketch's own cost (round-6 advice).
+    val auxSketch = timed(graft.queries.ScalePatterns.q34SketchOnly(spark, sfDir).count())
+    cooldown()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val lw = layoutWrites.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val cal = f"""{"start":$calStart%.3f,"mid":$calMid%.3f,"end":$calEnd%.3f}"""
+    val aux = f"""{"q34_sketch_only":$auxSketch%.3f}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"calibration":$cal,"layout_write_sec":$lw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"calibration":$cal,"layout_write_sec":$lw,"aux":$aux,"sf":"$sfDir"}"""
     println(json)
     // Stdout-independent artifact: round 5's BENCH_r05.json lost the
     // first ~86 per-query entries to log-tail truncation of the one big
@@ -118,5 +126,22 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
+    // The driver records only the LAST 2000 chars of stdout, and sbt
+    // appends a ~75-char "[success]" line after the JVM exits — so the
+    // 4.4 KB full-name line above can never survive the tail capture
+    // (BENCH_r05/r06 both recorded parsed:null). The very last line we
+    // print is therefore a compact twin that must fit in ~1900 chars:
+    // qNN prefix keys (unique by construction: every query name starts
+    // with its zero-padded ordinal) and 2-decimal seconds. Full names +
+    // calibration + layout writes live in BENCH_LATEST.json (committed).
+    def compactLine(dec: Int): String = {
+      val cq = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + s"%.${dec}f".format(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$cq,"sf":"$sfDir","full":"BENCH_LATEST.json"}"""
+    }
+    val compact = { val c2 = compactLine(2); if (c2.length <= 1900) c2 else compactLine(1) }
+    println(compact)
+    System.out.flush()
   }
 }

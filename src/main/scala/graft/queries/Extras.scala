@@ -447,9 +447,13 @@ object Extras {
         // cv 0/0 = NaN; Spark's non-ANSI cast would silently NULL it
         // while DuckDB errors on CAST(NaN AS BIGINT). Guard BOTH engines
         // to an explicit NULL so the degenerate case agrees.
+        // greatest(disc, 0): when all gaps are equal and the moments
+        // exceed double precision, n·Σg² − (Σg)² can round to a tiny
+        // NEGATIVE double, sqrt gives NaN, and the engines diverge again
+        // (Spark NULLs the cast, DuckDB errors). Clamp in BOTH engines.
         expr("CASE WHEN sx > 0 THEN" +
-          " CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)" +
-          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)" +
+          " CAST(floor(1000.0 * sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) / CAST(sx AS DOUBLE)) AS BIGINT)" +
           " ELSE NULL END")
           .as("cv_milli"))
       .orderBy(col("event_type"))
@@ -470,8 +474,8 @@ object Extras {
         |SELECT event_type, n_gaps,
         |  CAST(sx // CAST(n_gaps AS HUGEINT) AS BIGINT) AS mean_gap_s,
         |  CASE WHEN sx > 0 THEN
-        |    CAST(floor(1000.0 * sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE)) AS BIGINT)
+        |    CAST(floor(1000.0 * sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) / CAST(sx AS DOUBLE)) AS BIGINT)
         |  ELSE NULL END AS cv_milli
         |FROM m ORDER BY event_type""".stripMargin)),
     QueryDef("q144_top_paths", q144, Some(

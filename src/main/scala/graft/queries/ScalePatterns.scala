@@ -57,6 +57,22 @@ object ScalePatterns {
           .as("supps_within_10pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Bench-only twin of q34 WITHOUT the exact countDistinct columns.
+    * The oracled q34 deliberately computes exact counts alongside the
+    * sketches (that's what makes the envelope booleans checkable), which
+    * means its bench timing is dominated by the exact-distinct cost the
+    * sketch exists to avoid. Bench times this twin separately (reported
+    * under "aux") so the artifact records what the sketch alone costs at
+    * scale; the correctness gate keeps the exact+envelope variant.
+    */
+  private[graft] def q34SketchOnly(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+
   private def asofInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val orders = Tables.orders(s, d)
       // o_orderdate reads as TIMESTAMP_NTZ; with the session pinned to UTC
@@ -820,31 +836,81 @@ object ScalePatterns {
   val rangeBandLoCenti = 100000L
   val rangeBandHiCenti = 200000L
 
-  /** Range layouts this JVM has already written (q150, q76 discipline). */
+  /** Range layouts this JVM has VERIFIED complete (in-memory fast path
+    * over the on-disk completeness marker). A dir is added only AFTER
+    * its write + manifest publish succeed — a failed first write leaves
+    * the set untouched so the next caller retries instead of reading a
+    * missing directory (round-6 advice).
+    */
   private val rangeLayoutWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val rangeLayoutLock = new Object
 
+  /** STABLE per-source-dir location (no JVM pid in the path): the whole
+    * point of persisting the manifest is that a FRESH session finds the
+    * layout + boundaries a previous session paid for. Cross-JVM write
+    * races are settled by the tmp-dir + atomic-rename publish protocol
+    * in [[ensureRangeLayout]], not by pid-segregated copies.
+    */
   private[graft] def rangeLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_lineitem_range_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_range_$sfx").getAbsolutePath
   }
+
+  /** The persisted boundary manifest: a `_`-prefixed file INSIDE the
+    * layout directory (Spark's parquet reader ignores `_`/`.` files), so
+    * manifest and data travel as one unit — exactly what a table format
+    * keeps as partition metadata. Written LAST inside the tmp dir before
+    * the atomic publish, so `exists(manifest)` == "layout is complete".
+    */
+  private def rangeManifestFile(dir: String): java.io.File =
+    new java.io.File(dir, "_graft_manifest.json")
+
+  private def readDiskManifest(dir: String): Option[Array[Long]] = {
+    val f = rangeManifestFile(dir)
+    if (!f.isFile) None
+    else {
+      val body = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val vals = body.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      if (vals.length == rangePlanParts) Some(vals) else None
+    }
+  }
+
+  /** Number of times the boundary PLANNER (a full lineitem pass) ran in
+    * this JVM on behalf of [[rangeUppers]] — observability hook for the
+    * cold-reader spec: a session that finds a persisted manifest must
+    * answer with ZERO planner runs.
+    */
+  private[graft] val rangePlannerRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Upper bounds of [[rangePlan]]'s partitions, ascending — the layout
     * MANIFEST: [[rangePlanParts]] bounded scalars, the only driver-side
-    * state the layout needs (exactly what a table format keeps per
-    * partition). Cached per source dir for the session: at steady state
-    * a reader consults the manifest METADATA, it does not re-run the
-    * boundary planner per query (first bench run measured 4.06 s/read
-    * with the planner inline vs the pruned scan's sub-second cost).
+    * state the layout needs. Resolution order: (1) session cache,
+    * (2) the `_graft_manifest.json` persisted beside the layout — a
+    * fresh session pays a metadata file read, NOT a planner run (~4 s
+    * measured at sf0.1), (3) the exact planner.
     */
   private val rangeManifest =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
+  /** Test hook: forget session-level manifest/layout state so a spec can
+    * simulate a cold (fresh-JVM) reader against the persisted artifacts.
+    */
+  private[graft] def forgetRangeSessionState(d: String): Unit = {
+    rangeManifest.remove(d)
+    rangeLayoutWritten.remove(rangeLayoutDir(d))
+  }
+
   private[graft] def rangeUppers(s: SparkSession, d: String): Array[Long] =
     rangeManifest.computeIfAbsent(d, _ =>
-      rangePlan(s, d).orderBy(col("pid")).select(col("upper_bound_centi"))
-        .collect().map(_.getLong(0)))
+      readDiskManifest(rangeLayoutDir(d)).getOrElse {
+        rangePlannerRuns.incrementAndGet()
+        rangePlan(s, d).orderBy(col("pid")).select(col("upper_bound_centi"))
+          .collect().map(_.getLong(0))
+      })
 
   /** pid assignment under the plan: partition p owns values in
     * (upper[p-1], upper[p]], i.e. 1 + count of uppers strictly below v.
@@ -871,18 +937,55 @@ object ScalePatterns {
     * equals the plan's n_rows column and measures rows-scanned vs an
     * ingest-ordered copy of the same data.
     */
-  private def q150(s: SparkSession, d: String): DataFrame = {
+  /** Idempotent layout publish: write data + manifest into a pid-private
+    * tmp dir, then atomically rename into the stable location. The
+    * manifest is written last and its presence is the completeness
+    * marker, so readers can never observe a half-written layout; a
+    * concurrent JVM losing the rename race just discards its tmp copy
+    * (the planner is deterministic — both copies are identical). The
+    * in-memory written-set is updated only after the publish succeeds,
+    * so a thrown write leaves the next caller free to retry.
+    */
+  private[graft] def ensureRangeLayout(s: SparkSession, d: String): String = {
     val dir = rangeLayoutDir(d)
-    val uppers = rangeUppers(s, d)
-    if (rangeLayoutWritten.add(dir)) {
-      val upLit = array(uppers.map(lit).toSeq: _*)
-      Tables.lineitem(s, d)
-        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
-          col("l_orderkey"), col("l_quantity"))
-        .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1)
-        .repartition(col("pid"))
-        .write.mode("overwrite").partitionBy("pid").parquet(dir)
+    if (rangeLayoutWritten.contains(dir)) return dir
+    rangeLayoutLock.synchronized {
+      if (rangeLayoutWritten.contains(dir)) return dir
+      if (readDiskManifest(dir).isEmpty) {
+        val uppers = rangeUppers(s, d)
+        val tmp = dir + s".tmp-p${ProcessHandle.current().pid()}"
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        Tables.lineitem(s, d)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+            col("l_orderkey"), col("l_quantity"))
+          .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1)
+          .repartition(col("pid"))
+          .write.mode("overwrite").partitionBy("pid").parquet(tmp)
+        java.nio.file.Files.write(
+          rangeManifestFile(tmp).toPath,
+          uppers.mkString("[", ",", "]")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.DirectoryNotEmptyException
+               | _: java.nio.file.FileSystemException =>
+            // Another JVM published first; its copy is byte-equivalent.
+            if (readDiskManifest(dir).isEmpty) throw new IllegalStateException(
+              s"range layout rename to $dir failed and no complete layout exists")
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+      }
+      rangeLayoutWritten.add(dir)
+      dir
     }
+  }
+
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureRangeLayout(s, d)
+    val uppers = rangeUppers(s, d)
     val pidLo = rangePid(uppers, rangeBandLoCenti)
     val pidHi = rangePid(uppers, rangeBandHiCenti)
     s.read.parquet(dir)

@@ -25,7 +25,14 @@ class QueriesSmokeSpec extends SparkSpec {
   test("QUERIES.md is current: row set equals allDefs, oracle flags match") {
     // The generated index (tools/gen_queries_md.py) must track the
     // registry name-for-name — regenerate it after adding a query.
-    val md = scala.io.Source.fromFile("QUERIES.md", "UTF-8").getLines().toSeq
+    // Anchor on the repo root, not the cwd: a forked test JVM may run
+    // with a different working directory (round-6 advice). build.sbt is
+    // the root marker; walk up from user.dir until it appears.
+    val root = Iterator.iterate(new java.io.File(sys.props("user.dir")).getAbsoluteFile)(_.getParentFile)
+      .takeWhile(_ != null).take(6)
+      .find(dd => new java.io.File(dd, "build.sbt").isFile)
+      .getOrElse(fail("repo root (build.sbt) not found above user.dir"))
+    val md = scala.io.Source.fromFile(new java.io.File(root, "QUERIES.md"), "UTF-8").getLines().toSeq
     val rows = md.filter(_.startsWith("| q"))
       .map(_.split("\\|").map(_.trim))
       .map(cells => cells(1) -> cells(3)) // name -> oracle yes/no

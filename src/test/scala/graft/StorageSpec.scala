@@ -118,9 +118,34 @@ class StorageSpec extends SparkSpec {
     info(s"band rows-scanned: range-layout=$scannedRange ingest-ordered=$scannedIngest total=$total")
     val matches = spark.read.parquet(dir).where(col("v").between(lo, hi)).count()
     assert(scannedRange >= matches, "pruned scan lost matching rows")
-    assert(scannedIngest == total, "ingest-ordered files should all straddle the band")
+    // >= 90%, not ==: with 32 random files one small file can by chance
+    // miss the band entirely; the claim is "ingest order skips ~nothing",
+    // not "every file straddles" (round-6 advice).
+    assert(scannedIngest * 10 >= total * 9,
+      s"ingest-ordered scan should cover ~all rows ($scannedIngest of $total)")
     assert(scannedRange * 4 <= total,
       s"range layout should scan <= 25% of rows for the band ($scannedRange of $total)")
+  }
+
+  test("q150 cold reader: a fresh session loads boundaries from the persisted manifest with zero planner runs") {
+    import graft.queries.ScalePatterns
+    // Ensure the layout + manifest exist on disk (idempotent).
+    ScalePatterns.ensureRangeLayout(spark, sf0001)
+    val before = ScalePatterns.rangeUppers(spark, sf0001)
+    // Simulate a fresh JVM: drop ALL session-level range state...
+    ScalePatterns.forgetRangeSessionState(sf0001)
+    val planned = ScalePatterns.rangePlannerRuns.get()
+    // ...and resolve the boundaries again. They must come from the
+    // _graft_manifest.json beside the layout — same values, and the
+    // planner (a full lineitem pass) must NOT have run.
+    val cold = ScalePatterns.rangeUppers(spark, sf0001)
+    assert(cold.toSeq == before.toSeq, "cold-read manifest diverged from session boundaries")
+    assert(ScalePatterns.rangePlannerRuns.get() == planned,
+      "cold reader re-ran the boundary planner despite a persisted manifest")
+    // The layout itself is also reusable without a rewrite: ensure() on
+    // the cold session must return instantly with the manifest intact.
+    ScalePatterns.ensureRangeLayout(spark, sf0001)
+    assert(cold.length == ScalePatterns.rangePlanParts)
   }
 
   test("mergeSchema union: evolved batches surface as one schema with NULLs for absent columns") {
