@@ -342,6 +342,14 @@ object DedupQueries {
     */
   val spanWidth = 8
 
+  /** Doc-frequency threshold above which a span counts as ubiquitous and
+    * its (span_h, nd) row joins back via the broadcast leg of q93's
+    * hybrid (see [[spanDupStats]]). Sized so the broadcast set is
+    * bounded (<= total span rows / threshold) and every shuffled join
+    * key carries fewer than this many probe rows.
+    */
+  val spanHotDocFreq = 1000L
+
   /** Exact substring-span dedup: the sub-document signal the doc-level
     * family (exact q23, MinHash q25, SimHash q85, semantic q84) cannot
     * give — a document that is 40% boilerplate shared with others scores
@@ -360,11 +368,22 @@ object DedupQueries {
     * task, with no partial aggregation and no AQE skew split.
     * groupBy(span_h) partial-aggregates map-side (each task emits at most
     * one row per span_h, so the hot key's reduce input is bounded by the
-    * task count, not n_docs), and the equi-join back IS
-    * AQE-skew-splittable (a skewed span_h join partition splits into
-    * multiple tasks against the replicated 2-column count side). Same
-    * answer, same oracle; pinned by QueryPlanSpec (no Window over span_h)
-    * and DedupSpec's ubiquitous-boilerplate adversarial case.
+    * task count, not n_docs).
+    *
+    * The join back is a HOT/COLD HYBRID (round 7; SkewSpec measured the
+    * round-6 assumption wrong — AQE cannot skew-split a join whose
+    * aggregate side reuses the join key's partitioning, because only
+    * bare map-output ranges are splittable): span counts with
+    * nd >= [[spanHotDocFreq]] (the truly ubiquitous spans — a set no
+    * larger than total_span_rows / threshold, broadcast-sized by
+    * construction) are joined map-side via an explicit broadcast, so the
+    * hot key never rides a shuffled join task at all; the cold remainder
+    * goes through the ordinary shuffled equi-join where EVERY key
+    * carries < threshold probe rows — no skew possible by construction.
+    * The two legs partition the span_h space, so the union is exactly
+    * the original inner join. Same answer, same oracle; pinned by
+    * QueryPlanSpec (no Window over span_h; broadcast leg present) and
+    * DedupSpec's ubiquitous-boilerplate adversarial case.
     */
   def spanDupStats(docs: DataFrame, width: Int = spanWidth): DataFrame = {
     val spanCol = when(
@@ -382,10 +401,18 @@ object DedupQueries {
       .localCheckpoint() // reused on both sides of the join below
     // Rows in perDoc are (span_h, doc_id)-distinct, so count(*) per span_h
     // == count of distinct docs containing the span.
+    // No checkpoint here: both hybrid legs derive from this aggregate,
+    // and ReuseExchange dedups the shared span_h shuffle between them —
+    // only the (reduce-side) final agg + nd filter run once per leg.
+    // perDoc below it IS checkpointed, so there is no self-join
+    // ambiguity to break.
     val spanDocFreq = perDoc.groupBy(col("span_h"))
       .agg(count(lit(1)).as("nd"))
-    perDoc
-      .join(spanDocFreq, Seq("span_h"))
+    val joinedBack = perDoc
+      .join(broadcast(spanDocFreq.where(col("nd") >= spanHotDocFreq)), Seq("span_h"))
+      .unionByName(perDoc
+        .join(spanDocFreq.where(col("nd") < spanHotDocFreq), Seq("span_h")))
+    joinedBack
       .groupBy(col("doc_id"))
       .agg(
         sum(col("occ")).as("n_spans"),

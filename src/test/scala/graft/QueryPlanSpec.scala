@@ -249,21 +249,37 @@ class QueryPlanSpec extends SparkSpec {
       "q117 must not plan any window operator")
   }
 
-  test("q93 span dedup: span doc-frequency via partial-agg groupBy + equi-join — NO window over span_h") {
+  test("q93 span dedup: span doc-frequency via partial-agg groupBy + hybrid join-back — NO window over span_h") {
     // The scale pin for round 5's sole weak item: a corpus-ubiquitous
     // boilerplate span must never become one unsplittable window group.
     // The distinct-doc count must arrive as a map-side-combined
-    // HashAggregate over span_h joined back on span_h (AQE can skew-split
-    // that join; it cannot split a window partition).
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // HashAggregate over span_h joined back on span_h. Round 7 refined
+    // the join-back into the hot/cold hybrid (SkewSpec proved AQE cannot
+    // skew-split a join whose aggregate side reuses the join key's
+    // partitioning): ubiquitous spans ride an explicit BROADCAST leg
+    // (never a shuffled join task), cold spans ride the ordinary
+    // shuffled join where every key is < spanHotDocFreq rows.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, Window => LWindow}
     val df = SparkEntry.queries("q93_span_dedup")(spark, sf0001)
-    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+    val logical = df.queryExecution.optimizedPlan
+    assert(logical.collect { case w: LWindow => w }.isEmpty,
       "q93 must not plan any window operator")
+    // Structure is pinned on the LOGICAL plan: at fixture scale AQE
+    // legitimately prunes the (empty) hot leg and broadcasts the tiny
+    // cold side too, so the executed plan under-represents the shape.
+    val joins = logical.collect { case j: Join => j }
+    assert(joins.length == 2, s"q93 must plan the two hybrid join legs, got ${joins.length}")
+    assert(joins.exists(j => j.hint.leftHint.exists(_.strategy.contains(BROADCAST))
+        || j.hint.rightHint.exists(_.strategy.contains(BROADCAST))),
+      "q93's hot-span leg must carry an explicit broadcast hint")
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("partial_count"), s"span doc-freq must partial-aggregate map-side:\n$p")
+    assert(p.contains("Join"), s"q93 must execute an equi-join back:\n$p")
+    // ReuseExchange can elide the partial side from THIS plan string
+    // (the span_h shuffle prints as ReusedExchange without its subtree);
+    // either marker proves the map-side combine ran.
+    assert(p.contains("partial_count") || p.contains("ReusedExchange"),
+      s"span doc-freq must partial-aggregate map-side:\n$p")
   }
 
   test("q141/q145/q147 cumulative passes ride PrefixSum bands — partition-less windows only over band totals") {
