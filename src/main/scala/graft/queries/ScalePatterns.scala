@@ -983,6 +983,69 @@ object ScalePatterns {
     }
   }
 
+  /** Stable location of q151's MUTABLE copy of the range layout —
+    * separate from q150's read-only layout: q151 tombstones and compacts
+    * its copy, and must never change q150's answer.
+    */
+  private[graft] def deletableLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_deletable_$sfx").getAbsolutePath
+  }
+
+  /** The price band q151 erases, in centi ($3000.00–$4000.00): ~1% of
+    * rows, landing in the one-or-two range partitions that own that
+    * value interval — so compaction is PARTIAL by construction (band
+    * interior pids cross the rewrite threshold; a band-edge pid with
+    * only a sliver of deletions stays masked-by-tombstone; the other
+    * ~30 pids are never touched).
+    */
+  val deleteBandLoCenti = 300000L
+  val deleteBandHiCenti = 400000L
+
+  /** Deleted fraction at which [[graft.operators.DeletableRangeLayout
+    * .compact]] rewrites a pid directory.
+    */
+  val deleteCompactThreshold = 0.05
+
+  /** DELETE + compaction over the range layout — the layout analog of
+    * q149's index-grain retract (the erasure story q140 audits at row
+    * grain, made PHYSICAL): a tombstone-sidecar delete that touches no
+    * data file, a masked read (anti-join against the bounded sidecar,
+    * partition pruning preserved because tombstones carry pid), and a
+    * threshold-driven compaction that rewrites ONLY the pid directories
+    * whose deleted fraction crosses [[deleteCompactThreshold]]. The
+    * result reports the same aggregate in BOTH phases — `masked`
+    * (tombstones live, nothing rewritten) is materialized eagerly
+    * BEFORE compaction runs, then `compacted` re-reads through whatever
+    * mix of rewritten dirs and residual edge-pid tombstones remains —
+    * against ONE oracle over the surviving rows, so the gate proves
+    * masked == compacted == DELETE semantics end to end. Idempotent
+    * across sessions: re-deleting already-erased rows matches nothing
+    * (the probe runs on the masked view) and an already-compacted pid
+    * never re-crosses the threshold. See
+    * [[graft.operators.DeletableRangeLayout]] for the publish/crash
+    * protocol.
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DeletableRangeLayout
+    val uppers = rangeUppers(s, d)
+    val dir = DeletableRangeLayout.ensure(s, d, deletableLayoutDir(d), uppers)
+    val pidLo = rangePid(uppers, deleteBandLoCenti)
+    val pidHi = rangePid(uppers, deleteBandHiCenti)
+    DeletableRangeLayout.applyDelete(s, dir,
+      col("pid").between(pidLo, pidHi) // directory-pruned probe scan
+        && col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+    def phaseAgg(phase: String) = DeletableRangeLayout.maskedRead(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(lit(phase).as("phase"),
+        col("n_rows"), col("total_centi"), col("n_orders"))
+    val masked = phaseAgg("masked").localCheckpoint() // eager: pre-compact
+    DeletableRangeLayout.compact(s, dir, deleteCompactThreshold)
+    masked.unionByName(phaseAgg("compacted")).orderBy(col("phase"))
+  }
+
   private def q150(s: SparkSession, d: String): DataFrame = {
     val dir = ensureRangeLayout(s, d)
     val uppers = rangeUppers(s, d)
@@ -998,6 +1061,18 @@ object ScalePatterns {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q151_layout_delete", q151, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(v) AS BIGINT) AS total_centi,
+         |    count(DISTINCT l_orderkey) AS n_orders
+         |  FROM s WHERE v NOT BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+         |SELECT p.phase, a.n_rows, a.total_centi, a.n_orders
+         |FROM a CROSS JOIN (SELECT unnest(['compacted','masked']) AS phase) p
+         |ORDER BY p.phase""".stripMargin)),
     QueryDef("q150_range_layout_scan", q150, Some(
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_centi,

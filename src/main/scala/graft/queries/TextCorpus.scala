@@ -105,6 +105,60 @@ object TextCorpus {
       .orderBy(col("doc_freq").desc, col("word"))
   }
 
+  /** Stable location of q152's persisted base+delta index store. */
+  private[graft] def indexStoreDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_index_store_$sfx").getAbsolutePath
+  }
+
+  /** Index-chain COMPACTION — the maintenance step q146 (merge) and
+    * q149 (retract) imply but never materialize: the corpus lands as a
+    * PERSISTED base index plus two delta indexes (doc_id % 10 == 0 and
+    * == 7, two synthetic ingest batches — only each batch is
+    * tokenized), `compact()` folds the chain back into a single base,
+    * and the answer is read from the compacted store. Oracle = q17's
+    * full-corpus rebuild, so the gate proves
+    * compact(base ∪ δ1 ∪ δ2) == rebuild(all) — and on every LATER
+    * session, which finds the already-compacted store on disk, the same
+    * gate proves the compacted artifact itself (a no-op compact + one
+    * table scan, no merge in the plan). Chain/crash invariants in
+    * RetrievalSpec; protocol in [[graft.operators.IndexStore]].
+    */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IndexStore
+    val store = indexStoreDir(d)
+    if (!new java.io.File(store).isDirectory) {
+      // Build the 2-delta chain under a tmp dir and publish it with one
+      // atomic rename: a killed first session can never leave a
+      // partial chain (missing delta) for later sessions to read.
+      val tmp = store + s".tmp-p${ProcessHandle.current().pid()}"
+      val docs = Tables.documents(s, d)
+      def side(pred: Column) = InvertedIndex
+        .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+      IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), tmp)
+      IndexStore.appendDelta(side(col("doc_id") % 10 === 0), tmp)
+      IndexStore.appendDelta(side(col("doc_id") % 10 === 7), tmp)
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(store),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // Another JVM published first; the chain is deterministic.
+          if (!new java.io.File(store).isDirectory) throw new IllegalStateException(
+            s"index store rename to $store failed and no complete store exists")
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    IndexStore.compact(s, store)
+    IndexStore.read(s, store)
+      .select(
+        col("word"),
+        concat_ws(" ", col("file_ids")).as("doc_ids"),
+        size(col("file_ids")).cast("long").as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("word"))
+  }
+
   /** Document-frequency ranking with the reference's letter partition key
     * (main.cpp:41-46): scalable count-distinct form, no posting list.
     */
@@ -497,6 +551,14 @@ object TextCorpus {
       Some(s"""WITH w AS (
               |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word
               |  FROM documents WHERE doc_id % 10 <> 3)
+              |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+              |count(*) AS doc_freq
+              |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),
+    QueryDef("q152_index_compact", q152,
+      // Oracle = q17's full rebuild: the gate enforces
+      // compact(base ∪ δ1 ∪ δ2) == rebuild(all).
+      Some(s"""WITH w AS (
+              |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents)
               |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
               |count(*) AS doc_freq
               |FROM w GROUP BY word ORDER BY doc_freq DESC, word""".stripMargin)),

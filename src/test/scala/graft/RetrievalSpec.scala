@@ -47,6 +47,46 @@ class RetrievalSpec extends SparkSpec {
     assert(nDelta > 0 && nDelta < Tables.documents(spark, sf0001).count())
   }
 
+  test("index store: 2-delta chain read == compacted read; compact drops deltas; re-folding a folded delta is a no-op (crash idempotence)") {
+    import graft.operators.{IndexStore, InvertedIndex}
+    val docs = Tables.documents(spark, sf0001)
+    def side(pred: org.apache.spark.sql.Column) = InvertedIndex
+      .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-index-store").toString + "/store"
+    IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), store)
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 0), store)
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 7), store)
+    def snap(): Set[(String, String)] = IndexStore.read(spark, store)
+      .select(col("word"), concat_ws(",", col("file_ids")).as("ids"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val full = side(lit(true))
+      .select(col("word"), concat_ws(",", col("file_ids")).as("ids"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val chain = snap()
+    assert(chain == full, "chain read diverged from full rebuild")
+    assert(IndexStore.compact(spark, store) == 2)
+    assert(snap() == full, "compacted read diverged from chain read")
+    def deltasLeft() = new java.io.File(store).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("delta-"))
+    assert(deltasLeft() == 0, "compact left delta dirs behind")
+    // Compact on an already-compact chain is a no-op...
+    assert(IndexStore.compact(spark, store) == 0)
+    // ...and the post-compact read plan is a single scan: no merge
+    // aggregate survives in the one-table fast path.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    assert(IndexStore.read(spark, store).queryExecution.optimizedPlan
+      .collect { case a: Aggregate => a }.isEmpty,
+      "single-base read still pays a merge aggregate")
+    // Crash between base publish and delta drop == a delta whose
+    // postings the base already contains. Union idempotence makes the
+    // re-merge (and a retried compact) answer-preserving.
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 7), store)
+    assert(snap() == full, "re-merged already-folded delta changed the index")
+    assert(IndexStore.compact(spark, store) == 1)
+    assert(snap() == full, "retried compact changed the index")
+  }
+
   test("q149 index-grain retract is row-identical to a rebuild over the surviving corpus") {
     val docs = Tables.documents(spark, sf0001)
     val retracted = SparkEntry.queries("q149_index_retract")(spark, sf0001).collect()

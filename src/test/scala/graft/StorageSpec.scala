@@ -148,6 +148,90 @@ class StorageSpec extends SparkSpec {
     assert(cold.length == ScalePatterns.rangePlanParts)
   }
 
+  test("deletable layout: delete touches no data file; masked == expected; partial compact rewrites only threshold-crossers; stale tombstones harmless") {
+    import graft.operators.DeletableRangeLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-deletable").toString + "/layout"
+    DeletableRangeLayout.ensure(spark, sf0001, dir, uppers)
+    val (lo, hi) = (ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)
+    val total = spark.read.parquet(dir).count()
+    val bandN = spark.read.parquet(dir).where(col("v").between(lo, hi)).count()
+    assert(bandN > 0, "fixture band empty — test is vacuous")
+
+    def dataFileStamps(): Map[String, Long] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.getName.startsWith("pid="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+
+    // 1. DELETE is metadata-only: every data file byte-identical (mtime).
+    val before = dataFileStamps()
+    val pidLo = ScalePatterns.rangePid(uppers, lo)
+    val pidHi = ScalePatterns.rangePid(uppers, hi)
+    val nTomb = DeletableRangeLayout.applyDelete(spark, dir,
+      col("pid").between(pidLo, pidHi) && col("v").between(lo, hi))
+    assert(nTomb == bandN, s"tombstoned $nTomb of $bandN band rows")
+    assert(dataFileStamps() == before, "delete rewrote a data file")
+
+    // 2. Masked read: exactly the survivors, under a still-pruned scan.
+    val masked = DeletableRangeLayout.maskedRead(spark, dir)
+    assert(masked.count() == total - bandN)
+    val probe = DeletableRangeLayout.maskedRead(spark, dir)
+      .where(col("pid").between(pidLo, pidHi))
+    probe.collect()
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [isnotnull(pid"),
+      s"masked band scan lost partition pruning:\n$probePlan")
+    val maskedRows = masked.select(col("l_orderkey"), col("l_linenumber"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // 3. Partial compaction: exactly the threshold-crossing pids rewrite;
+    //    sub-threshold pids keep their tombstones (and their dead rows).
+    val th = ScalePatterns.deleteCompactThreshold
+    val stats = DeletableRangeLayout.pidStats(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val expectRewrite = stats.collect {
+      case (p, n, del) if del > 0 && del >= n * th => p }.sorted.toSeq
+    val expectRetain = stats.collect {
+      case (p, _, del) if del > 0 => p }.toSet -- expectRewrite
+    assert(expectRewrite.nonEmpty && expectRetain.nonEmpty,
+      s"fixture no longer exercises PARTIAL compaction: stats=${stats.toSeq}")
+    // Survives a crash between dir swap and tombstone drop: save the
+    // pre-compact tombstone set off to the side (checkpoint survives the
+    // sidecar swap) to replay as the stale set in step 5.
+    val staleTombs = DeletableRangeLayout.tombstones(spark, dir).localCheckpoint()
+    val rewritten = DeletableRangeLayout.compact(spark, dir, th)
+    assert(rewritten == expectRewrite,
+      s"compact rewrote $rewritten, expected $expectRewrite")
+    val tombPidsLeft = DeletableRangeLayout.tombstones(spark, dir)
+      .select(col("pid")).distinct().collect().map(_.getInt(0)).toSet
+    assert(tombPidsLeft == expectRetain,
+      s"post-compact tombstones $tombPidsLeft != retained pids $expectRetain")
+    // Rewritten pids hold ONLY survivors; retained pids still carry dead
+    // rows physically (masking does the erasure there).
+    val rawAfter = spark.read.parquet(dir)
+    assert(rawAfter.where(col("pid").isin(rewritten: _*))
+      .where(col("v").between(lo, hi)).count() == 0)
+    assert(rawAfter.count() > total - bandN, "compact rewrote sub-threshold pids too")
+
+    // 4. Masked read is phase-invariant: same rows before and after.
+    val maskedAfter = DeletableRangeLayout.maskedRead(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(maskedAfter == maskedRows, "masked read changed across compaction")
+
+    // 5. Crash retry: re-publish the STALE pre-compact tombstone set (as
+    //    if the process died after the swap, before the sidecar drop) —
+    //    stale keys anti-join nothing in rewritten pids; answer unchanged.
+    DeletableRangeLayout.publishTombstones(staleTombs, dir)
+    val maskedStale = DeletableRangeLayout.maskedRead(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(maskedStale == maskedRows, "stale tombstones changed the masked read")
+  }
+
   test("mergeSchema union: evolved batches surface as one schema with NULLs for absent columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
     val c = Tables.customer(spark, sf0001)
