@@ -76,6 +76,26 @@ package graft
   * the claim the prefix filter makes. q93's new partial-agg+join shape
   * (this round's rewrite) slopes at 2.34. Nothing superlinear: no
   * finding.
+  *
+  * MEASURED (round 7, events table: sf0.1 base = 100,000 events ->
+  * 1,000,000 = 10x events AND 10x users, timestamps jittered so the
+  * global timeline is 10x denser; orders scaled alongside for the
+  * as-of probe; same one-JVM warm-timing discipline):
+  * {{{
+  * query                     t(1x)   t(10x)  slope
+  * q145_peak_concurrency     2.19 s   3.70 s  1.69
+  * q141_conversion_latency   1.39 s   1.87 s  1.35
+  * q79_asof_bucketed         1.54 s   2.09 s  1.35
+  * q103_markov_transitions   0.57 s   0.76 s  1.33
+  * q144_top_paths            0.72 s   0.78 s  1.09
+  * q32_session_windows       0.74 s   0.63 s  0.85
+  * }}}
+  * All sublinear. The global sweep-line q145 is the steepest (its
+  * single ordered timeline is 10x denser — the banded PrefixSum absorbs
+  * it at 1.69); the per-user windows (q32/q144) barely move because 10x
+  * USERS at constant per-user history adds partitions, not partition
+  * depth — exactly the partitioning story a 1000-executor cluster
+  * needs. Nothing superlinear: no finding.
   */
 object ScaleSlope {
   def main(args: Array[String]): Unit = {
@@ -106,6 +126,39 @@ object ScaleSlope {
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
     println(s"SCALED corpus: ${spark.read.parquet(s"$scaledDir/documents.parquet").count()}" +
       s" docs at $scaledDir (base ${docs.count()})")
+
+    // Events-table twin (+ orders, which the as-of queries probe against):
+    // per copy, user_ids/custkeys shift by ONE shared offset (copy-k users
+    // are new users whose per-user timelines mirror the base), event/order
+    // ids shift by their own maxes, and copy-k>0 timestamps jitter by a
+    // deterministic 0-60 s hash so the Nx global timeline is Nx DENSER
+    // (sweep-line/sessionization stress), not N interleaved exact-tie
+    // replicas. Copy 0 is the base itself, so the 1x leg measures real
+    // base data. `ts` is nanos-as-LONG on the Spark side (nanos parquet
+    // timestamps read back as LongType), so the jitter is plain addition.
+    val events = spark.read.parquet(s"$baseDir/events.parquet")
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    val maxEv = events.agg(max(col("event_id"))).first().getLong(0) + 1
+    val maxU = math.max(
+      events.agg(max(col("user_id"))).first().getLong(0),
+      orders.agg(max(col("o_custkey"))).first().getLong(0)) + 1
+    val maxOk = orders.agg(max(col("o_orderkey"))).first().getLong(0) + 1
+    (0 until copies).map { k =>
+      events
+        .withColumn("event_id", col("event_id") + lit(k * maxEv))
+        .withColumn("user_id", col("user_id") + lit(k * maxU))
+        .withColumn("ts", col("ts") +
+          (if (k == 0) lit(0L) else pmod(xxhash64(col("event_id")), lit(60000000000L))))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
+    (0 until copies).map { k =>
+      orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOk))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * maxU))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
+    println(s"SCALED events: ${spark.read.parquet(s"$scaledDir/events.parquet").count()}" +
+      s" rows (base ${events.count()}); orders scaled alongside")
 
     def warmSec(q: String, dir: String): Double = {
       SparkEntry.queries(q)(spark, dir).count() // cold: codegen/JIT, discarded

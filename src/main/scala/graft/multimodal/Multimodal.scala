@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * payloads are opaque BINARY columns with typed metadata travelling
   * alongside; decode/feature-extraction runs batched per partition.
   *
-  * The DECODE STEP IS A STUB — image/audio codecs are not in this
-  * container, so `decodeStub` computes deterministic fake features
-  * (dimensions derived from payload length, a leading-bytes checksum).
-  * Everything around it is the real Spark plumbing and is what the tests
-  * cover: binary schema, batched mapPartitions shape (mirroring
-  * mapInPandas batch semantics), partition-parallel execution, and typed
-  * output.
+  * Two tiers of kernel honesty here:
+  *   - `decodeStub` / `resizeStub` (q31/q70) are STUBS — general
+  *     image/audio codecs are not in this container, so they compute
+  *     deterministic fakes; the Spark plumbing around them (binary
+  *     schema, batched mapPartitions shape mirroring mapInPandas batch
+  *     semantics, partition-parallel execution, typed output) is real
+  *     and tested.
+  *   - [[decodePpmAHash]] (q153) is NOT a stub: [[buildPpm]] emits
+  *     genuine binary P6 PPM images and the kernel really parses the
+  *     header and computes the standard 64-bit average-hash over the
+  *     decoded RGB pixels, dependency-free.
   */
 object Multimodal {
 
@@ -107,6 +111,127 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap(batch => resizeStub(batch, factor))
     }
+  }
+
+  /** Fixture image dimensions for [[buildPpm]] (multiples of 8, see
+    * [[decodePpmAHash]]).
+    */
+  val ppmW = 16
+  val ppmH = 16
+
+  /** Deterministic RGB for pixel `i` (row-major) of doc `docId` — the
+    * formula is what makes the fixture SQL-replicable; the decoder
+    * below never sees it.
+    */
+  private def ppmPixel(docId: Long, i: Long): (Int, Int, Int) = (
+    ((docId * 1009 + i * 2003) % 256).toInt,
+    ((docId * 733 + i * 877) % 256).toInt,
+    ((docId * 389 + i * 1543) % 256).toInt)
+
+  /** A genuine binary P6 PPM: ASCII header (`P6\n<w> <h>\n255\n`) +
+    * raw RGB24 pixel bytes. Any PPM viewer opens these.
+    */
+  def buildPpm(docId: Long): Array[Byte] = {
+    val header = s"P6\n$ppmW $ppmH\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + ppmW * ppmH * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < ppmW * ppmH) {
+      val (r, g, b) = ppmPixel(docId, i.toLong)
+      out(header.length + 3 * i) = r.toByte
+      out(header.length + 3 * i + 1) = g.toByte
+      out(header.length + 3 * i + 2) = b.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** documents -> real image rows: one P6 PPM payload per doc. */
+  def ppmMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, "image/ppm", buildPpm(id)))
+  }
+
+  /** Average-hash of one decoded image, split into two uint32 halves so
+    * both engines stay inside signed BIGINT.
+    */
+  case class ImageHash(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      gray_total: Long,
+      ahash_lo: Long,
+      ahash_hi: Long,
+  )
+
+  /** The REAL (if tiny) codec kernel — this one is NOT a stub: parses
+    * the P6 header (magic, width, height, maxval, any header
+    * whitespace), checks the payload length against the decoded
+    * dimensions, converts RGB24 to integer grayscale, downsamples to
+    * 8x8 by block sums, and emits the standard 64-bit average-hash
+    * (bit b = 1 iff block b's mean gray exceeds the global mean).
+    * Division-free integer math throughout — `blockSum * (w*h) >
+    * total * (bw*bh)` compares the means exactly — so a SQL oracle
+    * can replicate the hash bit-for-bit. Works on any P6 image with
+    * multiple-of-8 dimensions and maxval 255, not just the fixtures.
+    */
+  def decodePpmAHash(batch: Seq[MediaRecord]): Seq[ImageHash] = batch.map { rec =>
+    val bytes = rec.payload
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def token(): String = {
+      while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      new String(bytes, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val magic = token()
+    require(magic == "P6", s"media ${rec.media_id}: not binary PPM (magic '$magic')")
+    val w = token().toInt
+    val h = token().toInt
+    val maxv = token().toInt
+    require(maxv == 255, s"media ${rec.media_id}: unsupported maxval $maxv")
+    require(w % 8 == 0 && h % 8 == 0,
+      s"media ${rec.media_id}: aHash needs multiple-of-8 dims, got ${w}x$h")
+    pos += 1 // exactly one whitespace byte separates maxval from pixel data
+    require(bytes.length - pos == w * h * 3,
+      s"media ${rec.media_id}: ${bytes.length - pos} pixel bytes for ${w}x$h")
+    val bw = w / 8
+    val bh = h / 8
+    val blockSum = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < w * h) {
+      val r = bytes(pos + 3 * i) & 0xff
+      val g = bytes(pos + 3 * i + 1) & 0xff
+      val b = bytes(pos + 3 * i + 2) & 0xff
+      val gray = (r + g + b) / 3
+      blockSum(((i / w) / bh) * 8 + ((i % w) / bw)) += gray
+      total += gray
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var blk = 0
+    while (blk < 64) {
+      val bit = if (blockSum(blk) * (w.toLong * h) > total * (bw.toLong * bh)) 1L else 0L
+      if (blk < 32) lo |= bit << blk else hi |= bit << (blk - 32)
+      blk += 1
+    }
+    ImageHash(rec.media_id, w.toLong, h.toLong, total, lo, hi)
+  }
+
+  /** Partition-parallel batched decode+hash — same shape as
+    * extractFeatures, real kernel inside.
+    */
+  def imageHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodePpmAHash))
   }
 
   /** Frame sampling for chunked payloads ("video"): split the payload into

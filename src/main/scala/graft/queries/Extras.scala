@@ -26,6 +26,21 @@ object Extras {
     * chunking path end-to-end against the oracle (the corpus is ASCII,
     * so byte slicing == character slicing on the DuckDB side).
     */
+  /** The NON-STUB multimodal kernel: each doc becomes a genuine binary
+    * P6 PPM (real ASCII header + RGB24 pixels from a deterministic
+    * formula), and [[graft.multimodal.Multimodal.decodePpmAHash]] — a
+    * real parser + the standard 64-bit average-hash, division-free
+    * integer math — decodes it batched per partition. Unlike q31/q70,
+    * nothing here is simulated: the oracle regenerates the pixels from
+    * the same formula and must reproduce the hash BIT-FOR-BIT through
+    * the grayscale → 8x8 block-sum → threshold pipeline. Hash surfaces
+    * as two uint32 halves so both engines stay inside signed BIGINT.
+    */
+  private def q153(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageHashes(Multimodal.ppmMedia(Tables.documents(s, d)))
+      .toDF()
+      .orderBy(col("media_id"))
+
   private def q49(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.fromDocuments(Tables.documents(s, d)).toDF())
       .select(col("media_id"), posexplode(col("frames")))
@@ -624,6 +639,29 @@ object Extras {
          |$checksum AS checksum64
          |FROM documents ORDER BY media_id""".stripMargin
     }),
+    QueryDef("q153_image_ahash", q153, Some(
+      """WITH px AS (
+        |  SELECT doc_id, i,
+        |    (((doc_id*1009 + i*2003) % 256) + ((doc_id*733 + i*877) % 256)
+        |      + ((doc_id*389 + i*1543) % 256)) // 3 AS gray,
+        |    ((i // 16) // 2) * 8 + ((i % 16) // 2) AS blk
+        |  FROM documents CROSS JOIN (SELECT unnest(range(256)) AS i)),
+        |t AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS gray_total
+        |      FROM px GROUP BY doc_id),
+        |bs AS (SELECT doc_id, blk, CAST(sum(gray) AS BIGINT) AS bsum
+        |       FROM px GROUP BY doc_id, blk),
+        |bits AS (
+        |  SELECT bs.doc_id, bs.blk,
+        |    CASE WHEN bsum * 64 > t.gray_total THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN t ON bs.doc_id = t.doc_id)
+        |SELECT b.doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height, t.gray_total,
+        |  CAST(sum(CASE WHEN blk < 32 THEN bit * (CAST(1 AS BIGINT) << blk)
+        |    ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN blk >= 32 THEN bit * (CAST(1 AS BIGINT) << (blk - 32))
+        |    ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM bits b JOIN t ON b.doc_id = t.doc_id
+        |GROUP BY b.doc_id, t.gray_total ORDER BY media_id""".stripMargin)),
     QueryDef("q49_frame_sample", q49, Some(
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
         |idx AS (SELECT media_id, text,

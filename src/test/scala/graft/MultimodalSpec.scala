@@ -42,6 +42,44 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("PPM aHash kernel: real parser — header-whitespace-invariant, flat image hashes to 0, malformed inputs rejected") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.MediaRecord
+    // A fixture image decodes; re-serializing its pixels under a
+    // DIFFERENT (still legal) header spelling yields the SAME hash —
+    // the parser reads the format, not fixed byte offsets.
+    val ppm = Multimodal.buildPpm(42L)
+    val Seq(a) = Multimodal.decodePpmAHash(Seq(MediaRecord(42L, "image/ppm", ppm)))
+    assert(a.width == 16 && a.height == 16)
+    assert(a.ahash_lo != 0L || a.ahash_hi != 0L, "fixture image hashed to all-below-mean")
+    val pixels = ppm.drop(ppm.length - 16 * 16 * 3)
+    val alt = "P6  16\t16\r255\n".getBytes("US-ASCII") ++ pixels
+    val Seq(b) = Multimodal.decodePpmAHash(Seq(MediaRecord(42L, "image/ppm", alt)))
+    assert(b == a.copy(media_id = b.media_id), "hash changed under equivalent header spelling")
+    // Flat image: every block mean EQUALS the global mean — strict
+    // threshold means no bit is set (the canonical aHash edge case).
+    val flat = "P6\n16 16\n255\n".getBytes("US-ASCII") ++ Array.fill(768)(77.toByte)
+    val Seq(f) = Multimodal.decodePpmAHash(Seq(MediaRecord(1L, "image/ppm", flat)))
+    assert(f.ahash_lo == 0L && f.ahash_hi == 0L && f.gray_total == 77L * 256)
+    // Malformed inputs fail loudly, not with garbage hashes.
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpmAHash(Seq(MediaRecord(2L, "x", "P5\n16 16\n255\n".getBytes("US-ASCII") ++ pixels)))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel data
+      Multimodal.decodePpmAHash(Seq(MediaRecord(3L, "x", ppm.dropRight(1))))
+    }
+  }
+
+  test("imageHashes runs partition-parallel with no shuffle and one row per doc") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.ppmMedia(Tables.documents(spark, sf0001))
+    val hashed = Multimodal.imageHashes(media)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(hashed.count() == nDocs)
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode path shuffles:\n$plan")
+  }
+
   test("sampleFrames keeps every k-th chunk") {
     val media = Multimodal.fromDocuments(docs).toDF()
     val sampled = Multimodal.sampleFrames(media, chunkBytes = 32, every = 4)

@@ -62,6 +62,37 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("streaming index retract: arrivals + CDC tombstones converge to batch q149 (order-independent)") {
+    import graft.streaming.IndexMaintenance
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, sf0001)
+    // Stage the change stream as TWO files the source picks up as
+    // separate micro-batches: all docs as arrivals (op=+1), then the
+    // q149 tombstone slice (doc_id % 10 == 3) as erasures carrying
+    // their before-image text (op=-1).
+    val dir = java.nio.file.Files.createTempDirectory("graft-index-cdc").toString
+    val arrivals = docs.select(col("doc_id"), col("text"), lit(1L).as("op"))
+    arrivals.coalesce(1).write.mode("append").parquet(dir)
+    docs.where(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("text"), lit(-1L).as("op"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val q = IndexMaintenance.postingNetWeights(stream).writeStream
+      .format("memory").queryName("idx_net").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = IndexMaintenance.materialize(spark.table("idx_net"))
+    val batch = SparkEntry.queries("q149_index_retract")(spark, sf0001)
+    assert(streamed.count() > 0)
+    assert(asSet(streamed) == asSet(batch),
+      "streaming retract diverged from batch q149")
+    // The retraction is load-bearing: without tombstones the converged
+    // index would be q17's full corpus, which must differ.
+    val fullIdx = SparkEntry.queries("q17_inverted_index")(spark, sf0001)
+    assert(asSet(streamed) != asSet(fullIdx),
+      "tombstone batch retracted nothing — test is vacuous")
+  }
+
   test("watermark drops late data in append mode") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
