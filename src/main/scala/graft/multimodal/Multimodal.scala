@@ -234,6 +234,146 @@ object Multimodal {
     media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodePpmAHash))
   }
 
+  /** Fixture audio parameters for [[buildWav]]. */
+  val wavSampleRate = 8000
+  val wavNumSamples = 256
+
+  /** Deterministic PCM16 sample `i` of doc `docId` — like [[ppmPixel]],
+    * the formula exists to make the fixture SQL-replicable; the parser
+    * below never sees it.
+    */
+  private def wavSample(docId: Long, i: Long): Int =
+    (((docId * 7919 + i * 4001 + (i * i % 9973) * 13) % 65536) - 32768).toInt
+
+  /** A genuine RIFF/WAVE file: RIFF header, canonical 16-byte PCM
+    * `fmt ` chunk (mono, 8 kHz, 16-bit), and a `data` chunk of
+    * little-endian PCM16 samples. Any audio tool opens these.
+    */
+  def buildWav(docId: Long): Array[Byte] = {
+    val n = wavNumSamples
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(36 + dataSize) // riff payload size
+    out.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(16) // canonical PCM fmt chunk
+    out.putShort(1) // audio format: PCM
+    out.putShort(1) // channels
+    out.putInt(wavSampleRate)
+    out.putInt(wavSampleRate * 2) // byte rate
+    out.putShort(2) // block align
+    out.putShort(16) // bits per sample
+    out.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(dataSize)
+    var i = 0
+    while (i < n) { out.putShort(wavSample(docId, i.toLong).toShort); i += 1 }
+    out.array()
+  }
+
+  /** documents -> real audio rows: one WAV payload per doc. */
+  def wavMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, "audio/wav", buildWav(id)))
+  }
+
+  /** Decoded audio features, all exact integers (sum of squares instead
+    * of RMS, so no float ulp can diverge between engines).
+    */
+  case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      duration_us: Long,
+      peak_abs: Long,
+      sum_sq: Long,
+      zero_crossings: Long,
+  )
+
+  /** The second NON-STUB kernel: a real RIFF/WAVE parser — validates the
+    * RIFF/WAVE magic, WALKS THE CHUNK LIST (skipping unknown chunks and
+    * their odd-length pad bytes, as the format requires), reads the PCM
+    * `fmt ` fields, and decodes the little-endian PCM16 `data` payload —
+    * then computes exact-integer signal features: peak amplitude, energy
+    * (sum of squares), and zero crossings (sign change between
+    * consecutive samples; zero counts as non-negative). Works on any
+    * mono PCM16 WAV, not just the fixtures.
+    */
+  def decodeWavFeatures(batch: Seq[MediaRecord]): Seq[AudioFeatures] = batch.map { rec =>
+    val buf = java.nio.ByteBuffer.wrap(rec.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4)
+      buf.get(b)
+      new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(fourCC() == "RIFF", s"media ${rec.media_id}: not a RIFF file")
+    buf.getInt // riff payload size (trust the chunk walk, not this)
+    require(fourCC() == "WAVE", s"media ${rec.media_id}: RIFF but not WAVE")
+    var sampleRate = -1
+    var channels = -1
+    var bits = -1
+    var data: Array[Byte] = null
+    while (buf.remaining() >= 8) {
+      val id = fourCC()
+      val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining(),
+        s"media ${rec.media_id}: chunk '$id' overruns payload")
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort
+          require(fmt == 1, s"media ${rec.media_id}: not PCM (fmt tag $fmt)")
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bits = buf.getShort
+          buf.position(buf.position() + size - 16) // fmt extensions, if any
+        case "data" =>
+          data = new Array[Byte](size)
+          buf.get(data)
+        case _ =>
+          buf.position(buf.position() + size) // skip unknown chunk
+      }
+      if (size % 2 == 1 && buf.remaining() > 0) buf.position(buf.position() + 1)
+    }
+    require(sampleRate > 0 && data != null,
+      s"media ${rec.media_id}: missing fmt or data chunk")
+    require(channels == 1 && bits == 16,
+      s"media ${rec.media_id}: expected mono PCM16, got ${channels}ch ${bits}bit")
+    val pcm = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val n = pcm.remaining()
+    var peak = 0L
+    var sumSq = 0L
+    var crossings = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = pcm.get(i).toInt
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      if (i > 0 && ((prev < 0) != (s < 0))) crossings += 1
+      prev = s
+      i += 1
+    }
+    AudioFeatures(rec.media_id, sampleRate.toLong, n.toLong,
+      n.toLong * 1000000L / sampleRate, peak, sumSq, crossings)
+  }
+
+  /** Partition-parallel batched audio decode — same shape as
+    * imageHashes, real kernel inside.
+    */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeWavFeatures))
+  }
+
   /** Frame sampling for chunked payloads ("video"): split the payload into
     * fixed-size chunks and keep every k-th — pure Spark-side byte
     * plumbing (substring on binary), no UDF. Guarded: a zero-byte payload

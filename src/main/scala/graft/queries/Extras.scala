@@ -41,6 +41,39 @@ object Extras {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** Audio sibling of q153, same non-stub discipline: each doc becomes a
+    * genuine RIFF/WAVE file (real header, canonical PCM fmt chunk, LE
+    * PCM16 data) and [[graft.multimodal.Multimodal.decodeWavFeatures]]
+    * — a real chunk-walking parser — decodes it and computes
+    * exact-integer signal features (peak, energy as sum-of-squares so
+    * no float is involved, zero crossings). The oracle regenerates the
+    * samples from the same formula and must agree exactly.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFeatures(Multimodal.wavMedia(Tables.documents(s, d)))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  /** Corpus-wide IMAGE dedup by perceptual hash — the multimodal row in
+    * the dedup matrix, over really-decoded images: payloads are built
+    * from `doc_id % 40` (40 distinct source images shared by many docs,
+    * the re-hosted/re-encoded duplicate shape of web corpora), every
+    * payload is decoded by the REAL q153 kernel, and images cluster by
+    * exact average-hash. At 100 TB this is the standard sketch→group
+    * dedup shape (hash is 8 bytes per image, groupBy is map-side
+    * combinable); Hamming-tolerant clustering rides q85's pigeonhole
+    * banding over the same hash halves unchanged.
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRecord(id, "image/ppm", Multimodal.buildPpm(id % 40)))
+    Multimodal.imageHashes(media).toDF()
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("rep_media_id"))
+      .orderBy(col("rep_media_id"))
+  }
+
   private def q49(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.fromDocuments(Tables.documents(s, d)).toDF())
       .select(col("media_id"), posexplode(col("frames")))
@@ -662,6 +695,48 @@ object Extras {
         |    ELSE 0 END) AS BIGINT) AS ahash_hi
         |FROM bits b JOIN t ON b.doc_id = t.doc_id
         |GROUP BY b.doc_id, t.gray_total ORDER BY media_id""".stripMargin)),
+    QueryDef("q154_audio_features", q154, Some(
+      """WITH s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id*7919 + i*4001 + (i*i % 9973) * 13) % 65536) - 32768 AS amp
+        |  FROM documents CROSS JOIN (SELECT unnest(range(256)) AS i)),
+        |x AS (
+        |  SELECT doc_id, amp,
+        |    lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_samples, CAST(32000 AS BIGINT) AS duration_us,
+        |  CAST(max(abs(amp)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(amp*amp) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((amp < 0) <> (prev < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM x GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+    QueryDef("q155_image_dedup", q155, Some(
+      """WITH seeds AS (SELECT DISTINCT doc_id % 40 AS seed FROM documents),
+        |px AS (
+        |  SELECT seed, i,
+        |    (((seed*1009 + i*2003) % 256) + ((seed*733 + i*877) % 256)
+        |      + ((seed*389 + i*1543) % 256)) // 3 AS gray,
+        |    ((i // 16) // 2) * 8 + ((i % 16) // 2) AS blk
+        |  FROM seeds CROSS JOIN (SELECT unnest(range(256)) AS i)),
+        |t AS (SELECT seed, CAST(sum(gray) AS BIGINT) AS total FROM px GROUP BY seed),
+        |bs AS (SELECT seed, blk, CAST(sum(gray) AS BIGINT) AS bsum
+        |       FROM px GROUP BY seed, blk),
+        |bits AS (
+        |  SELECT bs.seed, bs.blk,
+        |    CASE WHEN bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN t ON bs.seed = t.seed),
+        |h AS (
+        |  SELECT seed,
+        |    CAST(sum(CASE WHEN blk < 32 THEN bit * (CAST(1 AS BIGINT) << blk)
+        |      ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |    CAST(sum(CASE WHEN blk >= 32 THEN bit * (CAST(1 AS BIGINT) << (blk - 32))
+        |      ELSE 0 END) AS BIGINT) AS ahash_hi
+        |  FROM bits GROUP BY seed)
+        |SELECT h.ahash_hi, h.ahash_lo, CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(min(d.doc_id) AS BIGINT) AS rep_media_id
+        |FROM documents d JOIN h ON d.doc_id % 40 = h.seed
+        |GROUP BY h.ahash_hi, h.ahash_lo ORDER BY rep_media_id""".stripMargin)),
     QueryDef("q49_frame_sample", q49, Some(
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
         |idx AS (SELECT media_id, text,

@@ -80,6 +80,50 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decode path shuffles:\n$plan")
   }
 
+  test("WAV kernel: real chunk-walking parser — unknown/odd chunks skipped, hand-computed features exact, malformed rejected") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.MediaRecord
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav(samples: Seq[Int], extraChunk: Option[(String, Array[Byte])] = None): Array[Byte] = {
+      val extra = extraChunk.map { case (id, body) =>
+        val pad = body.length % 2 // RIFF pads odd chunks
+        val b = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+        b.array()
+      }.getOrElse(Array.empty[Byte])
+      val dataSize = samples.length * 2
+      val b = ByteBuffer.allocate(44 + extra.length + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra.length + dataSize)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put(extra)
+      b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    // Hand-computed: crossings 1->-1, -1->2, 3->-5 (0 is non-negative).
+    val samples = Seq(1, -1, 2, 0, 3, -5)
+    val Seq(f) = Multimodal.decodeWavFeatures(Seq(MediaRecord(1L, "audio/wav", wav(samples))))
+    assert(f.n_samples == 6 && f.peak_abs == 5 && f.zero_crossings == 3)
+    assert(f.sum_sq == samples.map(s => s.toLong * s).sum && f.duration_us == 750)
+    // An unknown ODD-sized chunk before data must be skipped with its pad
+    // byte — features identical (the parser walks the format, not offsets).
+    val withJunk = wav(samples, Some(("LIST", Array[Byte](1, 2, 3))))
+    val Seq(g) = Multimodal.decodeWavFeatures(Seq(MediaRecord(1L, "audio/wav", withJunk)))
+    assert(g == f, "unknown chunk changed decoded features")
+    // The fixture generator round-trips through the parser.
+    val Seq(h) = Multimodal.decodeWavFeatures(Seq(MediaRecord(7L, "audio/wav", Multimodal.buildWav(7L))))
+    assert(h.sample_rate == 8000 && h.n_samples == 256 && h.duration_us == 32000)
+    // Malformed inputs fail loudly.
+    intercept[IllegalArgumentException] { // not RIFF
+      Multimodal.decodeWavFeatures(Seq(MediaRecord(2L, "x", "RIFX".getBytes("US-ASCII") ++ wav(samples).drop(4))))
+    }
+    intercept[IllegalArgumentException] { // chunk size overruns payload
+      Multimodal.decodeWavFeatures(Seq(MediaRecord(3L, "x", wav(samples).dropRight(2))))
+    }
+  }
+
   test("sampleFrames keeps every k-th chunk") {
     val media = Multimodal.fromDocuments(docs).toDF()
     val sampled = Multimodal.sampleFrames(media, chunkBytes = 32, every = 4)
