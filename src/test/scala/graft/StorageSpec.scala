@@ -184,6 +184,10 @@ class StorageSpec extends SparkSpec {
     val probePlan = probe.queryExecution.executedPlan.toString
     assert(probePlan.contains("PartitionFilters: [isnotnull(pid"),
       s"masked band scan lost partition pruning:\n$probePlan")
+    // The mask must cost a broadcast of the bounded sidecar, not a
+    // shuffle of the data side.
+    assert(probePlan.contains("BroadcastHashJoin") && probePlan.contains("LeftAnti"),
+      s"tombstone mask is not a broadcast anti-join:\n$probePlan")
     val maskedRows = masked.select(col("l_orderkey"), col("l_linenumber"), col("v"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
