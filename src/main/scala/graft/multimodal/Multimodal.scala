@@ -179,27 +179,39 @@ object Multimodal {
     * multiple-of-8 dimensions and maxval 255, not just the fixtures.
     */
   def decodePpmAHash(batch: Seq[MediaRecord]): Seq[ImageHash] = batch.map { rec =>
-    val bytes = rec.payload
-    var pos = 0
+    val (img, next) = parsePpmFrame(rec.media_id, rec.payload, 0)
+    require(next == rec.payload.length,
+      s"media ${rec.media_id}: ${rec.payload.length - next} trailing bytes after image")
+    img
+  }
+
+  /** Parse ONE P6 image starting at `start` and return its hash plus the
+    * offset just past its pixel data — the unit both [[decodePpmAHash]]
+    * (exactly one image) and [[decodeVideoFrameHashes]] (frames
+    * concatenated in a raw stream) are built from.
+    */
+  private def parsePpmFrame(
+      mediaId: Long, bytes: Array[Byte], start: Int): (ImageHash, Int) = {
+    var pos = start
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def token(): String = {
       while (pos < bytes.length && isWs(bytes(pos))) pos += 1
-      val start = pos
+      val s0 = pos
       while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
-      new String(bytes, start, pos - start,
+      new String(bytes, s0, pos - s0,
         java.nio.charset.StandardCharsets.US_ASCII)
     }
     val magic = token()
-    require(magic == "P6", s"media ${rec.media_id}: not binary PPM (magic '$magic')")
+    require(magic == "P6", s"media $mediaId: not binary PPM (magic '$magic')")
     val w = token().toInt
     val h = token().toInt
     val maxv = token().toInt
-    require(maxv == 255, s"media ${rec.media_id}: unsupported maxval $maxv")
+    require(maxv == 255, s"media $mediaId: unsupported maxval $maxv")
     require(w % 8 == 0 && h % 8 == 0,
-      s"media ${rec.media_id}: aHash needs multiple-of-8 dims, got ${w}x$h")
+      s"media $mediaId: aHash needs multiple-of-8 dims, got ${w}x$h")
     pos += 1 // exactly one whitespace byte separates maxval from pixel data
-    require(bytes.length - pos == w * h * 3,
-      s"media ${rec.media_id}: ${bytes.length - pos} pixel bytes for ${w}x$h")
+    require(bytes.length - pos >= w * h * 3,
+      s"media $mediaId: ${bytes.length - pos} pixel bytes for ${w}x$h")
     val bw = w / 8
     val bh = h / 8
     val blockSum = new Array[Long](64)
@@ -222,7 +234,68 @@ object Multimodal {
       if (blk < 32) lo |= bit << blk else hi |= bit << (blk - 32)
       blk += 1
     }
-    ImageHash(rec.media_id, w.toLong, h.toLong, total, lo, hi)
+    (ImageHash(mediaId, w.toLong, h.toLong, total, lo, hi), pos + w * h * 3)
+  }
+
+  /** Frames per fixture video and frames per scene (consecutive
+    * identical frames — the static-shot shape real frame dedup exploits).
+    */
+  val videoFrames = 9
+  val videoSceneLen = 3
+
+  /** A raw "video": [[videoFrames]] complete P6 images concatenated
+    * back-to-back (the PPM analog of raw YUV streams — each frame is
+    * individually parseable, there is no container). Scene `f / 3`'s
+    * pixels are generated from seed `docId * 8 + scene`, so each scene's
+    * 3 frames are byte-identical.
+    */
+  def buildPpmVideo(docId: Long): Array[Byte] = {
+    val frames = (0 until videoFrames)
+      .map(f => buildPpm(docId * 8 + f / videoSceneLen))
+    val out = new Array[Byte](frames.map(_.length).sum)
+    var off = 0
+    frames.foreach { fr =>
+      System.arraycopy(fr, 0, out, off, fr.length)
+      off += fr.length
+    }
+    out
+  }
+
+  /** Per-frame hash row of a decoded video stream. */
+  case class VideoFrameHash(
+      media_id: Long,
+      frame_idx: Long,
+      ahash_lo: Long,
+      ahash_hi: Long,
+  )
+
+  /** Decode a raw concatenated-PPM stream frame by frame with the REAL
+    * parser — each frame's header is re-parsed (dimensions may vary
+    * mid-stream), every pixel is decoded, and each frame gets its own
+    * average-hash. The per-frame hash stream is what video dedup /
+    * scene-cut detection consume.
+    */
+  def decodeVideoFrameHashes(batch: Seq[MediaRecord]): Seq[VideoFrameHash] =
+    batch.flatMap { rec =>
+      val out = Seq.newBuilder[VideoFrameHash]
+      var pos = 0
+      var idx = 0L
+      while (pos < rec.payload.length) {
+        val (img, next) = parsePpmFrame(rec.media_id, rec.payload, pos)
+        out += VideoFrameHash(rec.media_id, idx, img.ahash_lo, img.ahash_hi)
+        pos = next
+        idx += 1
+      }
+      out.result()
+    }
+
+  /** Partition-parallel batched video decode — same shape as
+    * imageHashes; one input row fans out to one row per frame.
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord]): Dataset[VideoFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeVideoFrameHashes))
   }
 
   /** Partition-parallel batched decode+hash — same shape as

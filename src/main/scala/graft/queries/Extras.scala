@@ -74,6 +74,36 @@ object Extras {
       .orderBy(col("rep_media_id"))
   }
 
+  /** Video sibling of q153/q154 — the path q49/q137 cover with synthetic
+    * byte chunks, now over REALLY-DECODED frames: each doc becomes a raw
+    * concatenated-PPM stream (9 genuine P6 frames, 3 static "scenes" of
+    * 3 identical frames — the shape frame dedup exploits), the real
+    * parser decodes every frame (header re-parsed per frame, all pixels
+    * visited), and per-video stats come off the frame-hash stream:
+    * unique-frame count (dedup yield) and scene cuts (adjacent-hash
+    * changes — cut detection). Per-video window is bounded (9 rows) and
+    * partitioned by media_id; the decode itself is the same
+    * partition-parallel batched shape as q153.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRecord(id, "video/ppm-raw", Multimodal.buildPpmVideo(id)))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    Multimodal.videoFrameHashes(media).toDF()
+      .withColumn("prev_lo", lag(col("ahash_lo"), 1).over(w))
+      .withColumn("prev_hi", lag(col("ahash_hi"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("ahash_hi"), col("ahash_lo")).as("n_unique_frames"),
+        sum(when(col("prev_lo").isNotNull &&
+            (col("ahash_lo") =!= col("prev_lo") || col("ahash_hi") =!= col("prev_hi")),
+          1L).otherwise(0L)).as("n_scene_cuts"))
+      .orderBy(col("media_id"))
+  }
+
   private def q49(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.fromDocuments(Tables.documents(s, d)).toDF())
       .select(col("media_id"), posexplode(col("frames")))
@@ -737,6 +767,41 @@ object Extras {
         |  CAST(min(d.doc_id) AS BIGINT) AS rep_media_id
         |FROM documents d JOIN h ON d.doc_id % 40 = h.seed
         |GROUP BY h.ahash_hi, h.ahash_lo ORDER BY rep_media_id""".stripMargin)),
+    QueryDef("q156_video_scene_stats", q156, Some(
+      """WITH vids AS (SELECT doc_id, unnest(range(3)) AS scene FROM documents),
+        |sd2 AS (SELECT doc_id, scene, doc_id*8 + scene AS seed FROM vids),
+        |px2 AS (
+        |  SELECT seed, i,
+        |    (((seed*1009 + i*2003) % 256) + ((seed*733 + i*877) % 256)
+        |      + ((seed*389 + i*1543) % 256)) // 3 AS gray,
+        |    ((i // 16) // 2) * 8 + ((i % 16) // 2) AS blk
+        |  FROM (SELECT DISTINCT seed FROM sd2)
+        |  CROSS JOIN (SELECT unnest(range(256)) AS i)),
+        |tot AS (SELECT seed, CAST(sum(gray) AS BIGINT) AS total FROM px2 GROUP BY seed),
+        |bsm AS (SELECT seed, blk, CAST(sum(gray) AS BIGINT) AS bsum
+        |        FROM px2 GROUP BY seed, blk),
+        |bts AS (
+        |  SELECT bsm.seed, bsm.blk,
+        |    CASE WHEN bsum * 64 > tot.total THEN 1 ELSE 0 END AS bit
+        |  FROM bsm JOIN tot ON bsm.seed = tot.seed),
+        |hsh AS (
+        |  SELECT seed,
+        |    CAST(sum(CASE WHEN blk < 32 THEN bit * (CAST(1 AS BIGINT) << blk)
+        |      ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |    CAST(sum(CASE WHEN blk >= 32 THEN bit * (CAST(1 AS BIGINT) << (blk - 32))
+        |      ELSE 0 END) AS BIGINT) AS ahash_hi
+        |  FROM bts GROUP BY seed),
+        |seq AS (
+        |  SELECT sd2.doc_id, sd2.scene, hsh.ahash_lo, hsh.ahash_hi,
+        |    lag(hsh.ahash_lo) OVER (PARTITION BY sd2.doc_id ORDER BY sd2.scene) AS plo,
+        |    lag(hsh.ahash_hi) OVER (PARTITION BY sd2.doc_id ORDER BY sd2.scene) AS phi
+        |  FROM sd2 JOIN hsh ON sd2.seed = hsh.seed)
+        |SELECT doc_id AS media_id, CAST(9 AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT (ahash_hi, ahash_lo)) AS BIGINT) AS n_unique_frames,
+        |  CAST(sum(CASE WHEN plo IS NOT NULL
+        |    AND (ahash_lo <> plo OR ahash_hi <> phi) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scene_cuts
+        |FROM seq GROUP BY doc_id ORDER BY media_id""".stripMargin)),
     QueryDef("q49_frame_sample", q49, Some(
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
         |idx AS (SELECT media_id, text,

@@ -80,6 +80,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decode path shuffles:\n$plan")
   }
 
+  test("video kernel: frame-by-frame decode — scene structure recovered, mixed dims re-parsed per frame, truncation rejected") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.MediaRecord
+    val video = Multimodal.buildPpmVideo(11L)
+    val frames = Multimodal.decodeVideoFrameHashes(Seq(MediaRecord(11L, "video/ppm-raw", video)))
+    assert(frames.length == Multimodal.videoFrames)
+    assert(frames.map(_.frame_idx) == (0L until 9L))
+    // Frames within a scene are identical; each frame's hash equals the
+    // single-image kernel's hash of that scene's source image.
+    frames.foreach { f =>
+      val seed = 11L * 8 + f.frame_idx / Multimodal.videoSceneLen
+      val Seq(img) = Multimodal.decodePpmAHash(
+        Seq(MediaRecord(0L, "image/ppm", Multimodal.buildPpm(seed))))
+      assert((f.ahash_lo, f.ahash_hi) == (img.ahash_lo, img.ahash_hi),
+        s"frame ${f.frame_idx} hash diverged from its scene image")
+    }
+    // Mixed dimensions mid-stream: the header really is re-parsed per
+    // frame (an offset-stepping fake would misread the second frame).
+    val small = "P6\n8 8\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(192)(i => (i % 251).toByte)
+    val mixed = Multimodal.buildPpm(3L) ++ small
+    val two = Multimodal.decodeVideoFrameHashes(Seq(MediaRecord(5L, "video/ppm-raw", mixed)))
+    assert(two.length == 2, s"mixed-dim stream decoded ${two.length} frames")
+    // A stream truncated mid-frame fails loudly.
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrameHashes(Seq(MediaRecord(6L, "x", video.dropRight(10))))
+    }
+  }
+
   test("WAV kernel: real chunk-walking parser — unknown/odd chunks skipped, hand-computed features exact, malformed rejected") {
     import graft.multimodal.Multimodal
     import graft.multimodal.Multimodal.MediaRecord
