@@ -62,7 +62,7 @@ object Bench {
     val layoutWrites = Seq(
       "q74_bucketed_join", "q76_partitioned_prune", "q88_ivf_persisted_probe",
       "q95_format_roundtrip", "q96_zorder_box", "q127_schema_evolution",
-      "q150_range_layout_scan", "q151_layout_delete",
+      "q150_range_layout_scan", "q151_layout_delete", "q157_bucketed_delete",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

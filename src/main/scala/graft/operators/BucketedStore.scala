@@ -76,6 +76,10 @@ object BucketedStore {
   def isMaterialized(s: SparkSession, table: String): Boolean =
     s.catalog.tableExists(physicalName(table))
 
+  /** Raw (unmasked) read of a logical table. */
+  def table(s: SparkSession, table: String): DataFrame =
+    s.table(physicalName(table))
+
   /** Co-located equi-join of two same-bucket-count tables on their
     * bucket keys. The `merge` hint keeps the sort-merge path even when
     * one side is broadcast-small at test scale, so the plan exercised
@@ -87,4 +91,53 @@ object BucketedStore {
       leftKey: String, rightKey: String): DataFrame =
     s.table(physicalName(left)).hint("merge")
       .join(s.table(physicalName(right)), col(leftKey) === col(rightKey))
+
+  /** DELETION for the bucketed layout — the sidecar pattern of
+    * DeletableRangeLayout under the bucketing discipline: the tombstone
+    * KEY SET is saved as a bucketed table on the same key and bucket
+    * count, so the deletion mask (LEFT ANTI join) hash-aligns
+    * bucket-for-bucket with the data and the masked read adds ZERO
+    * exchanges — and because an anti-join preserves the left side's
+    * partitioning and order, downstream co-located joins over the
+    * masked relation stay exchange-free too (the whole masked
+    * fact-x-fact join plans with no Exchange anywhere; plan-asserted in
+    * StorageSpec). The `merge` hint keeps the at-scale sort-merge path
+    * where a test-scale tombstone set would otherwise broadcast.
+    */
+  def maskedTable(
+      s: SparkSession, table: String, tomb: String,
+      key: String, tombKey: String): DataFrame =
+    s.table(physicalName(table)).hint("merge")
+      .join(s.table(physicalName(tomb)), col(key) === col(tombKey), "left_anti")
+
+  /** Threshold-guarded compaction: when the tombstoned fraction of
+    * `table` reaches `threshold`, physically rewrite the table without
+    * its masked rows (write-once into the same bucketed layout) and
+    * return true; below threshold leave the mask in place and return
+    * false. Bucket files have no partition-directory grain, so
+    * compaction here is a WHOLE-TABLE rewrite — the trade this layout
+    * makes vs the range layout's per-pid compaction (cheap co-located
+    * joins forever vs cheap selective rewrite). Tombstone-table cleanup
+    * stays with the caller: dropping it only after every masked table
+    * compacted keeps a crashed multi-table compaction retryable (stale
+    * tombstones anti-join nothing, exactly like the range layout's
+    * argument).
+    */
+  def compactMasked(
+      s: SparkSession, table: String, tomb: String,
+      key: String, tombKey: String, buckets: Int, threshold: Double): Boolean = {
+    val total = s.table(physicalName(table)).count()
+    val masked = maskedTable(s, table, tomb, key, tombKey)
+    val live = masked.count()
+    if (total == live || (total - live).toDouble < total * threshold) false
+    else {
+      // Materialize off the old files before overwriting them.
+      saveBucketed(masked.localCheckpoint(), table, buckets, key)
+      true
+    }
+  }
+
+  /** Drop a logical table (used for tombstone-set cleanup post-compact). */
+  def dropTable(s: SparkSession, table: String): Unit =
+    s.sql(s"DROP TABLE IF EXISTS ${physicalName(table)}")
 }

@@ -333,6 +333,64 @@ object ScalePatterns {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The orderkey slice q157 erases (deterministic ~1% of orders). */
+  private val bucketDeleteCond = col("o_orderkey") % 97 === 13
+
+  /** DELETE for the BUCKETED layout — closing the erasure story for the
+    * second storage layout (q151 covers the range layout): the tombstone
+    * key set is itself a bucketed table on the same key and bucket
+    * count, so the mask (LEFT ANTI) hash-aligns bucket-for-bucket with
+    * both facts and the ENTIRE masked fact-x-fact join — two anti-joins
+    * plus the q74 co-located join — plans with ZERO exchanges
+    * (StorageSpec asserts no Exchange node in the final plan).
+    * Compaction is a threshold-guarded whole-table rewrite (buckets
+    * have no partition grain — the trade vs q151's per-pid rewrite),
+    * tombstones dropped only after BOTH tables compact, so a crash
+    * between the two rewrites leaves stale tombstones that anti-join
+    * nothing. Both phases (masked, compacted) are reported against ONE
+    * DELETE-semantics oracle, q151's discipline. Idempotent within and
+    * across sessions: bucketed tables are session-scoped (PID-suffixed),
+    * so each session replays build -> delete -> compact from the
+    * immutable source parquet and lands on the same answer; a repeat
+    * call in one session finds the keys already gone and no-ops.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BucketedStore
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    // PRIVATE table names: q157 compacts (physically deletes from) its
+    // tables, so it must never share q74's immutable bucketed copies.
+    val (lineT, ordT, tombT) =
+      (s"lineitem_del_$sfx", s"orders_del_$sfx", s"orders_tomb_$sfx")
+    BucketedStore.ensureBucketed(Tables.orders(s, d), ordT, 8, "o_orderkey")
+    BucketedStore.ensureBucketed(Tables.lineitem(s, d), lineT, 8, "l_orderkey")
+    BucketedStore.ensureBucketed(
+      Tables.orders(s, d).where(bucketDeleteCond)
+        .select(col("o_orderkey").as("del_orderkey")),
+      tombT, 8, "del_orderkey")
+    def phaseAgg(phase: String) = BucketedStore
+      .maskedTable(s, lineT, tombT, "l_orderkey", "del_orderkey").hint("merge")
+      .join(BucketedStore.maskedTable(s, ordT, tombT, "o_orderkey", "del_orderkey")
+        .drop("del_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("total_centi"))
+      .select(lit(phase).as("phase"), col("o_orderpriority"),
+        col("n_items"), col("total_centi"))
+    val masked = phaseAgg("masked").localCheckpoint() // eager: pre-compact
+    val cl = BucketedStore.compactMasked(
+      s, lineT, tombT, "l_orderkey", "del_orderkey", 8, 0.005)
+    val co = BucketedStore.compactMasked(
+      s, ordT, tombT, "o_orderkey", "del_orderkey", 8, 0.005)
+    // Post-compact read still applies the (now-stale) mask — exactly the
+    // crashed-cleanup state; eager so the sidecar drop below can't race
+    // the lazy plan.
+    val compacted = phaseAgg("compacted").localCheckpoint()
+    if (cl && co) BucketedStore.dropTable(s, tombT) // both compacted: sidecar done
+    masked.unionByName(compacted)
+      .orderBy(col("phase"), col("o_orderpriority"))
+  }
+
   /** Partition-pruned layout round trip (the partitionBy sibling of
     * q74's bucketBy): write events partitioned by event_type, read back
     * with an event_type filter, and aggregate — at scale the filter
@@ -1320,6 +1378,16 @@ object ScalePatterns {
         |SELECT user_id, t_us AS last_t_us, event_id AS last_event_id,
         |event_type AS last_type, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+    QueryDef("q157_bucketed_delete", q157, Some(
+      """WITH a AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_centi
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey % 97 <> 13
+        |  GROUP BY o_orderpriority)
+        |SELECT p.phase, a.o_orderpriority, a.n_items, a.total_centi
+        |FROM a CROSS JOIN (SELECT unnest(['compacted','masked']) AS phase) p
+        |ORDER BY p.phase, a.o_orderpriority""".stripMargin)),
     QueryDef("q74_bucketed_join", q74, Some(
       """SELECT o_orderpriority, count(*) AS n_items,
         |round(sum(l_quantity), 2) AS sum_qty

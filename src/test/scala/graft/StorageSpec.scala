@@ -236,6 +236,79 @@ class StorageSpec extends SparkSpec {
     assert(maskedStale == maskedRows, "stale tombstones changed the masked read")
   }
 
+  test("bucketed delete (q157): tombstone mask keeps the fact-x-fact join exchange-free; compaction rewrites once; stale tombstones harmless") {
+    import graft.operators.BucketedStore
+    val o = Tables.orders(spark, sf0001)
+    val l = Tables.lineitem(spark, sf0001)
+    BucketedStore.ensureBucketed(o, "spec_ord_del", 8, "o_orderkey")
+    BucketedStore.ensureBucketed(l, "spec_li_del", 8, "l_orderkey")
+    val delKeys = o.where(col("o_orderkey") % 97 === 13)
+      .select(col("o_orderkey").as("del_orderkey"))
+    BucketedStore.ensureBucketed(delKeys, "spec_tomb_del", 8, "del_orderkey")
+    val nDel = delKeys.count()
+    val (oTotal, lTotal) = (o.count(), l.count())
+    val lDead = l.join(delKeys, col("l_orderkey") === col("del_orderkey"), "left_semi").count()
+    assert(nDel > 0 && lDead > 0, "fixture deletes nothing — test is vacuous")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 1. Masked reads surface exactly the survivors.
+      def mOrd = BucketedStore.maskedTable(
+        spark, "spec_ord_del", "spec_tomb_del", "o_orderkey", "del_orderkey")
+      def mLi = BucketedStore.maskedTable(
+        spark, "spec_li_del", "spec_tomb_del", "l_orderkey", "del_orderkey")
+      assert(mOrd.count() == oTotal - nDel)
+      assert(mLi.count() == lTotal - lDead)
+      // 2. The WHOLE masked fact-x-fact join — two anti-joins feeding the
+      //    co-located join — plans with zero Exchange nodes: the tombstone
+      //    set is bucketed on the same key/count, and anti-joins preserve
+      //    the left side's bucketed partitioning.
+      val joined = mLi.hint("merge").join(mOrd, col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0) // AQE echoes the initial plan too
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("LeftAnti"), plan)
+      assert(!plan.contains("Exchange"), s"masked join introduced an exchange:\n$plan")
+
+      // 3. Threshold guard: a threshold above the deleted fraction leaves
+      //    the layout untouched (mask stays in place).
+      assert(!BucketedStore.compactMasked(
+        spark, "spec_ord_del", "spec_tomb_del", "o_orderkey", "del_orderkey", 8, 0.5))
+      assert(BucketedStore.table(spark, "spec_ord_del").count() == oTotal)
+
+      // 4. Real compaction: whole-table rewrite without the masked rows.
+      assert(BucketedStore.compactMasked(
+        spark, "spec_ord_del", "spec_tomb_del", "o_orderkey", "del_orderkey", 8, 0.005))
+      assert(BucketedStore.compactMasked(
+        spark, "spec_li_del", "spec_tomb_del", "l_orderkey", "del_orderkey", 8, 0.005))
+      assert(BucketedStore.table(spark, "spec_ord_del").count() == oTotal - nDel)
+      assert(BucketedStore.table(spark, "spec_li_del").count() == lTotal - lDead)
+
+      // 5. Crash window: tombstones not yet dropped are STALE — they
+      //    anti-join nothing, so the masked read equals the raw read.
+      assert(mOrd.count() == oTotal - nDel)
+      // And a retried compaction finds nothing to do (idempotent).
+      assert(!BucketedStore.compactMasked(
+        spark, "spec_ord_del", "spec_tomb_del", "o_orderkey", "del_orderkey", 8, 0.005))
+
+      // 6. The rewrite preserved the bucketed layout: the post-compact
+      //    co-located join is still exchange-free.
+      val post = BucketedStore.colocatedJoin(
+        spark, "spec_li_del", "spec_ord_del", "l_orderkey", "o_orderkey")
+      post.collect()
+      val postPlan = post.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(postPlan.contains("SortMergeJoin"), postPlan)
+      assert(!postPlan.contains("Exchange"), s"compacted join lost bucketing:\n$postPlan")
+
+      // 7. Sidecar cleanup once every masked table has compacted.
+      BucketedStore.dropTable(spark, "spec_tomb_del")
+      assert(!BucketedStore.isMaterialized(spark, "spec_tomb_del"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mergeSchema union: evolved batches surface as one schema with NULLs for absent columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
     val c = Tables.customer(spark, sf0001)
