@@ -1104,6 +1104,75 @@ object ScalePatterns {
     masked.unionByName(phaseAgg("compacted")).orderBy(col("phase"))
   }
 
+  /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
+    * shipped [[deleteCompactThreshold]] 0.05). Integer so the
+    * crossing test is exact cross-multiplication in both engines.
+    */
+  val compactThresholdsMilli: Seq[Long] = Seq(10L, 50L, 100L, 250L, 500L)
+
+  /** Compaction planner / write-amplification audit — the maintenance
+    * SCHEDULING query behind q151's physical compaction (the analog of a
+    * table format's OPTIMIZE planning pass): for each candidate
+    * threshold, how many pid directories would rewrite, how many live
+    * rows that rewrite would copy (`rows_rewritten` — the write cost),
+    * how many dead rows it would physically reclaim (`rows_reclaimed` —
+    * the benefit), how many dead rows stay masked-by-tombstone
+    * (`residual_dead` — the read-side anti-join mass that remains), and
+    * the resulting WRITE AMPLIFICATION `write_amp_milli` = 1000 x
+    * rewritten / reclaimed (integer). The curve makes the threshold
+    * trade explicit as data: a low threshold reclaims everything but
+    * pays a huge copy cost on sliver-deleted partitions; a high one
+    * caps write amplification and leaves slivers to the mask. Pure
+    * bounded compute — the value-grain histogram collapses map-side,
+    * the audit frame is 32 pids x 5 thresholds — and deterministic
+    * (boundaries from the persisted manifest, band from q151's
+    * constants), so it never touches the mutable layout and is
+    * order-independent of q151. The prediction is proven against the
+    * PHYSICAL DeletableRangeLayout.compact in StorageSpec, where actual
+    * bytes rewritten per byte reclaimed are also measured.
+    *
+    * MEASURED (sf0.01, 2026-08-13): q151's band deletes 547 of 60,175
+    * rows, all landing in one of 32 pids (29% of that pid) — so every
+    * threshold up to 250 milli rewrites exactly that pid, copying 1,328
+    * live rows to reclaim 547 dead ones: write_amp 2,427 milli (2.4
+    * rows written per row reclaimed); at 500 milli nothing crosses and
+    * all 547 stay masked. The bucketed layout's whole-table rewrite
+    * (q157) pays rewritten = N - D for the same D: at its ~1% delete
+    * rate that is ~97,000 milli — 40x the range layout's, which is the
+    * quantified case for partition-grain compaction. StorageSpec's
+    * physical run (sf0.001) confirms the predicted pid set, row counts,
+    * and residual tombstones exactly; measured parquet bytes there show
+    * amplification 4,804 milli — higher than the row ratio because at
+    * tiny scale the fixed parquet footer dominates file size.
+    */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val uppers = rangeUppers(s, d)
+    val upLit = array(uppers.map(lit).toSeq: _*)
+    val dead = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .where(col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+      .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("long"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_deleted"))
+    val stats = rangePlan(s, d)
+      .join(dead, Seq("pid"), "left").na.fill(0L, Seq("n_deleted"))
+    stats
+      .select(col("pid"), col("n_rows"), col("n_deleted"),
+        explode(array(compactThresholdsMilli.map(lit): _*)).as("threshold_milli"))
+      .withColumn("crossing", col("n_deleted") > 0 &&
+        col("n_deleted") * 1000 >= col("n_rows") * col("threshold_milli"))
+      .groupBy(col("threshold_milli"))
+      .agg(
+        sum(when(col("crossing"), 1L).otherwise(0L)).as("n_pids_rewritten"),
+        sum(when(col("crossing"), col("n_rows") - col("n_deleted")).otherwise(0L))
+          .as("rows_rewritten"),
+        sum(when(col("crossing"), col("n_deleted")).otherwise(0L)).as("rows_reclaimed"),
+        sum(when(!col("crossing"), col("n_deleted")).otherwise(0L)).as("residual_dead"))
+      .withColumn("write_amp_milli",
+        when(col("rows_reclaimed") === 0, 0L)
+          .otherwise(expr("(1000 * rows_rewritten) div rows_reclaimed")))
+      .orderBy(col("threshold_milli"))
+  }
+
   private def q150(s: SparkSession, d: String): DataFrame = {
     val dir = ensureRangeLayout(s, d)
     val uppers = rangeUppers(s, d)
@@ -1138,6 +1207,45 @@ object ScalePatterns {
          |FROM lineitem
          |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
          |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
+    QueryDef("q158_compaction_audit", q158, Some(
+      s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |             count(*) AS cnt
+         |           FROM lineitem GROUP BY 1),
+         |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         |x AS (SELECT p.pid, c.v, c.cum
+         |      FROM c CROSS JOIN tt
+         |      CROSS JOIN (SELECT unnest(range(1, ${rangePlanParts + 1})) AS pid) p
+         |      WHERE c.cum >= (p.pid * tt.n + ${rangePlanParts - 1}) // $rangePlanParts),
+         |b AS (SELECT pid, min(v) AS ub FROM x GROUP BY pid),
+         |bc AS (SELECT b.pid, b.ub, c.cum FROM b JOIN c ON c.v = b.ub),
+         |pl AS (SELECT pid, ub, coalesce(lag(ub) OVER (ORDER BY pid), -1) AS lb,
+         |         CAST(cum - coalesce(lag(cum) OVER (ORDER BY pid), 0) AS BIGINT) AS n_rows
+         |       FROM bc),
+         |dd AS (SELECT pl.pid, CAST(sum(h.cnt) AS BIGINT) AS n_deleted
+         |       FROM h JOIN pl ON h.v > pl.lb AND h.v <= pl.ub
+         |       WHERE h.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti
+         |       GROUP BY 1),
+         |st AS (SELECT pl.pid, pl.n_rows, coalesce(dd.n_deleted, 0) AS n_deleted
+         |       FROM pl LEFT JOIN dd USING (pid)),
+         |sw AS (SELECT st.*, thm.threshold_milli,
+         |         (n_deleted > 0 AND n_deleted * 1000 >= n_rows * thm.threshold_milli)
+         |           AS crossing
+         |       FROM st CROSS JOIN (SELECT unnest([${compactThresholdsMilli.mkString(",")}])
+         |                           AS threshold_milli) thm)
+         |SELECT CAST(threshold_milli AS BIGINT) AS threshold_milli,
+         |  CAST(count(*) FILTER (WHERE crossing) AS BIGINT) AS n_pids_rewritten,
+         |  CAST(coalesce(sum(n_rows - n_deleted) FILTER (WHERE crossing), 0) AS BIGINT)
+         |    AS rows_rewritten,
+         |  CAST(coalesce(sum(n_deleted) FILTER (WHERE crossing), 0) AS BIGINT)
+         |    AS rows_reclaimed,
+         |  CAST(coalesce(sum(n_deleted) FILTER (WHERE NOT crossing), 0) AS BIGINT)
+         |    AS residual_dead,
+         |  CAST(CASE WHEN coalesce(sum(n_deleted) FILTER (WHERE crossing), 0) = 0 THEN 0
+         |    ELSE (1000 * coalesce(sum(n_rows - n_deleted) FILTER (WHERE crossing), 0))
+         |      // coalesce(sum(n_deleted) FILTER (WHERE crossing), 0) END AS BIGINT)
+         |    AS write_amp_milli
+         |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q147_range_plan", q147, Some(
       s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |             count(*) AS cnt

@@ -236,6 +236,58 @@ class StorageSpec extends SparkSpec {
     assert(maskedStale == maskedRows, "stale tombstones changed the masked read")
   }
 
+  test("q158 compaction audit predicts the physical compaction exactly; byte-level write amplification measured") {
+    import graft.operators.DeletableRangeLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-compaudit").toString + "/layout"
+    DeletableRangeLayout.ensure(spark, sf0001, dir, uppers)
+    val (lo, hi) = (ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)
+    val pidLo = ScalePatterns.rangePid(uppers, lo)
+    val pidHi = ScalePatterns.rangePid(uppers, hi)
+    DeletableRangeLayout.applyDelete(spark, dir,
+      col("pid").between(pidLo, pidHi) && col("v").between(lo, hi))
+
+    // The audit row for the SHIPPED threshold (50 milli == 0.05). The
+    // audit is pure logical compute — it must nonetheless describe THIS
+    // physical layout, because layout and audit share planner + band.
+    val audit = SparkEntry.queries("q158_compaction_audit")(spark, sf0001)
+      .where(col("threshold_milli") === 50).first()
+    val (predPids, predRewritten, predReclaimed, predResidual) =
+      (audit.getLong(1), audit.getLong(2), audit.getLong(3), audit.getLong(4))
+    assert(predPids > 0 && predResidual > 0,
+      s"fixture not PARTIAL at threshold 50: pids=$predPids residual=$predResidual")
+
+    val phys = DeletableRangeLayout.pidStats(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val physCrossing = phys.filter { case (_, n, del) => del > 0 && del * 1000 >= n * 50 }
+
+    def pidBytes(p: Int): Long = new java.io.File(dir, s"pid=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val bytesBefore = physCrossing.map(t => pidBytes(t._1)).sum
+
+    val rewritten = DeletableRangeLayout.compact(spark, dir, ScalePatterns.deleteCompactThreshold)
+    // Prediction == physical action, pid-for-pid and row-for-row.
+    assert(rewritten.toSet == physCrossing.map(_._1).toSet,
+      s"compact rewrote $rewritten, audit predicted ${physCrossing.map(_._1).toSeq}")
+    assert(rewritten.size.toLong == predPids)
+    assert(physCrossing.map { case (_, n, del) => n - del }.sum == predRewritten)
+    assert(physCrossing.map(_._3).sum == predReclaimed)
+    assert(spark.read.parquet(dir)
+      .where(col("pid").isin(rewritten: _*)).count() == predRewritten)
+    // residual_dead is exactly the tombstone mass the mask keeps paying.
+    assert(DeletableRangeLayout.tombstones(spark, dir).count() == predResidual)
+
+    // Measured byte-level write amplification of the rewrite: bytes
+    // written per byte reclaimed in the crossing pids.
+    val bytesAfter = rewritten.map(pidBytes).sum
+    assert(bytesAfter < bytesBefore, "compaction did not shrink the crossing pids")
+    val ampMilli = 1000 * bytesAfter / (bytesBefore - bytesAfter)
+    info(s"threshold=50milli: pids=$predPids rows_rewritten=$predRewritten " +
+      s"rows_reclaimed=$predReclaimed residual_dead=$predResidual " +
+      s"bytes_before=$bytesBefore bytes_after=$bytesAfter write_amp_milli(bytes)=$ampMilli")
+  }
+
   test("bucketed delete (q157): tombstone mask keeps the fact-x-fact join exchange-free; compaction rewrites once; stale tombstones harmless") {
     import graft.operators.BucketedStore
     val o = Tables.orders(spark, sf0001)
