@@ -96,6 +96,28 @@ package graft
   * USERS at constant per-user history adds partitions, not partition
   * depth — exactly the partitioning story a 1000-executor cluster
   * needs. Nothing superlinear: no finding.
+  *
+  * MEASURED (round 7, curation/semantic/ANN families — the end-to-end
+  * curation capstone and the embedding-side queries had no slope
+  * evidence; embeddings twin added to the synthesis for this run,
+  * vec_ids offset in lockstep with doc_ids):
+  * {{{
+  * query                     t(1x)   t(10x)  slope
+  * q60_sparse_topk           1.78 s   4.82 s  2.71
+  * q25_lsh_candidates        1.55 s   2.09 s  1.35
+  * q84_semantic_dedup        1.84 s   2.12 s  1.15
+  * q46_curation              3.10 s   3.47 s  1.12
+  * q143_curation_attribution 1.28 s   1.36 s  1.06
+  * q29_ann_bruteforce        0.41 s   0.41 s  0.98
+  * }}}
+  * All sublinear. q60 is the steepest (2.71): its df-pruned,
+  * impact-capped posting lists grow with the corpus while the per-query
+  * candidate budget stays fixed — still well under the 10x data ratio.
+  * The fused curation capstone q46 (two corpus passes over 10x the
+  * documents) and its attribution twin q143 land near-flat — per-doc
+  * feature work parallelizes into more partitions, not deeper ones. q29
+  * is overhead-dominated at this vector count (50k x 128 dims is far
+  * below the stage-launch floor). Nothing superlinear: no finding.
   */
 object ScaleSlope {
   def main(args: Array[String]): Unit = {
@@ -126,6 +148,16 @@ object ScaleSlope {
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
     println(s"SCALED corpus: ${spark.read.parquet(s"$scaledDir/documents.parquet").count()}" +
       s" docs at $scaledDir (base ${docs.count()})")
+
+    // Embeddings twin: doc_ids offset in lockstep with the documents
+    // copies, vectors carried as-is — cross-copy docs then have identical
+    // embeddings but disjoint text/shingles, so the semantic-dedup and
+    // ANN families see 10x corpus mass with the base's geometry.
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until copies)
+      .map(k => emb.withColumn("vec_id", col("vec_id") + lit(k * maxId)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
 
     // Events-table twin (+ orders, which the as-of queries probe against):
     // per copy, user_ids/custkeys shift by ONE shared offset (copy-k users

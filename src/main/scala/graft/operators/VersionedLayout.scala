@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Versioned range layout with TIME TRAVEL — the commit-log layer the
+  * mutable layouts (DeletableRangeLayout, BucketedStore deletes) imply
+  * but do not keep: every mutation appends a numbered log entry, and a
+  * reader can ask for the table AS OF any retained version, INCLUDING
+  * versions older than a compaction that has since rewritten the files.
+  *
+  * Model (a table-format commit log, re-expressed on plain parquet):
+  *
+  *  - `_log/v<N>.json` — one tiny JSON file per committed version;
+  *    `N = 0` is the base write. The log entry is written LAST, after
+  *    every artifact of its action is durable, so `max(log)` defines
+  *    the committed state and a crash mid-action leaves artifacts
+  *    without a log entry — invisible to readers, re-done idempotently
+  *    by the retried action (the delete recomputes the same tombstone
+  *    set; the compact re-archives and re-writes the same survivors).
+  *  - `_tombs/v<N>/` — the tombstone keys added by delete-version N.
+  *    The AS-OF mask is the UNION of all tombstone versions <= v: stale
+  *    tombstones over already-compacted files anti-join nothing
+  *    (masking idempotence, the q151/q157 argument), so the mask needs
+  *    no per-version reconciliation with compaction.
+  *  - `_archive/v<N>/pid=P/` — compact-version N parks each pid
+  *    directory it rewrites BEFORE swapping in the survivors, so the
+  *    bytes backing every older version remain addressable. AS OF v
+  *    reads pid P from the archive of the SMALLEST compact version
+  *    c > v that rewrote P (the files as they stood before that
+  *    rewrite), else from the live directory.
+  *  - `vacuum(keepFrom)` — deletes archives of compact versions
+  *    <= keepFrom and logs the new horizon; AS-OF below the horizon
+  *    fails EXPLICITLY (never silently serves post-compact bytes for a
+  *    pre-compact version).
+  *
+  * At 100 TB the points are: the log is O(versions) metadata, AS-OF
+  * planning touches only the bounded pid/version maps (no data pass),
+  * old versions cost only the archived bytes of pids that compaction
+  * actually rewrote (not table copies), and vacuum reclaims exactly
+  * those. Registry-surfaced by q159_layout_time_travel (one aggregate
+  * per version, all against one DuckDB oracle); archive/vacuum/replay
+  * invariants proven in StorageSpec.
+  *
+  * Reference scope note: the reference engine (tema1a) has no storage
+  * layer at all — this extends the training-data-pipeline story
+  * (reproducing the exact corpus any past training run saw).
+  */
+object VersionedLayout {
+
+  private val tombSchema = StructType(Seq(
+    StructField("pid", IntegerType),
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("v", LongType)))
+
+  private val rowKey = Seq("l_orderkey", "l_linenumber", "v")
+
+  private def logDir(dir: String) = new java.io.File(dir, "_log")
+  private def tombDir(dir: String, ver: Int) = s"$dir/_tombs/v$ver"
+  private def archiveDir(dir: String, ver: Int) = s"$dir/_archive/v$ver"
+
+  /** Parsed commit-log entry. `pids` is non-empty only for compactions
+    * (the rewritten set); `horizon` only for vacuums (first retained
+    * compact version).
+    */
+  final case class LogEntry(version: Int, action: String, pids: Seq[Int], horizon: Int)
+
+  private def entryFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"v$ver%05d.json")
+
+  /** Append entry `ver` — the COMMIT of its action. Write-then-rename so
+    * a reader never parses a torn entry.
+    */
+  private def commit(dir: String, e: LogEntry): Unit = {
+    logDir(dir).mkdirs()
+    val body = s"""{"version":${e.version},"action":"${e.action}",""" +
+      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon}}"""
+    val tmp = new java.io.File(logDir(dir), s".v${e.version}.tmp")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, entryFile(dir, e.version).toPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The committed log, ascending by version. Bounded metadata (one tiny
+    * file per version) — the only driver-side state time travel needs.
+    */
+  def log(dir: String): Seq[LogEntry] = {
+    val d = logDir(dir)
+    if (!d.isDirectory) return Nil
+    d.listFiles().filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName).map { f =>
+      val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
+      val pids = body.split(""""pids":\[""")(1).split("]")(0).trim
+      LogEntry(field("version").toInt, field("action").replaceAll("\"", ""),
+        if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
+        field("horizon").toInt)
+    }.toSeq
+  }
+
+  def currentVersion(dir: String): Int = log(dir).lastOption.map(_.version).getOrElse(-1)
+
+  /** Oldest version still readable: 0 until a vacuum raises it. */
+  def horizon(dir: String): Int =
+    log(dir).filter(_.action == "vacuum").map(_.horizon).maxOption.getOrElse(0)
+
+  /** Version 0: the base range-partitioned write (same layout as
+    * DeletableRangeLayout.ensure). No-op if v0 is already committed.
+    */
+  def writeBase(s: SparkSession, d: String, dir: String, uppers: Array[Long]): Unit = {
+    if (currentVersion(dir) >= 0) return
+    val upLit = array(uppers.map(lit).toSeq: _*)
+    graft.Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1)
+      .repartition(col("pid"))
+      .write.mode("overwrite").partitionBy("pid").parquet(dir)
+    commit(dir, LogEntry(0, "write", Nil, 0))
+  }
+
+  /** DELETE as version `currentVersion + 1`: materialize the matching
+    * keys of the CURRENT masked view into this version's tombstone dir,
+    * then commit. Idempotent replay: if the tombstone dir survives a
+    * pre-commit crash, the recomputation overwrites it with the same
+    * deterministic set.
+    */
+  def appendDelete(s: SparkSession, dir: String, cond: org.apache.spark.sql.Column): Int = {
+    val ver = currentVersion(dir) + 1
+    readAsOf(s, dir, ver - 1).where(cond)
+      .select(col("pid").cast("int").as("pid"),
+        col("l_orderkey"), col("l_linenumber"), col("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver))
+    commit(dir, LogEntry(ver, "delete", Nil, 0))
+    ver
+  }
+
+  /** COMPACT as version `currentVersion + 1`: archive then rewrite every
+    * pid whose deleted fraction (under the full mask) reaches
+    * `threshold`. Survivors are computed BEFORE the swap; the archive
+    * move is the cheap operation (rename, no copy). Commit happens
+    * after all swaps, so a mid-compact crash leaves some pids archived
+    * + rewritten without a log entry — the retry re-archives the
+    * already-rewritten dir (harmless: its mask matches nothing) and
+    * produces the same survivors.
+    */
+  def appendCompact(s: SparkSession, dir: String, threshold: Double): (Int, Seq[Int]) = {
+    val ver = currentVersion(dir) + 1
+    val tombs = tombstonesThrough(s, dir, ver - 1).localCheckpoint()
+    val stats = s.read.parquet(dir).groupBy(col("pid")).agg(count(lit(1)).as("n_rows"))
+      .join(tombs.groupBy(col("pid")).agg(countDistinct(
+        col("l_orderkey"), col("l_linenumber"), col("v")).as("n_deleted")),
+        Seq("pid"), "left")
+      .na.fill(0L, Seq("n_deleted"))
+    val pids = stats
+      .where(col("n_deleted") > 0 && col("n_deleted") >= col("n_rows") * threshold)
+      .select(col("pid")).collect().map(_.getInt(0)).sorted.toSeq // bounded: <= 32 pids
+    pids.foreach { p =>
+      val pdir = s"$dir/pid=$p"
+      val survivors = s.read.parquet(pdir)
+        .join(tombs.where(col("pid") === p).drop("pid"), rowKey, "left_anti")
+      val tmp = s"$dir/.compact-tmp-$p"
+      survivors.write.mode("overwrite").parquet(tmp) // evaluated before the swap
+      val arch = Paths.get(archiveDir(dir, ver), s"pid=$p")
+      Files.createDirectories(arch.getParent)
+      if (Files.exists(arch)) // crash-replay: drop the stale half-archive
+        org.apache.commons.io.FileUtils.deleteDirectory(arch.toFile)
+      Files.move(Paths.get(pdir), arch, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), Paths.get(pdir), StandardCopyOption.ATOMIC_MOVE)
+    }
+    commit(dir, LogEntry(ver, "compact", pids, 0))
+    (ver, pids)
+  }
+
+  /** Drop the archives backing versions BELOW `keepFrom` and raise the
+    * horizon. Time travel below the new horizon fails explicitly.
+    */
+  def vacuum(dir: String, keepFrom: Int): Unit = {
+    val ver = currentVersion(dir) + 1
+    log(dir).filter(e => e.action == "compact" && e.version <= keepFrom).foreach { e =>
+      val a = new java.io.File(archiveDir(dir, e.version))
+      if (a.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(a)
+    }
+    commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
+  }
+
+  /** Union of tombstone versions <= v (empty frame when none). */
+  private def tombstonesThrough(s: SparkSession, dir: String, v: Int): DataFrame = {
+    val dirs = log(dir).filter(e => e.action == "delete" && e.version <= v)
+      .map(e => tombDir(dir, e.version))
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
+    else s.read.schema(tombSchema).parquet(dirs: _*)
+  }
+
+  /** The table AS OF version `v`: per-pid source selection (live dir, or
+    * the archive of the first compaction after v that rewrote the pid)
+    * anti-joined against the tombstones committed through v. Planning
+    * is pure log metadata — no data pass.
+    */
+  def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
+    val entries = log(dir)
+    require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
+    require(v >= horizon(dir),
+      s"version $v is below the vacuum horizon ${horizon(dir)} — its archives are gone")
+    // For each pid ever rewritten, the first compact version AFTER v
+    // holds its pre-rewrite files; pids without one read live.
+    val archived: Map[Int, Int] = entries
+      .filter(e => e.action == "compact" && e.version > v)
+      .flatMap(e => e.pids.map(_ -> e.version))
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).min }
+    val livePids = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .map(f => f.getName.stripPrefix("pid=").toInt)
+      .filterNot(archived.contains).toSeq
+    val liveDf =
+      if (livePids.isEmpty) None
+      else Some(s.read.option("basePath", dir)
+        .parquet(livePids.map(p => s"$dir/pid=$p"): _*))
+    val archDf = archived.toSeq.map { case (p, c) =>
+      s.read.option("basePath", archiveDir(dir, c)).parquet(s"${archiveDir(dir, c)}/pid=$p")
+    }
+    val data = (liveDf.toSeq ++ archDf).reduce(_ unionByName _)
+    data.join(tombstonesThrough(s, dir, v).select(("pid" +: rowKey).map(col): _*),
+      "pid" +: rowKey, "left_anti")
+  }
+}

@@ -1104,6 +1104,73 @@ object ScalePatterns {
     masked.unionByName(phaseAgg("compacted")).orderBy(col("phase"))
   }
 
+  /** Stable location of q159's VERSIONED layout (commit log + archives),
+    * separate from both q150's read-only and q151's deletable copies.
+    */
+  private[graft] def versionedLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_versioned_$sfx").getAbsolutePath
+  }
+  private val versionedLock = new Object
+
+  /** The SECOND price band q159 erases (version 2), in centi
+    * ($5000.00–$5500.00) — disjoint from [[deleteBandLoCenti]]'s band so
+    * each version's aggregate differs and the gate can tell them apart.
+    */
+  val ttBandLoCenti = 500000L
+  val ttBandHiCenti = 550000L
+
+  /** Build (or fast-forward) q159's four-version scenario: v0 base
+    * write, v1 delete band A, v2 delete band B, v3 compact. Each step
+    * commits a log entry, so a layout left by a previous session resumes
+    * from wherever its log ends — every step is deterministic from the
+    * immutable source parquet, making the scenario idempotent across
+    * sessions and safe to re-enter after any crash (see
+    * [[graft.operators.VersionedLayout]] for the commit protocol).
+    */
+  private def ensureVersionedScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = versionedLayoutDir(d)
+    versionedLock.synchronized {
+      VersionedLayout.writeBase(s, d, dir, rangeUppers(s, d))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(ttBandLoCenti, ttBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** TIME TRAVEL over the versioned layout — the commit-log story the
+    * mutable layouts (q151, q157) imply but don't keep: the same
+    * aggregate read AS OF every version of a write -> delete -> delete
+    * -> compact history, against ONE oracle that derives each version's
+    * answer from the immutable source. Version 1 and 2 reads run AFTER
+    * version 3's compaction physically rewrote the band pids — they are
+    * served from the compaction's archived files (per-pid, rename-cost,
+    * not table copies), proving the layout can reproduce the exact
+    * corpus any past consumer saw. Version 3 == version 2 row-for-row
+    * is the compaction-preserves-answers invariant as data. AS-OF
+    * planning is pure log metadata (bounded); vacuum/horizon and
+    * archive-routing invariants are proven in StorageSpec.
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureVersionedScenario(s, d)
+    (0 to 3).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .select(lit(ver.toLong).as("version"),
+          col("n_rows"), col("total_centi"), col("n_orders"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
     * shipped [[deleteCompactThreshold]] 0.05). Integer so the
     * crossing test is exact cross-multiplication in both engines.
@@ -1207,6 +1274,21 @@ object ScalePatterns {
          |FROM lineitem
          |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
          |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
+    QueryDef("q159_layout_time_travel", q159, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey
+         |  FROM lineitem),
+         |ver AS (SELECT unnest([0, 1, 2, 3]) AS version)
+         |SELECT CAST(ver.version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(s.v) AS BIGINT) AS total_centi,
+         |  count(DISTINCT s.l_orderkey) AS n_orders
+         |FROM ver JOIN s
+         |  ON NOT (ver.version >= 1
+         |          AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+         | AND NOT (ver.version >= 2
+         |          AND s.v BETWEEN $ttBandLoCenti AND $ttBandHiCenti)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q158_compaction_audit", q158, Some(
       s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |             count(*) AS cnt

@@ -236,6 +236,55 @@ class StorageSpec extends SparkSpec {
     assert(maskedStale == maskedRows, "stale tombstones changed the masked read")
   }
 
+  test("versioned layout (q159): AS-OF reads route through compaction archives; vacuum raises the horizon; replayed deletes are empty") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-versioned").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val (aLo, aHi) = (ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)
+    val (bLo, bHi) = (ScalePatterns.ttBandLoCenti, ScalePatterns.ttBandHiCenti)
+    val total = spark.read.parquet(dir).count()
+    val inA = spark.read.parquet(dir).where(col("v").between(aLo, aHi)).count()
+    val inB = spark.read.parquet(dir).where(col("v").between(bLo, bHi)).count()
+    assert(inA > 0 && inB > 0, "fixture bands empty — test is vacuous")
+
+    VersionedLayout.appendDelete(spark, dir, col("v").between(aLo, aHi))
+    VersionedLayout.appendDelete(spark, dir, col("v").between(bLo, bHi))
+    val (cv, rewritten) =
+      VersionedLayout.appendCompact(spark, dir, ScalePatterns.deleteCompactThreshold)
+    assert(cv == 3 && rewritten.nonEmpty, s"compaction v$cv rewrote $rewritten")
+
+    // Every version answers its own count — v1/v2 AFTER the rewrite.
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == total)
+    assert(VersionedLayout.readAsOf(spark, dir, 1).count() == total - inA)
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == total - inA - inB)
+    assert(VersionedLayout.readAsOf(spark, dir, 3).count() == total - inA - inB)
+
+    // Pre-compact versions are served from the archive (the rewritten
+    // pids' files moved, not copied); the current version never is.
+    val v0Files = VersionedLayout.readAsOf(spark, dir, 0).inputFiles
+    assert(v0Files.exists(_.contains("_archive/v3/")),
+      "v0 read did not route through the compaction archive")
+    assert(!VersionedLayout.readAsOf(spark, dir, 3).inputFiles.exists(_.contains("_archive")),
+      "current-version read touched the archive")
+
+    // Replayed delete: band A is already erased at the head version, so
+    // a re-issued DELETE commits an EMPTY tombstone set (idempotence).
+    val v4 = VersionedLayout.appendDelete(spark, dir, col("v").between(aLo, aHi))
+    assert(v4 == 4)
+    assert(VersionedLayout.readAsOf(spark, dir, 4).count() == total - inA - inB)
+
+    // Vacuum to the compaction: archives die, horizon rises, old
+    // versions fail EXPLICITLY, the head keeps answering.
+    VersionedLayout.vacuum(dir, keepFrom = 3)
+    assert(VersionedLayout.horizon(dir) == 3)
+    assert(!new java.io.File(dir, "_archive/v3").isDirectory, "vacuum left the archive")
+    val e = intercept[IllegalArgumentException](VersionedLayout.readAsOf(spark, dir, 1))
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    assert(VersionedLayout.readAsOf(spark, dir, 3).count() == total - inA - inB)
+  }
+
   test("q158 compaction audit predicts the physical compaction exactly; byte-level write amplification measured") {
     import graft.operators.DeletableRangeLayout
     import graft.queries.ScalePatterns
