@@ -63,7 +63,7 @@ object Bench {
       "q74_bucketed_join", "q76_partitioned_prune", "q88_ivf_persisted_probe",
       "q95_format_roundtrip", "q96_zorder_box", "q127_schema_evolution",
       "q150_range_layout_scan", "q151_layout_delete", "q157_bucketed_delete",
-      "q159_layout_time_travel",
+      "q159_layout_time_travel", "q160_layout_crud_history",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

@@ -136,6 +136,47 @@ object VersionedLayout {
     ver
   }
 
+  private def insertDir(dir: String, ver: Int) = s"$dir/_inserts/v$ver"
+
+  /** INSERT as version `currentVersion + 1`: the new rows land in a
+    * per-version segment (`_inserts/v<N>/`), NEVER in the base pid
+    * directories — so they are invisible to every AS-OF below N with no
+    * file-grain bookkeeping, exactly a table format's per-commit data
+    * files. `rows` must carry the layout schema including a computed
+    * `pid` (the segment is read directly, pid as a data column).
+    * Segments are append-only and outside compaction's scope; their
+    * space returns at vacuum time in a real deployment.
+    */
+  def appendInsert(s: SparkSession, dir: String, rows: DataFrame): Int = {
+    val ver = currentVersion(dir) + 1
+    rows.write.mode("overwrite").parquet(insertDir(dir, ver))
+    commit(dir, LogEntry(ver, "insert", Nil, 0))
+    ver
+  }
+
+  /** UPSERT as version `currentVersion + 1`: one committed version that
+    * tombstones every row matching `cond` AND inserts `transform` of
+    * those rows as a new segment — MERGE's update arm. The replacements
+    * may keep the SAME key as the rows they shadow: the mask is
+    * version-stamped (a tombstone kills only rows whose commit version
+    * precedes it, see [[readAsOf]]), so the version-N tombstone erases
+    * the old copy and leaves the version-N replacement alive. Both
+    * artifacts are written before the single commit; a pre-commit crash
+    * replays deterministically (matches recompute from the AS-OF view).
+    */
+  def appendUpsert(s: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column, transform: DataFrame => DataFrame): Int = {
+    val ver = currentVersion(dir) + 1
+    val matched = readAsOf(s, dir, ver - 1).where(cond).localCheckpoint()
+    matched
+      .select(col("pid").cast("int").as("pid"),
+        col("l_orderkey"), col("l_linenumber"), col("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver))
+    transform(matched).write.mode("overwrite").parquet(insertDir(dir, ver))
+    commit(dir, LogEntry(ver, "upsert", Nil, 0))
+    ver
+  }
+
   /** COMPACT as version `currentVersion + 1`: archive then rewrite every
     * pid whose deleted fraction (under the full mask) reaches
     * `threshold`. Survivors are computed BEFORE the swap; the archive
@@ -185,18 +226,30 @@ object VersionedLayout {
     commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
   }
 
-  /** Union of tombstone versions <= v (empty frame when none). */
+  /** Tombstone versions <= v, each row stamped with the version that
+    * committed it (`_tomb_ver`). Empty frame when none.
+    */
   private def tombstonesThrough(s: SparkSession, dir: String, v: Int): DataFrame = {
-    val dirs = log(dir).filter(e => e.action == "delete" && e.version <= v)
-      .map(e => tombDir(dir, e.version))
-    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
-    else s.read.schema(tombSchema).parquet(dirs: _*)
+    val vers = log(dir)
+      .filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= v)
+      .map(_.version)
+    if (vers.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
+        .withColumn("_tomb_ver", lit(0))
+    else vers.map { tv =>
+      s.read.schema(tombSchema).parquet(tombDir(dir, tv)).withColumn("_tomb_ver", lit(tv))
+    }.reduce(_ unionByName _)
   }
 
-  /** The table AS OF version `v`: per-pid source selection (live dir, or
-    * the archive of the first compaction after v that rewrote the pid)
-    * anti-joined against the tombstones committed through v. Planning
-    * is pure log metadata — no data pass.
+  /** The table AS OF version `v`: per-pid base-source selection (live
+    * dir, or the archive of the first compaction after v that rewrote
+    * the pid) plus the insert segments committed through v, masked by
+    * the VERSION-STAMPED tombstones through v. The stamp rule — a
+    * tombstone kills only rows whose commit version PRECEDES it
+    * (`_tomb_ver > _src_ver`) — is what lets an upsert's replacement
+    * share its predecessor's key, and is exactly the file-granularity
+    * scoping of a table format's deletion vectors. Planning is pure log
+    * metadata — no data pass.
     */
   def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
     val entries = log(dir)
@@ -220,8 +273,22 @@ object VersionedLayout {
     val archDf = archived.toSeq.map { case (p, c) =>
       s.read.option("basePath", archiveDir(dir, c)).parquet(s"${archiveDir(dir, c)}/pid=$p")
     }
-    val data = (liveDf.toSeq ++ archDf).reduce(_ unionByName _)
-    data.join(tombstonesThrough(s, dir, v).select(("pid" +: rowKey).map(col): _*),
-      "pid" +: rowKey, "left_anti")
+    // Base files are commit-version 0 regardless of later rewrites (a
+    // compaction changes bytes, not row identity); each insert segment
+    // carries its own commit version.
+    val base = (liveDf.toSeq ++ archDf).reduce(_ unionByName _)
+      .withColumn("_src_ver", lit(0))
+    val segs = entries
+      .filter(e => (e.action == "insert" || e.action == "upsert") && e.version <= v)
+      .map(e => s.read.parquet(insertDir(dir, e.version))
+        .withColumn("_src_ver", lit(e.version)))
+    val data = (base +: segs).reduce(_ unionByName _).alias("dt")
+    val tombs = tombstonesThrough(s, dir, v).alias("tb")
+    val joinKey = ("pid" +: rowKey)
+      .map(k => col(s"dt.$k") === col(s"tb.$k"))
+      .reduce(_ && _)
+    data
+      .join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
+      .drop("_src_ver")
   }
 }

@@ -1171,6 +1171,87 @@ object ScalePatterns {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** Stable location of q160's CRUD-history layout. */
+  private[graft] def crudLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_crud_$sfx").getAbsolutePath
+  }
+  private val crudLock = new Object
+
+  /** q160's INSERT source band ($7000.00–$7200.00) and UPSERT target
+    * band ($8000.00–$8200.00), in centi — disjoint from each other and
+    * from the delete band so every version's aggregate is separable.
+    */
+  val crudInsertLoCenti = 700000L
+  val crudInsertHiCenti = 720000L
+  val crudUpsertLoCenti = 800000L
+  val crudUpsertHiCenti = 820000L
+  /** Orderkey offset for inserted rows (guarantees fresh keys). */
+  val crudInsertKeyOffset = 50000000L
+
+  /** Build (or fast-forward) q160's five-version CRUD history: v0 base
+    * write, v1 INSERT (copies of the insert band, fresh keys, v+5), v2
+    * UPSERT (quantity+100 on the upsert band, SAME keys — exercises the
+    * version-stamped mask), v3 DELETE (band A), v4 COMPACT. Every step
+    * deterministic from the immutable source, so the scenario resumes
+    * idempotently from wherever a previous session's log ends.
+    */
+  private def ensureCrudScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = crudLayoutDir(d)
+    crudLock.synchronized {
+      val uppers = rangeUppers(s, d)
+      VersionedLayout.writeBase(s, d, dir, uppers)
+      if (VersionedLayout.currentVersion(dir) < 1) {
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("v").between(crudInsertLoCenti, crudInsertHiCenti))
+            .select((col("v") + 5).as("v"),
+              (col("l_orderkey") + crudInsertKeyOffset).as("l_orderkey"),
+              col("l_linenumber"), col("l_quantity"))
+            .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int")))
+      }
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendUpsert(s, dir,
+          col("v").between(crudUpsertLoCenti, crudUpsertHiCenti),
+          m => m.withColumn("l_quantity", col("l_quantity") + 100))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** Full CRUD history with time travel — q159 proves delete+compact
+    * versioning; q160 completes the mutation surface with INSERT (new
+    * rows in per-version segments, invisible below their commit) and
+    * UPSERT (MERGE's update arm: tombstone + same-key replacement in
+    * one commit, correct ONLY because the mask is version-stamped — a
+    * tombstone kills rows committed before it, so the v2 replacement
+    * outlives the v2 tombstone that erases its predecessor). One
+    * aggregate per version of the write→insert→upsert→delete→compact
+    * history, each derivable from the immutable source, one oracle. The
+    * quantity sum isolates the upsert (total_centi is unchanged by it),
+    * the row count isolates insert and delete, and v4 == v3 is the
+    * compaction-preserves-answers invariant again — now over a table
+    * with live insert segments.
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    (0 to 4).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+        .select(lit(ver.toLong).as("version"),
+          col("n_rows"), col("total_centi"), col("qty_centi"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
     * shipped [[deleteCompactThreshold]] 0.05). Integer so the
     * crossing test is exact cross-multiplication in both engines.
@@ -1274,6 +1355,31 @@ object ScalePatterns {
          |FROM lineitem
          |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
          |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
+    QueryDef("q160_layout_crud_history", q160, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+         |  FROM lineitem),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (
+         |  SELECT ver.version, s.v,
+         |    CASE WHEN ver.version >= 2
+         |           AND s.v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |         THEN s.q + 10000 ELSE s.q END AS q
+         |  FROM ver JOIN s
+         |    ON NOT (ver.version >= 3
+         |            AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)),
+         |ins AS (
+         |  SELECT ver.version, s.v + 5 AS v, s.q AS q
+         |  FROM ver JOIN s
+         |    ON ver.version >= 1
+         |   AND s.v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(v) AS BIGINT) AS total_centi,
+         |  CAST(sum(q) AS BIGINT) AS qty_centi
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q159_layout_time_travel", q159, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey

@@ -285,6 +285,45 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 3).count() == total - inA - inB)
   }
 
+  test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-crud").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val total = spark.read.parquet(dir).count()
+
+    // v1: insert two brand-new rows.
+    val two = spark.read.parquet(dir).limit(2)
+      .select((col("v") + 1).as("v"), (col("l_orderkey") + 900000000L).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("pid").cast("int").as("pid"))
+      .localCheckpoint()
+    VersionedLayout.appendInsert(spark, dir, two)
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == total,
+      "insert leaked into version 0")
+    assert(VersionedLayout.readAsOf(spark, dir, 1).count() == total + 2)
+
+    // v2: upsert ONE of the inserted rows IN PLACE (same full key,
+    // quantity changed). The v2 tombstone carries the same key as the
+    // v2 replacement — only the version stamp separates them.
+    val k = two.orderBy(col("l_orderkey"), col("l_linenumber")).first()
+    val (kOk, kLn) = (k.getLong(1), k.getInt(2))
+    VersionedLayout.appendUpsert(spark, dir,
+      col("l_orderkey") === kOk && col("l_linenumber") === kLn,
+      m => m.withColumn("l_quantity", col("l_quantity") + 7))
+    val head = VersionedLayout.readAsOf(spark, dir, 2)
+    assert(head.count() == total + 2, "same-key upsert changed the row count")
+    val rows = head.where(col("l_orderkey") === kOk && col("l_linenumber") === kLn)
+      .select(col("l_quantity")).collect()
+    assert(rows.length == 1, s"expected exactly one live copy, got ${rows.length}")
+    assert(rows.head.getDouble(0) == k.getDouble(3) + 7, "replacement quantity not applied")
+    // The pre-upsert version still serves the ORIGINAL quantity.
+    val old = VersionedLayout.readAsOf(spark, dir, 1)
+      .where(col("l_orderkey") === kOk && col("l_linenumber") === kLn)
+      .select(col("l_quantity")).collect()
+    assert(old.length == 1 && old.head.getDouble(0) == k.getDouble(3))
+  }
+
   test("q158 compaction audit predicts the physical compaction exactly; byte-level write amplification measured") {
     import graft.operators.DeletableRangeLayout
     import graft.queries.ScalePatterns
