@@ -65,9 +65,11 @@ object VersionedLayout {
 
   /** Parsed commit-log entry. `pids` is non-empty only for compactions
     * (the rewritten set); `horizon` only for vacuums (first retained
-    * compact version).
+    * compact version); `txn` is an idempotence stamp for streaming
+    * ingest (-1 when the commit is not transactional).
     */
-  final case class LogEntry(version: Int, action: String, pids: Seq[Int], horizon: Int)
+  final case class LogEntry(
+      version: Int, action: String, pids: Seq[Int], horizon: Int, txn: Long = -1L)
 
   private def entryFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"v$ver%05d.json")
 
@@ -77,7 +79,7 @@ object VersionedLayout {
   private def commit(dir: String, e: LogEntry): Unit = {
     logDir(dir).mkdirs()
     val body = s"""{"version":${e.version},"action":"${e.action}",""" +
-      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon}}"""
+      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},"txn":${e.txn}}"""
     val tmp = new java.io.File(logDir(dir), s".v${e.version}.tmp")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, entryFile(dir, e.version).toPath, StandardCopyOption.ATOMIC_MOVE)
@@ -95,7 +97,8 @@ object VersionedLayout {
       val pids = body.split(""""pids":\[""")(1).split("]")(0).trim
       LogEntry(field("version").toInt, field("action").replaceAll("\"", ""),
         if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
-        field("horizon").toInt)
+        field("horizon").toInt,
+        if (body.contains("\"txn\":")) field("txn").toLong else -1L)
     }.toSeq
   }
 
@@ -147,12 +150,26 @@ object VersionedLayout {
     * Segments are append-only and outside compaction's scope; their
     * space returns at vacuum time in a real deployment.
     */
-  def appendInsert(s: SparkSession, dir: String, rows: DataFrame): Int = {
+  def appendInsert(s: SparkSession, dir: String, rows: DataFrame, txn: Long = -1L): Int = {
     val ver = currentVersion(dir) + 1
     rows.write.mode("overwrite").parquet(insertDir(dir, ver))
-    commit(dir, LogEntry(ver, "insert", Nil, 0))
+    commit(dir, LogEntry(ver, "insert", Nil, 0, txn))
     ver
   }
+
+  /** Transactional insert for streaming ingest: commit `rows` as an
+    * insert version stamped with `txn` (a micro-batch id) UNLESS a
+    * version with that stamp is already in the log — the replayed
+    * micro-batch a restarted streaming query re-delivers commits
+    * exactly once. Returns the committed (or previously committed)
+    * version. This is the stream-transaction action of a table-format
+    * log, re-expressed on the same commit protocol.
+    */
+  def appendInsertOnce(s: SparkSession, dir: String, rows: DataFrame, txn: Long): Int =
+    log(dir).find(e => e.action == "insert" && e.txn == txn) match {
+      case Some(e) => e.version
+      case None => appendInsert(s, dir, rows, txn)
+    }
 
   /** UPSERT as version `currentVersion + 1`: one committed version that
     * tombstones every row matching `cond` AND inserts `transform` of

@@ -229,6 +229,62 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("streaming ingest into the versioned layout: one commit per micro-batch, replayed batches commit exactly once, AS-OF per batch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-layout").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val base = spark.read.parquet(dir).count()
+    val upLit = array(uppers.map(lit).toSeq: _*)
+
+    // Shaped batches derived from the layout itself (fresh keys).
+    def mkRows(offset: Long, n: Int) = spark.read.parquet(dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("v")).limit(n)
+      .select(col("v"), (col("l_orderkey") + offset).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .localCheckpoint()
+    val in = java.nio.file.Files.createTempDirectory("graft-ingest-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-ingest-chk")
+    def withPid(b: org.apache.spark.sql.DataFrame) =
+      b.withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int"))
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, id) => { VersionedLayout.appendInsertOnce(spark, dir, withPid(b), id); () }
+    def run(): Unit = {
+      val q = spark.readStream.schema(mkRows(0L, 1).schema).parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    def stageDf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-stage")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+    stageDf(mkRows(800000000L, 5), "b0.parquet")
+    run() // micro-batch 0 -> commit v1
+    val v1 = VersionedLayout.currentVersion(dir)
+    assert(v1 == 1 && VersionedLayout.readAsOf(spark, dir, v1).count() == base + 5)
+    stageDf(mkRows(810000000L, 3), "b1.parquet")
+    run() // restart from checkpoint; batch 1 only -> commit v2
+    assert(VersionedLayout.currentVersion(dir) == 2)
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == base + 8)
+
+    // A replayed micro-batch (what a crashed-after-commit restart
+    // re-delivers) must be a no-op: same txn stamp, same version back.
+    val replayed = VersionedLayout.appendInsertOnce(
+      spark, dir, withPid(mkRows(810000000L, 3)), txn = 1L)
+    assert(replayed == 2, s"replay created version $replayed")
+    assert(VersionedLayout.currentVersion(dir) == 2, "replay appended a new commit")
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == base + 8)
+    // Batch-0's view is still addressable: per-micro-batch time travel.
+    assert(VersionedLayout.readAsOf(spark, dir, 1).count() == base + 5)
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once (no duplicates, no loss)") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
