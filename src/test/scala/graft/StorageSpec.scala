@@ -269,6 +269,17 @@ class StorageSpec extends SparkSpec {
     assert(!VersionedLayout.readAsOf(spark, dir, 3).inputFiles.exists(_.contains("_archive")),
       "current-version read touched the archive")
 
+    // The mask's at-scale shape: tombstones (bounded metadata) broadcast
+    // to the data side; the data side is never shuffled for the mask.
+    val probe = VersionedLayout.readAsOf(spark, dir, 3)
+    probe.collect()
+    val probePlan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(probePlan.contains("BroadcastHashJoin") && probePlan.contains("LeftAnti"),
+      s"AS-OF mask is not a broadcast anti-join:\n$probePlan")
+    assert(!probePlan.contains("Exchange hashpartitioning"),
+      s"AS-OF mask shuffled the data side:\n$probePlan")
+
     // Replayed delete: band A is already erased at the head version, so
     // a re-issued DELETE commits an EMPTY tombstone set (idempotence).
     val v4 = VersionedLayout.appendDelete(spark, dir, col("v").between(aLo, aHi))
