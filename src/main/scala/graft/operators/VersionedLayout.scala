@@ -231,17 +231,54 @@ object VersionedLayout {
     (ver, pids)
   }
 
-  /** Drop the archives backing versions BELOW `keepFrom` and raise the
+  /** Drop the archives backing versions BELOW `keepFrom`, GC the
+    * tombstone metadata those compactions made dead, and raise the
     * horizon. Time travel below the new horizon fails explicitly.
+    *
+    * Tombstone GC rule: a tombstone row of version vt is dead — safe to
+    * drop — when its pid was rewritten by a compaction c with
+    * vt <= c <= keepFrom (every base row it targeted is physically
+    * gone; base never gains rows) AND no insert segment predates vt (a
+    * segment older than the tombstone may still hold rows the stamp
+    * rule lets it kill; segments are never compacted, so those
+    * tombstones must outlive vacuum). Dropping dead rows cannot change
+    * any read at-or-above the horizon: they anti-joined nothing there.
+    * Without GC the mask metadata grows with delete history; with it,
+    * steady state carries only tombstones that still shadow live bytes.
     */
-  def vacuum(dir: String, keepFrom: Int): Unit = {
-    val ver = currentVersion(dir) + 1
-    log(dir).filter(e => e.action == "compact" && e.version <= keepFrom).foreach { e =>
+  def vacuum(s: SparkSession, dir: String, keepFrom: Int): Unit = {
+    val entries = log(dir)
+    val ver = entries.last.version + 1
+    val compactsInScope = entries.filter(e => e.action == "compact" && e.version <= keepFrom)
+    val segVersions = entries
+      .filter(e => e.action == "insert" || e.action == "upsert").map(_.version)
+    entries
+      .filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= keepFrom)
+      .foreach { te =>
+        val reclaimed = compactsInScope.filter(_.version >= te.version).flatMap(_.pids).distinct
+        if (reclaimed.nonEmpty && !segVersions.exists(_ < te.version)) {
+          val kept = s.read.schema(tombSchema).parquet(tombDir(dir, te.version))
+            .where(!col("pid").isin(reclaimed: _*)).localCheckpoint()
+          val tag = ProcessHandle.current().pid()
+          val tmp = s"${tombDir(dir, te.version)}.gc-tmp-p$tag"
+          kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val live = Paths.get(tombDir(dir, te.version))
+          val old = Paths.get(s"${tombDir(dir, te.version)}.gc-old-p$tag")
+          Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
+          org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+        }
+      }
+    compactsInScope.foreach { e =>
       val a = new java.io.File(archiveDir(dir, e.version))
       if (a.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(a)
     }
     commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
   }
+
+  /** The tombstone set one version committed (spec observability). */
+  def tombstonesAt(s: SparkSession, dir: String, ver: Int): DataFrame =
+    s.read.schema(tombSchema).parquet(tombDir(dir, ver))
 
   /** Tombstone versions <= v, each row stamped with the version that
     * committed it (`_tomb_ver`). Empty frame when none.

@@ -287,10 +287,18 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 4).count() == total - inA - inB)
 
     // Vacuum to the compaction: archives die, horizon rises, old
-    // versions fail EXPLICITLY, the head keeps answering.
-    VersionedLayout.vacuum(dir, keepFrom = 3)
+    // versions fail EXPLICITLY, the head keeps answering — and the
+    // tombstone rows the compaction made dead (rewritten pids) are
+    // GC'd while the ones still masking live bytes survive.
+    val tombPidsBefore = VersionedLayout.tombstonesAt(spark, dir, 1)
+      .select(col("pid")).distinct().collect().map(_.getInt(0)).toSet
+    VersionedLayout.vacuum(spark, dir, keepFrom = 3)
     assert(VersionedLayout.horizon(dir) == 3)
     assert(!new java.io.File(dir, "_archive/v3").isDirectory, "vacuum left the archive")
+    val tombPidsAfter = VersionedLayout.tombstonesAt(spark, dir, 1)
+      .select(col("pid")).distinct().collect().map(_.getInt(0)).toSet
+    assert(tombPidsAfter == tombPidsBefore -- rewritten,
+      s"tombstone GC wrong: before=$tombPidsBefore rewritten=$rewritten after=$tombPidsAfter")
     val e = intercept[IllegalArgumentException](VersionedLayout.readAsOf(spark, dir, 1))
     assert(e.getMessage.contains("horizon"), e.getMessage)
     assert(VersionedLayout.readAsOf(spark, dir, 3).count() == total - inA - inB)
