@@ -71,9 +71,30 @@ object IndexStore {
     }
   }
 
+  private def archiveRoot(store: String) = s"$store/_archive"
+
+  /** Archive dirs `c<N>`, ascending by compaction sequence. */
+  private def archiveDirs(store: String): Seq[String] = {
+    val fs = Option(new java.io.File(archiveRoot(store)).listFiles()).getOrElse(Array.empty)
+    fs.filter(f => f.isDirectory && f.getName.startsWith("c"))
+      .sortBy(_.getName.stripPrefix("c").toInt).map(_.getPath).toSeq
+  }
+
+  /** Highest delta sequence ever appended (live OR archived) — delta
+    * numbering is monotone across compactions so `delta-i` names a
+    * unique ingest batch for the store's whole history.
+    */
+  private def totalDeltaSeq(store: String): Int = {
+    def seqs(dirs: Seq[String]) = dirs.map(d => new java.io.File(d).getName.stripPrefix("delta-").toInt)
+    val archived = archiveDirs(store).flatMap(a =>
+      Option(new java.io.File(a).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("delta-")).map(_.getPath))
+    (seqs(deltaDirs(store)) ++ seqs(archived)).maxOption.getOrElse(0)
+  }
+
   /** Append one ingest batch's index as the next delta in the chain. */
   def appendDelta(df: DataFrame, store: String): String = lock.synchronized {
-    val next = deltaDirs(store).size + 1
+    val next = totalDeltaSeq(store) + 1
     val dest = s"$store/delta-$next"
     writeAtomic(df, dest)
     dest
@@ -100,9 +121,13 @@ object IndexStore {
     mergeAll(dirs.map(d => s.read.schema(indexSchema).parquet(d)))
   }
 
-  /** Rewrite base := merge(base, deltas), then drop the deltas. Returns
-    * the number of deltas folded in (0 = chain already compact, no-op —
-    * the base is NOT rewritten in that case).
+  /** Rewrite base := merge(base, deltas), then ARCHIVE the folded base
+    * and deltas under `_archive/c<N>/` (rename-cost, not copies) so the
+    * chain's history stays addressable for [[readAsOf]]. Returns the
+    * number of deltas folded in (0 = chain already compact, no-op — the
+    * base is NOT rewritten in that case). The live layout after compact
+    * is identical to before this archive existed: one base, no deltas —
+    * readers and a retried compact see exactly the old contract.
     */
   def compact(s: SparkSession, store: String): Int = lock.synchronized {
     val deltas = deltaDirs(store)
@@ -110,9 +135,55 @@ object IndexStore {
     // Materialize off the input files so the swap below can't race the
     // merge's own (lazy) reads of the old base.
     val merged = read(s, store).localCheckpoint()
-    writeAtomic(merged, baseDir(store))
-    deltas.foreach(d =>
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    val seq = archiveDirs(store).size + 1
+    val arch = Paths.get(archiveRoot(store), s"c$seq")
+    Files.createDirectories(arch)
+    val tmp = baseDir(store) + s".tmp-p${ProcessHandle.current().pid()}"
+    merged.select(col("word"), col("file_ids")).write.mode("overwrite").parquet(tmp)
+    // Same two-rename publish window as before; a crash between the
+    // moves leaves the old base in the archive — recoverable metadata,
+    // never a silently wrong read.
+    Files.move(Paths.get(baseDir(store)), arch.resolve("base"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(baseDir(store)), StandardCopyOption.ATOMIC_MOVE)
+    deltas.foreach { d =>
+      val name = new java.io.File(d).getName
+      Files.move(Paths.get(d), arch.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    }
     deltas.size
+  }
+
+  /** The index AS OF delta `upToDelta` (0 = the original base alone) —
+    * TIME TRAVEL for the chain: reconstructs merge(base0, delta-1 ..
+    * delta-upToDelta) from wherever those artifacts now live (the live
+    * chain, or the archives compaction moved them into). The original
+    * base is the first compaction's archived base (each compaction
+    * archives the base it replaces, so c1 holds the init-time base);
+    * with no compactions yet, history is simply the live chain.
+    * Vacuumed history fails EXPLICITLY.
+    */
+  def readAsOf(s: SparkSession, store: String, upToDelta: Int): DataFrame = {
+    val archives = archiveDirs(store)
+    val base0 =
+      if (archives.isEmpty) baseDir(store)
+      else s"${archives.head}/base"
+    def locate(i: Int): String = {
+      val name = s"delta-$i"
+      (s"$store/$name" +: archives.map(a => s"$a/$name"))
+        .find(p => new java.io.File(p).isDirectory)
+        .getOrElse(throw new IllegalArgumentException(
+          s"delta $i of $store is not addressable (never appended, or vacuumed)"))
+    }
+    require(new java.io.File(base0).isDirectory,
+      s"original base of $store is not addressable (vacuumed)")
+    val dirs = base0 +: (1 to upToDelta).map(locate)
+    mergeAll(dirs.map(d => s.read.schema(indexSchema).parquet(d)))
+  }
+
+  /** Drop ALL archived history (the head remains the only addressable
+    * state) — the index chain's vacuum.
+    */
+  def vacuumArchives(store: String): Unit = lock.synchronized {
+    val a = new java.io.File(archiveRoot(store))
+    if (a.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(a)
   }
 }

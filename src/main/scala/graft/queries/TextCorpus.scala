@@ -483,7 +483,69 @@ object TextCorpus {
       .orderBy(col("decile"))
   }
 
+  /** TIME TRAVEL for the index chain — the AS-OF story q159/q160 built
+    * for the row layouts, applied to the q152 base+delta artifact:
+    * compaction now ARCHIVES the base and deltas it folds (rename-cost),
+    * so the index any PAST training run read — base alone, base+δ1,
+    * base+δ1+δ2 — stays reconstructible after the chain has been folded
+    * to a single base. This query builds its own chain (same batches as
+    * q152: base = doc_id%10 ∉ {0,7}, δ1 = %10==0, δ2 = %10==7),
+    * compacts it, then reports per-version index statistics AS OF each
+    * delta count — all three reconstructed THROUGH the archive. Oracle
+    * derives each version's vocabulary/posting mass from the documents
+    * table with the same batch predicates. Idempotent across sessions:
+    * later sessions find the compacted store and its archive and
+    * reconstruct the same three versions.
+    */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IndexStore
+    val store = indexStoreDir(d) + "_tt"
+    if (!new java.io.File(store).isDirectory) {
+      val tmp = store + s".tmp-p${ProcessHandle.current().pid()}"
+      val docs = Tables.documents(s, d)
+      def side(pred: Column) = InvertedIndex
+        .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+      IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), tmp)
+      IndexStore.appendDelta(side(col("doc_id") % 10 === 0), tmp)
+      IndexStore.appendDelta(side(col("doc_id") % 10 === 7), tmp)
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(store),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          if (!new java.io.File(store).isDirectory) throw new IllegalStateException(
+            s"index store rename to $store failed and no complete store exists")
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    IndexStore.compact(s, store) // no-op when a later session finds it compacted
+    (0 to 2).map { ver =>
+      IndexStore.readAsOf(s, store, ver)
+        .select(size(col("file_ids")).cast("long").as("df"))
+        .agg(count(lit(1)).as("n_words"), sum(col("df")).as("n_postings"),
+          max(col("df")).as("max_df"))
+        .select(lit(ver.toLong).as("version"),
+          col("n_words"), col("n_postings"), col("max_df"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q161_index_time_travel", q161, Some(
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents),
+         |ver AS (SELECT unnest([0, 1, 2]) AS version),
+         |ww AS (
+         |  SELECT ver.version, w.word, count(*) AS df
+         |  FROM ver JOIN w
+         |    ON (CASE WHEN ver.version = 0 THEN w.doc_id % 10 NOT IN (0, 7)
+         |             WHEN ver.version = 1 THEN w.doc_id % 10 <> 7
+         |             ELSE TRUE END)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(df) AS BIGINT) AS n_postings,
+         |  CAST(max(df) AS BIGINT) AS max_df
+         |FROM ww GROUP BY 1 ORDER BY 1""".stripMargin)),
     // DedupQueries.rollSql is a def reading only operators.Dedup constants,
     // so this cross-queries-object reference is init-order-safe in both
     // directions (same pattern as Similarity -> TextCorpus.sparseSql).

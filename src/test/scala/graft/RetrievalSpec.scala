@@ -87,6 +87,42 @@ class RetrievalSpec extends SparkSpec {
     assert(snap() == full, "retried compact changed the index")
   }
 
+  test("index time travel (q161): AS-OF reconstructs every pre-compact chain state through the archive; vacuum fails old reads loudly") {
+    import graft.operators.{IndexStore, InvertedIndex}
+    val docs = Tables.documents(spark, sf0001)
+    def side(pred: org.apache.spark.sql.Column) = InvertedIndex
+      .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-index-tt").toString + "/store"
+    IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), store)
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 0), store)
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 7), store)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] = df
+      .select(col("word"), concat_ws(",", col("file_ids")).as("ids"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // Snapshot all three versions BEFORE compaction (live-chain reads).
+    val pre = (0 to 2).map(v => toSet(IndexStore.readAsOf(spark, store, v)))
+    assert(pre(0) != pre(1) && pre(1) != pre(2), "fixture batches are not distinguishable")
+    assert(IndexStore.compact(spark, store) == 2)
+    // The SAME versions AFTER compaction: reconstructed from the archive.
+    (0 to 2).foreach { v =>
+      assert(toSet(IndexStore.readAsOf(spark, store, v)) == pre(v),
+        s"AS-OF $v diverged across compaction")
+    }
+    // The head read and the full AS-OF agree (union associativity).
+    assert(toSet(IndexStore.read(spark, store)) == pre(2))
+    // Post-compact appends continue the monotone numbering: a delta-3
+    // extends history without colliding with the archived delta-1/2.
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 7), store)
+    assert(toSet(IndexStore.readAsOf(spark, store, 3)) == pre(2), "idempotent re-append changed v3")
+    assert(toSet(IndexStore.readAsOf(spark, store, 2)) == pre(2))
+    // Vacuum: history dies explicitly, the head keeps answering.
+    IndexStore.vacuumArchives(store)
+    val e = intercept[IllegalArgumentException](IndexStore.readAsOf(spark, store, 1))
+    assert(e.getMessage.contains("addressable"), e.getMessage)
+    assert(toSet(IndexStore.read(spark, store)) == pre(2))
+  }
+
   test("q149 index-grain retract is row-identical to a rebuild over the surviving corpus") {
     val docs = Tables.documents(spark, sf0001)
     val retracted = SparkEntry.queries("q149_index_retract")(spark, sf0001).collect()
