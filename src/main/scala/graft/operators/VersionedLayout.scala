@@ -41,7 +41,14 @@ import java.nio.charset.StandardCharsets
   * planning touches only the bounded pid/version maps (no data pass),
   * old versions cost only the archived bytes of pids that compaction
   * actually rewrote (not table copies), and vacuum reclaims exactly
-  * those. Registry-surfaced by q159_layout_time_travel (one aggregate
+  * those.
+  *
+  * Concurrency scope: mutations assume a SINGLE writer (like a table
+  * format whose commit service serializes writers); the atomic
+  * rename of the numbered log entry is the natural detection point —
+  * a lost race surfaces as a failed rename of an already-taken
+  * version, never as silent corruption of committed state. Readers
+  * are safe at every intermediate state (commit-last protocol). Registry-surfaced by q159_layout_time_travel (one aggregate
   * per version, all against one DuckDB oracle); archive/vacuum/replay
   * invariants proven in StorageSpec.
   *
@@ -279,6 +286,10 @@ object VersionedLayout {
   /** The tombstone set one version committed (spec observability). */
   def tombstonesAt(s: SparkSession, dir: String, ver: Int): DataFrame =
     s.read.schema(tombSchema).parquet(tombDir(dir, ver))
+
+  /** The insert segment one version committed (incremental consumers). */
+  def insertsAt(s: SparkSession, dir: String, ver: Int): DataFrame =
+    s.read.parquet(insertDir(dir, ver))
 
   /** Tombstone versions <= v, each row stamped with the version that
     * committed it (`_tomb_ver`). Empty frame when none.

@@ -1252,6 +1252,65 @@ object ScalePatterns {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE over the commit log — the refresh
+    * path a 100 TB deployment needs for derived aggregates: instead of
+    * rescanning the table at every version, the materialized aggregate
+    * is UPDATED by each commit's bounded delta — an insert segment adds
+    * its aggregate, a delete/upsert subtracts the aggregate of exactly
+    * the rows its tombstones killed (recovered by a key join of the
+    * bounded tombstone set against the pre-state — work proportional to
+    * the DELETE, not the table), and a compaction contributes nothing
+    * (no logical change). Correct for abelian aggregates (count/sum)
+    * because the version-stamp rule makes each commit's kill set
+    * disjoint from its insert set. The query walks q160's five-version
+    * history maintaining (n_rows, total_centi, qty_centi) incrementally
+    * AND recomputes each version from scratch, emitting
+    * `incremental_ok` per version — the gate's oracle carries literal
+    * TRUE, so ANY divergence between the incremental and full paths
+    * fails the round. At scale only the incremental path runs; the
+    * recompute here is the proof, not the product.
+    */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    val qtyCenti = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    def aggOf(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("v")), sum(qtyCenti)).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val key = Seq("pid", "l_orderkey", "l_linenumber", "v")
+    def killedAt(ver: Int): DataFrame = VersionedLayout.readAsOf(s, dir, ver - 1)
+      .join(VersionedLayout.tombstonesAt(s, dir, ver)
+        .select(key.map(col): _*), key, "left_semi")
+    val states = VersionedLayout.log(dir).scanLeft((-1, (0L, 0L, 0L))) {
+      case ((_, mv @ (n, tc, qc)), e) =>
+        val next = e.action match {
+          case "write" => aggOf(VersionedLayout.readAsOf(s, dir, 0))
+          case "insert" =>
+            val (an, atc, aqc) = aggOf(VersionedLayout.insertsAt(s, dir, e.version))
+            (n + an, tc + atc, qc + aqc)
+          case "delete" =>
+            val (kn, ktc, kqc) = aggOf(killedAt(e.version))
+            (n - kn, tc - ktc, qc - kqc)
+          case "upsert" =>
+            val (kn, ktc, kqc) = aggOf(killedAt(e.version))
+            val (an, atc, aqc) = aggOf(VersionedLayout.insertsAt(s, dir, e.version))
+            (n - kn + an, tc - ktc + atc, qc - kqc + aqc)
+          case _ => mv // compact / vacuum: no logical change
+        }
+        (e.version, next)
+    }.drop(1) // the scan seed
+    val rows = states.map { case (ver, (n, tc, qc)) =>
+      val full = aggOf(VersionedLayout.readAsOf(s, dir, ver))
+      (ver.toLong, n, tc, qc, (n, tc, qc) == full)
+    }
+    import s.implicits._
+    rows.toDF("version", "n_rows", "total_centi", "qty_centi", "incremental_ok")
+      .orderBy(col("version"))
+  }
+
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
     * shipped [[deleteCompactThreshold]] 0.05). Integer so the
     * crossing test is exact cross-multiplication in both engines.
@@ -1355,6 +1414,32 @@ object ScalePatterns {
          |FROM lineitem
          |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
          |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
+    QueryDef("q162_incremental_view", q162, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+         |  FROM lineitem),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (
+         |  SELECT ver.version, s.v,
+         |    CASE WHEN ver.version >= 2
+         |           AND s.v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |         THEN s.q + 10000 ELSE s.q END AS q
+         |  FROM ver JOIN s
+         |    ON NOT (ver.version >= 3
+         |            AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)),
+         |ins AS (
+         |  SELECT ver.version, s.v + 5 AS v, s.q AS q
+         |  FROM ver JOIN s
+         |    ON ver.version >= 1
+         |   AND s.v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(v) AS BIGINT) AS total_centi,
+         |  CAST(sum(q) AS BIGINT) AS qty_centi,
+         |  TRUE AS incremental_ok
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q160_layout_crud_history", q160, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
