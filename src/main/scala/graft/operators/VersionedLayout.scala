@@ -48,7 +48,8 @@ import java.nio.charset.StandardCharsets
   * rename of the numbered log entry is the natural detection point —
   * a lost race surfaces as a failed rename of an already-taken
   * version, never as silent corruption of committed state. Readers
-  * are safe at every intermediate state (commit-last protocol). Registry-surfaced by q159_layout_time_travel (one aggregate
+  * are safe at every COMMITTED state (commit-last protocol); an
+  * in-flight compact swap is repaired by the retrying writer. Registry-surfaced by q159_layout_time_travel (one aggregate
   * per version, all against one DuckDB oracle); archive/vacuum/replay
   * invariants proven in StorageSpec.
   *
@@ -205,13 +206,27 @@ object VersionedLayout {
     * pid whose deleted fraction (under the full mask) reaches
     * `threshold`. Survivors are computed BEFORE the swap; the archive
     * move is the cheap operation (rename, no copy). Commit happens
-    * after all swaps, so a mid-compact crash leaves some pids archived
-    * + rewritten without a log entry — the retry re-archives the
-    * already-rewritten dir (harmless: its mask matches nothing) and
-    * produces the same survivors.
+    * after all swaps. Crash-replay discipline per pid: the survivors
+    * land in a tmp dir first, so the only unreadable window (pid moved
+    * to archive, survivors not yet landed) is repaired by the recovery
+    * preamble on retry (finish the tmp→live move); and a pid whose
+    * archive ALREADY exists is never re-archived — the first attempt's
+    * archive is the true pre-compact state, and replacing it with
+    * post-compact bytes would corrupt AS-OF history. Readers are safe
+    * at every COMMITTED state; the retrying single writer repairs any
+    * in-flight swap before its commit.
     */
   def appendCompact(s: SparkSession, dir: String, threshold: Double): (Int, Seq[Int]) = {
     val ver = currentVersion(dir) + 1
+    // Recovery preamble: a crashed attempt at THIS version may have
+    // moved a pid into the archive without landing its survivors.
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact-tmp-"))
+      .foreach { t =>
+        val p = t.getName.stripPrefix(".compact-tmp-")
+        val pdir = Paths.get(dir, s"pid=$p")
+        if (!Files.exists(pdir)) Files.move(t.toPath, pdir, StandardCopyOption.ATOMIC_MOVE)
+      }
     val tombs = tombstonesThrough(s, dir, ver - 1).localCheckpoint()
     val stats = s.read.parquet(dir).groupBy(col("pid")).agg(count(lit(1)).as("n_rows"))
       .join(tombs.groupBy(col("pid")).agg(countDistinct(
@@ -229,9 +244,13 @@ object VersionedLayout {
       survivors.write.mode("overwrite").parquet(tmp) // evaluated before the swap
       val arch = Paths.get(archiveDir(dir, ver), s"pid=$p")
       Files.createDirectories(arch.getParent)
-      if (Files.exists(arch)) // crash-replay: drop the stale half-archive
-        org.apache.commons.io.FileUtils.deleteDirectory(arch.toFile)
-      Files.move(Paths.get(pdir), arch, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(arch)) {
+        // A crashed attempt already archived the TRUE pre-state; keep
+        // it and swap the (idempotently recomputed) survivors in place.
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
+      } else {
+        Files.move(Paths.get(pdir), arch, StandardCopyOption.ATOMIC_MOVE)
+      }
       Files.move(Paths.get(tmp), Paths.get(pdir), StandardCopyOption.ATOMIC_MOVE)
     }
     commit(dir, LogEntry(ver, "compact", pids, 0))

@@ -304,6 +304,50 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 3).count() == total - inA - inB)
   }
 
+  test("versioned compact crash-replay: a retry lands the survivors and keeps the FIRST archive (true pre-state); AS-OF history intact") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-crash").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val (lo, hi) = (ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)
+    val total = spark.read.parquet(dir).count()
+    val inBand = spark.read.parquet(dir).where(col("v").between(lo, hi)).count()
+    VersionedLayout.appendDelete(spark, dir, col("v").between(lo, hi))
+
+    // Find a pid compaction would rewrite and SIMULATE the worst crash
+    // window by hand: survivors in tmp, pid dir moved to the archive,
+    // no survivors landed, no commit.
+    val tombs = VersionedLayout.tombstonesAt(spark, dir, 1)
+    val victim = tombs.groupBy(col("pid")).count().orderBy(col("count").desc)
+      .first().getInt(0)
+    val pdir = java.nio.file.Paths.get(dir, s"pid=$victim")
+    val preStateRows = spark.read.parquet(pdir.toString).count()
+    val survivors = spark.read.parquet(pdir.toString)
+      .join(tombs.where(col("pid") === victim)
+        .select(col("l_orderkey"), col("l_linenumber"), col("v")),
+        Seq("l_orderkey", "l_linenumber", "v"), "left_anti").localCheckpoint()
+    survivors.write.mode("overwrite").parquet(s"$dir/.compact-tmp-$victim")
+    val arch = java.nio.file.Paths.get(s"$dir/_archive/v2/pid=$victim")
+    java.nio.file.Files.createDirectories(arch.getParent)
+    java.nio.file.Files.move(pdir, arch,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+    // The retried compaction must repair the window, NOT re-archive the
+    // already-compacted bytes, and commit the correct state.
+    val (ver, pids) = VersionedLayout.appendCompact(
+      spark, dir, ScalePatterns.deleteCompactThreshold)
+    assert(ver == 2 && pids.contains(victim), s"retry v$ver rewrote $pids")
+    // Head answers the post-delete table; the victim pid holds survivors.
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == total - inBand)
+    assert(spark.read.parquet(pdir.toString).count() == survivors.count())
+    // The archive kept the TRUE pre-compact bytes (dead rows included),
+    // so time travel below the compaction still serves version-0 truth.
+    assert(spark.read.parquet(arch.toString).count() == preStateRows,
+      "retry replaced the archived pre-state")
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == total)
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
