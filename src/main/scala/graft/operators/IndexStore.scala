@@ -130,6 +130,17 @@ object IndexStore {
     * readers and a retried compact see exactly the old contract.
     */
   def compact(s: SparkSession, store: String): Int = lock.synchronized {
+    // Recovery preamble: a crashed attempt may have archived the base
+    // without landing its merged replacement — finish that move (the
+    // tmp holds the complete merged index, written before any rename).
+    // With a live base present, any leftover tmp is stale garbage.
+    val baseTmps = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("base.tmp-p")).toSeq
+    if (!new java.io.File(baseDir(store)).isDirectory) {
+      val t = baseTmps.headOption.getOrElse(throw new IllegalStateException(
+        s"$store has no base and no recovery tmp — unrecoverable"))
+      Files.move(t.toPath, Paths.get(baseDir(store)), StandardCopyOption.ATOMIC_MOVE)
+    } else baseTmps.foreach(t => org.apache.commons.io.FileUtils.deleteDirectory(t))
     val deltas = deltaDirs(store)
     if (deltas.isEmpty) return 0
     // Materialize off the input files so the swap below can't race the

@@ -123,6 +123,39 @@ class RetrievalSpec extends SparkSpec {
     assert(toSet(IndexStore.read(spark, store)) == pre(2))
   }
 
+  test("index compact crash-replay: a dead base-swap window is repaired on retry; history stays reconstructible") {
+    import graft.operators.{IndexStore, InvertedIndex}
+    val docs = Tables.documents(spark, sf0001)
+    def side(pred: org.apache.spark.sql.Column) = InvertedIndex
+      .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-index-crash").toString + "/store"
+    IndexStore.init(side(col("doc_id") % 10 =!= 0), store)
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 0), store)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] = df
+      .select(col("word"), concat_ws(",", col("file_ids")).as("ids"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val v0 = toSet(IndexStore.readAsOf(spark, store, 0))
+    val full = toSet(IndexStore.read(spark, store))
+
+    // Simulate the worst crash window by hand: merged result in tmp,
+    // base archived, replacement never landed, delta still live.
+    IndexStore.read(spark, store).localCheckpoint()
+      .select(col("word"), col("file_ids"))
+      .write.mode("overwrite").parquet(s"$store/base.tmp-p0")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$store/_archive/c1"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$store/base"),
+      java.nio.file.Paths.get(s"$store/_archive/c1/base"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+    // Retry: repairs the window, folds the delta, keeps history intact.
+    assert(IndexStore.compact(spark, store) == 1)
+    assert(toSet(IndexStore.read(spark, store)) == full, "retry changed the head index")
+    assert(toSet(IndexStore.readAsOf(spark, store, 0)) == v0, "retry lost the original base")
+    assert(toSet(IndexStore.readAsOf(spark, store, 1)) == full)
+  }
+
   test("q149 index-grain retract is row-identical to a rebuild over the surviving corpus") {
     val docs = Tables.documents(spark, sf0001)
     val retracted = SparkEntry.queries("q149_index_retract")(spark, sf0001).collect()
