@@ -185,6 +185,16 @@ object DeletableRangeLayout {
     * rewritten pids, ascending.
     */
   def compact(s: SparkSession, dir: String, threshold: Double): Seq[Int] = lock.synchronized {
+    // Recovery preamble: a crashed attempt may have deleted a pid dir
+    // without landing its survivors — finish the move (the tmp holds
+    // the complete survivor set, written before the delete).
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact-tmp-"))
+      .foreach { t =>
+        val pdir = Paths.get(dir, s"pid=${t.getName.stripPrefix(".compact-tmp-")}")
+        if (!Files.exists(pdir)) Files.move(t.toPath, pdir, StandardCopyOption.ATOMIC_MOVE)
+        else org.apache.commons.io.FileUtils.deleteDirectory(t) // stale tmp
+      }
     val pids = pidStats(s, dir)
       .where(col("n_deleted") > 0 &&
         col("n_deleted") >= col("n_rows") * threshold)

@@ -234,6 +234,23 @@ class StorageSpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_linenumber"), col("v"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(maskedStale == maskedRows, "stale tombstones changed the masked read")
+
+    // 6. Dead swap window: simulate a crash between a pid dir's delete
+    //    and its survivor move — tmp present, pid dir gone. The retried
+    //    compact must land the survivors before planning.
+    val victim = rewritten.head
+    val vdir = java.nio.file.Paths.get(dir, s"pid=$victim")
+    val vrows = spark.read.parquet(vdir.toString).localCheckpoint()
+    val nV = vrows.count()
+    vrows.write.mode("overwrite").parquet(s"$dir/.compact-tmp-$victim")
+    org.apache.commons.io.FileUtils.deleteDirectory(vdir.toFile)
+    DeletableRangeLayout.compact(spark, dir, th) // recovery runs even if nothing crosses
+    assert(spark.read.parquet(vdir.toString).count() == nV,
+      "retry did not land the crashed pid's survivors")
+    val maskedRecovered = DeletableRangeLayout.maskedRead(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(maskedRecovered == maskedRows, "recovery changed the masked read")
   }
 
   test("versioned layout (q159): AS-OF reads route through compaction archives; vacuum raises the horizon; replayed deletes are empty") {
