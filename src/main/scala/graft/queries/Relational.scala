@@ -679,7 +679,96 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** Declarative DATA-QUALITY GATES — the validation pass a training
+    * pipeline runs before consuming a table (the constraints/
+    * expectations layer of a lakehouse): NOT NULL, value ranges, domain
+    * membership, key uniqueness, referential integrity, and a
+    * cross-table business rule, each emitted as a (rule, violations,
+    * pass) report row rather than a failure — violations are DATA here
+    * (the synthetic lineitem genuinely repeats its natural key, and the
+    * report shows it). Cost shape at 100 TB: all row-grain rules for a
+    * table fold into ONE aggregation pass (conditional counts share the
+    * scan); uniqueness is a distinct-aggregate in the same pass;
+    * referential integrity is one anti-join per FK (broadcast or
+    * sort-merge, never a cartesian); the cross-field rule rides the
+    * ordinary equi-join. Nothing driver-side beyond the bounded report.
+    */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val lrow = l.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(!col("l_discount").between(0, 0.1), 1L).otherwise(0L)).as("v_disc"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"))
+      .first()
+    val orow = o.agg(
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_status"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_total"))
+      .first()
+    val riLineOrders = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .count()
+    val riOrdersCust = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    val shipBeforeOrder = l.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") < col("o_orderdate"))
+      .count()
+    val report = Seq(
+      ("lineitem_discount_range", lrow.getLong(3)),
+      ("lineitem_orderkey_not_null", lrow.getLong(0)),
+      ("lineitem_orders_ri", riLineOrders),
+      ("lineitem_pk_unique", lrow.getLong(4)),
+      ("lineitem_price_positive", lrow.getLong(2)),
+      ("lineitem_quantity_range", lrow.getLong(1)),
+      ("orders_customer_ri", riOrdersCust),
+      ("orders_status_domain", orow.getLong(0)),
+      ("orders_totalprice_positive", orow.getLong(1)),
+      ("ship_after_order", shipBeforeOrder))
+    import s.implicits._
+    report.toDF("rule", "violations")
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_quality_gates", q163, Some(
+      """WITH v AS (
+        |  SELECT 'lineitem_orderkey_not_null' AS rule,
+        |    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem_quantity_range',
+        |    CAST(count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem_price_positive',
+        |    CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_discount_range',
+        |    CAST(count(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 0.1)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem_pk_unique',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem_orders_ri', CAST(count(*) AS BIGINT)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey IS NULL
+        |  UNION ALL SELECT 'orders_customer_ri', CAST(count(*) AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_custkey IS NULL
+        |  UNION ALL SELECT 'orders_status_domain',
+        |    CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'orders_totalprice_positive',
+        |    CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'ship_after_order', CAST(count(*) AS BIGINT)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate < o_orderdate)
+        |SELECT rule, violations, violations = 0 AS pass
+        |FROM v ORDER BY rule""".stripMargin)),
     QueryDef("q142_benford_audit", q142, Some {
       val cases = benfordMilli
         .map { case (dig, m) => s"WHEN digit = $dig THEN $m" }.mkString(" ")
