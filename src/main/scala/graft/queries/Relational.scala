@@ -697,41 +697,44 @@ object Relational {
     val l = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    val lrow = l.agg(
+    // All lineitem row-grain rules + key uniqueness: ONE scan, one
+    // aggregation, then stack() pivots the single summary row into
+    // report rows (plan-asserted one-scan in QueryPlanSpec).
+    val lRules = l.agg(
       sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
       sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
       sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
       sum(when(!col("l_discount").between(0, 0.1), 1L).otherwise(0L)).as("v_disc"),
       (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"))
-      .first()
-    val orow = o.agg(
+      .select(expr(
+        """stack(5,
+          |  'lineitem_orderkey_not_null', v_null,
+          |  'lineitem_quantity_range', v_qty,
+          |  'lineitem_price_positive', v_price,
+          |  'lineitem_discount_range', v_disc,
+          |  'lineitem_pk_unique', v_uniq) AS (rule, violations)""".stripMargin))
+    val oRules = o.agg(
       sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_status"),
       sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_total"))
-      .first()
+      .select(expr(
+        """stack(2,
+          |  'orders_status_domain', v_status,
+          |  'orders_totalprice_positive', v_total) AS (rule, violations)""".stripMargin))
     val riLineOrders = l.select(col("l_orderkey"))
       .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .count()
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_orders_ri").as("rule"), col("violations"))
     val riOrdersCust = o.select(col("o_custkey"))
       .join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
-      .count()
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_customer_ri").as("rule"), col("violations"))
     val shipBeforeOrder = l.select(col("l_orderkey"), col("l_shipdate"))
       .join(o.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .where(col("l_shipdate") < col("o_orderdate"))
-      .count()
-    val report = Seq(
-      ("lineitem_discount_range", lrow.getLong(3)),
-      ("lineitem_orderkey_not_null", lrow.getLong(0)),
-      ("lineitem_orders_ri", riLineOrders),
-      ("lineitem_pk_unique", lrow.getLong(4)),
-      ("lineitem_price_positive", lrow.getLong(2)),
-      ("lineitem_quantity_range", lrow.getLong(1)),
-      ("orders_customer_ri", riOrdersCust),
-      ("orders_status_domain", orow.getLong(0)),
-      ("orders_totalprice_positive", orow.getLong(1)),
-      ("ship_after_order", shipBeforeOrder))
-    import s.implicits._
-    report.toDF("rule", "violations")
+      .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("violations"))
+      .select(lit("ship_after_order").as("rule"), col("violations"))
+    Seq(lRules, oRules, riLineOrders, riOrdersCust, shipBeforeOrder)
+      .reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
       .orderBy(col("rule"))
   }

@@ -340,6 +340,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 lineitem scan, found $scans\n$p")
   }
 
+  test("q163 quality gates: rules share scans (10 rules, <= 7 scans), every check an aggregate or anti-join") {
+    val p = plan("q163_quality_gates").split("== Initial Plan ==")(0)
+    // Row-grain rules fold into one scan per table; only the FK/cross
+    // checks re-touch a table (lineitem 3x, orders 4x, customer 1x).
+    // A scan count at the rule count would mean per-rule passes
+    // regressed.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 8, s"expected <= 8 scans for 10 rules, found $scans\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q130 triangles: candidates and wedges from equi-joins only (no nested loop/cartesian)") {
     // Degree orientation only bounds the wedge join if the joins stay
     // hash/merge equi-joins; a nested-loop anywhere means the pair space
