@@ -118,6 +118,21 @@ package graft
   * feature work parallelizes into more partitions, not deeper ones. q29
   * is overhead-dominated at this vector count (50k x 128 dims is far
   * below the stage-launch floor). Nothing superlinear: no finding.
+  *
+  * MEASURED (round 7, retrieval family — the reference workload itself
+  * at 10x corpus and 10x vocabulary):
+  * {{{
+  * query                     t(1x)   t(10x)  slope
+  * q40_tfidf_top_terms       2.10 s   3.81 s  1.81
+  * q115_bm25_topk            2.67 s   3.13 s  1.17
+  * q18_word_doc_freq         0.50 s   0.55 s  1.09
+  * q17_inverted_index        0.59 s   0.58 s  0.99
+  * }}}
+  * The flagship inverted index is FLAT at 10x the corpus: its cost is
+  * dominated by the per-word aggregate grain, and 10x the vocabulary
+  * spreads over 10x the parallelism. TF-IDF's 1.81 carries the extra
+  * per-document join; BM25 rides q60's candidate caps. Nothing
+  * superlinear: no finding.
   */
 object ScaleSlope {
   def main(args: Array[String]): Unit = {
