@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance over a [[VersionedLayout]] commit log —
+  * the refresh path for derived aggregates: instead of rescanning the
+  * table at every version, the materialized aggregate is updated by
+  * each commit's bounded delta. An insert segment ADDS its aggregate; a
+  * delete/upsert SUBTRACTS the aggregate of exactly the rows its
+  * tombstones killed (recovered by a key join against the pre-state,
+  * work proportional to the DELETE, not the table); a compaction and a
+  * vacuum contribute nothing (no logical change). Exact for abelian
+  * aggregates (count/sum) because the version-stamp rule makes each
+  * commit's kill set disjoint from its insert set.
+  *
+  * [[audit]] additionally recomputes every version from scratch and
+  * emits an `incremental_ok` flag per version — at 100 TB only the
+  * incremental path runs; the recompute is the proof harness
+  * (registry-surfaced as q162, where the oracle pins the flag TRUE).
+  * Both sides run as ONE grouped aggregation each (union-all tagged by
+  * version), so the whole audit is two jobs plus a bounded driver fold.
+  */
+object IncrementalView {
+
+  private val key = Seq("pid", "l_orderkey", "l_linenumber", "v")
+
+  /** (version -> (n_rows, sum v, sum quantity-centi)) for every logged
+    * version, recomputed FROM SCRATCH in one grouped aggregation.
+    */
+  def fullAggregates(s: SparkSession, dir: String): Map[Int, (Long, Long, Long)] = {
+    val qtyCenti = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    VersionedLayout.log(dir).map { e =>
+      VersionedLayout.readAsOf(s, dir, e.version)
+        .select(lit(e.version).as("version"), col("v"), qtyCenti.as("qc"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("tc"), sum(col("qc")).as("qc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  }
+
+  /** (version -> signed delta) for every mutating commit, in one
+    * grouped aggregation: inserts count +1, tombstone-killed rows -1.
+    */
+  def commitDeltas(s: SparkSession, dir: String): Map[Int, (Long, Long, Long)] = {
+    val qtyCenti = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    val parts = VersionedLayout.log(dir).flatMap { e =>
+      val ins =
+        if (e.action == "insert" || e.action == "upsert")
+          Seq(VersionedLayout.insertsAt(s, dir, e.version)
+            .select(lit(e.version).as("version"), lit(1L).as("sign"),
+              col("v"), qtyCenti.as("qc")))
+        else Nil
+      val killed =
+        if (e.action == "delete" || e.action == "upsert")
+          Seq(VersionedLayout.readAsOf(s, dir, e.version - 1)
+            .join(VersionedLayout.tombstonesAt(s, dir, e.version)
+              .select(key.map(col): _*), key, "left_semi")
+            .select(lit(e.version).as("version"), lit(-1L).as("sign"),
+              col("v"), qtyCenti.as("qc")))
+        else Nil
+      ins ++ killed
+    }
+    if (parts.isEmpty) Map.empty
+    else parts.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(sum(col("sign")).as("n"), sum(col("sign") * col("v")).as("tc"),
+        sum(col("sign") * col("qc")).as("qc"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  }
+
+  /** The maintained view per version (seeded by v0's full aggregate,
+    * refreshed by each commit's delta) alongside the from-scratch
+    * answer: (version, n_rows, total_centi, qty_centi, incremental_ok).
+    */
+  def audit(s: SparkSession, dir: String): DataFrame = {
+    val fulls = fullAggregates(s, dir)
+    val deltas = commitDeltas(s, dir)
+    val rows = VersionedLayout.log(dir).scanLeft((-1, fulls(0))) {
+      case ((_, (n, tc, qc)), e) =>
+        val (dn, dtc, dqc) =
+          if (e.version == 0) (0L, 0L, 0L)
+          else deltas.getOrElse(e.version, (0L, 0L, 0L))
+        (e.version, (n + dn, tc + dtc, qc + dqc))
+    }.drop(1).map { case (ver, mv @ (n, tc, qc)) =>
+      (ver.toLong, n, tc, qc, mv == fulls(ver))
+    }
+    import s.implicits._
+    rows.toDF("version", "n_rows", "total_centi", "qty_centi", "incremental_ok")
+      .orderBy(col("version"))
+  }
+}

@@ -1270,62 +1270,8 @@ object ScalePatterns {
     * fails the round. At scale only the incremental path runs; the
     * recompute here is the proof, not the product.
     */
-  private def q162(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.VersionedLayout
-    val dir = ensureCrudScenario(s, d)
-    val entries = VersionedLayout.log(dir)
-    val qtyCenti = expr("CAST(round(l_quantity * 100) AS BIGINT)")
-    val key = Seq("pid", "l_orderkey", "l_linenumber", "v")
-    // ONE job for the proof side: every version recomputed from scratch
-    // (union-all tagged by version, one grouped aggregation).
-    val fulls: Map[Int, (Long, Long, Long)] = entries.map { e =>
-      VersionedLayout.readAsOf(s, dir, e.version)
-        .select(lit(e.version).as("version"), col("v"), qtyCenti.as("qc"))
-    }.reduce(_ unionByName _)
-      .groupBy(col("version"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("tc"), sum(col("qc")).as("qc"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    // ONE job for the refresh side: every commit's bounded SIGNED delta
-    // (inserts +1, killed rows -1; killed recovered by a semi-join
-    // bounded by the tombstone set, work ~ the DELETE, not the table).
-    val parts = entries.flatMap { e =>
-      val ins =
-        if (e.action == "insert" || e.action == "upsert")
-          Seq(VersionedLayout.insertsAt(s, dir, e.version)
-            .select(lit(e.version).as("version"), lit(1L).as("sign"),
-              col("v"), qtyCenti.as("qc")))
-        else Nil
-      val killed =
-        if (e.action == "delete" || e.action == "upsert")
-          Seq(VersionedLayout.readAsOf(s, dir, e.version - 1)
-            .join(VersionedLayout.tombstonesAt(s, dir, e.version)
-              .select(key.map(col): _*), key, "left_semi")
-            .select(lit(e.version).as("version"), lit(-1L).as("sign"),
-              col("v"), qtyCenti.as("qc")))
-        else Nil
-      ins ++ killed
-    }
-    val deltas: Map[Int, (Long, Long, Long)] =
-      if (parts.isEmpty) Map.empty
-      else parts.reduce(_ unionByName _)
-        .groupBy(col("version"))
-        .agg(sum(col("sign")).as("n"), sum(col("sign") * col("v")).as("tc"),
-          sum(col("sign") * col("qc")).as("qc"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    // Driver-side prefix fold over the BOUNDED version list: the MV is
-    // seeded by v0's aggregate and refreshed by each commit's delta.
-    val rows = entries.scanLeft((-1, fulls(0))) { case ((_, (n, tc, qc)), e) =>
-      val (dn, dtc, dqc) =
-        if (e.version == 0) (0L, 0L, 0L)
-        else deltas.getOrElse(e.version, (0L, 0L, 0L))
-      (e.version, (n + dn, tc + dtc, qc + dqc))
-    }.drop(1).map { case (ver, mv @ (n, tc, qc)) =>
-      (ver.toLong, n, tc, qc, mv == fulls(ver))
-    }
-    import s.implicits._
-    rows.toDF("version", "n_rows", "total_centi", "qty_centi", "incremental_ok")
-      .orderBy(col("version"))
-  }
+  private def q162(s: SparkSession, d: String): DataFrame =
+    graft.operators.IncrementalView.audit(s, ensureCrudScenario(s, d))
 
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
     * shipped [[deleteCompactThreshold]] 0.05). Integer so the

@@ -321,6 +321,38 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 3).count() == total - inA - inB)
   }
 
+  test("incremental view maintenance generalizes: arbitrary commit history, every version's refresh equals the recompute") {
+    import graft.operators.{IncrementalView, VersionedLayout}
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-ivm").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    // A history DIFFERENT from q160's canned scenario, interleaving
+    // every action type (and a second delete AFTER the compaction).
+    def freshRows(offset: Long, lo: Long, hi: Long) = spark.read.parquet(dir)
+      .where(col("v").between(lo, hi))
+      .select((col("v") + 3).as("v"), (col("l_orderkey") + offset).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"),
+        col("pid").cast("int").as("pid")).localCheckpoint()
+    VersionedLayout.appendInsert(spark, dir, freshRows(700000000L, 450000L, 460000L)) // v1
+    VersionedLayout.appendDelete(spark, dir, col("v").between(300000L, 400000L))      // v2
+    VersionedLayout.appendInsert(spark, dir, freshRows(710000000L, 470000L, 480000L)) // v3
+    VersionedLayout.appendCompact(spark, dir, 0.01)                                   // v4
+    VersionedLayout.appendUpsert(spark, dir, col("v").between(600000L, 650000L),
+      m => m.withColumn("l_quantity", col("l_quantity") + 5))                         // v5
+    VersionedLayout.appendDelete(spark, dir, col("v").between(470000L, 480003L))      // v6: kills v3 rows too
+    val audit = IncrementalView.audit(spark, dir).collect()
+    assert(audit.length == 7, s"expected 7 versions, got ${audit.length}")
+    val bad = audit.filterNot(_.getBoolean(4)).map(_.getLong(0))
+    assert(bad.isEmpty, s"incremental refresh diverged at versions ${bad.toSeq}")
+    // Sanity: the history actually changed the view at every mutation.
+    val counts = audit.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1) > counts(0) && counts(2) < counts(1) && counts(3) > counts(2))
+    assert(counts(4) == counts(3), "compaction changed the logical view")
+    assert(counts(5) == counts(4), "upsert changed the row count")
+    assert(counts(6) < counts(5))
+  }
+
   test("versioned compact crash-replay: a retry lands the survivors and keeps the FIRST archive (true pre-state); AS-OF history intact") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
