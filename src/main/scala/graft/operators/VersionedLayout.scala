@@ -310,6 +310,40 @@ object VersionedLayout {
   def insertsAt(s: SparkSession, dir: String, ver: Int): DataFrame =
     s.read.parquet(insertDir(dir, ver))
 
+  /** CHANGE DATA FEED: the row-level changes committed in versions
+    * (fromV, toV] — each insert-segment row tagged `insert`, each
+    * tombstone-killed row tagged `delete` (its full values recovered
+    * from the pre-state by a key join bounded by the tombstone set),
+    * stamped with the committing version. Compactions and vacuums emit
+    * nothing (no logical change). This is the subscription surface an
+    * incremental downstream consumes instead of diffing snapshots —
+    * work proportional to the CHANGES, not the table; the IVM audit
+    * (IncrementalView) is exactly this feed folded into an aggregate.
+    */
+  def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+    val key = "pid" +: rowKey
+    val parts = log(dir).filter(e => e.version > fromV && e.version <= toV).flatMap { e =>
+      val ins =
+        if (e.action == "insert" || e.action == "upsert")
+          Seq(insertsAt(s, dir, e.version)
+            .withColumn("change_type", lit("insert"))
+            .withColumn("change_version", lit(e.version)))
+        else Nil
+      val del =
+        if (e.action == "delete" || e.action == "upsert")
+          Seq(readAsOf(s, dir, e.version - 1)
+            .join(tombstonesAt(s, dir, e.version).select(key.map(col): _*), key, "left_semi")
+            .withColumn("change_type", lit("delete"))
+            .withColumn("change_version", lit(e.version)))
+        else Nil
+      ins ++ del
+    }
+    if (parts.isEmpty)
+      s.emptyDataFrame
+        .withColumn("change_type", lit("")).withColumn("change_version", lit(0))
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Tombstone versions <= v, each row stamped with the version that
     * committed it (`_tomb_ver`). Empty frame when none.
     */

@@ -1273,6 +1273,30 @@ object ScalePatterns {
   private def q162(s: SparkSession, d: String): DataFrame =
     graft.operators.IncrementalView.audit(s, ensureCrudScenario(s, d))
 
+  /** CHANGE DATA FEED over q160's history — the row-level subscription
+    * surface an incremental downstream consumes instead of diffing
+    * snapshots: every change committed in versions (0, head], tagged
+    * insert/delete and stamped with its committing version, summarized
+    * per (version, change_type). An upsert appears as its delete+insert
+    * pair at the same version; the compaction emits NOTHING (physical
+    * reorganization is not a logical change — the invariant that makes
+    * the feed safe to consume across maintenance). Work is proportional
+    * to the changes (segments + tombstone-bounded key joins), never a
+    * table diff.
+    */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    VersionedLayout.changeFeed(s, dir, 0, VersionedLayout.currentVersion(dir))
+      .groupBy(col("change_version"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).as("total_centi"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+      .select(col("change_version").cast("long").as("version"), col("change_type"),
+        col("n_rows"), col("total_centi"), col("qty_centi"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
     * shipped [[deleteCompactThreshold]] 0.05). Integer so the
     * crossing test is exact cross-multiplication in both engines.
@@ -1376,6 +1400,28 @@ object ScalePatterns {
          |FROM lineitem
          |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
          |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
+    QueryDef("q164_change_data_feed", q164, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+         |  FROM lineitem),
+         |feed AS (
+         |  SELECT 1 AS version, 'insert' AS change_type, count(*) AS n,
+         |    sum(v + 5) AS tc, sum(q) AS qc
+         |  FROM s WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti
+         |  UNION ALL
+         |  SELECT 2, 'delete', count(*), sum(v), sum(q)
+         |  FROM s WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |  UNION ALL
+         |  SELECT 2, 'insert', count(*), sum(v), sum(q + 10000)
+         |  FROM s WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |  UNION ALL
+         |  SELECT 3, 'delete', count(*), sum(v), sum(q)
+         |  FROM s WHERE v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+         |SELECT CAST(version AS BIGINT) AS version, change_type,
+         |  CAST(n AS BIGINT) AS n_rows, CAST(tc AS BIGINT) AS total_centi,
+         |  CAST(qc AS BIGINT) AS qty_centi
+         |FROM feed ORDER BY version, change_type""".stripMargin)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
