@@ -227,7 +227,11 @@ object VersionedLayout {
         val pdir = Paths.get(dir, s"pid=$p")
         if (!Files.exists(pdir)) Files.move(t.toPath, pdir, StandardCopyOption.ATOMIC_MOVE)
       }
-    val tombs = tombstonesThrough(s, dir, ver - 1).localCheckpoint()
+    // Only tombstones since the last major fold: older ones were
+    // applied physically by the fold, and re-applying one could kill a
+    // folded same-key replacement.
+    val tombs = tombstonesIn(s, dir, majorAtOrBefore(log(dir), ver - 1), ver - 1)
+      .localCheckpoint()
     val stats = s.read.parquet(dir).groupBy(col("pid")).agg(count(lit(1)).as("n_rows"))
       .join(tombs.groupBy(col("pid")).agg(countDistinct(
         col("l_orderkey"), col("l_linenumber"), col("v")).as("n_deleted")),
@@ -257,6 +261,64 @@ object VersionedLayout {
     (ver, pids)
   }
 
+  /** MAJOR compaction as version `currentVersion + 1`: fold the insert
+    * segments and every outstanding tombstone into a fresh single base,
+    * so head reads return to one-source scans (no segment union, no
+    * anti-join) — the maintenance step that bounds what continuous
+    * ingest otherwise grows without limit. The pre-fold base pid dirs
+    * AND the folded segments are archived (rename-cost), so AS-OF reads
+    * below the fold keep working; the fold version becomes the base's
+    * source version, which is what lets a folded same-key upsert
+    * replacement survive its own (older) tombstone. Crash-replay: the
+    * folded base lands in `.major-tmp` FIRST (complete before any
+    * move), archive moves keep the first copy (pre-fold truth), and the
+    * strict order archive-all-then-land-all makes the retry preamble
+    * unambiguous. Returns (version, pre-fold pid set).
+    */
+  def majorCompact(s: SparkSession, dir: String): (Int, Seq[Int]) = {
+    val entries = log(dir)
+    val ver = entries.last.version + 1
+    val tmpBase = s"$dir/.major-tmp"
+    val arch = archiveDir(dir, ver)
+    // 1. The folded head snapshot, written completely before any move
+    //    (a crashed attempt's complete tmp is reused as-is).
+    if (!new java.io.File(s"$tmpBase/_SUCCESS").isFile) {
+      val snapshot = readAsOf(s, dir, ver - 1).localCheckpoint()
+      snapshot.write.mode("overwrite").partitionBy("pid").parquet(tmpBase)
+    }
+    def pidDirs(root: String): Seq[String] =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("pid=")).map(_.getName).toSeq
+    // 2. Archive every pre-fold pid dir. Replay rule: if the archive
+    //    already holds a pid, the live copy (if any) is a post-fold dir
+    //    landed by the crashed attempt — never re-archive it.
+    Files.createDirectories(Paths.get(arch))
+    val preFold = (pidDirs(dir) ++ pidDirs(arch)).distinct
+    pidDirs(dir).foreach { name =>
+      val target = Paths.get(arch, name)
+      if (!Files.exists(target))
+        Files.move(Paths.get(dir, name), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // 3. Archive the folded segments (same keep-first rule).
+    Files.createDirectories(Paths.get(s"$arch/inserts"))
+    entries.filter(e => e.action == "insert" || e.action == "upsert").foreach { e =>
+      val live = Paths.get(insertDir(dir, e.version))
+      val target = Paths.get(s"$arch/inserts/v${e.version}")
+      if (Files.exists(live) && !Files.exists(target))
+        Files.move(live, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // 4. Land the fold and commit.
+    pidDirs(tmpBase).foreach { name =>
+      val target = Paths.get(dir, name)
+      if (!Files.exists(target))
+        Files.move(Paths.get(tmpBase, name), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpBase))
+    val pids = preFold.map(_.stripPrefix("pid=").toInt).sorted
+    commit(dir, LogEntry(ver, "majorcompact", pids, 0))
+    (ver, pids)
+  }
+
   /** Drop the archives backing versions BELOW `keepFrom`, GC the
     * tombstone metadata those compactions made dead, and raise the
     * horizon. Time travel below the new horizon fails explicitly.
@@ -275,9 +337,14 @@ object VersionedLayout {
   def vacuum(s: SparkSession, dir: String, keepFrom: Int): Unit = {
     val entries = log(dir)
     val ver = entries.last.version + 1
-    val compactsInScope = entries.filter(e => e.action == "compact" && e.version <= keepFrom)
+    val compactsInScope = entries.filter(e =>
+      (e.action == "compact" || e.action == "majorcompact") && e.version <= keepFrom)
+    // Only LIVE segments constrain GC: a segment folded by a major
+    // compaction is reachable solely via AS-OF below that fold, which
+    // the rising horizon forbids anyway.
     val segVersions = entries
       .filter(e => e.action == "insert" || e.action == "upsert").map(_.version)
+      .filter(sv => new java.io.File(insertDir(dir, sv)).isDirectory)
     entries
       .filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= keepFrom)
       .foreach { te =>
@@ -344,12 +411,22 @@ object VersionedLayout {
     else parts.reduce(_ unionByName _)
   }
 
-  /** Tombstone versions <= v, each row stamped with the version that
-    * committed it (`_tomb_ver`). Empty frame when none.
+  /** The latest major compaction at or before `v` (0 when none) — the
+    * fold horizon: rows in the base as of `v` carry this as their
+    * source version, and only tombstones AFTER it still apply (older
+    * ones were applied physically by the fold).
     */
-  private def tombstonesThrough(s: SparkSession, dir: String, v: Int): DataFrame = {
+  private def majorAtOrBefore(entries: Seq[LogEntry], v: Int): Int =
+    entries.filter(e => e.action == "majorcompact" && e.version <= v)
+      .map(_.version).maxOption.getOrElse(0)
+
+  /** Tombstone versions in (after, v], each row stamped with the
+    * version that committed it (`_tomb_ver`). Empty frame when none.
+    */
+  private def tombstonesIn(s: SparkSession, dir: String, after: Int, v: Int): DataFrame = {
     val vers = log(dir)
-      .filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= v)
+      .filter(e => (e.action == "delete" || e.action == "upsert")
+        && e.version > after && e.version <= v)
       .map(_.version)
     if (vers.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
@@ -369,15 +446,28 @@ object VersionedLayout {
     * scoping of a table format's deletion vectors. Planning is pure log
     * metadata — no data pass.
     */
+  /** Resolve an insert segment's current location: live, or inside the
+    * archive of the major compaction that folded it.
+    */
+  private def locateSegment(dir: String, entries: Seq[LogEntry], segVer: Int): String = {
+    val live = insertDir(dir, segVer)
+    if (new java.io.File(live).isDirectory) return live
+    entries.filter(e => e.action == "majorcompact" && e.version > segVer)
+      .map(e => s"${archiveDir(dir, e.version)}/inserts/v$segVer")
+      .find(p => new java.io.File(p).isDirectory)
+      .getOrElse(throw new IllegalArgumentException(
+        s"insert segment v$segVer of $dir is not addressable (vacuumed)"))
+  }
+
   def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
     val entries = log(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
     require(v >= horizon(dir),
       s"version $v is below the vacuum horizon ${horizon(dir)} — its archives are gone")
-    // For each pid ever rewritten, the first compact version AFTER v
-    // holds its pre-rewrite files; pids without one read live.
+    // For each pid ever rewritten, the first compaction (minor or
+    // major) AFTER v holds its pre-rewrite files; others read live.
     val archived: Map[Int, Int] = entries
-      .filter(e => e.action == "compact" && e.version > v)
+      .filter(e => (e.action == "compact" || e.action == "majorcompact") && e.version > v)
       .flatMap(e => e.pids.map(_ -> e.version))
       .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).min }
     val livePids = new java.io.File(dir).listFiles()
@@ -391,17 +481,22 @@ object VersionedLayout {
     val archDf = archived.toSeq.map { case (p, c) =>
       s.read.option("basePath", archiveDir(dir, c)).parquet(s"${archiveDir(dir, c)}/pid=$p")
     }
-    // Base files are commit-version 0 regardless of later rewrites (a
-    // compaction changes bytes, not row identity); each insert segment
-    // carries its own commit version.
+    // The base's source version is the latest major fold at or before
+    // v: a fold physically applied every older tombstone and absorbed
+    // every older segment, so its output rows are "committed at m" —
+    // only tombstones after m may kill them (this is what lets a folded
+    // same-key upsert replacement survive its own old tombstone). Minor
+    // compactions change bytes, not row identity.
+    val m = majorAtOrBefore(entries, v)
     val base = (liveDf.toSeq ++ archDf).reduce(_ unionByName _)
-      .withColumn("_src_ver", lit(0))
+      .withColumn("_src_ver", lit(m))
     val segs = entries
-      .filter(e => (e.action == "insert" || e.action == "upsert") && e.version <= v)
-      .map(e => s.read.parquet(insertDir(dir, e.version))
+      .filter(e => (e.action == "insert" || e.action == "upsert")
+        && e.version > m && e.version <= v)
+      .map(e => s.read.parquet(locateSegment(dir, entries, e.version))
         .withColumn("_src_ver", lit(e.version)))
     val data = (base +: segs).reduce(_ unionByName _).alias("dt")
-    val tombs = tombstonesThrough(s, dir, v).alias("tb")
+    val tombs = tombstonesIn(s, dir, m, v).alias("tb")
     val joinKey = ("pid" +: rowKey)
       .map(k => col(s"dt.$k") === col(s"tb.$k"))
       .reduce(_ && _)

@@ -1297,6 +1297,73 @@ object ScalePatterns {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** Stable location of q165's major-compaction layout. */
+  private[graft] def majorLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_major_$sfx").getAbsolutePath
+  }
+  private val majorLock = new Object
+
+  /** Build (or fast-forward) q165's history: v0 base, v1 insert, v2
+    * same-key upsert, v3 delete, v4 MAJOR COMPACT (segments + tombstones
+    * folded into a single fresh base). Same bands as q160 on a private
+    * dir; deterministic, so sessions resume from the log.
+    */
+  private def ensureMajorScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = majorLayoutDir(d)
+    majorLock.synchronized {
+      val uppers = rangeUppers(s, d)
+      VersionedLayout.writeBase(s, d, dir, uppers)
+      if (VersionedLayout.currentVersion(dir) < 1) {
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("v").between(crudInsertLoCenti, crudInsertHiCenti))
+            .select((col("v") + 5).as("v"),
+              (col("l_orderkey") + crudInsertKeyOffset).as("l_orderkey"),
+              col("l_linenumber"), col("l_quantity"))
+            .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int")))
+      }
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendUpsert(s, dir,
+          col("v").between(crudUpsertLoCenti, crudUpsertHiCenti),
+          m => m.withColumn("l_quantity", col("l_quantity") + 100))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** MAJOR compaction with time travel — the maintenance step that
+    * bounds what continuous ingest grows without limit: v4 folds q165's
+    * insert segments and every outstanding tombstone into a single
+    * fresh base, so the head read is one-source (no segment union, no
+    * anti-join) while v0–v3 stay addressable through the fold's
+    * archive. The v2 same-key upsert is the sharp edge: its replacement
+    * row is folded INTO the base while its tombstone remains in the
+    * log, and only the fold-version source stamp keeps that tombstone
+    * from re-killing the replacement — the gate's v4 == v3 equality (on
+    * qty_centi specifically) proves the stamp rule end to end. Same
+    * oracle discipline as q159/q160: every version derived from the
+    * immutable source.
+    */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureMajorScenario(s, d)
+    (0 to 4).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+        .select(lit(ver.toLong).as("version"),
+          col("n_rows"), col("total_centi"), col("qty_centi"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
     * shipped [[deleteCompactThreshold]] 0.05). Integer so the
     * crossing test is exact cross-multiplication in both engines.
@@ -1400,6 +1467,31 @@ object ScalePatterns {
          |FROM lineitem
          |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
          |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
+    QueryDef("q165_major_compact", q165, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+         |  FROM lineitem),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (
+         |  SELECT ver.version, s.v,
+         |    CASE WHEN ver.version >= 2
+         |           AND s.v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |         THEN s.q + 10000 ELSE s.q END AS q
+         |  FROM ver JOIN s
+         |    ON NOT (ver.version >= 3
+         |            AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)),
+         |ins AS (
+         |  SELECT ver.version, s.v + 5 AS v, s.q AS q
+         |  FROM ver JOIN s
+         |    ON ver.version >= 1
+         |   AND s.v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(v) AS BIGINT) AS total_centi,
+         |  CAST(sum(q) AS BIGINT) AS qty_centi
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q164_change_data_feed", q164, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -353,6 +353,57 @@ class StorageSpec extends SparkSpec {
     assert(counts(6) < counts(5))
   }
 
+  test("major compaction (q165): head reads are single-source, history routes through the fold archive, post-fold mutations work") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-major").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val two = spark.read.parquet(dir).limit(2)
+      .select((col("v") + 1).as("v"), (col("l_orderkey") + 910000000L).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("pid").cast("int").as("pid"))
+      .localCheckpoint()
+    VersionedLayout.appendInsert(spark, dir, two) // v1
+    val k = two.orderBy(col("l_orderkey"), col("l_linenumber")).first()
+    val (kOk, kLn) = (k.getLong(1), k.getInt(2))
+    // v2: same-key upsert of an INSERTED row — after the fold, both the
+    // replacement and its tombstone history live in the base lineage.
+    VersionedLayout.appendUpsert(spark, dir,
+      col("l_orderkey") === kOk && col("l_linenumber") === kLn,
+      m => m.withColumn("l_quantity", col("l_quantity") + 7))
+    VersionedLayout.appendDelete(spark, dir, col("v").between(300000L, 400000L)) // v3
+    val pre = (0 to 3).map(v => VersionedLayout.readAsOf(spark, dir, v).count())
+
+    val (ver, _) = VersionedLayout.majorCompact(spark, dir)
+    assert(ver == 4)
+    // Head: same answer, SINGLE-source read — no segments, no archive.
+    val head = VersionedLayout.readAsOf(spark, dir, 4)
+    assert(head.count() == pre(3))
+    val headFiles = head.inputFiles
+    assert(!headFiles.exists(f => f.contains("_inserts") || f.contains("_archive")),
+      "post-fold head read still unions segments or archives")
+    // The folded same-key replacement survived its own old tombstone.
+    val rows = head.where(col("l_orderkey") === kOk && col("l_linenumber") === kLn)
+      .select(col("l_quantity")).collect()
+    assert(rows.length == 1 && rows.head.getDouble(0) == k.getDouble(3) + 7,
+      "fold re-killed the upsert replacement (source-stamp regression)")
+    // Every pre-fold version still answers through the fold's archive.
+    (0 to 3).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dir, v).count() == pre(v),
+        s"AS-OF $v diverged across the major fold")
+    }
+    assert(VersionedLayout.readAsOf(spark, dir, 1).inputFiles
+      .exists(_.contains("_archive/v4/inserts/v1")),
+      "pre-fold read did not route through the archived segment")
+    // Post-fold mutations keep working: a delete against the new base.
+    VersionedLayout.appendDelete(spark, dir, col("l_orderkey") === kOk)
+    assert(VersionedLayout.readAsOf(spark, dir, 5).count() == pre(3) - 1)
+    // A post-fold MINOR compact must not re-apply pre-fold tombstones.
+    VersionedLayout.appendCompact(spark, dir, 0.0)
+    assert(VersionedLayout.readAsOf(spark, dir, 6).count() == pre(3) - 1,
+      "post-fold minor compact changed the answer")
+  }
+
   test("change data feed replays: v0 + inserts - deletes reproduces the head snapshot row-for-row") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
