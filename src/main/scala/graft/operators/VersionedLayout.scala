@@ -478,8 +478,12 @@ object VersionedLayout {
       if (livePids.isEmpty) None
       else Some(s.read.option("basePath", dir)
         .parquet(livePids.map(p => s"$dir/pid=$p"): _*))
-    val archDf = archived.toSeq.map { case (p, c) =>
-      s.read.option("basePath", archiveDir(dir, c)).parquet(s"${archiveDir(dir, c)}/pid=$p")
+    // ONE read per archive generation (multi-path), not one per pid —
+    // per-pid relations made archive-heavy AS-OF plans explode in
+    // codegen size (32 scans where one suffices).
+    val archDf = archived.toSeq.groupBy(_._2).toSeq.map { case (c, ps) =>
+      s.read.option("basePath", archiveDir(dir, c))
+        .parquet(ps.map { case (p, _) => s"${archiveDir(dir, c)}/pid=$p" }: _*)
     }
     // The base's source version is the latest major fold at or before
     // v: a fold physically applied every older tombstone and absorbed

@@ -1355,13 +1355,17 @@ object ScalePatterns {
   private def q165(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout
     val dir = ensureMajorScenario(s, d)
+    // One grouped aggregation over the version-tagged union (the q162
+    // discipline): five AS-OF plans share a single job.
     (0 to 4).map { ver =>
       VersionedLayout.readAsOf(s, dir, ver)
-        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
-          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
-        .select(lit(ver.toLong).as("version"),
-          col("n_rows"), col("total_centi"), col("qty_centi"))
-    }.reduce(_ unionByName _).orderBy(col("version"))
+        .select(lit(ver.toLong).as("version"), col("v"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(col("qc")).as("qty_centi"))
+      .orderBy(col("version"))
   }
 
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
