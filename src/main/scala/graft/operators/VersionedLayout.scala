@@ -373,9 +373,13 @@ object VersionedLayout {
   def tombstonesAt(s: SparkSession, dir: String, ver: Int): DataFrame =
     s.read.schema(tombSchema).parquet(tombDir(dir, ver))
 
-  /** The insert segment one version committed (incremental consumers). */
+  /** The insert segment one version committed (incremental consumers) —
+    * resolved through the fold archives when a major compaction has
+    * since absorbed it, so change feeds and IVM audits keep working
+    * across maintenance.
+    */
   def insertsAt(s: SparkSession, dir: String, ver: Int): DataFrame =
-    s.read.parquet(insertDir(dir, ver))
+    s.read.parquet(locateSegment(dir, log(dir), ver))
 
   /** CHANGE DATA FEED: the row-level changes committed in versions
     * (fromV, toV] — each insert-segment row tagged `insert`, each

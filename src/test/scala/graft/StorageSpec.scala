@@ -341,8 +341,9 @@ class StorageSpec extends SparkSpec {
     VersionedLayout.appendUpsert(spark, dir, col("v").between(600000L, 650000L),
       m => m.withColumn("l_quantity", col("l_quantity") + 5))                         // v5
     VersionedLayout.appendDelete(spark, dir, col("v").between(470000L, 480003L))      // v6: kills v3 rows too
+    VersionedLayout.majorCompact(spark, dir)                                          // v7: folds everything
     val audit = IncrementalView.audit(spark, dir).collect()
-    assert(audit.length == 7, s"expected 7 versions, got ${audit.length}")
+    assert(audit.length == 8, s"expected 8 versions, got ${audit.length}")
     val bad = audit.filterNot(_.getBoolean(4)).map(_.getLong(0))
     assert(bad.isEmpty, s"incremental refresh diverged at versions ${bad.toSeq}")
     // Sanity: the history actually changed the view at every mutation.
