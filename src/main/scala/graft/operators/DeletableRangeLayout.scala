@@ -179,21 +179,39 @@ object DeletableRangeLayout {
 
   /** Rewrite every pid directory whose deleted fraction is at least
     * `threshold` (and which has any tombstones at all): survivors are
-    * written to a dot-prefixed tmp dir, swapped in via atomic rename,
-    * and the rewritten pids' tombstones are dropped LAST — see the
-    * object scaladoc for the crash-safety argument. Returns the
-    * rewritten pids, ascending.
+    * written to a dot-prefixed tmp dir, swapped in via two ATOMIC
+    * renames (live -> `.compact-old-`, tmp -> live, then delete old —
+    * the live path never holds a partially-written directory), and the
+    * rewritten pids' tombstones are dropped LAST — see the object
+    * scaladoc for the crash-safety argument. Returns the rewritten
+    * pids, ascending.
     */
   def compact(s: SparkSession, dir: String, threshold: Double): Seq[Int] = lock.synchronized {
-    // Recovery preamble: a crashed attempt may have deleted a pid dir
-    // without landing its survivors — finish the move (the tmp holds
-    // the complete survivor set, written before the delete).
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".compact-tmp-"))
+    // Recovery preamble. Crash windows of the rename protocol, keyed by
+    // what survives: (a) tmp only — pre-swap crash; pid dir + tombstones
+    // are still the whole truth, drop the tmp. (b) old + tmp, live
+    // missing — crash between the two renames; finish the swap. (c) old
+    // + live — crash before the old-dir delete; survivors landed, drop
+    // the old copy. Every leftover is a COMPLETE directory (renames are
+    // atomic), so no branch ever reads partial bytes.
+    val entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    entries.filter(f => f.isDirectory && f.getName.startsWith(".compact-old-")).foreach { o =>
+      val p = o.getName.stripPrefix(".compact-old-")
+      val pdir = Paths.get(dir, s"pid=$p")
+      val tmp = Paths.get(dir, s".compact-tmp-$p")
+      if (!Files.exists(pdir)) {
+        if (Files.exists(tmp)) Files.move(tmp, pdir, StandardCopyOption.ATOMIC_MOVE)
+        else Files.move(o.toPath, pdir, StandardCopyOption.ATOMIC_MOVE) // defensive: un-swap
+      }
+      if (Files.exists(pdir) && Files.exists(o.toPath))
+        org.apache.commons.io.FileUtils.deleteDirectory(o)
+    }
+    entries.filter(f => f.isDirectory && f.getName.startsWith(".compact-tmp-"))
       .foreach { t =>
         val pdir = Paths.get(dir, s"pid=${t.getName.stripPrefix(".compact-tmp-")}")
         if (!Files.exists(pdir)) Files.move(t.toPath, pdir, StandardCopyOption.ATOMIC_MOVE)
-        else org.apache.commons.io.FileUtils.deleteDirectory(t) // stale tmp
+        else if (Files.exists(t.toPath))
+          org.apache.commons.io.FileUtils.deleteDirectory(t) // stale tmp
       }
     val pids = pidStats(s, dir)
       .where(col("n_deleted") > 0 &&
@@ -207,8 +225,13 @@ object DeletableRangeLayout {
         .join(tombs.where(col("pid") === p).drop("pid"), rowKey, "left_anti")
       val tmp = s"$dir/.compact-tmp-$p"
       survivors.write.mode("overwrite").parquet(tmp) // evaluated before the swap
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
+      // Atomic swap: the live path transitions complete-old -> absent ->
+      // complete-new; a crash at any point leaves only complete dirs for
+      // the preamble to reconcile (never a partially-deleted live dir).
+      val old = Paths.get(s"$dir/.compact-old-$p")
+      Files.move(Paths.get(pdir), old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(Paths.get(tmp), Paths.get(pdir), StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     }
     publishTombstones(tombs.where(!col("pid").isin(pids: _*)), dir)
     pids
