@@ -45,9 +45,10 @@ import java.nio.charset.StandardCharsets
   *
   * Concurrency scope: mutations assume a SINGLE writer (like a table
   * format whose commit service serializes writers); the atomic
-  * rename of the numbered log entry is the natural detection point —
-  * a lost race surfaces as a failed rename of an already-taken
-  * version, never as silent corruption of committed state. Readers
+  * hard-link publish of the numbered log entry is the natural
+  * detection point — a lost race surfaces as a
+  * `FileAlreadyExistsException` on the already-taken version (proven
+  * in StorageSpec), never as silent corruption of committed state. Readers
   * are safe at every COMMITTED state (commit-last protocol); an
   * in-flight compact swap is repaired by the retrying writer. Registry-surfaced by q159_layout_time_travel (one aggregate
   * per version, all against one DuckDB oracle); archive/vacuum/replay
@@ -81,16 +82,28 @@ object VersionedLayout {
 
   private def entryFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"v$ver%05d.json")
 
-  /** Append entry `ver` — the COMMIT of its action. Write-then-rename so
-    * a reader never parses a torn entry.
+  /** Append entry `ver` — the COMMIT of its action. Write-then-link so a
+    * reader never parses a torn entry AND a lost writer race fails
+    * LOUDLY: `rename(2)` silently replaces an existing target on POSIX,
+    * so an atomic-move publish would let the loser of a version race
+    * overwrite the winner's committed entry. Hard-link creation is the
+    * atomic primitive that refuses an existing target
+    * (`FileAlreadyExistsException`), which is exactly the
+    * compare-and-swap a table-format commit service performs.
     */
-  private def commit(dir: String, e: LogEntry): Unit = {
+  private[graft] def commit(dir: String, e: LogEntry): Unit = {
     logDir(dir).mkdirs()
     val body = s"""{"version":${e.version},"action":"${e.action}",""" +
       s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},"txn":${e.txn}}"""
     val tmp = new java.io.File(logDir(dir), s".v${e.version}.tmp")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, entryFile(dir, e.version).toPath, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(entryFile(dir, e.version).toPath, tmp.toPath)
+    catch {
+      case ex: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"version ${e.version} of $dir was committed by another writer — " +
+            "this mutation lost the race and published nothing", ex)
+    } finally Files.deleteIfExists(tmp.toPath)
   }
 
   /** The committed log, ascending by version. Bounded metadata (one tiny
@@ -128,7 +141,40 @@ object VersionedLayout {
       .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1)
       .repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
-    commit(dir, LogEntry(0, "write", Nil, 0))
+    // The v0 entry records the base pid DOMAIN — the closed set of
+    // partitions every later segment must stay inside (see
+    // [[appendInsert]]); AS-OF correctness below a fold depends on it.
+    commit(dir, LogEntry(0, "write", basePidDirs(dir), 0))
+  }
+
+  private def basePidDirs(dir: String): Seq[Int] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .map(_.getName.stripPrefix("pid=").toInt).sorted.toSeq
+
+  /** The closed pid domain committed at v0 (empty set = legacy layout
+    * written before the domain was recorded; validation is skipped).
+    */
+  private def pidDomain(entries: Seq[LogEntry]): Set[Int] =
+    entries.find(_.version == 0).map(_.pids.toSet).getOrElse(Set.empty)
+
+  /** Reject segment rows whose pid falls outside the base domain. A
+    * pid that exists ONLY because segments introduced it has no
+    * pre-fold base state, so after a major fold lands it live there is
+    * no archive distinguishing "pid did not exist at v" from "pid was
+    * never rewritten" — AS-OF below the fold would serve post-fold
+    * bytes. Closing the domain at v0 makes that state unreachable.
+    * Cost: one distinct over the (bounded) segment pid column.
+    */
+  private def requireInDomain(dir: String, rows: DataFrame): Unit = {
+    val domain = pidDomain(log(dir))
+    if (domain.nonEmpty) {
+      val novel = rows.select(col("pid").cast("int").as("pid")).distinct()
+        .collect().map(_.getInt(0)).filterNot(domain).sorted
+      require(novel.isEmpty,
+        s"insert introduces pids ${novel.mkString(",")} outside the base domain of $dir; " +
+          "segments must reuse v0's range partitions (recompute pid from the boundary array)")
+    }
   }
 
   /** DELETE as version `currentVersion + 1`: materialize the matching
@@ -160,6 +206,7 @@ object VersionedLayout {
     */
   def appendInsert(s: SparkSession, dir: String, rows: DataFrame, txn: Long = -1L): Int = {
     val ver = currentVersion(dir) + 1
+    requireInDomain(dir, rows)
     rows.write.mode("overwrite").parquet(insertDir(dir, ver))
     commit(dir, LogEntry(ver, "insert", Nil, 0, txn))
     ver
@@ -197,7 +244,9 @@ object VersionedLayout {
       .select(col("pid").cast("int").as("pid"),
         col("l_orderkey"), col("l_linenumber"), col("v"))
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver))
-    transform(matched).write.mode("overwrite").parquet(insertDir(dir, ver))
+    val replacements = transform(matched).localCheckpoint()
+    requireInDomain(dir, replacements)
+    replacements.write.mode("overwrite").parquet(insertDir(dir, ver))
     commit(dir, LogEntry(ver, "upsert", Nil, 0))
     ver
   }
@@ -219,9 +268,26 @@ object VersionedLayout {
   def appendCompact(s: SparkSession, dir: String, threshold: Double): (Int, Seq[Int]) = {
     val ver = currentVersion(dir) + 1
     // Recovery preamble: a crashed attempt at THIS version may have
-    // moved a pid into the archive without landing its survivors.
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".compact-tmp-"))
+    // moved a pid into the archive without landing its survivors, or
+    // crashed mid-swap on the archive-exists retry path. Every
+    // leftover is a COMPLETE directory (all transitions are atomic
+    // renames), so no branch ever reads partial bytes.
+    val leftovers = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    leftovers.filter(f => f.isDirectory && f.getName.startsWith(".compact-trash-"))
+      .foreach { t =>
+        val p = t.getName.stripPrefix(".compact-trash-")
+        val pdir = Paths.get(dir, s"pid=$p")
+        val tmp = Paths.get(dir, s".compact-tmp-$p")
+        if (!Files.exists(pdir)) {
+          // Crash between the two swap renames: land the complete tmp,
+          // else (defensively) un-swap the trashed live dir.
+          if (Files.exists(tmp)) Files.move(tmp, pdir, StandardCopyOption.ATOMIC_MOVE)
+          else Files.move(t.toPath, pdir, StandardCopyOption.ATOMIC_MOVE)
+        }
+        if (Files.exists(pdir) && Files.exists(t.toPath))
+          org.apache.commons.io.FileUtils.deleteDirectory(t)
+      }
+    leftovers.filter(f => f.isDirectory && f.getName.startsWith(".compact-tmp-"))
       .foreach { t =>
         val p = t.getName.stripPrefix(".compact-tmp-")
         val pdir = Paths.get(dir, s"pid=$p")
@@ -250,12 +316,18 @@ object VersionedLayout {
       Files.createDirectories(arch.getParent)
       if (Files.exists(arch)) {
         // A crashed attempt already archived the TRUE pre-state; keep
-        // it and swap the (idempotently recomputed) survivors in place.
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
+        // it and swap the (idempotently recomputed) survivors in via
+        // atomic renames — the live dir leaves whole (to a trash name
+        // the preamble reconciles), never via an in-place delete whose
+        // mid-crash remnant would feed the next survivor recompute.
+        val trash = Paths.get(dir, s".compact-trash-$p")
+        Files.move(Paths.get(pdir), trash, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), Paths.get(pdir), StandardCopyOption.ATOMIC_MOVE)
+        org.apache.commons.io.FileUtils.deleteDirectory(trash.toFile)
       } else {
         Files.move(Paths.get(pdir), arch, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), Paths.get(pdir), StandardCopyOption.ATOMIC_MOVE)
       }
-      Files.move(Paths.get(tmp), Paths.get(pdir), StandardCopyOption.ATOMIC_MOVE)
     }
     commit(dir, LogEntry(ver, "compact", pids, 0))
     (ver, pids)
@@ -339,12 +411,21 @@ object VersionedLayout {
     val ver = entries.last.version + 1
     val compactsInScope = entries.filter(e =>
       (e.action == "compact" || e.action == "majorcompact") && e.version <= keepFrom)
-    // Only LIVE segments constrain GC: a segment folded by a major
-    // compaction is reachable solely via AS-OF below that fold, which
-    // the rising horizon forbids anyway.
+    // A segment constrains GC while it stays ADDRESSABLE after this
+    // vacuum: live, OR folded into a major compaction whose archive
+    // survives (fold > keepFrom) — AS-OF v in [keepFrom, fold) still
+    // reads the segment through that archive, so a tombstone older
+    // than the segment can still kill rows there and must survive.
+    // (A fold <= keepFrom loses its archive below the new horizon, so
+    // its segments genuinely stop constraining.)
     val segVersions = entries
       .filter(e => e.action == "insert" || e.action == "upsert").map(_.version)
-      .filter(sv => new java.io.File(insertDir(dir, sv)).isDirectory)
+      .filter { sv =>
+        new java.io.File(insertDir(dir, sv)).isDirectory ||
+        entries.exists(e => e.action == "majorcompact" &&
+          e.version > keepFrom && e.version > sv &&
+          new java.io.File(s"${archiveDir(dir, e.version)}/inserts/v$sv").isDirectory)
+      }
     entries
       .filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= keepFrom)
       .foreach { te =>
@@ -409,8 +490,11 @@ object VersionedLayout {
         else Nil
       ins ++ del
     }
+    // Empty range: same schema as the non-empty case (layout columns +
+    // change_type/change_version), so downstream aggregates over data
+    // columns resolve regardless of whether the range held changes.
     if (parts.isEmpty)
-      s.emptyDataFrame
+      readAsOf(s, dir, currentVersion(dir)).where(lit(false))
         .withColumn("change_type", lit("")).withColumn("change_version", lit(0))
     else parts.reduce(_ unionByName _)
   }
@@ -474,10 +558,21 @@ object VersionedLayout {
       .filter(e => (e.action == "compact" || e.action == "majorcompact") && e.version > v)
       .flatMap(e => e.pids.map(_ -> e.version))
       .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).min }
+    // A live pid NOT in the archived map is a valid base source for v
+    // only if no major fold separates it from v: a fold archives EVERY
+    // pre-fold pid (all land in `archived`), so a live dir a later
+    // fold's entry does not cover was introduced after v and must not
+    // leak into the base read (see [[requireInDomain]] — this guard is
+    // the read-side backstop for legacy layouts without the v0 domain).
+    val firstMajorAfter = entries
+      .filter(e => e.action == "majorcompact" && e.version > v)
+      .sortBy(_.version).headOption
     val livePids = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("pid="))
       .map(f => f.getName.stripPrefix("pid=").toInt)
-      .filterNot(archived.contains).toSeq
+      .filterNot(archived.contains)
+      .filter(p => firstMajorAfter.forall(_.pids.contains(p)))
+      .toSeq
     val liveDf =
       if (livePids.isEmpty) None
       else Some(s.read.option("basePath", dir)

@@ -439,8 +439,14 @@ class StorageSpec extends SparkSpec {
     // And the feed is non-trivial: both change types present, nothing
     // emitted by the compaction.
     assert(feed.exists(_.getString(0) == "insert") && feed.exists(_.getString(0) == "delete"))
-    assert(VersionedLayout.changeFeed(spark, dir, head - 1, head).count() == 0,
-      "compaction emitted feed rows")
+    val emptyRange = VersionedLayout.changeFeed(spark, dir, head - 1, head)
+    assert(emptyRange.count() == 0, "compaction emitted feed rows")
+    // The empty range carries the FULL layout schema, so downstream
+    // aggregates over data columns resolve on any version range.
+    val zeroAgg = emptyRange.agg(sum(col("v")), sum(col("l_quantity"))).first()
+    assert(zeroAgg.isNullAt(0) && zeroAgg.isNullAt(1))
+    assert(emptyRange.columns.toSet ==
+      VersionedLayout.readAsOf(spark, dir, head).columns.toSet ++ Set("change_type", "change_version"))
   }
 
   test("versioned compact crash-replay: a retry lands the survivors and keeps the FIRST archive (true pre-state); AS-OF history intact") {
@@ -485,6 +491,89 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(arch.toString).count() == preStateRows,
       "retry replaced the archived pre-state")
     assert(VersionedLayout.readAsOf(spark, dir, 0).count() == total)
+  }
+
+  test("versioned compact retry swap is atomic: a crash between the trash/land renames loses no rows and keeps history") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-trash").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val (lo, hi) = (ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)
+    val total = spark.read.parquet(dir).count()
+    val inBand = spark.read.parquet(dir).where(col("v").between(lo, hi)).count()
+    VersionedLayout.appendDelete(spark, dir, col("v").between(lo, hi))
+
+    // Simulate the RETRY path's worst window: a first attempt archived
+    // the true pre-state and landed survivors, then the retry (archive
+    // already exists) crashed between its two swap renames — live pid
+    // dir gone to the trash name, recomputed survivors still in tmp.
+    val tombs = VersionedLayout.tombstonesAt(spark, dir, 1)
+    val victim = tombs.groupBy(col("pid")).count().orderBy(col("count").desc)
+      .first().getInt(0)
+    val pdir = java.nio.file.Paths.get(dir, s"pid=$victim")
+    val preStateRows = spark.read.parquet(pdir.toString).count()
+    val survivors = spark.read.parquet(pdir.toString)
+      .join(tombs.where(col("pid") === victim)
+        .select(col("l_orderkey"), col("l_linenumber"), col("v")),
+        Seq("l_orderkey", "l_linenumber", "v"), "left_anti").localCheckpoint()
+    assert(survivors.count() < preStateRows, "fixture deletes nothing in the victim pid")
+    survivors.write.mode("overwrite").parquet(s"$dir/.compact-tmp-$victim")
+    survivors.write.mode("overwrite").parquet(s"$dir/.compact-trash-$victim")
+    val arch = java.nio.file.Paths.get(s"$dir/_archive/v2/pid=$victim")
+    java.nio.file.Files.createDirectories(arch.getParent)
+    java.nio.file.Files.move(pdir, arch,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+    val (ver, pids) = VersionedLayout.appendCompact(
+      spark, dir, ScalePatterns.deleteCompactThreshold)
+    assert(ver == 2 && pids.contains(victim), s"retry v$ver rewrote $pids")
+    // No crash leftovers; survivors live; archive still the pre-state.
+    assert(!new java.io.File(s"$dir/.compact-trash-$victim").exists(), "trash dir leaked")
+    assert(!new java.io.File(s"$dir/.compact-tmp-$victim").exists(), "tmp dir leaked")
+    assert(spark.read.parquet(pdir.toString).count() == survivors.count())
+    assert(spark.read.parquet(arch.toString).count() == preStateRows,
+      "retry replaced the archived pre-state")
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == total - inBand)
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == total)
+  }
+
+  test("vacuum tombstone GC respects fold-archived segments: AS-OF between the horizon and a major fold never resurrects deleted segment rows") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-gcfold").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val total = spark.read.parquet(dir).count()
+    // v1: insert a small segment (in-domain pids, fresh orderkeys).
+    val seg = spark.read.parquet(dir).limit(5)
+      .select((col("v") + 2).as("v"), (col("l_orderkey") + 920000000L).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("pid").cast("int").as("pid"))
+      .localCheckpoint()
+    VersionedLayout.appendInsert(spark, dir, seg)                                   // v1
+    // v2: delete the SEGMENT rows — the tombstone's only live targets
+    // sit in a fold-archived segment after v4.
+    VersionedLayout.appendDelete(spark, dir, col("l_orderkey") >= 920000000L)       // v2
+    // v3: minor compact rewrites the tombstoned pids (threshold 0).
+    val (c3, rewritten) = VersionedLayout.appendCompact(spark, dir, 0.0)
+    assert(c3 == 3 && rewritten.nonEmpty)
+    // v4: major fold — the v1 segment is archived, not live.
+    val (m4, _) = VersionedLayout.majorCompact(spark, dir)                          // v4
+    assert(m4 == 4)
+    val asOf3Before = VersionedLayout.readAsOf(spark, dir, 3).count()
+    assert(asOf3Before == total, "segment delete did not net out at v3")
+
+    // Vacuum keeps v3+: the v2 tombstone's pids were rewritten at c3 <=
+    // keepFrom, but the v1 segment is still ADDRESSABLE through the v4
+    // fold archive for AS-OF 3 — GC must keep those tombstone rows.
+    VersionedLayout.vacuum(spark, dir, keepFrom = 3)
+    assert(VersionedLayout.horizon(dir) == 3)
+    val asOf3 = VersionedLayout.readAsOf(spark, dir, 3)
+    assert(asOf3.count() == asOf3Before,
+      "tombstone GC resurrected fold-archived segment rows at AS-OF 3")
+    assert(asOf3.where(col("l_orderkey") >= 920000000L).count() == 0,
+      "deleted segment rows are visible at AS-OF 3 after vacuum")
+    assert(VersionedLayout.readAsOf(spark, dir, 4).count() == total)
   }
 
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
@@ -649,6 +738,25 @@ class StorageSpec extends SparkSpec {
       BucketedStore.dropTable(spark, "spec_tomb_del")
       assert(!BucketedStore.isMaterialized(spark, "spec_tomb_del"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("versioned commit is compare-and-swap: the loser of a version race fails loudly and publishes nothing") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-race").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val next = VersionedLayout.currentVersion(dir) + 1
+    // Two writers race version `next`; the first link wins …
+    VersionedLayout.commit(dir, VersionedLayout.LogEntry(next, "delete", Nil, 0))
+    // … and the second must FAIL (POSIX rename would silently replace
+    // the winner's entry — the hard-link publish refuses instead).
+    val e = intercept[IllegalStateException] {
+      VersionedLayout.commit(dir, VersionedLayout.LogEntry(next, "insert", Nil, 0))
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    // The winner's committed entry is intact, not clobbered.
+    assert(VersionedLayout.log(dir).find(_.version == next).map(_.action).contains("delete"))
   }
 
   test("mergeSchema union: evolved batches surface as one schema with NULLs for absent columns") {
