@@ -28,9 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores timestamp[ns]; Spark's parquet reader maps
-      // INT64(TIMESTAMP_NANOS) to LongType under this flag instead of
-      // failing. Query code treats events.ts as nanos-since-epoch Long.
+      // Older driver testdata stored events.ts as timestamp[ns]; this
+      // flag maps INT64(TIMESTAMP_NANOS) to LongType instead of failing.
+      // Newer data ships timestamp[us], normalized to the same
+      // nanos-since-epoch Long contract in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.foreach(b.master)
     b

@@ -181,9 +181,9 @@ object ScaleSlope {
     // deterministic 0-60 s hash so the Nx global timeline is Nx DENSER
     // (sweep-line/sessionization stress), not N interleaved exact-tie
     // replicas. Copy 0 is the base itself, so the 1x leg measures real
-    // base data. `ts` is nanos-as-LONG on the Spark side (nanos parquet
-    // timestamps read back as LongType), so the jitter is plain addition.
-    val events = spark.read.parquet(s"$baseDir/events.parquet")
+    // base data. `ts` is nanos-as-LONG on the Spark side (Tables.events
+    // normalizes the parquet timestamp), so the jitter is plain addition.
+    val events = Tables.events(spark, baseDir)
     val orders = spark.read.parquet(s"$baseDir/orders.parquet")
     val maxEv = events.agg(max(col("event_id"))).first().getLong(0) + 1
     val maxU = math.max(
@@ -322,7 +322,7 @@ object StreamThroughput {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = Tables.events(spark, sfDir)
     val n = batch.count()
     val streamDir = java.nio.file.Files.createTempDirectory("graft-throughput").toString
     batch.write.mode("overwrite").parquet(streamDir)

@@ -18,7 +18,22 @@ object Tables {
   def part(s: SparkSession, d: String) = apply(s, d, "part")
   def orders(s: SparkSession, d: String) = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String) = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String) = apply(s, d, "events")
+  /** The events table with the engine-wide `ts` contract: int64
+    * nanoseconds since epoch. Driver data has shipped `ts` both as
+    * timestamp[ns] (read as Long under `nanosAsLong`) and as
+    * timestamp[us]; the microsecond form is normalized here — the NTZ
+    * wall clock interpreted as UTC (the pinned session timezone),
+    * matching DuckDB's `epoch_ns(ts)` on the same file, so every
+    * downstream query and oracle keeps exact-integer time arithmetic.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", org.apache.spark.sql.functions.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    }
+  }
   def documents(s: SparkSession, d: String) = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = apply(s, d, "embeddings")
 }

@@ -12,14 +12,13 @@ class StreamingSpec extends SparkSpec {
 
   private def batchEvents = Tables.events(spark, sf0001)
 
-  /** The file stream source requires a DIRECTORY; stage the single
-    * events.parquet file into one.
+  /** The file stream source requires a DIRECTORY; stage the events
+    * table into one THROUGH Tables.events so the staged files carry the
+    * normalized nanos-as-long `ts` the batch schema declares.
     */
   private lazy val streamDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      dir.resolve("events.parquet"))
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 
