@@ -547,6 +547,96 @@ object VersionedLayout {
         s"insert segment v$segVer of $dir is not addressable (vacuumed)"))
   }
 
+  /** ZERO-COPY CLONE: export the table AS OF version `v` into `dst` as
+    * an independent layout whose head is `v`, without copying a single
+    * data byte — every parquet file is HARD-LINKED from wherever the
+    * source currently keeps the AS-OF-v bytes (live dir, or the archive
+    * of the first compaction after v). The clone carries the source's
+    * log entries, tombstones, and archives through `v`, so it time
+    * travels over its inherited history exactly like the source; and
+    * because parquet files are immutable (the layout only ever replaces
+    * them by rename), later mutations, compactions, or vacuums of
+    * EITHER side cannot change what the other reads — the shared inodes
+    * outlive any unlink until both sides drop them.
+    *
+    * This is the table-format CLONE/snapshot-export feature: cost is
+    * O(files) metadata operations, zero data movement — at 100 TB the
+    * difference between seconds and a day. Hard links require one
+    * filesystem (true for a local table root); on an object store the
+    * same protocol is manifest-reference copying. Built under a
+    * `.clone-tmp` and atomically renamed, so `dst` is never observable
+    * half-built; a crashed attempt leaves only a tmp the next attempt
+    * overwrites.
+    */
+  def cloneAsOf(s: SparkSession, dir: String, dst: String, v: Int): Unit = {
+    val entries = log(dir)
+    require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
+    require(v >= horizon(dir),
+      s"version $v is below the vacuum horizon ${horizon(dir)} — its archives are gone")
+    if (new java.io.File(dst).exists()) return // already published (idempotent re-entry)
+    val tmp = s"$dst.clone-tmp-p${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    def linkTree(src: java.io.File, to: java.nio.file.Path): Unit = if (src.isDirectory) {
+      Files.createDirectories(to)
+      src.listFiles().foreach { f =>
+        if (f.isDirectory) linkTree(f, to.resolve(f.getName))
+        else Files.createLink(to.resolve(f.getName), f.toPath)
+      }
+    }
+    // Base pids: the clone's LIVE dirs hold the AS-OF-v bytes (its log
+    // has no compaction after v to route around) — sourced exactly as
+    // readAsOf selects them.
+    val archived: Map[Int, Int] = entries
+      .filter(e => (e.action == "compact" || e.action == "majorcompact") && e.version > v)
+      .flatMap(e => e.pids.map(_ -> e.version))
+      .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).min }
+    val firstMajorAfter = entries
+      .filter(e => e.action == "majorcompact" && e.version > v)
+      .sortBy(_.version).headOption
+    archived.foreach { case (p, c) =>
+      linkTree(new java.io.File(s"${archiveDir(dir, c)}/pid=$p"),
+        Paths.get(tmp, s"pid=$p"))
+    }
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .map(f => f.getName.stripPrefix("pid=").toInt)
+      .filterNot(archived.contains)
+      .filter(p => firstMajorAfter.forall(_.pids.contains(p)))
+      .foreach(p => linkTree(new java.io.File(dir, s"pid=$p"), Paths.get(tmp, s"pid=$p")))
+    // History the clone keeps: archives of compactions <= v (they back
+    // its inherited time travel and already contain any segment a fold
+    // <= v absorbed), live-addressable segments after the last fold
+    // <= v (resolved through a source fold > v if one absorbed them),
+    // tombstones <= v, and the log entries <= v.
+    val m = majorAtOrBefore(entries, v)
+    entries.filter(e =>
+        (e.action == "compact" || e.action == "majorcompact") && e.version <= v)
+      .foreach(e => linkTree(new java.io.File(archiveDir(dir, e.version)),
+        Paths.get(s"$tmp/_archive/v${e.version}")))
+    entries.filter(e => (e.action == "insert" || e.action == "upsert")
+        && e.version > m && e.version <= v)
+      .foreach(e => linkTree(new java.io.File(locateSegment(dir, entries, e.version)),
+        Paths.get(s"$tmp/_inserts/v${e.version}")))
+    entries.filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= v)
+      .foreach(e => linkTree(new java.io.File(tombDir(dir, e.version)),
+        Paths.get(s"$tmp/_tombs/v${e.version}")))
+    Files.createDirectories(Paths.get(tmp, "_log"))
+    entries.filter(_.version <= v).foreach { e =>
+      Files.createLink(Paths.get(tmp, "_log", entryFile(dir, e.version).getName),
+        entryFile(dir, e.version).toPath)
+    }
+    Files.createDirectories(Paths.get(dst).getParent)
+    try Files.move(Paths.get(tmp), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        // Another cloner published first; its copy links the same
+        // immutable files.
+        if (!new java.io.File(dst).isDirectory) throw new IllegalStateException(
+          s"clone rename to $dst failed and no complete clone exists")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
     val entries = log(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")

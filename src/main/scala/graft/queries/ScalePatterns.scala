@@ -1368,6 +1368,47 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q166's clone of the q160 CRUD layout. */
+  private[graft] def cloneLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_clone_$sfx").getAbsolutePath
+  }
+
+  /** ZERO-COPY CLONE of the versioned layout — the snapshot-export /
+    * dev-copy feature of a table format: q160's five-version CRUD
+    * layout is cloned AT ITS HEAD into an independent directory by
+    * hard-linking every reachable parquet file (O(files) metadata
+    * operations, zero data bytes moved — at 100 TB the difference
+    * between seconds and a day; on an object store the same protocol is
+    * manifest-reference copying). The clone inherits the log,
+    * tombstones, and compaction archives through the cloned version, so
+    * the query reads ALL FIVE versions from the CLONE — one grouped
+    * aggregation, q160's oracle verbatim — proving the clone time
+    * travels identically to its source. Divergence isolation (mutating
+    * either side leaves the other byte-stable, because parquet files
+    * are immutable and only ever replaced by rename) and the
+    * zero-copy property itself (link counts > 1, vacuum-survival
+    * through shared inodes) are proven in StorageSpec.
+    */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val src = ensureCrudScenario(s, d)
+    val dir = cloneLayoutDir(d)
+    crudLock.synchronized {
+      VersionedLayout.cloneAsOf(s, src, dir, VersionedLayout.currentVersion(src))
+    }
+    (0 to 4).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .select(lit(ver.toLong).as("version"), col("v"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(col("qc")).as("qty_centi"))
+      .orderBy(col("version"))
+  }
+
   /** Candidate compaction thresholds q158 sweeps, in milli (50 = the
     * shipped [[deleteCompactThreshold]] 0.05). Integer so the
     * crossing test is exact cross-multiplication in both engines.
@@ -1472,6 +1513,31 @@ object ScalePatterns {
          |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
          |  BETWEEN $rangeBandLoCenti AND $rangeBandHiCenti""".stripMargin)),
     QueryDef("q165_major_compact", q165, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+         |  FROM lineitem),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (
+         |  SELECT ver.version, s.v,
+         |    CASE WHEN ver.version >= 2
+         |           AND s.v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |         THEN s.q + 10000 ELSE s.q END AS q
+         |  FROM ver JOIN s
+         |    ON NOT (ver.version >= 3
+         |            AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)),
+         |ins AS (
+         |  SELECT ver.version, s.v + 5 AS v, s.q AS q
+         |  FROM ver JOIN s
+         |    ON ver.version >= 1
+         |   AND s.v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(v) AS BIGINT) AS total_centi,
+         |  CAST(sum(q) AS BIGINT) AS qty_centi
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q166_layout_clone", q166, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |    CAST(round(l_quantity * 100) AS BIGINT) AS q

@@ -576,6 +576,63 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 4).count() == total)
   }
 
+  test("zero-copy clone (q166): hard-linked snapshot time travels like its source, isolates divergence, and survives source vacuum") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val root = Files.createTempDirectory("graft-clone").toString
+    val src = s"$root/src"
+    VersionedLayout.writeBase(spark, sf0001, src, uppers)
+    VersionedLayout.appendDelete(spark, src,
+      col("v").between(ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)) // v1
+    VersionedLayout.appendCompact(spark, src, 0.0)                                        // v2
+    val two = spark.read.parquet(src).limit(2)
+      .select((col("v") + 1).as("v"), (col("l_orderkey") + 930000000L).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("pid").cast("int").as("pid"))
+      .localCheckpoint()
+    VersionedLayout.appendInsert(spark, src, two)                                         // v3
+    val srcCounts = (0 to 3).map(v => VersionedLayout.readAsOf(spark, src, v).count())
+
+    // Clone at head: every version answers identically from the clone.
+    val dst = s"$root/dst"
+    VersionedLayout.cloneAsOf(spark, src, dst, 3)
+    (0 to 3).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dst, v).count() == srcCounts(v),
+        s"clone diverged from source at AS-OF $v")
+    }
+
+    // ZERO data bytes copied: every parquet file in the clone shares
+    // its inode with the source (link count >= 2).
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
+        if (f.isDirectory) parquetFiles(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    val cloneFiles = parquetFiles(new java.io.File(dst))
+    assert(cloneFiles.nonEmpty)
+    cloneFiles.foreach { f =>
+      val n = java.nio.file.Files.getAttribute(f.toPath, "unix:nlink").asInstanceOf[Number]
+      assert(n.intValue() >= 2, s"clone file ${f.getName} is a copy, not a link")
+    }
+
+    // Divergence isolation: a delete on the SOURCE leaves the clone's
+    // head unchanged, and a delete on the CLONE leaves the source's.
+    VersionedLayout.appendDelete(spark, src, col("l_orderkey") >= 930000000L)             // src v4
+    assert(VersionedLayout.readAsOf(spark, dst, 3).count() == srcCounts(3),
+      "source mutation leaked into the clone")
+    VersionedLayout.appendDelete(spark, dst, col("pid") === 1)                            // dst v4
+    assert(VersionedLayout.readAsOf(spark, src, 3).count() == srcCounts(3),
+      "clone mutation leaked into the source")
+    assert(VersionedLayout.currentVersion(src) == 4 && VersionedLayout.currentVersion(dst) == 4)
+
+    // Shared inodes outlive source-side vacuum: dropping the source's
+    // v2 archive does not break the clone's inherited time travel.
+    VersionedLayout.vacuum(spark, src, keepFrom = 2)
+    assert(VersionedLayout.readAsOf(spark, dst, 0).count() == srcCounts(0),
+      "source vacuum destroyed the clone's history")
+    // And a repeat clone call is an idempotent no-op on the existing dst.
+    VersionedLayout.cloneAsOf(spark, src, dst, 2)
+    assert(VersionedLayout.currentVersion(dst) == 4)
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
