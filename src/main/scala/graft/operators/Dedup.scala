@@ -178,17 +178,94 @@ object Dedup {
     * sf0.1).
     */
   private def pairsFromBands(bands: DataFrame, maxBucket: Int): DataFrame =
-    bands
-      .withColumn("bn",
+    pairBandRows(
+      bands.withColumn("bn",
         count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .where(col("bn").between(2, maxBucket))
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
-      .select(col("doc_a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+        .where(col("bn").between(2, maxBucket)))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+
+  /** In-bucket pair expansion carrying (band, key) provenance: each
+    * surviving bucket's ids gather into one sorted array and
+    * `slice(ids, i+2, n)` enumerates strictly-later partners without a
+    * lambda HOF (codegen-friendly). Provenance is what makes the pair
+    * table incrementally maintainable — [[incrementalPairs]] replaces
+    * exactly the buckets a delta touched and reuses the rest verbatim.
+    * Input must already be bucket-filtered (2 <= bucket size <= cap).
+    */
+  private def pairBandRows(cappedBands: DataFrame): DataFrame =
+    cappedBands
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("band"), col("key"), posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("band"), col("key"), col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+
+  /** Per-bucket cardinalities of a band-row table — with [[bandRows]]
+    * and [[indexPairBands]] one of the three state tables a PERSISTED
+    * LSH index keeps (counts are what make the degenerate-bucket cap
+    * incrementally decidable: merged count = base + delta, no rescan).
+    */
+  def bucketCounts(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+
+  /** The persisted pair table WITH (band, key) provenance for an index
+    * built from `bands` (under-cap buckets only — over-cap buckets
+    * contribute nothing and are represented solely by their count row).
+    */
+  def indexPairBands(bands: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame =
+    pairBandRows(
+      bands.withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+        .where(col("bn").between(2, maxBucket)))
+
+  /** INCREMENTAL maintenance of a persisted LSH index: admit a delta
+    * batch and produce the full updated candidate set WITHOUT
+    * recomputing the base corpus — `(doc_a, doc_b, n_shared_bands)`
+    * identical to a ground-up rebuild over base + delta (proven in
+    * DedupSpec, and q167's oracle IS the full-rebuild SQL).
+    *
+    * The sharp edge is that the degenerate-bucket cap makes candidate
+    * generation NON-MONOTONE: delta rows landing in a bucket can push
+    * its total over `maxBucket`, which RETRACTS every base-base pair
+    * that bucket contributed. Monotone band-row union alone is wrong.
+    * The plan therefore touches three bucket classes, each bounded:
+    *
+    *   - UNTOUCHED (no delta row): pair contributions reused verbatim
+    *     from the persisted provenance table — zero recompute;
+    *   - TOUCHED, still under cap: recomputed from base + delta rows of
+    *     exactly those (band, key) buckets — a semi-join fetch that a
+    *     (band, key)-bucketed state layout prunes to the touched
+    *     buckets, never a base scan;
+    *   - TOUCHED, now over cap: dropped entirely (the retraction).
+    *
+    * Work is O(delta + rows in touched buckets + existing pair table);
+    * at 100 TB that is the difference between a per-batch admit and
+    * re-paying the corpus-wide band shuffle every batch.
+    */
+  def incrementalPairs(
+      baseBands: DataFrame,
+      baseCounts: DataFrame,
+      basePairBands: DataFrame,
+      deltaBands: DataFrame,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val dc = deltaBands.groupBy(col("band"), col("key")).agg(count(lit(1)).as("dn"))
+      .localCheckpoint() // bounded by |delta| x bands; feeds three joins
+    val keep = dc.join(baseCounts, Seq("band", "key"), "left")
+      .na.fill(0L, Seq("n"))
+      .where((col("n") + col("dn")).between(2, maxBucket))
+      .select(col("band"), col("key"))
+    val touchedRows = baseBands.join(keep, Seq("band", "key"), "left_semi")
+      .unionByName(deltaBands.join(keep, Seq("band", "key"), "left_semi"))
+    // dc's checkpoint blocks stay live until the caller's action runs
+    // (a few rows per touched bucket — freed with the session).
+    basePairBands
+      .join(dc.select(col("band"), col("key")), Seq("band", "key"), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(pairBandRows(touchedRows).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
 
   /** Asymmetric LSH candidates for INCREMENTAL ingest: pair each incoming
     * document with the existing-corpus documents sharing >= 1 band — the

@@ -305,6 +305,57 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Persisted-LSH-index dirs this JVM has already written (q167). */
+  private val lshIndexWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Persist the base corpus's LSH index state — the three tables an
+    * incrementally-maintainable index keeps: band rows, per-bucket
+    * counts, and the pair table with (band, key) provenance. Base =
+    * doc_id % 5 != 0 (q68's existing-corpus split). PID-suffixed dir,
+    * once per session; at 100 TB each table is a (band, key)-bucketed
+    * layout so the delta admit's touched-bucket fetch prunes.
+    */
+  private[graft] def ensureLshIndex(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_lsh_index_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    if (lshIndexWritten.add(base)) {
+      val bands = Dedup.bandRows(
+        Dedup.minhashSignatures(
+          Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+        rowsPerBand = 1).localCheckpoint() // feeds all three state writes
+      bands.write.mode("overwrite").parquet(s"$base/bands")
+      Dedup.bucketCounts(bands).write.mode("overwrite").parquet(s"$base/counts")
+      Dedup.indexPairBands(bands).write.mode("overwrite").parquet(s"$base/pairbands")
+    }
+    base
+  }
+
+  /** INCREMENTAL LSH index maintenance — admitting the delta batch
+    * (doc_id % 5 == 0) into the persisted base index produces the full
+    * updated candidate set WITHOUT recomputing the base corpus: only
+    * the delta's signatures are computed; everything else reads the
+    * three state tables. The oracle is q25's ground-up full-corpus
+    * rebuild SQL — so the gate proves merge == rebuild, INCLUDING the
+    * cap retraction the degenerate-bucket cutoff forces (delta rows
+    * pushing a bucket over the cap must retract that bucket's base-base
+    * pairs; the crafted crossing fixture is in DedupSpec). This is the
+    * dedup-side analog of q146/q149's maintainable retrieval index.
+    */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val idx = ensureLshIndex(s, d)
+    val deltaBands = Dedup.bandRows(
+      Dedup.minhashSignatures(
+        Tables.documents(s, d).where(col("doc_id") % 5 === 0), "doc_id", "text"),
+      rowsPerBand = 1)
+    Dedup.incrementalPairs(
+      s.read.parquet(s"$idx/bands"),
+      s.read.parquet(s"$idx/counts"),
+      s.read.parquet(s"$idx/pairbands"),
+      deltaBands)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Semantic near-duplicate detection (the SemDeDup shape): candidate
     * pairs come from the TEXT side's MinHash band join — cheap, bounded,
     * never all-pairs — and the verdict from the EMBEDDING side's exact
@@ -758,6 +809,12 @@ object DedupQueries {
       s"""WITH $minhashCte
          |SELECT * FROM m ORDER BY doc_id""".stripMargin)),
     QueryDef("q25_lsh_candidates", q25, Some(
+      s"""WITH $minhashCte,
+         |${candCte(1)}
+         |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
+    // Same full-corpus rebuild SQL as q25 — the point: the incremental
+    // admit must be indistinguishable from a ground-up rebuild.
+    QueryDef("q167_incremental_lsh_index", q167, Some(
       s"""WITH $minhashCte,
          |${candCte(1)}
          |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),

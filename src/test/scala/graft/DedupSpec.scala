@@ -174,6 +174,46 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0, "capped degenerate buckets must emit no pairs")
   }
 
+  test("incremental LSH index equals the full rebuild, including cap retraction when a delta crosses maxBucket") {
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    val textC = "copper silver golden bronze marble granite basalt quartz slate flint"
+    // Crossing family: 4 identical base docs sit exactly AT the cap (base
+    // index pairs them); one identical delta doc pushes every shared
+    // bucket to 5 > cap, so ALL their pairs must retract. Untouched
+    // family: 3 identical docs the delta never touches (pairs reused
+    // verbatim). New-pair family: one base + one delta doc share textC.
+    val baseRows = (1L to 4L).map(_ -> textA) ++ (11L to 13L).map(_ -> textB) ++ Seq(21L -> textC)
+    val deltaRows = Seq(100L -> textA, 121L -> textC)
+    val baseBands = Dedup.bandRows(
+      Dedup.minhashSignatures(docsDF(baseRows), "doc_id", "text"), 1).localCheckpoint()
+    val inc = Dedup.incrementalPairs(
+      baseBands,
+      Dedup.bucketCounts(baseBands),
+      Dedup.indexPairBands(baseBands, cap),
+      Dedup.bandRows(Dedup.minhashSignatures(docsDF(deltaRows), "doc_id", "text"), 1),
+      cap)
+    val rebuilt = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docsDF(baseRows ++ deltaRows), "doc_id", "text")
+        .localCheckpoint(), cap)
+    val incSet = candidatePairs(inc.select(col("doc_a"), col("doc_b")))
+    assert(incSet == candidatePairs(rebuilt.select(col("doc_a"), col("doc_b"))),
+      s"incremental admit diverged from rebuild: $incSet")
+    // The retraction was actually exercised: the base index DID pair the
+    // crossing family, and after the delta no pair of it survives.
+    val basePairs = candidatePairs(Dedup.lshCandidates(
+      Dedup.minhashSignatures(docsDF(baseRows), "doc_id", "text").localCheckpoint(), cap)
+      .select(col("doc_a"), col("doc_b")))
+    assert(basePairs.contains((1L, 2L)), "fixture broken: base index never paired the crossing family")
+    val crossing = Set(1L, 2L, 3L, 4L, 100L)
+    assert(!incSet.exists(p => crossing(p._1) && crossing(p._2)),
+      s"over-cap bucket pairs were not retracted: $incSet")
+    // Untouched pairs reused; the delta's genuinely new pair appears.
+    assert(incSet((11L, 12L)) && incSet((11L, 13L)) && incSet((12L, 13L)))
+    assert(incSet((21L, 121L)), "new base-delta pair missing")
+  }
+
   test("spanDupStats counts duplicated span positions, not whole-doc similarity") {
     // doc 1: 10 tokens (3 span positions at width 8); doc 2 shares doc 1's
     // FIRST 8 tokens then diverges (boilerplate prefix); doc 3 disjoint;
