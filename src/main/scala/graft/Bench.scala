@@ -65,7 +65,7 @@ object Bench {
       "q150_range_layout_scan", "q151_layout_delete", "q157_bucketed_delete",
       "q159_layout_time_travel", "q160_layout_crud_history",
       "q161_index_time_travel", "q162_incremental_view", "q164_change_data_feed",
-      "q165_major_compact",
+      "q165_major_compact", "q166_layout_clone", "q167_incremental_lsh_index",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()
