@@ -248,6 +248,20 @@ object Dedup {
       baseCounts: DataFrame,
       basePairBands: DataFrame,
       deltaBands: DataFrame,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
+    incrementalPairBands(baseBands, baseCounts, basePairBands, deltaBands, maxBucket)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+
+  /** The updated pair table WITH provenance after a delta admit — what
+    * [[LshIndexStore]] persists as the next generation's state (and
+    * [[incrementalPairs]] aggregates for consumers).
+    */
+  def incrementalPairBands(
+      baseBands: DataFrame,
+      baseCounts: DataFrame,
+      basePairBands: DataFrame,
+      deltaBands: DataFrame,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     val dc = deltaBands.groupBy(col("band"), col("key")).agg(count(lit(1)).as("dn"))
       .localCheckpoint() // bounded by |delta| x bands; feeds three joins
@@ -261,11 +275,18 @@ object Dedup {
     // (a few rows per touched bucket — freed with the session).
     basePairBands
       .join(dc.select(col("band"), col("key")), Seq("band", "key"), "left_anti")
-      .select(col("doc_a"), col("doc_b"))
-      .unionByName(pairBandRows(touchedRows).select(col("doc_a"), col("doc_b")))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+      .unionByName(pairBandRows(touchedRows))
   }
+
+  /** Merged per-bucket counts after a delta admit (full-outer sum —
+    * counts only ever grow; an absent side contributes zero).
+    */
+  def mergedCounts(baseCounts: DataFrame, deltaBands: DataFrame): DataFrame =
+    baseCounts
+      .join(deltaBands.groupBy(col("band"), col("key")).agg(count(lit(1)).as("dn")),
+        Seq("band", "key"), "full_outer")
+      .na.fill(0L, Seq("n", "dn"))
+      .select(col("band"), col("key"), (col("n") + col("dn")).as("n"))
 
   /** Asymmetric LSH candidates for INCREMENTAL ingest: pair each incoming
     * document with the existing-corpus documents sharing >= 1 band — the

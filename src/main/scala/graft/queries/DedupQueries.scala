@@ -305,55 +305,57 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Persisted-LSH-index dirs this JVM has already written (q167). */
+  /** Persisted-LSH-index dirs this JVM has already initialized (q167). */
   private val lshIndexWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Persist the base corpus's LSH index state — the three tables an
-    * incrementally-maintainable index keeps: band rows, per-bucket
-    * counts, and the pair table with (band, key) provenance. Base =
-    * doc_id % 5 != 0 (q68's existing-corpus split). PID-suffixed dir,
-    * once per session; at 100 TB each table is a (band, key)-bucketed
+  /** Generation 0 of the persisted LSH index state
+    * ([[graft.operators.LshIndexStore]]): band rows, per-bucket counts,
+    * and the provenance pair table of the base corpus (doc_id % 5 != 0
+    * — q68's existing-corpus split). PID-suffixed dir, once per
+    * session; at 100 TB each state table is a (band, key)-bucketed
     * layout so the delta admit's touched-bucket fetch prunes.
     */
   private[graft] def ensureLshIndex(s: SparkSession, d: String): String = {
+    import graft.operators.LshIndexStore
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_lsh_index_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
-    if (lshIndexWritten.add(base)) {
-      val bands = Dedup.bandRows(
-        Dedup.minhashSignatures(
-          Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "doc_id", "text"),
-        rowsPerBand = 1).localCheckpoint() // feeds all three state writes
-      bands.write.mode("overwrite").parquet(s"$base/bands")
-      Dedup.bucketCounts(bands).write.mode("overwrite").parquet(s"$base/counts")
-      Dedup.indexPairBands(bands).write.mode("overwrite").parquet(s"$base/pairbands")
+    if (lshIndexWritten.add(dir)) {
+      LshIndexStore.init(s, dir,
+        Dedup.bandRows(
+          Dedup.minhashSignatures(
+            Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+          rowsPerBand = 1),
+        txn = 0L)
     }
-    base
+    dir
   }
 
-  /** INCREMENTAL LSH index maintenance — admitting the delta batch
-    * (doc_id % 5 == 0) into the persisted base index produces the full
-    * updated candidate set WITHOUT recomputing the base corpus: only
-    * the delta's signatures are computed; everything else reads the
-    * three state tables. The oracle is q25's ground-up full-corpus
-    * rebuild SQL — so the gate proves merge == rebuild, INCLUDING the
-    * cap retraction the degenerate-bucket cutoff forces (delta rows
-    * pushing a bucket over the cap must retract that bucket's base-base
-    * pairs; the crafted crossing fixture is in DedupSpec). This is the
-    * dedup-side analog of q146/q149's maintainable retrieval index.
+  /** INCREMENTAL LSH index maintenance — the delta batch (doc_id % 5
+    * == 0) is admitted into the persisted base index as generation 1
+    * (txn-stamped, so re-running the query replays as a no-op — the
+    * exactly-once contract a streaming `foreachBatch` ingest rides),
+    * and the candidate set is served from the committed state tables.
+    * Only the delta's signatures are ever computed; untouched buckets'
+    * pairs carry over verbatim, touched still-capped buckets recompute
+    * from a bounded fetch, and buckets the delta pushes over the
+    * degenerate-bucket cap RETRACT their pairs (the non-monotone edge;
+    * crafted crossing fixtures in DedupSpec, including a crossing two
+    * generations after the bucket first paired). The oracle is q25's
+    * ground-up full-corpus rebuild SQL — the gate proves the chained
+    * admit is indistinguishable from a rebuild. This is the dedup-side
+    * analog of q146/q149/q152's maintainable retrieval index.
     */
   private def q167(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.LshIndexStore
     val idx = ensureLshIndex(s, d)
-    val deltaBands = Dedup.bandRows(
-      Dedup.minhashSignatures(
-        Tables.documents(s, d).where(col("doc_id") % 5 === 0), "doc_id", "text"),
-      rowsPerBand = 1)
-    Dedup.incrementalPairs(
-      s.read.parquet(s"$idx/bands"),
-      s.read.parquet(s"$idx/counts"),
-      s.read.parquet(s"$idx/pairbands"),
-      deltaBands)
-      .orderBy(col("doc_a"), col("doc_b"))
+    LshIndexStore.admitOnce(s, idx,
+      Dedup.bandRows(
+        Dedup.minhashSignatures(
+          Tables.documents(s, d).where(col("doc_id") % 5 === 0), "doc_id", "text"),
+        rowsPerBand = 1),
+      txn = 1L)
+    LshIndexStore.pairs(s, idx).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Semantic near-duplicate detection (the SemDeDup shape): candidate

@@ -214,6 +214,52 @@ class DedupSpec extends SparkSpec {
     assert(incSet((21L, 121L)), "new base-delta pair missing")
   }
 
+  test("LshIndexStore: chained admits equal the full rebuild across generations; replayed txn commits exactly once") {
+    import graft.operators.LshIndexStore
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    val textC = "copper silver golden bronze marble granite basalt quartz slate flint"
+    // Batch 0 leaves the textA bucket UNDER cap (3 members); batch 1
+    // reaches the cap exactly (4 — still paired); batch 2 crosses it
+    // (5 — retraction two generations after the bucket first paired).
+    val b0 = (1L to 3L).map(_ -> textA) ++ (11L to 12L).map(_ -> textB)
+    val b1 = Seq(4L -> textA, 13L -> textB, 21L -> textC)
+    val b2 = Seq(100L -> textA, 121L -> textC)
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text"), 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshstore").toString + "/index"
+
+    assert(LshIndexStore.init(spark, dir, bands(b0), cap, txn = 100L) == 0)
+    val afterB0 = candidatePairs(LshIndexStore.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    assert(afterB0((1L, 2L)), "generation 0 should pair the under-cap textA family")
+    assert(LshIndexStore.admitOnce(spark, dir, bands(b1), txn = 101L, cap) == 1)
+    val afterB1 = candidatePairs(LshIndexStore.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    assert(afterB1((1L, 4L)), "generation 1 should still pair the at-cap textA family")
+    assert(LshIndexStore.admitOnce(spark, dir, bands(b2), txn = 102L, cap) == 2)
+
+    // Every generation equals the rebuild over its cumulative corpus.
+    def rebuild(rows: Seq[(Long, String)]) = candidatePairs(Dedup.lshCandidates(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text").localCheckpoint(), cap)
+      .select(col("doc_a"), col("doc_b")))
+    val finalPairs = candidatePairs(
+      LshIndexStore.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    assert(finalPairs == rebuild(b0 ++ b1 ++ b2),
+      s"chained admits diverged from rebuild: $finalPairs")
+    // The cap retraction happened across generations: textA pairs gone.
+    val aFamily = Set(1L, 2L, 3L, 4L, 100L)
+    assert(!finalPairs.exists(p => aFamily(p._1) && aFamily(p._2)),
+      "cross-generation cap crossing did not retract")
+    assert(finalPairs((21L, 121L)) && finalPairs((11L, 12L)))
+
+    // Replayed micro-batch: same txn stamp is a no-op — the restarted
+    // stream's re-delivery commits exactly once.
+    assert(LshIndexStore.admitOnce(spark, dir, bands(b2), txn = 102L, cap) == 2)
+    assert(LshIndexStore.currentGeneration(dir) == 2)
+    assert(candidatePairs(LshIndexStore.pairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))) == finalPairs)
+  }
+
   test("spanDupStats counts duplicated span positions, not whole-doc similarity") {
     // doc 1: 10 tokens (3 span positions at width 8); doc 2 shares doc 1's
     // FIRST 8 tokens then diverges (boilerplate prefix); doc 3 disjoint;
