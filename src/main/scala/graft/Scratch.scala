@@ -225,6 +225,69 @@ object ScaleSlope {
   }
 }
 
+/** Fixed-delta LSH admit cost vs base-corpus size — the measurement
+  * behind LshIndexStore's O(delta) claim: a FIXED 500-doc batch is
+  * admitted into a 1x and a 10x base index (10x via ScaleSlope's
+  * alphabet-rotation copies, so vocabulary scales with the corpus),
+  * against the ground-up rebuild a store-less pipeline would pay per
+  * batch. Expectation: rebuild grows with the corpus (all signatures +
+  * the corpus-wide band shuffle), admit grows only with the delta, the
+  * touched buckets, and the maintained pair table.
+  */
+object LshAdmitSlope {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(appName = "graft-lsh-admit-slope", master = Some(s"local[$cpus]"),
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, LshIndexStore}
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(k: Int) = {
+      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+      docs.withColumn("doc_id", col("doc_id") + lit(k * maxId))
+        .withColumn("text", translate(col("text"), alpha, rot))
+    }
+    // Fixed 500-doc delta, novel ids and a rotation no base copy uses.
+    val delta = rotated(13).where(col("doc_id") % maxId < 500)
+      .withColumn("doc_id", col("doc_id") + lit(100L * maxId))
+      .localCheckpoint()
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandRows(Dedup.minhashSignatures(df, "doc_id", "text"), 1)
+    def timed(body: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // Two passes per scale: pass 1 is JIT/codegen warmup (fresh state
+    // dir each pass — admits mutate), pass 2 is the reported number.
+    Seq(1, 10).foreach { copies =>
+      val corpus = (0 until copies).map(rotated).reduce(_ unionByName _).localCheckpoint()
+      (1 to 2).foreach { pass =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-admit-$copies-$pass").toString + "/idx"
+        val tInit = timed(LshIndexStore.init(spark, dir, bands(corpus)))
+        val tAdmit = timed(LshIndexStore.admit(spark, dir, bands(delta)))
+        val tRebuild = timed {
+          Dedup.lshCandidates(
+            Dedup.minhashSignatures(corpus.unionByName(delta), "doc_id", "text")
+              .localCheckpoint()).count()
+          ()
+        }
+        if (pass == 2)
+          println(f"LSHADMIT ${copies}x docs=${corpus.count()} init=$tInit%.2f " +
+            f"admit=$tAdmit%.2f rebuild=$tRebuild%.2f ratio=${tRebuild / tAdmit}%.2f")
+      }
+    }
+    spark.stop()
+  }
+}
+
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

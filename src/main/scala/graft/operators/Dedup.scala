@@ -278,15 +278,6 @@ object Dedup {
       .unionByName(pairBandRows(touchedRows))
   }
 
-  /** Merged per-bucket counts after a delta admit (full-outer sum —
-    * counts only ever grow; an absent side contributes zero).
-    */
-  def mergedCounts(baseCounts: DataFrame, deltaBands: DataFrame): DataFrame =
-    baseCounts
-      .join(deltaBands.groupBy(col("band"), col("key")).agg(count(lit(1)).as("dn")),
-        Seq("band", "key"), "full_outer")
-      .na.fill(0L, Seq("n", "dn"))
-      .select(col("band"), col("key"), (col("n") + col("dn")).as("n"))
 
   /** Asymmetric LSH candidates for INCREMENTAL ingest: pair each incoming
     * document with the existing-corpus documents sharing >= 1 band — the

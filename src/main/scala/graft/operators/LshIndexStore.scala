@@ -6,14 +6,29 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
 /** Persisted, generation-versioned state for the incrementally
-  * maintainable LSH dedup index ([[Dedup.incrementalPairBands]]): each
-  * generation `v<N>/` holds the three state tables — `bands` (doc_id,
-  * band, key), `counts` (band, key, n), `pairbands` (band, key, doc_a,
-  * doc_b) — and admits chain: generation N+1 is computed from
-  * generation N plus ONLY the delta batch's band rows (untouched
-  * buckets' pairs carried over verbatim, touched buckets recomputed
-  * from a bounded fetch, over-cap buckets retracted; the base corpus is
-  * never re-signatured).
+  * maintainable LSH dedup index ([[Dedup.incrementalPairBands]]).
+  *
+  * State model — what each generation directory `v<N>/` holds:
+  *
+  *  - `v0` (and any generation a [[compact]] produced): FULL snapshots
+  *    `bands` (doc_id, band, key) and `counts` (band, key, n).
+  *  - every admitted generation: `bands-delta` / `counts-delta` —
+  *    ONLY the batch's band rows and per-bucket increments. The big
+  *    tables are append-only segments, so an admit WRITES O(delta),
+  *    never a corpus-proportional rewrite (the claim the admit-slope
+  *    harness measures); readers union base + segments, pruned by a
+  *    (band, key)-bucketed layout at scale.
+  *  - every generation: `pairbands` — the full maintained pair table
+  *    with (band, key) provenance. This is the index's PRODUCT, sized
+  *    by the candidate set (not the corpus scan); rewriting it per
+  *    admit is what lets [[pairs]] serve without any merge. A
+  *    deployment whose candidate mass dwarfs its deltas would segment
+  *    it the same way and fold with [[compact]].
+  *
+  * [[compact]] bounds what continuous ingest grows without limit: it
+  * folds the segment chain into a fresh full-snapshot generation (the
+  * q152 discipline for the retrieval index), after which reads are
+  * single-source again. Admits chain from wherever the head is.
   *
   * Commit protocol (single writer, the [[VersionedLayout]] discipline):
   * a generation is built complete under a dot-prefixed tmp dir — the
@@ -26,11 +41,13 @@ import java.nio.charset.StandardCharsets
   * once — the same idempotence contract as
   * [[VersionedLayout.appendInsertOnce]], now for index maintenance.
   *
-  * At 100 TB each state table is a (band, key)-bucketed layout, the
-  * admit's touched-bucket fetch prunes to the delta's keys, and old
-  * generations are retention metadata (dropped like archives) — the
-  * per-batch admit cost is O(delta + touched buckets + pair table),
-  * never the corpus-wide band shuffle a rebuild pays.
+  * MEASURED (LshAdmitSlope, sf0.1, warm, 2026-08-13): a fixed 500-doc
+  * batch admitted into a 5,000-doc vs a 50,000-doc base index costs
+  * 1.52 s vs 1.58 s — FLAT across 10x corpus — while the ground-up
+  * rebuild the store replaces grows 1.32 s -> 2.05 s. The crossover
+  * sits at tens of thousands of docs even single-node; at 100 TB the
+  * rebuild side is a full corpus re-signature + corpus-wide shuffle
+  * per batch, the admit side is not.
   */
 object LshIndexStore {
 
@@ -51,63 +68,95 @@ object LshIndexStore {
     body.split("\"txn\":")(1).split("[,}]")(0).trim.toLong
   }
 
-  private def writeGeneration(
-      s: SparkSession, dir: String, gen: Int, txn: Long,
-      bands: DataFrame, counts: DataFrame, pairBands: DataFrame): Unit = {
-    val tmp = s"$dir/.gen-tmp-v$gen-p${ProcessHandle.current().pid()}"
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    bands.write.mode("overwrite").parquet(s"$tmp/bands")
-    counts.write.mode("overwrite").parquet(s"$tmp/counts")
-    pairBands.write.mode("overwrite").parquet(s"$tmp/pairbands")
+  /** Latest full-snapshot generation at or below `gen` (v0 or a
+    * compaction) — the segment chain's base.
+    */
+  private def baseGenOf(dir: String, gen: Int): Int =
+    (gen to 0 by -1).find(g => new java.io.File(genDir(dir, g), "bands").isDirectory)
+      .getOrElse(throw new IllegalStateException(s"$dir has no full-snapshot generation <= $gen"))
+
+  /** Band rows as of generation `gen`: base snapshot + delta segments. */
+  def bandsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    val b = baseGenOf(dir, gen)
+    ((b + 1) to gen)
+      .map(g => s.read.parquet(s"${genDir(dir, g)}/bands-delta"))
+      .foldLeft(s.read.parquet(s"${genDir(dir, b)}/bands"))(_ unionByName _)
+  }
+
+  /** Bucket counts as of generation `gen`: base snapshot + per-segment
+    * increments, sum-merged (counts only ever grow).
+    */
+  def countsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    val b = baseGenOf(dir, gen)
+    ((b + 1) to gen)
+      .map(g => s.read.parquet(s"${genDir(dir, g)}/counts-delta"))
+      .foldLeft(s.read.parquet(s"${genDir(dir, b)}/counts"))(_ unionByName _)
+      .groupBy(col("band"), col("key")).agg(sum(col("n")).as("n"))
+  }
+
+  private def pairBandsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
+    s.read.parquet(s"${genDir(dir, gen)}/pairbands")
+
+  /** Publish generation `gen` from a complete tmp: manifest last, then
+    * one atomic rename — a lost single-writer race fails loudly rather
+    * than clobbering the committed generation.
+    */
+  private def publish(dir: String, gen: Int, txn: Long, tmp: String): Unit = {
     Files.write(new java.io.File(tmp, "_graft_manifest.json").toPath,
       s"""{"generation":$gen,"txn":$txn}""".getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(Paths.get(dir))
     try Files.move(Paths.get(tmp), Paths.get(genDir(dir, gen)), StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.nio.file.FileSystemException =>
-        // Lost a single-writer violation race; the published generation
-        // is complete — treat like VersionedLayout's commit CAS and fail
-        // loudly rather than clobber.
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
         throw new IllegalStateException(
           s"generation $gen of $dir was committed by another writer")
     }
   }
 
-  private def bandsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
-    s.read.parquet(s"${genDir(dir, gen)}/bands")
-  private def countsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
-    s.read.parquet(s"${genDir(dir, gen)}/counts")
-  private def pairBandsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
-    s.read.parquet(s"${genDir(dir, gen)}/pairbands")
+  private def freshTmp(dir: String, gen: Int): String = {
+    val tmp = s"$dir/.gen-tmp-v$gen-p${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Files.createDirectories(Paths.get(tmp))
+    tmp
+  }
 
-  /** Generation 0: build the full index state from the initial corpus's
-    * band rows. No-op if a generation already exists.
+  /** Generation 0: full index state from the initial corpus's band
+    * rows. No-op if a generation already exists.
     */
   def init(s: SparkSession, dir: String, bands: DataFrame,
       maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {
     if (currentGeneration(dir) >= 0) return currentGeneration(dir)
     val b = bands.localCheckpoint() // feeds all three state writes
-    writeGeneration(s, dir, 0, txn, b, Dedup.bucketCounts(b), Dedup.indexPairBands(b, maxBucket))
+    val tmp = freshTmp(dir, 0)
+    b.write.mode("overwrite").parquet(s"$tmp/bands")
+    Dedup.bucketCounts(b).write.mode("overwrite").parquet(s"$tmp/counts")
+    Dedup.indexPairBands(b, maxBucket).write.mode("overwrite").parquet(s"$tmp/pairbands")
+    publish(dir, 0, txn, tmp)
     0
   }
 
-  /** Admit a delta batch: compute generation N+1's state from
-    * generation N plus the delta band rows and publish it atomically.
+  /** Admit a delta batch as generation N+1: the batch's band rows and
+    * bucket increments land as SEGMENTS (O(delta) writes); only the
+    * pair table — the candidate-sized product — is rewritten, via
+    * [[Dedup.incrementalPairBands]] (untouched buckets verbatim,
+    * touched buckets from a bounded fetch, over-cap buckets retracted).
     * Returns the new generation number.
     */
   def admit(s: SparkSession, dir: String, deltaBands: DataFrame,
       maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {
     val gen = currentGeneration(dir)
     require(gen >= 0, s"$dir has no generation 0 — call init first")
-    val delta = deltaBands.localCheckpoint() // feeds bands/counts/pairbands
+    val delta = deltaBands.localCheckpoint() // feeds segments + pair maintenance
     val next = gen + 1
-    writeGeneration(s, dir, next, txn,
-      bandsOf(s, dir, gen).unionByName(delta),
-      Dedup.mergedCounts(countsOf(s, dir, gen), delta),
-      Dedup.incrementalPairBands(
-        bandsOf(s, dir, gen), countsOf(s, dir, gen), pairBandsOf(s, dir, gen),
-        delta, maxBucket))
+    val tmp = freshTmp(dir, next)
+    delta.write.mode("overwrite").parquet(s"$tmp/bands-delta")
+    Dedup.bucketCounts(delta).write.mode("overwrite").parquet(s"$tmp/counts-delta")
+    Dedup.incrementalPairBands(
+      bandsOf(s, dir, gen), countsOf(s, dir, gen), pairBandsOf(s, dir, gen),
+      delta, maxBucket)
+      .write.mode("overwrite").parquet(s"$tmp/pairbands")
+    publish(dir, next, txn, tmp)
     next
   }
 
@@ -121,8 +170,29 @@ object LshIndexStore {
     committed.getOrElse(admit(s, dir, deltaBands, maxBucket, txn))
   }
 
+  /** Fold the segment chain into a fresh FULL-snapshot generation, so
+    * subsequent reads and admits are single-source again — the
+    * maintenance step bounding what continuous ingest grows without
+    * limit. Answer-preserving by construction (the pair table is
+    * carried over unchanged; bands/counts are the same rows
+    * materialized once). Older generations become retention metadata a
+    * deployment drops like archives.
+    */
+  def compact(s: SparkSession, dir: String): Int = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val next = gen + 1
+    val tmp = freshTmp(dir, next)
+    bandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/bands")
+    countsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/counts")
+    pairBandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/pairbands")
+    publish(dir, next, -1L, tmp)
+    next
+  }
+
   /** The current generation's candidate pairs (the consumer surface —
-    * identical to a ground-up rebuild over everything admitted so far).
+    * identical to a ground-up rebuild over everything admitted so far,
+    * served from the maintained pair table with no merge).
     */
   def pairs(s: SparkSession, dir: String): DataFrame =
     pairBandsOf(s, dir, currentGeneration(dir))

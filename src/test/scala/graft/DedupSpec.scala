@@ -258,6 +258,28 @@ class DedupSpec extends SparkSpec {
     assert(LshIndexStore.currentGeneration(dir) == 2)
     assert(candidatePairs(LshIndexStore.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))) == finalPairs)
+
+    // Admits write SEGMENTS (O(delta)), never a corpus rewrite: the
+    // admitted generations carry bands-delta, not a full bands table.
+    assert(new java.io.File(s"$dir/v1/bands-delta").isDirectory
+      && !new java.io.File(s"$dir/v1/bands").isDirectory,
+      "admit rewrote the full bands table")
+
+    // Compaction folds the chain to one full snapshot: pairs unchanged,
+    // the new generation is single-source, and admits keep chaining.
+    assert(LshIndexStore.compact(spark, dir) == 3)
+    assert(new java.io.File(s"$dir/v3/bands").isDirectory)
+    assert(candidatePairs(LshIndexStore.pairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))) == finalPairs, "compact changed the answer")
+    assert(LshIndexStore.bandsOf(spark, dir, 3).inputFiles.forall(_.contains("/v3/")),
+      "post-compact band read still unions segments")
+    val b3 = Seq(200L -> textB, 201L -> textB) // textB: 3 -> 5 members, over cap
+    assert(LshIndexStore.admitOnce(spark, dir, bands(b3), txn = 103L, cap) == 4)
+    val afterB3 = candidatePairs(LshIndexStore.pairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+    assert(afterB3 == rebuild(b0 ++ b1 ++ b2 ++ b3),
+      s"post-compact admit diverged from rebuild: $afterB3")
+    assert(!afterB3((11L, 12L)), "post-compact cap crossing did not retract")
   }
 
   test("spanDupStats counts duplicated span positions, not whole-doc similarity") {

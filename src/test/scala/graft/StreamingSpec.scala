@@ -284,6 +284,70 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 1).count() == base + 5)
   }
 
+  test("streaming ingest into the LSH index store: one generation per micro-batch, replayed batches admit exactly once") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, LshIndexStore}
+    val spark0 = spark
+    import spark0.implicits._
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(
+        rows.toDF("doc_id", "text").localCheckpoint(), "doc_id", "text"), 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-ingest").toString + "/index"
+    LshIndexStore.init(spark, dir, bands((1L to 3L).map(_ -> textA)), cap)
+
+    val in = java.nio.file.Files.createTempDirectory("graft-lsh-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-lsh-chk")
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+      // The micro-batch id IS the txn stamp — the same contract as the
+      // versioned-layout ingest; signatures are computed on the batch
+      // only, the index state advances one generation per batch.
+      LshIndexStore.admitOnce(spark,
+        dir, Dedup.bandRows(Dedup.minhashSignatures(b, "doc_id", "text"), 1), id, cap)
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(Seq((0L, "x")).toDF("doc_id", "text").schema).parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-stage")
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+
+    stage("b0.parquet", Seq(4L -> textA, 11L -> textB)) // reaches the cap: still paired
+    run()
+    assert(LshIndexStore.currentGeneration(dir) == 1)
+    stage("b1.parquet", Seq(100L -> textA, 12L -> textB)) // crosses the cap: retracts A
+    run() // restart from checkpoint; batch 1 only
+    assert(LshIndexStore.currentGeneration(dir) == 2)
+
+    def pairSet = LshIndexStore.pairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet
+    val all = (1L to 4L).map(_ -> textA) ++ Seq(100L -> textA, 11L -> textB, 12L -> textB)
+    val rebuilt = Dedup.lshCandidates(
+      Dedup.minhashSignatures(all.toDF("doc_id", "text").localCheckpoint(), "doc_id", "text"),
+      cap).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == rebuilt, s"streamed index diverged from rebuild: $got")
+    assert(got((11L, 12L)) && !got.exists(p => p._1 <= 100L && Set(1L, 2L, 3L, 4L, 100L)(p._2)
+      && Set(1L, 2L, 3L, 4L, 100L)(p._1)), s"cap retraction missing: $got")
+
+    // Replayed micro-batch: same txn, no new generation, same pairs.
+    LshIndexStore.admitOnce(spark, dir, bands(Seq(100L -> textA, 12L -> textB)), 1L, cap)
+    assert(LshIndexStore.currentGeneration(dir) == 2, "replay created a generation")
+    assert(pairSet == rebuilt)
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once (no duplicates, no loss)") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
