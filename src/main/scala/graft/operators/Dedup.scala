@@ -201,6 +201,11 @@ object Dedup {
       .select(col("band"), col("key"), col("doc_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
 
+  /** [[pairBandRows]] for maintainers ([[LshIndexStore.retract]]) whose
+    * input is already bucket-filtered to pairable sizes.
+    */
+  def pairBandRowsOf(cappedBands: DataFrame): DataFrame = pairBandRows(cappedBands)
+
   /** Per-bucket cardinalities of a band-row table — with [[bandRows]]
     * and [[indexPairBands]] one of the three state tables a PERSISTED
     * LSH index keeps (counts are what make the degenerate-bucket cap

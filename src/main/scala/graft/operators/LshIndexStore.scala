@@ -75,12 +75,33 @@ object LshIndexStore {
     (gen to 0 by -1).find(g => new java.io.File(genDir(dir, g), "bands").isDirectory)
       .getOrElse(throw new IllegalStateException(s"$dir has no full-snapshot generation <= $gen"))
 
-  /** Band rows as of generation `gen`: base snapshot + delta segments. */
+  /** Band rows as of generation `gen`: base snapshot + delta segments,
+    * minus every doc a retract segment tombstoned (q149's semantics —
+    * the anti-join prunes on doc_id, so a doc-id-partitioned layout
+    * pays only the tombstoned partitions at scale).
+    */
   def bandsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
     val b = baseGenOf(dir, gen)
-    ((b + 1) to gen)
-      .map(g => s.read.parquet(s"${genDir(dir, g)}/bands-delta"))
+    val live = ((b + 1) to gen)
+      .flatMap { g =>
+        val d = new java.io.File(genDir(dir, g), "bands-delta")
+        if (d.isDirectory) Seq(s.read.parquet(d.getAbsolutePath)) else Nil
+      }
       .foldLeft(s.read.parquet(s"${genDir(dir, b)}/bands"))(_ unionByName _)
+    retractedIds(s, dir, b, gen) match {
+      case Some(ids) => live.join(ids, Seq("doc_id"), "left_anti")
+      case None => live
+    }
+  }
+
+  /** Union of retract-segment doc ids in (baseGen, gen], if any. */
+  private def retractedIds(
+      s: SparkSession, dir: String, baseGen: Int, gen: Int): Option[DataFrame] = {
+    val segs = ((baseGen + 1) to gen).flatMap { g =>
+      val d = new java.io.File(genDir(dir, g), "retract-ids")
+      if (d.isDirectory) Seq(s.read.parquet(d.getAbsolutePath)) else Nil
+    }
+    segs.reduceOption(_ unionByName _)
   }
 
   /** Bucket counts as of generation `gen`: base snapshot + per-segment
@@ -89,7 +110,10 @@ object LshIndexStore {
   def countsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
     val b = baseGenOf(dir, gen)
     ((b + 1) to gen)
-      .map(g => s.read.parquet(s"${genDir(dir, g)}/counts-delta"))
+      .flatMap { g =>
+        val d = new java.io.File(genDir(dir, g), "counts-delta")
+        if (d.isDirectory) Seq(s.read.parquet(d.getAbsolutePath)) else Nil
+      }
       .foldLeft(s.read.parquet(s"${genDir(dir, b)}/counts"))(_ unionByName _)
       .groupBy(col("band"), col("key")).agg(sum(col("n")).as("n"))
   }
@@ -165,9 +189,65 @@ object LshIndexStore {
     * micro-batch of a restarted stream), else admit it.
     */
   def admitOnce(s: SparkSession, dir: String, deltaBands: DataFrame, txn: Long,
-      maxBucket: Int = Dedup.defaultMaxBucket): Int = {
-    val committed = (0 to currentGeneration(dir)).find(g => txnOf(dir, g) == txn)
-    committed.getOrElse(admit(s, dir, deltaBands, maxBucket, txn))
+      maxBucket: Int = Dedup.defaultMaxBucket): Int =
+    committedGen(dir, txn).getOrElse(admit(s, dir, deltaBands, maxBucket, txn))
+
+  /** Exactly-once retract (same txn-stamp contract as [[admitOnce]]). */
+  def retractOnce(s: SparkSession, dir: String, docIds: DataFrame, txn: Long,
+      maxBucket: Int = Dedup.defaultMaxBucket): Int =
+    committedGen(dir, txn).getOrElse(retract(s, dir, docIds, maxBucket, txn))
+
+  private def committedGen(dir: String, txn: Long): Option[Int] =
+    (0 to currentGeneration(dir)).find(g => txnOf(dir, g) == txn)
+
+  /** RETRACT documents from the index as generation N+1 — the q149
+    * analog for the dedup side, completing CRUD on the index state
+    * (init / admit / retract / compact). The erased docs' band rows
+    * leave via a tombstone segment (`retract-ids`, applied by
+    * [[bandsOf]]'s anti-join), their bucket counts via NEGATIVE
+    * `counts-delta` rows (the sum-merge nets them out), and the pair
+    * table is maintained incrementally over exactly the touched
+    * buckets. The sharp edge is the REVERSE of admit's: removing rows
+    * can bring an over-cap bucket back UNDER the cap, which must
+    * REVIVE the surviving members' pairs the cap had suppressed —
+    * non-monotone in both directions (spec-proven with a crafted
+    * crossing-back fixture). Cost is O(retracted + touched buckets +
+    * pair table); the base corpus is never re-signatured.
+    */
+  def retract(s: SparkSession, dir: String, docIds: DataFrame,
+      maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val removed = bandsOf(s, dir, gen).join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds tombstones, negative counts, touched set
+    val touched = removed.select(col("band"), col("key")).distinct()
+      .localCheckpoint()
+    // Surviving rows of the touched buckets whose NEW total is a
+    // pairable size — includes buckets crossing back under the cap,
+    // whose pairs this recompute revives.
+    val newTotals = countsOf(s, dir, gen)
+      .join(touched, Seq("band", "key"), "left_semi")
+      .join(removed.groupBy(col("band"), col("key")).agg(count(lit(1)).as("rn")),
+        Seq("band", "key"), "left")
+      .na.fill(0L, Seq("rn"))
+      .select(col("band"), col("key"), (col("n") - col("rn")).as("total"))
+    val keep = newTotals.where(col("total").between(2, maxBucket))
+      .select(col("band"), col("key"))
+    val survivors = bandsOf(s, dir, gen)
+      .join(keep, Seq("band", "key"), "left_semi")
+      .join(ids, Seq("doc_id"), "left_anti")
+    val next = gen + 1
+    val tmp = freshTmp(dir, next)
+    ids.write.mode("overwrite").parquet(s"$tmp/retract-ids")
+    removed.groupBy(col("band"), col("key")).agg((-count(lit(1))).as("n"))
+      .write.mode("overwrite").parquet(s"$tmp/counts-delta")
+    pairBandsOf(s, dir, gen)
+      .join(touched, Seq("band", "key"), "left_anti")
+      .unionByName(Dedup.pairBandRowsOf(survivors))
+      .write.mode("overwrite").parquet(s"$tmp/pairbands")
+    publish(dir, next, txn, tmp)
+    next
   }
 
   /** Fold the segment chain into a fresh FULL-snapshot generation, so

@@ -358,6 +358,40 @@ object DedupQueries {
     LshIndexStore.pairs(s, idx).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Per-sf CRUD-index dirs this JVM has already initialized (q168). */
+  private val lshCrudWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Full CRUD on the persisted LSH index — init (base corpus, gen 0),
+    * admit (the % 5 == 0 delta, gen 1), then RETRACT half that delta
+    * (doc_id % 10 == 0, gen 2): erased docs' band rows leave via
+    * tombstone segments, their bucket counts via negative count deltas,
+    * and the pair table is maintained over exactly the touched buckets
+    * — including the reverse non-monotone edge where a bucket crossing
+    * back under the degenerate-bucket cap REVIVES its surviving pairs
+    * (crafted fixture in DedupSpec; the cap never binds on this
+    * corpus, so the gate exercises the erase arithmetic). The oracle
+    * is the ground-up rebuild over the SURVIVING corpus (doc_id % 10
+    * != 0) — a training-data erasure request served by index
+    * maintenance, never a corpus recompute. All three mutations are
+    * txn-stamped, so repeated runs replay as no-ops.
+    */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.LshIndexStore
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_lsh_crud_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    def bands(cond: org.apache.spark.sql.Column) = Dedup.bandRows(
+      Dedup.minhashSignatures(
+        Tables.documents(s, d).where(cond), "doc_id", "text"), rowsPerBand = 1)
+    if (lshCrudWritten.add(dir))
+      LshIndexStore.init(s, dir, bands(col("doc_id") % 5 =!= 0), txn = 0L)
+    LshIndexStore.admitOnce(s, dir, bands(col("doc_id") % 5 === 0), txn = 1L)
+    LshIndexStore.retractOnce(s, dir,
+      Tables.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id")),
+      txn = 2L)
+    LshIndexStore.pairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Semantic near-duplicate detection (the SemDeDup shape): candidate
     * pairs come from the TEXT side's MinHash band join — cheap, bounded,
     * never all-pairs — and the verdict from the EMBEDDING side's exact
@@ -506,17 +540,21 @@ object DedupQueries {
        |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
   }
 
-  /** Shared minhash CTE text (mirrors Dedup.minhashSignatures). */
-  private def minhashCte: String = {
+  /** Shared minhash CTE text (mirrors Dedup.minhashSignatures).
+    * `where` restricts the corpus (q168's post-retract oracle).
+    */
+  private def minhashCteWhere(where: String): String = {
     val mh = (0 until Dedup.numHashes).map { i =>
       s"list_min(list_transform(sh, s -> (${Dedup.A(i)} * ${rollSql("s")} + ${Dedup.B(i)}) % ${Dedup.P})) AS mh$i"
     }.mkString(",\n  ")
-    s"""t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $tokensSql AS toks FROM documents$where),
        |f AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t WHERE len(toks) >= ${Dedup.shingleSize}),
        |m AS (SELECT doc_id,
        |  $mh
        |FROM f)""".stripMargin
   }
+
+  private def minhashCte: String = minhashCteWhere("")
 
   /** band rows + degenerate-bucket cap + distinct candidate pairs, as
     * CTEs `bands`/`cf`/`cand` (mirrors Dedup.bandRows + pairsFromBands,
@@ -818,6 +856,12 @@ object DedupQueries {
     // admit must be indistinguishable from a ground-up rebuild.
     QueryDef("q167_incremental_lsh_index", q167, Some(
       s"""WITH $minhashCte,
+         |${candCte(1)}
+         |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
+    // Rebuild over the SURVIVING corpus — init+admit+retract through
+    // the index must be indistinguishable from it.
+    QueryDef("q168_lsh_index_crud", q168, Some(
+      s"""WITH ${minhashCteWhere(" WHERE doc_id % 10 != 0")},
          |${candCte(1)}
          |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("q26_simhash", q26, Some(

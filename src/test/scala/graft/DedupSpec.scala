@@ -282,6 +282,56 @@ class DedupSpec extends SparkSpec {
     assert(!afterB3((11L, 12L)), "post-compact cap crossing did not retract")
   }
 
+  test("LshIndexStore retract: erased docs leave; a bucket crossing back under the cap REVIVES surviving pairs; admits chain on") {
+    import graft.operators.LshIndexStore
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    // textA: FIVE identical docs — over cap at init, so no pairs.
+    // textB: three docs — paired normally.
+    val corpus = (1L to 5L).map(_ -> textA) ++ (11L to 13L).map(_ -> textB)
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text"), 1)
+    def rebuild(rows: Seq[(Long, String)]) = candidatePairs(Dedup.lshCandidates(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text").localCheckpoint(), cap)
+      .select(col("doc_a"), col("doc_b")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshretract").toString + "/index"
+    LshIndexStore.init(spark, dir, bands(corpus), cap)
+    def pairSet = candidatePairs(
+      LshIndexStore.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val aFam = Set(1L, 2L, 3L, 4L, 5L)
+    assert(!pairSet.exists(p => aFam(p._1) && aFam(p._2)),
+      "fixture broken: textA should start over-cap, pairless")
+    assert(pairSet((11L, 12L)))
+
+    // Retract doc 5 (textA: 5 -> 4, back UNDER the cap — pairs among the
+    // survivors must REVIVE) and doc 12 (textB: 3 -> 2, pairs shrink).
+    val spark0 = spark
+    import spark0.implicits._
+    LshIndexStore.retract(spark, dir, Seq(5L, 12L).toDF("doc_id"), cap, txn = 50L)
+    val afterRetract = pairSet
+    val surviving = corpus.filterNot(r => r._1 == 5L || r._1 == 12L)
+    assert(afterRetract == rebuild(surviving),
+      s"retract diverged from rebuild over survivors: $afterRetract")
+    assert(afterRetract((1L, 2L)) && afterRetract((3L, 4L)),
+      "crossing back under the cap did not revive the surviving pairs")
+    assert(!afterRetract.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 12L || p._2 == 12L),
+      "retracted docs still appear in pairs")
+    assert(afterRetract((11L, 13L)) && !afterRetract((11L, 12L)))
+
+    // Admits chain across the tombstones: a new textA doc pushes the
+    // bucket back OVER the cap — retraction again, rebuild-equal.
+    LshIndexStore.admit(spark, dir, bands(Seq(300L -> textA)), cap, txn = 51L)
+    val afterAdmit = pairSet
+    assert(afterAdmit == rebuild(surviving ++ Seq(300L -> textA)),
+      s"post-retract admit diverged: $afterAdmit")
+    assert(!afterAdmit.exists(p => (aFam + 300L)(p._1) && (aFam + 300L)(p._2)))
+    // Compact absorbs the tombstones; the answer is unchanged.
+    LshIndexStore.compact(spark, dir)
+    assert(pairSet == afterAdmit, "compact changed the post-retract answer")
+    assert(!new java.io.File(s"$dir/v${LshIndexStore.currentGeneration(dir)}/retract-ids").isDirectory)
+  }
+
   test("spanDupStats counts duplicated span positions, not whole-doc similarity") {
     // doc 1: 10 tokens (3 span positions at width 8); doc 2 shares doc 1's
     // FIRST 8 tokens then diverges (boilerplate prefix); doc 3 disjoint;
