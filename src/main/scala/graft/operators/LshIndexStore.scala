@@ -125,7 +125,7 @@ object LshIndexStore {
     * one atomic rename — a lost single-writer race fails loudly rather
     * than clobbering the committed generation.
     */
-  private def publish(dir: String, gen: Int, txn: Long, tmp: String): Unit = {
+  private[graft] def publish(dir: String, gen: Int, txn: Long, tmp: String): Unit = {
     Files.write(new java.io.File(tmp, "_graft_manifest.json").toPath,
       s"""{"generation":$gen,"txn":$txn}""".getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(Paths.get(dir))
@@ -268,6 +268,35 @@ object LshIndexStore {
     pairBandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/pairbands")
     publish(dir, next, -1L, tmp)
     next
+  }
+
+  /** Drop generations BELOW `keepFrom`, which must be a full-snapshot
+    * generation (v0 or a [[compact]] output) — the chain from
+    * `keepFrom` up stays readable; reads of dropped generations fail
+    * loudly via the missing-snapshot guard. The retention step that
+    * reclaims what continuous ingest leaves behind (the
+    * [[VersionedLayout.vacuum]] analog; old generations are pure
+    * metadata + superseded segments once a compact has folded them).
+    */
+  def vacuumGenerations(dir: String, keepFrom: Int): Unit = {
+    require(new java.io.File(genDir(dir, keepFrom), "bands").isDirectory,
+      s"keepFrom=$keepFrom is not a full-snapshot generation of $dir — " +
+        "vacuum would orphan the segment chain (compact first)")
+    (0 until keepFrom).foreach { g =>
+      val d = new java.io.File(genDir(dir, g))
+      if (d.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+  }
+
+  /** Candidate pairs as of generation `gen` (time travel over the
+    * retained chain — every generation keeps its full pair table).
+    */
+  def pairsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    require(manifest(dir, gen).isFile,
+      s"generation $gen of $dir is not addressable (never committed, or vacuumed)")
+    pairBandsOf(s, dir, gen)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
   }
 
   /** The current generation's candidate pairs (the consumer surface —

@@ -327,9 +327,32 @@ class DedupSpec extends SparkSpec {
       s"post-retract admit diverged: $afterAdmit")
     assert(!afterAdmit.exists(p => (aFam + 300L)(p._1) && (aFam + 300L)(p._2)))
     // Compact absorbs the tombstones; the answer is unchanged.
-    LshIndexStore.compact(spark, dir)
+    val folded = LshIndexStore.compact(spark, dir)
     assert(pairSet == afterAdmit, "compact changed the post-retract answer")
-    assert(!new java.io.File(s"$dir/v${LshIndexStore.currentGeneration(dir)}/retract-ids").isDirectory)
+    assert(!new java.io.File(s"$dir/v$folded/retract-ids").isDirectory)
+
+    // Time travel: every retained generation still serves its pairs.
+    assert(candidatePairs(LshIndexStore.pairsOf(spark, dir, 1)
+      .select(col("doc_a"), col("doc_b"))) == afterRetract)
+    // Vacuum to the fold: below-horizon generations fail loudly, the
+    // head keeps answering; a non-snapshot keepFrom is refused.
+    val bad = intercept[IllegalArgumentException](
+      LshIndexStore.vacuumGenerations(dir, keepFrom = 1))
+    assert(bad.getMessage.contains("full-snapshot"), bad.getMessage)
+    LshIndexStore.vacuumGenerations(dir, keepFrom = folded)
+    assert(pairSet == afterAdmit, "vacuum broke the head read")
+    val gone = intercept[IllegalArgumentException](
+      LshIndexStore.pairsOf(spark, dir, 1).count())
+    assert(gone.getMessage.contains("not addressable"), gone.getMessage)
+
+    // Writer race on a generation: the loser's publish fails loudly
+    // (the committed generation is never clobbered).
+    val loserTmp = s"$dir/.gen-tmp-race"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(loserTmp))
+    val race = intercept[IllegalStateException](
+      LshIndexStore.publish(dir, folded, 999L, loserTmp))
+    assert(race.getMessage.contains("another writer"), race.getMessage)
+    assert(pairSet == afterAdmit, "lost race corrupted the committed generation")
   }
 
   test("spanDupStats counts duplicated span positions, not whole-doc similarity") {
