@@ -331,6 +331,11 @@ class DedupSpec extends SparkSpec {
     assert(pairSet == afterAdmit, "compact changed the post-retract answer")
     assert(!new java.io.File(s"$dir/v$folded/retract-ids").isDirectory)
 
+    // Serving reads ONLY the maintained pair table — no band scan, no
+    // signature recompute (the at-scale serving contract).
+    assert(LshIndexStore.pairs(spark, dir).inputFiles.forall(_.contains("/pairbands/")),
+      "pairs() read beyond the maintained pair table")
+
     // Time travel: every retained generation still serves its pairs.
     assert(candidatePairs(LshIndexStore.pairsOf(spark, dir, 1)
       .select(col("doc_a"), col("doc_b"))) == afterRetract)
