@@ -76,32 +76,53 @@ object LshIndexStore {
       .getOrElse(throw new IllegalStateException(s"$dir has no full-snapshot generation <= $gen"))
 
   /** Band rows as of generation `gen`: base snapshot + delta segments,
-    * minus every doc a retract segment tombstoned (q149's semantics —
-    * the anti-join prunes on doc_id, so a doc-id-partitioned layout
-    * pays only the tombstoned partitions at scale).
+    * minus every doc a retract segment tombstoned (q149's semantics).
+    *
+    * Tombstones are GENERATION-SCOPED: a retract at generation r erases
+    * only rows that existed when it committed (source generation < r),
+    * so a doc retracted and later re-admitted is live again — the
+    * re-admit's delta rows sit ABOVE the tombstone's horizon. Each row
+    * is tagged with its segment's generation and kept iff it is above
+    * the doc's highest tombstone; the horizon table is
+    * retracted-docs-sized (tiny next to the corpus), so Spark
+    * broadcasts the join at scale.
     */
   def bandsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
     val b = baseGenOf(dir, gen)
     val live = ((b + 1) to gen)
       .flatMap { g =>
         val d = new java.io.File(genDir(dir, g), "bands-delta")
-        if (d.isDirectory) Seq(s.read.parquet(d.getAbsolutePath)) else Nil
+        if (d.isDirectory)
+          Seq(s.read.parquet(d.getAbsolutePath).withColumn("_row_gen", lit(g)))
+        else Nil
       }
-      .foldLeft(s.read.parquet(s"${genDir(dir, b)}/bands"))(_ unionByName _)
-    retractedIds(s, dir, b, gen) match {
-      case Some(ids) => live.join(ids, Seq("doc_id"), "left_anti")
-      case None => live
+      .foldLeft(
+        s.read.parquet(s"${genDir(dir, b)}/bands").withColumn("_row_gen", lit(b)))(
+        _ unionByName _)
+    retractHorizons(s, dir, b, gen) match {
+      case Some(h) =>
+        live.join(h, Seq("doc_id"), "left")
+          .where(col("_retract_gen").isNull || col("_row_gen") > col("_retract_gen"))
+          .drop("_row_gen", "_retract_gen")
+      case None => live.drop("_row_gen")
     }
   }
 
-  /** Union of retract-segment doc ids in (baseGen, gen], if any. */
-  private def retractedIds(
+  /** Per-doc HIGHEST retract generation in (baseGen, gen], if any —
+    * the tombstone horizon [[bandsOf]] scopes rows against. A retract
+    * generation never carries band rows of its own, so strict `>` on
+    * the row side is exact.
+    */
+  private def retractHorizons(
       s: SparkSession, dir: String, baseGen: Int, gen: Int): Option[DataFrame] = {
     val segs = ((baseGen + 1) to gen).flatMap { g =>
       val d = new java.io.File(genDir(dir, g), "retract-ids")
-      if (d.isDirectory) Seq(s.read.parquet(d.getAbsolutePath)) else Nil
+      if (d.isDirectory)
+        Seq(s.read.parquet(d.getAbsolutePath).withColumn("_retract_gen", lit(g)))
+      else Nil
     }
     segs.reduceOption(_ unionByName _)
+      .map(_.groupBy(col("doc_id")).agg(max(col("_retract_gen")).as("_retract_gen")))
   }
 
   /** Bucket counts as of generation `gen`: base snapshot + per-segment
@@ -198,7 +219,9 @@ object LshIndexStore {
     committedGen(dir, txn).getOrElse(retract(s, dir, docIds, maxBucket, txn))
 
   private def committedGen(dir: String, txn: Long): Option[Int] =
-    (0 to currentGeneration(dir)).find(g => txnOf(dir, g) == txn)
+    (0 to currentGeneration(dir))
+      .filter(g => manifest(dir, g).isFile) // below-retention gens are vacuumed
+      .find(g => txnOf(dir, g) == txn)
 
   /** RETRACT documents from the index as generation N+1 — the q149
     * analog for the dedup side, completing CRUD on the index state

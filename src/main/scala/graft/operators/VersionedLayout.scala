@@ -95,7 +95,12 @@ object VersionedLayout {
     logDir(dir).mkdirs()
     val body = s"""{"version":${e.version},"action":"${e.action}",""" +
       s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},"txn":${e.txn}}"""
-    val tmp = new java.io.File(logDir(dir), s".v${e.version}.tmp")
+    // Writer-unique tmp: a shared name would let racing writer B rewrite
+    // the tmp between A's write and createLink, publishing B's bytes
+    // under A's successful CAS — the silent corruption the hard-link
+    // protocol exists to exclude.
+    val tmp = new java.io.File(logDir(dir),
+      s".v${e.version}.tmp-p${ProcessHandle.current().pid()}-t${Thread.currentThread().getId}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
     try Files.createLink(entryFile(dir, e.version).toPath, tmp.toPath)
     catch {
@@ -567,12 +572,20 @@ object VersionedLayout {
     * `.clone-tmp` and atomically renamed, so `dst` is never observable
     * half-built; a crashed attempt leaves only a tmp the next attempt
     * overwrites.
+    *
+    * The source's vacuum HORIZON travels with the clone: if the vacuum
+    * entry that raised it sits above `v`, a metadata-only vacuum entry
+    * is synthesized at `v+1` so the clone refuses the same below-horizon
+    * reads the source does (instead of advertising history whose
+    * archives are gone); a missing archive above the horizon fails the
+    * clone loudly rather than linking a silent gap.
     */
   def cloneAsOf(s: SparkSession, dir: String, dst: String, v: Int): Unit = {
     val entries = log(dir)
+    val srcHorizon = horizon(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
-    require(v >= horizon(dir),
-      s"version $v is below the vacuum horizon ${horizon(dir)} — its archives are gone")
+    require(v >= srcHorizon,
+      s"version $v is below the vacuum horizon $srcHorizon — its archives are gone")
     if (new java.io.File(dst).exists()) return // already published (idempotent re-entry)
     val tmp = s"$dst.clone-tmp-p${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
@@ -611,8 +624,17 @@ object VersionedLayout {
     val m = majorAtOrBefore(entries, v)
     entries.filter(e =>
         (e.action == "compact" || e.action == "majorcompact") && e.version <= v)
-      .foreach(e => linkTree(new java.io.File(archiveDir(dir, e.version)),
-        Paths.get(s"$tmp/_archive/v${e.version}")))
+      .foreach { e =>
+        val a = new java.io.File(archiveDir(dir, e.version))
+        // A vacuum legitimately deletes archives at-or-below the horizon
+        // (the clone's carried horizon forbids reading there); an archive
+        // missing ABOVE it is a history gap the clone must refuse loudly
+        // rather than silently advertise and fail at read time.
+        if (a.isDirectory) linkTree(a, Paths.get(s"$tmp/_archive/v${e.version}"))
+        else require(e.version <= srcHorizon,
+          s"archive of compact v${e.version} of $dir is missing though above " +
+            s"the vacuum horizon $srcHorizon — refusing a clone with a silent history gap")
+      }
     entries.filter(e => (e.action == "insert" || e.action == "upsert")
         && e.version > m && e.version <= v)
       .foreach(e => linkTree(new java.io.File(locateSegment(dir, entries, e.version)),
@@ -625,6 +647,18 @@ object VersionedLayout {
       Files.createLink(Paths.get(tmp, "_log", entryFile(dir, e.version).getName),
         entryFile(dir, e.version).toPath)
     }
+    // Carry the source's vacuum horizon: when the only vacuum that raised
+    // it sits ABOVE v, dropping it would reset the clone's horizon to 0 —
+    // advertising AS-OF history whose archives the source already deleted
+    // (reads there would fail, or worse). Synthesize a metadata-only
+    // vacuum entry at v+1 recording the true horizon.
+    val carriedHorizon = entries
+      .filter(e => e.version <= v && e.action == "vacuum").map(_.horizon)
+      .maxOption.getOrElse(0)
+    if (srcHorizon > carriedHorizon)
+      Files.write(Paths.get(tmp, "_log", f"v${v + 1}%05d.json"),
+        s"""{"version":${v + 1},"action":"vacuum","pids":[],"horizon":$srcHorizon,"txn":-1}"""
+          .getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(Paths.get(dst).getParent)
     try Files.move(Paths.get(tmp), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
     catch {

@@ -360,6 +360,62 @@ class DedupSpec extends SparkSpec {
     assert(pairSet == afterAdmit, "lost race corrupted the committed generation")
   }
 
+  test("LshIndexStore: a doc retracted then RE-ADMITTED is live again (generation-scoped tombstones); admitOnce survives a retention vacuum") {
+    import graft.operators.LshIndexStore
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    val corpus = (1L to 2L).map(_ -> textA) ++ (11L to 12L).map(_ -> textB)
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text"), 1)
+    def rebuild(rows: Seq[(Long, String)]) = candidatePairs(Dedup.lshCandidates(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text").localCheckpoint(), cap)
+      .select(col("doc_a"), col("doc_b")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshreadmit").toString + "/index"
+    val spark0 = spark
+    import spark0.implicits._
+    def pairSet = candidatePairs(
+      LshIndexStore.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+
+    LshIndexStore.init(spark, dir, bands(corpus), cap, txn = 10L)
+    assert(pairSet((1L, 2L)) && pairSet((11L, 12L)))
+
+    // Retract doc 2, then RE-ADMIT it before any compact: the tombstone
+    // at generation 1 must scope only to rows below it — the re-admit's
+    // delta rows (generation 2) are live, the pair revives, and the
+    // store still equals the ground-up rebuild.
+    LshIndexStore.retract(spark, dir, Seq(2L).toDF("doc_id"), cap, txn = 11L)
+    assert(!pairSet.exists(p => p._1 == 2L || p._2 == 2L), "retract left doc 2 paired")
+    LshIndexStore.admit(spark, dir, bands(Seq(2L -> textA)), cap, txn = 12L)
+    assert(LshIndexStore.bandsOf(spark, dir, 2).where(col("doc_id") === 2L).count() > 0,
+      "re-admitted doc invisible in bandsOf — tombstone applied above its generation")
+    assert(pairSet == rebuild(corpus), s"retract+re-admit diverged from rebuild: $pairSet")
+    assert(pairSet((1L, 2L)), "re-admitted doc's pair did not revive")
+
+    // The NEXT maintenance op touching its buckets must keep it: admit a
+    // third textA doc (bucket 2 -> 3, still under cap) — the recompute
+    // reads bandsOf, which now includes the re-admitted doc 2.
+    LshIndexStore.admit(spark, dir, bands(Seq(3L -> textA)), cap, txn = 13L)
+    assert(pairSet == rebuild(corpus ++ Seq(3L -> textA)),
+      s"post-re-admit maintenance dropped the revived doc's pairs: $pairSet")
+    assert(pairSet((1L, 2L)) && pairSet((2L, 3L)))
+
+    // Retention vacuum, then the exactly-once paths: committedGen must
+    // skip vacuumed generations (missing manifests), not crash — and
+    // still dedupe a txn recorded in a SURVIVING generation.
+    val folded = LshIndexStore.compact(spark, dir)
+    LshIndexStore.admit(spark, dir, bands(Seq(13L -> textB)), cap, txn = 14L)
+    LshIndexStore.vacuumGenerations(dir, keepFrom = folded)
+    val before = pairSet
+    assert(LshIndexStore.admitOnce(spark, dir, bands(Seq(13L -> textB)), txn = 14L, cap)
+      == folded + 1, "replayed txn in a surviving generation was not deduped post-vacuum")
+    val g = LshIndexStore.admitOnce(spark, dir, bands(Seq(21L -> "copper silver golden bronze marble granite basalt quartz slate flint")), txn = 15L, cap)
+    assert(g == folded + 2, "admitOnce after vacuumGenerations failed")
+    assert(LshIndexStore.retractOnce(spark, dir, Seq(21L).toDF("doc_id"), txn = 16L, cap)
+      == folded + 3, "retractOnce after vacuumGenerations failed")
+    assert(pairSet == before, "post-vacuum admit/retract cycle changed unrelated pairs")
+  }
+
   test("spanDupStats counts duplicated span positions, not whole-doc similarity") {
     // doc 1: 10 tokens (3 span positions at width 8); doc 2 shares doc 1's
     // FIRST 8 tokens then diverges (boilerplate prefix); doc 3 disjoint;

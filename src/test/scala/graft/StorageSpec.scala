@@ -631,6 +631,25 @@ class StorageSpec extends SparkSpec {
     // And a repeat clone call is an idempotent no-op on the existing dst.
     VersionedLayout.cloneAsOf(spark, src, dst, 2)
     assert(VersionedLayout.currentVersion(dst) == 4)
+
+    // Clone BELOW a later vacuum entry: the source's horizon (raised at
+    // src v5 by the vacuum above) must travel with the clone — without
+    // it the clone would advertise AS-OF 0/1 history whose archives the
+    // source already deleted. A synthesized metadata-only vacuum entry
+    // carries it; reads below fail with the same loud horizon error.
+    assert(VersionedLayout.horizon(src) == 2)
+    val dst2 = s"$root/dst2"
+    VersionedLayout.cloneAsOf(spark, src, dst2, 4) // vacuum entry is src v5 > 4
+    assert(VersionedLayout.horizon(dst2) == 2,
+      "source vacuum horizon did not travel with the clone")
+    val below = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOf(spark, dst2, 1).count())
+    assert(below.getMessage.contains("horizon"), below.getMessage)
+    (2 to 4).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dst2, v).count()
+        == VersionedLayout.readAsOf(spark, src, v).count(),
+        s"horizon-carrying clone diverged from source at AS-OF $v")
+    }
   }
 
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
