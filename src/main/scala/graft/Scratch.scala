@@ -288,6 +288,76 @@ object LshAdmitSlope {
   }
 }
 
+/** Interleaved single-JVM re-measurement of a bench block whose numbers
+  * are suspected stale (machine-load window, not plan change): each
+  * round times every named query once in round-robin order — so a load
+  * spike taxes all of them equally instead of whichever queries it
+  * overlapped — with the q01 calibration probe re-timed at every round
+  * boundary. Reports per-query min/median plus all samples; the MIN is
+  * the evidence number (load only ever adds time).
+  * Run: SPARK_GRAFT_CPUS=32 runMain graft.BenchAB <sfDir> [query...]
+  * (no query args = the round-8 suspect block).
+  *
+  * MEASURED (round 9, sf0.1, local[32], 5 rounds, 2026-08-14 — full
+  * table in BENCH_AB_r09.md): every round-8-flagged entry
+  * re-established at or below its round-7 value (q72 0.69 s min vs the
+  * stale 6.9, q101 4.18 vs 12.6, q115 2.85 vs 11.9, q121 1.22 vs 7.5,
+  * q161 0.29 vs 2.3); calibration 0.29-0.70 s across rounds. The r8
+  * block was a machine-load window, not a plan regression — no finding.
+  */
+object BenchAB {
+  val r8SuspectBlock: Seq[String] = Seq(
+    "q17_inverted_index", "q50_sql_api", "q52_unpivot", "q53_lead_lag",
+    "q54_stat_aggregates", "q59_grouping_sets", "q61_quantile_binning",
+    "q65_full_outer", "q66_correlated_subquery", "q72_set_ops_all",
+    "q101_prefix_filter_join", "q115_bm25_topk", "q121_vocab_growth",
+    "q146_incremental_index", "q161_index_time_travel",
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "5").toInt
+    val names = { val qs = args.drop(1).toSeq; if (qs.nonEmpty) qs else r8SuspectBlock }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(appName = "graft-bench-ab", master = Some(s"local[$cpus]"),
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => Tables(spark, sfDir, t).count())
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      sec
+    }
+    val probe = SparkEntry.allDefs.find(_.name == "q01_pricing_summary").get
+    // Cold pass (codegen/JIT + any layout/index write a steady-state
+    // query amortizes) — discarded, same as Bench's warmup.
+    names.foreach(q => timed(SparkEntry.queries(q)(spark, sfDir).count()))
+    timed(probe.fn(spark, sfDir).count())
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to rounds).foreach { r =>
+      cals += timed(probe.fn(spark, sfDir).count())
+      names.foreach { q =>
+        samples(q) = samples(q) :+ timed(SparkEntry.queries(q)(spark, sfDir).count())
+      }
+    }
+    cals += timed(probe.fn(spark, sfDir).count())
+    println("CAL " + cals.map(c => f"$c%.2f").mkString(" "))
+    names.foreach { q =>
+      val xs = samples(q).sorted
+      val med = xs(xs.size / 2)
+      println(f"AB $q%-28s min=${xs.head}%.2f med=$med%.2f samples=[" +
+        samples(q).map(x => f"$x%.2f").mkString(" ") + "]")
+    }
+    spark.stop()
+  }
+}
+
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
