@@ -225,14 +225,29 @@ object ScaleSlope {
   }
 }
 
-/** Fixed-delta LSH admit cost vs base-corpus size — the measurement
-  * behind LshIndexStore's O(delta) claim: a FIXED 500-doc batch is
-  * admitted into a 1x and a 10x base index (10x via ScaleSlope's
-  * alphabet-rotation copies, so vocabulary scales with the corpus),
-  * against the ground-up rebuild a store-less pipeline would pay per
-  * batch. Expectation: rebuild grows with the corpus (all signatures +
-  * the corpus-wide band shuffle), admit grows only with the delta, the
-  * touched buckets, and the maintained pair table.
+/** Fixed-delta LSH mutation cost vs base-corpus size — the measurement
+  * behind LshIndexStore's O(delta) claim: a FIXED 500-doc admit, a
+  * FIXED 500-doc retract, and a compact are timed against a 1x and a
+  * 10x base index (10x via ScaleSlope's alphabet-rotation copies, so
+  * vocabulary scales with the corpus), with the head pair-table mass
+  * as the explicit axis, against the ground-up rebuild a store-less
+  * pipeline would pay per batch. Expectation: rebuild grows with the
+  * corpus; admit/retract grow only with the delta and touched buckets
+  * (round 9 segmented the pair table, so neither rewrites the
+  * candidate-sized product); compact alone is live-state-proportional.
+  *
+  * MEASURED (sf0.1, local[32], warm pass 2, 2026-08-14): 1x = 5,000
+  * docs / 73,214 pairs, 10x = 50,000 docs / 761,526 pairs (10.4x the
+  * candidate mass):
+  * {{{
+  *           1x      10x     growth (vs 10x data+pairs)
+  * admit     1.46 s  1.88 s  1.29x  (flat: delta+touched only)
+  * retract   2.15 s  2.43 s  1.13x  (flat: removed+touched only)
+  * compact   1.72 s  2.15 s  1.25x  (the fold — state-proportional op)
+  * rebuild   1.74 s  2.98 s  1.71x  (per-batch corpus re-signature)
+  * }}}
+  * Mutations no longer track the index's product; the rebuild gap
+  * widens with every decade of corpus.
   */
 object LshAdmitSlope {
   def main(args: Array[String]): Unit = {
@@ -266,13 +281,24 @@ object LshAdmitSlope {
     }
     // Two passes per scale: pass 1 is JIT/codegen warmup (fresh state
     // dir each pass — admits mutate), pass 2 is the reported number.
+    // Per scale the full mutation surface is timed — admit, retract
+    // (fixed 500 base docs), compact (folding the 2-mutation chain) —
+    // with the head pair-table mass reported as the explicit axis the
+    // round-9 segmentation flattens admits against: through round 8 an
+    // admit rewrote the candidate-sized pair table, so its cost grew
+    // with pairs=; segmented, it writes O(delta + touched) regardless.
+    val retractIds = docs.orderBy(col("doc_id")).limit(500).select(col("doc_id"))
+      .localCheckpoint()
     Seq(1, 10).foreach { copies =>
       val corpus = (0 until copies).map(rotated).reduce(_ unionByName _).localCheckpoint()
       (1 to 2).foreach { pass =>
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-admit-$copies-$pass").toString + "/idx"
         val tInit = timed(LshIndexStore.init(spark, dir, bands(corpus)))
+        val pairMass = LshIndexStore.pairs(spark, dir).count()
         val tAdmit = timed(LshIndexStore.admit(spark, dir, bands(delta)))
+        val tRetract = timed(LshIndexStore.retract(spark, dir, retractIds))
+        val tCompact = timed(LshIndexStore.compact(spark, dir))
         val tRebuild = timed {
           Dedup.lshCandidates(
             Dedup.minhashSignatures(corpus.unionByName(delta), "doc_id", "text")
@@ -280,8 +306,9 @@ object LshAdmitSlope {
           ()
         }
         if (pass == 2)
-          println(f"LSHADMIT ${copies}x docs=${corpus.count()} init=$tInit%.2f " +
-            f"admit=$tAdmit%.2f rebuild=$tRebuild%.2f ratio=${tRebuild / tAdmit}%.2f")
+          println(f"LSHADMIT ${copies}x docs=${corpus.count()} pairs=$pairMass " +
+            f"init=$tInit%.2f admit=$tAdmit%.2f retract=$tRetract%.2f " +
+            f"compact=$tCompact%.2f rebuild=$tRebuild%.2f ratio=${tRebuild / tAdmit}%.2f")
       }
     }
     spark.stop()

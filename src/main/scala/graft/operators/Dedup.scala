@@ -268,6 +268,28 @@ object Dedup {
       basePairBands: DataFrame,
       deltaBands: DataFrame,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val (touched, recomputed) =
+      touchedPairDelta(baseBands, baseCounts, deltaBands, maxBucket)
+    basePairBands
+      .join(touched, Seq("band", "key"), "left_anti")
+      .unionByName(recomputed)
+  }
+
+  /** The SEGMENT form of [[incrementalPairBands]]: the delta's touched
+    * (band, key) set and the recomputed pair rows of exactly those
+    * buckets that remain pairable after the admit. The updated pair
+    * table is (base minus touched) union recompute — but a maintainer
+    * that persists (touched, recompute) as a segment NEVER has to read
+    * or rewrite the base pair table at all: readers resolve
+    * last-touch-wins per bucket ([[LshIndexStore]]'s chain read), which
+    * is what makes an admit O(delta + touched buckets) while the
+    * candidate mass grows without bound.
+    */
+  def touchedPairDelta(
+      baseBands: DataFrame,
+      baseCounts: DataFrame,
+      deltaBands: DataFrame,
+      maxBucket: Int = defaultMaxBucket): (DataFrame, DataFrame) = {
     val dc = deltaBands.groupBy(col("band"), col("key")).agg(count(lit(1)).as("dn"))
       .localCheckpoint() // bounded by |delta| x bands; feeds three joins
     val keep = dc.join(baseCounts, Seq("band", "key"), "left")
@@ -278,9 +300,7 @@ object Dedup {
       .unionByName(deltaBands.join(keep, Seq("band", "key"), "left_semi"))
     // dc's checkpoint blocks stay live until the caller's action runs
     // (a few rows per touched bucket — freed with the session).
-    basePairBands
-      .join(dc.select(col("band"), col("key")), Seq("band", "key"), "left_anti")
-      .unionByName(pairBandRows(touchedRows))
+    (dc.select(col("band"), col("key")), pairBandRows(touchedRows))
   }
 
 

@@ -18,12 +18,18 @@ import java.nio.charset.StandardCharsets
   *    never a corpus-proportional rewrite (the claim the admit-slope
   *    harness measures); readers union base + segments, pruned by a
   *    (band, key)-bucketed layout at scale.
-  *  - every generation: `pairbands` — the full maintained pair table
-  *    with (band, key) provenance. This is the index's PRODUCT, sized
-  *    by the candidate set (not the corpus scan); rewriting it per
-  *    admit is what lets [[pairs]] serve without any merge. A
-  *    deployment whose candidate mass dwarfs its deltas would segment
-  *    it the same way and fold with [[compact]].
+  *  - every admitted/retracted generation: `touched-buckets` (the
+  *    (band, key) set the batch touched) + `pairbands-delta` (the
+  *    recomputed pair rows of exactly those buckets). The pair table —
+  *    the index's PRODUCT, sized by the candidate set — is therefore
+  *    ALSO segmented: a mutation writes O(delta + touched buckets),
+  *    never a candidate-mass rewrite (through round 8 it was rewritten
+  *    whole per admit — the store's one acknowledged scale gap, closed
+  *    in round 9). Readers resolve LAST-TOUCH-WINS per bucket: a
+  *    bucket's pair rows come from the latest segment that touched it,
+  *    or from the base snapshot if none did. The touch-horizon table is
+  *    touched-buckets-sized (delta-scale), so the resolve join
+  *    broadcasts at scale.
   *
   * [[compact]] bounds what continuous ingest grows without limit: it
   * folds the segment chain into a fresh full-snapshot generation (the
@@ -41,13 +47,15 @@ import java.nio.charset.StandardCharsets
   * once — the same idempotence contract as
   * [[VersionedLayout.appendInsertOnce]], now for index maintenance.
   *
-  * MEASURED (LshAdmitSlope, sf0.1, warm, 2026-08-13): a fixed 500-doc
-  * batch admitted into a 5,000-doc vs a 50,000-doc base index costs
-  * 1.52 s vs 1.58 s — FLAT across 10x corpus — while the ground-up
-  * rebuild the store replaces grows 1.32 s -> 2.05 s. The crossover
-  * sits at tens of thousands of docs even single-node; at 100 TB the
-  * rebuild side is a full corpus re-signature + corpus-wide shuffle
-  * per batch, the admit side is not.
+  * MEASURED (LshAdmitSlope, sf0.1, warm, 2026-08-14, segmented pair
+  * table): against a 5,000-doc vs a 50,000-doc base index — pair-table
+  * mass 73,214 vs 761,526 rows (10.4x the candidate product) — a fixed
+  * 500-doc admit costs 1.46 s vs 1.88 s, a fixed 500-doc retract
+  * 2.15 s vs 2.43 s, and compact (the only candidate-mass-proportional
+  * op left, by design) 1.72 s vs 2.15 s, while the ground-up rebuild
+  * grows 1.74 s -> 2.98 s. Mutation cost no longer tracks the index's
+  * product; at 100 TB the rebuild side is a full corpus re-signature +
+  * corpus-wide shuffle per batch, the admit side is not.
   */
 object LshIndexStore {
 
@@ -139,8 +147,40 @@ object LshIndexStore {
       .groupBy(col("band"), col("key")).agg(sum(col("n")).as("n"))
   }
 
-  private def pairBandsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
-    s.read.parquet(s"${genDir(dir, gen)}/pairbands")
+  /** Pair-table rows as of generation `gen`: base full snapshot +
+    * per-generation recompute segments, resolved LAST-TOUCH-WINS per
+    * (band, key) bucket — a bucket's rows come from the newest segment
+    * whose mutation touched it (base rows and superseded segment rows
+    * drop out), so a mutation never rewrites the candidate-sized table.
+    */
+  private def pairBandsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    val b = baseGenOf(dir, gen)
+    val segGens = ((b + 1) to gen).filter(g =>
+      new java.io.File(genDir(dir, g), "touched-buckets").isDirectory)
+    val base = s.read.parquet(s"${genDir(dir, b)}/pairbands")
+    if (segGens.isEmpty) base
+    else {
+      // Explicit schemas: an all-over-cap mutation legitimately writes a
+      // ZERO-ROW recompute segment, which may carry no parquet footer to
+      // infer from.
+      val pairSchema = base.schema
+      val bucketSchema = org.apache.spark.sql.types.StructType(pairSchema.take(2))
+      val horizon = segGens
+        .map(g => s.read.schema(bucketSchema)
+          .parquet(s"${genDir(dir, g)}/touched-buckets")
+          .withColumn("_touch_gen", lit(g)))
+        .reduce(_ unionByName _)
+        .groupBy(col("band"), col("key")).agg(max(col("_touch_gen")).as("_touch_gen"))
+      segGens
+        .map(g => s.read.schema(pairSchema)
+          .parquet(s"${genDir(dir, g)}/pairbands-delta")
+          .withColumn("_row_gen", lit(g)))
+        .foldLeft(base.withColumn("_row_gen", lit(b)))(_ unionByName _)
+        .join(horizon, Seq("band", "key"), "left")
+        .where(col("_touch_gen").isNull || col("_row_gen") === col("_touch_gen"))
+        .drop("_row_gen", "_touch_gen")
+    }
+  }
 
   /** Publish generation `gen` from a complete tmp: manifest last, then
     * one atomic rename — a lost single-writer race fails loudly rather
@@ -181,12 +221,14 @@ object LshIndexStore {
     0
   }
 
-  /** Admit a delta batch as generation N+1: the batch's band rows and
-    * bucket increments land as SEGMENTS (O(delta) writes); only the
-    * pair table — the candidate-sized product — is rewritten, via
-    * [[Dedup.incrementalPairBands]] (untouched buckets verbatim,
-    * touched buckets from a bounded fetch, over-cap buckets retracted).
-    * Returns the new generation number.
+  /** Admit a delta batch as generation N+1: the batch's band rows,
+    * bucket increments, touched-bucket set, and recomputed pair rows of
+    * exactly the touched buckets ALL land as SEGMENTS — an admit writes
+    * O(delta + touched buckets) and never reads or rewrites the
+    * candidate-sized pair table ([[Dedup.touchedPairDelta]]: untouched
+    * buckets stay wherever they live, touched buckets recompute from a
+    * bounded fetch, over-cap buckets retract by superseding with an
+    * empty recompute). Returns the new generation number.
     */
   def admit(s: SparkSession, dir: String, deltaBands: DataFrame,
       maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {
@@ -197,10 +239,10 @@ object LshIndexStore {
     val tmp = freshTmp(dir, next)
     delta.write.mode("overwrite").parquet(s"$tmp/bands-delta")
     Dedup.bucketCounts(delta).write.mode("overwrite").parquet(s"$tmp/counts-delta")
-    Dedup.incrementalPairBands(
-      bandsOf(s, dir, gen), countsOf(s, dir, gen), pairBandsOf(s, dir, gen),
-      delta, maxBucket)
-      .write.mode("overwrite").parquet(s"$tmp/pairbands")
+    val (touched, recomputed) = Dedup.touchedPairDelta(
+      bandsOf(s, dir, gen), countsOf(s, dir, gen), delta, maxBucket)
+    touched.write.mode("overwrite").parquet(s"$tmp/touched-buckets")
+    recomputed.write.mode("overwrite").parquet(s"$tmp/pairbands-delta")
     publish(dir, next, txn, tmp)
     next
   }
@@ -234,8 +276,9 @@ object LshIndexStore {
     * can bring an over-cap bucket back UNDER the cap, which must
     * REVIVE the surviving members' pairs the cap had suppressed —
     * non-monotone in both directions (spec-proven with a crafted
-    * crossing-back fixture). Cost is O(retracted + touched buckets +
-    * pair table); the base corpus is never re-signatured.
+    * crossing-back fixture). Cost is O(retracted + touched buckets);
+    * the base corpus is never re-signatured and the pair table is never
+    * rewritten (the recompute lands as a last-touch-wins segment).
     */
   def retract(s: SparkSession, dir: String, docIds: DataFrame,
       maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {
@@ -265,10 +308,9 @@ object LshIndexStore {
     ids.write.mode("overwrite").parquet(s"$tmp/retract-ids")
     removed.groupBy(col("band"), col("key")).agg((-count(lit(1))).as("n"))
       .write.mode("overwrite").parquet(s"$tmp/counts-delta")
-    pairBandsOf(s, dir, gen)
-      .join(touched, Seq("band", "key"), "left_anti")
-      .unionByName(Dedup.pairBandRowsOf(survivors))
-      .write.mode("overwrite").parquet(s"$tmp/pairbands")
+    touched.write.mode("overwrite").parquet(s"$tmp/touched-buckets")
+    Dedup.pairBandRowsOf(survivors)
+      .write.mode("overwrite").parquet(s"$tmp/pairbands-delta")
     publish(dir, next, txn, tmp)
     next
   }
@@ -324,7 +366,8 @@ object LshIndexStore {
 
   /** The current generation's candidate pairs (the consumer surface —
     * identical to a ground-up rebuild over everything admitted so far,
-    * served from the maintained pair table with no merge).
+    * served from the maintained pair segments by the last-touch-wins
+    * resolve; single-source again after a [[compact]]).
     */
   def pairs(s: SparkSession, dir: String): DataFrame =
     pairBandsOf(s, dir, currentGeneration(dir))

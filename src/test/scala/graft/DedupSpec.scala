@@ -260,10 +260,15 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_a"), col("doc_b"))) == finalPairs)
 
     // Admits write SEGMENTS (O(delta)), never a corpus rewrite: the
-    // admitted generations carry bands-delta, not a full bands table.
+    // admitted generations carry bands-delta, not a full bands table —
+    // and pairbands-delta (touched buckets only), not the full
+    // candidate-sized pair table.
     assert(new java.io.File(s"$dir/v1/bands-delta").isDirectory
       && !new java.io.File(s"$dir/v1/bands").isDirectory,
       "admit rewrote the full bands table")
+    assert(new java.io.File(s"$dir/v1/pairbands-delta").isDirectory
+      && !new java.io.File(s"$dir/v1/pairbands").isDirectory,
+      "admit rewrote the candidate-sized pair table")
 
     // Compaction folds the chain to one full snapshot: pairs unchanged,
     // the new generation is single-source, and admits keep chaining.

@@ -348,6 +348,79 @@ class StreamingSpec extends SparkSpec {
     assert(pairSet == rebuilt)
   }
 
+  test("streaming retract from the LSH index store: tombstone stream drives one generation per micro-batch, replays retract exactly once, end state equals the batch retract") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, LshIndexStore}
+    val spark0 = spark
+    import spark0.implicits._
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    // textA: five identical docs — OVER cap at init, pairless; retracting
+    // one crosses the bucket back under the cap mid-stream (the revival
+    // path exercised through the streaming sink, not just batch).
+    val corpus = (1L to 5L).map(_ -> textA) ++ (11L to 13L).map(_ -> textB)
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(
+        rows.toDF("doc_id", "text").localCheckpoint(), "doc_id", "text"), 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-rstream").toString + "/index"
+    val twin = java.nio.file.Files.createTempDirectory("graft-lsh-rtwin").toString + "/index"
+    LshIndexStore.init(spark, dir, bands(corpus), cap)
+    LshIndexStore.init(spark, twin, bands(corpus), cap)
+
+    val in = java.nio.file.Files.createTempDirectory("graft-lsh-rin")
+    val chk = java.nio.file.Files.createTempDirectory("graft-lsh-rchk")
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+      // The micro-batch id IS the txn stamp (the admit-ingest contract,
+      // now for the tombstone side).
+      LshIndexStore.retractOnce(spark, dir, b, id, cap)
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(Seq(0L).toDF("doc_id").schema).parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def stage(name: String, ids: Seq[Long]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-rstage")
+      ids.toDF("doc_id").repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+
+    stage("b0.parquet", Seq(5L)) // textA 5 -> 4: back under cap, pairs revive
+    run()
+    assert(LshIndexStore.currentGeneration(dir) == 1)
+    stage("b1.parquet", Seq(12L)) // textB 3 -> 2: pairs shrink
+    run() // restart from checkpoint; processes batch 1 only
+    assert(LshIndexStore.currentGeneration(dir) == 2)
+
+    def pairSetOf(d: String) = LshIndexStore.pairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSetOf(dir)
+    // End state == ONE batch retract of the same tombstone set on a twin
+    // store, == the ground-up rebuild over the survivors.
+    LshIndexStore.retract(spark, twin, Seq(5L, 12L).toDF("doc_id"), cap)
+    assert(got == pairSetOf(twin), s"streamed retract diverged from batch retract: $got")
+    val survivors = corpus.filterNot(r => r._1 == 5L || r._1 == 12L)
+    val rebuilt = Dedup.lshCandidates(
+      Dedup.minhashSignatures(
+        survivors.toDF("doc_id", "text").localCheckpoint(), "doc_id", "text"),
+      cap).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == rebuilt, s"streamed retract diverged from rebuild: $got")
+    assert(got((1L, 2L)) && got((3L, 4L)), "mid-stream cap crossing did not revive pairs")
+    assert(got((11L, 13L)) && !got.exists(p => p._1 == 12L || p._2 == 12L))
+
+    // Replayed micro-batch: same txn stamp, no new generation, same pairs
+    // (the restarted-stream re-delivery).
+    LshIndexStore.retractOnce(spark, dir, Seq(12L).toDF("doc_id"), 1L, cap)
+    assert(LshIndexStore.currentGeneration(dir) == 2, "replay created a generation")
+    assert(pairSetOf(dir) == rebuilt)
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once (no duplicates, no loss)") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
