@@ -72,7 +72,7 @@ object Bench {
       "q159_layout_time_travel", "q160_layout_crud_history",
       "q161_index_time_travel", "q162_incremental_view", "q164_change_data_feed",
       "q165_major_compact", "q166_layout_clone", "q167_incremental_lsh_index",
-      "q168_lsh_index_crud",
+      "q168_lsh_index_crud", "q169_chain_compaction_audit",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

@@ -197,4 +197,42 @@ object IndexStore {
     val a = new java.io.File(archiveRoot(store))
     if (a.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(a)
   }
+
+  /** Default compaction-policy thresholds (shared by the LSH index
+    * store so the two chains ride one policy): fold when the chain
+    * read scans >= 1.5x the rows a folded base would, or when segment
+    * count alone reaches 8 (each segment adds scheduling + open cost
+    * even when small). The q169 audit reports both inputs per chain.
+    */
+  val recommendOverheadMilli: Long = 1500L
+  val recommendMaxSegments: Int = 8
+
+  /** Chain-health audit: (segment count, rows a chain read scans =
+    * base + all deltas, rows the folded base would hold). The
+    * merge-read overhead is read_rows/folded_rows — what every reader
+    * pays until a compact folds the chain. Bounded metadata compute:
+    * counts only, never the corpus.
+    */
+  def chainAudit(s: SparkSession, store: String): (Int, Long, Long) = {
+    val deltas = deltaDirs(store)
+    val readRows = (baseDir(store) +: deltas)
+      .map(dd => s.read.schema(indexSchema).parquet(dd).count()).sum
+    val foldedRows = read(s, store).count()
+    (deltas.size, readRows, foldedRows)
+  }
+
+  /** The maintenance trigger the audit recommends: compact when the
+    * measured overhead or segment count crosses the threshold — the
+    * missing WHEN to [[compact]]'s HOW. Returns whether it fired.
+    * Integer-exact crossing test (no float boundary).
+    */
+  def compactIfNeeded(s: SparkSession, store: String,
+      maxOverheadMilli: Long = recommendOverheadMilli,
+      maxSegments: Int = recommendMaxSegments): Boolean = {
+    val (nSeg, readRows, foldedRows) = chainAudit(s, store)
+    val fire = nSeg > 0 && (nSeg >= maxSegments ||
+      (foldedRows > 0 && readRows * 1000L >= foldedRows * maxOverheadMilli))
+    if (fire) compact(s, store)
+    fire
+  }
 }

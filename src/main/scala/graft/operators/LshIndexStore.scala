@@ -364,6 +364,41 @@ object LshIndexStore {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Chain-health audit over the pair-table segments: (segment count,
+    * rows the last-touch-wins resolve scans = base snapshot + every
+    * pairbands-delta, rows a folded snapshot would hold). The overhead
+    * ratio is what [[pairs]] pays per read until a [[compact]] folds
+    * the chain — the policy input [[compactIfNeeded]] fires on and the
+    * q169 audit reports. Counts only; never touches band state.
+    */
+  def chainAudit(s: SparkSession, dir: String): (Int, Long, Long) = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val b = baseGenOf(dir, gen)
+    val segGens = ((b + 1) to gen).filter(g =>
+      new java.io.File(genDir(dir, g), "touched-buckets").isDirectory)
+    val base = s.read.parquet(s"${genDir(dir, b)}/pairbands")
+    val readRows = base.count() + segGens.map(g =>
+      s.read.schema(base.schema).parquet(s"${genDir(dir, g)}/pairbands-delta").count()).sum
+    val foldedRows = pairBandsOf(s, dir, gen).count()
+    (segGens.size, readRows, foldedRows)
+  }
+
+  /** Compact when the chain's measured merge-read overhead or segment
+    * count crosses the policy threshold (defaults shared with
+    * [[IndexStore]] — one policy for both maintained chains). Returns
+    * whether it fired. Integer-exact crossing test.
+    */
+  def compactIfNeeded(s: SparkSession, dir: String,
+      maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
+      maxSegments: Int = IndexStore.recommendMaxSegments): Boolean = {
+    val (nSeg, readRows, foldedRows) = chainAudit(s, dir)
+    val fire = nSeg > 0 && (nSeg >= maxSegments ||
+      (foldedRows > 0 && readRows * 1000L >= foldedRows * maxOverheadMilli))
+    if (fire) compact(s, dir)
+    fire
+  }
+
   /** The current generation's candidate pairs (the consumer surface —
     * identical to a ground-up rebuild over everything admitted so far,
     * served from the maintained pair segments by the last-touch-wins

@@ -392,6 +392,67 @@ object DedupQueries {
     LshIndexStore.pairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Per-sf chain-audit store dirs this JVM has already built (q169). */
+  private val chainAuditWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Compaction POLICY audit for the two maintained index chains — the
+    * missing WHEN to q152/q168's HOW (the q158 discipline, applied to
+    * segment chains instead of range partitions): per chain, the
+    * segment count, the rows a chain read must scan (base + every
+    * segment — the merge-read mass every consumer pays per query), the
+    * rows a folded base would hold, their ratio (`overhead_milli`,
+    * integer-exact), and whether the shared policy
+    * ([[graft.operators.IndexStore.recommendOverheadMilli]] /
+    * `recommendMaxSegments`) recommends compacting. Chains are built
+    * deterministically (retrieval: q152's base + 2 deltas; LSH: q168's
+    * init/admit/retract CRUD sequence) in their own pid-scoped stores,
+    * and the audit is report-only — `compactIfNeeded`, the trigger
+    * wired to the same numbers, is spec-proven to fire exactly when
+    * this query recommends and to leave answers unchanged
+    * (DedupSpec/RetrievalSpec). The oracle recomputes every row mass
+    * from the corpus: per-part distinct-word counts for the retrieval
+    * chain; per-bucket pair combinatorics (C(n,2) over capped buckets,
+    * touched-bucket scoped, last-touch-wins for the fold) for the LSH
+    * chain — so the gate proves the store's physical segment masses
+    * equal the declarative prediction.
+    */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{IndexStore, InvertedIndex, LshIndexStore}
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val pid = ProcessHandle.current().pid()
+    val lshDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_chain_audit_lsh_${sfx}_p$pid").getAbsolutePath
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_chain_audit_idx_${sfx}_p$pid").getAbsolutePath
+    def bands(cond: org.apache.spark.sql.Column) = Dedup.bandRows(
+      Dedup.minhashSignatures(
+        Tables.documents(s, d).where(cond), "doc_id", "text"), rowsPerBand = 1)
+    if (chainAuditWritten.add(lshDir)) {
+      LshIndexStore.init(s, lshDir, bands(col("doc_id") % 5 =!= 0), txn = 0L)
+      LshIndexStore.admitOnce(s, lshDir, bands(col("doc_id") % 5 === 0), txn = 1L)
+      LshIndexStore.retractOnce(s, lshDir,
+        Tables.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id")),
+        txn = 2L)
+      val docs = Tables.documents(s, d)
+      def side(pred: org.apache.spark.sql.Column) = InvertedIndex
+        .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+      IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), idxDir)
+      IndexStore.appendDelta(side(col("doc_id") % 10 === 0), idxDir)
+      IndexStore.appendDelta(side(col("doc_id") % 10 === 7), idxDir)
+    }
+    val (ln, lr, lf) = LshIndexStore.chainAudit(s, lshDir)
+    val (rn, rr, rf) = IndexStore.chainAudit(s, idxDir)
+    val spark0 = s
+    import spark0.implicits._
+    Seq(("lsh", ln.toLong, lr, lf), ("retrieval", rn.toLong, rr, rf))
+      .toDF("chain", "n_segments", "read_rows", "folded_rows")
+      .withColumn("overhead_milli", expr("(1000 * read_rows) div folded_rows"))
+      .withColumn("compact_recommended",
+        (col("overhead_milli") >= IndexStore.recommendOverheadMilli
+          || col("n_segments") >= IndexStore.recommendMaxSegments).cast("long"))
+      .orderBy(col("chain"))
+  }
+
   /** Semantic near-duplicate detection (the SemDeDup shape): candidate
     * pairs come from the TEXT side's MinHash band join — cheap, bounded,
     * never all-pairs — and the verdict from the EMBEDDING side's exact
@@ -864,6 +925,53 @@ object DedupQueries {
       s"""WITH ${minhashCteWhere(" WHERE doc_id % 10 != 0")},
          |${candCte(1)}
          |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
+    // The oracle recomputes every physical segment mass from the corpus:
+    // retrieval = per-part distinct-word counts; LSH = C(n,2) over capped
+    // buckets, scoped to each mutation's touched buckets, with the fold
+    // resolved last-touch-wins — proving the store's segments hold
+    // exactly the declaratively-predicted rows.
+    QueryDef("q169_chain_compaction_audit", q169, Some {
+      val cap = Dedup.defaultMaxBucket
+      s"""WITH $minhashCte,
+         |${candCte(1)},
+         |tb1 AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 5 = 0),
+         |tb2 AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 10 = 0),
+         |gb AS (SELECT band, key, count(*) AS n FROM bands WHERE doc_id % 5 <> 0 GROUP BY band, key),
+         |g1 AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+         |g2 AS (SELECT band, key, count(*) AS n FROM bands WHERE doc_id % 10 <> 0 GROUP BY band, key),
+         |pb AS (SELECT CAST(coalesce(sum(n*(n-1)//2),0) AS BIGINT) AS r FROM gb WHERE n BETWEEN 2 AND $cap),
+         |p1 AS (SELECT CAST(coalesce(sum(n*(n-1)//2),0) AS BIGINT) AS r FROM g1 JOIN tb1 USING (band, key) WHERE n BETWEEN 2 AND $cap),
+         |p2 AS (SELECT CAST(coalesce(sum(n*(n-1)//2),0) AS BIGINT) AS r FROM g2 JOIN tb2 USING (band, key) WHERE n BETWEEN 2 AND $cap),
+         |f0 AS (SELECT CAST(coalesce(sum(n*(n-1)//2),0) AS BIGINT) AS r FROM gb
+         |       WHERE n BETWEEN 2 AND $cap
+         |         AND NOT EXISTS (SELECT 1 FROM tb1 WHERE tb1.band = gb.band AND tb1.key = gb.key)
+         |         AND NOT EXISTS (SELECT 1 FROM tb2 WHERE tb2.band = gb.band AND tb2.key = gb.key)),
+         |f1 AS (SELECT CAST(coalesce(sum(n*(n-1)//2),0) AS BIGINT) AS r FROM g1
+         |       WHERE n BETWEEN 2 AND $cap
+         |         AND EXISTS (SELECT 1 FROM tb1 WHERE tb1.band = g1.band AND tb1.key = g1.key)
+         |         AND NOT EXISTS (SELECT 1 FROM tb2 WHERE tb2.band = g1.band AND tb2.key = g1.key)),
+         |w AS (SELECT DISTINCT doc_id, unnest($tokensSql) AS word FROM documents),
+         |rb AS (SELECT count(DISTINCT word) AS r FROM w WHERE doc_id % 10 NOT IN (0, 7)),
+         |r1 AS (SELECT count(DISTINCT word) AS r FROM w WHERE doc_id % 10 = 0),
+         |r2 AS (SELECT count(DISTINCT word) AS r FROM w WHERE doc_id % 10 = 7),
+         |rf AS (SELECT count(DISTINCT word) AS r FROM w),
+         |u AS (
+         |  SELECT 'lsh' AS chain, CAST(2 AS BIGINT) AS n_segments,
+         |    CAST(pb.r + p1.r + p2.r AS BIGINT) AS read_rows,
+         |    CAST(f0.r + f1.r + p2.r AS BIGINT) AS folded_rows
+         |  FROM pb, p1, p2, f0, f1
+         |  UNION ALL
+         |  SELECT 'retrieval' AS chain, CAST(2 AS BIGINT) AS n_segments,
+         |    CAST(rb.r + r1.r + r2.r AS BIGINT) AS read_rows,
+         |    CAST(rf.r AS BIGINT) AS folded_rows
+         |  FROM rb, r1, r2, rf)
+         |SELECT chain, n_segments, read_rows, folded_rows,
+         |  (1000 * read_rows) // folded_rows AS overhead_milli,
+         |  CAST(CASE WHEN (1000 * read_rows) // folded_rows >= ${graft.operators.IndexStore.recommendOverheadMilli}
+         |    OR n_segments >= ${graft.operators.IndexStore.recommendMaxSegments}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS compact_recommended
+         |FROM u ORDER BY chain""".stripMargin
+    }),
     QueryDef("q26_simhash", q26, Some(
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin)),

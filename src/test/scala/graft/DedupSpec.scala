@@ -421,6 +421,56 @@ class DedupSpec extends SparkSpec {
     assert(pairSet == before, "post-vacuum admit/retract cycle changed unrelated pairs")
   }
 
+  test("LshIndexStore chainAudit/compactIfNeeded: folded prediction equals the physical fold; the trigger fires exactly at the policy crossing") {
+    import graft.operators.LshIndexStore
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text"), 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshaudit").toString + "/index"
+    LshIndexStore.init(spark, dir, bands((1L to 3L).map(_ -> textA)), cap)
+    LshIndexStore.admit(spark, dir, bands(Seq(11L -> textB, 12L -> textB)), cap)
+    LshIndexStore.admit(spark, dir, bands(Seq(13L -> textB)), cap)
+    def pairSet = candidatePairs(
+      LshIndexStore.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val before = pairSet
+
+    val (nSeg, readRows, foldedRows) = LshIndexStore.chainAudit(spark, dir)
+    assert(nSeg == 2, s"chain should carry 2 segments, got $nSeg")
+    // The textB bucket was touched twice (last-touch-wins): the chain
+    // read scans both recomputes, the fold keeps only the newest — so
+    // read mass strictly exceeds folded mass.
+    assert(readRows > foldedRows, s"audit fixture carries no overhead: $readRows vs $foldedRows")
+
+    // Below the crossing: audit says hold, nothing fires, no new gen.
+    val overheadMilli = readRows * 1000L / foldedRows
+    val gen0 = LshIndexStore.currentGeneration(dir)
+    assert(!LshIndexStore.compactIfNeeded(spark, dir,
+      maxOverheadMilli = overheadMilli + 1, maxSegments = 99))
+    assert(LshIndexStore.currentGeneration(dir) == gen0, "a held trigger mutated the chain")
+
+    // At the crossing (>=): fires, the folded snapshot holds EXACTLY the
+    // predicted rows, the answer is unchanged, and the chain is
+    // single-source (a fresh audit reports zero segments).
+    assert(LshIndexStore.compactIfNeeded(spark, dir,
+      maxOverheadMilli = overheadMilli, maxSegments = 99))
+    val folded = LshIndexStore.currentGeneration(dir)
+    assert(spark.read.parquet(s"$dir/v$folded/pairbands").count() == foldedRows,
+      "audit's folded_rows prediction != the physical fold")
+    assert(pairSet == before, "policy-triggered compact changed the answer")
+    val (nSeg2, readRows2, foldedRows2) = LshIndexStore.chainAudit(spark, dir)
+    assert(nSeg2 == 0 && readRows2 == foldedRows2, "post-fold chain is not single-source")
+
+    // Segment-count arm: two more admits, threshold 2 segments fires
+    // even with a generous overhead budget.
+    LshIndexStore.admit(spark, dir, bands(Seq(21L -> textA)), cap)
+    LshIndexStore.admit(spark, dir, bands(Seq(22L -> textB)), cap)
+    assert(LshIndexStore.compactIfNeeded(spark, dir,
+      maxOverheadMilli = Long.MaxValue, maxSegments = 2))
+    assert(LshIndexStore.chainAudit(spark, dir)._1 == 0)
+  }
+
   test("spanDupStats counts duplicated span positions, not whole-doc similarity") {
     // doc 1: 10 tokens (3 span positions at width 8); doc 2 shares doc 1's
     // FIRST 8 tokens then diverges (boilerplate prefix); doc 3 disjoint;

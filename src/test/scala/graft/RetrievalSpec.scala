@@ -87,6 +87,48 @@ class RetrievalSpec extends SparkSpec {
     assert(snap() == full, "retried compact changed the index")
   }
 
+  test("IndexStore chainAudit/compactIfNeeded: folded prediction equals the physical fold; the trigger fires exactly at the policy crossing") {
+    import graft.operators.{IndexStore, InvertedIndex}
+    val docs = Tables.documents(spark, sf0001)
+    def side(pred: org.apache.spark.sql.Column) = InvertedIndex
+      .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-index-audit").toString + "/store"
+    IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), store)
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 0), store)
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 7), store)
+    def snap(): Set[(String, String)] = IndexStore.read(spark, store)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).mkString(" ")).toSet
+    val before = snap()
+
+    val (nSeg, readRows, foldedRows) = IndexStore.chainAudit(spark, store)
+    assert(nSeg == 2)
+    // Vocabulary overlaps across the parts, so the chain read scans
+    // strictly more index rows than the folded base would hold.
+    assert(readRows > foldedRows, s"audit fixture carries no overhead: $readRows vs $foldedRows")
+
+    // Below the crossing: hold; deltas stay.
+    val overheadMilli = readRows * 1000L / foldedRows
+    assert(!IndexStore.compactIfNeeded(spark, store,
+      maxOverheadMilli = overheadMilli + 1, maxSegments = 99))
+    assert(IndexStore.chainAudit(spark, store)._1 == 2, "a held trigger mutated the chain")
+
+    // At the crossing: fires, the folded base holds EXACTLY the
+    // predicted rows, the answer is unchanged, the chain is compact.
+    assert(IndexStore.compactIfNeeded(spark, store,
+      maxOverheadMilli = overheadMilli, maxSegments = 99))
+    val (nSeg2, readRows2, foldedRows2) = IndexStore.chainAudit(spark, store)
+    assert(nSeg2 == 0 && readRows2 == foldedRows && foldedRows2 == foldedRows,
+      s"post-fold base != predicted folded_rows: $readRows2 vs $foldedRows")
+    assert(snap() == before, "policy-triggered compact changed the answer")
+
+    // Segment-count arm fires regardless of overhead budget.
+    IndexStore.appendDelta(side(col("doc_id") % 10 === 0), store)
+    assert(IndexStore.compactIfNeeded(spark, store,
+      maxOverheadMilli = Long.MaxValue, maxSegments = 1))
+    assert(IndexStore.chainAudit(spark, store)._1 == 0)
+  }
+
   test("index time travel (q161): AS-OF reconstructs every pre-compact chain state through the archive; vacuum fails old reads loudly") {
     import graft.operators.{IndexStore, InvertedIndex}
     val docs = Tables.documents(spark, sf0001)
