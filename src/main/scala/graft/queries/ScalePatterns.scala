@@ -343,11 +343,13 @@ object ScalePatterns {
     * both facts and the ENTIRE masked fact-x-fact join — two anti-joins
     * plus the q74 co-located join — plans with ZERO exchanges
     * (StorageSpec asserts no Exchange node in the final plan).
-    * Compaction is a threshold-guarded whole-table rewrite (buckets
-    * have no partition grain — the trade vs q151's per-pid rewrite),
-    * tombstones dropped only after BOTH tables compact, so a crash
-    * between the two rewrites leaves stale tombstones that anti-join
-    * nothing. Both phases (masked, compacted) are reported against ONE
+    * Compaction is threshold-guarded at BUCKET grain (round 9 — the
+    * bucket id is derivable from the key, recovering the selective
+    * rewrite q151 gets from pid directories: only buckets whose dead
+    * fraction crosses rewrite, each by one atomic single-file swap),
+    * tombstones dropped only after BOTH tables report no residual dead,
+    * so a crash between the rewrites leaves stale tombstones that
+    * anti-join nothing. Both phases (masked, compacted) are reported against ONE
     * DELETE-semantics oracle, q151's discipline. Idempotent within and
     * across sessions: bucketed tables are session-scoped (PID-suffixed),
     * so each session replays build -> delete -> compact from the
@@ -1441,10 +1443,12 @@ object ScalePatterns {
     * threshold up to 250 milli rewrites exactly that pid, copying 1,328
     * live rows to reclaim 547 dead ones: write_amp 2,427 milli (2.4
     * rows written per row reclaimed); at 500 milli nothing crosses and
-    * all 547 stay masked. The bucketed layout's whole-table rewrite
-    * (q157) pays rewritten = N - D for the same D: at its ~1% delete
-    * rate that is ~97,000 milli — 40x the range layout's, which is the
-    * quantified case for partition-grain compaction. StorageSpec's
+    * all 547 stay masked. The bucketed layout's round-8 whole-table
+    * rewrite (q157) paid rewritten = N - D for the same D: at its ~1%
+    * delete rate ~97,000 milli — 40x the range layout's, the quantified
+    * case for partition-grain compaction that round 9's bucket-grain
+    * rewrite closed (only crossing buckets rewrite, one atomic
+    * single-file swap each). StorageSpec's
     * physical run (sf0.001) confirms the predicted pid set, row counts,
     * and residual tombstones exactly; measured parquet bytes there show
     * amplification 4,804 milli — higher than the row ratio because at

@@ -785,11 +785,13 @@ class StorageSpec extends SparkSpec {
         spark, "spec_ord_del", "spec_tomb_del", "o_orderkey", "del_orderkey", 8, 0.5))
       assert(BucketedStore.table(spark, "spec_ord_del").count() == oTotal)
 
-      // 4. Real compaction: whole-table rewrite without the masked rows.
+      // 4. Real compaction at a threshold every dead-carrying bucket
+      //    crosses: bucket-grain rewrites reclaim all masked rows and
+      //    the call signals the sidecar is done (true).
       assert(BucketedStore.compactMasked(
-        spark, "spec_ord_del", "spec_tomb_del", "o_orderkey", "del_orderkey", 8, 0.005))
+        spark, "spec_ord_del", "spec_tomb_del", "o_orderkey", "del_orderkey", 8, 0.001))
       assert(BucketedStore.compactMasked(
-        spark, "spec_li_del", "spec_tomb_del", "l_orderkey", "del_orderkey", 8, 0.005))
+        spark, "spec_li_del", "spec_tomb_del", "l_orderkey", "del_orderkey", 8, 0.001))
       assert(BucketedStore.table(spark, "spec_ord_del").count() == oTotal - nDel)
       assert(BucketedStore.table(spark, "spec_li_del").count() == lTotal - lDead)
 
@@ -814,6 +816,83 @@ class StorageSpec extends SparkSpec {
       BucketedStore.dropTable(spark, "spec_tomb_del")
       assert(!BucketedStore.isMaterialized(spark, "spec_tomb_del"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucket-grain compaction: a localized delete rewrites ONE bucket file byte-for-byte-untouched elsewhere; below-threshold dead stays masked; retry idempotent") {
+    import graft.operators.BucketedStore
+    val o = Tables.orders(spark, sf0001)
+    BucketedStore.ensureBucketed(o, "spec_ord_bg", 8, "o_orderkey")
+    // Localized deletes: a ~20% slice of bucket 3 (crosses any sane
+    // threshold) plus ONE key of bucket 5 (a sliver that must hold).
+    val bucketOf = pmod(hash(col("o_orderkey")), lit(8))
+    val dead3 = o.where(bucketOf === 3 && col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"))
+    val dead5 = o.where(bucketOf === 5).orderBy(col("o_orderkey")).limit(1)
+      .select(col("o_orderkey"))
+    val (n3, n5) = (dead3.count(), dead5.count())
+    val b3Total = o.where(bucketOf === 3).count()
+    assert(n3 > 0 && n5 == 1 && n3 * 1000 >= b3Total * 50,
+      s"fixture broken: bucket-3 slice $n3/$b3Total too small to cross 5%")
+    BucketedStore.ensureBucketed(
+      dead3.union(dead5).select(col("o_orderkey").as("del_orderkey")),
+      "spec_tomb_bg", 8, "del_orderkey")
+    val total = o.count()
+
+    def inventory(): Map[String, (Long, Long)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val dir = new org.apache.hadoop.fs.Path(wh,
+        s"spec_ord_bg_p${ProcessHandle.current().pid()}".toLowerCase)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
+    }
+    def masked = BucketedStore.maskedTable(
+      spark, "spec_ord_bg", "spec_tomb_bg", "o_orderkey", "del_orderkey")
+    val before = inventory()
+    assert(before.size == 8, s"expected 8 bucket files, got ${before.size}")
+
+    // PARTIAL rewrite at 5%: bucket 3 crosses and rewrites, bucket 5's
+    // sliver holds — so dead rows remain and the call reports the
+    // sidecar is still needed (false).
+    assert(!BucketedStore.compactMasked(
+      spark, "spec_ord_bg", "spec_tomb_bg", "o_orderkey", "del_orderkey", 8, 0.05))
+    val after = inventory()
+    val changed = after.keySet.filter(k => before(k) != after(k))
+    assert(changed.size == 1 && changed.head.contains("_00003"),
+      s"expected only bucket 3's file rewritten, got $changed")
+    assert(BucketedStore.table(spark, "spec_ord_bg").count() == total - n3,
+      "bucket-3 rewrite did not drop exactly its dead rows")
+    assert(masked.count() == total - n3 - n5, "below-threshold sliver escaped the mask")
+
+    // Retry at the same threshold: bucket 3 is clean, bucket 5 still
+    // holds — nothing rewrites, no file changes (idempotent).
+    assert(!BucketedStore.compactMasked(
+      spark, "spec_ord_bg", "spec_tomb_bg", "o_orderkey", "del_orderkey", 8, 0.05))
+    assert(inventory() == after, "idempotent retry touched files")
+
+    // Lowering the threshold reclaims the sliver: now nothing dead
+    // remains and the call signals the sidecar is done (true).
+    assert(BucketedStore.compactMasked(
+      spark, "spec_ord_bg", "spec_tomb_bg", "o_orderkey", "del_orderkey", 8, 1e-9))
+    assert(BucketedStore.table(spark, "spec_ord_bg").count() == total - n3 - n5)
+    val finalInv = inventory()
+    assert(finalInv.keySet.filter(k => after(k) != finalInv(k)).forall(_.contains("_00005")),
+      "sliver reclaim rewrote more than bucket 5")
+
+    // The partial rewrites preserved the bucketed layout: the co-located
+    // join is still exchange-free sort-merge.
+    BucketedStore.ensureBucketed(Tables.lineitem(spark, sf0001), "spec_li_bg", 8, "l_orderkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val post = BucketedStore.colocatedJoin(
+        spark, "spec_li_bg", "spec_ord_bg", "l_orderkey", "o_orderkey")
+      post.collect()
+      val plan = post.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucket-grain rewrite lost bucketing:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    BucketedStore.dropTable(spark, "spec_tomb_bg")
   }
 
   test("versioned commit is compare-and-swap: the loser of a version race fails loudly and publishes nothing") {
