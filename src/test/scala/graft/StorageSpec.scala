@@ -148,8 +148,8 @@ class StorageSpec extends SparkSpec {
     assert(cold.length == ScalePatterns.rangePlanParts)
   }
 
-  test("deletable layout: delete touches no data file; masked == expected; partial compact rewrites only threshold-crossers; stale tombstones harmless") {
-    import graft.operators.DeletableRangeLayout
+  test("deletable layout (unified): delete commits touch no data file; partial compact rewrites only threshold-crossers; the dir time travels and serves a change feed") {
+    import graft.operators.{DeletableRangeLayout, VersionedLayout}
     import graft.queries.ScalePatterns
     val uppers = ScalePatterns.rangeUppers(spark, sf0001)
     val dir = Files.createTempDirectory("graft-deletable").toString + "/layout"
@@ -166,7 +166,8 @@ class StorageSpec extends SparkSpec {
         .map(f => f.getPath -> f.lastModified()).toMap
     }
 
-    // 1. DELETE is metadata-only: every data file byte-identical (mtime).
+    // 1. DELETE is a metadata-only numbered commit: every data file
+    //    byte-identical (mtime), and the log gained a delete version.
     val before = dataFileStamps()
     val pidLo = ScalePatterns.rangePid(uppers, lo)
     val pidHi = ScalePatterns.rangePid(uppers, hi)
@@ -174,6 +175,8 @@ class StorageSpec extends SparkSpec {
       col("pid").between(pidLo, pidHi) && col("v").between(lo, hi))
     assert(nTomb == bandN, s"tombstoned $nTomb of $bandN band rows")
     assert(dataFileStamps() == before, "delete rewrote a data file")
+    val delVer = VersionedLayout.currentVersion(dir)
+    assert(VersionedLayout.log(dir).last.action == "delete")
 
     // 2. Masked read: exactly the survivors, under a still-pruned scan.
     val masked = DeletableRangeLayout.maskedRead(spark, dir)
@@ -184,8 +187,8 @@ class StorageSpec extends SparkSpec {
     val probePlan = probe.queryExecution.executedPlan.toString
     assert(probePlan.contains("PartitionFilters: [isnotnull(pid"),
       s"masked band scan lost partition pruning:\n$probePlan")
-    // The mask must cost a broadcast of the bounded sidecar, not a
-    // shuffle of the data side.
+    // The mask must cost a broadcast of the bounded tombstone metadata,
+    // not a shuffle of the data side.
     assert(probePlan.contains("BroadcastHashJoin") && probePlan.contains("LeftAnti"),
       s"tombstone mask is not a broadcast anti-join:\n$probePlan")
     val maskedRows = masked.select(col("l_orderkey"), col("l_linenumber"), col("v"))
@@ -202,17 +205,15 @@ class StorageSpec extends SparkSpec {
       case (p, _, del) if del > 0 => p }.toSet -- expectRewrite
     assert(expectRewrite.nonEmpty && expectRetain.nonEmpty,
       s"fixture no longer exercises PARTIAL compaction: stats=${stats.toSeq}")
-    // Survives a crash between dir swap and tombstone drop: save the
-    // pre-compact tombstone set off to the side (checkpoint survives the
-    // sidecar swap) to replay as the stale set in step 5.
-    val staleTombs = DeletableRangeLayout.tombstones(spark, dir).localCheckpoint()
     val rewritten = DeletableRangeLayout.compact(spark, dir, th)
     assert(rewritten == expectRewrite,
       s"compact rewrote $rewritten, expected $expectRewrite")
+    // Outstanding tombstones shrink to the retained pids: reclaimed
+    // pids' tombstone rows shadow nothing (the vacuum GC liveness rule).
     val tombPidsLeft = DeletableRangeLayout.tombstones(spark, dir)
       .select(col("pid")).distinct().collect().map(_.getInt(0)).toSet
     assert(tombPidsLeft == expectRetain,
-      s"post-compact tombstones $tombPidsLeft != retained pids $expectRetain")
+      s"post-compact outstanding tombstones $tombPidsLeft != retained pids $expectRetain")
     // Rewritten pids hold ONLY survivors; retained pids still carry dead
     // rows physically (masking does the erasure there).
     val rawAfter = spark.read.parquet(dir)
@@ -220,37 +221,28 @@ class StorageSpec extends SparkSpec {
       .where(col("v").between(lo, hi)).count() == 0)
     assert(rawAfter.count() > total - bandN, "compact rewrote sub-threshold pids too")
 
-    // 4. Masked read is phase-invariant: same rows before and after.
+    // 4. Masked read is phase-invariant: same rows before and after —
+    //    which IS the stale-tombstone-harmless property (the unified log
+    //    never drops tombstone metadata until vacuum; retained ones that
+    //    point at rewritten pids anti-join nothing).
     val maskedAfter = DeletableRangeLayout.maskedRead(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("v"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(maskedAfter == maskedRows, "masked read changed across compaction")
 
-    // 5. Crash retry: re-publish the STALE pre-compact tombstone set (as
-    //    if the process died after the swap, before the sidecar drop) —
-    //    stale keys anti-join nothing in rewritten pids; answer unchanged.
-    DeletableRangeLayout.publishTombstones(staleTombs, dir)
-    val maskedStale = DeletableRangeLayout.maskedRead(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("v"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(maskedStale == maskedRows, "stale tombstones changed the masked read")
-
-    // 6. Dead swap window: simulate a crash between a pid dir's delete
-    //    and its survivor move — tmp present, pid dir gone. The retried
-    //    compact must land the survivors before planning.
-    val victim = rewritten.head
-    val vdir = java.nio.file.Paths.get(dir, s"pid=$victim")
-    val vrows = spark.read.parquet(vdir.toString).localCheckpoint()
-    val nV = vrows.count()
-    vrows.write.mode("overwrite").parquet(s"$dir/.compact-tmp-$victim")
-    org.apache.commons.io.FileUtils.deleteDirectory(vdir.toFile)
-    DeletableRangeLayout.compact(spark, dir, th) // recovery runs even if nothing crosses
-    assert(spark.read.parquet(vdir.toString).count() == nV,
-      "retry did not land the crashed pid's survivors")
-    val maskedRecovered = DeletableRangeLayout.maskedRead(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("v"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(maskedRecovered == maskedRows, "recovery changed the masked read")
+    // 5. The unification payoff — the SAME dir now time travels and
+    //    serves a change feed (neither existed under the round-8 sidecar
+    //    protocol): AS-OF v0 is the pre-delete table even though
+    //    compaction rewrote files; the delete version's feed is exactly
+    //    the erased band.
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == total,
+      "AS-OF 0 lost rows after compaction (archive routing broken)")
+    assert(VersionedLayout.readAsOf(spark, dir, delVer).count() == total - bandN)
+    val feed = VersionedLayout.changeFeed(spark, dir, delVer - 1, delVer)
+    assert(feed.where(col("change_type") === "delete").count() == bandN,
+      "change feed does not replay the delete")
+    // (Compaction crash windows are covered once, on the shared
+    // protocol, by the versioned-layout crash-replay tests.)
   }
 
   test("versioned layout (q159): AS-OF reads route through compaction archives; vacuum raises the horizon; replayed deletes are empty") {
