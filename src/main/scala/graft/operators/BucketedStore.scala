@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions.{col, count, hash, lit, pmod}
   * per-bucket `sortBy` additionally lets single-file buckets skip the
   * sort. Registry-surfaced by q74 (write + shuffle-free read-back in
   * one query) and plan-asserted in both QueryPlanSpec and StorageSpec.
+  *
+  * DOCUMENTED DECISION (round 9): this layout deliberately stays OFF
+  * the [[VersionedLayout]] commit log. Its entire value is Spark's
+  * catalog-owned bucketing metadata — the exchange-free sort-merge
+  * plan — which a custom log cannot carry; a versioned copy would read
+  * as plain parquet and lose the one property the layout exists for.
+  * Mutations instead keep a two-invariant discipline: every physical
+  * change is ONE atomic file rename, and the tombstone mask keeps
+  * every intermediate state correct (idempotence).
   */
 object BucketedStore {
 
