@@ -236,18 +236,26 @@ object ScaleSlope {
   * (round 9 segmented the pair table, so neither rewrites the
   * candidate-sized product); compact alone is live-state-proportional.
   *
-  * MEASURED (sf0.1, local[32], warm pass 2, 2026-08-14): 1x = 5,000
-  * docs / 73,214 pairs, 10x = 50,000 docs / 761,526 pairs (10.4x the
-  * candidate mass):
+  * MEASURED (sf0.1, local[32], warm pass 2, 2026-08-14, final round-9
+  * layout: segmented pair table + bkt-partitioned base band state):
+  * 1x = 5,000 docs / 73,214 pairs, 10x = 50,000 docs / 761,526 pairs
+  * (10.4x the candidate mass):
   * {{{
   *           1x      10x     growth (vs 10x data+pairs)
-  * admit     1.46 s  1.88 s  1.29x  (flat: delta+touched only)
-  * retract   2.15 s  2.43 s  1.13x  (flat: removed+touched only)
-  * compact   1.72 s  2.15 s  1.25x  (the fold — state-proportional op)
-  * rebuild   1.74 s  2.98 s  1.71x  (per-batch corpus re-signature)
+  * admit     2.16 s  2.27 s  1.05x  (flat: delta+touched only)
+  * retract   2.56 s  2.67 s  1.04x  (flat: removed+touched only)
+  * compact   2.73 s  3.43 s  1.26x  (the fold — state-proportional op)
+  * rebuild   1.84 s  2.97 s  1.61x  (per-batch corpus re-signature)
   * }}}
-  * Mutations no longer track the index's product; the rebuild gap
-  * widens with every decade of corpus.
+  * Mutations no longer track the index's product (1.04-1.05x across a
+  * 10x corpus); the rebuild gap widens with every decade. The ~0.5 s
+  * absolute admit floor vs the pre-partitioned layout is the 32-grain
+  * state layout's partition-discovery overhead — the price of the
+  * pruning mechanism, which at this grain count a 500-doc batch
+  * (4,000 band keys hashing into all 32 grains) cannot yet exploit;
+  * at deployment grain counts (thousands of state partitions, micro-
+  * batch deltas touching a small fraction) the same mechanism prunes
+  * the corpus-proportional base read to the touched grains.
   */
 object LshAdmitSlope {
   def main(args: Array[String]): Unit = {

@@ -48,14 +48,16 @@ import java.nio.charset.StandardCharsets
   * [[VersionedLayout.appendInsertOnce]], now for index maintenance.
   *
   * MEASURED (LshAdmitSlope, sf0.1, warm, 2026-08-14, segmented pair
-  * table): against a 5,000-doc vs a 50,000-doc base index — pair-table
-  * mass 73,214 vs 761,526 rows (10.4x the candidate product) — a fixed
-  * 500-doc admit costs 1.46 s vs 1.88 s, a fixed 500-doc retract
-  * 2.15 s vs 2.43 s, and compact (the only candidate-mass-proportional
-  * op left, by design) 1.72 s vs 2.15 s, while the ground-up rebuild
-  * grows 1.74 s -> 2.98 s. Mutation cost no longer tracks the index's
-  * product; at 100 TB the rebuild side is a full corpus re-signature +
-  * corpus-wide shuffle per batch, the admit side is not.
+  * table + partitioned base band state): against a 5,000-doc vs a
+  * 50,000-doc base index — pair-table mass 73,214 vs 761,526 rows
+  * (10.4x the candidate product) — a fixed 500-doc admit costs 2.16 s
+  * vs 2.27 s (1.05x across 10x corpus AND 10.4x candidate mass), a
+  * fixed 500-doc retract 2.56 s vs 2.67 s, and compact (the only
+  * state-proportional op left, by design) 2.73 s vs 3.43 s, while the
+  * ground-up rebuild grows 1.84 s -> 2.97 s. Mutation cost no longer
+  * tracks the index's product; at 100 TB the rebuild side is a full
+  * corpus re-signature + corpus-wide shuffle per batch, the admit side
+  * is not.
   */
 object LshIndexStore {
 
@@ -95,18 +97,62 @@ object LshIndexStore {
     * retracted-docs-sized (tiny next to the corpus), so Spark
     * broadcasts the join at scale.
     */
-  def bandsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+  def bandsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
+    prunedBands(s, dir, gen, None)
+
+  /** Number of hash partitions the BASE band tables (init/compact
+    * outputs) are laid out in (`bkt = murmur3(band, key) mod N`). The
+    * scale knob that makes the admit path's touched-bucket fetch
+    * PARTITION-PRUNED: an admit touching k state buckets reads at most
+    * k partition directories of the corpus-proportional base instead
+    * of scanning it whole — the same reason a 100 TB deployment
+    * buckets its index state. Delta SEGMENTS deliberately stay
+    * unpartitioned: they are O(delta)-sized, so reading one whole is
+    * already bounded, and an N-way partitioned write would turn every
+    * admit into N tiny files (measured ~1 s/admit of pure write
+    * overhead at sf0.1 when deltas were partitioned too).
+    */
+  val stateBuckets = 32
+
+  private def bktOf(band: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+    pmod(hash(band, key), lit(stateBuckets))
+
+  /** [[bandsOf]] restricted to the given state partitions (`bkts`):
+    * only the named `bkt=` partition directories enter the relation
+    * (driver-side listing of <= [[stateBuckets]] dirs), so the scan's
+    * file set — not just its filters — is pruned (inputFiles-asserted
+    * in DedupSpec). `None` = all partitions.
+    */
+  private[graft] def prunedBands(
+      s: SparkSession, dir: String, gen: Int, bkts: Option[Seq[Int]]): DataFrame = {
     val b = baseGenOf(dir, gen)
-    val live = ((b + 1) to gen)
-      .flatMap { g =>
-        val d = new java.io.File(genDir(dir, g), "bands-delta")
-        if (d.isDirectory)
-          Seq(s.read.parquet(d.getAbsolutePath).withColumn("_row_gen", lit(g)))
-        else Nil
-      }
-      .foldLeft(
-        s.read.parquet(s"${genDir(dir, b)}/bands").withColumn("_row_gen", lit(b)))(
-        _ unionByName _)
+    def isPartitioned(f: java.io.File): Boolean =
+      Option(f.listFiles()).exists(_.exists(_.getName.startsWith("bkt=")))
+    def readBands(path: String): Option[DataFrame] = bkts match {
+      case Some(ks) if isPartitioned(new java.io.File(path)) =>
+        val dirs = ks.distinct
+          .map(k => new java.io.File(path, s"bkt=$k"))
+          .filter(_.isDirectory).map(_.getAbsolutePath)
+        if (dirs.isEmpty) None // table holds none of the requested buckets
+        else Some(s.read.option("basePath", path).parquet(dirs: _*))
+      case _ =>
+        // Unpartitioned (a delta segment — O(delta), bounded to read
+        // whole; the recompute's semi-join filters): no dir pruning.
+        Some(s.read.parquet(path))
+    }
+    val parts =
+      readBands(s"${genDir(dir, b)}/bands")
+        .map(_.drop("bkt").withColumn("_row_gen", lit(b))).toSeq ++
+        ((b + 1) to gen).flatMap { g =>
+          val d = new java.io.File(genDir(dir, g), "bands-delta")
+          if (d.isDirectory)
+            readBands(d.getAbsolutePath).map(_.drop("bkt").withColumn("_row_gen", lit(g)))
+          else None
+        }
+    val live = parts.reduceOption(_ unionByName _)
+      .getOrElse( // no requested bucket anywhere: empty, schema from base
+        s.read.parquet(s"${genDir(dir, b)}/bands").where(lit(false))
+          .drop("bkt").withColumn("_row_gen", lit(b)))
     retractHorizons(s, dir, b, gen) match {
       case Some(h) =>
         live.join(h, Seq("doc_id"), "left")
@@ -115,6 +161,11 @@ object LshIndexStore {
       case None => live.drop("_row_gen")
     }
   }
+
+  /** Write a BASE band table in the `bkt`-partitioned state layout. */
+  private def writeBands(df: DataFrame, dest: String): Unit =
+    df.withColumn("bkt", bktOf(col("band"), col("key")))
+      .write.mode("overwrite").partitionBy("bkt").parquet(dest)
 
   /** Per-doc HIGHEST retract generation in (baseGen, gen], if any —
     * the tombstone horizon [[bandsOf]] scopes rows against. A retract
@@ -214,7 +265,7 @@ object LshIndexStore {
     if (currentGeneration(dir) >= 0) return currentGeneration(dir)
     val b = bands.localCheckpoint() // feeds all three state writes
     val tmp = freshTmp(dir, 0)
-    b.write.mode("overwrite").parquet(s"$tmp/bands")
+    writeBands(b, s"$tmp/bands")
     Dedup.bucketCounts(b).write.mode("overwrite").parquet(s"$tmp/counts")
     Dedup.indexPairBands(b, maxBucket).write.mode("overwrite").parquet(s"$tmp/pairbands")
     publish(dir, 0, txn, tmp)
@@ -239,8 +290,15 @@ object LshIndexStore {
     val tmp = freshTmp(dir, next)
     delta.write.mode("overwrite").parquet(s"$tmp/bands-delta")
     Dedup.bucketCounts(delta).write.mode("overwrite").parquet(s"$tmp/counts-delta")
+    // The touched-bucket fetch reads ONLY the state partitions the
+    // delta's buckets hash into — partition-pruned, never a corpus
+    // band scan (restricting the base side is safe: the recompute's
+    // keep set is a subset of the delta's buckets).
+    val touchedBkts = delta
+      .select(bktOf(col("band"), col("key")).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by stateBuckets
     val (touched, recomputed) = Dedup.touchedPairDelta(
-      bandsOf(s, dir, gen), countsOf(s, dir, gen), delta, maxBucket)
+      prunedBands(s, dir, gen, Some(touchedBkts)), countsOf(s, dir, gen), delta, maxBucket)
     touched.write.mode("overwrite").parquet(s"$tmp/touched-buckets")
     recomputed.write.mode("overwrite").parquet(s"$tmp/pairbands-delta")
     publish(dir, next, txn, tmp)
@@ -328,7 +386,7 @@ object LshIndexStore {
     require(gen >= 0, s"$dir has no generation 0 — call init first")
     val next = gen + 1
     val tmp = freshTmp(dir, next)
-    bandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/bands")
+    writeBands(bandsOf(s, dir, gen), s"$tmp/bands")
     countsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/counts")
     pairBandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/pairbands")
     publish(dir, next, -1L, tmp)

@@ -278,6 +278,17 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_a"), col("doc_b"))) == finalPairs, "compact changed the answer")
     assert(LshIndexStore.bandsOf(spark, dir, 3).inputFiles.forall(_.contains("/v3/")),
       "post-compact band read still unions segments")
+    // Band state is (band, key)-hash-partitioned: a touched-bucket fetch
+    // (the admit path's base read) prunes to the named bkt partitions at
+    // DIRECTORY grain instead of scanning the corpus band table.
+    val bktDirs = new java.io.File(s"$dir/v3/bands").listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName.stripPrefix("bkt=").toInt)
+    assert(bktDirs.length > 1, s"band state not hash-partitioned: ${bktDirs.toSeq}")
+    val probeBkt = bktDirs.min
+    val pruned = LshIndexStore.prunedBands(spark, dir, 3, Some(Seq(probeBkt)))
+    assert(pruned.inputFiles.nonEmpty
+      && pruned.inputFiles.forall(_.contains(s"bkt=$probeBkt/")),
+      s"touched-bucket fetch did not partition-prune: ${pruned.inputFiles.toSeq}")
     val b3 = Seq(200L -> textB, 201L -> textB) // textB: 3 -> 5 members, over cap
     assert(LshIndexStore.admitOnce(spark, dir, bands(b3), txn = 103L, cap) == 4)
     val afterB3 = candidatePairs(LshIndexStore.pairs(spark, dir)
