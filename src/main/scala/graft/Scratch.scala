@@ -133,6 +133,25 @@ package graft
   * spreads over 10x the parallelism. TF-IDF's 1.81 carries the extra
   * per-document join; BM25 rides q60's candidate caps. Nothing
   * superlinear: no finding.
+  *
+  * MEASURED (round 9, storage-layout family — lineitem twin added to
+  * the synthesis: orderkeys shift with the scaled orders, all other
+  * columns carried, so each copy's boundary plan / delete band /
+  * bucket spread is preserved at 10x rows, 600k -> 6M):
+  * {{{
+  * query                     t(1x)   t(10x)  slope
+  * q159_layout_time_travel   1.00 s   2.24 s  2.24
+  * q157_bucketed_delete      1.60 s   2.79 s  1.74
+  * q165_major_compact        1.50 s   2.42 s  1.61
+  * q151_layout_delete        3.85 s   5.36 s  1.39
+  * q158_compaction_audit     1.58 s   1.93 s  1.22
+  * q150_range_layout_scan    0.25 s   0.30 s  1.21
+  * }}}
+  * All sublinear (warm steady state — the cold pass pays each layout
+  * write). q159 is the steepest at 2.24: AS-OF reads four versions,
+  * each over 10x the bytes, and still lands at a quarter of the data
+  * ratio; the pruned band scan (q150) and the audit (q158, bounded
+  * pid-grain compute) barely move. Nothing superlinear: no finding.
   */
 object ScaleSlope {
   def main(args: Array[String]): Unit = {
@@ -206,6 +225,19 @@ object ScaleSlope {
       .write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
     println(s"SCALED events: ${spark.read.parquet(s"$scaledDir/events.parquet").count()}" +
       s" rows (base ${events.count()}); orders scaled alongside")
+
+    // Lineitem twin (the storage-layout family's fact table): orderkeys
+    // shift in lockstep with the scaled orders (FK-consistent), every
+    // other column carried as-is — so the value distribution (and with
+    // it each copy's range-boundary plan, delete band, and bucketed
+    // key spread) is preserved while the layouts hold 10x the rows.
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until copies).map(k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOk)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
+    println(s"SCALED lineitem: ${spark.read.parquet(s"$scaledDir/lineitem.parquet").count()}" +
+      s" rows (base ${li.count()})")
 
     def warmSec(q: String, dir: String): Double = {
       SparkEntry.queries(q)(spark, dir).count() // cold: codegen/JIT, discarded
