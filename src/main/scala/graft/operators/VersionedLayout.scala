@@ -81,6 +81,29 @@ object VersionedLayout {
       version: Int, action: String, pids: Seq[Int], horizon: Int, txn: Long = -1L)
 
   private def entryFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"v$ver%05d.json")
+  private def ckptFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"ckpt-v$ver%05d.json")
+
+  private def renderEntry(e: LogEntry): String =
+    s"""{"version":${e.version},"action":"${e.action}",""" +
+      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},"txn":${e.txn}}"""
+
+  private def parseEntry(body: String): LogEntry = {
+    def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
+    val pids = body.split(""""pids":\[""")(1).split("]")(0).trim
+    LogEntry(field("version").toInt, field("action").replaceAll("\"", ""),
+      if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
+      field("horizon").toInt,
+      if (body.contains("\"txn\":")) field("txn").toLong else -1L)
+  }
+
+  /** The version covered by the newest checkpoint (-1 when none). */
+  def checkpointedVersion(dir: String): Int = {
+    val d = logDir(dir)
+    if (!d.isDirectory) return -1
+    d.listFiles().filter(_.getName.matches("ckpt-v\\d+\\.json"))
+      .map(_.getName.stripPrefix("ckpt-v").stripSuffix(".json").toInt)
+      .maxOption.getOrElse(-1)
+  }
 
   /** Append entry `ver` — the COMMIT of its action. Write-then-link so a
     * reader never parses a torn entry AND a lost writer race fails
@@ -93,8 +116,14 @@ object VersionedLayout {
     */
   private[graft] def commit(dir: String, e: LogEntry): Unit = {
     logDir(dir).mkdirs()
-    val body = s"""{"version":${e.version},"action":"${e.action}",""" +
-      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},"txn":${e.txn}}"""
+    // Checkpoint truncation deletes the per-version files it covers, so
+    // the existence CAS below can no longer catch a writer re-using a
+    // covered version number — keep that failure LOUD here.
+    val ckpt = checkpointedVersion(dir)
+    if (e.version <= ckpt) throw new IllegalStateException(
+      s"version ${e.version} of $dir is already inside checkpoint v$ckpt — " +
+        "this mutation raced a checkpointed head and published nothing")
+    val body = renderEntry(e)
     // Writer-unique tmp: a shared name would let racing writer B rewrite
     // the tmp between A's write and createLink, publishing B's bytes
     // under A's successful CAS — the silent corruption the hard-link
@@ -111,21 +140,73 @@ object VersionedLayout {
     } finally Files.deleteIfExists(tmp.toPath)
   }
 
-  /** The committed log, ascending by version. Bounded metadata (one tiny
-    * file per version) — the only driver-side state time travel needs.
+  /** The committed log, ascending by version: the newest CHECKPOINT (a
+    * consolidated snapshot of every entry it covers, see [[checkpoint]])
+    * plus the per-version entry files committed after it. Entries the
+    * checkpoint covers that still have a per-version file (the window
+    * between a checkpoint landing and its truncation finishing) are
+    * deduplicated by the `> ckptV` filter. Without checkpoints this
+    * degrades to the plain one-file-per-version scan.
     */
   def log(dir: String): Seq[LogEntry] = {
     val d = logDir(dir)
     if (!d.isDirectory) return Nil
-    d.listFiles().filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName).map { f =>
-      val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
-      val pids = body.split(""""pids":\[""")(1).split("]")(0).trim
-      LogEntry(field("version").toInt, field("action").replaceAll("\"", ""),
-        if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
-        field("horizon").toInt,
-        if (body.contains("\"txn\":")) field("txn").toLong else -1L)
-    }.toSeq
+    try {
+      val files = d.listFiles()
+      val head: Seq[LogEntry] = files
+        .filter(_.getName.matches("ckpt-v\\d+\\.json")).sortBy(_.getName).lastOption
+        .map { f =>
+          new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+            .linesIterator.filter(_.nonEmpty).map(parseEntry).toSeq
+        }.getOrElse(Nil)
+      val ckptV = head.lastOption.map(_.version).getOrElse(-1)
+      head ++ files.filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName)
+        .map(f => parseEntry(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
+        .filter(_.version > ckptV)
+    } catch {
+      // A concurrent checkpoint's truncation can delete a file between
+      // our listing and its read; the re-list sees the superseding
+      // checkpoint (strictly newer state), so one retry converges.
+      case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+        log(dir)
+    }
+  }
+
+  /** CHECKPOINT the log at the current head: write ONE consolidated
+    * file (newline-delimited entries, same rendering as the per-version
+    * files) covering every committed entry, then truncate — delete the
+    * per-version files and older checkpoints it covers. This is the
+    * table-format log-checkpoint mechanism: without it a long-lived
+    * table's every read lists and parses O(total versions) files; with
+    * it, O(1) checkpoint + O(commits since). Protocol: the checkpoint
+    * itself publishes by the same write-then-hard-link CAS as a commit
+    * (a lost same-version race is benign — both writers render the
+    * identical deterministic content); truncation runs strictly AFTER
+    * the publish, so a crash anywhere leaves either the old state, or
+    * checkpoint+files overlapping (readers dedupe), never a gap. The
+    * commit CAS keeps stale-version failures loud via
+    * [[checkpointedVersion]] since the covered entry files are gone.
+    * Returns the checkpointed version.
+    */
+  def checkpoint(dir: String): Int = {
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed log at $dir to checkpoint")
+    val v = entries.last.version
+    val f = ckptFile(dir, v)
+    if (!f.isFile) {
+      val tmp = new java.io.File(logDir(dir),
+        s".ckpt-v$v.tmp-p${ProcessHandle.current().pid()}-t${Thread.currentThread().getId}")
+      Files.write(tmp.toPath,
+        entries.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(f.toPath, tmp.toPath)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp.toPath)
+    }
+    entries.foreach(e => Files.deleteIfExists(entryFile(dir, e.version).toPath))
+    logDir(dir).listFiles().filter(_.getName.matches("ckpt-v\\d+\\.json"))
+      .filter(_.getName.stripPrefix("ckpt-v").stripSuffix(".json").toInt < v)
+      .foreach(old => Files.deleteIfExists(old.toPath))
+    v
   }
 
   def currentVersion(dir: String): Int = log(dir).lastOption.map(_.version).getOrElse(-1)
@@ -642,11 +723,14 @@ object VersionedLayout {
     entries.filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= v)
       .foreach(e => linkTree(new java.io.File(tombDir(dir, e.version)),
         Paths.get(s"$tmp/_tombs/v${e.version}")))
+    // The clone's log ships as ONE checkpoint rendered from the parsed
+    // entries (not per-file links): the source may have checkpointed and
+    // truncated its own per-version files, and the clone starts life
+    // with the bounded-metadata read path anyway.
     Files.createDirectories(Paths.get(tmp, "_log"))
-    entries.filter(_.version <= v).foreach { e =>
-      Files.createLink(Paths.get(tmp, "_log", entryFile(dir, e.version).getName),
-        entryFile(dir, e.version).toPath)
-    }
+    Files.write(Paths.get(tmp, "_log", f"ckpt-v$v%05d.json"),
+      entries.filter(_.version <= v).map(renderEntry).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
     // Carry the source's vacuum horizon: when the only vacuum that raised
     // it sits ABOVE v, dropping it would reset the clone's horizon to 0 —
     // advertising AS-OF history whose archives the source already deleted

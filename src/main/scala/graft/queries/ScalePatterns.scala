@@ -1370,6 +1370,90 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q170's checkpointed-log layout. */
+  private[graft] def ckptLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_ckpt_$sfx").getAbsolutePath
+  }
+  private val ckptLock = new Object
+
+  /** Build (or fast-forward) q170's history — q160's CRUD scenario on a
+    * private dir with log CHECKPOINTS interleaved: v0 base, v1 insert,
+    * CHECKPOINT, v2 upsert, v3 delete, CHECKPOINT (truncates all four
+    * covered entry files), v4 compact (a per-version tail file after the
+    * checkpoint). The checkpoint calls are unconditional — at an
+    * already-checkpointed head they are no-ops — so the scenario resumes
+    * idempotently from any session's log state.
+    */
+  private def ensureCkptScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = ckptLayoutDir(d)
+    ckptLock.synchronized {
+      val uppers = rangeUppers(s, d)
+      VersionedLayout.writeBase(s, d, dir, uppers)
+      if (VersionedLayout.currentVersion(dir) < 1) {
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("v").between(crudInsertLoCenti, crudInsertHiCenti))
+            .select((col("v") + 5).as("v"),
+              (col("l_orderkey") + crudInsertKeyOffset).as("l_orderkey"),
+              col("l_linenumber"), col("l_quantity"))
+            .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int")))
+        VersionedLayout.checkpoint(dir)
+      }
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendUpsert(s, dir,
+          col("v").between(crudUpsertLoCenti, crudUpsertHiCenti),
+          m => m.withColumn("l_quantity", col("l_quantity") + 100))
+      if (VersionedLayout.currentVersion(dir) < 3) {
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+        VersionedLayout.checkpoint(dir)
+      }
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** LOG CHECKPOINTING under time travel — the metadata-scale mechanism
+    * a long-lived 100 TB table needs: without it every read lists and
+    * parses O(total versions) commit files; with it, one consolidated
+    * checkpoint plus the commits since. q170 replays q160's CRUD history
+    * with checkpoints interleaved (the second TRUNCATES all covered
+    * per-version files, so every version at or below it is readable
+    * ONLY through the checkpoint) and emits the same five per-version
+    * aggregates — against q160's derivation oracle, so the gate proves
+    * checkpointed time travel changes no answer. `checkpointed_ok`
+    * carries the structural invariant (log reconstructed 0..4 in order,
+    * checkpoint covers >= v3, per-version files remain only for the
+    * post-checkpoint tail) with literal TRUE in the oracle. Checkpoint
+    * publish/truncate crash windows and the stale-commit guard are
+    * proven in StorageSpec.
+    */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCkptScenario(s, d)
+    val entries = VersionedLayout.log(dir)
+    val ckptV = VersionedLayout.checkpointedVersion(dir)
+    val tailFiles = Option(new java.io.File(dir, "_log").listFiles())
+      .getOrElse(Array.empty).count(_.getName.matches("v\\d+\\.json"))
+    val ok = entries.map(_.version) == (0 to 4) && ckptV >= 3 &&
+      tailFiles == entries.count(_.version > ckptV)
+    (0 to 4).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .select(lit(ver.toLong).as("version"), col("v"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(col("qc")).as("qty_centi"))
+      .withColumn("checkpointed_ok", lit(ok))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q166's clone of the q160 CRUD layout. */
   private[graft] def cloneLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1613,6 +1697,32 @@ object ScalePatterns {
          |  CAST(sum(v) AS BIGINT) AS total_centi,
          |  CAST(sum(q) AS BIGINT) AS qty_centi,
          |  TRUE AS incremental_ok
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q170_layout_checkpointed_log", q170, Some(
+      s"""WITH s AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+         |  FROM lineitem),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (
+         |  SELECT ver.version, s.v,
+         |    CASE WHEN ver.version >= 2
+         |           AND s.v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |         THEN s.q + 10000 ELSE s.q END AS q
+         |  FROM ver JOIN s
+         |    ON NOT (ver.version >= 3
+         |            AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)),
+         |ins AS (
+         |  SELECT ver.version, s.v + 5 AS v, s.q AS q
+         |  FROM ver JOIN s
+         |    ON ver.version >= 1
+         |   AND s.v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(v) AS BIGINT) AS total_centi,
+         |  CAST(sum(q) AS BIGINT) AS qty_centi,
+         |  TRUE AS checkpointed_ok
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q160_layout_crud_history", q160, Some(
       s"""WITH s AS (

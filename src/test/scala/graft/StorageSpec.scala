@@ -644,6 +644,73 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("log checkpoint: consolidated metadata preserves every AS-OF answer, truncates covered files, dedupes the overlap window, keeps stale commits loud") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val dir = s"$root/table"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    VersionedLayout.appendDelete(spark, dir,
+      col("v").between(ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)) // v1
+    VersionedLayout.appendCompact(spark, dir, 0.0)                                        // v2
+    val two = spark.read.parquet(dir).limit(2)
+      .select((col("v") + 1).as("v"), (col("l_orderkey") + 940000000L).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("pid").cast("int").as("pid"))
+      .localCheckpoint()
+    VersionedLayout.appendInsert(spark, dir, two)                                         // v3
+    val preCounts = (0 to 3).map(v => VersionedLayout.readAsOf(spark, dir, v).count())
+    val logBefore = VersionedLayout.log(dir)
+    def logFiles() = new java.io.File(dir, "_log").listFiles().map(_.getName).sorted.toSeq
+    assert(logFiles().count(_.matches("v\\d+\\.json")) == 4)
+    assert(VersionedLayout.checkpointedVersion(dir) == -1)
+
+    // Checkpoint at head: parsed log identical, covered files truncated.
+    assert(VersionedLayout.checkpoint(dir) == 3)
+    assert(VersionedLayout.checkpointedVersion(dir) == 3)
+    assert(logFiles() == Seq("ckpt-v00003.json"),
+      s"truncation left ${logFiles()}")
+    assert(VersionedLayout.log(dir) == logBefore, "checkpoint changed the parsed log")
+    (0 to 3).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dir, v).count() == preCounts(v),
+        s"checkpointed AS-OF $v diverged")
+    }
+
+    // Commits after the checkpoint land per-version files; readers merge.
+    VersionedLayout.appendDelete(spark, dir, col("l_orderkey") >= 940000000L)             // v4
+    assert(VersionedLayout.currentVersion(dir) == 4)
+    assert(VersionedLayout.log(dir).size == 5)
+    assert(VersionedLayout.readAsOf(spark, dir, 4).count() == preCounts(2),
+      "post-checkpoint delete did not net the insert out")
+
+    // Overlap window (crash between checkpoint publish and truncation):
+    // a still-present covered entry file must not double-count.
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_log", "v00002.json"),
+      """{"version":2,"action":"compact","pids":[],"horizon":0,"txn":-1}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(VersionedLayout.log(dir).size == 5, "covered entry file double-counted")
+    assert(VersionedLayout.log(dir) == logBefore :+ VersionedLayout.log(dir).last)
+
+    // A writer re-using a checkpointed version number fails LOUDLY even
+    // though the existence CAS can no longer catch it (file truncated).
+    val stale = intercept[IllegalStateException](
+      VersionedLayout.commit(dir, VersionedLayout.LogEntry(1, "delete", Nil, 0)))
+    assert(stale.getMessage.contains("checkpoint"), stale.getMessage)
+
+    // A second checkpoint absorbs the tail and supersedes the first.
+    assert(VersionedLayout.checkpoint(dir) == 4)
+    assert(logFiles() == Seq("ckpt-v00004.json"), s"second checkpoint left ${logFiles()}")
+    assert(VersionedLayout.log(dir).size == 5)
+
+    // Clone from a fully truncated log still carries complete history.
+    val dst = s"$root/clone"
+    VersionedLayout.cloneAsOf(spark, dir, dst, 2)
+    (0 to 2).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dst, v).count() == preCounts(v),
+        s"clone from checkpointed source diverged at AS-OF $v")
+    }
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
