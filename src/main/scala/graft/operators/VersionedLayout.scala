@@ -43,14 +43,22 @@ import java.nio.charset.StandardCharsets
   * actually rewrote (not table copies), and vacuum reclaims exactly
   * those.
   *
-  * Concurrency scope: mutations assume a SINGLE writer (like a table
-  * format whose commit service serializes writers); the atomic
-  * hard-link publish of the numbered log entry is the natural
-  * detection point — a lost race surfaces as a
-  * `FileAlreadyExistsException` on the already-taken version (proven
-  * in StorageSpec), never as silent corruption of committed state. Readers
-  * are safe at every COMMITTED state (commit-last protocol); an
-  * in-flight compact swap is repaired by the retrying writer. Registry-surfaced by q159_layout_time_travel (one aggregate
+  * Concurrency scope: the APPEND family (insert/delete/upsert) is
+  * multi-writer under optimistic concurrency — artifacts land in
+  * WRITER-TAGGED directories (the tag rides the committed entry, so
+  * readers only ever resolve the winner's artifacts), the atomic
+  * hard-link publish of the numbered log entry is the compare-and-swap,
+  * and [[withWriteRetry]] rebases a lost race by re-running the action
+  * against the new head (deterministic from the as-of state, so the
+  * rebase IS the mutation serialized after the winner). The MAINTENANCE
+  * family (compact/majorCompact/vacuum/checkpoint) keeps a single-writer
+  * contract: it mutates live base directories before its commit, the
+  * same reason table formats serialize OPTIMIZE. A lost race always
+  * surfaces loudly (`FileAlreadyExistsException`-caused
+  * `IllegalStateException`, proven in StorageSpec), never as silent
+  * corruption of committed state. Readers are safe at every COMMITTED
+  * state (commit-last protocol); an in-flight compact swap is repaired
+  * by the retrying writer. Registry-surfaced by q159_layout_time_travel (one aggregate
   * per version, all against one DuckDB oracle); archive/vacuum/replay
   * invariants proven in StorageSpec.
   *
@@ -69,23 +77,44 @@ object VersionedLayout {
   private val rowKey = Seq("l_orderkey", "l_linenumber", "v")
 
   private def logDir(dir: String) = new java.io.File(dir, "_log")
-  private def tombDir(dir: String, ver: Int) = s"$dir/_tombs/v$ver"
+  private def tombDir(dir: String, ver: Int, tag: String = "") =
+    s"$dir/_tombs/v$ver" + (if (tag.isEmpty) "" else s"-$tag")
   private def archiveDir(dir: String, ver: Int) = s"$dir/_archive/v$ver"
+
+  /** The tombstone dir version `ver` COMMITTED — resolved through the
+    * entry's writer tag, so a lost-race competitor's same-version
+    * leftovers are never read.
+    */
+  private def tombDirOf(dir: String, entries: Seq[LogEntry], ver: Int): String =
+    tombDir(dir, ver, entries.find(_.version == ver).map(_.tag).getOrElse(""))
 
   /** Parsed commit-log entry. `pids` is non-empty only for compactions
     * (the rewritten set); `horizon` only for vacuums (first retained
     * compact version); `txn` is an idempotence stamp for streaming
-    * ingest (-1 when the commit is not transactional).
+    * ingest (-1 when the commit is not transactional); `tag` is the
+    * WRITER-UNIQUE suffix of this version's artifact directories (see
+    * [[withWriteRetry]] — empty for maintenance commits and layouts
+    * written before tagging).
     */
   final case class LogEntry(
-      version: Int, action: String, pids: Seq[Int], horizon: Int, txn: Long = -1L)
+      version: Int, action: String, pids: Seq[Int], horizon: Int,
+      txn: Long = -1L, tag: String = "")
+
+  /** Artifact-directory suffix unique to this writer (process+thread):
+    * concurrent writers preparing the SAME version number write disjoint
+    * paths, so the commit CAS loser's artifacts are unreferenced garbage
+    * rather than a silent overwrite of the winner's.
+    */
+  private def writerTag(): String =
+    s"p${ProcessHandle.current().pid()}t${Thread.currentThread().getId}"
 
   private def entryFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"v$ver%05d.json")
   private def ckptFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"ckpt-v$ver%05d.json")
 
   private def renderEntry(e: LogEntry): String =
     s"""{"version":${e.version},"action":"${e.action}",""" +
-      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},"txn":${e.txn}}"""
+      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},""" +
+      s""""tag":"${e.tag}","txn":${e.txn}}"""
 
   private def parseEntry(body: String): LogEntry = {
     def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
@@ -93,7 +122,8 @@ object VersionedLayout {
     LogEntry(field("version").toInt, field("action").replaceAll("\"", ""),
       if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
       field("horizon").toInt,
-      if (body.contains("\"txn\":")) field("txn").toLong else -1L)
+      if (body.contains("\"txn\":")) field("txn").toLong else -1L,
+      if (body.contains("\"tag\":")) field("tag").replaceAll("\"", "") else "")
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -271,15 +301,23 @@ object VersionedLayout {
     */
   def appendDelete(s: SparkSession, dir: String, cond: org.apache.spark.sql.Column): Int = {
     val ver = currentVersion(dir) + 1
+    val tag = writerTag()
     readAsOf(s, dir, ver - 1).where(cond)
       .select(col("pid").cast("int").as("pid"),
         col("l_orderkey"), col("l_linenumber"), col("v"))
-      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver))
-    commit(dir, LogEntry(ver, "delete", Nil, 0))
+      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
+    commit(dir, LogEntry(ver, "delete", Nil, 0, tag = tag))
     ver
   }
 
-  private def insertDir(dir: String, ver: Int) = s"$dir/_inserts/v$ver"
+  private def insertDir(dir: String, ver: Int, tag: String = "") =
+    s"$dir/_inserts/v$ver" + (if (tag.isEmpty) "" else s"-$tag")
+
+  /** The insert-segment dir version `ver` committed LIVE (before any
+    * fold archived it) — resolved through the entry's writer tag.
+    */
+  private def insertDirOf(dir: String, entries: Seq[LogEntry], ver: Int): String =
+    insertDir(dir, ver, entries.find(_.version == ver).map(_.tag).getOrElse(""))
 
   /** INSERT as version `currentVersion + 1`: the new rows land in a
     * per-version segment (`_inserts/v<N>/`), NEVER in the base pid
@@ -292,9 +330,10 @@ object VersionedLayout {
     */
   def appendInsert(s: SparkSession, dir: String, rows: DataFrame, txn: Long = -1L): Int = {
     val ver = currentVersion(dir) + 1
+    val tag = writerTag()
     requireInDomain(dir, rows)
-    rows.write.mode("overwrite").parquet(insertDir(dir, ver))
-    commit(dir, LogEntry(ver, "insert", Nil, 0, txn))
+    rows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    commit(dir, LogEntry(ver, "insert", Nil, 0, txn, tag))
     ver
   }
 
@@ -312,6 +351,40 @@ object VersionedLayout {
       case None => appendInsert(s, dir, rows, txn)
     }
 
+  /** OPTIMISTIC multi-writer commit for the APPEND family (insert /
+    * delete / upsert / appendInsertOnce): run `action`; if it loses the
+    * version compare-and-swap to a concurrent writer, re-run it against
+    * the new head. The rebase is correct because (a) every append
+    * action derives its artifacts deterministically from the state AS
+    * OF its own commit point — re-running IS the same logical mutation
+    * serialized after the winner — and (b) concurrent writers preparing
+    * the same version number write WRITER-TAGGED artifact directories
+    * (the tag is recorded in the committed entry and used by every
+    * reader), so the loser's in-flight or leftover artifacts can never
+    * be read as, or overwrite, the winner's. This is a table format's
+    * optimistic concurrency control with blind-append semantics.
+    *
+    * NOT safe for the maintenance family (compact / majorCompact /
+    * vacuum / checkpoint): those mutate the live base directories
+    * before their commit, so a lost race leaves physical state a rebase
+    * cannot unwind — they keep the documented single-writer contract
+    * (serialize maintenance externally, as table formats serialize
+    * OPTIMIZE).
+    */
+  def withWriteRetry[T](attempts: Int = 5)(action: => T): T = {
+    var last: Throwable = null
+    (1 to attempts).foreach { _ =>
+      try return action
+      catch {
+        case e: IllegalStateException
+            if e.getCause.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+          last = e
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the commit race $attempts times — livelocked against concurrent writers", last)
+  }
+
   /** UPSERT as version `currentVersion + 1`: one committed version that
     * tombstones every row matching `cond` AND inserts `transform` of
     * those rows as a new segment — MERGE's update arm. The replacements
@@ -325,15 +398,16 @@ object VersionedLayout {
   def appendUpsert(s: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column, transform: DataFrame => DataFrame): Int = {
     val ver = currentVersion(dir) + 1
+    val tag = writerTag()
     val matched = readAsOf(s, dir, ver - 1).where(cond).localCheckpoint()
     matched
       .select(col("pid").cast("int").as("pid"),
         col("l_orderkey"), col("l_linenumber"), col("v"))
-      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver))
+      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
     val replacements = transform(matched).localCheckpoint()
     requireInDomain(dir, replacements)
-    replacements.write.mode("overwrite").parquet(insertDir(dir, ver))
-    commit(dir, LogEntry(ver, "upsert", Nil, 0))
+    replacements.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    commit(dir, LogEntry(ver, "upsert", Nil, 0, tag = tag))
     ver
   }
 
@@ -460,7 +534,7 @@ object VersionedLayout {
     // 3. Archive the folded segments (same keep-first rule).
     Files.createDirectories(Paths.get(s"$arch/inserts"))
     entries.filter(e => e.action == "insert" || e.action == "upsert").foreach { e =>
-      val live = Paths.get(insertDir(dir, e.version))
+      val live = Paths.get(insertDirOf(dir, entries, e.version))
       val target = Paths.get(s"$arch/inserts/v${e.version}")
       if (Files.exists(live) && !Files.exists(target))
         Files.move(live, target, StandardCopyOption.ATOMIC_MOVE)
@@ -507,7 +581,7 @@ object VersionedLayout {
     val segVersions = entries
       .filter(e => e.action == "insert" || e.action == "upsert").map(_.version)
       .filter { sv =>
-        new java.io.File(insertDir(dir, sv)).isDirectory ||
+        new java.io.File(insertDirOf(dir, entries, sv)).isDirectory ||
         entries.exists(e => e.action == "majorcompact" &&
           e.version > keepFrom && e.version > sv &&
           new java.io.File(s"${archiveDir(dir, e.version)}/inserts/v$sv").isDirectory)
@@ -517,13 +591,14 @@ object VersionedLayout {
       .foreach { te =>
         val reclaimed = compactsInScope.filter(_.version >= te.version).flatMap(_.pids).distinct
         if (reclaimed.nonEmpty && !segVersions.exists(_ < te.version)) {
-          val kept = s.read.schema(tombSchema).parquet(tombDir(dir, te.version))
+          val td = tombDirOf(dir, entries, te.version)
+          val kept = s.read.schema(tombSchema).parquet(td)
             .where(!col("pid").isin(reclaimed: _*)).localCheckpoint()
           val tag = ProcessHandle.current().pid()
-          val tmp = s"${tombDir(dir, te.version)}.gc-tmp-p$tag"
+          val tmp = s"$td.gc-tmp-p$tag"
           kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val live = Paths.get(tombDir(dir, te.version))
-          val old = Paths.get(s"${tombDir(dir, te.version)}.gc-old-p$tag")
+          val live = Paths.get(td)
+          val old = Paths.get(s"$td.gc-old-p$tag")
           Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
           Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
           org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
@@ -538,7 +613,7 @@ object VersionedLayout {
 
   /** The tombstone set one version committed (spec observability). */
   def tombstonesAt(s: SparkSession, dir: String, ver: Int): DataFrame =
-    s.read.schema(tombSchema).parquet(tombDir(dir, ver))
+    s.read.schema(tombSchema).parquet(tombDirOf(dir, log(dir), ver))
 
   /** The insert segment one version committed (incremental consumers) —
     * resolved through the fold archives when a major compaction has
@@ -598,7 +673,8 @@ object VersionedLayout {
     * version that committed it (`_tomb_ver`). Empty frame when none.
     */
   private def tombstonesIn(s: SparkSession, dir: String, after: Int, v: Int): DataFrame = {
-    val vers = log(dir)
+    val entries = log(dir)
+    val vers = entries
       .filter(e => (e.action == "delete" || e.action == "upsert")
         && e.version > after && e.version <= v)
       .map(_.version)
@@ -606,7 +682,8 @@ object VersionedLayout {
       s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
         .withColumn("_tomb_ver", lit(0))
     else vers.map { tv =>
-      s.read.schema(tombSchema).parquet(tombDir(dir, tv)).withColumn("_tomb_ver", lit(tv))
+      s.read.schema(tombSchema).parquet(tombDirOf(dir, entries, tv))
+        .withColumn("_tomb_ver", lit(tv))
     }.reduce(_ unionByName _)
   }
 
@@ -624,7 +701,7 @@ object VersionedLayout {
     * archive of the major compaction that folded it.
     */
   private def locateSegment(dir: String, entries: Seq[LogEntry], segVer: Int): String = {
-    val live = insertDir(dir, segVer)
+    val live = insertDirOf(dir, entries, segVer)
     if (new java.io.File(live).isDirectory) return live
     entries.filter(e => e.action == "majorcompact" && e.version > segVer)
       .map(e => s"${archiveDir(dir, e.version)}/inserts/v$segVer")
@@ -716,13 +793,15 @@ object VersionedLayout {
           s"archive of compact v${e.version} of $dir is missing though above " +
             s"the vacuum horizon $srcHorizon — refusing a clone with a silent history gap")
       }
+    // Targets carry each entry's writer tag — the clone ships the same
+    // entries, so its readers resolve the same tagged names.
     entries.filter(e => (e.action == "insert" || e.action == "upsert")
         && e.version > m && e.version <= v)
       .foreach(e => linkTree(new java.io.File(locateSegment(dir, entries, e.version)),
-        Paths.get(s"$tmp/_inserts/v${e.version}")))
+        Paths.get(insertDirOf(tmp, entries, e.version))))
     entries.filter(e => (e.action == "delete" || e.action == "upsert") && e.version <= v)
-      .foreach(e => linkTree(new java.io.File(tombDir(dir, e.version)),
-        Paths.get(s"$tmp/_tombs/v${e.version}")))
+      .foreach(e => linkTree(new java.io.File(tombDirOf(dir, entries, e.version)),
+        Paths.get(tombDirOf(tmp, entries, e.version))))
     // The clone's log ships as ONE checkpoint rendered from the parsed
     // entries (not per-file links): the source may have checkpointed and
     // truncated its own per-version files, and the clone starts life
@@ -741,7 +820,7 @@ object VersionedLayout {
       .maxOption.getOrElse(0)
     if (srcHorizon > carriedHorizon)
       Files.write(Paths.get(tmp, "_log", f"v${v + 1}%05d.json"),
-        s"""{"version":${v + 1},"action":"vacuum","pids":[],"horizon":$srcHorizon,"txn":-1}"""
+        renderEntry(LogEntry(v + 1, "vacuum", Nil, srcHorizon))
           .getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(Paths.get(dst).getParent)
     try Files.move(Paths.get(tmp), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)

@@ -711,6 +711,82 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: a lost commit race rebases onto the new head; writer-tagged artifacts isolate concurrent same-version writers") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val root = Files.createTempDirectory("graft-occ").toString
+    val dir = s"$root/table"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val base = VersionedLayout.readAsOf(spark, dir, 0)
+    val total = base.count()
+    val bandA = (ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)
+    val bandB = (ScalePatterns.ttBandLoCenti, ScalePatterns.ttBandHiCenti)
+    val inA = base.where(col("v").between(bandA._1, bandA._2)).count()
+    val inB = base.where(col("v").between(bandB._1, bandB._2)).count()
+    assert(inA > 0 && inB > 0)
+
+    // Deterministic lost race: a competitor takes the attempt's chosen
+    // version between the version choice and the commit; the retry must
+    // rebase onto the new head and succeed.
+    var attempts = 0
+    val got = VersionedLayout.withWriteRetry(3) {
+      attempts += 1
+      val ver = VersionedLayout.currentVersion(dir) + 1
+      if (attempts == 1)
+        VersionedLayout.commit(dir, VersionedLayout.LogEntry(ver, "noop", Nil, 0))
+      VersionedLayout.commit(dir,
+        VersionedLayout.LogEntry(ver, "noop", Nil, 0, tag = "mine"))
+      ver
+    }
+    assert(attempts == 2 && got == 2, s"retry did not rebase: attempts=$attempts got=$got")
+    assert(VersionedLayout.log(dir).last.tag == "mine")
+
+    // Exhausted retries fail loudly, never silently.
+    val dead = intercept[IllegalStateException](VersionedLayout.withWriteRetry(2) {
+      val ver = VersionedLayout.currentVersion(dir) + 1
+      VersionedLayout.commit(dir, VersionedLayout.LogEntry(ver, "noop", Nil, 0))
+      VersionedLayout.commit(dir, VersionedLayout.LogEntry(ver, "noop", Nil, 0))
+    })
+    assert(dead.getMessage.contains("livelock"), dead.getMessage)
+    val headBefore = VersionedLayout.currentVersion(dir) // 4: noop v1..v4
+
+    // Two REAL writers race disjoint deletes from two threads. Both must
+    // commit (one may rebase); each committed entry's writer tag must
+    // resolve that writer's OWN tombstone set; the final state must equal
+    // the sequential application of both deletes.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def racer(lo: Long, hi: Long): Future[Int] = Future {
+      gate.countDown(); gate.await()
+      VersionedLayout.withWriteRetry() {
+        VersionedLayout.appendDelete(spark, dir, col("v").between(lo, hi))
+      }
+    }
+    val (fa, fb) = (racer(bandA._1, bandA._2), racer(bandB._1, bandB._2))
+    val (va, vb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(Set(va, vb) == Set(headBefore + 1, headBefore + 2),
+      s"racers committed $va/$vb, expected ${headBefore + 1}/${headBefore + 2}")
+    val entries = VersionedLayout.log(dir)
+    Seq(va, vb).foreach { v =>
+      assert(entries.find(_.version == v).exists(_.tag.nonEmpty), s"v$v entry untagged")
+    }
+    val tombA = VersionedLayout.tombstonesAt(spark, dir, va)
+      .agg(count(lit(1)), min(col("v")), max(col("v"))).first()
+    assert(tombA.getLong(0) == inA
+      && tombA.getLong(1) >= bandA._1 && tombA.getLong(2) <= bandA._2,
+      s"winner-resolved tombstones of v$va are not band A's: $tombA")
+    val tombB = VersionedLayout.tombstonesAt(spark, dir, vb)
+      .agg(count(lit(1)), min(col("v")), max(col("v"))).first()
+    assert(tombB.getLong(0) == inB
+      && tombB.getLong(1) >= bandB._1 && tombB.getLong(2) <= bandB._2,
+      s"winner-resolved tombstones of v$vb are not band B's: $tombB")
+    assert(VersionedLayout.readAsOf(spark, dir, vb max va).count() == total - inA - inB,
+      "concurrent deletes did not serialize to the sequential result")
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
