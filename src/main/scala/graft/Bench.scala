@@ -73,7 +73,7 @@ object Bench {
       "q161_index_time_travel", "q162_incremental_view", "q164_change_data_feed",
       "q165_major_compact", "q166_layout_clone", "q167_incremental_lsh_index",
       "q168_lsh_index_crud", "q169_chain_compaction_audit",
-      "q170_layout_checkpointed_log",
+      "q170_layout_checkpointed_log", "q171_incremental_ivf", "q172_ivf_index_crud",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, generation-versioned state for an incrementally
+  * maintainable IVF (inverted-file) ANN index — the third maintained
+  * index chain beside the retrieval index ([[IndexStore]]) and the LSH
+  * dedup index ([[LshIndexStore]]), closing the symmetry: every index
+  * the engine serves can now be maintained under continuous ingest
+  * instead of rebuilt per batch.
+  *
+  * State model — what each generation directory `v<N>/` holds:
+  *
+  *  - `v0` (and any generation a [[compact]] produced): `centroids`
+  *    (the trained cluster table — tiny, broadcast at every use) and a
+  *    FULL `asg` snapshot (vec_id, cid — the inverted file), laid out
+  *    `cid=`-PARTITIONED so a probe reads ONLY the probed clusters'
+  *    directories: the file set, not just the filter, is pruned. The
+  *    centroid table is FROZEN by admits (assignment against moving
+  *    centroids would silently skew the index); drift is measured by
+  *    [[driftAudit]] and a retrain is an explicit re-[[init]].
+  *  - every admitted generation: `asg-delta` — ONLY the batch's
+  *    assignments (computed by the caller against the broadcast frozen
+  *    centroids; O(delta) compute and write, the corpus is never
+  *    re-assigned).
+  *  - every retracted generation: `retract-ids` — a tombstone segment.
+  *    Tombstones are GENERATION-SCOPED (the [[LshIndexStore]] rule): a
+  *    retract erases only rows from generations below it, so a vector
+  *    retracted and later re-admitted is live again.
+  *
+  * [[compact]] folds the chain into a fresh full-snapshot generation
+  * (single-source reads again); [[GenChain]] provides the
+  * complete-tmp/manifest-last/atomic-rename commit protocol and the
+  * txn-stamped exactly-once [[admitOnce]]/[[retractOnce]] for
+  * streaming ingest.
+  *
+  * At 100 TB the economics: the corpus is assigned once (init) plus
+  * O(delta) per batch; serving reads the centroid broadcast + only the
+  * probed `cid=` directories of the base + the (delta-sized) segments;
+  * the alternative — re-clustering per batch — is a full corpus
+  * shuffle. Registry surface: q171 (chained admits == flat rebuild,
+  * derivation oracle), q172 (full CRUD incl. retract), q173 (drift
+  * audit: integer-exact per-generation assignment quality, the retrain
+  * trigger).
+  */
+object IvfIndexStore {
+
+  private def genDir(dir: String, gen: Int) = GenChain.genDir(dir, gen)
+
+  /** Highest COMPLETE generation (manifest present), -1 when none. */
+  def currentGeneration(dir: String): Int = GenChain.currentGeneration(dir)
+
+  /** Latest full-snapshot generation at or below `gen` (v0 or a
+    * compaction) — the segment chain's base.
+    */
+  private def baseGenOf(dir: String, gen: Int): Int =
+    (gen to 0 by -1).find(g => new java.io.File(genDir(dir, g), "asg").isDirectory)
+      .getOrElse(throw new IllegalStateException(s"$dir has no full-snapshot generation <= $gen"))
+
+  /** The frozen centroid table (cid, ce, cn) serving generation `gen`. */
+  def centroidsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
+    s.read.parquet(s"${genDir(dir, baseGenOf(dir, gen))}/centroids")
+
+  /** Assignments as of generation `gen`, restricted to the probed
+    * clusters when `cids` is given: the base snapshot contributes ONLY
+    * the named `cid=` partition directories (driver-side listing — the
+    * scan's file set is pruned), the delta segments are O(delta) and
+    * read whole with the filter pushed down; rows are masked by the
+    * generation-scoped retract horizon.
+    */
+  def assignmentsOf(s: SparkSession, dir: String, gen: Int,
+      cids: Option[Seq[Long]] = None): DataFrame = {
+    val b = baseGenOf(dir, gen)
+    val basePath = s"${genDir(dir, b)}/asg"
+    // The base's cid partition column is re-inferred (as int) from the
+    // directory names — normalize every source to the long it was
+    // written as, so the chain union is schema-stable.
+    def norm(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val baseDf = norm(cids match {
+      case Some(ks) =>
+        val dirs = ks.distinct.map(k => new java.io.File(basePath, s"cid=$k"))
+          .filter(_.isDirectory).map(_.getAbsolutePath)
+        if (dirs.isEmpty) s.read.parquet(basePath).where(lit(false))
+        else s.read.option("basePath", basePath).parquet(dirs: _*)
+      case None => s.read.parquet(basePath)
+    })
+    val segs = ((b + 1) to gen).flatMap { g =>
+      val d = new java.io.File(genDir(dir, g), "asg-delta")
+      if (d.isDirectory) {
+        val df = norm(s.read.parquet(d.getAbsolutePath))
+        Seq((cids match {
+          case Some(ks) => df.where(col("cid").isin(ks: _*))
+          case None => df
+        }).withColumn("_row_gen", lit(g)))
+      } else Nil
+    }
+    val live = segs.foldLeft(baseDf.withColumn("_row_gen", lit(b)))(_ unionByName _)
+    retractHorizons(s, dir, b, gen) match {
+      case Some(h) =>
+        live.join(h, Seq("vec_id"), "left")
+          .where(col("_retract_gen").isNull || col("_row_gen") > col("_retract_gen"))
+          .drop("_row_gen", "_retract_gen")
+      case None => live.drop("_row_gen")
+    }
+  }
+
+  /** The assignment rows generation `gen` CONTRIBUTED (the base
+    * snapshot for a full generation, the admit delta for an admitted
+    * one, empty for a retract) — the per-batch consumer surface the
+    * drift audit (q173) folds, analogous to a change feed's insert arm.
+    */
+  def segmentOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    val full = new java.io.File(genDir(dir, gen), "asg")
+    val delta = new java.io.File(genDir(dir, gen), "asg-delta")
+    val src =
+      if (full.isDirectory) s.read.parquet(full.getAbsolutePath)
+      else if (delta.isDirectory) s.read.parquet(delta.getAbsolutePath)
+      else s.read.parquet(s"${genDir(dir, baseGenOf(dir, gen))}/asg").where(lit(false))
+    src.select(col("vec_id"), col("cid").cast("long").as("cid"))
+  }
+
+  /** Per-vector HIGHEST retract generation in (baseGen, gen], if any —
+    * tiny next to the corpus, so the mask join broadcasts at scale.
+    */
+  private def retractHorizons(
+      s: SparkSession, dir: String, baseGen: Int, gen: Int): Option[DataFrame] = {
+    val segs = ((baseGen + 1) to gen).flatMap { g =>
+      val d = new java.io.File(genDir(dir, g), "retract-ids")
+      if (d.isDirectory)
+        Seq(s.read.parquet(d.getAbsolutePath).withColumn("_retract_gen", lit(g)))
+      else Nil
+    }
+    segs.reduceOption(_ unionByName _)
+      .map(_.groupBy(col("vec_id")).agg(max(col("_retract_gen")).as("_retract_gen")))
+  }
+
+  /** Generation 0: the trained centroid table + the base corpus's full
+    * assignment snapshot (`cid=`-partitioned). No-op if a generation
+    * already exists. A RETRAIN is a fresh init into a new dir (the
+    * centroid freeze is the store's contract — see class doc).
+    */
+  def init(s: SparkSession, dir: String, centroids: DataFrame, baseAsg: DataFrame,
+      txn: Long = -1L): Int = {
+    if (currentGeneration(dir) >= 0) return currentGeneration(dir)
+    val tmp = GenChain.freshTmp(dir, 0)
+    centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+    baseAsg.select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$tmp/asg")
+    GenChain.publish(dir, 0, txn, tmp)
+    0
+  }
+
+  /** Admit a delta batch's assignments (computed by the caller against
+    * [[centroidsOf]] — broadcast, frozen) as generation N+1: one
+    * O(delta) segment write, the corpus-sized base untouched.
+    */
+  def admit(s: SparkSession, dir: String, deltaAsg: DataFrame, txn: Long = -1L): Int = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val next = gen + 1
+    val tmp = GenChain.freshTmp(dir, next)
+    deltaAsg.select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$tmp/asg-delta")
+    GenChain.publish(dir, next, txn, tmp)
+    next
+  }
+
+  /** RETRACT vectors as generation N+1: a tombstone segment, applied
+    * generation-scoped by [[assignmentsOf]]. O(retracted) write.
+    */
+  def retract(s: SparkSession, dir: String, vecIds: DataFrame, txn: Long = -1L): Int = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val next = gen + 1
+    val tmp = GenChain.freshTmp(dir, next)
+    vecIds.select(col("vec_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/retract-ids")
+    GenChain.publish(dir, next, txn, tmp)
+    next
+  }
+
+  /** Exactly-once admit/retract for streaming ingest (txn-stamp replay
+    * dedupe, the [[LshIndexStore.admitOnce]] contract).
+    */
+  def admitOnce(s: SparkSession, dir: String, deltaAsg: DataFrame, txn: Long): Int =
+    GenChain.committedGen(dir, txn).getOrElse(admit(s, dir, deltaAsg, txn))
+
+  def retractOnce(s: SparkSession, dir: String, vecIds: DataFrame, txn: Long): Int =
+    GenChain.committedGen(dir, txn).getOrElse(retract(s, dir, vecIds, txn))
+
+  /** Fold the segment chain into a fresh full-snapshot generation
+    * (centroids carried forward unchanged — physical reorganization,
+    * not a retrain), so reads are single-source again.
+    */
+  def compact(s: SparkSession, dir: String): Int = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val next = gen + 1
+    val tmp = GenChain.freshTmp(dir, next)
+    centroidsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/centroids")
+    assignmentsOf(s, dir, gen)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$tmp/asg")
+    GenChain.publish(dir, next, -1L, tmp)
+    next
+  }
+
+  /** Drop generations BELOW `keepFrom` (must be a full-snapshot
+    * generation — compact first).
+    */
+  def vacuumGenerations(dir: String, keepFrom: Int): Unit = {
+    require(new java.io.File(genDir(dir, keepFrom), "asg").isDirectory,
+      s"keepFrom=$keepFrom is not a full-snapshot generation of $dir — " +
+        "vacuum would orphan the segment chain (compact first)")
+    GenChain.vacuumGenerations(dir, keepFrom)
+  }
+
+  /** Chain-health audit: (segment count, rows a merged read scans,
+    * rows a folded snapshot would hold) — the [[LshIndexStore.chainAudit]]
+    * analog feeding the shared compaction policy.
+    */
+  def chainAudit(s: SparkSession, dir: String): (Int, Long, Long) = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val b = baseGenOf(dir, gen)
+    val segGens = ((b + 1) to gen).filter(g =>
+      new java.io.File(genDir(dir, g), "asg-delta").isDirectory ||
+        new java.io.File(genDir(dir, g), "retract-ids").isDirectory)
+    val readRows = s.read.parquet(s"${genDir(dir, b)}/asg").count() +
+      segGens.map { g =>
+        val d = new java.io.File(genDir(dir, g), "asg-delta")
+        if (d.isDirectory) s.read.parquet(d.getAbsolutePath).count() else 0L
+      }.sum
+    val foldedRows = assignmentsOf(s, dir, gen).count()
+    (segGens.size, readRows, foldedRows)
+  }
+
+  /** Compact when the measured merge-read overhead or segment count
+    * crosses the shared policy threshold. Returns whether it fired.
+    */
+  def compactIfNeeded(s: SparkSession, dir: String,
+      maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
+      maxSegments: Int = IndexStore.recommendMaxSegments): Boolean = {
+    val (nSeg, readRows, foldedRows) = chainAudit(s, dir)
+    val fire = nSeg > 0 && (nSeg >= maxSegments ||
+      (foldedRows > 0 && readRows * 1000L >= foldedRows * maxOverheadMilli))
+    if (fire) compact(s, dir)
+    fire
+  }
+}

@@ -61,22 +61,11 @@ import java.nio.charset.StandardCharsets
   */
 object LshIndexStore {
 
-  private def genDir(dir: String, gen: Int) = s"$dir/v$gen"
-  private def manifest(dir: String, gen: Int) =
-    new java.io.File(genDir(dir, gen), "_graft_manifest.json")
+  private def genDir(dir: String, gen: Int) = GenChain.genDir(dir, gen)
+  private def manifest(dir: String, gen: Int) = GenChain.manifest(dir, gen)
 
   /** Highest COMPLETE generation (manifest present), -1 when none. */
-  def currentGeneration(dir: String): Int =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.stripPrefix("v").toInt)
-      .filter(g => manifest(dir, g).isFile)
-      .maxOption.getOrElse(-1)
-
-  private def txnOf(dir: String, gen: Int): Long = {
-    val body = new String(Files.readAllBytes(manifest(dir, gen).toPath), StandardCharsets.UTF_8)
-    body.split("\"txn\":")(1).split("[,}]")(0).trim.toLong
-  }
+  def currentGeneration(dir: String): Int = GenChain.currentGeneration(dir)
 
   /** Latest full-snapshot generation at or below `gen` (v0 or a
     * compaction) — the segment chain's base.
@@ -235,27 +224,12 @@ object LshIndexStore {
 
   /** Publish generation `gen` from a complete tmp: manifest last, then
     * one atomic rename — a lost single-writer race fails loudly rather
-    * than clobbering the committed generation.
+    * than clobbering the committed generation (protocol in [[GenChain]]).
     */
-  private[graft] def publish(dir: String, gen: Int, txn: Long, tmp: String): Unit = {
-    Files.write(new java.io.File(tmp, "_graft_manifest.json").toPath,
-      s"""{"generation":$gen,"txn":$txn}""".getBytes(StandardCharsets.UTF_8))
-    Files.createDirectories(Paths.get(dir))
-    try Files.move(Paths.get(tmp), Paths.get(genDir(dir, gen)), StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileSystemException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        throw new IllegalStateException(
-          s"generation $gen of $dir was committed by another writer")
-    }
-  }
+  private[graft] def publish(dir: String, gen: Int, txn: Long, tmp: String): Unit =
+    GenChain.publish(dir, gen, txn, tmp)
 
-  private def freshTmp(dir: String, gen: Int): String = {
-    val tmp = s"$dir/.gen-tmp-v$gen-p${ProcessHandle.current().pid()}"
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    Files.createDirectories(Paths.get(tmp))
-    tmp
-  }
+  private def freshTmp(dir: String, gen: Int): String = GenChain.freshTmp(dir, gen)
 
   /** Generation 0: full index state from the initial corpus's band
     * rows. No-op if a generation already exists.
@@ -319,9 +293,7 @@ object LshIndexStore {
     committedGen(dir, txn).getOrElse(retract(s, dir, docIds, maxBucket, txn))
 
   private def committedGen(dir: String, txn: Long): Option[Int] =
-    (0 to currentGeneration(dir))
-      .filter(g => manifest(dir, g).isFile) // below-retention gens are vacuumed
-      .find(g => txnOf(dir, g) == txn)
+    GenChain.committedGen(dir, txn)
 
   /** RETRACT documents from the index as generation N+1 — the q149
     * analog for the dedup side, completing CRUD on the index state
@@ -405,10 +377,7 @@ object LshIndexStore {
     require(new java.io.File(genDir(dir, keepFrom), "bands").isDirectory,
       s"keepFrom=$keepFrom is not a full-snapshot generation of $dir — " +
         "vacuum would orphan the segment chain (compact first)")
-    (0 until keepFrom).foreach { g =>
-      val d = new java.io.File(genDir(dir, g))
-      if (d.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(d)
-    }
+    GenChain.vacuumGenerations(dir, keepFrom)
   }
 
   /** Candidate pairs as of generation `gen` (time travel over the

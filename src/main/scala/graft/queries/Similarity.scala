@@ -726,7 +726,236 @@ object Similarity {
       .orderBy(col("q_id"), col("fused_rank"))
   }
 
+  /** Drift threshold for [[q173]]'s retrain recommendation: a
+    * generation whose mean assignment cosine sits more than this many
+    * MICRO (1e-6) units below generation 0's is flagged.
+    */
+  val ivfDriftMicro = 20000L
+
+  /** IVF index-store dirs this JVM has already built (pid-suffixed, so
+    * concurrent sessions never clobber each other's live store files).
+    */
+  private val ivfStoreBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def corpusProj(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+
+  /** Build the incrementally-maintained IVF chain into `dir`: TRAIN on
+    * the 75% base split only (seeds = its 16 lowest ids, one Lloyd step
+    * — the q88 construction restricted to the base), [[graft.operators.IvfIndexStore.init]]
+    * with the base assignment snapshot, then ADMIT the two delta
+    * batches (12.5% each), each assigned against the store's FROZEN
+    * centroid table read back from disk — the O(delta) maintenance path
+    * a growing 100 TB embedding corpus takes instead of re-clustering
+    * per batch.
+    */
+  private def buildIvfChain(s: SparkSession, d: String, dir: String): Unit = {
+    import graft.operators.IvfIndexStore
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val e = corpusProj(s, d).localCheckpoint() // feeds train + three assignment passes
+    val base = e.where(col("vec_id") % 4 =!= 0)
+    val c0 = base.where(col("vec_id") < 22) // exactly the 16 lowest base ids
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cent = centroids(base, nearest(base, c0, "vec_id", "embedding", "nrm"))
+      .localCheckpoint() // feeds the init write + the base assignment
+    IvfIndexStore.init(s, dir, cent,
+      nearest(base, cent, "vec_id", "embedding", "nrm"))
+    // Admits assign against the STORE's centroids (frozen, from disk —
+    // parquet round-trips doubles losslessly, so this is the trained
+    // table bit-for-bit).
+    val storeCent = IvfIndexStore.centroidsOf(s, dir, 0)
+    IvfIndexStore.admit(s, dir,
+      nearest(e.where(col("vec_id") % 8 === 0), storeCent, "vec_id", "embedding", "nrm"))
+    IvfIndexStore.admit(s, dir,
+      nearest(e.where(col("vec_id") % 8 === 4), storeCent, "vec_id", "embedding", "nrm"))
+    DatasetBridge.unpersistCheckpoint(cent)
+    DatasetBridge.unpersistCheckpoint(e)
+  }
+
+  private[graft] def ensureIvfStore(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfstore_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    if (ivfStoreBuilt.add(dir)) buildIvfChain(s, d, dir)
+    dir
+  }
+
+  /** q172's store: the q171 chain continued with a RETRACT (the base
+    * members `vec_id % 16 == 1`) and a COMPACT folding the whole chain
+    * back to a single snapshot generation.
+    */
+  private[graft] def ensureIvfCrudStore(s: SparkSession, d: String): String = {
+    import graft.operators.IvfIndexStore
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfcrud_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    if (ivfStoreBuilt.add(dir)) {
+      buildIvfChain(s, d, dir)
+      IvfIndexStore.retract(s, dir,
+        corpusProj(s, d).where(col("vec_id") % 16 === 1).select(col("vec_id")))
+      IvfIndexStore.compact(s, dir)
+    }
+    dir
+  }
+
+  /** Probe the store: the 5 standard queries rank the broadcast frozen
+    * centroids, the probed cluster ids are collected DRIVER-SIDE
+    * (bounded: 5 x nprobe rows) so the base snapshot scan is FILE-SET
+    * pruned to the probed `cid=` directories, and [[probeTail]] re-ranks
+    * exactly as q88 does.
+    */
+  private def storeProbe(s: SparkSession, d: String, dir: String): DataFrame = {
+    import graft.operators.IvfIndexStore
+    val gen = IvfIndexStore.currentGeneration(dir)
+    val e = corpusProj(s, d)
+    val cent = IvfIndexStore.centroidsOf(s, dir, gen)
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
+    val probed = qs.join(broadcast(cent))
+      .select(col("query_id"), col("cid"),
+        (vectors.dot(col("qe"), col("ce")) / (col("nq") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= 1)
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    probeTail(e, cent, IvfIndexStore.assignmentsOf(s, dir, gen, Some(probed)), nprobe = 1)
+  }
+
+  /** INCREMENTAL IVF maintenance (the ANN analog of q167's LSH chain):
+    * the index is trained ONCE on the 75% base corpus, the two delta
+    * batches are admitted as O(delta) assignment segments against the
+    * frozen centroids, and the probe — served from the chained store,
+    * base scan pruned to the probed `cid=` directories — must equal the
+    * oracle's flat derivation (train on base, assign ALL, probe), so
+    * the gate proves chained admits == rebuild. At 100 TB: admit cost
+    * tracks the batch, never the corpus; re-clustering per batch would
+    * be a full-corpus shuffle.
+    */
+  private def q171(s: SparkSession, d: String): DataFrame =
+    storeProbe(s, d, ensureIvfStore(s, d))
+
+  /** Full CRUD on the IVF index store: q171's chain + RETRACT (the
+    * `vec_id % 16 == 1` base members leave via a generation-scoped
+    * tombstone segment — no base rewrite) + COMPACT (the chain folds to
+    * one snapshot generation; answer-preserving by the gate). The probe
+    * after both must equal the oracle's derivation with the retracted
+    * vectors excluded from candidacy — proving retract semantics AND
+    * compaction's answer preservation in one query.
+    */
+  private def q172(s: SparkSession, d: String): DataFrame =
+    storeProbe(s, d, ensureIvfCrudStore(s, d))
+
+  /** DRIFT AUDIT over the IVF chain — the retrain trigger a frozen-
+    * centroid index needs: per generation (0 = the trained base, 1/2 =
+    * the admitted deltas), the member count and the mean
+    * member-to-centroid cosine in exact MICRO units (per-row cosines
+    * fold to floor(cos*1e6) BIGINTs, so the sum is order-independent
+    * and the reported mean is one identical IEEE divide+floor in both
+    * engines); `retrain_recommended` fires when a generation's mean
+    * sits more than [[ivfDriftMicro]] below the base's. On this corpus
+    * the deltas are drawn from the same distribution, so the audit
+    * reads healthy — the oracle derives the same integers, proving the
+    * instrument exact either way.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndexStore
+    val dir = ensureIvfStore(s, d)
+    val e = corpusProj(s, d)
+    val cent = IvfIndexStore.centroidsOf(s, dir, 0)
+    val segs = (0 to IvfIndexStore.currentGeneration(dir)).map { g =>
+      IvfIndexStore.segmentOf(s, dir, g).withColumn("generation", lit(g.toLong))
+    }.reduce(_ unionByName _)
+    val agg = segs.join(e, "vec_id").join(broadcast(cent), "cid")
+      .select(col("generation"),
+        floor((vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          * lit(1000000.0)).cast("long").as("micro"))
+      .groupBy(col("generation"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("micro")).as("sm"))
+      .withColumn("mean_cos_micro",
+        floor(col("sm").cast("double") / col("n_vecs")).cast("long"))
+    val baseMean = agg.where(col("generation") === 0)
+      .select(col("mean_cos_micro").as("base_mean"))
+    agg.crossJoin(broadcast(baseMean))
+      .select(col("generation"), col("n_vecs"), col("mean_cos_micro"),
+        (col("mean_cos_micro") < col("base_mean") - ivfDriftMicro)
+          .as("retrain_recommended"))
+      .orderBy(col("generation"))
+  }
+
+  /** Shared derivation head for the IVF-store oracles: train on the
+    * base split (seed = 16 lowest base ids, one quantized Lloyd step —
+    * the ivfProbeSql construction restricted to `vec_id % 4 <> 0`),
+    * then assign the WHOLE corpus against the trained centroids
+    * (assignment is per-vector independent, so base-at-init plus
+    * deltas-at-admit equals one formula over all vectors).
+    */
+  private def ivfStoreHeadSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ssSql("embedding")}) AS nrm FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+       |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM b WHERE vec_id < 22),
+       |a0 AS (SELECT b.vec_id, c.cid, ${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn) AS cos
+       |       FROM b CROSS JOIN c0 c),
+       |g0 AS (SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a0),
+       |asg0 AS (SELECT vec_id, cid FROM g0 WHERE rn = 1),
+       |comp1 AS (SELECT a.cid, unnest(range(1, ${dims + 1})) AS pos,
+       |           CAST(floor(CAST(unnest(b.embedding) AS DOUBLE) * $quantScale) AS BIGINT) AS qv
+       |         FROM asg0 a JOIN b ON b.vec_id = a.vec_id),
+       |cs1 AS (SELECT cid, pos, sum(qv) AS sq, count(*) AS cnt FROM comp1 GROUP BY cid, pos),
+       |cent1 AS (SELECT cid, list(CAST(sq AS DOUBLE) / cnt ORDER BY pos) AS ce FROM cs1 GROUP BY cid),
+       |cn1 AS (SELECT cid, ce, sqrt(${ssSql("ce")}) AS cn FROM cent1),
+       |a1 AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
+       |       FROM e CROSS JOIN cn1 c),
+       |g1 AS (SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a1),
+       |asg1 AS (SELECT vec_id, cid FROM g1 WHERE rn = 1)""".stripMargin
+
+  /** The q88-shaped probe over the store derivation; `candFilter`
+    * excludes retracted vectors from candidacy (q172).
+    */
+  private def ivfStoreProbeSql(candFilter: String = ""): String =
+    ivfStoreHeadSql + ",\n" +
+      s"""q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
+         |pq AS (SELECT query_id, cid FROM (
+         |         SELECT q.query_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
+         |         FROM q CROSS JOIN cn1 c) WHERE rn <= 1),
+         |cand AS (SELECT pq.query_id, m.vec_id AS neighbor_id,
+         |           ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
+         |         FROM pq JOIN asg1 m ON m.cid = pq.cid
+         |         JOIN q qq ON qq.query_id = pq.query_id
+         |         JOIN e e2 ON e2.vec_id = m.vec_id
+         |         WHERE m.vec_id <> pq.query_id$candFilter)
+         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cos FROM (
+         |  SELECT query_id, neighbor_id, c,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def ivfDriftSql: String =
+    ivfStoreHeadSql + ",\n" +
+      s"""seg AS (SELECT vec_id, cid,
+         |          CASE WHEN vec_id % 4 <> 0 THEN 0
+         |               WHEN vec_id % 8 = 0 THEN 1 ELSE 2 END AS generation
+         |        FROM asg1),
+         |sc AS (SELECT s.generation,
+         |         CAST(floor((${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn)) * 1000000) AS BIGINT) AS micro
+         |       FROM seg s JOIN e ON e.vec_id = s.vec_id JOIN cn1 c ON c.cid = s.cid),
+         |ag AS (SELECT generation, CAST(count(*) AS BIGINT) AS n_vecs, sum(micro) AS sm
+         |       FROM sc GROUP BY 1),
+         |m AS (SELECT generation, n_vecs,
+         |        CAST(floor(CAST(sm AS DOUBLE) / n_vecs) AS BIGINT) AS mean_cos_micro FROM ag),
+         |b0 AS (SELECT mean_cos_micro AS base_mean FROM m WHERE generation = 0)
+         |SELECT CAST(m.generation AS BIGINT) AS generation, m.n_vecs, m.mean_cos_micro,
+         |  m.mean_cos_micro < (b0.base_mean - $ivfDriftMicro) AS retrain_recommended
+         |FROM m CROSS JOIN b0 ORDER BY generation""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_incremental_ivf", q171, Some(ivfStoreProbeSql())),
+    QueryDef("q172_ivf_index_crud", q172, Some(ivfStoreProbeSql(" AND m.vec_id % 16 <> 1"))),
+    QueryDef("q173_ivf_drift_audit", q173, Some(ivfDriftSql)),
     QueryDef("q135_ivf_cluster_health", q135, Some(clusterHealthSql)),
     QueryDef("q131_pq_adc_ann", q131, Some(pqSql)),
     QueryDef("q106_hybrid_rrf", q106, Some(

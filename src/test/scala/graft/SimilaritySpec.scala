@@ -195,4 +195,88 @@ class SimilaritySpec extends SparkSpec {
     // carry most of the true top-5 through the exact re-rank.
     assert(recalls.sum / recalls.size >= 0.7, s"PQ two-stage recall collapsed: $recalls")
   }
+
+  test("IvfIndexStore: chained admits equal flat assignment; probe scan file-set pruned; retract->re-admit revives; txns replay once; compact single-sources; vacuum keeps ingest alive") {
+    import graft.operators.IvfIndexStore
+    import graft.functions.vectors
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val cent = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .localCheckpoint()
+    def assign(df: DataFrame): DataFrame =
+      df.join(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).as("cid"))
+    def asgSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = e.where(col("vec_id") % 4 =!= 0)
+    val d1 = e.where(col("vec_id") % 8 === 0)
+    val d2 = e.where(col("vec_id") % 8 === 4)
+    val flat = asgSet(assign(e)) // the ground-up rebuild every state must equal
+
+    assert(IvfIndexStore.init(spark, dir, cent, assign(base), txn = 10L) == 0)
+    assert(IvfIndexStore.admitOnce(spark, dir, assign(d1), txn = 11L) == 1)
+    // Replayed micro-batch: same txn commits nothing new.
+    assert(IvfIndexStore.admitOnce(spark, dir, assign(d1), txn = 11L) == 1,
+      "replayed txn was admitted twice")
+    assert(IvfIndexStore.currentGeneration(dir) == 1)
+    assert(IvfIndexStore.admitOnce(spark, dir, assign(d2), txn = 12L) == 2)
+    assert(asgSet(IvfIndexStore.assignmentsOf(spark, dir, 2)) == flat,
+      "chained admits diverged from the flat assignment")
+
+    // File-set pruning: with probed cids, the BASE snapshot contributes
+    // only the probed cid= directories (deltas are O(delta), read whole).
+    val pruned = IvfIndexStore.assignmentsOf(spark, dir, 2, Some(Seq(3L, 5L)))
+    val baseFiles = pruned.inputFiles.filter(_.contains("/asg/"))
+    assert(baseFiles.nonEmpty)
+    assert(baseFiles.forall(f => f.contains("cid=3") || f.contains("cid=5")),
+      s"unpruned base file in probe scan: ${baseFiles.mkString(", ")}")
+    assert(asgSet(pruned) == flat.filter { case (_, c) => c == 3L || c == 5L },
+      "pruned read diverged on the probed clusters")
+
+    // Retract the d1 members, then RE-ADMIT them: tombstones are
+    // generation-scoped, so the re-admitted rows are live again.
+    val d1Ids = d1.select(col("vec_id"))
+    val d1Set = d1Ids.collect().map(_.getLong(0)).toSet
+    assert(IvfIndexStore.retractOnce(spark, dir, d1Ids, txn = 13L) == 3)
+    assert(IvfIndexStore.retractOnce(spark, dir, d1Ids, txn = 13L) == 3,
+      "replayed retract committed twice")
+    assert(asgSet(IvfIndexStore.assignmentsOf(spark, dir, 3))
+      == flat.filterNot { case (v, _) => d1Set(v) }, "retract left wrong rows")
+    assert(IvfIndexStore.admitOnce(spark, dir, assign(d1), txn = 14L) == 4)
+    assert(asgSet(IvfIndexStore.assignmentsOf(spark, dir, 4)) == flat,
+      "re-admitted vectors are not live (tombstone not generation-scoped)")
+
+    // Compact folds the chain: same answer, single-source read.
+    val cGen = IvfIndexStore.compact(spark, dir)
+    assert(cGen == 5)
+    val folded = IvfIndexStore.assignmentsOf(spark, dir, cGen)
+    assert(asgSet(folded) == flat, "compaction changed the assignment")
+    assert(folded.inputFiles.forall(_.contains(s"/v$cGen/asg/")),
+      "post-compact read still touches the segment chain")
+
+    // Crash leftovers are invisible: a stray gen tmp changes nothing.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/.gen-tmp-v99-p0"))
+    assert(IvfIndexStore.currentGeneration(dir) == cGen)
+
+    // Retention: drop below the fold, ingest (txn scan skips vacuumed
+    // generations) and reads keep working.
+    IvfIndexStore.vacuumGenerations(dir, cGen)
+    assert(IvfIndexStore.admitOnce(spark, dir,
+      assign(d1).select(col("vec_id"), col("cid")).where(lit(false)), txn = 15L) == cGen + 1,
+      "admitOnce after vacuumGenerations failed")
+    assert(asgSet(IvfIndexStore.assignmentsOf(spark, dir, cGen + 1)) == flat)
+    val gone = intercept[IllegalStateException](
+      IvfIndexStore.assignmentsOf(spark, dir, 2).count())
+    assert(gone.getMessage.contains("no full-snapshot"), gone.getMessage)
+  }
 }
