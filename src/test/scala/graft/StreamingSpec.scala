@@ -348,6 +348,74 @@ class StreamingSpec extends SparkSpec {
     assert(pairSet == rebuilt)
   }
 
+  test("streaming ingest into the IVF index store: one generation per micro-batch, replayed batches admit exactly once") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndexStore
+    import graft.functions.vectors
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ingest").toString + "/index"
+    def vecs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val cent = vecs(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .localCheckpoint()
+    def assign(df: org.apache.spark.sql.DataFrame) = df.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("cid"))
+    IvfIndexStore.init(spark, dir, cent,
+      assign(vecs(Seq(10L -> Seq(0.9, 0.1), 11L -> Seq(0.2, 0.8)))))
+
+    val in = java.nio.file.Files.createTempDirectory("graft-ivf-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-ivf-chk")
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+      // The micro-batch id IS the txn stamp; the batch is assigned
+      // against the store's FROZEN centroids and lands as one O(delta)
+      // segment generation — the admit path under continuous ingest.
+      IvfIndexStore.admitOnce(spark, dir,
+        assign(b.select(col("vec_id"), col("embedding"),
+          vectors.norm(col("embedding")).as("nrm"))), id)
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(Seq((0L, Seq(0.0))).toDF("vec_id", "embedding").schema)
+        .parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def stage(name: String, rows: Seq[(Long, Seq[Double])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stage")
+      rows.toDF("vec_id", "embedding").repartition(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+
+    stage("b0.parquet", Seq(20L -> Seq(0.8, 0.3), 21L -> Seq(0.1, 0.9)))
+    run()
+    assert(IvfIndexStore.currentGeneration(dir) == 1)
+    stage("b1.parquet", Seq(22L -> Seq(0.7, 0.7))) // tie -> lowest cid
+    run() // restart from checkpoint; batch 1 only
+    assert(IvfIndexStore.currentGeneration(dir) == 2)
+
+    def asgSet = IvfIndexStore
+      .assignmentsOf(spark, dir, IvfIndexStore.currentGeneration(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set(10L -> 0L, 11L -> 1L, 20L -> 0L, 21L -> 1L, 22L -> 0L)
+    assert(asgSet == expected, s"streamed IVF index diverged: $asgSet")
+
+    // Replayed micro-batch: same txn, no new generation, same rows.
+    IvfIndexStore.admitOnce(spark, dir, assign(vecs(Seq(22L -> Seq(0.7, 0.7)))), 1L)
+    assert(IvfIndexStore.currentGeneration(dir) == 2, "replay created a generation")
+    assert(asgSet == expected)
+  }
+
   test("streaming retract from the LSH index store: tombstone stream drives one generation per micro-batch, replays retract exactly once, end state equals the batch retract") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, LshIndexStore}
