@@ -409,6 +409,32 @@ object Extras {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** JSON property extraction over the event stream — the
+    * semi-structured column every real event pipeline carries
+    * (`props` is a JSON object) finally typed and aggregated: each
+    * event's `$.k` is extracted with `get_json_object` (Spark's
+    * codegen'd JSON path evaluator — no UDF, stays inside whole-stage
+    * codegen) and cast to BIGINT, with per-type exact stats including
+    * null-safe counts (a missing or non-numeric key degrades to NULL,
+    * counted by `n_events - n_with_k`). Shape for scale: the parse is a
+    * map-only projection; the only shuffle is the 5-row event-type
+    * partial aggregate — at 100 TB the JSON cost is the scan itself,
+    * which is why a production pipeline would next materialize the
+    * extracted column (the q127 schema-evolution move).
+    */
+  private def q174(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_k_over_50"))
+      .orderBy(col("event_type"))
+
   /** Frame-level dedup across media: the q49 frame-sampling pipeline's
     * content hashes grouped corpus-wide, keeping hashes that occur more
     * than once — the multimodal mirror of exact text dedup (near-
@@ -602,6 +628,16 @@ object Extras {
         |  count(DISTINCT media_id) AS n_media, min(media_id) AS exemplar_media
         |FROM kept GROUP BY frame_md5 HAVING count(*) >= 2
         |ORDER BY frame_md5""".stripMargin)),
+    QueryDef("q174_json_extract", q174, Some(
+      s"""WITH e AS (SELECT event_type,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(k) AS BIGINT) AS n_with_k,
+         |  CAST(sum(k) AS BIGINT) AS sum_k,
+         |  CAST(min(k) AS BIGINT) AS min_k,
+         |  CAST(max(k) AS BIGINT) AS max_k,
+         |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q128_retention_cohorts", q128, Some(
       s"""WITH wk AS (SELECT DISTINCT user_id,
          |        (epoch_ns(ts) // 1000) // $cohortDayUs AS day FROM events),
