@@ -154,7 +154,10 @@ object IvfIndexStore {
 
   /** Admit a delta batch's assignments (computed by the caller against
     * [[centroidsOf]] — broadcast, frozen) as generation N+1: one
-    * O(delta) segment write, the corpus-sized base untouched.
+    * O(delta) segment write, the corpus-sized base untouched. Contract:
+    * admitted vec_ids must be novel or previously retracted — admitting
+    * an already-live id duplicates its row (retract first, the same
+    * discipline as the LSH store's re-admit path).
     */
   def admit(s: SparkSession, dir: String, deltaAsg: DataFrame, txn: Long = -1L): Int = {
     val gen = currentGeneration(dir)

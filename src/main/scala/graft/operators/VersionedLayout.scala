@@ -168,6 +168,23 @@ object VersionedLayout {
           s"version ${e.version} of $dir was committed by another writer — " +
             "this mutation lost the race and published nothing", ex)
     } finally Files.deleteIfExists(tmp.toPath)
+    // TOCTOU re-check: if a competitor committed this version AND a
+    // checkpoint absorbed+truncated it between the guard above and the
+    // link, the link "succeeds" on the truncated name but the entry is
+    // shadowed by the checkpoint — readers never see it. Detect by
+    // content: a shadowing entry that is not byte-identical to ours
+    // means we lost the race after all; remove the orphan and fail
+    // loudly like any other lost CAS.
+    val ckptAfter = checkpointedVersion(dir)
+    if (e.version <= ckptAfter &&
+        !log(dir).find(_.version == e.version).exists(se => renderEntry(se) == body)) {
+      Files.deleteIfExists(entryFile(dir, e.version).toPath)
+      throw new IllegalStateException(
+        s"version ${e.version} of $dir was committed by another writer and " +
+          "checkpointed before this link landed — lost the race, published nothing",
+        // cause marks this as a version-CAS loss so withWriteRetry rebases it
+        new java.nio.file.FileAlreadyExistsException(entryFile(dir, e.version).toString))
+    }
   }
 
   /** The committed log, ascending by version: the newest CHECKPOINT (a
