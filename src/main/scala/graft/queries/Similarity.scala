@@ -883,6 +883,68 @@ object Similarity {
       .orderBy(col("generation"))
   }
 
+  /** TIME TRAVEL over the IVF chain — the q161 analog for the ANN
+    * index: the SAME probe served AS OF each generation of q171's
+    * init -> admit -> admit history (generation 0 sees only the trained
+    * base, 1 adds the first delta, 2 the second), every answer against
+    * one oracle deriving each generation's candidate membership from
+    * the split predicates. The probed clusters are identical across
+    * generations (centroids are frozen — the property that makes the
+    * chain time-travelable at all: only MEMBERSHIP changes), and each
+    * generation's scan is still file-set pruned. This is how a 100 TB
+    * deployment reproduces the exact retrieval any past pipeline run
+    * saw.
+    */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndexStore
+    val dir = ensureIvfStore(s, d)
+    val e = corpusProj(s, d)
+    val cent = IvfIndexStore.centroidsOf(s, dir, 0)
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
+    val probed = qs.join(broadcast(cent))
+      .select(col("query_id"), col("cid"),
+        (vectors.dot(col("qe"), col("ce")) / (col("nq") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= 1)
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    (0 to IvfIndexStore.currentGeneration(dir)).map { g =>
+      probeTail(e, cent, IvfIndexStore.assignmentsOf(s, dir, g, Some(probed)), nprobe = 1)
+        .withColumn("generation", lit(g.toLong))
+        .select(col("generation"), col("query_id"), col("neighbor_id"),
+          col("rank"), col("cos"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("generation"), col("query_id"), col("rank"))
+  }
+
+  private def ivfTimeTravelSql: String =
+    ivfStoreHeadSql + ",\n" +
+      s"""ver AS (SELECT unnest([0, 1, 2]) AS generation),
+         |mem AS (SELECT ver.generation, m.vec_id, m.cid FROM ver JOIN asg1 m
+         |        ON (m.vec_id % 4 <> 0)
+         |        OR (ver.generation >= 1 AND m.vec_id % 8 = 0)
+         |        OR (ver.generation >= 2 AND m.vec_id % 8 = 4)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
+         |pq AS (SELECT query_id, cid FROM (
+         |         SELECT q.query_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
+         |         FROM q CROSS JOIN cn1 c) WHERE rn <= 1),
+         |cand AS (SELECT m.generation, pq.query_id, m.vec_id AS neighbor_id,
+         |           ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
+         |         FROM pq JOIN mem m ON m.cid = pq.cid
+         |         JOIN q qq ON qq.query_id = pq.query_id
+         |         JOIN e e2 ON e2.vec_id = m.vec_id
+         |         WHERE m.vec_id <> pq.query_id)
+         |SELECT CAST(generation AS BIGINT) AS generation, query_id, neighbor_id, rank,
+         |  round(c, 6) AS cos FROM (
+         |  SELECT generation, query_id, neighbor_id, c,
+         |    row_number() OVER (PARTITION BY generation, query_id
+         |      ORDER BY c DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY generation, query_id, rank""".stripMargin
+
   /** Shared derivation head for the IVF-store oracles: train on the
     * base split (seed = 16 lowest base ids, one quantized Lloyd step —
     * the ivfProbeSql construction restricted to `vec_id % 4 <> 0`),
@@ -956,6 +1018,7 @@ object Similarity {
     QueryDef("q171_incremental_ivf", q171, Some(ivfStoreProbeSql())),
     QueryDef("q172_ivf_index_crud", q172, Some(ivfStoreProbeSql(" AND m.vec_id % 16 <> 1"))),
     QueryDef("q173_ivf_drift_audit", q173, Some(ivfDriftSql)),
+    QueryDef("q175_ivf_time_travel", q175, Some(ivfTimeTravelSql)),
     QueryDef("q135_ivf_cluster_health", q135, Some(clusterHealthSql)),
     QueryDef("q131_pq_adc_ann", q131, Some(pqSql)),
     QueryDef("q106_hybrid_rrf", q106, Some(
