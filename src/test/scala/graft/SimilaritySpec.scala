@@ -150,6 +150,69 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("graft_ivf_"), s"probe does not scan the persisted index: ${p.take(400)}")
   }
 
+  test("q171 store probe: NO training stage in the plan; base scan reads ONLY probed cid directories") {
+    val probe = SparkEntry.queries("q171_incremental_ivf")(spark, sf0001)
+    probe.collect()
+    // Served purely from the maintained store: centroid training is a
+    // posexplode (Generate) + collect_list aggregate — neither may
+    // appear in the probe's own plan.
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"), "centroid-train aggregate leaked into the probe plan")
+    assert(!p.contains("Generate"), "posexplode (centroid train) leaked into the probe plan")
+    assert(p.contains("graft_ivfstore_"), s"probe does not scan the store: ${p.take(400)}")
+    // File-set pruning end to end: every base-snapshot file the probe
+    // reads sits under a probed cid= directory (deltas are O(delta)).
+    val baseFiles = probe.inputFiles.filter(_.contains("/asg/"))
+    assert(baseFiles.nonEmpty, "probe read no base snapshot files")
+    val scannedCids = baseFiles.map(_.split("/asg/")(1).split("/")(0)).distinct.sorted
+    assert(scannedCids.forall(_.startsWith("cid=")),
+      s"unpruned base read: ${baseFiles.take(3).mkString(", ")}")
+    // 5 queries x 1 probe => at most 5 of the 16 cluster dirs scanned.
+    assert(scannedCids.length <= 5,
+      s"probe scanned ${scannedCids.length} cluster dirs (expected <= 5): " +
+        scannedCids.mkString(", "))
+    info(s"probe base scan: ${scannedCids.mkString(", ")}")
+  }
+
+  test("IvfIndexStore.compactIfNeeded fires exactly at the shared chain policy") {
+    import graft.operators.{IndexStore, IvfIndexStore}
+    import graft.functions.vectors
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpolicy").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val cent = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    def asg(cond: org.apache.spark.sql.Column) =
+      e.where(cond).join(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).as("cid"))
+    IvfIndexStore.init(spark, dir, cent, asg(col("vec_id") % 16 === 0))
+    // Segment count below the policy, overhead below the ratio: no fire.
+    IvfIndexStore.admit(spark, dir, asg(col("vec_id") % 16 === 1))
+    // read = base + delta == folded (disjoint, no retract) -> 1000 milli.
+    assert(!IvfIndexStore.compactIfNeeded(spark, dir), "fired below both thresholds")
+    assert(IvfIndexStore.currentGeneration(dir) == 1)
+    // Drive the chain to the segment-count threshold: must fire ONCE.
+    (2 until IndexStore.recommendMaxSegments + 1).foreach { k =>
+      IvfIndexStore.admit(spark, dir, asg(col("vec_id") % 16 === k))
+    }
+    val before = IvfIndexStore
+      .assignmentsOf(spark, dir, IvfIndexStore.currentGeneration(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(IvfIndexStore.compactIfNeeded(spark, dir), "did not fire at maxSegments")
+    val gen = IvfIndexStore.currentGeneration(dir)
+    assert(!IvfIndexStore.compactIfNeeded(spark, dir), "re-fired on a folded chain")
+    assert(IvfIndexStore.currentGeneration(dir) == gen)
+    val after = IvfIndexStore.assignmentsOf(spark, dir, gen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "policy-triggered compact changed the assignment")
+  }
+
   test("q135 cluster health: members partition the corpus and agree with the q37 assignment") {
     val health = SparkEntry.queries("q135_ivf_cluster_health")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
