@@ -199,7 +199,7 @@ object VersionedLayout {
     val d = logDir(dir)
     if (!d.isDirectory) return Nil
     try {
-      val files = d.listFiles()
+      val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
       val head: Seq[LogEntry] = files
         .filter(_.getName.matches("ckpt-v\\d+\\.json")).sortBy(_.getName).lastOption
         .map { f =>
