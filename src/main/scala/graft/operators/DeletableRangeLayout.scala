@@ -124,7 +124,10 @@ object DeletableRangeLayout {
     * Returns the outstanding tombstone count after the commit.
     */
   def applyDelete(s: SparkSession, dir: String, cond: Column): Long = lock.synchronized {
-    VersionedLayout.appendDelete(s, dir, cond)
+    // The JVM lock serializes this process; withWriteRetry rebases a
+    // lost race against a writer in ANOTHER process (appends are
+    // multi-writer-safe — see VersionedLayout's concurrency scope).
+    VersionedLayout.withWriteRetry()(VersionedLayout.appendDelete(s, dir, cond))
     tombstones(s, dir).count()
   }
 

@@ -625,7 +625,29 @@ object VersionedLayout {
       val a = new java.io.File(archiveDir(dir, e.version))
       if (a.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(a)
     }
+    sweepOrphans(dir, entries)
     commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
+  }
+
+  /** Reclaim append-race leftovers: artifact dirs at versions at or
+    * below the head whose name is NOT the committed entry's resolution
+    * — a CAS loser's writer-tagged garbage (never referenced by any
+    * reader, see [[withWriteRetry]]) or a crashed attempt a different
+    * writer re-ran under its own tag. Versions above the head are
+    * spared: they may be an in-flight writer's artifacts.
+    */
+  private def sweepOrphans(dir: String, entries: Seq[LogEntry]): Unit = {
+    val head = entries.last.version
+    def sweep(root: String, resolve: Int => String): Unit =
+      Option(new java.io.File(dir, root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+(-[^.]+)?"))
+        .foreach { f =>
+          val ver = f.getName.drop(1).takeWhile(_.isDigit).toInt
+          if (ver <= head && new java.io.File(resolve(ver)).getName != f.getName)
+            org.apache.commons.io.FileUtils.deleteDirectory(f)
+        }
+    sweep("_tombs", v => tombDirOf(dir, entries, v))
+    sweep("_inserts", v => insertDirOf(dir, entries, v))
   }
 
   /** The tombstone set one version committed (spec observability). */

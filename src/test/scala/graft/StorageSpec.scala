@@ -785,6 +785,18 @@ class StorageSpec extends SparkSpec {
       s"winner-resolved tombstones of v$vb are not band B's: $tombB")
     assert(VersionedLayout.readAsOf(spark, dir, vb max va).count() == total - inA - inB,
       "concurrent deletes did not serialize to the sequential result")
+
+    // Orphan sweep: a CAS loser's tagged leftovers (unreferenced by any
+    // entry) are reclaimed by vacuum; the winners' artifacts survive.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_tombs/v$va-pFAKEtX"))
+    VersionedLayout.vacuum(spark, dir, keepFrom = 0)
+    assert(!new java.io.File(s"$dir/_tombs/v$va-pFAKEtX").exists, "orphan survived vacuum")
+    val winTag = VersionedLayout.log(dir).find(_.version == va).get.tag
+    assert(new java.io.File(s"$dir/_tombs/v$va-$winTag").isDirectory,
+      "vacuum swept the committed winner's artifacts")
+    assert(VersionedLayout
+      .readAsOf(spark, dir, VersionedLayout.currentVersion(dir)).count() == total - inA - inB)
   }
 
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
