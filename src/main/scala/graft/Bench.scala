@@ -130,12 +130,15 @@ object Bench {
     val reruns = results.flatMap { case (name, sec) =>
       priorTimes.get(name) match {
         case Some(prev) if prev > 0 && sec > 2 * prev && sec > 0.4 =>
-          val again = timed {
-            try SparkEntry.queries(name)(spark, sfDir).count()
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
+          // A FAILED re-run must record nothing: its (short) elapsed
+          // time is not a measurement, and min() would commit it as
+          // fabricated evidence for a query that never completed.
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+          val again = (System.nanoTime() - t0) / 1e9
           cooldown()
-          Some(name -> again)
+          if (ok) Some(name -> again) else None
         case _ => None
       }
     }.toMap

@@ -71,7 +71,33 @@ object DeletableRangeLayout {
       if (written.contains(dir)) return dir
       if (VersionedLayout.currentVersion(dir) < 0) {
         val f = new java.io.File(dir)
-        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f) // legacy format
+        if (f.exists()) {
+          // Legacy (round-8 sidecar) dir: retire it. NOT an in-place
+          // delete — between the currentVersion check above and here, a
+          // concurrent JVM may have atomically published a NEW-format
+          // layout at this path (and even committed mutations to it),
+          // which a blind delete would destroy. Move the dir aside
+          // atomically, INSPECT what was actually moved, and restore it
+          // if it turns out to be a just-published new-format layout.
+          val trash = new java.io.File(dir + s".legacy-trash-p${ProcessHandle.current().pid()}")
+          org.apache.commons.io.FileUtils.deleteDirectory(trash)
+          Files.move(f.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
+          if (VersionedLayout.currentVersion(trash.getPath) >= 0) {
+            try Files.move(trash.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileSystemException =>
+                // Yet another publisher landed meanwhile. A fresh v0
+                // layout is deterministic from the source — droppable;
+                // one carrying committed MUTATIONS is durable state we
+                // must not discard, so leave it on disk for recovery.
+                if (VersionedLayout.currentVersion(trash.getPath) == 0)
+                  org.apache.commons.io.FileUtils.deleteDirectory(trash)
+            }
+            written.add(dir)
+            return dir
+          }
+          org.apache.commons.io.FileUtils.deleteDirectory(trash)
+        }
         val tmp = dir + s".tmp-p${ProcessHandle.current().pid()}"
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
         VersionedLayout.writeBase(s, d, tmp, uppers)
@@ -107,9 +133,18 @@ object DeletableRangeLayout {
     val entries = VersionedLayout.log(dir)
     val compacts = entries.filter(e =>
       e.action == "compact" || e.action == "majorcompact")
+    val segVersions = entries
+      .filter(e => e.action == "insert" || e.action == "upsert").map(_.version)
     entries.filter(e => e.action == "delete" || e.action == "upsert")
       .map { te =>
-        val reclaimed = compacts.filter(_.version >= te.version).flatMap(_.pids).distinct
+        // A compaction rewrites BASE pid dirs only — a tombstone with an
+        // insert/upsert segment OLDER than itself may still be masking a
+        // live segment row the compact never touched, so its rows stay
+        // outstanding (the same liveness guard vacuum's tombstone GC
+        // applies).
+        val reclaimed =
+          if (segVersions.exists(_ < te.version)) Nil
+          else compacts.filter(_.version >= te.version).flatMap(_.pids).distinct
         val t = VersionedLayout.tombstonesAt(s, dir, te.version)
         if (reclaimed.isEmpty) t else t.where(!col("pid").isin(reclaimed: _*))
       }
@@ -121,14 +156,17 @@ object DeletableRangeLayout {
     * ([[VersionedLayout.appendDelete]]). Touches no data file; matching
     * runs against the current masked view, so re-deleting deleted or
     * compacted rows commits an empty tombstone set (a no-op version).
-    * Returns the outstanding tombstone count after the commit.
+    * Returns THIS delete's tombstone count (reading back only the one
+    * committed set — the full outstanding mask is [[tombstones]], whose
+    * cost grows with delete history and does not belong on every
+    * delete's path).
     */
   def applyDelete(s: SparkSession, dir: String, cond: Column): Long = lock.synchronized {
     // The JVM lock serializes this process; withWriteRetry rebases a
     // lost race against a writer in ANOTHER process (appends are
     // multi-writer-safe — see VersionedLayout's concurrency scope).
-    VersionedLayout.withWriteRetry()(VersionedLayout.appendDelete(s, dir, cond))
-    tombstones(s, dir).count()
+    val ver = VersionedLayout.withWriteRetry()(VersionedLayout.appendDelete(s, dir, cond))
+    VersionedLayout.tombstonesAt(s, dir, ver).count()
   }
 
   /** The reader contract: the commit log's HEAD read (version-stamped

@@ -3,6 +3,9 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** The generation-chain commit protocol shared by the maintained index
   * stores ([[LshIndexStore]], [[IvfIndexStore]]): numbered generation
   * directories `v<N>/`, each built COMPLETE under a dot-prefixed tmp —
@@ -73,4 +76,38 @@ private[operators] object GenChain {
       val d = new java.io.File(genDir(dir, g))
       if (d.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(d)
     }
+
+  /** ONE compaction policy for every maintained chain: fire at
+    * `maxSegments` chain length, or when the merged read's row mass
+    * reaches `maxOverheadMilli`/1000 of the folded mass (integer-exact
+    * crossing test). `audit` is the chain's (segments, read rows,
+    * folded rows); `doCompact` is its fold. Returns whether it fired.
+    */
+  def compactWhenNeeded(audit: (Int, Long, Long), doCompact: => Int,
+      maxOverheadMilli: Long, maxSegments: Int): Boolean = {
+    val (nSeg, readRows, foldedRows) = audit
+    val fire = nSeg > 0 && (nSeg >= maxSegments ||
+      (foldedRows > 0 && readRows * 1000L >= foldedRows * maxOverheadMilli))
+    if (fire) { doCompact; () }
+    fire
+  }
+
+  /** Per-id HIGHEST retract generation in (baseGen, gen], if any — the
+    * GENERATION-SCOPED tombstone horizon shared by the stores: a
+    * retract at generation r erases only rows whose segment generation
+    * is below r, so an id retracted and later re-admitted is live
+    * again. The horizon table is retracted-ids-sized (tiny next to the
+    * corpus), so the mask join broadcasts at scale.
+    */
+  def retractHorizons(s: SparkSession, dir: String, baseGen: Int, gen: Int,
+      idCol: String): Option[DataFrame] = {
+    val segs = ((baseGen + 1) to gen).flatMap { g =>
+      val d = new java.io.File(genDir(dir, g), "retract-ids")
+      if (d.isDirectory)
+        Seq(s.read.parquet(d.getAbsolutePath).withColumn("_retract_gen", lit(g)))
+      else Nil
+    }
+    segs.reduceOption(_ unionByName _)
+      .map(_.groupBy(col(idCol)).agg(max(col("_retract_gen")).as("_retract_gen")))
+  }
 }

@@ -228,11 +228,7 @@ object IndexStore {
     */
   def compactIfNeeded(s: SparkSession, store: String,
       maxOverheadMilli: Long = recommendOverheadMilli,
-      maxSegments: Int = recommendMaxSegments): Boolean = {
-    val (nSeg, readRows, foldedRows) = chainAudit(s, store)
-    val fire = nSeg > 0 && (nSeg >= maxSegments ||
-      (foldedRows > 0 && readRows * 1000L >= foldedRows * maxOverheadMilli))
-    if (fire) compact(s, store)
-    fire
-  }
+      maxSegments: Int = recommendMaxSegments): Boolean =
+    GenChain.compactWhenNeeded(chainAudit(s, store),
+      { compact(s, store); 0 }, maxOverheadMilli, maxSegments)
 }

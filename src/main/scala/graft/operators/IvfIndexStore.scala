@@ -121,20 +121,12 @@ object IvfIndexStore {
     src.select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
-  /** Per-vector HIGHEST retract generation in (baseGen, gen], if any —
-    * tiny next to the corpus, so the mask join broadcasts at scale.
+  /** Per-vector HIGHEST retract generation in (baseGen, gen], if any
+    * (shared logic in [[GenChain.retractHorizons]]).
     */
   private def retractHorizons(
-      s: SparkSession, dir: String, baseGen: Int, gen: Int): Option[DataFrame] = {
-    val segs = ((baseGen + 1) to gen).flatMap { g =>
-      val d = new java.io.File(genDir(dir, g), "retract-ids")
-      if (d.isDirectory)
-        Seq(s.read.parquet(d.getAbsolutePath).withColumn("_retract_gen", lit(g)))
-      else Nil
-    }
-    segs.reduceOption(_ unionByName _)
-      .map(_.groupBy(col("vec_id")).agg(max(col("_retract_gen")).as("_retract_gen")))
-  }
+      s: SparkSession, dir: String, baseGen: Int, gen: Int): Option[DataFrame] =
+    GenChain.retractHorizons(s, dir, baseGen, gen, "vec_id")
 
   /** Generation 0: the trained centroid table + the base corpus's full
     * assignment snapshot (`cid=`-partitioned). No-op if a generation
@@ -244,11 +236,7 @@ object IvfIndexStore {
     */
   def compactIfNeeded(s: SparkSession, dir: String,
       maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
-      maxSegments: Int = IndexStore.recommendMaxSegments): Boolean = {
-    val (nSeg, readRows, foldedRows) = chainAudit(s, dir)
-    val fire = nSeg > 0 && (nSeg >= maxSegments ||
-      (foldedRows > 0 && readRows * 1000L >= foldedRows * maxOverheadMilli))
-    if (fire) compact(s, dir)
-    fire
-  }
+      maxSegments: Int = IndexStore.recommendMaxSegments): Boolean =
+    GenChain.compactWhenNeeded(chainAudit(s, dir),
+      compact(s, dir), maxOverheadMilli, maxSegments)
 }

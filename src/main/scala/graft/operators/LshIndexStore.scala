@@ -157,21 +157,14 @@ object LshIndexStore {
       .write.mode("overwrite").partitionBy("bkt").parquet(dest)
 
   /** Per-doc HIGHEST retract generation in (baseGen, gen], if any —
-    * the tombstone horizon [[bandsOf]] scopes rows against. A retract
-    * generation never carries band rows of its own, so strict `>` on
-    * the row side is exact.
+    * the tombstone horizon [[bandsOf]] scopes rows against (shared
+    * logic in [[GenChain.retractHorizons]]). A retract generation never
+    * carries band rows of its own, so strict `>` on the row side is
+    * exact.
     */
   private def retractHorizons(
-      s: SparkSession, dir: String, baseGen: Int, gen: Int): Option[DataFrame] = {
-    val segs = ((baseGen + 1) to gen).flatMap { g =>
-      val d = new java.io.File(genDir(dir, g), "retract-ids")
-      if (d.isDirectory)
-        Seq(s.read.parquet(d.getAbsolutePath).withColumn("_retract_gen", lit(g)))
-      else Nil
-    }
-    segs.reduceOption(_ unionByName _)
-      .map(_.groupBy(col("doc_id")).agg(max(col("_retract_gen")).as("_retract_gen")))
-  }
+      s: SparkSession, dir: String, baseGen: Int, gen: Int): Option[DataFrame] =
+    GenChain.retractHorizons(s, dir, baseGen, gen, "doc_id")
 
   /** Bucket counts as of generation `gen`: base snapshot + per-segment
     * increments, sum-merged (counts only ever grow).
@@ -418,13 +411,9 @@ object LshIndexStore {
     */
   def compactIfNeeded(s: SparkSession, dir: String,
       maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
-      maxSegments: Int = IndexStore.recommendMaxSegments): Boolean = {
-    val (nSeg, readRows, foldedRows) = chainAudit(s, dir)
-    val fire = nSeg > 0 && (nSeg >= maxSegments ||
-      (foldedRows > 0 && readRows * 1000L >= foldedRows * maxOverheadMilli))
-    if (fire) compact(s, dir)
-    fire
-  }
+      maxSegments: Int = IndexStore.recommendMaxSegments): Boolean =
+    GenChain.compactWhenNeeded(chainAudit(s, dir),
+      compact(s, dir), maxOverheadMilli, maxSegments)
 
   /** The current generation's candidate pairs (the consumer surface —
     * identical to a ground-up rebuild over everything admitted so far,

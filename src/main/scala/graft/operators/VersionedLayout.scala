@@ -475,14 +475,32 @@ object VersionedLayout {
     // folded same-key replacement.
     val tombs = tombstonesIn(s, dir, majorAtOrBefore(log(dir), ver - 1), ver - 1)
       .localCheckpoint()
-    val stats = s.read.parquet(dir).groupBy(col("pid")).agg(count(lit(1)).as("n_rows"))
-      .join(tombs.groupBy(col("pid")).agg(countDistinct(
-        col("l_orderkey"), col("l_linenumber"), col("v")).as("n_deleted")),
-        Seq("pid"), "left")
-      .na.fill(0L, Seq("n_deleted"))
-    val pids = stats
+    // n_deleted counts LIVE base rows a tombstone still kills — not raw
+    // tombstone keys: a key an earlier minor compact already reclaimed
+    // matches nothing, so an already-compacted pid never re-crosses the
+    // threshold (compaction is idempotent across replayed sessions;
+    // counting keys would re-rewrite and re-archive such pids forever).
+    val stats = s.read.parquet(dir)
+      .join(tombs.select(col("pid"), col("l_orderkey"), col("l_linenumber"), col("v"))
+        .distinct().withColumn("_dead", lit(1)),
+        Seq("pid", "l_orderkey", "l_linenumber", "v"), "left")
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_rows"), count(col("_dead")).as("n_deleted"))
+    // A crashed attempt at THIS version may have already archived a pid
+    // and landed its survivors — the live dir is then clean, so the
+    // stats can no longer detect it. The archive IS the durable record
+    // of the crashed attempt's decision: adopt those pids so the retry
+    // commits the same set (without this, the orphaned archive would
+    // shadow nothing and AS-OF below this version would read the
+    // already-compacted live bytes).
+    val crashed = Option(new java.io.File(archiveDir(dir, ver)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .map(_.getName.stripPrefix("pid=").toInt).toSeq
+    val pids = (stats
       .where(col("n_deleted") > 0 && col("n_deleted") >= col("n_rows") * threshold)
-      .select(col("pid")).collect().map(_.getInt(0)).sorted.toSeq // bounded: <= 32 pids
+      .select(col("pid")).collect().map(_.getInt(0)) // bounded: <= 32 pids
+      ++ crashed).distinct.sorted.toSeq
     pids.foreach { p =>
       val pdir = s"$dir/pid=$p"
       val survivors = s.read.parquet(pdir)
@@ -583,7 +601,8 @@ object VersionedLayout {
     * Without GC the mask metadata grows with delete history; with it,
     * steady state carries only tombstones that still shadow live bytes.
     */
-  def vacuum(s: SparkSession, dir: String, keepFrom: Int): Unit = {
+  def vacuum(s: SparkSession, dir: String, keepFrom: Int,
+      orphanLeaseMs: Long = 15 * 60 * 1000L): Unit = {
     val entries = log(dir)
     val ver = entries.last.version + 1
     val compactsInScope = entries.filter(e =>
@@ -625,7 +644,7 @@ object VersionedLayout {
       val a = new java.io.File(archiveDir(dir, e.version))
       if (a.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(a)
     }
-    sweepOrphans(dir, entries)
+    sweepOrphans(dir, entries, orphanLeaseMs)
     commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
   }
 
@@ -633,17 +652,24 @@ object VersionedLayout {
     * below the head whose name is NOT the committed entry's resolution
     * — a CAS loser's writer-tagged garbage (never referenced by any
     * reader, see [[withWriteRetry]]) or a crashed attempt a different
-    * writer re-ran under its own tag. Versions above the head are
-    * spared: they may be an in-flight writer's artifacts.
+    * writer re-ran under its own tag. Two guards against sweeping an
+    * IN-FLIGHT writer (one whose chosen version other commits have
+    * already passed, but whose artifact write is still running):
+    * versions above the head are spared outright, and at-or-below it a
+    * dir must be older than `leaseMs` — a slow writer's directory has
+    * a recent mtime (parquet tasks keep writing into it), so only
+    * abandoned garbage ages past the lease.
     */
-  private def sweepOrphans(dir: String, entries: Seq[LogEntry]): Unit = {
+  private def sweepOrphans(dir: String, entries: Seq[LogEntry], leaseMs: Long): Unit = {
     val head = entries.last.version
+    val cutoff = System.currentTimeMillis() - leaseMs
     def sweep(root: String, resolve: Int => String): Unit =
       Option(new java.io.File(dir, root).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.matches("v\\d+(-[^.]+)?"))
         .foreach { f =>
           val ver = f.getName.drop(1).takeWhile(_.isDigit).toInt
-          if (ver <= head && new java.io.File(resolve(ver)).getName != f.getName)
+          if (ver <= head && f.lastModified() <= cutoff
+              && new java.io.File(resolve(ver)).getName != f.getName)
             org.apache.commons.io.FileUtils.deleteDirectory(f)
         }
     sweep("_tombs", v => tombDirOf(dir, entries, v))

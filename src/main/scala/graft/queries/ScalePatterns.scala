@@ -1401,17 +1401,21 @@ object ScalePatterns {
               (col("l_orderkey") + crudInsertKeyOffset).as("l_orderkey"),
               col("l_linenumber"), col("l_quantity"))
             .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int")))
-        VersionedLayout.checkpoint(dir)
       }
+      // Checkpoints run UNCONDITIONALLY (no-ops at an already-
+      // checkpointed head): inside the version guards, a crash between
+      // a commit and its checkpoint would satisfy the guard on resume
+      // and skip the checkpoint forever, failing q170's ckptV >= 3
+      // invariant permanently.
+      VersionedLayout.checkpoint(dir)
       if (VersionedLayout.currentVersion(dir) < 2)
         VersionedLayout.appendUpsert(s, dir,
           col("v").between(crudUpsertLoCenti, crudUpsertHiCenti),
           m => m.withColumn("l_quantity", col("l_quantity") + 100))
-      if (VersionedLayout.currentVersion(dir) < 3) {
+      if (VersionedLayout.currentVersion(dir) < 3)
         VersionedLayout.appendDelete(s, dir,
           col("v").between(deleteBandLoCenti, deleteBandHiCenti))
-        VersionedLayout.checkpoint(dir)
-      }
+      VersionedLayout.checkpoint(dir)
       if (VersionedLayout.currentVersion(dir) < 4)
         VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
     }

@@ -543,17 +543,25 @@ class StorageSpec extends SparkSpec {
         col("l_linenumber"), col("l_quantity"), col("pid").cast("int").as("pid"))
       .localCheckpoint()
     VersionedLayout.appendInsert(spark, dir, seg)                                   // v1
-    // v2: delete the SEGMENT rows — the tombstone's only live targets
-    // sit in a fold-archived segment after v4.
-    VersionedLayout.appendDelete(spark, dir, col("l_orderkey") >= 920000000L)       // v2
-    // v3: minor compact rewrites the tombstoned pids (threshold 0).
+    // v2: one delete hitting BOTH the segment rows AND a base band —
+    // the base kills make v3's compact rewrite the tombstone's pids
+    // (a live-kill census ignores segment-only tombstones: a base
+    // rewrite cannot reclaim a segment row, so firing on them would be
+    // pure write amplification), while the segment kills are what the
+    // GC guard below must keep protecting.
+    val (lo, hi) = (ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti)
+    val inBand = spark.read.parquet(dir).where(col("v").between(lo, hi)).count()
+    assert(inBand > 0)
+    VersionedLayout.appendDelete(spark, dir,
+      col("l_orderkey") >= 920000000L || col("v").between(lo, hi))                  // v2
+    // v3: minor compact rewrites the base-killed pids (threshold 0).
     val (c3, rewritten) = VersionedLayout.appendCompact(spark, dir, 0.0)
     assert(c3 == 3 && rewritten.nonEmpty)
     // v4: major fold — the v1 segment is archived, not live.
     val (m4, _) = VersionedLayout.majorCompact(spark, dir)                          // v4
     assert(m4 == 4)
     val asOf3Before = VersionedLayout.readAsOf(spark, dir, 3).count()
-    assert(asOf3Before == total, "segment delete did not net out at v3")
+    assert(asOf3Before == total - inBand, "v2 delete did not net out at v3")
 
     // Vacuum keeps v3+: the v2 tombstone's pids were rewritten at c3 <=
     // keepFrom, but the v1 segment is still ADDRESSABLE through the v4
@@ -565,7 +573,7 @@ class StorageSpec extends SparkSpec {
       "tombstone GC resurrected fold-archived segment rows at AS-OF 3")
     assert(asOf3.where(col("l_orderkey") >= 920000000L).count() == 0,
       "deleted segment rows are visible at AS-OF 3 after vacuum")
-    assert(VersionedLayout.readAsOf(spark, dir, 4).count() == total)
+    assert(VersionedLayout.readAsOf(spark, dir, 4).count() == total - inBand)
   }
 
   test("zero-copy clone (q166): hard-linked snapshot time travels like its source, isolates divergence, and survives source vacuum") {
@@ -787,10 +795,14 @@ class StorageSpec extends SparkSpec {
       "concurrent deletes did not serialize to the sequential result")
 
     // Orphan sweep: a CAS loser's tagged leftovers (unreferenced by any
-    // entry) are reclaimed by vacuum; the winners' artifacts survive.
+    // entry) are reclaimed by vacuum once they age past the lease; a
+    // FRESH dir (possibly an in-flight writer still writing) is spared.
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$dir/_tombs/v$va-pFAKEtX"))
-    VersionedLayout.vacuum(spark, dir, keepFrom = 0)
+    VersionedLayout.vacuum(spark, dir, keepFrom = 0) // default lease: too young
+    assert(new java.io.File(s"$dir/_tombs/v$va-pFAKEtX").isDirectory,
+      "sweep reclaimed a fresh (possibly in-flight) artifact dir")
+    VersionedLayout.vacuum(spark, dir, keepFrom = 0, orphanLeaseMs = 0L)
     assert(!new java.io.File(s"$dir/_tombs/v$va-pFAKEtX").exists, "orphan survived vacuum")
     val winTag = VersionedLayout.log(dir).find(_.version == va).get.tag
     assert(new java.io.File(s"$dir/_tombs/v$va-$winTag").isDirectory,
@@ -888,6 +900,19 @@ class StorageSpec extends SparkSpec {
     info(s"threshold=50milli: pids=$predPids rows_rewritten=$predRewritten " +
       s"rows_reclaimed=$predReclaimed residual_dead=$predResidual " +
       s"bytes_before=$bytesBefore bytes_after=$bytesAfter write_amp_milli(bytes)=$ampMilli")
+
+    // Compaction is IDEMPOTENT: n_deleted counts live rows a tombstone
+    // still kills, so an already-compacted pid never re-crosses — a
+    // replayed compact rewrites nothing and archives nothing (counting
+    // raw tombstone keys instead would re-rewrite the same pids in
+    // every session, growing the archive without bound).
+    val archivesBefore = Option(new java.io.File(dir, "_archive").listFiles())
+      .getOrElse(Array.empty).length
+    val again = DeletableRangeLayout.compact(spark, dir, ScalePatterns.deleteCompactThreshold)
+    assert(again.isEmpty, s"replayed compact re-rewrote pids $again")
+    assert(Option(new java.io.File(dir, "_archive").listFiles())
+      .getOrElse(Array.empty).length == archivesBefore,
+      "replayed compact grew the archive")
   }
 
   test("bucketed delete (q157): tombstone mask keeps the fact-x-fact join exchange-free; compaction rewrites once; stale tombstones harmless") {
