@@ -811,6 +811,78 @@ class StorageSpec extends SparkSpec {
       .readAsOf(spark, dir, VersionedLayout.currentVersion(dir)).count() == total - inA - inB)
   }
 
+  test("lifecycle torture: CRUD + checkpoint + compact + clone + major fold + vacuum + re-checkpoint compose without interaction bugs") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    import ScalePatterns.{crudInsertLoCenti, crudInsertHiCenti, crudUpsertLoCenti,
+      crudUpsertHiCenti, deleteBandLoCenti, deleteBandHiCenti}
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val root = Files.createTempDirectory("graft-torture").toString
+    val dir = s"$root/src"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val base = spark.read.parquet(dir)
+    val total = base.count()
+    val inI = base.where(col("v").between(crudInsertLoCenti, crudInsertHiCenti)).count()
+    val inU = base.where(col("v").between(crudUpsertLoCenti, crudUpsertHiCenti)).count()
+    val inD = base.where(col("v").between(deleteBandLoCenti, deleteBandHiCenti)).count()
+    assert(inI > 0 && inU > 0 && inD > 0)
+    val upLit = array(uppers.map(lit).toSeq: _*)
+    VersionedLayout.appendInsert(spark, dir,                                       // v1
+      base.where(col("v").between(crudInsertLoCenti, crudInsertHiCenti))
+        .select((col("v") + 5).as("v"), (col("l_orderkey") + 970000000L).as("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int")))
+    VersionedLayout.appendUpsert(spark, dir,                                       // v2
+      col("v").between(crudUpsertLoCenti, crudUpsertHiCenti),
+      m => m.withColumn("l_quantity", col("l_quantity") + 100))
+    VersionedLayout.appendDelete(spark, dir,                                       // v3
+      col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+    val Seq(c0, c1, c3) = Seq(total, total + inI, total + inI - inD)
+    assert(VersionedLayout.checkpoint(dir) == 3)
+    VersionedLayout.appendCompact(spark, dir, 0.05)                                // v4
+    val dst = s"$root/clone"
+    VersionedLayout.cloneAsOf(spark, dir, dst, 3)
+    VersionedLayout.majorCompact(spark, dir)                                       // v5
+    val expect = Seq(c0, c1, c1, c3, c3, c3)
+    (0 to 5).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dir, v).count() == expect(v),
+        s"src AS-OF $v wrong after fold")
+    }
+
+    // Vacuum to the fold, then CHECKPOINT the vacuumed log: history
+    // below the horizon refuses loudly, the head keeps answering.
+    VersionedLayout.vacuum(spark, dir, keepFrom = 5, orphanLeaseMs = 0L)           // v6
+    assert(VersionedLayout.horizon(dir) == 5)
+    intercept[IllegalArgumentException](VersionedLayout.readAsOf(spark, dir, 3).count())
+    assert(VersionedLayout.readAsOf(spark, dir, 6).count() == c3)
+    assert(VersionedLayout.checkpoint(dir) == 6)
+    assert(VersionedLayout.readAsOf(spark, dir, 6).count() == c3,
+      "checkpointing the vacuumed log changed the head")
+
+    // The pre-vacuum clone is untouched by ANY of the source's later
+    // maintenance and keeps its full inherited history.
+    (0 to 3).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dst, v).count() == Seq(c0, c1, c1, c3)(v),
+        s"clone AS-OF $v wrong after source fold+vacuum")
+    }
+    // The clone mutates and checkpoints independently (upsert kept the
+    // U-band replacements at the same v, so the delete kills inU rows).
+    VersionedLayout.appendDelete(spark, dst,                                       // dst v4
+      col("v").between(crudUpsertLoCenti, crudUpsertHiCenti))
+    assert(VersionedLayout.checkpoint(dst) == 4)
+    assert(VersionedLayout.readAsOf(spark, dst, 4).count() == c3 - inU)
+    assert(VersionedLayout.readAsOf(spark, dir, 6).count() == c3,
+      "clone mutation leaked into the vacuumed source")
+
+    // Appends keep working on the vacuumed + twice-checkpointed source
+    // (domain validation resolves through the checkpoint; the retry
+    // wrapper passes through a no-contention commit).
+    val v7 = VersionedLayout.withWriteRetry()(VersionedLayout.appendDelete(spark, dir,
+      col("v").between(crudUpsertLoCenti, crudUpsertHiCenti)))
+    assert(v7 == 7)
+    assert(VersionedLayout.readAsOf(spark, dir, 7).count() == c3 - inU)
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
