@@ -320,13 +320,15 @@ object DedupQueries {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_lsh_index_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
-    if (lshIndexWritten.add(dir)) {
-      LshIndexStore.init(s, dir,
-        Dedup.bandRows(
-          Dedup.minhashSignatures(
-            Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "doc_id", "text"),
-          rowsPerBand = 1),
-        txn = 0L)
+    chainAuditLock.synchronized {
+      if (lshIndexWritten.add(dir)) {
+        LshIndexStore.init(s, dir,
+          Dedup.bandRows(
+            Dedup.minhashSignatures(
+              Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+            rowsPerBand = 1),
+          txn = 0L)
+      }
     }
     dir
   }
@@ -349,12 +351,17 @@ object DedupQueries {
   private def q167(s: SparkSession, d: String): DataFrame = {
     import graft.operators.LshIndexStore
     val idx = ensureLshIndex(s, d)
-    LshIndexStore.admitOnce(s, idx,
-      Dedup.bandRows(
-        Dedup.minhashSignatures(
-          Tables.documents(s, d).where(col("doc_id") % 5 === 0), "doc_id", "text"),
-        rowsPerBand = 1),
-      txn = 1L)
+    // Same lock as the build: two concurrent query runs would otherwise
+    // race the generation CAS (the loser fails loudly by design — right
+    // for real writers, needless flakiness for a shared scenario dir).
+    chainAuditLock.synchronized {
+      LshIndexStore.admitOnce(s, idx,
+        Dedup.bandRows(
+          Dedup.minhashSignatures(
+            Tables.documents(s, d).where(col("doc_id") % 5 === 0), "doc_id", "text"),
+          rowsPerBand = 1),
+        txn = 1L)
+    }
     LshIndexStore.pairs(s, idx).orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -383,17 +390,23 @@ object DedupQueries {
     def bands(cond: org.apache.spark.sql.Column) = Dedup.bandRows(
       Dedup.minhashSignatures(
         Tables.documents(s, d).where(cond), "doc_id", "text"), rowsPerBand = 1)
-    if (lshCrudWritten.add(dir))
-      LshIndexStore.init(s, dir, bands(col("doc_id") % 5 =!= 0), txn = 0L)
-    LshIndexStore.admitOnce(s, dir, bands(col("doc_id") % 5 === 0), txn = 1L)
-    LshIndexStore.retractOnce(s, dir,
-      Tables.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id")),
-      txn = 2L)
+    chainAuditLock.synchronized {
+      if (lshCrudWritten.add(dir))
+        LshIndexStore.init(s, dir, bands(col("doc_id") % 5 =!= 0), txn = 0L)
+      LshIndexStore.admitOnce(s, dir, bands(col("doc_id") % 5 === 0), txn = 1L)
+      LshIndexStore.retractOnce(s, dir,
+        Tables.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id")),
+        txn = 2L)
+    }
     LshIndexStore.pairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Per-sf chain-audit store dirs this JVM has already built (q169). */
+  /** Per-sf chain-audit store dirs this JVM has already built (q169).
+    * The lock serializes the build — the once-set alone would let a
+    * concurrent suite probe a store still being written.
+    */
   private val chainAuditWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val chainAuditLock = new Object
 
   /** Compaction POLICY audit for the two maintained index chains — the
     * missing WHEN to q152/q168's HOW (the q158 discipline, applied to
@@ -427,18 +440,20 @@ object DedupQueries {
     def bands(cond: org.apache.spark.sql.Column) = Dedup.bandRows(
       Dedup.minhashSignatures(
         Tables.documents(s, d).where(cond), "doc_id", "text"), rowsPerBand = 1)
-    if (chainAuditWritten.add(lshDir)) {
-      LshIndexStore.init(s, lshDir, bands(col("doc_id") % 5 =!= 0), txn = 0L)
-      LshIndexStore.admitOnce(s, lshDir, bands(col("doc_id") % 5 === 0), txn = 1L)
-      LshIndexStore.retractOnce(s, lshDir,
-        Tables.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id")),
-        txn = 2L)
-      val docs = Tables.documents(s, d)
-      def side(pred: org.apache.spark.sql.Column) = InvertedIndex
-        .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
-      IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), idxDir)
-      IndexStore.appendDelta(side(col("doc_id") % 10 === 0), idxDir)
-      IndexStore.appendDelta(side(col("doc_id") % 10 === 7), idxDir)
+    chainAuditLock.synchronized {
+      if (chainAuditWritten.add(lshDir)) {
+        LshIndexStore.init(s, lshDir, bands(col("doc_id") % 5 =!= 0), txn = 0L)
+        LshIndexStore.admitOnce(s, lshDir, bands(col("doc_id") % 5 === 0), txn = 1L)
+        LshIndexStore.retractOnce(s, lshDir,
+          Tables.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id")),
+          txn = 2L)
+        val docs = Tables.documents(s, d)
+        def side(pred: org.apache.spark.sql.Column) = InvertedIndex
+          .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
+        IndexStore.init(side(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 7), idxDir)
+        IndexStore.appendDelta(side(col("doc_id") % 10 === 0), idxDir)
+        IndexStore.appendDelta(side(col("doc_id") % 10 === 7), idxDir)
+      }
     }
     val (ln, lr, lf) = LshIndexStore.chainAudit(s, lshDir)
     val (rn, rr, rf) = IndexStore.chainAudit(s, idxDir)

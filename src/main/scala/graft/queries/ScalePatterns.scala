@@ -407,6 +407,11 @@ object ScalePatterns {
     */
   private val partitionedWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Serializes the write-once layout builds below: the once-set alone
+    * would let a concurrent suite read a dir still being written.
+    */
+  private val layoutBuildLock = new Object
+
   private def q76(s: SparkSession, d: String): DataFrame = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     // PID-suffixed path: two concurrent runs on the same scale factor
@@ -415,10 +420,12 @@ object ScalePatterns {
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_events_bytype_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
-    if (partitionedWritten.add(dir)) {
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    layoutBuildLock.synchronized {
+      if (partitionedWritten.add(dir)) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      }
     }
     s.read.parquet(dir)
       .where(col("event_type") === "click")
@@ -448,10 +455,12 @@ object ScalePatterns {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_formats_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
-    if (formatWritten.add(base)) {
-      Tables.customer(s, d).write.mode("overwrite").json(s"$base/customer_json")
-      Tables.nation(s, d).write.mode("overwrite")
-        .option("header", "true").csv(s"$base/nation_csv")
+    layoutBuildLock.synchronized {
+      if (formatWritten.add(base)) {
+        Tables.customer(s, d).write.mode("overwrite").json(s"$base/customer_json")
+        Tables.nation(s, d).write.mode("overwrite")
+          .option("header", "true").csv(s"$base/nation_csv")
+      }
     }
     val cust = s.read.schema(Tables.customer(s, d).schema).json(s"$base/customer_json")
     val nat = s.read.schema(Tables.nation(s, d).schema)
@@ -495,7 +504,7 @@ object ScalePatterns {
       sys.props("java.io.tmpdir"),
       s"graft_events_zorder_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
     val fiveDaysNs = 5L * 86400L * 1000000000L
-    if (zorderWritten.add(dir)) {
+    layoutBuildLock.synchronized { if (zorderWritten.add(dir)) {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       val b = ev.agg(
@@ -508,7 +517,7 @@ object ScalePatterns {
         .sortWithinPartitions(col("zkey"))
         .drop("zkey")
         .write.mode("overwrite").parquet(dir)
-    }
+    } }
     val minTs = s.read.parquet(dir).agg(min(col("ts"))).first().getLong(0)
     s.read.parquet(dir)
       .where(col("user_id").between(10, 99) && col("ts") < minTs + fiveDaysNs)
@@ -538,14 +547,16 @@ object ScalePatterns {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_schema_evo_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
-    if (evoWritten.add(base)) {
-      val c = Tables.customer(s, d)
-      c.where(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        .write.mode("overwrite").parquet(s"$base/v1")
-      c.where(col("c_custkey") % 2 === 1)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        .write.mode("overwrite").parquet(s"$base/v2")
+    layoutBuildLock.synchronized {
+      if (evoWritten.add(base)) {
+        val c = Tables.customer(s, d)
+        c.where(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        c.where(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+      }
     }
     s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
       .agg(

@@ -224,6 +224,7 @@ object Similarity {
     * probe-many amortization a production ANN index lives by).
     */
   private val ivfWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val ivfBuildLock = new Object
 
   /** Build the persisted IVF index once per session: train (one Lloyd
     * step over the seed centroids — q42's construction) and materialize
@@ -241,7 +242,7 @@ object Similarity {
       s"graft_ivf_${sfx}_p${ProcessHandle.current().pid()}")
     val centDir = new java.io.File(base, "centroids").getAbsolutePath
     val asgDir = new java.io.File(base, "assignments").getAbsolutePath
-    if (ivfWritten.add(base.getAbsolutePath)) {
+    ivfBuildLock.synchronized { if (ivfWritten.add(base.getAbsolutePath)) {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
         .localCheckpoint() // feeds both assignment passes + the centroid train
@@ -254,7 +255,7 @@ object Similarity {
         .write.mode("overwrite").parquet(asgDir)
       DatasetBridge.unpersistCheckpoint(cent)
       DatasetBridge.unpersistCheckpoint(e)
-    }
+    } }
     (centDir, asgDir)
   }
 
@@ -734,8 +735,11 @@ object Similarity {
 
   /** IVF index-store dirs this JVM has already built (pid-suffixed, so
     * concurrent sessions never clobber each other's live store files).
+    * The lock serializes the BUILD itself: the once-set alone would let
+    * a second thread probe a store the first is still writing.
     */
   private val ivfStoreBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val ivfStoreLock = new Object
 
   private def corpusProj(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -777,7 +781,9 @@ object Similarity {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ivfstore_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
-    if (ivfStoreBuilt.add(dir)) buildIvfChain(s, d, dir)
+    ivfStoreLock.synchronized {
+      if (ivfStoreBuilt.add(dir)) buildIvfChain(s, d, dir)
+    }
     dir
   }
 
@@ -790,11 +796,13 @@ object Similarity {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ivfcrud_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
-    if (ivfStoreBuilt.add(dir)) {
-      buildIvfChain(s, d, dir)
-      IvfIndexStore.retract(s, dir,
-        corpusProj(s, d).where(col("vec_id") % 16 === 1).select(col("vec_id")))
-      IvfIndexStore.compact(s, dir)
+    ivfStoreLock.synchronized {
+      if (ivfStoreBuilt.add(dir)) {
+        buildIvfChain(s, d, dir)
+        IvfIndexStore.retract(s, dir,
+          corpusProj(s, d).where(col("vec_id") % 16 === 1).select(col("vec_id")))
+        IvfIndexStore.compact(s, dir)
+      }
     }
     dir
   }
