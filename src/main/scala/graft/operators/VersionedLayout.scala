@@ -68,13 +68,25 @@ import java.nio.charset.StandardCharsets
   */
 object VersionedLayout {
 
-  private val tombSchema = StructType(Seq(
-    StructField("pid", IntegerType),
-    StructField("l_orderkey", LongType),
-    StructField("l_linenumber", IntegerType),
-    StructField("v", LongType)))
+  /** Key columns of layouts written before the layout became
+    * table-generic (no `_log/meta.json`): the lineitem triple.
+    */
+  private val legacyKeyCols = Seq("l_orderkey", "l_linenumber", "v")
 
-  private val rowKey = Seq("l_orderkey", "l_linenumber", "v")
+  private def metaFile(dir: String) = new java.io.File(logDir(dir), "meta.json")
+
+  /** The ROW-IDENTITY columns of this layout's table — recorded at base
+    * write time in `_log/meta.json`, which is what makes the commit log
+    * TABLE-GENERIC: tombstones, upsert matching, change feeds, and the
+    * version-stamped mask all key on these columns, whatever the table.
+    */
+  private[graft] def keyColsOf(dir: String): Seq[String] = {
+    val f = metaFile(dir)
+    if (!f.isFile) return legacyKeyCols
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("""\[""")(1).split("]")(0)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
 
   private def logDir(dir: String) = new java.io.File(dir, "_log")
   private def tombDir(dir: String, ver: Int, tag: String = "") =
@@ -266,14 +278,29 @@ object VersionedLayout {
     * DeletableRangeLayout.ensure). No-op if v0 is already committed.
     */
   def writeBase(s: SparkSession, d: String, dir: String, uppers: Array[Long]): Unit = {
-    if (currentVersion(dir) >= 0) return
     val upLit = array(uppers.map(lit).toSeq: _*)
-    graft.Tables.lineitem(s, d)
-      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
-        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1)
-      .repartition(col("pid"))
+    writeBaseTable(s,
+      graft.Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1),
+      dir, legacyKeyCols)
+  }
+
+  /** Version 0 for ANY table: `df` must carry an integer `pid`
+    * partition column plus the row-identity `keyCols` (recorded in the
+    * layout's meta, see [[keyColsOf]]); everything else is payload.
+    * No-op if v0 is already committed.
+    */
+  def writeBaseTable(s: SparkSession, df: DataFrame, dir: String,
+      keyCols: Seq[String]): Unit = {
+    if (currentVersion(dir) >= 0) return
+    df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
+    logDir(dir).mkdirs()
+    Files.write(metaFile(dir).toPath,
+      keyCols.mkString("{\"keyCols\":[\"", "\",\"", "\"]}")
+        .getBytes(StandardCharsets.UTF_8))
     // The v0 entry records the base pid DOMAIN — the closed set of
     // partitions every later segment must stay inside (see
     // [[appendInsert]]); AS-OF correctness below a fold depends on it.
@@ -320,8 +347,7 @@ object VersionedLayout {
     val ver = currentVersion(dir) + 1
     val tag = writerTag()
     readAsOf(s, dir, ver - 1).where(cond)
-      .select(col("pid").cast("int").as("pid"),
-        col("l_orderkey"), col("l_linenumber"), col("v"))
+      .select(col("pid").cast("int").as("pid") +: keyColsOf(dir).map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
     commit(dir, LogEntry(ver, "delete", Nil, 0, tag = tag))
     ver
@@ -418,8 +444,7 @@ object VersionedLayout {
     val tag = writerTag()
     val matched = readAsOf(s, dir, ver - 1).where(cond).localCheckpoint()
     matched
-      .select(col("pid").cast("int").as("pid"),
-        col("l_orderkey"), col("l_linenumber"), col("v"))
+      .select(col("pid").cast("int").as("pid") +: keyColsOf(dir).map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
     val replacements = transform(matched).localCheckpoint()
     requireInDomain(dir, replacements)
@@ -480,10 +505,11 @@ object VersionedLayout {
     // matches nothing, so an already-compacted pid never re-crosses the
     // threshold (compaction is idempotent across replayed sessions;
     // counting keys would re-rewrite and re-archive such pids forever).
+    val keys = keyColsOf(dir)
     val stats = s.read.parquet(dir)
-      .join(tombs.select(col("pid"), col("l_orderkey"), col("l_linenumber"), col("v"))
+      .join(tombs.select(("pid" +: keys).map(col): _*)
         .distinct().withColumn("_dead", lit(1)),
-        Seq("pid", "l_orderkey", "l_linenumber", "v"), "left")
+        "pid" +: keys, "left")
       .groupBy(col("pid"))
       .agg(count(lit(1)).as("n_rows"), count(col("_dead")).as("n_deleted"))
     // A crashed attempt at THIS version may have already archived a pid
@@ -504,7 +530,7 @@ object VersionedLayout {
     pids.foreach { p =>
       val pdir = s"$dir/pid=$p"
       val survivors = s.read.parquet(pdir)
-        .join(tombs.where(col("pid") === p).drop("pid"), rowKey, "left_anti")
+        .join(tombs.where(col("pid") === p).drop("pid"), keys, "left_anti")
       val tmp = s"$dir/.compact-tmp-$p"
       survivors.write.mode("overwrite").parquet(tmp) // evaluated before the swap
       val arch = Paths.get(archiveDir(dir, ver), s"pid=$p")
@@ -628,7 +654,7 @@ object VersionedLayout {
         val reclaimed = compactsInScope.filter(_.version >= te.version).flatMap(_.pids).distinct
         if (reclaimed.nonEmpty && !segVersions.exists(_ < te.version)) {
           val td = tombDirOf(dir, entries, te.version)
-          val kept = s.read.schema(tombSchema).parquet(td)
+          val kept = s.read.parquet(td)
             .where(!col("pid").isin(reclaimed: _*)).localCheckpoint()
           val tag = ProcessHandle.current().pid()
           val tmp = s"$td.gc-tmp-p$tag"
@@ -678,7 +704,7 @@ object VersionedLayout {
 
   /** The tombstone set one version committed (spec observability). */
   def tombstonesAt(s: SparkSession, dir: String, ver: Int): DataFrame =
-    s.read.schema(tombSchema).parquet(tombDirOf(dir, log(dir), ver))
+    s.read.parquet(tombDirOf(dir, log(dir), ver))
 
   /** The insert segment one version committed (incremental consumers) —
     * resolved through the fold archives when a major compaction has
@@ -699,7 +725,7 @@ object VersionedLayout {
     * (IncrementalView) is exactly this feed folded into an aggregate.
     */
   def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
-    val key = "pid" +: rowKey
+    val key = "pid" +: keyColsOf(dir)
     val parts = log(dir).filter(e => e.version > fromV && e.version <= toV).flatMap { e =>
       val ins =
         if (e.action == "insert" || e.action == "upsert")
@@ -744,10 +770,13 @@ object VersionedLayout {
         && e.version > after && e.version <= v)
       .map(_.version)
     if (vers.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
+      // Zero-row relation with the layout's (pid, keys) shape, derived
+      // from the base files' own footers — no table-specific schema.
+      s.read.parquet(dir)
+        .select(("pid" +: keyColsOf(dir)).map(col): _*).where(lit(false))
         .withColumn("_tomb_ver", lit(0))
     else vers.map { tv =>
-      s.read.schema(tombSchema).parquet(tombDirOf(dir, entries, tv))
+      s.read.parquet(tombDirOf(dir, entries, tv))
         .withColumn("_tomb_ver", lit(tv))
     }.reduce(_ unionByName _)
   }
@@ -870,8 +899,12 @@ object VersionedLayout {
     // The clone's log ships as ONE checkpoint rendered from the parsed
     // entries (not per-file links): the source may have checkpointed and
     // truncated its own per-version files, and the clone starts life
-    // with the bounded-metadata read path anyway.
+    // with the bounded-metadata read path anyway. The table meta (key
+    // columns) travels too — without it a generic clone would fall back
+    // to the legacy key set.
     Files.createDirectories(Paths.get(tmp, "_log"))
+    if (metaFile(dir).isFile)
+      Files.copy(metaFile(dir).toPath, Paths.get(tmp, "_log", "meta.json"))
     Files.write(Paths.get(tmp, "_log", f"ckpt-v$v%05d.json"),
       entries.filter(_.version <= v).map(renderEntry).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
@@ -952,7 +985,7 @@ object VersionedLayout {
         .withColumn("_src_ver", lit(e.version)))
     val data = (base +: segs).reduce(_ unionByName _).alias("dt")
     val tombs = tombstonesIn(s, dir, m, v).alias("tb")
-    val joinKey = ("pid" +: rowKey)
+    val joinKey = ("pid" +: keyColsOf(dir))
       .map(k => col(s"dt.$k") === col(s"tb.$k"))
       .reduce(_ && _)
     data

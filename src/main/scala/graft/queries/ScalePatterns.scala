@@ -1469,6 +1469,75 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q176's EVENTS versioned layout. */
+  private[graft] def eventsVersionedDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_versioned_$sfx").getAbsolutePath
+  }
+  private val eventsVersionedLock = new Object
+
+  /** Key offset for q176's inserted event copies (fresh event_ids). */
+  val evInsertKeyOffset = 900000000L
+
+  /** Build (or fast-forward) q176's history — the commit log driven by
+    * a SECOND table: the events stream, hash-partitioned on user
+    * (pid = user_id mod 16), row identity = the single `event_id`
+    * column (recorded in the layout meta — nothing lineitem-shaped
+    * anywhere). v0 base write, v1 DELETE (all error events), v2 INSERT
+    * (purchase copies, fresh ids, value+7 centi), v3 compact.
+    */
+  private def ensureEventsVersionedScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsVersionedDir(d)
+    eventsVersionedLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendDelete(s, dir, col("event_type") === "error")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 1)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** The commit log is TABLE-GENERIC — proven by driving it with a
+    * second table: q176 versions the EVENTS stream (row identity ONE
+    * key column, user-hash partitioning — nothing shared with the
+    * lineitem layouts except the protocol) through a
+    * write -> delete -> insert -> compact history and reads every
+    * version back against the same derivation-oracle discipline as
+    * q159/q160. The key columns live in the layout's own metadata
+    * (`_log/meta.json`), so tombstone keying, the version-stamped
+    * mask, upsert matching, and the change feed all follow the table
+    * rather than a hard-coded schema — what makes the layout a storage
+    * LAYER rather than a lineitem fixture.
+    */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureEventsVersionedScenario(s, d)
+    (0 to 3).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .select(lit(ver.toLong).as("version"), col("value_centi"), col("user_id"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_centi")).as("total_centi"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q166's clone of the q160 CRUD layout. */
   private[graft] def cloneLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1712,6 +1781,21 @@ object ScalePatterns {
          |  CAST(sum(v) AS BIGINT) AS total_centi,
          |  CAST(sum(q) AS BIGINT) AS qty_centi,
          |  TRUE AS incremental_ok
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q176_generic_layout", q176, Some(
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3]) AS version),
+         |base AS (SELECT ver.version, e.user_id, e.vc
+         |         FROM ver JOIN e ON NOT (ver.version >= 1 AND e.event_type = 'error')),
+         |ins AS (SELECT ver.version, e.user_id, e.vc + 7 AS vc
+         |        FROM ver JOIN e
+         |        ON ver.version >= 2 AND e.event_type = 'purchase'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(vc) AS BIGINT) AS total_centi,
+         |  count(DISTINCT user_id) AS n_users
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q170_layout_checkpointed_log", q170, Some(
       s"""WITH s AS (

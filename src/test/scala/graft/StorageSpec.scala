@@ -669,7 +669,8 @@ class StorageSpec extends SparkSpec {
     VersionedLayout.appendInsert(spark, dir, two)                                         // v3
     val preCounts = (0 to 3).map(v => VersionedLayout.readAsOf(spark, dir, v).count())
     val logBefore = VersionedLayout.log(dir)
-    def logFiles() = new java.io.File(dir, "_log").listFiles().map(_.getName).sorted.toSeq
+    def logFiles() = new java.io.File(dir, "_log").listFiles().map(_.getName)
+      .filterNot(_ == "meta.json").sorted.toSeq
     assert(logFiles().count(_.matches("v\\d+\\.json")) == 4)
     assert(VersionedLayout.checkpointedVersion(dir) == -1)
 
