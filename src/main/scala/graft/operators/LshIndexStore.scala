@@ -308,13 +308,52 @@ object LshIndexStore {
     val gen = currentGeneration(dir)
     require(gen >= 0, s"$dir has no generation 0 — call init first")
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    // Locating the erased docs' rows from ids alone costs ONE scan of
+    // the band state (index-sized — 8 rows/doc — not corpus-sized, but
+    // still O(state)): the state is (band, key)-partitioned, so a doc's
+    // buckets are unknowable without either this scan or the docs' band
+    // rows themselves. [[retractBands]] is the fully pruned path.
     val removed = bandsOf(s, dir, gen).join(ids, Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds tombstones, negative counts, touched set
+    retractTail(s, dir, gen, ids, removed, maxBucket, txn)
+  }
+
+  /** [[retract]] with the erased docs' band rows SUPPLIED — recomputed
+    * from their text (signatures are deterministic, O(retracted)) or
+    * carried by the erasure request itself. With the buckets known up
+    * front, EVERY state read of the retraction is partition-pruned to
+    * the touched buckets, exactly like [[admit]]'s fetch: nothing
+    * index-sized is scanned. The supplied rows are intersected with the
+    * pruned state (a doc never admitted, or already retracted,
+    * contributes nothing), so the result is identical to the id-only
+    * path — spec-proven equal in DedupSpec.
+    */
+  def retractBands(s: SparkSession, dir: String, removedBands: DataFrame,
+      maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val supplied = removedBands.localCheckpoint()
+    val ids = supplied.select(col("doc_id")).distinct().localCheckpoint()
+    val suppliedBkts = supplied
+      .select(bktOf(col("band"), col("key")).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by stateBuckets
+    val removed = prunedBands(s, dir, gen, Some(suppliedBkts))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    retractTail(s, dir, gen, ids, removed, maxBucket, txn)
+  }
+
+  private def retractTail(s: SparkSession, dir: String, gen: Int,
+      ids: DataFrame, removed: DataFrame, maxBucket: Int, txn: Long): Int = {
     val touched = removed.select(col("band"), col("key")).distinct()
       .localCheckpoint()
+    val touchedBkts = removed
+      .select(bktOf(col("band"), col("key")).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by stateBuckets
     // Surviving rows of the touched buckets whose NEW total is a
     // pairable size — includes buckets crossing back under the cap,
-    // whose pairs this recompute revives.
+    // whose pairs this recompute revives. The survivor fetch is
+    // partition-pruned to the touched buckets (keep ⊆ touched).
     val newTotals = countsOf(s, dir, gen)
       .join(touched, Seq("band", "key"), "left_semi")
       .join(removed.groupBy(col("band"), col("key")).agg(count(lit(1)).as("rn")),
@@ -323,7 +362,7 @@ object LshIndexStore {
       .select(col("band"), col("key"), (col("n") - col("rn")).as("total"))
     val keep = newTotals.where(col("total").between(2, maxBucket))
       .select(col("band"), col("key"))
-    val survivors = bandsOf(s, dir, gen)
+    val survivors = prunedBands(s, dir, gen, Some(touchedBkts))
       .join(keep, Seq("band", "key"), "left_semi")
       .join(ids, Seq("doc_id"), "left_anti")
     val next = gen + 1

@@ -544,6 +544,39 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)), got.toString)
   }
 
+  test("LshIndexStore.retractBands (pruned path) equals retract by ids across the cap-revival edge; unknown docs contribute nothing") {
+    import graft.operators.LshIndexStore
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    val corpus = (1L to 5L).map(_ -> textA) ++ (11L to 13L).map(_ -> textB)
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text"), 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-retractbands").toString
+    val (byIds, byBands) = (s"$root/a", s"$root/b")
+    LshIndexStore.init(spark, byIds, bands(corpus), cap)
+    LshIndexStore.init(spark, byBands, bands(corpus), cap)
+    def pairSet(dir: String) = candidatePairs(
+      LshIndexStore.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+
+    val spark0 = spark
+    import spark0.implicits._
+    // Same retraction (5: textA back under the cap — revival; 12: textB
+    // pair shrink), once located by a state scan, once SUPPLIED as the
+    // docs' recomputed band rows (deterministic signatures) — plus a
+    // doc that was never admitted, which must contribute nothing.
+    LshIndexStore.retract(spark, byIds, Seq(5L, 12L).toDF("doc_id"), cap)
+    LshIndexStore.retractBands(spark, byBands,
+      bands(Seq(5L -> textA, 12L -> textB, 999L -> "never admitted words here")), cap)
+    assert(pairSet(byIds) == pairSet(byBands),
+      s"pruned retract diverged: ${pairSet(byBands)} vs ${pairSet(byIds)}")
+    assert(LshIndexStore.currentGeneration(byBands) == 1)
+    // Both paths keep chaining identically.
+    LshIndexStore.admit(spark, byIds, bands(Seq(300L -> textA)), cap)
+    LshIndexStore.admit(spark, byBands, bands(Seq(300L -> textA)), cap)
+    assert(pairSet(byIds) == pairSet(byBands), "post-retract admits diverged")
+  }
+
   test("spanDupStats: a span shared by every doc stays bounded by doc count and within-doc repeats combine") {
     // The adversarial ubiquitous-boilerplate case: every doc repeats the
     // SAME 8 tokens 4 times -> 32 tokens, 25 span positions, every span
