@@ -285,6 +285,14 @@ object LshIndexStore {
       maxBucket: Int = Dedup.defaultMaxBucket): Int =
     committedGen(dir, txn).getOrElse(retract(s, dir, docIds, maxBucket, txn))
 
+  /** Exactly-once [[retractBands]] — the streaming CDC-erasure shape:
+    * the tombstone stream carries the docs' band rows, every state read
+    * is bucket-pruned, and the txn stamp dedupes replayed batches.
+    */
+  def retractBandsOnce(s: SparkSession, dir: String, removedBands: DataFrame, txn: Long,
+      maxBucket: Int = Dedup.defaultMaxBucket): Int =
+    committedGen(dir, txn).getOrElse(retractBands(s, dir, removedBands, maxBucket, txn))
+
   private def committedGen(dir: String, txn: Long): Option[Int] =
     GenChain.committedGen(dir, txn)
 
