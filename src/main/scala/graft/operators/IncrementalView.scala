@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * (registry-surfaced as q162, where the oracle pins the flag TRUE).
   * Both sides run as ONE grouped aggregation each (union-all tagged by
   * version), so the whole audit is two jobs plus a bounded driver fold.
+  *
+  * Scope: this audit is a CONSUMER of the (table-generic) commit log,
+  * bound to the lineitem layout's columns because its aggregates are
+  * lineitem semantics — the generic surface is [[VersionedLayout]]'s
+  * change feed, from which any table's consumer derives its own deltas
+  * the same way (insert segments add, tombstone-killed rows subtract).
   */
 object IncrementalView {
 

@@ -487,6 +487,18 @@ class StreamingSpec extends SparkSpec {
     LshIndexStore.retractOnce(spark, dir, Seq(12L).toDF("doc_id"), 1L, cap)
     assert(LshIndexStore.currentGeneration(dir) == 2, "replay created a generation")
     assert(pairSetOf(dir) == rebuilt)
+
+    // The fully PRUNED CDC-erasure shape: the same two retractions
+    // applied through retractBandsOnce (tombstones carrying the docs'
+    // recomputed band rows + txn stamps) converge to the same state,
+    // and a replayed stamp commits nothing.
+    val twinB = java.nio.file.Files.createTempDirectory("graft-lsh-rtwinb").toString + "/index"
+    LshIndexStore.init(spark, twinB, bands(corpus), cap)
+    LshIndexStore.retractBandsOnce(spark, twinB, bands(Seq(5L -> textA)), 10L, cap)
+    LshIndexStore.retractBandsOnce(spark, twinB, bands(Seq(12L -> textB)), 11L, cap)
+    LshIndexStore.retractBandsOnce(spark, twinB, bands(Seq(12L -> textB)), 11L, cap)
+    assert(LshIndexStore.currentGeneration(twinB) == 2, "replayed bands-retract committed")
+    assert(pairSetOf(twinB) == rebuilt, "pruned bands-retract diverged from rebuild")
   }
 
   test("file sink + checkpoint: restart resumes exactly-once (no duplicates, no loss)") {
