@@ -1469,11 +1469,15 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
-  /** Stable location of q176's EVENTS versioned layout. */
+  /** Stable location of q176's EVENTS versioned layout. The `_v2`
+    * scenario suffix versions the HISTORY SHAPE itself: a dir built by
+    * an earlier shape (no upsert step) cannot fast-forward into this
+    * one, so the shape change gets a fresh path.
+    */
   private[graft] def eventsVersionedDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_versioned_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_versioned_v2_$sfx").getAbsolutePath
   }
   private val eventsVersionedLock = new Object
 
@@ -1485,7 +1489,9 @@ object ScalePatterns {
     * (pid = user_id mod 16), row identity = the single `event_id`
     * column (recorded in the layout meta — nothing lineitem-shaped
     * anywhere). v0 base write, v1 DELETE (all error events), v2 INSERT
-    * (purchase copies, fresh ids, value+7 centi), v3 compact.
+    * (purchase copies, fresh ids, value+7 centi), v3 UPSERT (click
+    * events value+3 — same event_ids, so the generic version-stamped
+    * mask is what keeps the replacements alive), v4 compact.
     */
   private def ensureEventsVersionedScenario(s: SparkSession, d: String): String = {
     import graft.operators.VersionedLayout
@@ -1508,6 +1514,9 @@ object ScalePatterns {
               col("user_id"), col("event_type"),
               (col("value_centi") + 7).as("value_centi")))
       if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendUpsert(s, dir, col("event_type") === "click",
+          m => m.withColumn("value_centi", col("value_centi") + 3))
+      if (VersionedLayout.currentVersion(dir) < 4)
         VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
     }
     dir
@@ -1528,7 +1537,7 @@ object ScalePatterns {
   private def q176(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout
     val dir = ensureEventsVersionedScenario(s, d)
-    (0 to 3).map { ver =>
+    (0 to 4).map { ver =>
       VersionedLayout.readAsOf(s, dir, ver)
         .select(lit(ver.toLong).as("version"), col("value_centi"), col("user_id"))
     }.reduce(_ unionByName _)
@@ -1785,8 +1794,10 @@ object ScalePatterns {
     QueryDef("q176_generic_layout", q176, Some(
       s"""WITH e AS (SELECT event_id, user_id, event_type,
          |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
-         |ver AS (SELECT unnest([0, 1, 2, 3]) AS version),
-         |base AS (SELECT ver.version, e.user_id, e.vc
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (SELECT ver.version, e.user_id,
+         |           CASE WHEN ver.version >= 3 AND e.event_type = 'click'
+         |                THEN e.vc + 3 ELSE e.vc END AS vc
          |         FROM ver JOIN e ON NOT (ver.version >= 1 AND e.event_type = 'error')),
          |ins AS (SELECT ver.version, e.user_id, e.vc + 7 AS vc
          |        FROM ver JOIN e
