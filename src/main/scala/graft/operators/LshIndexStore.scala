@@ -91,8 +91,9 @@ object LshIndexStore {
   def bandsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
     prunedBands(s, dir, gen, None)
 
-  /** Number of hash partitions the BASE band tables (init/compact
-    * outputs) are laid out in (`bkt = murmur3(band, key) mod N`). The
+  /** Number of hash partitions the BASE state tables — bands AND
+    * bucket counts (init/compact outputs) — are laid out in
+    * (`bkt = murmur3(band, key) mod N`). The
     * scale knob that makes the admit path's touched-bucket fetch
     * PARTITION-PRUNED: an admit touching k state buckets reads at most
     * k partition directories of the corpus-proportional base instead
@@ -117,27 +118,16 @@ object LshIndexStore {
   private[graft] def prunedBands(
       s: SparkSession, dir: String, gen: Int, bkts: Option[Seq[Int]]): DataFrame = {
     val b = baseGenOf(dir, gen)
-    def isPartitioned(f: java.io.File): Boolean =
-      Option(f.listFiles()).exists(_.exists(_.getName.startsWith("bkt=")))
-    def readBands(path: String): Option[DataFrame] = bkts match {
-      case Some(ks) if isPartitioned(new java.io.File(path)) =>
-        val dirs = ks.distinct
-          .map(k => new java.io.File(path, s"bkt=$k"))
-          .filter(_.isDirectory).map(_.getAbsolutePath)
-        if (dirs.isEmpty) None // table holds none of the requested buckets
-        else Some(s.read.option("basePath", path).parquet(dirs: _*))
-      case _ =>
-        // Unpartitioned (a delta segment — O(delta), bounded to read
-        // whole; the recompute's semi-join filters): no dir pruning.
-        Some(s.read.parquet(path))
-    }
     val parts =
-      readBands(s"${genDir(dir, b)}/bands")
+      readPruned(s, s"${genDir(dir, b)}/bands", bkts)
         .map(_.drop("bkt").withColumn("_row_gen", lit(b))).toSeq ++
         ((b + 1) to gen).flatMap { g =>
+          // Delta segments are unpartitioned (O(delta), bounded to read
+          // whole; the recompute's semi-join filters).
           val d = new java.io.File(genDir(dir, g), "bands-delta")
           if (d.isDirectory)
-            readBands(d.getAbsolutePath).map(_.drop("bkt").withColumn("_row_gen", lit(g)))
+            readPruned(s, d.getAbsolutePath, bkts)
+              .map(_.drop("bkt").withColumn("_row_gen", lit(g)))
           else None
         }
     val live = parts.reduceOption(_ unionByName _)
@@ -153,10 +143,39 @@ object LshIndexStore {
     }
   }
 
-  /** Write a BASE band table in the `bkt`-partitioned state layout. */
+  /** Write a BASE state table (bands or counts — both keyed by
+    * (band, key)) in the `bkt`-partitioned layout.
+    */
   private def writeBands(df: DataFrame, dest: String): Unit =
     df.withColumn("bkt", bktOf(col("band"), col("key")))
       .write.mode("overwrite").partitionBy("bkt").parquet(dest)
+
+  /** The distinct state buckets a (band, key)-keyed frame touches —
+    * bounded by [[stateBuckets]], collected driver-side to drive the
+    * partition-pruned fetches.
+    */
+  private def bktsOf(df: DataFrame): Seq[Int] =
+    df.select(bktOf(col("band"), col("key")).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Read a base state table restricted to `bkts` partition dirs when
+    * given (file-set pruning; legacy unpartitioned tables read whole),
+    * `None` result = the table holds none of the requested buckets.
+    */
+  private def readPruned(
+      s: SparkSession, path: String, bkts: Option[Seq[Int]]): Option[DataFrame] = {
+    def isPartitioned(f: java.io.File): Boolean =
+      Option(f.listFiles()).exists(_.exists(_.getName.startsWith("bkt=")))
+    bkts match {
+      case Some(ks) if isPartitioned(new java.io.File(path)) =>
+        val dirs = ks.distinct
+          .map(k => new java.io.File(path, s"bkt=$k"))
+          .filter(_.isDirectory).map(_.getAbsolutePath)
+        if (dirs.isEmpty) None
+        else Some(s.read.option("basePath", path).parquet(dirs: _*))
+      case _ => Some(s.read.parquet(path))
+    }
+  }
 
   /** Per-doc HIGHEST retract generation in (baseGen, gen], if any —
     * the tombstone horizon [[bandsOf]] scopes rows against (shared
@@ -169,16 +188,26 @@ object LshIndexStore {
     GenChain.retractHorizons(s, dir, baseGen, gen, "doc_id")
 
   /** Bucket counts as of generation `gen`: base snapshot + per-segment
-    * increments, sum-merged (counts only ever grow).
+    * increments, sum-merged (admits grow them, retracts net them out
+    * with negative deltas). With `bkts` the base snapshot contributes
+    * only the named state partitions (file-set pruning — the counts
+    * base is (band, key)-keyed and bkt-partitioned like the band state,
+    * so a mutation's count fetch never scans the index-sized table);
+    * deltas are O(delta) and read whole.
     */
-  def countsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+  def countsOf(s: SparkSession, dir: String, gen: Int,
+      bkts: Option[Seq[Int]] = None): DataFrame = {
     val b = baseGenOf(dir, gen)
-    ((b + 1) to gen)
-      .flatMap { g =>
-        val d = new java.io.File(genDir(dir, g), "counts-delta")
-        if (d.isDirectory) Seq(s.read.parquet(d.getAbsolutePath)) else Nil
-      }
-      .foldLeft(s.read.parquet(s"${genDir(dir, b)}/counts"))(_ unionByName _)
+    val parts =
+      readPruned(s, s"${genDir(dir, b)}/counts", bkts).map(_.drop("bkt")).toSeq ++
+        ((b + 1) to gen).flatMap { g =>
+          val d = new java.io.File(genDir(dir, g), "counts-delta")
+          if (d.isDirectory) readPruned(s, d.getAbsolutePath, bkts).map(_.drop("bkt"))
+          else None
+        }
+    parts.reduceOption(_ unionByName _)
+      .getOrElse(s.read.parquet(s"${genDir(dir, b)}/counts")
+        .drop("bkt").where(lit(false)))
       .groupBy(col("band"), col("key")).agg(sum(col("n")).as("n"))
   }
 
@@ -235,7 +264,7 @@ object LshIndexStore {
     val b = bands.localCheckpoint() // feeds all three state writes
     val tmp = freshTmp(dir, 0)
     writeBands(b, s"$tmp/bands")
-    Dedup.bucketCounts(b).write.mode("overwrite").parquet(s"$tmp/counts")
+    writeBands(Dedup.bucketCounts(b), s"$tmp/counts")
     Dedup.indexPairBands(b, maxBucket).write.mode("overwrite").parquet(s"$tmp/pairbands")
     publish(dir, 0, txn, tmp)
     0
@@ -259,15 +288,14 @@ object LshIndexStore {
     val tmp = freshTmp(dir, next)
     delta.write.mode("overwrite").parquet(s"$tmp/bands-delta")
     Dedup.bucketCounts(delta).write.mode("overwrite").parquet(s"$tmp/counts-delta")
-    // The touched-bucket fetch reads ONLY the state partitions the
-    // delta's buckets hash into — partition-pruned, never a corpus
-    // band scan (restricting the base side is safe: the recompute's
-    // keep set is a subset of the delta's buckets).
-    val touchedBkts = delta
-      .select(bktOf(col("band"), col("key")).as("bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by stateBuckets
+    // The touched-bucket fetches (bands AND counts) read ONLY the state
+    // partitions the delta's buckets hash into — partition-pruned,
+    // never an index-sized scan (restricting the base side is safe: the
+    // recompute's keep set is a subset of the delta's buckets).
+    val touchedBkts = bktsOf(delta)
     val (touched, recomputed) = Dedup.touchedPairDelta(
-      prunedBands(s, dir, gen, Some(touchedBkts)), countsOf(s, dir, gen), delta, maxBucket)
+      prunedBands(s, dir, gen, Some(touchedBkts)),
+      countsOf(s, dir, gen, Some(touchedBkts)), delta, maxBucket)
     touched.write.mode("overwrite").parquet(s"$tmp/touched-buckets")
     recomputed.write.mode("overwrite").parquet(s"$tmp/pairbands-delta")
     publish(dir, next, txn, tmp)
@@ -325,7 +353,7 @@ object LshIndexStore {
     // rows themselves. [[retractBands]] is the fully pruned path.
     val removed = bandsOf(s, dir, gen).join(ids, Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds tombstones, negative counts, touched set
-    retractTail(s, dir, gen, ids, removed, maxBucket, txn)
+    retractTail(s, dir, gen, ids, removed, bktsOf(removed), maxBucket, txn)
   }
 
   /** [[retract]] with the erased docs' band rows SUPPLIED — recomputed
@@ -333,38 +361,56 @@ object LshIndexStore {
     * carried by the erasure request itself. With the buckets known up
     * front, EVERY state read of the retraction is partition-pruned to
     * the touched buckets, exactly like [[admit]]'s fetch: nothing
-    * index-sized is scanned. The supplied rows are intersected with the
-    * pruned state (a doc never admitted, or already retracted,
-    * contributes nothing), so the result is identical to the id-only
-    * path — spec-proven equal in DedupSpec.
+    * index-sized is scanned. PRECONDITION: the supplied rows must come
+    * from the same signature pipeline that admitted the docs — an
+    * in-bucket divergence (stored rows the supplier missed, or supplied
+    * rows the state never held for a doc that IS present) is REJECTED
+    * loudly; a doc with no state rows in any supplied bucket is treated
+    * as absent (never admitted or already retracted — indistinguishable
+    * from a doc stored under entirely different buckets without the
+    * index-sized scan this path exists to avoid; [[retract]] by ids is
+    * the unconditional path). Spec-proven equal to the id path in
+    * DedupSpec.
     */
   def retractBands(s: SparkSession, dir: String, removedBands: DataFrame,
       maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {
     val gen = currentGeneration(dir)
     require(gen >= 0, s"$dir has no generation 0 — call init first")
-    val supplied = removedBands.localCheckpoint()
+    val supplied = removedBands.select(col("doc_id"), col("band"), col("key"))
+      .localCheckpoint()
     val ids = supplied.select(col("doc_id")).distinct().localCheckpoint()
-    val suppliedBkts = supplied
-      .select(bktOf(col("band"), col("key")).as("bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by stateBuckets
+    val suppliedBkts = bktsOf(supplied)
     val removed = prunedBands(s, dir, gen, Some(suppliedBkts))
       .join(ids, Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    retractTail(s, dir, gen, ids, removed, maxBucket, txn)
+    // Divergence guard (bounded: O(retracted) rows): for every doc the
+    // state DOES hold rows for, the supplied set and the stored set
+    // must agree exactly — a mismatched signature pipeline would
+    // otherwise leave the doc's true buckets un-recomputed (stale pairs
+    // serving an erased doc) and its counts never netted out.
+    val present = removed.select(col("doc_id")).distinct()
+    val divergent =
+      supplied.join(present, Seq("doc_id"), "left_semi")
+        .join(removed, Seq("doc_id", "band", "key"), "left_anti").count() +
+      removed.select(col("doc_id"), col("band"), col("key"))
+        .join(supplied, Seq("doc_id", "band", "key"), "left_anti").count()
+    require(divergent == 0,
+      s"$divergent supplied band rows diverge from the stored index state — " +
+        "recompute them with the admit pipeline, or use retract(ids)")
+    retractTail(s, dir, gen, ids, removed, suppliedBkts, maxBucket, txn)
   }
 
   private def retractTail(s: SparkSession, dir: String, gen: Int,
-      ids: DataFrame, removed: DataFrame, maxBucket: Int, txn: Long): Int = {
+      ids: DataFrame, removed: DataFrame, bkts: Seq[Int],
+      maxBucket: Int, txn: Long): Int = {
     val touched = removed.select(col("band"), col("key")).distinct()
       .localCheckpoint()
-    val touchedBkts = removed
-      .select(bktOf(col("band"), col("key")).as("bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by stateBuckets
     // Surviving rows of the touched buckets whose NEW total is a
     // pairable size — includes buckets crossing back under the cap,
-    // whose pairs this recompute revives. The survivor fetch is
-    // partition-pruned to the touched buckets (keep ⊆ touched).
-    val newTotals = countsOf(s, dir, gen)
+    // whose pairs this recompute revives. The survivor AND count
+    // fetches are partition-pruned to the touched buckets
+    // (keep ⊆ touched ⊆ bkts).
+    val newTotals = countsOf(s, dir, gen, Some(bkts))
       .join(touched, Seq("band", "key"), "left_semi")
       .join(removed.groupBy(col("band"), col("key")).agg(count(lit(1)).as("rn")),
         Seq("band", "key"), "left")
@@ -372,7 +418,7 @@ object LshIndexStore {
       .select(col("band"), col("key"), (col("n") - col("rn")).as("total"))
     val keep = newTotals.where(col("total").between(2, maxBucket))
       .select(col("band"), col("key"))
-    val survivors = prunedBands(s, dir, gen, Some(touchedBkts))
+    val survivors = prunedBands(s, dir, gen, Some(bkts))
       .join(keep, Seq("band", "key"), "left_semi")
       .join(ids, Seq("doc_id"), "left_anti")
     val next = gen + 1
@@ -401,7 +447,7 @@ object LshIndexStore {
     val next = gen + 1
     val tmp = freshTmp(dir, next)
     writeBands(bandsOf(s, dir, gen), s"$tmp/bands")
-    countsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/counts")
+    writeBands(countsOf(s, dir, gen), s"$tmp/counts")
     pairBandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/pairbands")
     publish(dir, next, -1L, tmp)
     next

@@ -294,6 +294,12 @@ object VersionedLayout {
     */
   def writeBaseTable(s: SparkSession, df: DataFrame, dir: String,
       keyCols: Seq[String]): Unit = {
+    // The meta file is parsed with a plain splitter — identifier-shaped
+    // names only, and at least one (an empty key set would make every
+    // row identical for tombstone purposes).
+    require(keyCols.nonEmpty, "a layout needs at least one row-identity column")
+    keyCols.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"key column '$k' is not identifier-shaped — the layout meta cannot carry it"))
     if (currentVersion(dir) >= 0) return
     df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
@@ -498,20 +504,26 @@ object VersionedLayout {
     // Only tombstones since the last major fold: older ones were
     // applied physically by the fold, and re-applying one could kill a
     // folded same-key replacement.
-    val tombs = tombstonesIn(s, dir, majorAtOrBefore(log(dir), ver - 1), ver - 1)
-      .localCheckpoint()
+    val tombsOpt = tombstonesIn(s, dir, majorAtOrBefore(log(dir), ver - 1), ver - 1)
+      .map(_.localCheckpoint())
     // n_deleted counts LIVE base rows a tombstone still kills — not raw
     // tombstone keys: a key an earlier minor compact already reclaimed
     // matches nothing, so an already-compacted pid never re-crosses the
     // threshold (compaction is idempotent across replayed sessions;
     // counting keys would re-rewrite and re-archive such pids forever).
     val keys = keyColsOf(dir)
-    val stats = s.read.parquet(dir)
-      .join(tombs.select(("pid" +: keys).map(col): _*)
-        .distinct().withColumn("_dead", lit(1)),
-        "pid" +: keys, "left")
-      .groupBy(col("pid"))
-      .agg(count(lit(1)).as("n_rows"), count(col("_dead")).as("n_deleted"))
+    val statsPids = tombsOpt match {
+      case None => Array.empty[Int] // nothing to reclaim anywhere
+      case Some(tombs) =>
+        s.read.parquet(dir)
+          .join(tombs.select(("pid" +: keys).map(col): _*)
+            .distinct().withColumn("_dead", lit(1)),
+            "pid" +: keys, "left")
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_rows"), count(col("_dead")).as("n_deleted"))
+          .where(col("n_deleted") > 0 && col("n_deleted") >= col("n_rows") * threshold)
+          .select(col("pid")).collect().map(_.getInt(0)) // bounded: <= 32 pids
+    }
     // A crashed attempt at THIS version may have already archived a pid
     // and landed its survivors — the live dir is then clean, so the
     // stats can no longer detect it. The archive IS the durable record
@@ -523,14 +535,14 @@ object VersionedLayout {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("pid="))
       .map(_.getName.stripPrefix("pid=").toInt).toSeq
-    val pids = (stats
-      .where(col("n_deleted") > 0 && col("n_deleted") >= col("n_rows") * threshold)
-      .select(col("pid")).collect().map(_.getInt(0)) // bounded: <= 32 pids
-      ++ crashed).distinct.sorted.toSeq
+    val pids = (statsPids ++ crashed).distinct.sorted.toSeq
     pids.foreach { p =>
       val pdir = s"$dir/pid=$p"
-      val survivors = s.read.parquet(pdir)
-        .join(tombs.where(col("pid") === p).drop("pid"), keys, "left_anti")
+      val survivors = tombsOpt match {
+        case None => s.read.parquet(pdir) // crashed-adoption pid, no mask
+        case Some(tombs) => s.read.parquet(pdir)
+          .join(tombs.where(col("pid") === p).drop("pid"), keys, "left_anti")
+      }
       val tmp = s"$dir/.compact-tmp-$p"
       survivors.write.mode("overwrite").parquet(tmp) // evaluated before the swap
       val arch = Paths.get(archiveDir(dir, ver), s"pid=$p")
@@ -763,22 +775,22 @@ object VersionedLayout {
   /** Tombstone versions in (after, v], each row stamped with the
     * version that committed it (`_tomb_ver`). Empty frame when none.
     */
-  private def tombstonesIn(s: SparkSession, dir: String, after: Int, v: Int): DataFrame = {
+  /** Tombstones in (after, v] stamped with their committing version —
+    * `None` when the range holds no delete/upsert, so callers skip the
+    * mask join entirely (an insert-only or freshly folded history pays
+    * ZERO masking cost, and no table-specific empty schema is needed).
+    */
+  private def tombstonesIn(
+      s: SparkSession, dir: String, after: Int, v: Int): Option[DataFrame] = {
     val entries = log(dir)
     val vers = entries
       .filter(e => (e.action == "delete" || e.action == "upsert")
         && e.version > after && e.version <= v)
       .map(_.version)
-    if (vers.isEmpty)
-      // Zero-row relation with the layout's (pid, keys) shape, derived
-      // from the base files' own footers — no table-specific schema.
-      s.read.parquet(dir)
-        .select(("pid" +: keyColsOf(dir)).map(col): _*).where(lit(false))
-        .withColumn("_tomb_ver", lit(0))
-    else vers.map { tv =>
+    vers.map { tv =>
       s.read.parquet(tombDirOf(dir, entries, tv))
         .withColumn("_tomb_ver", lit(tv))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
   }
 
   /** The table AS OF version `v`: per-pid base-source selection (live
@@ -984,12 +996,16 @@ object VersionedLayout {
       .map(e => s.read.parquet(locateSegment(dir, entries, e.version))
         .withColumn("_src_ver", lit(e.version)))
     val data = (base +: segs).reduce(_ unionByName _).alias("dt")
-    val tombs = tombstonesIn(s, dir, m, v).alias("tb")
-    val joinKey = ("pid" +: keyColsOf(dir))
-      .map(k => col(s"dt.$k") === col(s"tb.$k"))
-      .reduce(_ && _)
-    data
-      .join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
-      .drop("_src_ver")
+    tombstonesIn(s, dir, m, v) match {
+      case None => data.drop("_src_ver") // no mask in range: plain scan
+      case Some(t) =>
+        val tombs = t.alias("tb")
+        val joinKey = ("pid" +: keyColsOf(dir))
+          .map(k => col(s"dt.$k") === col(s"tb.$k"))
+          .reduce(_ && _)
+        data
+          .join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
+          .drop("_src_ver")
+    }
   }
 }
