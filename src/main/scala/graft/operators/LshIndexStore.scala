@@ -48,18 +48,19 @@ import java.nio.charset.StandardCharsets
   * [[VersionedLayout.appendInsertOnce]], now for index maintenance.
   *
   * MEASURED (LshAdmitSlope, sf0.1, warm, 2026-08-14, segmented pair
-  * table + partitioned base band state + pruned retract): against a
-  * 5,000-doc vs a 50,000-doc base index — pair-table mass 73,214 vs
-  * 761,526 rows (10.4x the candidate product) — a fixed 500-doc admit
-  * costs 1.69 s vs 1.69 s (FLAT across 10x corpus AND 10.4x candidate
-  * mass), a fixed 500-doc retract 2.00 s vs 2.21 s (1.1x; survivor
-  * fetch bucket-pruned, one index-sized locating scan remains on the
-  * id-only path — [[retractBands]] is the fully pruned CDC shape), and
-  * compact (the only state-proportional op left, by design) 2.17 s vs
-  * 2.62 s, while the ground-up rebuild grows 1.81 s -> 2.24 s.
-  * Mutation cost no longer tracks the index's product; at 100 TB the
-  * rebuild side is a full corpus re-signature + corpus-wide shuffle
-  * per batch, the admit side is not.
+  * table + bkt-partitioned base band AND count state + pruned
+  * retract): against a 5,000-doc vs a 50,000-doc base index —
+  * pair-table mass 73,214 vs 761,526 rows (10.4x the candidate
+  * product) — a fixed 500-doc admit costs 2.02 s vs 2.23 s (1.10x
+  * across 10x corpus AND 10.4x candidate mass), a fixed 500-doc
+  * retract 2.56 s vs 2.62 s (1.02x; survivor and count fetches
+  * bucket-pruned, one index-sized locating scan remains on the id-only
+  * path — [[retractBands]] is the fully pruned CDC shape), and compact
+  * (the only state-proportional op left, by design) 3.10 s vs 3.90 s,
+  * while the ground-up rebuild grows 2.11 s -> 3.08 s. Absolute times
+  * swing ~±25% with machine load between harness runs; the flat
+  * mutation slopes do not. At 100 TB the rebuild side is a full corpus
+  * re-signature + corpus-wide shuffle per batch, the admit side is not.
   */
 object LshIndexStore {
 
