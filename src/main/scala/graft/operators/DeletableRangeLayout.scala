@@ -162,6 +162,12 @@ object DeletableRangeLayout {
     * delete's path).
     */
   def applyDelete(s: SparkSession, dir: String, cond: Column): Long = lock.synchronized {
+    // A replayed delete (idempotent sessions re-issuing the same
+    // condition) matches nothing — skip the commit entirely so the
+    // shared scenario dirs don't grow one empty log version per
+    // session; a real delete pays this probe's cost inside its own
+    // tombstone materialization anyway.
+    if (maskedRead(s, dir).where(cond).isEmpty) return 0L
     // The JVM lock serializes this process; withWriteRetry rebases a
     // lost race against a writer in ANOTHER process (appends are
     // multi-writer-safe — see VersionedLayout's concurrency scope).
@@ -192,6 +198,15 @@ object DeletableRangeLayout {
     * rewritten pids, ascending.
     */
   def compact(s: SparkSession, dir: String, threshold: Double): Seq[Int] = lock.synchronized {
-    VersionedLayout.appendCompact(s, dir, threshold)._2
+    // Replay hygiene (bounded pre-check, <= 32 rows): when no pid's
+    // outstanding dead fraction can cross, skip the commit — otherwise
+    // every replayed session appends an empty compact version to the
+    // shared dirs. The key-count stats over-approximate the live-kill
+    // census appendCompact itself runs, so a skip here is always safe.
+    val anyCrossing = pidStats(s, dir)
+      .where(col("n_deleted") > 0 && col("n_deleted") >= col("n_rows") * threshold)
+      .limit(1).count() > 0
+    if (!anyCrossing) Nil
+    else VersionedLayout.appendCompact(s, dir, threshold)._2
   }
 }

@@ -133,13 +133,23 @@ object IvfIndexStore {
     * already exists. A RETRAIN is a fresh init into a new dir (the
     * centroid freeze is the store's contract — see class doc).
     */
+  /** Write an assignment snapshot `cid=`-partitioned; an EMPTY one (a
+    * compact after a total retract) writes unpartitioned — a zero-row
+    * partitioned write leaves no footered file and the base becomes
+    * unreadable, while the plain zero-row write keeps the schema.
+    */
+  private def writeAsg(asg: DataFrame, dest: String): Unit = {
+    val a = asg.select(col("vec_id"), col("cid"))
+    if (a.isEmpty) a.write.mode("overwrite").parquet(dest)
+    else a.write.mode("overwrite").partitionBy("cid").parquet(dest)
+  }
+
   def init(s: SparkSession, dir: String, centroids: DataFrame, baseAsg: DataFrame,
       txn: Long = -1L): Int = {
     if (currentGeneration(dir) >= 0) return currentGeneration(dir)
     val tmp = GenChain.freshTmp(dir, 0)
     centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
-    baseAsg.select(col("vec_id"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$tmp/asg")
+    writeAsg(baseAsg, s"$tmp/asg")
     GenChain.publish(dir, 0, txn, tmp)
     0
   }
@@ -195,8 +205,7 @@ object IvfIndexStore {
     val next = gen + 1
     val tmp = GenChain.freshTmp(dir, next)
     centroidsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/centroids")
-    assignmentsOf(s, dir, gen)
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$tmp/asg")
+    writeAsg(assignmentsOf(s, dir, gen), s"$tmp/asg")
     GenChain.publish(dir, next, -1L, tmp)
     next
   }

@@ -147,9 +147,16 @@ object LshIndexStore {
   /** Write a BASE state table (bands or counts — both keyed by
     * (band, key)) in the `bkt`-partitioned layout.
     */
-  private def writeBands(df: DataFrame, dest: String): Unit =
-    df.withColumn("bkt", bktOf(col("band"), col("key")))
-      .write.mode("overwrite").partitionBy("bkt").parquet(dest)
+  private def writeBands(df: DataFrame, dest: String): Unit = {
+    // An EMPTY frame (a compact after a total retract) writes
+    // unpartitioned: a zero-row partitionBy write leaves no footered
+    // file at all — the base would become unreadable — while a zero-row
+    // plain write leaves one schema-carrying part ([[readPruned]]
+    // treats it as legacy-unpartitioned and reads it whole).
+    val keyed = df.withColumn("bkt", bktOf(col("band"), col("key")))
+    if (keyed.isEmpty) keyed.drop("bkt").write.mode("overwrite").parquet(dest)
+    else keyed.write.mode("overwrite").partitionBy("bkt").parquet(dest)
+  }
 
   /** The distinct state buckets a (band, key)-keyed frame touches —
     * bounded by [[stateBuckets]], collected driver-side to drive the
@@ -363,15 +370,17 @@ object LshIndexStore {
     * front, EVERY state read of the retraction is partition-pruned to
     * the touched buckets, exactly like [[admit]]'s fetch: nothing
     * index-sized is scanned. PRECONDITION: the supplied rows must come
-    * from the same signature pipeline that admitted the docs — an
-    * in-bucket divergence (stored rows the supplier missed, or supplied
-    * rows the state never held for a doc that IS present) is REJECTED
-    * loudly; a doc with no state rows in any supplied bucket is treated
-    * as absent (never admitted or already retracted — indistinguishable
-    * from a doc stored under entirely different buckets without the
-    * index-sized scan this path exists to avoid; [[retract]] by ids is
-    * the unconditional path). Spec-proven equal to the id path in
-    * DedupSpec.
+    * from the same signature pipeline that admitted the docs. The
+    * divergence guard detects every mismatch VISIBLE WITHIN THE
+    * SUPPLIED BUCKETS (stored rows there the supplier missed, or
+    * supplied rows the state never held for a doc that is present);
+    * stored rows living in buckets the supplier never named are — by
+    * construction — invisible to a pruned read, so a doc banded under a
+    * partially or entirely different scheme cannot be fully caught
+    * here and would leave its unnamed buckets unmaintained.
+    * [[retract]] by ids is the unconditional path when the producer
+    * cannot guarantee the admit pipeline. Spec-proven equal to the id
+    * path in DedupSpec.
     */
   def retractBands(s: SparkSession, dir: String, removedBands: DataFrame,
       maxBucket: Int = Dedup.defaultMaxBucket, txn: Long = -1L): Int = {

@@ -164,7 +164,9 @@ object VersionedLayout {
     val ckpt = checkpointedVersion(dir)
     if (e.version <= ckpt) throw new IllegalStateException(
       s"version ${e.version} of $dir is already inside checkpoint v$ckpt — " +
-        "this mutation raced a checkpointed head and published nothing")
+        "this mutation raced a checkpointed head and published nothing",
+      // cause marks this as a version-CAS loss so withWriteRetry rebases it
+      new java.nio.file.FileAlreadyExistsException(entryFile(dir, e.version).toString))
     val body = renderEntry(e)
     // Writer-unique tmp: a shared name would let racing writer B rewrite
     // the tmp between A's write and createLink, publishing B's bytes

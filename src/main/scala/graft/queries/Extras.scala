@@ -409,29 +409,31 @@ object Extras {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
-  /** JSON property extraction over the event stream — the
-    * semi-structured column every real event pipeline carries
-    * (`props` is a JSON object) finally typed and aggregated: each
-    * event's `$.k` is extracted with `get_json_object` (Spark's
-    * codegen'd JSON path evaluator — no UDF, stays inside whole-stage
-    * codegen) and cast to BIGINT, with per-type exact stats including
-    * null-safe counts (a missing or non-numeric key degrades to NULL,
-    * counted by `n_events - n_with_k`). Shape for scale: the parse is a
-    * map-only projection; the only shuffle is the 5-row event-type
-    * partial aggregate — at 100 TB the JSON cost is the scan itself,
-    * which is why a production pipeline would next materialize the
-    * extracted column (the q127 schema-evolution move).
+  /** SCHEMA-PROJECTED JSON parsing over the event stream — the second
+    * of Spark's two JSON surfaces, complementing q15's per-path
+    * `get_json_object`: `from_json` parses each `props` object ONCE
+    * against an explicit StructType and yields a typed struct, the
+    * production shape when several fields are consumed (one parse, N
+    * field reads — path evaluation re-parses per path) and the only
+    * shape with declared-schema semantics: a missing or non-conforming
+    * field degrades to a typed NULL, counted here by
+    * `n_events - n_with_k`. The parse is a map-only projection feeding
+    * a 5-row partial aggregate; at 100 TB the JSON cost is the scan
+    * itself, which is why a production pipeline would next materialize
+    * the struct (the q127 schema-evolution move).
     */
   private def q174(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).as("p"))
+      .select(col("event_type"), col("p.k").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         count(col("k")).as("n_with_k"),
         sum(col("k")).as("sum_k"),
-        min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"),
         sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_k_over_50"))
       .orderBy(col("event_type"))
 
@@ -628,14 +630,12 @@ object Extras {
         |  count(DISTINCT media_id) AS n_media, min(media_id) AS exemplar_media
         |FROM kept GROUP BY frame_md5 HAVING count(*) >= 2
         |ORDER BY frame_md5""".stripMargin)),
-    QueryDef("q174_json_extract", q174, Some(
+    QueryDef("q174_json_struct", q174, Some(
       s"""WITH e AS (SELECT event_type,
          |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(count(k) AS BIGINT) AS n_with_k,
          |  CAST(sum(k) AS BIGINT) AS sum_k,
-         |  CAST(min(k) AS BIGINT) AS min_k,
-         |  CAST(max(k) AS BIGINT) AS max_k,
          |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q128_retention_cohorts", q128, Some(

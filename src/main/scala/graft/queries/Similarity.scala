@@ -807,26 +807,34 @@ object Similarity {
     dir
   }
 
-  /** Probe the store: the 5 standard queries rank the broadcast frozen
-    * centroids, the probed cluster ids are collected DRIVER-SIDE
-    * (bounded: 5 x nprobe rows) so the base snapshot scan is FILE-SET
-    * pruned to the probed `cid=` directories, and [[probeTail]] re-ranks
-    * exactly as q88 does.
+  /** The probed cluster ids for the 5 standard queries, collected
+    * DRIVER-SIDE (bounded: 5 x nprobe rows) — shared by every
+    * store-probe path so the base snapshot scan is FILE-SET pruned to
+    * the probed `cid=` directories; the ranking (cos desc, cid) is the
+    * single spelling the SQL oracles' `pq` CTE mirrors.
+    */
+  private def probedCids(e: DataFrame, cent: DataFrame, nprobe: Int): Seq[Long] = {
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
+    qs.join(broadcast(cent))
+      .select(col("query_id"), col("cid"),
+        (vectors.dot(col("qe"), col("ce")) / (col("nq") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= nprobe)
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Probe the store: probed clusters from [[probedCids]], the base
+    * snapshot scan pruned to their `cid=` directories, and
+    * [[probeTail]] re-ranking exactly as q88 does.
     */
   private def storeProbe(s: SparkSession, d: String, dir: String): DataFrame = {
     import graft.operators.IvfIndexStore
     val gen = IvfIndexStore.currentGeneration(dir)
     val e = corpusProj(s, d)
     val cent = IvfIndexStore.centroidsOf(s, dir, gen)
-    val qs = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
-    val probed = qs.join(broadcast(cent))
-      .select(col("query_id"), col("cid"),
-        (vectors.dot(col("qe"), col("ce")) / (col("nq") * col("cn"))).as("cos"))
-      .withColumn("rn", row_number().over(qw))
-      .where(col("rn") <= 1)
-      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    val probed = probedCids(e, cent, nprobe = 1)
     probeTail(e, cent, IvfIndexStore.assignmentsOf(s, dir, gen, Some(probed)), nprobe = 1)
   }
 
@@ -908,15 +916,7 @@ object Similarity {
     val dir = ensureIvfStore(s, d)
     val e = corpusProj(s, d)
     val cent = IvfIndexStore.centroidsOf(s, dir, 0)
-    val qs = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
-    val probed = qs.join(broadcast(cent))
-      .select(col("query_id"), col("cid"),
-        (vectors.dot(col("qe"), col("ce")) / (col("nq") * col("cn"))).as("cos"))
-      .withColumn("rn", row_number().over(qw))
-      .where(col("rn") <= 1)
-      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    val probed = probedCids(e, cent, nprobe = 1)
     (0 to IvfIndexStore.currentGeneration(dir)).map { g =>
       probeTail(e, cent, IvfIndexStore.assignmentsOf(s, dir, g, Some(probed)), nprobe = 1)
         .withColumn("generation", lit(g.toLong))
