@@ -457,7 +457,10 @@ object LshIndexStore {
     val next = gen + 1
     val tmp = freshTmp(dir, next)
     writeBands(bandsOf(s, dir, gen), s"$tmp/bands")
-    writeBands(countsOf(s, dir, gen), s"$tmp/counts")
+    // Buckets retracts netted to zero are inert — dropping them at the
+    // fold keeps the counts base from accumulating dead rows across
+    // retract/compact cycles.
+    writeBands(countsOf(s, dir, gen).where(col("n") =!= 0), s"$tmp/counts")
     pairBandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/pairbands")
     publish(dir, next, -1L, tmp)
     next

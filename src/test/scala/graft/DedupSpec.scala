@@ -577,6 +577,29 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(byIds) == pairSet(byBands), "post-retract admits diverged")
   }
 
+  test("LshIndexStore: a compact after a TOTAL retract stays readable and accepts new admits") {
+    import graft.operators.LshIndexStore
+    val cap = 4
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    def bands(rows: Seq[(Long, String)]) = Dedup.bandRows(
+      Dedup.minhashSignatures(docsDF(rows), "doc_id", "text"), 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshempty").toString + "/index"
+    LshIndexStore.init(spark, dir, bands((11L to 13L).map(_ -> textB)), cap)
+    val spark0 = spark
+    import spark0.implicits._
+    LshIndexStore.retract(spark, dir, (11L to 13L).toDF("doc_id"), cap)
+    // The fold's base snapshots are EMPTY — they must still carry a
+    // readable schema (a zero-row partitioned write would not).
+    val folded = LshIndexStore.compact(spark, dir)
+    assert(LshIndexStore.bandsOf(spark, dir, folded).count() == 0)
+    assert(LshIndexStore.pairs(spark, dir).count() == 0)
+    assert(LshIndexStore.countsOf(spark, dir, folded).count() == 0)
+    // Life goes on: a fresh admit onto the empty base pairs normally.
+    LshIndexStore.admit(spark, dir, bands(Seq(21L -> textB, 22L -> textB)), cap)
+    assert(candidatePairs(LshIndexStore.pairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))) == Set((21L, 22L)))
+  }
+
   test("spanDupStats: a span shared by every doc stays bounded by doc count and within-doc repeats combine") {
     // The adversarial ubiquitous-boilerplate case: every doc repeats the
     // SAME 8 tokens 4 times -> 32 tokens, 25 span positions, every span

@@ -213,6 +213,34 @@ class SimilaritySpec extends SparkSpec {
     assert(after == before, "policy-triggered compact changed the assignment")
   }
 
+  test("IvfIndexStore: a compact after a TOTAL retract stays readable and accepts new admits") {
+    import graft.operators.IvfIndexStore
+    import graft.functions.vectors
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfempty").toString + "/store"
+    def vecs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val cent = vecs(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .localCheckpoint()
+    def assign(df: org.apache.spark.sql.DataFrame) = df.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("cid"))
+    IvfIndexStore.init(spark, dir, cent, assign(vecs(Seq(10L -> Seq(0.9, 0.1)))))
+    IvfIndexStore.retract(spark, dir, Seq(10L).toDF("vec_id"))
+    val folded = IvfIndexStore.compact(spark, dir)
+    assert(IvfIndexStore.assignmentsOf(spark, dir, folded).count() == 0)
+    IvfIndexStore.admit(spark, dir, assign(vecs(Seq(20L -> Seq(0.2, 0.9)))))
+    assert(IvfIndexStore
+      .assignmentsOf(spark, dir, IvfIndexStore.currentGeneration(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set(20L -> 1L))
+  }
+
   test("q135 cluster health: members partition the corpus and agree with the q37 assignment") {
     val health = SparkEntry.queries("q135_ivf_cluster_health")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
