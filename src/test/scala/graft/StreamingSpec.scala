@@ -284,6 +284,68 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 1).count() == base + 5)
   }
 
+  test("streaming ingest into a GENERIC (events-keyed) layout: exactly-once commits, per-batch time travel, and a change feed that sums to the head") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen-ingest").toString + "/layout"
+    // A second-table layout: single-column identity, user-hash pids —
+    // nothing lineitem-shaped (the q176 construction, now under a
+    // stream).
+    def shaped(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("event_id", "user_id", "value_centi")
+      .select(pmod(col("user_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("user_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark,
+      shaped((1L to 20L).map(i => (i, i % 7, i * 100))), dir, Seq("event_id"))
+
+    val in = java.nio.file.Files.createTempDirectory("graft-gen-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-gen-chk")
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+      VersionedLayout.appendInsertOnce(spark, dir,
+        b.select(pmod(col("user_id"), lit(4)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("value_centi")), id)
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(Seq((0L, 0L, 0L)).toDF("event_id", "user_id", "value_centi").schema)
+        .parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def stage(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gen-stage")
+      rows.toDF("event_id", "user_id", "value_centi").repartition(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+
+    stage("b0.parquet", Seq((101L, 1L, 5L), (102L, 2L, 7L)))
+    run()
+    assert(VersionedLayout.currentVersion(dir) == 1)
+    assert(VersionedLayout.readAsOf(spark, dir, 1).count() == 22)
+    stage("b1.parquet", Seq((103L, 3L, 9L)))
+    run() // restart from checkpoint; batch 1 only
+    assert(VersionedLayout.currentVersion(dir) == 2)
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 23)
+    // Replay dedupes by txn on the generic layout too.
+    VersionedLayout.appendInsertOnce(spark, dir,
+      shaped(Seq((103L, 3L, 9L))), txn = 1L)
+    assert(VersionedLayout.currentVersion(dir) == 2, "replay appended a commit")
+    // Per-batch time travel on the generic key.
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == 20)
+    // The change feed (keyed by the layout's OWN identity column) sums
+    // to the head: base + inserts − deletes == readAsOf(head).
+    val feed = VersionedLayout.changeFeed(spark, dir, 0, 2)
+    assert(feed.where(col("change_type") === "insert").count() == 3)
+    assert(feed.select(col("event_id")).distinct().count() == 3)
+  }
+
   test("streaming ingest into the LSH index store: one generation per micro-batch, replayed batches admit exactly once") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, LshIndexStore}
