@@ -516,6 +516,8 @@ object VersionedLayout {
     val keys = keyColsOf(dir)
     val statsPids = tombsOpt match {
       case None => Array.empty[Int] // nothing to reclaim anywhere
+      case Some(_) if basePidDirs(dir).isEmpty =>
+        Array.empty[Int] // fully-erased fold left no base dirs to rewrite
       case Some(tombs) =>
         s.read.parquet(dir)
           .join(tombs.select(("pid" +: keys).map(col): _*)
@@ -990,7 +992,26 @@ object VersionedLayout {
     // same-key upsert replacement survive its own old tombstone). Minor
     // compactions change bytes, not row identity.
     val m = majorAtOrBefore(entries, v)
-    val base = (liveDf.toSeq ++ archDf).reduce(_ unionByName _)
+    val base = (liveDf.toSeq ++ archDf).reduceOption(_ unionByName _)
+      .getOrElse {
+        // A major fold of a FULLY-ERASED table lands no base pid dirs
+        // at all (an empty partitioned write has no files), so no live
+        // or archived source covers v: recover the table's schema from
+        // the newest surviving archive (the fold parked the pre-state
+        // there) and serve zero base rows.
+        val (arch, pidDir) = entries
+          .filter(e => e.action == "compact" || e.action == "majorcompact")
+          .sortBy(-_.version)
+          .map(e => new java.io.File(archiveDir(dir, e.version)))
+          .flatMap(a => Option(a.listFiles()).getOrElse(Array.empty)
+            .find(f => f.isDirectory && f.getName.startsWith("pid="))
+            .map(a -> _))
+          .headOption
+          .getOrElse(throw new IllegalStateException(
+            s"$dir has no base data files and no surviving archive to derive a schema from"))
+        s.read.option("basePath", arch.getAbsolutePath)
+          .parquet(pidDir.getAbsolutePath).where(lit(false))
+      }
       .withColumn("_src_ver", lit(m))
     val segs = entries
       .filter(e => (e.action == "insert" || e.action == "upsert")

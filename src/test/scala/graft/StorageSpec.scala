@@ -884,6 +884,33 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 7).count() == c3 - inU)
   }
 
+  test("full erasure: delete everything, major-fold to an empty base, keep reading and inserting (generic layout)") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-erase-all").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 12L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    VersionedLayout.appendDelete(spark, dir, lit(true))          // v1: erase ALL
+    val (m2, _) = VersionedLayout.majorCompact(spark, dir)       // v2: fold empty
+    assert(m2 == 2)
+    // The fold landed NO base pid dirs — the head read must still
+    // answer (zero rows, schema recovered from the fold's archive).
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 0)
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == 12,
+      "pre-erasure history lost")
+    // Compaction on the empty base is a clean no-op, not a crash.
+    VersionedLayout.appendDelete(spark, dir, lit(true))          // v3: empty set
+    val (_, pids) = VersionedLayout.appendCompact(spark, dir, 0.0) // v4
+    assert(pids.isEmpty)
+    // Life goes on: inserts land in segments and the head serves them.
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((101L, 5L)))) // v5
+    assert(VersionedLayout.readAsOf(spark, dir, 5).count() == 1)
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
