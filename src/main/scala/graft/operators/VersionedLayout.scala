@@ -35,7 +35,17 @@ import java.nio.charset.StandardCharsets
   *  - `vacuum(keepFrom)` — deletes archives of compact versions
   *    <= keepFrom and logs the new horizon; AS-OF below the horizon
   *    fails EXPLICITLY (never silently serves post-compact bytes for a
-  *    pre-compact version).
+  *    pre-compact version). It also sweeps lost-race orphan artifact
+  *    dirs past an mtime lease.
+  *  - `_log/ckpt-v<N>.json` — a [[checkpoint]]'s consolidated snapshot
+  *    of every entry <= N; the per-version files it covers are
+  *    truncated, so a long-lived table's log read parses O(1)
+  *    checkpoint + the tail instead of O(total versions) files.
+  *  - `_log/meta.json` — the table's row-identity KEY COLUMNS,
+  *    recorded at base-write time: the log is TABLE-GENERIC (tombstone
+  *    keying, upsert matching, the version-stamped mask, and the
+  *    change feed all follow this meta; layouts written before it
+  *    default to the lineitem triple).
   *
   * At 100 TB the points are: the log is O(versions) metadata, AS-OF
   * planning touches only the bounded pid/version maps (no data pass),
