@@ -89,9 +89,16 @@ object DeletableRangeLayout {
                 // Yet another publisher landed meanwhile. A fresh v0
                 // layout is deterministic from the source — droppable;
                 // one carrying committed MUTATIONS is durable state we
-                // must not discard, so leave it on disk for recovery.
+                // must not discard, so leave it on disk for recovery —
+                // and SAY so: parked durable state only discoverable by
+                // a directory listing is state nobody recovers.
                 if (VersionedLayout.currentVersion(trash.getPath) == 0)
                   org.apache.commons.io.FileUtils.deleteDirectory(trash)
+                else System.err.println(
+                  s"[graft] WARN: layout at $dir lost a triple publish race; " +
+                    s"a copy carrying committed mutations (version " +
+                    s"${VersionedLayout.currentVersion(trash.getPath)}) is parked at " +
+                    s"${trash.getPath} for manual recovery")
             }
             written.add(dir)
             return dir

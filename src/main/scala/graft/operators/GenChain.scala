@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * Manifests carry a `txn` stamp for exactly-once streaming ingest
   * (the [[VersionedLayout.appendInsertOnce]] contract).
   */
-private[operators] object GenChain {
+private[graft] object GenChain {
 
   def genDir(dir: String, gen: Int) = s"$dir/v$gen"
 
@@ -39,11 +39,90 @@ private[operators] object GenChain {
 
   /** The generation whose manifest records `txn`, skipping vacuumed
     * (manifest-less) generations — the exactly-once replay check.
+    * `txn < 0` is the NON-transactional sentinel every batch mutation
+    * publishes with; matching it would make `admitOnce(txn = -1)`
+    * silently skip real work (any v0 init or compact carries -1), so a
+    * sentinel lookup is always "not committed".
     */
   def committedGen(dir: String, txn: Long): Option[Int] =
-    (0 to currentGeneration(dir))
-      .filter(g => manifest(dir, g).isFile)
-      .find(g => txnOf(dir, g) == txn)
+    if (txn < 0) None
+    else txnIndex(dir).get(txn).orElse {
+      // Entries committed after the newest checkpoint (or all of them
+      // when no checkpoint exists yet).
+      val from = checkpointCoverage(dir) + 1
+      (from to currentGeneration(dir))
+        .filter(g => manifest(dir, g).isFile)
+        .find(g => txnOf(dir, g) == txn)
+    }
+
+  private def txnCkptFiles(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("_txn-ckpt-v\\d+\\.txt"))
+
+  /** Highest generation the newest txn checkpoint covers (-1 when none). */
+  def checkpointCoverage(dir: String): Int =
+    txnCkptFiles(dir)
+      .map(_.getName.stripPrefix("_txn-ckpt-v").stripSuffix(".txt").toInt)
+      .maxOption.getOrElse(-1)
+
+  /** The newest txn checkpoint's txn -> generation map. Replay detection
+    * reads this O(1) file plus only the post-checkpoint manifest tail,
+    * instead of every `v<N>` manifest — the bound that keeps
+    * `admitOnce` flat at 10^5 generations of continuous ingest. The map
+    * also SURVIVES vacuuming the generations that carried the stamps
+    * (see [[vacuumGenerations]]), so exactly-once holds across history
+    * reclamation.
+    */
+  def txnIndex(dir: String): Map[Long, Int] = {
+    val n = checkpointCoverage(dir)
+    if (n < 0) return Map.empty
+    new String(Files.readAllBytes(
+      new java.io.File(dir, s"_txn-ckpt-v$n.txt").toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(t, g) = l.split(",", 2)
+        t.toLong -> g.toInt
+      }.toMap
+  }
+
+  /** Consolidate every transactional (txn >= 0) stamp at or below the
+    * current head into one checkpoint file named for its coverage,
+    * then drop the older checkpoints it subsumes. Publish is a
+    * write-then-hard-link CAS like the layout log's: a lost same-head
+    * race is benign (both writers render identical content — the map is
+    * deterministic from the chain). Returns the covered generation.
+    */
+  def checkpointTxns(dir: String): Int = {
+    val head = currentGeneration(dir)
+    require(head >= 0, s"$dir has no committed generation to checkpoint")
+    val from = checkpointCoverage(dir) + 1
+    val fresh = (from to head).filter(g => manifest(dir, g).isFile)
+      .flatMap(g => { val t = txnOf(dir, g); if (t >= 0) Some(t -> g) else None })
+    val all = txnIndex(dir) ++ fresh
+    val f = new java.io.File(dir, s"_txn-ckpt-v$head.txt")
+    if (!f.isFile) {
+      val tmp = new java.io.File(dir, s"._txn-ckpt-v$head.tmp-" +
+        s"p${ProcessHandle.current().pid()}t${Thread.currentThread().getId}")
+      Files.write(tmp.toPath, all.toSeq.sorted
+        .map { case (t, g) => s"$t,$g" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(f.toPath, tmp.toPath)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp.toPath)
+    }
+    txnCkptFiles(dir)
+      .filter(_.getName.stripPrefix("_txn-ckpt-v").stripSuffix(".txt").toInt < head)
+      .foreach(old => Files.deleteIfExists(old.toPath))
+    head
+  }
+
+  /** A lost generation compare-and-swap: the atomic-rename publish found
+    * the target already committed by a concurrent writer. Marker type so
+    * [[withChainRetry]] can rebase exactly these (still an
+    * IllegalStateException for callers that match the loud-failure
+    * contract).
+    */
+  final class ChainCasLostException(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
 
   /** Publish generation `gen` from a complete tmp: manifest last, then
     * one atomic rename.
@@ -54,28 +133,73 @@ private[operators] object GenChain {
     Files.createDirectories(Paths.get(dir))
     try Files.move(Paths.get(tmp), Paths.get(genDir(dir, gen)), StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileSystemException =>
+      case e: java.nio.file.FileSystemException =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        throw new IllegalStateException(
-          s"generation $gen of $dir was committed by another writer")
+        throw new ChainCasLostException(
+          s"generation $gen of $dir was committed by another writer", e)
     }
   }
 
+  /** Writer-unique (process + thread) build dir: concurrent writers
+    * preparing the SAME next generation write disjoint paths, so the
+    * publish CAS loser's bytes are unreferenced garbage rather than a
+    * silent overwrite of the winner's in-flight tmp — the
+    * [[VersionedLayout]] writer-tag discipline applied to the chains.
+    */
   def freshTmp(dir: String, gen: Int): String = {
-    val tmp = s"$dir/.gen-tmp-v$gen-p${ProcessHandle.current().pid()}"
+    val tmp = s"$dir/.gen-tmp-v$gen-p${ProcessHandle.current().pid()}" +
+      s"t${Thread.currentThread().getId}"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     Files.createDirectories(Paths.get(tmp))
     tmp
   }
 
-  /** Drop generations BELOW `keepFrom` (caller asserts `keepFrom` is a
-    * full-snapshot generation so the chain stays rooted).
+  /** OPTIMISTIC multi-writer mutation for the chain stores: run
+    * `action`; if it loses the generation CAS to a concurrent writer,
+    * re-run it against the new head. The rebase is correct for the
+    * admit/retract family because each derives its artifacts
+    * deterministically from (head at entry, the input batch) — the
+    * re-run IS the same logical mutation serialized after the winner —
+    * and writer-unique tmp dirs keep the loser's bytes out of every
+    * read path. The exactly-once `*Once` entry points re-check their
+    * txn stamp inside each attempt, so a batch the WINNER committed is
+    * skipped, not duplicated. NOT for compact/vacuum: maintenance keeps
+    * the single-writer contract (as [[VersionedLayout.withWriteRetry]]
+    * documents for the layout's OPTIMIZE family).
     */
-  def vacuumGenerations(dir: String, keepFrom: Int): Unit =
+  def withChainRetry[T](attempts: Int = 5)(action: => T): T = {
+    var last: Throwable = null
+    (1 to attempts).foreach { _ =>
+      try return action
+      catch { case e: ChainCasLostException => last = e }
+    }
+    throw new IllegalStateException(
+      s"lost the generation race $attempts times — livelocked against concurrent writers",
+      last)
+  }
+
+  /** Drop generations BELOW `keepFrom` (caller asserts `keepFrom` is a
+    * full-snapshot generation so the chain stays rooted). The txn stamps
+    * of the generations about to vanish are consolidated into the txn
+    * checkpoint FIRST — otherwise a restarted stream would re-commit a
+    * vacuumed batch, breaking exactly-once across history reclamation.
+    */
+  def vacuumGenerations(dir: String, keepFrom: Int,
+      orphanLeaseMs: Long = 15 * 60 * 1000L): Unit = {
+    if (currentGeneration(dir) >= 0) checkpointTxns(dir)
     (0 until keepFrom).foreach { g =>
       val d = new java.io.File(genDir(dir, g))
       if (d.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(d)
     }
+    // Sweep abandoned writer tmps (crashed or CAS-lost attempts) past an
+    // mtime lease — an in-flight writer's tmp keeps a recent mtime while
+    // its tasks write, so only garbage ages out.
+    val cutoff = System.currentTimeMillis() - orphanLeaseMs
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".gen-tmp-")
+        && f.lastModified() <= cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
 
   /** ONE compaction policy for every maintained chain: fire at
     * `maxSegments` chain length, or when the merged read's row mass

@@ -187,13 +187,20 @@ object IvfIndexStore {
   }
 
   /** Exactly-once admit/retract for streaming ingest (txn-stamp replay
-    * dedupe, the [[LshIndexStore.admitOnce]] contract).
+    * dedupe, the [[LshIndexStore.admitOnce]] contract). Multi-writer
+    * safe: a lost generation CAS rebases via
+    * [[GenChain.withChainRetry]]; the txn re-check inside each attempt
+    * keeps a batch the winner committed from duplicating.
     */
   def admitOnce(s: SparkSession, dir: String, deltaAsg: DataFrame, txn: Long): Int =
-    GenChain.committedGen(dir, txn).getOrElse(admit(s, dir, deltaAsg, txn))
+    GenChain.withChainRetry() {
+      GenChain.committedGen(dir, txn).getOrElse(admit(s, dir, deltaAsg, txn))
+    }
 
   def retractOnce(s: SparkSession, dir: String, vecIds: DataFrame, txn: Long): Int =
-    GenChain.committedGen(dir, txn).getOrElse(retract(s, dir, vecIds, txn))
+    GenChain.withChainRetry() {
+      GenChain.committedGen(dir, txn).getOrElse(retract(s, dir, vecIds, txn))
+    }
 
   /** Fold the segment chain into a fresh full-snapshot generation
     * (centroids carried forward unchanged — physical reorganization,
@@ -207,6 +214,9 @@ object IvfIndexStore {
     centroidsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/centroids")
     writeAsg(assignmentsOf(s, dir, gen), s"$tmp/asg")
     GenChain.publish(dir, next, -1L, tmp)
+    // Maintenance moment doubles as the txn-index consolidation point:
+    // replay detection stays O(1) + tail however long ingest runs.
+    GenChain.checkpointTxns(dir)
     next
   }
 

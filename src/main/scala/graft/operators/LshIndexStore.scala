@@ -312,16 +312,23 @@ object LshIndexStore {
 
   /** Exactly-once admit for streaming ingest: skip the batch if any
     * generation's manifest already records `txn` (the replayed
-    * micro-batch of a restarted stream), else admit it.
+    * micro-batch of a restarted stream), else admit it. Multi-writer
+    * safe: a lost generation CAS rebases via
+    * [[GenChain.withChainRetry]], and the txn re-check inside each
+    * attempt keeps a batch the winner committed from duplicating.
     */
   def admitOnce(s: SparkSession, dir: String, deltaBands: DataFrame, txn: Long,
       maxBucket: Int = Dedup.defaultMaxBucket): Int =
-    committedGen(dir, txn).getOrElse(admit(s, dir, deltaBands, maxBucket, txn))
+    GenChain.withChainRetry() {
+      committedGen(dir, txn).getOrElse(admit(s, dir, deltaBands, maxBucket, txn))
+    }
 
   /** Exactly-once retract (same txn-stamp contract as [[admitOnce]]). */
   def retractOnce(s: SparkSession, dir: String, docIds: DataFrame, txn: Long,
       maxBucket: Int = Dedup.defaultMaxBucket): Int =
-    committedGen(dir, txn).getOrElse(retract(s, dir, docIds, maxBucket, txn))
+    GenChain.withChainRetry() {
+      committedGen(dir, txn).getOrElse(retract(s, dir, docIds, maxBucket, txn))
+    }
 
   /** Exactly-once [[retractBands]] — the streaming CDC-erasure shape:
     * the tombstone stream carries the docs' band rows, every state read
@@ -329,7 +336,9 @@ object LshIndexStore {
     */
   def retractBandsOnce(s: SparkSession, dir: String, removedBands: DataFrame, txn: Long,
       maxBucket: Int = Dedup.defaultMaxBucket): Int =
-    committedGen(dir, txn).getOrElse(retractBands(s, dir, removedBands, maxBucket, txn))
+    GenChain.withChainRetry() {
+      committedGen(dir, txn).getOrElse(retractBands(s, dir, removedBands, maxBucket, txn))
+    }
 
   private def committedGen(dir: String, txn: Long): Option[Int] =
     GenChain.committedGen(dir, txn)
@@ -463,6 +472,9 @@ object LshIndexStore {
     writeBands(countsOf(s, dir, gen).where(col("n") =!= 0), s"$tmp/counts")
     pairBandsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/pairbands")
     publish(dir, next, -1L, tmp)
+    // Maintenance moment doubles as the txn-index consolidation point:
+    // replay detection stays O(1) + tail however long ingest runs.
+    GenChain.checkpointTxns(dir)
     next
   }
 

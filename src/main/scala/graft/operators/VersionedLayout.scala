@@ -222,25 +222,34 @@ object VersionedLayout {
   def log(dir: String): Seq[LogEntry] = {
     val d = logDir(dir)
     if (!d.isDirectory) return Nil
-    try {
-      val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      val head: Seq[LogEntry] = files
-        .filter(_.getName.matches("ckpt-v\\d+\\.json")).sortBy(_.getName).lastOption
-        .map { f =>
-          new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-            .linesIterator.filter(_.nonEmpty).map(parseEntry).toSeq
-        }.getOrElse(Nil)
-      val ckptV = head.lastOption.map(_.version).getOrElse(-1)
-      head ++ files.filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName)
-        .map(f => parseEntry(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
-        .filter(_.version > ckptV)
-    } catch {
-      // A concurrent checkpoint's truncation can delete a file between
-      // our listing and its read; the re-list sees the superseding
-      // checkpoint (strictly newer state), so one retry converges.
-      case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
-        log(dir)
+    // A concurrent checkpoint's truncation can delete a file between our
+    // listing and its read; the re-list sees the superseding checkpoint
+    // (strictly newer state), so one retry normally converges. The retry
+    // is BOUNDED: each truncation is one checkpoint landing, so needing
+    // more than a handful means the filesystem is lying — fail loudly
+    // rather than recurse without a depth cap.
+    var lastMiss: Throwable = null
+    (1 to 8).foreach { _ =>
+      try {
+        val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        val head: Seq[LogEntry] = files
+          .filter(_.getName.matches("ckpt-v\\d+\\.json")).sortBy(_.getName).lastOption
+          .map { f =>
+            new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+              .linesIterator.filter(_.nonEmpty).map(parseEntry).toSeq
+          }.getOrElse(Nil)
+        val ckptV = head.lastOption.map(_.version).getOrElse(-1)
+        return head ++ files.filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName)
+          .map(f => parseEntry(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
+          .filter(_.version > ckptV)
+      } catch {
+        case e @ (_: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException) =>
+          lastMiss = e
+      }
     }
+    throw new IllegalStateException(
+      s"log files of $dir kept vanishing mid-read across 8 attempts — " +
+        "more than concurrent checkpoint truncation can explain", lastMiss)
   }
 
   /** CHECKPOINT the log at the current head: write ONE consolidated

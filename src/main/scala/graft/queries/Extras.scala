@@ -632,7 +632,7 @@ object Extras {
         |ORDER BY frame_md5""".stripMargin)),
     QueryDef("q174_json_struct", q174, Some(
       s"""WITH e AS (SELECT event_type,
-         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
+         |        TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(count(k) AS BIGINT) AS n_with_k,
          |  CAST(sum(k) AS BIGINT) AS sum_k,
