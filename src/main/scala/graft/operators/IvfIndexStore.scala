@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,7 +22,9 @@ import org.apache.spark.sql.functions._
   *    directories: the file set, not just the filter, is pruned. The
   *    centroid table is FROZEN by admits (assignment against moving
   *    centroids would silently skew the index); drift is measured by
-  *    [[driftAudit]] and a retrain is an explicit re-[[init]].
+  *    the q173 drift audit and acted on by [[retrain]] — a CENTROID
+  *    EPOCH flip inside the chain that migrates the live assignments
+  *    and preserves txn stamps and time travel (see [[epochOf]]).
   *  - every admitted generation: `asg-delta` — ONLY the batch's
   *    assignments (computed by the caller against the broadcast frozen
   *    centroids; O(delta) compute and write, the corpus is never
@@ -130,7 +135,8 @@ object IvfIndexStore {
 
   /** Generation 0: the trained centroid table + the base corpus's full
     * assignment snapshot (`cid=`-partitioned). No-op if a generation
-    * already exists. A RETRAIN is a fresh init into a new dir (the
+    * already exists. A retrain is [[retrain]] — an epoch flip inside
+    * the chain, NOT a fresh init into a new dir (the
     * centroid freeze is the store's contract — see class doc).
     */
   /** Write an assignment snapshot `cid=`-partitioned; an EMPTY one (a
@@ -202,9 +208,68 @@ object IvfIndexStore {
       GenChain.committedGen(dir, txn).getOrElse(retract(s, dir, vecIds, txn))
     }
 
+  /** Centroid EPOCH serving generation `gen`: 0 is the init training;
+    * each [[retrain]] increments it; [[compact]] carries it forward.
+    * Epochs are what make the retrain signal actionable WITHOUT erasing
+    * the chain: a generation's answers are always served under the
+    * centroid table of its own epoch, so time travel across a retrain
+    * reproduces exactly what each past pipeline run saw.
+    */
+  def epochOf(dir: String, gen: Int): Int = {
+    val f = new java.io.File(genDir(dir, baseGenOf(dir, gen)), "_epoch.txt")
+    if (f.isFile)
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  private def writeEpochMarker(tmp: String, epoch: Int): Unit =
+    Files.write(new java.io.File(tmp, "_epoch.txt").toPath,
+      epoch.toString.getBytes(StandardCharsets.UTF_8))
+
+  /** RETRAIN-AND-MIGRATE as generation N+1, centroid epoch E+1 — the
+    * action the [[driftAudit q173 drift audit]]'s `retrain_recommended`
+    * signal calls for, WITHOUT the old dead-end of a from-scratch
+    * re-`init` (which erased the generation chain, its txn stamps, and
+    * its time-travel history). The caller trains `newCentroids` (on
+    * whatever corpus slice its policy dictates) and re-assigns exactly
+    * the LIVE vectors against them (`newAsg` — one O(live) assignment
+    * pass, the same broadcast-argmax shape as an admit's); the store
+    * publishes both as a FULL-snapshot generation carrying the new
+    * epoch. Everything the chain already guarantees is preserved:
+    *
+    *  - generations BELOW the retrain keep serving under their own
+    *    epoch's centroids ([[centroidsOf]]/[[assignmentsOf]] route
+    *    through [[baseGenOf]], which the retrain generation now caps);
+    *  - txn stamps survive (nothing is deleted — and the flip doubles
+    *    as a txn-checkpoint moment like [[compact]]);
+    *  - subsequent admits assign against [[centroidsOf]] at the NEW
+    *    head — the epoch flip is transparent to the ingest loop as long
+    *    as it reads the centroid table per batch (which the documented
+    *    admit contract already requires).
+    *
+    * Like compact, a retrain is MAINTENANCE: single-writer with respect
+    * to concurrent admits (an admit computed against the old epoch's
+    * centroids must not rebase across the flip — its assignments would
+    * be stale; serialize the flip between micro-batches).
+    */
+  def retrain(s: SparkSession, dir: String, newCentroids: DataFrame,
+      newAsg: DataFrame, txn: Long = -1L): Int = {
+    val gen = currentGeneration(dir)
+    require(gen >= 0, s"$dir has no generation 0 — call init first")
+    val next = gen + 1
+    val tmp = GenChain.freshTmp(dir, next)
+    newCentroids.select(col("cid"), col("ce"), col("cn"))
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    writeAsg(newAsg, s"$tmp/asg")
+    writeEpochMarker(tmp, epochOf(dir, gen) + 1)
+    GenChain.publish(dir, next, txn, tmp)
+    GenChain.checkpointTxns(dir)
+    next
+  }
+
   /** Fold the segment chain into a fresh full-snapshot generation
-    * (centroids carried forward unchanged — physical reorganization,
-    * not a retrain), so reads are single-source again.
+    * (centroids AND epoch carried forward unchanged — physical
+    * reorganization, not a retrain), so reads are single-source again.
     */
   def compact(s: SparkSession, dir: String): Int = {
     val gen = currentGeneration(dir)
@@ -213,6 +278,7 @@ object IvfIndexStore {
     val tmp = GenChain.freshTmp(dir, next)
     centroidsOf(s, dir, gen).write.mode("overwrite").parquet(s"$tmp/centroids")
     writeAsg(assignmentsOf(s, dir, gen), s"$tmp/asg")
+    writeEpochMarker(tmp, epochOf(dir, gen))
     GenChain.publish(dir, next, -1L, tmp)
     // Maintenance moment doubles as the txn-index consolidation point:
     // replay detection stays O(1) + tail however long ingest runs.
@@ -258,4 +324,16 @@ object IvfIndexStore {
       maxSegments: Int = IndexStore.recommendMaxSegments): Boolean =
     GenChain.compactWhenNeeded(chainAudit(s, dir),
       compact(s, dir), maxOverheadMilli, maxSegments)
+
+  /** Fire `doRetrain` when the drift audit (a q173-shaped frame with a
+    * boolean `retrain_recommended` column, one row per generation —
+    * bounded) flags any generation — the policy arm that closes the
+    * audit -> [[retrain]] loop, symmetric with [[compactIfNeeded]].
+    * Returns whether it fired.
+    */
+  def retrainWhenRecommended(audit: DataFrame)(doRetrain: => Int): Boolean = {
+    val fire = audit.where(col("retrain_recommended")).limit(1).count() > 0
+    if (fire) { doRetrain; () }
+    fire
+  }
 }

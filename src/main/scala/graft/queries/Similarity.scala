@@ -807,6 +807,41 @@ object Similarity {
     dir
   }
 
+  /** q177-q179's store: the q171 chain continued with a RETRAIN —
+    * centroid EPOCH 1 trains one further quantized Lloyd step over ALL
+    * live vectors (exactly the corpus the drift audit watches), the
+    * live set is re-assigned against the new table in one O(live)
+    * broadcast-argmax pass, and both publish INSIDE the chain as a
+    * full-snapshot generation. Nothing is erased: txn stamps, the
+    * segment history, and every pre-retrain generation's epoch-0
+    * serving all survive (the properties q179 and the specs pin).
+    * The fixture retrains unconditionally — this corpus has no real
+    * drift (q173 reads healthy by construction), so the TRIGGER is
+    * exercised by [[graft.operators.IvfIndexStore.retrainWhenRecommended]]'s
+    * spec and the MECHANISM is gated here.
+    */
+  private[graft] def ensureIvfRetrainStore(s: SparkSession, d: String): String = {
+    import graft.operators.IvfIndexStore
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfretrain_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    ivfStoreLock.synchronized {
+      if (ivfStoreBuilt.add(dir)) {
+        buildIvfChain(s, d, dir)
+        val e = corpusProj(s, d).localCheckpoint()
+        val live = IvfIndexStore.assignmentsOf(
+          s, dir, IvfIndexStore.currentGeneration(dir))
+        val cent2 = centroids(e, live).localCheckpoint()
+        IvfIndexStore.retrain(s, dir, cent2,
+          nearest(e, cent2, "vec_id", "embedding", "nrm"))
+        DatasetBridge.unpersistCheckpoint(cent2)
+        DatasetBridge.unpersistCheckpoint(e)
+      }
+    }
+    dir
+  }
+
   /** The probed cluster ids for the 5 standard queries, collected
     * DRIVER-SIDE (bounded: 5 x nprobe rows) — shared by every
     * store-probe path so the base snapshot scan is FILE-SET pruned to
@@ -926,6 +961,189 @@ object Similarity {
       .orderBy(col("generation"), col("query_id"), col("rank"))
   }
 
+  /** RETRAIN-AND-MIGRATE on the IVF store (the action q173's drift
+    * signal calls for): the q171 chain flips to centroid EPOCH 1 — new
+    * centroids trained on all live vectors, live set re-assigned, both
+    * published INSIDE the chain — and the post-retrain probe must equal
+    * the oracle's flat derivation (train on base, assign all, ONE MORE
+    * Lloyd step over everything, re-assign, probe). That proves the
+    * migrated store == a from-scratch rebuild under the new centroids,
+    * with none of the rebuild's costs: txn stamps, history, and
+    * exactly-once ingest all survive the flip (q179 + the specs pin
+    * those). At 100 TB: a retrain costs one assignment pass over the
+    * live corpus — the same O(corpus) a rebuild pays for assignment —
+    * but skips re-erasing/re-writing history and never breaks the
+    * ingest loop's replay detection.
+    */
+  private def q177(s: SparkSession, d: String): DataFrame =
+    storeProbe(s, d, ensureIvfRetrainStore(s, d))
+
+  /** RECALL ACROSS THE EPOCH FLIP — the acceptance check a production
+    * retrain gates on: for the 5 standard queries, recall@5 of the
+    * nprobe=1 probe against exact brute-force top-5, measured under the
+    * FROZEN epoch-0 centroids (the pre-retrain head) and under the
+    * retrained epoch-1 table, in exact integer micro. One bounded
+    * brute-force pass (5 queries broadcast against the corpus — the q29
+    * shape) plus two store probes; the oracle derives the identical
+    * integers, so the instrument itself is proven exact.
+    */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndexStore
+    val dir = ensureIvfRetrainStore(s, d)
+    val e = corpusProj(s, d).localCheckpoint()
+    val head = IvfIndexStore.currentGeneration(dir)
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
+    val bw = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("neighbor_id"))
+    val brute = broadcast(qs)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn")), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vectors.dot(col("qe"), col("ne")) / (col("nq") * col("nn"))).as("c"))
+      .withColumn("rn", row_number().over(bw)).where(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+    def probeAt(g: Int) = {
+      val cent = IvfIndexStore.centroidsOf(s, dir, g)
+      val probed = probedCids(e, cent, nprobe = 1)
+      probeTail(e, cent, IvfIndexStore.assignmentsOf(s, dir, g, Some(probed)), nprobe = 1)
+        .withColumn("epoch", lit(IvfIndexStore.epochOf(dir, g).toLong))
+    }
+    probeAt(head - 1).unionByName(probeAt(head))
+      .join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_returned"), count(col("_hit")).as("n_hits"))
+      .withColumn("recall_micro", expr("(1000000 * n_hits) div n_returned"))
+      .orderBy(col("epoch"))
+  }
+
+  /** TIME TRAVEL ACROSS THE EPOCH FLIP — q175's property extended to a
+    * retrained chain: the probe AS OF each generation is served under
+    * that generation's OWN epoch's centroid table (generations 0-2
+    * under the frozen epoch-0 training, the retrain generation under
+    * epoch 1), with each epoch's own probed-cluster routing. This is
+    * what the epoch mechanism buys over re-init: a deployment can
+    * reproduce the exact retrieval any past pipeline run saw, on either
+    * side of any number of retrains, from one store.
+    */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndexStore
+    val dir = ensureIvfRetrainStore(s, d)
+    val e = corpusProj(s, d).localCheckpoint()
+    (0 to IvfIndexStore.currentGeneration(dir)).map { g =>
+      val cent = IvfIndexStore.centroidsOf(s, dir, g)
+      val probed = probedCids(e, cent, nprobe = 1)
+      probeTail(e, cent, IvfIndexStore.assignmentsOf(s, dir, g, Some(probed)), nprobe = 1)
+        .withColumn("generation", lit(g.toLong))
+        .withColumn("epoch", lit(IvfIndexStore.epochOf(dir, g).toLong))
+        .select(col("generation"), col("epoch"), col("query_id"),
+          col("neighbor_id"), col("rank"), col("cos"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("generation"), col("query_id"), col("rank"))
+  }
+
+  /** The retrain's derivation in oracle terms: ONE more quantized Lloyd
+    * step over the whole live corpus (comp2/cent2 from asg1), then a
+    * full re-assignment (asg2) — exactly what [[ensureIvfRetrainStore]]
+    * publishes as epoch 1.
+    */
+  private def ivfRetrainSql: String =
+    s"""comp2 AS (SELECT a.cid, unnest(range(1, ${dims + 1})) AS pos,
+       |           CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * $quantScale) AS BIGINT) AS qv
+       |         FROM asg1 a JOIN e ON e.vec_id = a.vec_id),
+       |cs2 AS (SELECT cid, pos, sum(qv) AS sq, count(*) AS cnt FROM comp2 GROUP BY cid, pos),
+       |cent2 AS (SELECT cid, list(CAST(sq AS DOUBLE) / cnt ORDER BY pos) AS ce FROM cs2 GROUP BY cid),
+       |cn2 AS (SELECT cid, ce, sqrt(${ssSql("ce")}) AS cn FROM cent2),
+       |a2 AS (SELECT e.vec_id, c.cid, ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) AS cos
+       |       FROM e CROSS JOIN cn2 c),
+       |g2 AS (SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a2),
+       |asg2 AS (SELECT vec_id, cid FROM g2 WHERE rn = 1)""".stripMargin
+
+  private def ivfRetrainProbeSql: String =
+    ivfStoreHeadSql + ",\n" + ivfRetrainSql + ",\n" + ivfProbeTailSql("cn2", "asg2")
+
+  /** A probe-routing CTE (query_id -> nprobe nearest cluster ids of
+    * centroid table `cn`) named `pq$sfx` — q178/q179 route each epoch
+    * through its own table.
+    */
+  private def ivfPqSql(sfx: String, cn: String): String =
+    s"""pq$sfx AS (SELECT query_id, cid FROM (
+       |         SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
+       |         FROM q CROSS JOIN $cn c) WHERE rn <= 1)""".stripMargin
+
+  private def ivfEpochRecallSql: String =
+    ivfStoreHeadSql + ",\n" + ivfRetrainSql + ",\n" +
+      s"""q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |            SELECT q.query_id, e2.vec_id AS neighbor_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${dotSql("q.qe", "e2.embedding")} / (q.nq * e2.nrm) DESC,
+         |                  e2.vec_id) AS rn
+         |            FROM q JOIN e e2 ON e2.vec_id <> q.query_id) WHERE rn <= 5),
+         |${ivfPqSql("1", "cn1")},
+         |${ivfPqSql("2", "cn2")},
+         |pr1 AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT pq.query_id, m.vec_id AS neighbor_id,
+         |            row_number() OVER (PARTITION BY pq.query_id
+         |              ORDER BY ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) DESC,
+         |                m.vec_id) AS rank
+         |          FROM pq1 pq JOIN asg1 m ON m.cid = pq.cid
+         |          JOIN q qq ON qq.query_id = pq.query_id
+         |          JOIN e e2 ON e2.vec_id = m.vec_id
+         |          WHERE m.vec_id <> pq.query_id) WHERE rank <= 5),
+         |pr2 AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT pq.query_id, m.vec_id AS neighbor_id,
+         |            row_number() OVER (PARTITION BY pq.query_id
+         |              ORDER BY ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) DESC,
+         |                m.vec_id) AS rank
+         |          FROM pq2 pq JOIN asg2 m ON m.cid = pq.cid
+         |          JOIN q qq ON qq.query_id = pq.query_id
+         |          JOIN e e2 ON e2.vec_id = m.vec_id
+         |          WHERE m.vec_id <> pq.query_id) WHERE rank <= 5),
+         |u AS (SELECT 0 AS epoch, query_id, neighbor_id FROM pr1
+         |      UNION ALL SELECT 1 AS epoch, query_id, neighbor_id FROM pr2),
+         |hit AS (SELECT query_id, neighbor_id, 1 AS h FROM brute)
+         |SELECT CAST(u.epoch AS BIGINT) AS epoch,
+         |  CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(count(hit.h) AS BIGINT) AS n_hits,
+         |  (1000000 * count(hit.h)) // count(*) AS recall_micro
+         |FROM u LEFT JOIN hit ON hit.query_id = u.query_id
+         |  AND hit.neighbor_id = u.neighbor_id
+         |GROUP BY u.epoch ORDER BY epoch""".stripMargin
+
+  private def ivfEpochTimeTravelSql: String =
+    ivfStoreHeadSql + ",\n" + ivfRetrainSql + ",\n" +
+      s"""q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
+         |${ivfPqSql("1", "cn1")},
+         |${ivfPqSql("2", "cn2")},
+         |ver AS (SELECT unnest([0, 1, 2]) AS generation),
+         |mem1 AS (SELECT ver.generation, m.vec_id, m.cid FROM ver JOIN asg1 m
+         |         ON (m.vec_id % 4 <> 0)
+         |         OR (ver.generation >= 1 AND m.vec_id % 8 = 0)
+         |         OR (ver.generation >= 2 AND m.vec_id % 8 = 4)),
+         |cand1 AS (SELECT m.generation, 0 AS epoch, pq.query_id, m.vec_id AS neighbor_id,
+         |            ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
+         |          FROM pq1 pq JOIN mem1 m ON m.cid = pq.cid
+         |          JOIN q qq ON qq.query_id = pq.query_id
+         |          JOIN e e2 ON e2.vec_id = m.vec_id
+         |          WHERE m.vec_id <> pq.query_id),
+         |cand2 AS (SELECT 3 AS generation, 1 AS epoch, pq.query_id, m.vec_id AS neighbor_id,
+         |            ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
+         |          FROM pq2 pq JOIN asg2 m ON m.cid = pq.cid
+         |          JOIN q qq ON qq.query_id = pq.query_id
+         |          JOIN e e2 ON e2.vec_id = m.vec_id
+         |          WHERE m.vec_id <> pq.query_id),
+         |cand AS (SELECT * FROM cand1 UNION ALL SELECT * FROM cand2)
+         |SELECT CAST(generation AS BIGINT) AS generation, CAST(epoch AS BIGINT) AS epoch,
+         |  query_id, neighbor_id, rank, round(c, 6) AS cos FROM (
+         |  SELECT generation, epoch, query_id, neighbor_id, c,
+         |    row_number() OVER (PARTITION BY generation, query_id
+         |      ORDER BY c DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY generation, query_id, rank""".stripMargin
+
   private def ivfTimeTravelSql: String =
     ivfStoreHeadSql + ",\n" +
       s"""ver AS (SELECT unnest([0, 1, 2]) AS generation),
@@ -981,28 +1199,32 @@ object Similarity {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM a1),
        |asg1 AS (SELECT vec_id, cid FROM g1 WHERE rn = 1)""".stripMargin
 
-  /** The q88-shaped probe over the store derivation; `candFilter`
-    * excludes retracted vectors from candidacy (q172).
+  /** The q88-shaped probe tail over a (centroid table, assignment
+    * table) pair — q171/q172 bind the epoch-0 derivation (cn1/asg1),
+    * q177 the retrained epoch 1 (cn2/asg2); `candFilter` excludes
+    * retracted vectors from candidacy (q172).
     */
+  private def ivfProbeTailSql(cn: String, asg: String, candFilter: String = ""): String =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
+       |pq AS (SELECT query_id, cid FROM (
+       |         SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
+       |         FROM q CROSS JOIN $cn c) WHERE rn <= 1),
+       |cand AS (SELECT pq.query_id, m.vec_id AS neighbor_id,
+       |           ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
+       |         FROM pq JOIN $asg m ON m.cid = pq.cid
+       |         JOIN q qq ON qq.query_id = pq.query_id
+       |         JOIN e e2 ON e2.vec_id = m.vec_id
+       |         WHERE m.vec_id <> pq.query_id$candFilter)
+       |SELECT query_id, neighbor_id, rank, round(c, 6) AS cos FROM (
+       |  SELECT query_id, neighbor_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def ivfStoreProbeSql(candFilter: String = ""): String =
-    ivfStoreHeadSql + ",\n" +
-      s"""q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS nq FROM e WHERE vec_id < 5),
-         |pq AS (SELECT query_id, cid FROM (
-         |         SELECT q.query_id, c.cid,
-         |           row_number() OVER (PARTITION BY q.query_id
-         |             ORDER BY ${dotSql("q.qe", "c.ce")} / (q.nq * c.cn) DESC, c.cid) AS rn
-         |         FROM q CROSS JOIN cn1 c) WHERE rn <= 1),
-         |cand AS (SELECT pq.query_id, m.vec_id AS neighbor_id,
-         |           ${dotSql("qq.qe", "e2.embedding")} / (qq.nq * e2.nrm) AS c
-         |         FROM pq JOIN asg1 m ON m.cid = pq.cid
-         |         JOIN q qq ON qq.query_id = pq.query_id
-         |         JOIN e e2 ON e2.vec_id = m.vec_id
-         |         WHERE m.vec_id <> pq.query_id$candFilter)
-         |SELECT query_id, neighbor_id, rank, round(c, 6) AS cos FROM (
-         |  SELECT query_id, neighbor_id, c,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
-         |  FROM cand)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    ivfStoreHeadSql + ",\n" + ivfProbeTailSql("cn1", "asg1", candFilter)
 
   private def ivfDriftSql: String =
     ivfStoreHeadSql + ",\n" +
@@ -1027,6 +1249,9 @@ object Similarity {
     QueryDef("q172_ivf_index_crud", q172, Some(ivfStoreProbeSql(" AND m.vec_id % 16 <> 1"))),
     QueryDef("q173_ivf_drift_audit", q173, Some(ivfDriftSql)),
     QueryDef("q175_ivf_time_travel", q175, Some(ivfTimeTravelSql)),
+    QueryDef("q177_ivf_retrain", q177, Some(ivfRetrainProbeSql)),
+    QueryDef("q178_ivf_epoch_recall", q178, Some(ivfEpochRecallSql)),
+    QueryDef("q179_ivf_epoch_time_travel", q179, Some(ivfEpochTimeTravelSql)),
     QueryDef("q135_ivf_cluster_health", q135, Some(clusterHealthSql)),
     QueryDef("q131_pq_adc_ann", q131, Some(pqSql)),
     QueryDef("q106_hybrid_rrf", q106, Some(

@@ -77,6 +77,52 @@ class GenChainSpec extends SparkSpec {
     assert(IvfIndexStore.admitOnce(spark, dir, asgRow(2000L), txn = 999L) == g)
   }
 
+  test("IVF centroid epochs: retrain flips the epoch in place; history, retract, and compact all work across the flip; the policy arm fires on the audit flag") {
+    val dir = freshStore("epoch")
+    val s0 = spark
+    import s0.implicits._
+    IvfIndexStore.admit(spark, dir, asgRow(200L)) // gen 1 (epoch 0)
+    val preSet = Set(100L -> 0L, 101L -> 0L, 102L -> 1L, 103L -> 1L, 200L -> 0L)
+    def asgSetAt(g: Int) = IvfIndexStore.assignmentsOf(spark, dir, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asgSetAt(1) == preSet)
+
+    // RETRAIN: swapped centroids, every live vector re-assigned to the
+    // other cluster — published inside the chain as epoch 1.
+    val cent2 = Seq((0L, Array(0.0, 1.0), 1.0), (1L, Array(1.0, 0.0), 1.0))
+      .toDF("cid", "ce", "cn")
+    val flipped = preSet.toSeq.map { case (v, c) => (v, 1L - c) }.toDF("vec_id", "cid")
+    val flipGen = IvfIndexStore.retrain(spark, dir, cent2, flipped)
+    assert(flipGen == 2)
+    assert(IvfIndexStore.epochOf(dir, 0) == 0 && IvfIndexStore.epochOf(dir, 1) == 0
+      && IvfIndexStore.epochOf(dir, flipGen) == 1)
+    assert(asgSetAt(flipGen) == preSet.map { case (v, c) => (v, 1L - c) },
+      "retrain did not serve the migrated assignments")
+    assert(asgSetAt(1) == preSet, "retrain rewrote pre-flip history")
+    // The head centroid table IS the new epoch's.
+    val ce0 = IvfIndexStore.centroidsOf(spark, dir, flipGen)
+      .where(col("cid") === 0L).select(col("ce")).collect()(0).getSeq[Double](0)
+    assert(ce0 == Seq(0.0, 1.0), s"head centroids are not the retrained table: $ce0")
+
+    // Retract and compact chain on across the flip; compact CARRIES the epoch.
+    IvfIndexStore.retract(spark, dir, Seq(100L).toDF("vec_id"))
+    val folded = IvfIndexStore.compact(spark, dir)
+    assert(IvfIndexStore.epochOf(dir, folded) == 1, "compact dropped the epoch marker")
+    assert(asgSetAt(folded) == preSet.map { case (v, c) => (v, 1L - c) }
+      .filterNot(_._1 == 100L))
+    assert(asgSetAt(flipGen) == preSet.map { case (v, c) => (v, 1L - c) },
+      "compact broke as-of reads below it")
+
+    // The policy arm: fires exactly on a flagged audit.
+    var fired = 0
+    assert(!IvfIndexStore.retrainWhenRecommended(
+      Seq((0L, false), (1L, false)).toDF("generation", "retrain_recommended")) { fired += 1; 0 })
+    assert(fired == 0)
+    assert(IvfIndexStore.retrainWhenRecommended(
+      Seq((0L, false), (1L, true)).toDF("generation", "retrain_recommended")) { fired += 1; 0 })
+    assert(fired == 1)
+  }
+
   test("optimistic concurrency: two real threads admitting concurrently both commit, sequential-equivalent state") {
     val dir = freshStore("race")
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()

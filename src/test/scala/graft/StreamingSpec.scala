@@ -422,12 +422,14 @@ class StreamingSpec extends SparkSpec {
     val cent = vecs(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
       .localCheckpoint()
-    def assign(df: org.apache.spark.sql.DataFrame) = df.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg")).as("cid"))
+    def assignWith(c: org.apache.spark.sql.DataFrame, df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(c))
+        .select(col("vec_id"), col("cid"),
+          (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).as("cid"))
+    def assign(df: org.apache.spark.sql.DataFrame) = assignWith(cent, df)
     IvfIndexStore.init(spark, dir, cent,
       assign(vecs(Seq(10L -> Seq(0.9, 0.1), 11L -> Seq(0.2, 0.8)))))
 
@@ -476,6 +478,62 @@ class StreamingSpec extends SparkSpec {
     IvfIndexStore.admitOnce(spark, dir, assign(vecs(Seq(22L -> Seq(0.7, 0.7)))), 1L)
     assert(IvfIndexStore.currentGeneration(dir) == 2, "replay created a generation")
     assert(asgSet == expected)
+
+    // EPOCH FLIP mid-stream: retrain with SWAPPED centroids (the live
+    // set re-assigned inside the chain), then keep ingesting — the
+    // stream's exactly-once discipline must hold on both sides of the
+    // flip, with the sink reading the centroid table PER BATCH (the
+    // admit contract that makes flips transparent to the ingest loop).
+    val liveRows = Seq(10L -> Seq(0.9, 0.1), 11L -> Seq(0.2, 0.8),
+      20L -> Seq(0.8, 0.3), 21L -> Seq(0.1, 0.9), 22L -> Seq(0.7, 0.7))
+    val cent2 = vecs(Seq(0L -> Seq(0.0, 1.0), 1L -> Seq(1.0, 0.0)))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .localCheckpoint()
+    IvfIndexStore.retrain(spark, dir, cent2, assignWith(cent2, vecs(liveRows)))
+    val flipGen = IvfIndexStore.currentGeneration(dir)
+    assert(flipGen == 3 && IvfIndexStore.epochOf(dir, flipGen) == 1)
+    // A PRE-flip txn replayed AFTER the flip is still deduped — the
+    // stamps survived because nothing was erased.
+    IvfIndexStore.admitOnce(spark, dir, assignWith(cent2, vecs(Seq(22L -> Seq(0.7, 0.7)))), 1L)
+    assert(IvfIndexStore.currentGeneration(dir) == flipGen,
+      "pre-flip txn replay created a generation after the flip")
+    // Next micro-batch: assigned against the store's HEAD centroids
+    // (epoch 1), continuing from the same checkpoint (batch id 2).
+    val sink2: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+      val headCent = IvfIndexStore.centroidsOf(
+        spark, dir, IvfIndexStore.currentGeneration(dir))
+      IvfIndexStore.admitOnce(spark, dir,
+        assignWith(headCent, b.select(col("vec_id"), col("embedding"),
+          vectors.norm(col("embedding")).as("nrm"))), id)
+      ()
+    }
+    def run2(): Unit = {
+      val q = spark.readStream
+        .schema(Seq((0L, Seq(0.0))).toDF("vec_id", "embedding").schema)
+        .parquet(in.toString)
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage("b2.parquet", Seq(30L -> Seq(0.9, 0.2)))
+    run2()
+    assert(IvfIndexStore.currentGeneration(dir) == flipGen + 1)
+    // Under the swapped epoch-1 centroids every live vector flips
+    // cluster (ties to the lowest cid), and the new arrival lands in
+    // cid 1 — the post-flip index is exactly the epoch-1 assignment.
+    val expected2 = Set(10L -> 1L, 11L -> 0L, 20L -> 1L, 21L -> 0L,
+      22L -> 0L, 30L -> 1L)
+    assert(asgSet == expected2, s"post-flip streamed index diverged: $asgSet")
+    // Restart-replay across the flip: re-running from the checkpoint
+    // re-delivers nothing new and commits nothing.
+    run2()
+    assert(IvfIndexStore.currentGeneration(dir) == flipGen + 1,
+      "checkpoint restart across the flip re-committed a batch")
+    assert(asgSet == expected2)
+    // Pre-flip generations still serve their epoch-0 assignments.
+    assert(IvfIndexStore.assignmentsOf(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected,
+      "epoch flip rewrote pre-flip history")
   }
 
   test("streaming retract from the LSH index store: tombstone stream drives one generation per micro-batch, replays retract exactly once, end state equals the batch retract") {
