@@ -46,6 +46,9 @@ import java.nio.charset.StandardCharsets
   *    keying, upsert matching, the version-stamped mask, and the
   *    change feed all follow this meta; layouts written before it
   *    default to the lineitem triple).
+  *  - `addcolumn` log entries — SCHEMA EVOLUTION commits (see
+  *    [[addColumn]]): metadata-only, no data file touched; every
+  *    version is served under the schema committed as of it.
   *
   * At 100 TB the points are: the log is O(versions) metadata, AS-OF
   * planning touches only the bounded pid/version maps (no data pass),
@@ -116,11 +119,12 @@ object VersionedLayout {
     * ingest (-1 when the commit is not transactional); `tag` is the
     * WRITER-UNIQUE suffix of this version's artifact directories (see
     * [[withWriteRetry]] — empty for maintenance commits and layouts
-    * written before tagging).
+    * written before tagging); `colName`/`colType` carry an
+    * [[addColumn]] schema-evolution commit (empty otherwise).
     */
   final case class LogEntry(
       version: Int, action: String, pids: Seq[Int], horizon: Int,
-      txn: Long = -1L, tag: String = "")
+      txn: Long = -1L, tag: String = "", colName: String = "", colType: String = "")
 
   /** Artifact-directory suffix unique to this writer (process+thread):
     * concurrent writers preparing the SAME version number write disjoint
@@ -136,7 +140,8 @@ object VersionedLayout {
   private def renderEntry(e: LogEntry): String =
     s"""{"version":${e.version},"action":"${e.action}",""" +
       s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},""" +
-      s""""tag":"${e.tag}","txn":${e.txn}}"""
+      s""""tag":"${e.tag}","txn":${e.txn},""" +
+      s""""colName":"${e.colName}","colType":"${e.colType}"}"""
 
   private def parseEntry(body: String): LogEntry = {
     def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
@@ -145,7 +150,9 @@ object VersionedLayout {
       if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
       field("horizon").toInt,
       if (body.contains("\"txn\":")) field("txn").toLong else -1L,
-      if (body.contains("\"tag\":")) field("tag").replaceAll("\"", "") else "")
+      if (body.contains("\"tag\":")) field("tag").replaceAll("\"", "") else "",
+      if (body.contains("\"colName\":")) field("colName").replaceAll("\"", "") else "",
+      if (body.contains("\"colType\":")) field("colType").replaceAll("\"", "") else "")
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -404,6 +411,37 @@ object VersionedLayout {
     requireInDomain(dir, rows)
     rows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     commit(dir, LogEntry(ver, "insert", Nil, 0, txn, tag))
+    ver
+  }
+
+  /** ADD COLUMN as version `currentVersion + 1` — SCHEMA EVOLUTION
+    * through the commit log, the layer real table formats put it in: a
+    * METADATA-ONLY commit (no data file is touched — at 100 TB the
+    * whole point) recording the new column's name and type. From this
+    * version on, [[readAsOf]] serves the column — typed NULL for every
+    * row written before the evolution, values for segments that carry
+    * it — while reads BELOW this version serve the old schema exactly
+    * as committed (including from a post-fold archive). The next
+    * [[majorCompact]] materializes the column physically; until then
+    * the pad is plan-time (`unionByName` null-fill), costing nothing.
+    * Commit-only and deterministic, so it is append-family: safe under
+    * [[withWriteRetry]].
+    */
+  def addColumn(s: SparkSession, dir: String, name: String, sqlType: String): Int = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name '$name' is not identifier-shaped")
+    // The log entry is parsed with a plain splitter — comma-free types
+    // only (covers every scalar; parametrized decimals would need a
+    // richer codec).
+    require(sqlType.matches("[A-Za-z0-9_() ]*") && !sqlType.contains(","),
+      s"column type '$sqlType' cannot ride the log entry (comma or odd character)")
+    org.apache.spark.sql.types.DataType.fromDDL(sqlType) // fail at commit, not first read
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    require(!readAsOf(s, dir, entries.last.version).columns.contains(name),
+      s"column '$name' already exists in $dir")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "addcolumn", Nil, 0, colName = name, colType = sqlType))
     ver
   }
 
@@ -783,7 +821,10 @@ object VersionedLayout {
     if (parts.isEmpty)
       readAsOf(s, dir, currentVersion(dir)).where(lit(false))
         .withColumn("change_type", lit("")).withColumn("change_version", lit(0))
-    else parts.reduce(_ unionByName _)
+    // Feed parts may straddle an addColumn evolution (each part carries
+    // its own version's schema): null-fill to the superset, exactly how
+    // a table format's CDF spans schema changes.
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The latest major compaction at or before `v` (0 when none) — the
@@ -1037,8 +1078,12 @@ object VersionedLayout {
         && e.version > m && e.version <= v)
       .map(e => s.read.parquet(locateSegment(dir, entries, e.version))
         .withColumn("_src_ver", lit(e.version)))
-    val data = (base +: segs).reduce(_ unionByName _).alias("dt")
-    tombstonesIn(s, dir, m, v) match {
+    // Sources may differ in schema across an addColumn evolution:
+    // null-fill the union, then project to the schema COMMITTED AS OF v
+    // below.
+    val data = (base +: segs)
+      .reduce(_.unionByName(_, allowMissingColumns = true)).alias("dt")
+    val masked = tombstonesIn(s, dir, m, v) match {
       case None => data.drop("_src_ver") // no mask in range: plain scan
       case Some(t) =>
         val tombs = t.alias("tb")
@@ -1048,6 +1093,20 @@ object VersionedLayout {
         data
           .join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
           .drop("_src_ver")
+    }
+    // Serve v under its COMMITTED schema: columns evolved ABOVE v leave
+    // (they can appear when a post-v fold materialized them and a pid
+    // escaped archival routing — defensive, normally a no-op), columns
+    // evolved at-or-below v that no read source carries yet arrive as
+    // typed NULLs (the metadata-only window between the addColumn
+    // commit and the first segment/fold that materializes them).
+    val evolved = entries.filter(_.action == "addcolumn")
+    val above = evolved.filter(_.version > v).map(_.colName)
+    val atOrBelow = evolved.filter(_.version <= v)
+    val dropped = above.foldLeft(masked)(_ drop _)
+    atOrBelow.foldLeft(dropped) { (df, e) =>
+      if (df.columns.contains(e.colName)) df
+      else df.withColumn(e.colName, lit(null).cast(e.colType))
     }
   }
 }

@@ -1547,6 +1547,84 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q180's schema-evolved events layout. */
+  private[graft] def eventsEvolvedDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_evolved_$sfx").getAbsolutePath
+  }
+  private val eventsEvolvedLock = new Object
+
+  /** Build (or fast-forward) q180's history: v0 base (events, pid =
+    * user_id mod 16, key = event_id), v1 DELETE (errors), v2 ADD COLUMN
+    * `bonus_centi BIGINT` (metadata-only — no data file touched), v3
+    * INSERT purchase copies CARRYING the new column, v4 majorCompact
+    * (the fold MATERIALIZES the evolved schema: typed NULLs for
+    * pre-evolution rows, values for the v3 segment — and parks the
+    * old-schema base in the archive, which is what keeps AS-OF reads
+    * below v2 serving the old schema afterwards).
+    */
+  private def ensureEvolvedScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsEvolvedDir(d)
+    eventsEvolvedLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendDelete(s, dir, col("event_type") === "error")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.addColumn(s, dir, "bonus_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 2)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi"),
+              expr("(value_centi + 7) div 10").as("bonus_centi")))
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** SCHEMA EVOLUTION through the commit log — the layer real table
+    * formats put it in (q127's mergeSchema covers plain parquet only):
+    * `addColumn` commits a METADATA-ONLY log entry, inserts after it
+    * carry the column, and every version is read back under the schema
+    * COMMITTED AS OF IT — versions below the evolution serve the old
+    * column set (even after a major fold physically materialized the
+    * new one: the archive keeps the old-schema bytes), versions at or
+    * above serve pre-evolution rows as typed NULLs. The replay
+    * write -> delete -> evolve -> insert -> fold is verified against
+    * one DuckDB derivation; per-version SCHEMA assertions (presence,
+    * absence, type) live in StorageSpec. At 100 TB: evolving a column
+    * costs one tiny log write — never a table rewrite; the fold
+    * amortizes materialization into maintenance it was doing anyway.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureEvolvedScenario(s, d)
+    (0 to 4).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val withB =
+        if (df.columns.contains("bonus_centi")) df
+        else df.withColumn("bonus_centi", lit(null).cast("bigint"))
+      withB.select(lit(ver.toLong).as("version"), col("value_centi"), col("bonus_centi"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_centi")).as("total_centi"),
+        count(col("bonus_centi")).as("n_with_bonus"),
+        coalesce(sum(col("bonus_centi")), lit(0L)).as("bonus_total"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q166's clone of the q160 CRUD layout. */
   private[graft] def cloneLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1807,6 +1885,23 @@ object ScalePatterns {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(sum(vc) AS BIGINT) AS total_centi,
          |  count(DISTINCT user_id) AS n_users
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q180_layout_schema_evolution", q180, Some(
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (SELECT ver.version, e.vc, CAST(NULL AS BIGINT) AS bonus
+         |         FROM ver JOIN e ON NOT (ver.version >= 1 AND e.event_type = 'error')),
+         |ins AS (SELECT ver.version, e.vc + 7 AS vc, (e.vc + 7) // 10 AS bonus
+         |        FROM ver JOIN e
+         |        ON ver.version >= 3 AND e.event_type = 'purchase'
+         |       AND e.event_type <> 'error'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(vc) AS BIGINT) AS total_centi,
+         |  CAST(count(bonus) AS BIGINT) AS n_with_bonus,
+         |  CAST(coalesce(sum(bonus), 0) AS BIGINT) AS bonus_total
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q170_layout_checkpointed_log", q170, Some(
       s"""WITH s AS (

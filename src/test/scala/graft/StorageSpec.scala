@@ -911,6 +911,69 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 5).count() == 1)
   }
 
+  test("schema evolution: every version serves its committed schema; the fold materializes; the old schema survives in the archive; the feed spans the flip") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 12L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    // v1: evolve. Metadata-only — no DATA file changes (only the log
+    // gains its entry).
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+    val filesBefore = dataFiles()
+    assert(VersionedLayout.addColumn(spark, dir, "w", "bigint") == 1)
+    assert(dataFiles() == filesBefore, "addColumn touched data files")
+    // Guards: duplicate, non-identifier, unparseable/comma types.
+    intercept[IllegalArgumentException](VersionedLayout.addColumn(spark, dir, "w", "bigint"))
+    intercept[IllegalArgumentException](VersionedLayout.addColumn(spark, dir, "a b", "bigint"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.addColumn(spark, dir, "d", "decimal(10,2)"))
+    // Schema per version: v0 lacks w; v1 has it, typed, all NULL.
+    assert(!VersionedLayout.readAsOf(spark, dir, 0).columns.contains("w"))
+    val v1 = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(v1.schema("w").dataType == org.apache.spark.sql.types.LongType)
+    assert(v1.where(col("w").isNotNull).count() == 0)
+    // v2: insert rows CARRYING w; pre-evolution rows stay NULL.
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((101L, 7L), (102L, 9L))).withColumn("w", col("value_centi") * 2))
+    val v2 = VersionedLayout.readAsOf(spark, dir, 2)
+    assert(v2.where(col("w").isNotNull).count() == 2)
+    assert(v2.count() == 14)
+    // v3: delete one evolved and one pre-evolution row — generic keying
+    // works across the flip.
+    VersionedLayout.appendDelete(spark, dir, col("event_id").isin(101L, 3L))
+    // v4: the fold MATERIALIZES w physically; answers preserved.
+    val (m4, _) = VersionedLayout.majorCompact(spark, dir)
+    val v4 = VersionedLayout.readAsOf(spark, dir, m4)
+    assert(v4.count() == 12 && v4.where(col("w").isNotNull).count() == 1)
+    assert(spark.read.parquet(s"$dir/pid=2").columns.contains("w"),
+      "fold did not materialize the evolved column into the base")
+    // AS-OF below the evolution still serves the OLD schema — from the
+    // fold's archive now.
+    assert(!VersionedLayout.readAsOf(spark, dir, 0).columns.contains("w"),
+      "post-fold as-of below the evolution leaked the new column")
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == 12)
+    // The change feed spans the flip: pre-evolution delete rows are
+    // null-padded into the superset schema.
+    val feed = VersionedLayout.changeFeed(spark, dir, 0, m4)
+    assert(feed.columns.contains("w"))
+    assert(feed.where(col("change_type") === "insert").count() == 2)
+    assert(feed.where(col("change_type") === "delete").count() == 2)
+    assert(feed.where(col("change_type") === "delete" && col("event_id") === 3L)
+      .select(col("w")).collect()(0).isNullAt(0))
+    // Post-fold life: insert with the evolved schema, read clean.
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((103L, 11L))).withColumn("w", lit(5L)))
+    assert(VersionedLayout.readAsOf(spark, dir, m4 + 1)
+      .where(col("w") === 5L).count() == 1)
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
