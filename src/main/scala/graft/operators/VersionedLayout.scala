@@ -640,8 +640,22 @@ object VersionedLayout {
     * move), archive moves keep the first copy (pre-fold truth), and the
     * strict order archive-all-then-land-all makes the retry preamble
     * unambiguous. Returns (version, pre-fold pid set).
+    *
+    * `clusterBy` (optional) makes the fold a RE-CLUSTERING one — the
+    * OPTIMIZE-ZORDER move: the snapshot is range-partitioned and sorted
+    * by (pid, clusterBy...) before the write, so each output file
+    * covers a bounded block of the clustering key space and a
+    * key-predicate scan skips most files on parquet min/max stats
+    * (q96's layout property, now available as MAINTENANCE on a
+    * long-lived mutable table instead of only at initial write; the
+    * skip-fraction improvement is measured in StorageSpec). Logical
+    * answers are untouched — clustering is physical. Replay note: a
+    * crashed attempt's COMPLETE tmp is reused as-is, under whatever
+    * clustering that attempt used.
     */
-  def majorCompact(s: SparkSession, dir: String): (Int, Seq[Int]) = {
+  def majorCompact(s: SparkSession, dir: String,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      clusterParts: Int = 0): (Int, Seq[Int]) = {
     val entries = log(dir)
     val ver = entries.last.version + 1
     val tmpBase = s"$dir/.major-tmp"
@@ -650,7 +664,19 @@ object VersionedLayout {
     //    (a crashed attempt's complete tmp is reused as-is).
     if (!new java.io.File(s"$tmpBase/_SUCCESS").isFile) {
       val snapshot = readAsOf(s, dir, ver - 1).localCheckpoint()
-      snapshot.write.mode("overwrite").partitionBy("pid").parquet(tmpBase)
+      // The EXPLICIT partition count is deliberate: file count is a
+      // layout decision here (each range partition becomes one
+      // zone-mapped file), so AQE's small-shuffle coalescing must not
+      // fold the blocks back together.
+      val parts =
+        if (clusterParts > 0) clusterParts
+        else s.sessionState.conf.numShufflePartitions
+      val shaped =
+        if (clusterBy.isEmpty) snapshot
+        else snapshot
+          .repartitionByRange(parts, (col("pid") +: clusterBy): _*)
+          .sortWithinPartitions((col("pid") +: clusterBy): _*)
+      shaped.write.mode("overwrite").partitionBy("pid").parquet(tmpBase)
     }
     def pidDirs(root: String): Seq[String] =
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
@@ -745,6 +771,93 @@ object VersionedLayout {
     }
     sweepOrphans(dir, entries, orphanLeaseMs)
     commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
+  }
+
+  /** Rows parked in version `ver`'s archive (0 when none): the mass a
+    * vacuum at-or-above `ver` physically reclaims. A major fold's
+    * archive also holds the segments it absorbed.
+    */
+  private def archivedRowsAt(s: SparkSession, dir: String, ver: Int): Long = {
+    val aDir = new java.io.File(archiveDir(dir, ver))
+    Option(aDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).map { f =>
+      if (f.getName == "inserts")
+        Option(f.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+          .map(sd => s.read.parquet(sd.getAbsolutePath).count()).sum
+      else s.read.parquet(f.getAbsolutePath).count()
+    }.sum
+  }
+
+  /** The retention recommendation: `keepFrom` for a keep-the-last-
+    * `keepLast`-versions target (never below the current horizon) and
+    * the archive row mass a vacuum there would reclaim.
+    */
+  private def retentionPlan(
+      s: SparkSession, dir: String, keepLast: Int): (Int, Long) = {
+    val entries = log(dir)
+    val keepFrom = math.max(horizon(dir), entries.last.version - keepLast)
+    val reclaim = entries
+      .filter(e => (e.action == "compact" || e.action == "majorcompact")
+        && e.version <= keepFrom)
+      .map(e => archivedRowsAt(s, dir, e.version)).sum
+    (keepFrom, reclaim)
+  }
+
+  /** RETENTION AUDIT — the q169 chain-health analog for HISTORY: one
+    * row per committed version with the row mass each class of
+    * retained artifact pins (archives a vacuum would free, live insert
+    * segments, tombstone metadata), whether the log checkpoint covers
+    * it, and the recommendation for a keep-the-last-`keepLast`-versions
+    * retention target: the `keep_from` horizon and the archive mass a
+    * [[vacuum]] there would physically reclaim (proven equal to the
+    * actual reclaim in StorageSpec). Pure metadata + bounded artifact
+    * counts — never a table scan of live data. This is the planning
+    * query behind a deployment's retention policy, the same way q158
+    * plans compaction: decide from measured masses, not guesses.
+    */
+  def retentionAudit(s: SparkSession, dir: String, keepLast: Int): DataFrame = {
+    val entries = log(dir)
+    val (keepFrom, reclaim) = retentionPlan(s, dir, keepLast)
+    val ckpt = checkpointedVersion(dir)
+    def rowsIn(path: String): Long = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) s.read.parquet(path).count() else 0L
+    }
+    val rows = entries.map { e =>
+      val archived =
+        if (e.action == "compact" || e.action == "majorcompact")
+          archivedRowsAt(s, dir, e.version)
+        else 0L
+      val segment =
+        if (e.action == "insert" || e.action == "upsert")
+          rowsIn(insertDirOf(dir, entries, e.version))
+        else 0L
+      val tomb =
+        if (e.action == "delete" || e.action == "upsert")
+          rowsIn(tombDirOf(dir, entries, e.version))
+        else 0L
+      (e.version.toLong, e.action, archived, segment, tomb,
+        e.version <= ckpt,
+        (e.action == "compact" || e.action == "majorcompact") && e.version <= keepFrom,
+        keepFrom.toLong, reclaim)
+    }
+    val s0 = s
+    import s0.implicits._
+    rows.toDF("version", "action", "n_archived_rows", "n_segment_rows",
+      "n_tombstone_rows", "covered_by_checkpoint", "reclaimable",
+      "keep_from", "predicted_reclaim_rows")
+  }
+
+  /** Vacuum to the keep-the-last-`keepLast` horizon when the audit's
+    * predicted reclaim reaches `minReclaimRows` — the policy arm wiring
+    * [[retentionAudit]] to [[vacuum]], symmetric with the chain stores'
+    * compactIfNeeded. Returns whether it fired.
+    */
+  def vacuumIfNeeded(s: SparkSession, dir: String, keepLast: Int,
+      minReclaimRows: Long): Boolean = {
+    val (keepFrom, reclaim) = retentionPlan(s, dir, keepLast)
+    val fire = reclaim >= minReclaimRows && keepFrom > horizon(dir)
+    if (fire) vacuum(s, dir, keepFrom)
+    fire
   }
 
   /** Reclaim append-race leftovers: artifact dirs at versions at or

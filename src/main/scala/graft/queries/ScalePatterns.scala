@@ -1625,6 +1625,99 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** RETENTION AUDIT over the q160 CRUD history — the q169 chain-health
+    * analog for HISTORY retention (the q158 move applied to vacuum
+    * instead of compaction): per committed version, the row mass each
+    * retained artifact class pins — the compact archive a vacuum would
+    * free, the live insert/upsert segments, the tombstone metadata —
+    * plus the keep-only-the-head recommendation (`keep_from` = head)
+    * and the archive mass a vacuum there would physically reclaim.
+    * Every mass is re-derived by the oracle from the value
+    * distribution: the archive at v4 holds exactly the pre-compact pid
+    * directories of the pids whose dead fraction (upsert + delete
+    * bands) crossed the 5% threshold — the same plan CTE as q158's.
+    * StorageSpec proves the prediction equals the physical vacuum's
+    * reclaimed mass (rows AND bytes) and that `vacuumIfNeeded` fires
+    * exactly at the policy crossing. At 100 TB this is how retention is
+    * DECIDED: measured pinned mass per version, not guesswork.
+    */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    VersionedLayout.retentionAudit(s, dir, keepLast = 0).orderBy(col("version"))
+  }
+
+  /** Stable location of q182's z-clustered fold layout. */
+  private[graft] def eventsZfoldDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_zfold_$sfx").getAbsolutePath
+  }
+  private val eventsZfoldLock = new Object
+
+  /** Build (or fast-forward) q182's history: v0 base (events with their
+    * timestamps, pid = user_id mod 16), v1 DELETE (errors), v2
+    * CLUSTERED major fold — the snapshot re-clustered by the
+    * (user, time) Morton key during the fold, q96's OPTIMIZE-ZORDER
+    * move as MAINTENANCE on a mutable table. The quantization bounds
+    * come from one tiny min/max prepass over the snapshot, exactly as
+    * q96's initial write.
+    */
+  private def ensureZfoldScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsZfoldDir(d)
+    eventsZfoldLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi"),
+          col("ts")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendDelete(s, dir, col("event_type") === "error")
+      if (VersionedLayout.currentVersion(dir) < 2) {
+        val b = VersionedLayout.readAsOf(s, dir, 1).agg(
+          min(col("user_id")), max(col("user_id")), min(col("ts")), max(col("ts"))).first()
+        val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        VersionedLayout.majorCompact(s, dir, clusterBy = Seq(mortonKey(
+          expr(s"((user_id - $u0) * 255) div ${math.max(u1 - u0, 1L)}"),
+          expr(s"((ts - $t0) * 255) div ${math.max(t1 - t0, 1L)}"), bits = 8)))
+      }
+    }
+    dir
+  }
+
+  /** CLUSTERED (Z-order) MAJOR FOLD — re-clustering as maintenance: a
+    * long-lived mutable table's fold optionally sorts the snapshot by
+    * the (user, time) Morton key while it folds, so each post-fold file
+    * covers a bounded BLOCK of the 2-D key space and box scans skip on
+    * parquet min/max for both dimensions (the q96 layout property,
+    * previously available only at initial write; the skip-fraction
+    * improvement over a plain fold is measured in StorageSpec). The
+    * gate proves the fold is ANSWER-PRESERVING and history-preserving:
+    * all three versions (base, delete, clustered fold) replay against
+    * one DuckDB derivation, with a 2-D box count per version riding
+    * along — identical at v1 and v2 because clustering is physical.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureZfoldScenario(s, d)
+    val minTs = Tables.events(s, d).agg(min(col("ts"))).first().getLong(0)
+    val fiveDaysNs = 5L * 86400L * 1000000000L
+    (0 to 2).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .select(lit(ver.toLong).as("version"), col("value_centi"),
+          col("user_id"), col("ts"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_centi")).as("total_centi"),
+        sum(when(col("user_id").between(10, 99)
+          && col("ts") < minTs + fiveDaysNs, 1L).otherwise(0L)).as("n_box"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q166's clone of the q160 CRUD layout. */
   private[graft] def cloneLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1886,6 +1979,65 @@ object ScalePatterns {
          |  CAST(sum(vc) AS BIGINT) AS total_centi,
          |  count(DISTINCT user_id) AS n_users
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q182_clustered_fold", q182, Some(
+      s"""WITH e AS (SELECT user_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc,
+         |        epoch_ns(ts) AS tns FROM events),
+         |mn AS (SELECT min(tns) AS t0 FROM e),
+         |ver AS (SELECT unnest([0, 1, 2]) AS version),
+         |u AS (SELECT ver.version, e.vc, e.user_id, e.tns
+         |      FROM ver JOIN e ON NOT (ver.version >= 1 AND e.event_type = 'error'))
+         |SELECT CAST(u.version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
+         |  CAST(sum(CASE WHEN u.user_id BETWEEN 10 AND 99
+         |    AND u.tns < mn.t0 + 432000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_box
+         |FROM u CROSS JOIN mn GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q181_layout_retention_audit", q181, Some(
+      s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |             count(*) AS cnt
+         |           FROM lineitem GROUP BY 1),
+         |c AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         |x AS (SELECT p.pid, c.v, c.cum
+         |      FROM c CROSS JOIN tt
+         |      CROSS JOIN (SELECT unnest(range(1, ${rangePlanParts + 1})) AS pid) p
+         |      WHERE c.cum >= (p.pid * tt.n + ${rangePlanParts - 1}) // $rangePlanParts),
+         |b AS (SELECT pid, min(v) AS ub FROM x GROUP BY pid),
+         |bc AS (SELECT b.pid, b.ub, c.cum FROM b JOIN c ON c.v = b.ub),
+         |pl AS (SELECT pid, ub, coalesce(lag(ub) OVER (ORDER BY pid), -1) AS lb,
+         |         CAST(cum - coalesce(lag(cum) OVER (ORDER BY pid), 0) AS BIGINT) AS n_rows
+         |       FROM bc),
+         |dd AS (SELECT pl.pid, CAST(sum(h.cnt) AS BIGINT) AS n_dead
+         |       FROM h JOIN pl ON h.v > pl.lb AND h.v <= pl.ub
+         |       WHERE h.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti
+         |          OR h.v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+         |       GROUP BY 1),
+         |st AS (SELECT pl.pid, pl.n_rows, coalesce(dd.n_dead, 0) AS n_dead
+         |       FROM pl LEFT JOIN dd USING (pid)),
+         |m AS (SELECT
+         |  (SELECT CAST(coalesce(sum(n_rows) FILTER (
+         |     WHERE n_dead > 0 AND n_dead * 1000 >= n_rows * 50), 0) AS BIGINT) FROM st) AS a,
+         |  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM h
+         |     WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti) AS seg1,
+         |  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM h
+         |     WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti) AS band2,
+         |  (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM h
+         |     WHERE v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti) AS band3),
+         |u AS (
+         |  SELECT 0 AS version, 'write' AS action, 0 AS n_archived_rows,
+         |         0 AS n_segment_rows, 0 AS n_tombstone_rows, FALSE AS reclaimable FROM m
+         |  UNION ALL SELECT 1, 'insert', 0, m.seg1, 0, FALSE FROM m
+         |  UNION ALL SELECT 2, 'upsert', 0, m.band2, m.band2, FALSE FROM m
+         |  UNION ALL SELECT 3, 'delete', 0, 0, m.band3, FALSE FROM m
+         |  UNION ALL SELECT 4, 'compact', m.a, 0, 0, TRUE FROM m)
+         |SELECT CAST(u.version AS BIGINT) AS version, u.action,
+         |  CAST(u.n_archived_rows AS BIGINT) AS n_archived_rows,
+         |  CAST(u.n_segment_rows AS BIGINT) AS n_segment_rows,
+         |  CAST(u.n_tombstone_rows AS BIGINT) AS n_tombstone_rows,
+         |  FALSE AS covered_by_checkpoint, u.reclaimable,
+         |  CAST(4 AS BIGINT) AS keep_from, m.a AS predicted_reclaim_rows
+         |FROM u CROSS JOIN m ORDER BY version""".stripMargin)),
     QueryDef("q180_layout_schema_evolution", q180, Some(
       s"""WITH e AS (SELECT event_id, user_id, event_type,
          |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),

@@ -911,6 +911,125 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 5).count() == 1)
   }
 
+  test("clustered (z-order) major fold: re-clustering as maintenance cuts the file-level box scan fraction; answers and history preserved") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-zfold").toString + "/t"
+    // 4096 rows on a 64x64 (a, t) grid, base order interleaving both
+    // dims (row-major by t), one pid: the worst case for any file-level
+    // min/max skipping.
+    val grid = for (t <- 0L until 64L; a <- 0L until 64L) yield (t * 64 + a, a, t)
+    VersionedLayout.writeBaseTable(spark,
+      grid.toDF("event_id", "a", "t").select(lit(0).as("pid"),
+        col("event_id"), col("a"), col("t")),
+      dir, Seq("event_id"))
+    VersionedLayout.appendDelete(spark, dir, col("event_id") % 97 === 0) // v1
+
+    def boxCount(v: Int) = VersionedLayout.readAsOf(spark, dir, v)
+      .where(col("a") < 16 && col("t") < 16).count()
+    val boxBefore = boxCount(1)
+
+    // v2: PLAIN fold — the baseline file layout.
+    VersionedLayout.majorCompact(spark, dir)
+    def scanFraction(): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      val hits = files.count { f =>
+        val mm = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("a")), max(col("a")), min(col("t")), max(col("t"))).first()
+        // File intersects the box iff both per-column ranges do — the
+        // parquet min/max pruning rule.
+        mm.getLong(1) >= 0 && mm.getLong(0) < 16 && mm.getLong(3) >= 0 && mm.getLong(2) < 16
+      }
+      (hits, files.length)
+    }
+    val (plainHits, plainFiles) = scanFraction()
+    assert(boxCount(2) == boxBefore, "plain fold changed the box answer")
+
+    // v3: CLUSTERED re-fold by the Morton key of (a, t).
+    VersionedLayout.majorCompact(spark, dir,
+      clusterBy = Seq(ScalePatterns.mortonKey(col("a"), col("t"), bits = 6)))
+    val (zHits, zFiles) = scanFraction()
+    assert(boxCount(3) == boxBefore, "clustered fold changed the box answer")
+    assert(boxCount(1) == boxBefore, "fold archives broke pre-fold history")
+    assert(zFiles > 1, s"clustered fold produced $zFiles file(s) — nothing to skip")
+    // The improvement claim: the clustered layout scans a strictly
+    // smaller FRACTION of files for the 2-D box than the plain fold.
+    assert(zHits * plainFiles < plainHits * zFiles,
+      s"no skip improvement: plain $plainHits/$plainFiles vs clustered $zHits/$zFiles")
+    // And in absolute terms the corner box lives in the low z-range:
+    // at most two clustered files intersect it (range boundaries are
+    // SAMPLED, so one may land inside the box's z-span — a real
+    // OPTIMIZE-ZORDER has the same property).
+    assert(zHits <= 2, s"expected the corner box in <= 2 z-block files, got $zHits/$zFiles")
+  }
+
+  test("retention audit: predicted reclaim equals the physical vacuum's reclaimed mass (rows and bytes); vacuumIfNeeded fires exactly at the policy crossing") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-retention").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 40L).map(i => (i, i))),
+      dir, Seq("event_id"))
+    // v1 delete erases half of pid 0 and pid 1 (ids ≡ 0,1 mod 4 with
+    // id <= 20) — both cross any sensible threshold; v2 compact
+    // archives exactly those two pre-compact pid dirs (20 rows).
+    VersionedLayout.appendDelete(spark, dir,
+      col("event_id") % 4 < 2 && col("event_id") <= 20L)
+    val (_, rewritten) = VersionedLayout.appendCompact(spark, dir, 0.1)
+    assert(rewritten.sorted == Seq(0, 1))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((101L, 1L)))) // v3
+
+    val audit = VersionedLayout.retentionAudit(spark, dir, keepLast = 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(audit(2L).getString(1) == "compact" && audit(2L).getBoolean(6),
+      "compact version not flagged reclaimable at keepLast = 0")
+    val predicted = audit(2L).getLong(8)
+    // The archive holds the two full pre-compact pid dirs: 20 rows.
+    assert(predicted == 20L, s"predicted $predicted")
+    assert(audit(3L).getLong(3) == 1L, "segment mass wrong")
+    // Physical ground truth before the vacuum: rows and bytes of the
+    // archive directories the vacuum will delete.
+    def treeBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(treeBytes).sum
+    val archDir = new java.io.File(s"$dir/_archive/v2")
+    val physicalRows = spark.read.parquet(
+      archDir.listFiles().filter(_.getName.startsWith("pid=")).map(_.getAbsolutePath): _*)
+      .count()
+    assert(physicalRows == predicted,
+      s"prediction $predicted != physical archive rows $physicalRows")
+    val archBytes = treeBytes(archDir)
+    val dirBytesBefore = treeBytes(new java.io.File(dir))
+
+    // Policy crossing: a threshold above the prediction does NOT fire.
+    assert(!VersionedLayout.vacuumIfNeeded(spark, dir, keepLast = 0,
+      minReclaimRows = predicted + 1))
+    assert(archDir.isDirectory, "a non-firing vacuumIfNeeded deleted archives")
+    // At the prediction it fires; the physical reclaim matches.
+    assert(VersionedLayout.vacuumIfNeeded(spark, dir, keepLast = 0,
+      minReclaimRows = predicted))
+    assert(!archDir.exists(), "vacuum left the reclaimable archive")
+    val reclaimedBytes = dirBytesBefore - treeBytes(new java.io.File(dir))
+    // The vacuum also GC'd v1 tombstone rows over the rewritten pids
+    // and appended its own log entry, so the byte delta is AT LEAST the
+    // archive's mass; the archive accounts for the bulk.
+    assert(reclaimedBytes >= archBytes,
+      s"reclaimed $reclaimedBytes < archive mass $archBytes")
+    assert(VersionedLayout.horizon(dir) == 3)
+    // Idempotence: nothing left to reclaim — the policy goes quiet.
+    assert(!VersionedLayout.vacuumIfNeeded(spark, dir, keepLast = 0, minReclaimRows = 1L))
+    // The head still answers (31 rows: 40 base - 10 deleted + 1 insert).
+    assert(VersionedLayout.readAsOf(spark, dir,
+      VersionedLayout.currentVersion(dir)).count() == 31)
+  }
+
   test("schema evolution: every version serves its committed schema; the fold materializes; the old schema survives in the archive; the feed spans the flip") {
     import graft.operators.VersionedLayout
     val spark0 = spark
