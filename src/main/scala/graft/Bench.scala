@@ -181,6 +181,22 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $outPath: $e") }
+    // Round-artifact auto-commit (three rounds of uncommitted-artifact
+    // flags): the driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json
+    // / LEAKCHECK.json AFTER this JVM exits, so committing them from
+    // here is impossible — instead spawn the deferred committer
+    // DETACHED (setsid survives both this JVM and sbt), which polls for
+    // the artifacts and commits them as they land. Best-effort: a
+    // missing script/git just skips. Disable with
+    // SPARK_GRAFT_AUTOCOMMIT=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_AUTOCOMMIT", "1") != "0"
+        && new java.io.File("tools/commit_artifacts.sh").isFile)
+      try new ProcessBuilder("setsid", "bash", "tools/commit_artifacts.sh")
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: artifact committer not spawned: $e") }
     spark.stop()
     // The driver records only the LAST 2000 chars of stdout, and sbt
     // appends a ~75-char "[success]" line after the JVM exits — so the

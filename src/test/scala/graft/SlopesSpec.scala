@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate on the COMMITTED scaling-slope ledger: `SLOPES.json` (written
+  * by the ScaleSlope / LshAdmitSlope / IvfAdmitSlope / CkptSlope
+  * harnesses at sf0.1, merged by (harness, name)) must exist, parse,
+  * cover every claimed family, and hold `ratio <= bound` for every
+  * bounded entry — so a superlinear regression in a re-measured slope
+  * FAILS THE BUILD instead of hiding in scaladoc prose. Bench-style
+  * noise discipline: the harnesses record warm one-JVM timings; a
+  * machine-load window can inflate a ratio, so the bounds carry
+  * generous headroom over the measured values (3x for the O(delta)
+  * claims measured at ~1.05x; the 10x data ratio for whole-query
+  * slopes measured at 1-4x) — anything that trips them is structural.
+  */
+class SlopesSpec extends AnyFunSuite {
+
+  private def ledger: Seq[Slopes.Entry] = {
+    val root = Iterator.iterate(new java.io.File(sys.props("user.dir")).getAbsoluteFile)(_.getParentFile)
+      .takeWhile(_ != null).take(6)
+      .find(dd => new java.io.File(dd, "build.sbt").isFile)
+      .getOrElse(fail("repo root (build.sbt) not found above user.dir"))
+    val f = new java.io.File(root, "SLOPES.json")
+    assert(f.isFile, "SLOPES.json is not committed — run the slope harnesses")
+    Slopes.readAll(f)
+  }
+
+  test("SLOPES.json exists, parses, and covers every slope family") {
+    val byHarness = ledger.groupBy(_.harness)
+    assert(Set("scale", "lsh_admit", "ivf_admit", "ckpt").subsetOf(byHarness.keySet),
+      s"missing slope families: have ${byHarness.keySet}")
+    assert(byHarness("scale").size >= 10, "scale family too thin to mean anything")
+    Seq("lsh_admit", "ivf_admit").foreach { h =>
+      assert(byHarness(h).map(_.name).toSet == Set("admit", "retract", "compact", "rebuild"),
+        s"$h family incomplete: ${byHarness(h).map(_.name)}")
+    }
+  }
+
+  test("every bounded slope holds its bound — a superlinear regression fails the build") {
+    val violations = ledger.filter(e => e.bound > 0 && e.ratio > e.bound)
+    assert(violations.isEmpty,
+      "slope bound violations:\n" + violations.map(e =>
+        f"  ${e.harness}/${e.name}: ratio ${e.ratio}%.2f > bound ${e.bound}%.1f").mkString("\n"))
+  }
+
+  test("the index-store O(delta) mutation claims separate from their rebuild baselines") {
+    val byKey = ledger.map(e => (e.harness, e.name) -> e).toMap
+    Seq("lsh_admit", "ivf_admit").foreach { h =>
+      val admit = byKey((h, "admit"))
+      val rebuild = byKey((h, "rebuild"))
+      // The structural claim: across a 10x corpus, the admit grows
+      // strictly slower than the per-batch rebuild it replaces.
+      assert(admit.ratio < rebuild.ratio,
+        f"$h: admit slope ${admit.ratio}%.2f not below rebuild slope ${rebuild.ratio}%.2f")
+    }
+  }
+
+  test("the checkpointed log read is not slower than the per-version scan") {
+    val e = ledger.find(x => x.harness == "ckpt" && x.name == "log_read_ms")
+      .getOrElse(fail("ckpt/log_read_ms missing"))
+    // t1x = checkpointed ms/read, t10x = per-version ms/read: the
+    // recorded ratio (per-version / checkpointed) must show the
+    // checkpoint not LOSING (>= 0.9 leaves noise room).
+    assert(e.ratio >= 0.9, f"checkpointed log read slower than per-version: ${e.ratio}%.2f")
+  }
+}
