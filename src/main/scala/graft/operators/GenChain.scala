@@ -43,17 +43,69 @@ private[graft] object GenChain {
     * publishes with; matching it would make `admitOnce(txn = -1)`
     * silently skip real work (any v0 init or compact carries -1), so a
     * sentinel lookup is always "not committed".
+    *
+    * Consistency under concurrent maintenance: the checkpoint map and
+    * the manifest-tail bound come from ONE checkpoint-file read (see
+    * [[txnCheckpoint]] — a coverage re-read could have advanced past
+    * generations the map we hold does not cover, making a committed
+    * txn invisible), a mid-scan vanishing manifest (vacuum) retries,
+    * and a lookup that misses re-checks whether the checkpoint
+    * advanced underneath it before concluding "not committed".
     */
-  def committedGen(dir: String, txn: Long): Option[Int] =
-    if (txn < 0) None
-    else txnIndex(dir).get(txn).orElse {
-      // Entries committed after the newest checkpoint (or all of them
-      // when no checkpoint exists yet).
-      val from = checkpointCoverage(dir) + 1
-      (from to currentGeneration(dir))
-        .filter(g => manifest(dir, g).isFile)
-        .find(g => txnOf(dir, g) == txn)
+  def committedGen(dir: String, txn: Long): Option[Int] = {
+    if (txn < 0) return None
+    var last: Throwable = null
+    (1 to 8).foreach { _ =>
+      try {
+        val (cov, idx) = txnCheckpoint(dir)
+        idx.get(txn) match {
+          case s @ Some(_) => return s
+          case None =>
+            val tail = ((cov + 1) to currentGeneration(dir))
+              .filter(g => manifest(dir, g).isFile)
+              .find(g => txnOf(dir, g) == txn)
+            if (tail.isDefined) return tail
+            // A checkpoint landing between our read and the tail scan
+            // may have absorbed (and a vacuum deleted) the very
+            // generation we were scanning for — only a STABLE view may
+            // conclude absence.
+            if (checkpointCoverage(dir) == cov) return None
+        }
+      } catch {
+        // A manifest listed as present can vanish mid-scan under a
+        // concurrent vacuum; its stamp is then in the (newer)
+        // checkpoint — retry reads it.
+        case e: java.nio.file.NoSuchFileException => last = e
+      }
     }
+    throw new IllegalStateException(
+      s"txn index of $dir kept advancing across 8 lookup attempts", last)
+  }
+
+  /** (coverage, txn -> generation) read from ONE checkpoint file — the
+    * newest at list time; a read that loses the race with a superseding
+    * checkpoint's truncation re-lists (strictly newer state, bounded).
+    */
+  private def txnCheckpoint(dir: String): (Int, Map[Long, Int]) = {
+    var last: Throwable = null
+    (1 to 8).foreach { _ =>
+      val n = checkpointCoverage(dir)
+      if (n < 0) return (-1, Map.empty)
+      try {
+        val m = new String(Files.readAllBytes(
+          new java.io.File(dir, s"_txn-ckpt-v$n.txt").toPath), StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty).map { l =>
+            val Array(t, g) = l.split(",", 2)
+            t.toLong -> g.toInt
+          }.toMap
+        return (n, m)
+      } catch {
+        case e: java.nio.file.NoSuchFileException => last = e
+      }
+    }
+    throw new IllegalStateException(
+      s"txn checkpoint of $dir kept vanishing across 8 reads", last)
+  }
 
   private def txnCkptFiles(dir: String): Array[java.io.File] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -73,16 +125,7 @@ private[graft] object GenChain {
     * (see [[vacuumGenerations]]), so exactly-once holds across history
     * reclamation.
     */
-  def txnIndex(dir: String): Map[Long, Int] = {
-    val n = checkpointCoverage(dir)
-    if (n < 0) return Map.empty
-    new String(Files.readAllBytes(
-      new java.io.File(dir, s"_txn-ckpt-v$n.txt").toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(t, g) = l.split(",", 2)
-        t.toLong -> g.toInt
-      }.toMap
-  }
+  def txnIndex(dir: String): Map[Long, Int] = txnCheckpoint(dir)._2
 
   /** Consolidate every transactional (txn >= 0) stamp at or below the
     * current head into one checkpoint file named for its coverage,
@@ -94,10 +137,12 @@ private[graft] object GenChain {
   def checkpointTxns(dir: String): Int = {
     val head = currentGeneration(dir)
     require(head >= 0, s"$dir has no committed generation to checkpoint")
-    val from = checkpointCoverage(dir) + 1
-    val fresh = (from to head).filter(g => manifest(dir, g).isFile)
+    // One consistent (coverage, map) read — a coverage re-read could
+    // skip generations the map we hold does not cover.
+    val (cov, prev) = txnCheckpoint(dir)
+    val fresh = ((cov + 1) to head).filter(g => manifest(dir, g).isFile)
       .flatMap(g => { val t = txnOf(dir, g); if (t >= 0) Some(t -> g) else None })
-    val all = txnIndex(dir) ++ fresh
+    val all = prev ++ fresh
     val f = new java.io.File(dir, s"_txn-ckpt-v$head.txt")
     if (!f.isFile) {
       val tmp = new java.io.File(dir, s"._txn-ckpt-v$head.tmp-" +
@@ -192,12 +237,18 @@ private[graft] object GenChain {
       if (d.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(d)
     }
     // Sweep abandoned writer tmps (crashed or CAS-lost attempts) past an
-    // mtime lease — an in-flight writer's tmp keeps a recent mtime while
-    // its tasks write, so only garbage ages out.
+    // mtime lease. The lease checks the NEWEST mtime in the whole tree:
+    // task part files land in subdirectories (`asg-delta/` etc.), which
+    // updates the subdirectory's mtime, not the tmp root's — a root-only
+    // check would sweep a >lease-long in-flight write out from under its
+    // writer.
     val cutoff = System.currentTimeMillis() - orphanLeaseMs
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(newestMtime)).max
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".gen-tmp-")
-        && f.lastModified() <= cutoff)
+        && newestMtime(f) <= cutoff)
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 

@@ -256,6 +256,11 @@ object IvfIndexStore {
       newAsg: DataFrame, txn: Long = -1L): Int = {
     val gen = currentGeneration(dir)
     require(gen >= 0, s"$dir has no generation 0 — call init first")
+    // A TRANSACTIONAL retrain is replay-checked here rather than via a
+    // separate *Once entry point: a replayed flip would publish a
+    // duplicate epoch, which no caller can ever want — the txn
+    // parameter is only meaningful with exactly-once semantics.
+    if (txn >= 0) GenChain.committedGen(dir, txn).foreach(return _)
     val next = gen + 1
     val tmp = GenChain.freshTmp(dir, next)
     newCentroids.select(col("cid"), col("ce"), col("cn"))

@@ -787,18 +787,23 @@ object VersionedLayout {
     }.sum
   }
 
+  /** Per-version archived row masses for every compact/fold in the log
+    * — computed ONCE (each is a Spark count job over an archive dir)
+    * and shared by the plan and the audit rows.
+    */
+  private def archivedMasses(
+      s: SparkSession, dir: String, entries: Seq[LogEntry]): Map[Int, Long] =
+    entries.filter(e => e.action == "compact" || e.action == "majorcompact")
+      .map(e => e.version -> archivedRowsAt(s, dir, e.version)).toMap
+
   /** The retention recommendation: `keepFrom` for a keep-the-last-
     * `keepLast`-versions target (never below the current horizon) and
     * the archive row mass a vacuum there would reclaim.
     */
-  private def retentionPlan(
-      s: SparkSession, dir: String, keepLast: Int): (Int, Long) = {
-    val entries = log(dir)
-    val keepFrom = math.max(horizon(dir), entries.last.version - keepLast)
-    val reclaim = entries
-      .filter(e => (e.action == "compact" || e.action == "majorcompact")
-        && e.version <= keepFrom)
-      .map(e => archivedRowsAt(s, dir, e.version)).sum
+  private def retentionPlan(entries: Seq[LogEntry], masses: Map[Int, Long],
+      dirHorizon: Int, keepLast: Int): (Int, Long) = {
+    val keepFrom = math.max(dirHorizon, entries.last.version - keepLast)
+    val reclaim = masses.collect { case (v, m) if v <= keepFrom => m }.sum
     (keepFrom, reclaim)
   }
 
@@ -816,17 +821,15 @@ object VersionedLayout {
     */
   def retentionAudit(s: SparkSession, dir: String, keepLast: Int): DataFrame = {
     val entries = log(dir)
-    val (keepFrom, reclaim) = retentionPlan(s, dir, keepLast)
+    val masses = archivedMasses(s, dir, entries)
+    val (keepFrom, reclaim) = retentionPlan(entries, masses, horizon(dir), keepLast)
     val ckpt = checkpointedVersion(dir)
     def rowsIn(path: String): Long = {
       val f = new java.io.File(path)
       if (f.isDirectory) s.read.parquet(path).count() else 0L
     }
     val rows = entries.map { e =>
-      val archived =
-        if (e.action == "compact" || e.action == "majorcompact")
-          archivedRowsAt(s, dir, e.version)
-        else 0L
+      val archived = masses.getOrElse(e.version, 0L)
       val segment =
         if (e.action == "insert" || e.action == "upsert")
           rowsIn(insertDirOf(dir, entries, e.version))
@@ -854,8 +857,11 @@ object VersionedLayout {
     */
   def vacuumIfNeeded(s: SparkSession, dir: String, keepLast: Int,
       minReclaimRows: Long): Boolean = {
-    val (keepFrom, reclaim) = retentionPlan(s, dir, keepLast)
-    val fire = reclaim >= minReclaimRows && keepFrom > horizon(dir)
+    val entries = log(dir)
+    val h = horizon(dir)
+    val (keepFrom, reclaim) =
+      retentionPlan(entries, archivedMasses(s, dir, entries), h, keepLast)
+    val fire = reclaim >= minReclaimRows && keepFrom > h
     if (fire) vacuum(s, dir, keepFrom)
     fire
   }

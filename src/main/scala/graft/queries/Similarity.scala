@@ -990,7 +990,10 @@ object Similarity {
   private def q178(s: SparkSession, d: String): DataFrame = {
     import graft.operators.IvfIndexStore
     val dir = ensureIvfRetrainStore(s, d)
-    val e = corpusProj(s, d).localCheckpoint()
+    // NOT checkpointed: a query body's checkpoint can never be
+    // unpersisted (the returned frame references it) — the projection
+    // is cheap to recompute per consumer, the storeProbe discipline.
+    val e = corpusProj(s, d)
     val head = IvfIndexStore.currentGeneration(dir)
     val qs = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("nq"))
@@ -1028,7 +1031,7 @@ object Similarity {
   private def q179(s: SparkSession, d: String): DataFrame = {
     import graft.operators.IvfIndexStore
     val dir = ensureIvfRetrainStore(s, d)
-    val e = corpusProj(s, d).localCheckpoint()
+    val e = corpusProj(s, d) // uncheckpointed: see q178
     (0 to IvfIndexStore.currentGeneration(dir)).map { g =>
       val cent = IvfIndexStore.centroidsOf(s, dir, g)
       val probed = probedCids(e, cent, nprobe = 1)

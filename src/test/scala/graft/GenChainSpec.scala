@@ -92,8 +92,13 @@ class GenChainSpec extends SparkSpec {
     val cent2 = Seq((0L, Array(0.0, 1.0), 1.0), (1L, Array(1.0, 0.0), 1.0))
       .toDF("cid", "ce", "cn")
     val flipped = preSet.toSeq.map { case (v, c) => (v, 1L - c) }.toDF("vec_id", "cid")
-    val flipGen = IvfIndexStore.retrain(spark, dir, cent2, flipped)
+    val flipGen = IvfIndexStore.retrain(spark, dir, cent2, flipped, txn = 40L)
     assert(flipGen == 2)
+    // A replayed TRANSACTIONAL retrain is exactly-once: no duplicate
+    // epoch flip.
+    assert(IvfIndexStore.retrain(spark, dir, cent2, flipped, txn = 40L) == flipGen)
+    assert(IvfIndexStore.currentGeneration(dir) == flipGen,
+      "replayed retrain published a duplicate epoch flip")
     assert(IvfIndexStore.epochOf(dir, 0) == 0 && IvfIndexStore.epochOf(dir, 1) == 0
       && IvfIndexStore.epochOf(dir, flipGen) == 1)
     assert(asgSetAt(flipGen) == preSet.map { case (v, c) => (v, 1L - c) },
