@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** The four persisted stores one training-data ingest batch touches:
+  * the documents table ([[VersionedLayout]], key `doc_id`), the LSH
+  * dedup index over those documents ([[LshIndexStore]]), the
+  * embeddings table ([[VersionedLayout]], key `vec_id`), and the IVF
+  * ANN index over those vectors ([[IvfIndexStore]]) — plus `meta`, the
+  * coordinator directory holding each erase transaction's durable
+  * intent record (see [[PipelineTxn.erase]]).
+  */
+case class PipelineStores(docs: String, lsh: String, emb: String, ivf: String,
+    meta: String)
+
+/** COORDINATED exactly-once mutation across every store a corpus batch
+  * touches — the missing lifecycle layer above the per-store `*Once`
+  * transactions: each store alone commits a txn-stamped batch exactly
+  * once, but a real ingest pipeline mutates the table AND its indexes
+  * together, and a crash between stores leaves the indexes lagging the
+  * table with nothing that knows how to finish the job.
+  *
+  * Protocol (the table-format "idempotent multi-sink" recipe): one
+  * logical transaction id stamps the SAME batch into all four stores in
+  * a FIXED order (docs table -> LSH index -> embeddings table -> IVF
+  * index). Every step is the store's own exactly-once mutation, so a
+  * crash anywhere is recovered by simply RE-RUNNING the whole
+  * transaction: steps that committed skip on their txn stamp, steps
+  * that didn't commit now; after any number of partial attempts plus
+  * one complete run, the state is identical to a single clean run
+  * (spec-proven per crash window in PipelineTxnSpec).
+  *
+  * The index mutations derive from the TABLE'S OWN COMMITTED SEGMENTS,
+  * not from the caller's input frames: an ingest re-reads the insert
+  * segment its txn committed ([[VersionedLayout.insertsAt]]) to build
+  * the LSH band rows and IVF assignments, and an erase retracts exactly
+  * the keys its txn's tombstone segment recorded
+  * ([[VersionedLayout.tombstonesAt]]). That makes resume correct even
+  * when the world moved between attempts — a predicate re-evaluated at
+  * a later head would erase a different set; the tombstone segment is
+  * the authoritative CDC record of what THIS transaction erased.
+  *
+  * At 100 TB: every step is the store's own incremental path — O(batch)
+  * segment writes against corpus-sized bases that are never rewritten —
+  * and the coordination layer adds only log/manifest reads, no data
+  * movement. The [[alignmentAudit]] is the monitoring arm: per
+  * table~index pair, full-outer-join the distinct key sets (one shuffle
+  * each, linear in keys, no data columns) and count coverage holes —
+  * the freshness check a serving deployment alerts on, and because
+  * both layouts and both chains keep history, it can be evaluated AS OF
+  * any past (version, generation) vector to reconstruct exactly what a
+  * mid-crash reader saw (q184).
+  */
+object PipelineTxn {
+
+  /** Test-only crash injection: thrown by [[ingest]]/[[erase]] between
+    * store commits when `failAfter` is reached.
+    */
+  private[graft] final class InjectedCrash(afterSteps: Int)
+    extends RuntimeException(s"injected pipeline crash after $afterSteps store commits")
+
+  /** Ingest one batch exactly-once across all four stores. `docRows`
+    * must carry the docs layout's schema (including computed `pid` and
+    * the `text` column the LSH signatures derive from); `embRows` the
+    * embeddings layout's (including `pid` and `embedding`). Returns the
+    * committed version/generation per store. Safe to re-run with the
+    * same `txn` after any crash — committed steps replay as no-ops.
+    */
+  def ingest(s: SparkSession, p: PipelineStores, docRows: DataFrame,
+      embRows: DataFrame, txn: Long): Map[String, Int] =
+    ingest(s, p, docRows, embRows, txn, Int.MaxValue)
+
+  private[graft] def ingest(s: SparkSession, p: PipelineStores, docRows: DataFrame,
+      embRows: DataFrame, txn: Long, failAfter: Int): Map[String, Int] = {
+    require(txn >= 0, s"a pipeline transaction needs a real txn id (got $txn)")
+    val crash = crasher(failAfter)
+    val dv = crash {
+      VersionedLayout.withWriteRetry() {
+        VersionedLayout.appendInsertOnce(s, p.docs, docRows, txn)
+      }
+    }
+    // The index admits derive from the layout's COMMITTED segment — the
+    // authoritative batch content on a resumed attempt.
+    val lg = crash {
+      LshIndexStore.admitOnce(s, p.lsh,
+        Dedup.bandRows(
+          Dedup.minhashSignatures(
+            VersionedLayout.insertsAt(s, p.docs, dv), "doc_id", "text"),
+          rowsPerBand = 1),
+        txn)
+    }
+    val ev = crash {
+      VersionedLayout.withWriteRetry() {
+        VersionedLayout.appendInsertOnce(s, p.emb, embRows, txn)
+      }
+    }
+    val ig = crash {
+      IvfIndexStore.admitOnce(s, p.ivf,
+        assignFrozen(s, p.ivf, VersionedLayout.insertsAt(s, p.emb, ev)), txn)
+    }
+    Map("docs" -> dv, "lsh" -> lg, "emb" -> ev, "ivf" -> ig)
+  }
+
+  /** Erase matching rows exactly-once across all four stores (the
+    * training-data erasure request served end-to-end).
+    *
+    * CROSS-TABLE ATOMICITY needs more than per-store exactly-once: if
+    * each layout arm evaluated the predicate at its OWN commit time, a
+    * transaction that lands in a crash-recovery window between the two
+    * arms would make them erase DIFFERENT sets (spec-proven anomaly).
+    * So step 0 writes a DURABLE INTENT record: both predicates are
+    * evaluated ONCE against the current heads, the matched key sets
+    * land under `meta/_intents/txn<id>/` (write-tmp + atomic rename —
+    * the saga coordinator's commit), and every arm erases exactly the
+    * recorded set — the layouts via
+    * [[VersionedLayout.appendDeleteKeysOnce]] (semi-join, so rows
+    * inserted after the intent are untouched even when the predicate
+    * matches them), the indexes via their table's tombstone segment. A
+    * crash before the intent committed re-evaluates on resume (the
+    * transaction had not logically begun); after it, every attempt —
+    * however the heads move in between — converges on one key set.
+    */
+  def erase(s: SparkSession, p: PipelineStores, docPred: Column,
+      vecPred: Column, txn: Long): Map[String, Int] =
+    erase(s, p, docPred, vecPred, txn, Int.MaxValue)
+
+  private[graft] def erase(s: SparkSession, p: PipelineStores, docPred: Column,
+      vecPred: Column, txn: Long, failAfter: Int): Map[String, Int] = {
+    require(txn >= 0, s"a pipeline transaction needs a real txn id (got $txn)")
+    val crash = crasher(failAfter)
+    crash {
+      eraseIntent(s, p, docPred, vecPred, txn); 0
+    }
+    val docKeys = s.read.parquet(s"${intentDir(p, txn)}/docids")
+    val vecKeys = s.read.parquet(s"${intentDir(p, txn)}/vecids")
+    val dv = crash {
+      VersionedLayout.withWriteRetry() {
+        VersionedLayout.appendDeleteKeysOnce(s, p.docs, docKeys, txn)
+      }
+    }
+    val lg = crash {
+      LshIndexStore.retractOnce(s, p.lsh,
+        VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id")), txn)
+    }
+    val ev = crash {
+      VersionedLayout.withWriteRetry() {
+        VersionedLayout.appendDeleteKeysOnce(s, p.emb, vecKeys, txn)
+      }
+    }
+    val ig = crash {
+      IvfIndexStore.retractOnce(s, p.ivf,
+        VersionedLayout.tombstonesAt(s, p.emb, ev).select(col("vec_id")), txn)
+    }
+    Map("docs" -> dv, "lsh" -> lg, "emb" -> ev, "ivf" -> ig)
+  }
+
+  private def intentDir(p: PipelineStores, txn: Long): String =
+    s"${p.meta}/_intents/txn$txn"
+
+  /** Commit the erase intent exactly-once: evaluate both predicates at
+    * the current heads, write the matched key sets to a writer-private
+    * tmp, and publish by atomic rename. A concurrent or replayed
+    * attempt that loses the rename discards its tmp and reuses the
+    * committed record — the same CAS discipline as the stores' own
+    * commits.
+    */
+  private def eraseIntent(s: SparkSession, p: PipelineStores, docPred: Column,
+      vecPred: Column, txn: Long): Unit = {
+    val dst = new java.io.File(intentDir(p, txn))
+    if (dst.isDirectory) return
+    val tmp = new java.io.File(s"${intentDir(p, txn)}.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    tmp.getParentFile.mkdirs()
+    VersionedLayout.readAsOf(s, p.docs, VersionedLayout.currentVersion(p.docs))
+      .where(docPred).select(col("doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/docids")
+    VersionedLayout.readAsOf(s, p.emb, VersionedLayout.currentVersion(p.emb))
+      .where(vecPred).select(col("vec_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/vecids")
+    try java.nio.file.Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // Lost the publish race to a concurrent attempt — its record is
+      // equally valid (evaluated under the same txn); use it.
+      case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException
+           | _: java.nio.file.AccessDeniedException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
+
+  /** A step wrapper that throws [[InjectedCrash]] once `failAfter`
+    * store commits have completed (Int.MaxValue = never).
+    */
+  private final class Crasher(failAfter: Int) {
+    private var done = 0
+    def apply(step: => Int): Int = {
+      if (done >= failAfter) throw new InjectedCrash(done)
+      val r = step
+      done += 1
+      r
+    }
+  }
+
+  private def crasher(failAfter: Int) = new Crasher(failAfter)
+
+  /** Assign a batch against the IVF store's FROZEN centroid table
+    * (broadcast; map-side argmax aggregation — the
+    * [[graft.queries.Similarity.nearest]] shape): the O(delta)
+    * maintenance assignment, the corpus is never re-assigned.
+    */
+  private def assignFrozen(s: SparkSession, ivfDir: String, embRows: DataFrame): DataFrame = {
+    val cent = IvfIndexStore.centroidsOf(
+      s, ivfDir, IvfIndexStore.currentGeneration(ivfDir))
+    embRows
+      .select(col("vec_id"), col("embedding"),
+        vectors.norm(col("embedding")).as("nrm"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("cid"))
+  }
+
+  /** Table~index coverage audit AS OF an explicit (version, generation)
+    * vector — one row per pair: distinct key counts on each side,
+    * `missing_in_index` (table keys the index lacks — ingest lag) and
+    * `stale_in_index` (index keys the table no longer has — erase lag).
+    * A fully-applied pipeline reads all-zero lag; any crash window's
+    * historical state reads its exact hole (q184).
+    */
+  def alignmentAuditAsOf(s: SparkSession, p: PipelineStores,
+      docsVer: Int, lshGen: Int, embVer: Int, ivfGen: Int): DataFrame = {
+    val docsLsh = pairAudit("documents~lsh",
+      VersionedLayout.readAsOf(s, p.docs, docsVer),
+      LshIndexStore.bandsOf(s, p.lsh, lshGen), "doc_id")
+    val embIvf = pairAudit("embeddings~ivf",
+      VersionedLayout.readAsOf(s, p.emb, embVer),
+      IvfIndexStore.assignmentsOf(s, p.ivf, ivfGen), "vec_id")
+    docsLsh.unionByName(embIvf)
+  }
+
+  /** [[alignmentAuditAsOf]] at every store's current head. */
+  def alignmentAudit(s: SparkSession, p: PipelineStores): DataFrame =
+    alignmentAuditAsOf(s, p,
+      VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
+      VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+
+  private def pairAudit(pair: String, table: DataFrame, index: DataFrame,
+      key: String): DataFrame =
+    table.select(col(key)).distinct().withColumn("_t", lit(1))
+      .join(index.select(col(key)).distinct().withColumn("_i", lit(1)),
+        Seq(key), "full_outer")
+      .agg(
+        count(col("_t")).as("table_keys"),
+        count(col("_i")).as("index_keys"),
+        count(when(col("_t").isNotNull && col("_i").isNull, 1)).as("missing_in_index"),
+        count(when(col("_i").isNotNull && col("_t").isNull, 1)).as("stale_in_index"))
+      .select(lit(pair).as("pair"), col("table_keys"), col("index_keys"),
+        col("missing_in_index"), col("stale_in_index"))
+}

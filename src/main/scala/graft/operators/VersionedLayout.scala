@@ -377,15 +377,63 @@ object VersionedLayout {
     * pre-commit crash, the recomputation overwrites it with the same
     * deterministic set.
     */
-  def appendDelete(s: SparkSession, dir: String, cond: org.apache.spark.sql.Column): Int = {
+  def appendDelete(s: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
+      txn: Long = -1L): Int = {
     val ver = currentVersion(dir) + 1
     val tag = writerTag()
     readAsOf(s, dir, ver - 1).where(cond)
       .select(col("pid").cast("int").as("pid") +: keyColsOf(dir).map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
-    commit(dir, LogEntry(ver, "delete", Nil, 0, tag = tag))
+    commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag))
     ver
   }
+
+  /** Transactional delete ([[appendInsertOnce]]'s contract for the
+    * delete arm): commit the predicate's tombstones as a version stamped
+    * with `txn` unless one with that stamp is already in the log. The
+    * committed version's tombstone segment ([[tombstonesAt]]) is the
+    * authoritative record of WHICH keys this txn erased — downstream
+    * index maintenance reads it instead of re-evaluating the predicate
+    * at a head that has since moved (see [[PipelineTxn]]).
+    */
+  def appendDeleteOnce(s: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column, txn: Long): Int =
+    log(dir).find(e => e.action == "delete" && e.txn == txn) match {
+      case Some(e) => e.version
+      case None => appendDelete(s, dir, cond, txn)
+    }
+
+  /** DELETE BY KEY SET: tombstone exactly the CURRENTLY-LIVE rows whose
+    * key columns match a row of `keys` (a left-semi join — rows
+    * inserted after `keys` was evaluated are untouched even if some
+    * predicate would match them). This is the arm a pipeline
+    * transaction's durable erase intent drives ([[PipelineTxn]]): the
+    * predicate is evaluated ONCE, its matches recorded, and every
+    * store erases that recorded set — never a re-evaluation at a head
+    * that has since moved.
+    */
+  def appendDeleteKeys(s: SparkSession, dir: String, keys: DataFrame,
+      txn: Long = -1L): Int = {
+    val ver = currentVersion(dir) + 1
+    val tag = writerTag()
+    val keyCols = keyColsOf(dir)
+    readAsOf(s, dir, ver - 1)
+      .join(keys.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(col("pid").cast("int").as("pid") +: keyCols.map(col): _*)
+      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
+    commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag))
+    ver
+  }
+
+  /** Exactly-once [[appendDeleteKeys]] (the [[appendDeleteOnce]] stamp
+    * contract).
+    */
+  def appendDeleteKeysOnce(s: SparkSession, dir: String, keys: DataFrame,
+      txn: Long): Int =
+    log(dir).find(e => e.action == "delete" && e.txn == txn) match {
+      case Some(e) => e.version
+      case None => appendDeleteKeys(s, dir, keys, txn)
+    }
 
   private def insertDir(dir: String, ver: Int, tag: String = "") =
     s"$dir/_inserts/v$ver" + (if (tag.isEmpty) "" else s"-$tag")

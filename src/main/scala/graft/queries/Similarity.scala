@@ -151,7 +151,7 @@ object Similarity {
     * map-side — each task sends one candidate row per vector into the
     * exchange — where a window must shuffle and sort all n*k rows first.
     */
-  private def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame =
+  private[graft] def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame =
     df.join(broadcast(cents))
       .select(col(id), col("cid"),
         (vectors.dot(col(vec), col("ce")) / (col(nrm) * col("cn"))).as("cos"))
@@ -283,7 +283,7 @@ object Similarity {
     * which is what makes the new centroid table bit-identical across
     * engines and shuffle orders.
     */
-  private def centroids(e: DataFrame, asg: DataFrame): DataFrame =
+  private[graft] def centroids(e: DataFrame, asg: DataFrame): DataFrame =
     asg.join(e, "vec_id")
       .select(col("cid"), posexplode(col("embedding")))
       .select(col("cid"), col("pos"),

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IvfIndexStore, LshIndexStore, PipelineStores, PipelineTxn, VersionedLayout}
+
+/** Coordinated exactly-once pipeline transactions across the full
+  * training-data footprint (docs layout + LSH index + embeddings layout
+  * + IVF index): every crash window between store commits resumes to
+  * the clean-run state, index mutations derive from the layout's
+  * committed segments (not re-evaluated inputs), and the alignment
+  * audit reads the exact hole a mid-crash reader would see.
+  */
+class PipelineTxnSpec extends SparkSpec {
+
+  // Ten-word texts: every doc clears the shingle minimum; wording varies
+  // per id so signatures differ.
+  private def docText(id: Long) =
+    s"alpha bravo charlie delta echo foxtrot golf hotel item$id tail$id"
+
+  private def docsDF(ids: Seq[Long]): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    ids.map(i => (((i % 2) + 1).toInt, i, docText(i))).toDF("pid", "doc_id", "text")
+  }
+
+  // Clearly-separated 2-d embeddings: even ids hug (1,0) -> cid 0, odd
+  // ids hug (0,1) -> cid 1 — the frozen-centroid argmax is unambiguous.
+  private def embDF(ids: Seq[Long]): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    ids.map { i =>
+      val e = if (i % 2 == 0) Array(1.0, 0.001 * i) else Array(0.001 * i, 1.0)
+      (((i % 2) + 1).toInt, i, e)
+    }.toDF("pid", "vec_id", "embedding")
+  }
+
+  private val baseIds = (1L to 8L)
+  private val deltaIds = (9L to 12L)
+
+  /** A fresh four-store pipeline with the base corpus committed: docs
+    * layout v0, LSH index g0, embeddings layout v0, IVF index g0.
+    */
+  private def freshPipeline(tag: String): PipelineStores = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-pipetxn-$tag").toString
+    val p = PipelineStores(s"$root/docs", s"$root/lsh", s"$root/emb", s"$root/ivf",
+      s"$root/meta")
+    val s0 = spark
+    import s0.implicits._
+    VersionedLayout.writeBaseTable(spark, docsDF(baseIds), p.docs, Seq("doc_id"))
+    LshIndexStore.init(spark, p.lsh,
+      Dedup.bandRows(
+        Dedup.minhashSignatures(docsDF(baseIds), "doc_id", "text"), rowsPerBand = 1))
+    VersionedLayout.writeBaseTable(spark, embDF(baseIds), p.emb, Seq("vec_id"))
+    val cent = Seq((0L, Array(1.0, 0.0), 1.0), (1L, Array(0.0, 1.0), 1.0))
+      .toDF("cid", "ce", "cn")
+    IvfIndexStore.init(spark, p.ivf,
+      cent, baseIds.map(i => (i, i % 2)).toDF("vec_id", "cid"))
+    p
+  }
+
+  /** Full observable state of a pipeline, as comparable sets. */
+  private def stateOf(p: PipelineStores): (Set[Long], Set[Long], Set[(Long, Long)], Set[Long], Set[(Long, Long)]) = {
+    val docs = VersionedLayout.readAsOf(spark, p.docs, VersionedLayout.currentVersion(p.docs))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val lshDocs = LshIndexStore.bandsOf(spark, p.lsh, LshIndexStore.currentGeneration(p.lsh))
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    val lshPairs = LshIndexStore.pairs(spark, p.lsh)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = VersionedLayout.readAsOf(spark, p.emb, VersionedLayout.currentVersion(p.emb))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val asg = IvfIndexStore.assignmentsOf(spark, p.ivf, IvfIndexStore.currentGeneration(p.ivf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (docs, lshDocs, lshPairs, emb, asg)
+  }
+
+  private def auditMap(p: PipelineStores): Map[String, (Long, Long, Long, Long)] =
+    PipelineTxn.alignmentAudit(spark, p).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  test("every ingest crash window resumes to the clean-run state, exactly-once") {
+    val clean = freshPipeline("clean")
+    PipelineTxn.ingest(spark, clean, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    val want = stateOf(clean)
+
+    (0 to 3).foreach { w =>
+      val p = freshPipeline(s"crash$w")
+      intercept[PipelineTxn.InjectedCrash] {
+        PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L, failAfter = w)
+      }
+      // Resume: the SAME transaction re-runs; committed steps skip.
+      val vs = PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+      assert(stateOf(p) == want, s"crash window $w did not resume to the clean-run state")
+      // Replay of the completed transaction is a no-op everywhere.
+      assert(PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L) == vs,
+        s"crash window $w: replay after completion moved a store")
+      assert(stateOf(p) == want)
+      val a = auditMap(p)
+      assert(a("documents~lsh") == ((12L, 12L, 0L, 0L)), s"window $w docs~lsh audit: $a")
+      assert(a("embeddings~ivf") == ((12L, 12L, 0L, 0L)), s"window $w emb~ivf audit: $a")
+    }
+  }
+
+  test("the alignment audit reads the exact hole of a mid-crash state, live and as-of") {
+    val p = freshPipeline("audit")
+    // Crash between the docs-table commit and the LSH admit: the classic
+    // index-lags-table window.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L, failAfter = 1)
+    }
+    val crashed = auditMap(p)
+    assert(crashed("documents~lsh") == ((12L, 8L, 4L, 0L)),
+      s"docs~lsh should show the 4-doc ingest lag: $crashed")
+    assert(crashed("embeddings~ivf") == ((8L, 8L, 0L, 0L)),
+      s"emb~ivf never advanced and should read aligned: $crashed")
+    // Resume, then reconstruct the same hole AS OF the crash-time vector
+    // — the layouts and chains keep history, so the audit time-travels.
+    PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    assert(auditMap(p)("documents~lsh") == ((12L, 12L, 0L, 0L)))
+    val asOf = PipelineTxn.alignmentAuditAsOf(spark, p,
+      docsVer = 1, lshGen = 0, embVer = 0, ivfGen = 0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(asOf("documents~lsh") == ((12L, 8L, 4L, 0L)) &&
+      asOf("embeddings~ivf") == ((8L, 8L, 0L, 0L)),
+      s"as-of audit did not reconstruct the crash-time hole: $asOf")
+  }
+
+  test("erase applies its durable intent even when the head moved between crash and resume") {
+    val p = freshPipeline("erase")
+    PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    // Erase every multiple-of-4 id; crash after the intent record and
+    // the docs-table delete committed — the LSH retract and the whole
+    // embeddings arm are still pending.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0,
+        txn = 2L, failAfter = 2)
+    }
+    assert(auditMap(p)("documents~lsh") == ((9L, 12L, 0L, 3L)),
+      "the un-retracted index should read 3 stale docs (4, 8, 12)")
+    // The world moves on before recovery: doc 16 — which MATCHES the
+    // erase predicate — is ingested by a later transaction.
+    PipelineTxn.ingest(spark, p, docsDF(Seq(16L)), embDF(Seq(16L)), txn = 3L)
+    // Resume the erase: every arm must apply the txn's RECORDED intent
+    // ({4, 8, 12}) — never the predicate re-evaluated at the new head.
+    // Doc 16 survives in ALL FOUR stores, including the embeddings arm
+    // that had not committed before the crash (without the durable
+    // intent, its re-evaluation would wrongly erase 16 — cross-table
+    // divergence inside one transaction).
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 2L)
+    val (docs, lshDocs, _, emb, asg) = stateOf(p)
+    val want = (baseIds ++ deltaIds).filterNot(_ % 4 == 0).toSet + 16L
+    assert(docs == want, s"docs table: $docs")
+    assert(lshDocs == want, s"LSH index erased the wrong set: $lshDocs")
+    assert(emb == want, s"embeddings arm diverged from the intent: $emb")
+    assert(asg.map(_._1) == want, s"IVF: $asg")
+    val a = auditMap(p)
+    assert(a("documents~lsh") == ((10L, 10L, 0L, 0L)) &&
+      a("embeddings~ivf") == ((10L, 10L, 0L, 0L)), s"final audit not aligned: $a")
+  }
+
+  test("erase crash windows all resume to the clean-run state") {
+    val clean = freshPipeline("eclean")
+    PipelineTxn.ingest(spark, clean, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    PipelineTxn.erase(spark, clean, col("doc_id") % 3 === 0, col("vec_id") % 3 === 0, txn = 2L)
+    val want = stateOf(clean)
+    // Five windows: before the intent record, then between each of the
+    // four store commits.
+    (0 to 4).foreach { w =>
+      val p = freshPipeline(s"ecrash$w")
+      PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+      intercept[PipelineTxn.InjectedCrash] {
+        PipelineTxn.erase(spark, p, col("doc_id") % 3 === 0, col("vec_id") % 3 === 0,
+          txn = 2L, failAfter = w)
+      }
+      val vs = PipelineTxn.erase(spark, p, col("doc_id") % 3 === 0, col("vec_id") % 3 === 0, txn = 2L)
+      assert(stateOf(p) == want, s"erase crash window $w did not resume to the clean-run state")
+      assert(PipelineTxn.erase(spark, p, col("doc_id") % 3 === 0, col("vec_id") % 3 === 0,
+        txn = 2L) == vs, s"erase window $w: replay after completion moved a store")
+      assert(stateOf(p) == want)
+    }
+  }
+}
