@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, DedupQueries, Extras, Pipeline, QueryDef, Relational, ScalePatterns, Similarity, TextAnalysis, TextCorpus}
+import graft.queries.{Curation, DedupQueries, Extras, Pipeline, PipelineTxnQueries, QueryDef, Relational, ScalePatterns, Similarity, TextAnalysis, TextCorpus}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ TextCorpus.defs ++ TextAnalysis.defs ++
       DedupQueries.defs ++ Similarity.defs ++ Extras.defs ++ ScalePatterns.defs ++
-      Curation.defs ++ Pipeline.defs
+      Curation.defs ++ Pipeline.defs ++ PipelineTxnQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own query: document-frequency-ranked inverted index.

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.vectors
+import graft.operators.{Dedup, IvfIndexStore, LshIndexStore, PipelineStores, PipelineTxn, VersionedLayout}
+
+/** Gate queries for the coordinated pipeline transaction
+  * ([[graft.operators.PipelineTxn]]): one logical txn applied
+  * exactly-once across the documents layout, the LSH dedup index, the
+  * embeddings layout, and the IVF ANN index — with injected crashes at
+  * the worst windows and recovery by plain re-run. The scenario is the
+  * production ingest loop in miniature: base corpus -> crashed ingest
+  * batch -> resumed -> crashed erase (durable-intent recorded) ->
+  * resumed; q183 gates the final all-store alignment, q184 time-travels
+  * the alignment audit back INTO both crash windows and proves the
+  * holes a mid-crash reader saw are exactly reconstructible.
+  */
+object PipelineTxnQueries {
+
+  /** Per-sf pipeline roots this JVM has already built. The lock
+    * serializes the build (the once-set alone would let a concurrent
+    * query probe stores mid-scenario).
+    */
+  private val pipelineBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pipelineLock = new Object
+
+  private def docRows(s: SparkSession, d: String, cond: org.apache.spark.sql.Column): DataFrame =
+    Tables.documents(s, d).where(cond)
+      .select((pmod(col("doc_id"), lit(8)) + 1).cast("int").as("pid"),
+        col("doc_id"), col("text"))
+
+  private def embRows(s: SparkSession, d: String, cond: org.apache.spark.sql.Column): DataFrame =
+    Tables.embeddings(s, d).where(cond)
+      .select((pmod(col("vec_id"), lit(8)) + 1).cast("int").as("pid"),
+        col("vec_id"), col("embedding"))
+
+  private def bandsFor(docs: DataFrame): DataFrame =
+    Dedup.bandRows(Dedup.minhashSignatures(docs, "doc_id", "text"), rowsPerBand = 1)
+
+  /** Build the four-store pipeline and drive the crash/resume history:
+    *
+    *  - v0/g0 everywhere: the base corpus (`% 5 != 0` of both tables),
+    *    IVF centroids one quantized Lloyd step over the 16 lowest base
+    *    vectors (the q171 construction on this split).
+    *  - txn 1 INGEST of the `% 5 == 0` batch, CRASHED between the
+    *    docs-table commit and the LSH admit (the classic
+    *    index-lags-table window), then resumed by re-running the same
+    *    transaction — committed steps skip on their stamps.
+    *  - txn 2 ERASE of `% 10 == 0` (a training-data erasure request),
+    *    CRASHED after the durable intent and the docs-table delete but
+    *    before the LSH retract, then resumed the same way.
+    *
+    * Final heads: docs v2 / lsh g2 / emb v2 / ivf g2, every pair
+    * aligned on the `% 10 != 0` survivor set.
+    */
+  private[graft] def ensurePipelineStores(s: SparkSession, d: String): PipelineStores = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pipetxn_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    val p = PipelineStores(s"$root/docs", s"$root/lsh", s"$root/emb", s"$root/ivf",
+      s"$root/meta")
+    pipelineLock.synchronized {
+      if (pipelineBuilt.add(root)) {
+        val baseDocs = docRows(s, d, col("doc_id") % 5 =!= 0)
+        VersionedLayout.writeBaseTable(s, baseDocs, p.docs, Seq("doc_id"))
+        LshIndexStore.init(s, p.lsh, bandsFor(baseDocs))
+        val baseEmb = embRows(s, d, col("vec_id") % 5 =!= 0)
+        VersionedLayout.writeBaseTable(s, baseEmb, p.emb, Seq("vec_id"))
+        val base = baseEmb.select(col("vec_id"), col("embedding"),
+          vectors.norm(col("embedding")).as("nrm"))
+        // Exactly the 16 lowest base ids (% 5 != 0 leaves 16 below 20).
+        val seeds = base.where(col("vec_id") < 20)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val cent = Similarity.centroids(base,
+          Similarity.nearest(base, seeds, "vec_id", "embedding", "nrm"))
+          .localCheckpoint() // feeds the init write + the base assignment
+        IvfIndexStore.init(s, p.ivf, cent,
+          Similarity.nearest(base, cent, "vec_id", "embedding", "nrm"))
+        org.apache.spark.sql.graftbridge.DatasetBridge.unpersistCheckpoint(cent)
+
+        // txn 1: ingest the % 5 == 0 batch, crashed after the docs
+        // commit, resumed.
+        val dIns = docRows(s, d, col("doc_id") % 5 === 0)
+        val eIns = embRows(s, d, col("vec_id") % 5 === 0)
+        try PipelineTxn.ingest(s, p, dIns, eIns, txn = 1L, failAfter = 1)
+        catch { case _: PipelineTxn.InjectedCrash => () }
+        PipelineTxn.ingest(s, p, dIns, eIns, txn = 1L)
+
+        // txn 2: erase % 10 == 0, crashed after intent + docs delete,
+        // resumed.
+        try PipelineTxn.erase(s, p, col("doc_id") % 10 === 0,
+          col("vec_id") % 10 === 0, txn = 2L, failAfter = 2)
+        catch { case _: PipelineTxn.InjectedCrash => () }
+        PipelineTxn.erase(s, p, col("doc_id") % 10 === 0,
+          col("vec_id") % 10 === 0, txn = 2L)
+      }
+    }
+    p
+  }
+
+  /** COORDINATED PIPELINE TRANSACTIONS — the final-state gate: after a
+    * crashed-and-resumed ingest AND a crashed-and-resumed erase (see
+    * [[ensurePipelineStores]]), every table~index pair is aligned on
+    * exactly the survivor corpus and no store saw a batch twice. The
+    * oracle re-derives both pairs' key counts from the raw tables: any
+    * duplicate admit (a replay that slipped a txn stamp), lost batch, or
+    * leftover index entry shifts a count and fails the hash. At 100 TB
+    * this is the invariant continuous ingest lives by: crash recovery is
+    * re-running the transaction, and the proof it worked is this audit
+    * reading all-zero lag.
+    */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val p = ensurePipelineStores(s, d)
+    PipelineTxn.alignmentAudit(s, p).orderBy(col("pair"))
+  }
+
+  private val q183Oracle =
+    """SELECT 'documents~lsh' AS pair,
+       |       (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS table_keys,
+       |       (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0) AS index_keys,
+       |       CAST(0 AS BIGINT) AS missing_in_index,
+       |       CAST(0 AS BIGINT) AS stale_in_index
+       |UNION ALL
+       |SELECT 'embeddings~ivf',
+       |       (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0),
+       |       (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0),
+       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |ORDER BY pair""".stripMargin
+
+  /** PIPELINE CRASH-WINDOW AUDIT, TIME-TRAVELED: the alignment audit
+    * evaluated AS OF each crash's exact (version, generation) vector —
+    * reconstructing what a reader saw MID-CRASH, after the fact, from
+    * retained history alone. `ingest_crash` (docs v1, indexes g0/v0/g0)
+    * shows the 4-docs-in-5 ingest lag on documents~lsh while
+    * embeddings~ivf (never started) reads aligned; `erase_crash` (docs
+    * v2, lsh g1, emb v1, ivf g1) shows the deleted docs still STALE in
+    * the un-retracted LSH index; `final` reads all-zero lag. The oracle
+    * derives every count from the raw tables' id arithmetic. This is
+    * the incident-forensics query a production pipeline runs after a
+    * bad deploy: which windows were inconsistent, by how much, and did
+    * recovery close them — answered from history, not from monitoring
+    * that happened to be running at the time.
+    */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val p = ensurePipelineStores(s, d)
+    Seq(
+      ("ingest_crash", 1, 0, 0, 0),
+      ("erase_crash", 2, 1, 1, 1),
+      ("final", 2, 2, 2, 2),
+    ).map { case (phase, dv, lg, ev, ig) =>
+      PipelineTxn.alignmentAuditAsOf(s, p, dv, lg, ev, ig)
+        .select(lit(phase).as("phase"), col("pair"), col("table_keys"),
+          col("index_keys"), col("missing_in_index"), col("stale_in_index"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("phase"), col("pair"))
+  }
+
+  private val q184Oracle =
+    """WITH d AS (SELECT count(*) AS all_docs,
+       |                 count(*) FILTER (WHERE doc_id % 5 <> 0) AS base_docs,
+       |                 count(*) FILTER (WHERE doc_id % 5 = 0) AS delta_docs,
+       |                 count(*) FILTER (WHERE doc_id % 10 <> 0) AS kept_docs,
+       |                 count(*) FILTER (WHERE doc_id % 10 = 0) AS erased_docs
+       |          FROM documents),
+       |     e AS (SELECT count(*) AS all_vecs,
+       |                 count(*) FILTER (WHERE vec_id % 5 <> 0) AS base_vecs,
+       |                 count(*) FILTER (WHERE vec_id % 10 <> 0) AS kept_vecs
+       |          FROM embeddings)
+       |SELECT 'erase_crash' AS phase, 'documents~lsh' AS pair,
+       |       kept_docs AS table_keys, all_docs AS index_keys,
+       |       CAST(0 AS BIGINT) AS missing_in_index, erased_docs AS stale_in_index
+       |FROM d
+       |UNION ALL
+       |SELECT 'erase_crash', 'embeddings~ivf', all_vecs, all_vecs,
+       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM e
+       |UNION ALL
+       |SELECT 'final', 'documents~lsh', kept_docs, kept_docs,
+       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM d
+       |UNION ALL
+       |SELECT 'final', 'embeddings~ivf', kept_vecs, kept_vecs,
+       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM e
+       |UNION ALL
+       |SELECT 'ingest_crash', 'documents~lsh', all_docs, base_docs,
+       |       delta_docs, CAST(0 AS BIGINT) FROM d
+       |UNION ALL
+       |SELECT 'ingest_crash', 'embeddings~ivf', base_vecs, base_vecs,
+       |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM e
+       |ORDER BY phase, pair""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q183_pipeline_txn", q183, Some(q183Oracle)),
+    QueryDef("q184_pipeline_crash_audit", q184, Some(q184Oracle)),
+  )
+}
