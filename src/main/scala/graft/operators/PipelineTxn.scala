@@ -134,8 +134,15 @@ object PipelineTxn {
     crash {
       eraseIntent(s, p, docPred, vecPred, txn); 0
     }
-    val docKeys = s.read.parquet(s"${intentDir(p, txn)}/docids")
-    val vecKeys = s.read.parquet(s"${intentDir(p, txn)}/vecids")
+    // No intent dir after eraseIntent means the txn is fully applied
+    // and its record already vacuumed — every arm below skips on its
+    // stamp without reading the keys, so empty placeholders suffice.
+    val haveIntent = new java.io.File(intentDir(p, txn)).isDirectory
+    def keys(sub: String, as: String): DataFrame =
+      if (haveIntent) s.read.parquet(s"${intentDir(p, txn)}/$sub")
+      else s.range(0).select(col("id").as(as))
+    val docKeys = keys("docids", "doc_id")
+    val vecKeys = keys("vecids", "vec_id")
     val dv = crash {
       VersionedLayout.withWriteRetry() {
         VersionedLayout.appendDeleteKeysOnce(s, p.docs, docKeys, txn)
@@ -171,6 +178,10 @@ object PipelineTxn {
       vecPred: Column, txn: Long): Unit = {
     val dst = new java.io.File(intentDir(p, txn))
     if (dst.isDirectory) return
+    // A fully-applied transaction whose record was GC'd must not write
+    // a fresh one on replay: every arm will skip on its stamp anyway,
+    // and the re-evaluated record would linger until the next vacuum.
+    if (fullyApplied(p, txn)) return
     val tmp = new java.io.File(s"${intentDir(p, txn)}.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     tmp.getParentFile.mkdirs()
@@ -249,6 +260,34 @@ object PipelineTxn {
     alignmentAuditAsOf(s, p,
       VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
       VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+
+  /** Reclaim intent records of OLD transactions (`txn < keepFromTxn`)
+    * that are FULLY APPLIED — every arm's stamp committed, so any
+    * replay skips before ever reading the record. An intent whose
+    * transaction still has an uncommitted arm is NEVER removed,
+    * whatever its age: deleting it would make a late resume re-evaluate
+    * the predicates at the then-current head — exactly the divergence
+    * the record exists to prevent. Returns the number reclaimed.
+    */
+  def vacuumIntents(s: SparkSession, p: PipelineStores, keepFromTxn: Long): Int = {
+    val root = new java.io.File(s"${p.meta}/_intents")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("txn"))
+      .flatMap(f => f.getName.stripPrefix("txn").toLongOption.map(f -> _))
+      .filter { case (_, t) => t < keepFromTxn && fullyApplied(p, t) }
+      .map { case (f, _) =>
+        org.apache.commons.io.FileUtils.deleteDirectory(f); 1
+      }.sum
+  }
+
+  /** Every arm of erase txn `txn` carries its stamp (erases touch all
+    * four stores, so all four must).
+    */
+  private def fullyApplied(p: PipelineStores, txn: Long): Boolean =
+    VersionedLayout.log(p.docs).exists(e => e.action == "delete" && e.txn == txn) &&
+      GenChain.committedGen(p.lsh, txn).isDefined &&
+      VersionedLayout.log(p.emb).exists(e => e.action == "delete" && e.txn == txn) &&
+      GenChain.committedGen(p.ivf, txn).isDefined
 
   private def pairAudit(pair: String, table: DataFrame, index: DataFrame,
       key: String): DataFrame =

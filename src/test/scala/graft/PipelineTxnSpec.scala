@@ -162,6 +162,76 @@ class PipelineTxnSpec extends SparkSpec {
       a("embeddings~ivf") == ((10L, 10L, 0L, 0L)), s"final audit not aligned: $a")
   }
 
+  test("streaming coordinated ingest: one pipeline txn per micro-batch across all four stores, restart + mid-batch crash replay exactly once") {
+    val s0 = spark
+    import s0.implicits._
+    val p = freshPipeline("stream")
+    val clean = freshPipeline("streamclean")
+    PipelineTxn.ingest(spark, clean, docsDF(Seq(9L, 10L)), embDF(Seq(9L, 10L)), txn = 0L)
+    PipelineTxn.ingest(spark, clean, docsDF(Seq(11L, 12L)), embDF(Seq(11L, 12L)), txn = 1L)
+    val want = stateOf(clean)
+
+    def jointRows(ids: Seq[Long]): DataFrame =
+      ids.map { i =>
+        val e = if (i % 2 == 0) Array(1.0, 0.001 * i) else Array(0.001 * i, 1.0)
+        (((i % 2) + 1).toInt, i, docText(i), e)
+      }.toDF("pid", "id", "text", "embedding")
+
+    val in = java.nio.file.Files.createTempDirectory("graft-pipe-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-pipe-chk")
+    val sink: (DataFrame, Long) => Unit = (b, id) => {
+      // The micro-batch id IS the pipeline transaction id — ONE
+      // coordinated exactly-once commit across all four stores per
+      // micro-batch, the multi-sink shape a single-store foreachBatch
+      // ingest cannot give.
+      PipelineTxn.ingest(spark, p,
+        b.select(col("pid"), col("id").as("doc_id"), col("text")),
+        b.select(col("pid"), col("id").as("vec_id"), col("embedding")),
+        txn = id)
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(jointRows(Seq(0L)).schema).parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def stage(name: String, ids: Seq[Long]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe-stage")
+      jointRows(ids).repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+
+    stage("b0.parquet", Seq(9L, 10L))
+    run()
+    assert(VersionedLayout.currentVersion(p.docs) == 1
+      && IvfIndexStore.currentGeneration(p.ivf) == 1)
+    // Batch 1 crashes MID-PIPELINE before the stream delivers it: the
+    // docs and LSH arms commit, the embeddings arm never runs — then
+    // the restarted stream redelivers the batch and the sink's re-run
+    // completes it.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.ingest(spark, p, docsDF(Seq(11L, 12L)), embDF(Seq(11L, 12L)),
+        txn = 1L, failAfter = 2)
+    }
+    stage("b1.parquet", Seq(11L, 12L))
+    run() // restart from checkpoint; redelivers batch 1 only
+    assert(stateOf(p) == want,
+      "streamed pipeline diverged from the clean batch pipeline")
+    val heads = (VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
+      VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+    assert(heads == ((2, 2, 2, 2)), s"a store saw a batch twice: $heads")
+    // A further restart with no new input replays nothing.
+    run()
+    assert(stateOf(p) == want && VersionedLayout.currentVersion(p.docs) == 2)
+    val a = auditMap(p)
+    assert(a("documents~lsh") == ((12L, 12L, 0L, 0L)) &&
+      a("embeddings~ivf") == ((12L, 12L, 0L, 0L)), s"audit not aligned: $a")
+  }
+
   test("erase crash windows all resume to the clean-run state") {
     val clean = freshPipeline("eclean")
     PipelineTxn.ingest(spark, clean, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
@@ -182,5 +252,38 @@ class PipelineTxnSpec extends SparkSpec {
         txn = 2L) == vs, s"erase window $w: replay after completion moved a store")
       assert(stateOf(p) == want)
     }
+  }
+
+  test("intent GC reclaims only fully-applied transactions; retained intents keep late resumes convergent") {
+    val p = freshPipeline("gc")
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 1L)
+    // A second erase crashes with its intent recorded but the LSH,
+    // embeddings, and IVF arms uncommitted.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.erase(spark, p, col("doc_id") % 3 === 0, col("vec_id") % 3 === 0,
+        txn = 2L, failAfter = 2)
+    }
+    def intentExists(txn: Long) =
+      new java.io.File(s"${p.meta}/_intents/txn$txn").isDirectory
+    assert(intentExists(1L) && intentExists(2L))
+    // GC below txn 10: txn 1 (fully applied) goes; txn 2 (pending arms)
+    // MUST stay, whatever its age.
+    assert(PipelineTxn.vacuumIntents(spark, p, keepFromTxn = 10L) == 1)
+    assert(!intentExists(1L), "fully-applied intent not reclaimed")
+    assert(intentExists(2L), "pending intent reclaimed — a late resume would diverge")
+    // Replay of the reclaimed txn is still a no-op (arms skip on their
+    // stamps before ever reading the record).
+    val before = stateOf(p)
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 1L)
+    assert(stateOf(p) == before, "replay after intent GC moved a store")
+    // The retained intent completes the pending transaction on resume,
+    // and only then becomes reclaimable.
+    PipelineTxn.erase(spark, p, col("doc_id") % 3 === 0, col("vec_id") % 3 === 0, txn = 2L)
+    val (docs, lshDocs, _, emb, asg) = stateOf(p)
+    val want = baseIds.filterNot(i => i % 4 == 0 || i % 3 == 0).toSet
+    assert(docs == want && lshDocs == want && emb == want && asg.map(_._1) == want,
+      s"resumed erase diverged: $docs / $lshDocs / $emb")
+    assert(PipelineTxn.vacuumIntents(spark, p, keepFromTxn = 10L) == 1)
+    assert(!intentExists(2L))
   }
 }
