@@ -67,6 +67,25 @@ object IvfIndexStore {
   def centroidsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
     s.read.parquet(s"${genDir(dir, baseGenOf(dir, gen))}/centroids")
 
+  /** Argmax-cosine assignment of `df`'s vectors against a centroid
+    * table `(cid, ce, cn)` — THE single spelling of the IVF coarse
+    * quantizer, shared by the query layer's builds and the pipeline's
+    * frozen-centroid admits so the tie-break (highest cosine, ties to
+    * the LOWEST cid) can never drift between paths. Argmax by
+    * AGGREGATION, not a ranking window: `max(struct(cos, -cid))`
+    * partial-aggregates map-side — each task sends one candidate row
+    * per vector into the exchange, where a window must shuffle and
+    * sort all n*k rows first. The centroid table broadcasts.
+    */
+  def assignAgainst(df: DataFrame, cents: DataFrame,
+      id: String, vec: String, nrm: String): DataFrame =
+    df.join(org.apache.spark.sql.functions.broadcast(cents))
+      .select(col(id), col("cid"),
+        (graft.functions.vectors.dot(col(vec), col("ce")) / (col(nrm) * col("cn"))).as("cos"))
+      .groupBy(col(id))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
+      .select(col(id), (-col("m.neg")).as("cid"))
+
   /** Assignments as of generation `gen`, restricted to the probed
     * clusters when `cids` is given: the base snapshot contributes ONLY
     * the named `cid=` partition directories (driver-side listing — the

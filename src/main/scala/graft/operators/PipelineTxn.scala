@@ -62,6 +62,21 @@ object PipelineTxn {
   private[graft] final class InjectedCrash(afterSteps: Int)
     extends RuntimeException(s"injected pipeline crash after $afterSteps store commits")
 
+  /** The caller's txn id mapped into DISJOINT stamp spaces per action:
+    * ingest stamps are even, erase stamps odd. The chain stores'
+    * `committedGen` matches a txn stamp with NO action discrimination
+    * (one stamp per generation), so an erase reusing an id an ingest
+    * once used — e.g. ids drawn from one monotonic counter — would
+    * silently skip both index retracts while the action-scoped layout
+    * arms committed: a half-served erasure with no error. The mapping
+    * removes the hazard structurally; callers keep one id space.
+    */
+  private def ingestStamp(txn: Long): Long = { requireTxn(txn); 2 * txn }
+  private def eraseStamp(txn: Long): Long = { requireTxn(txn); 2 * txn + 1 }
+  private def requireTxn(txn: Long): Unit =
+    require(txn >= 0 && txn < Long.MaxValue / 2,
+      s"a pipeline transaction needs a txn id in [0, 2^62) (got $txn)")
+
   /** Ingest one batch exactly-once across all four stores. `docRows`
     * must carry the docs layout's schema (including computed `pid` and
     * the `text` column the LSH signatures derive from); `embRows` the
@@ -75,11 +90,11 @@ object PipelineTxn {
 
   private[graft] def ingest(s: SparkSession, p: PipelineStores, docRows: DataFrame,
       embRows: DataFrame, txn: Long, failAfter: Int): Map[String, Int] = {
-    require(txn >= 0, s"a pipeline transaction needs a real txn id (got $txn)")
+    val stamp = ingestStamp(txn)
     val crash = crasher(failAfter)
     val dv = crash {
       VersionedLayout.withWriteRetry() {
-        VersionedLayout.appendInsertOnce(s, p.docs, docRows, txn)
+        VersionedLayout.appendInsertOnce(s, p.docs, docRows, stamp)
       }
     }
     // The index admits derive from the layout's COMMITTED segment — the
@@ -90,16 +105,16 @@ object PipelineTxn {
           Dedup.minhashSignatures(
             VersionedLayout.insertsAt(s, p.docs, dv), "doc_id", "text"),
           rowsPerBand = 1),
-        txn)
+        stamp)
     }
     val ev = crash {
       VersionedLayout.withWriteRetry() {
-        VersionedLayout.appendInsertOnce(s, p.emb, embRows, txn)
+        VersionedLayout.appendInsertOnce(s, p.emb, embRows, stamp)
       }
     }
     val ig = crash {
       IvfIndexStore.admitOnce(s, p.ivf,
-        assignFrozen(s, p.ivf, VersionedLayout.insertsAt(s, p.emb, ev)), txn)
+        assignFrozen(s, p.ivf, VersionedLayout.insertsAt(s, p.emb, ev)), stamp)
     }
     Map("docs" -> dv, "lsh" -> lg, "emb" -> ev, "ivf" -> ig)
   }
@@ -129,7 +144,7 @@ object PipelineTxn {
 
   private[graft] def erase(s: SparkSession, p: PipelineStores, docPred: Column,
       vecPred: Column, txn: Long, failAfter: Int): Map[String, Int] = {
-    require(txn >= 0, s"a pipeline transaction needs a real txn id (got $txn)")
+    val stamp = eraseStamp(txn)
     val crash = crasher(failAfter)
     crash {
       eraseIntent(s, p, docPred, vecPred, txn); 0
@@ -145,21 +160,21 @@ object PipelineTxn {
     val vecKeys = keys("vecids", "vec_id")
     val dv = crash {
       VersionedLayout.withWriteRetry() {
-        VersionedLayout.appendDeleteKeysOnce(s, p.docs, docKeys, txn)
+        VersionedLayout.appendDeleteKeysOnce(s, p.docs, docKeys, stamp)
       }
     }
     val lg = crash {
       LshIndexStore.retractOnce(s, p.lsh,
-        VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id")), txn)
+        VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id")), stamp)
     }
     val ev = crash {
       VersionedLayout.withWriteRetry() {
-        VersionedLayout.appendDeleteKeysOnce(s, p.emb, vecKeys, txn)
+        VersionedLayout.appendDeleteKeysOnce(s, p.emb, vecKeys, stamp)
       }
     }
     val ig = crash {
       IvfIndexStore.retractOnce(s, p.ivf,
-        VersionedLayout.tombstonesAt(s, p.emb, ev).select(col("vec_id")), txn)
+        VersionedLayout.tombstonesAt(s, p.emb, ev).select(col("vec_id")), stamp)
     }
     Map("docs" -> dv, "lsh" -> lg, "emb" -> ev, "ivf" -> ig)
   }
@@ -194,12 +209,18 @@ object PipelineTxn {
     try java.nio.file.Files.move(tmp.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      // Lost the publish race to a concurrent attempt — its record is
-      // equally valid (evaluated under the same txn); use it.
-      case _: java.nio.file.FileAlreadyExistsException
+      case e @ (_: java.nio.file.FileAlreadyExistsException
            | _: java.nio.file.DirectoryNotEmptyException
-           | _: java.nio.file.AccessDeniedException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+           | _: java.nio.file.AccessDeniedException) =>
+        // Only a LOST PUBLISH RACE is benign (the winner's record is
+        // equally valid — evaluated under the same txn). The same
+        // exceptions also cover genuine filesystem failures, where no
+        // record exists — swallowing those would let the erase proceed
+        // with empty placeholder keys and stamp a zero-row delete, an
+        // unrecoverable silent no-op. Verify the winner, else fail.
+        if (dst.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        else throw new IllegalStateException(
+          s"intent publish of ${dst.getPath} failed with no winning record", e)
     }
   }
 
@@ -218,24 +239,17 @@ object PipelineTxn {
 
   private def crasher(failAfter: Int) = new Crasher(failAfter)
 
-  /** Assign a batch against the IVF store's FROZEN centroid table
-    * (broadcast; map-side argmax aggregation — the
-    * [[graft.queries.Similarity.nearest]] shape): the O(delta)
-    * maintenance assignment, the corpus is never re-assigned.
+  /** Assign a batch against the IVF store's FROZEN centroid table —
+    * [[IvfIndexStore.assignAgainst]] (the one spelling of the coarse
+    * quantizer): the O(delta) maintenance assignment, the corpus is
+    * never re-assigned.
     */
-  private def assignFrozen(s: SparkSession, ivfDir: String, embRows: DataFrame): DataFrame = {
-    val cent = IvfIndexStore.centroidsOf(
-      s, ivfDir, IvfIndexStore.currentGeneration(ivfDir))
-    embRows
-      .select(col("vec_id"), col("embedding"),
-        vectors.norm(col("embedding")).as("nrm"))
-      .join(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg")).as("cid"))
-  }
+  private def assignFrozen(s: SparkSession, ivfDir: String, embRows: DataFrame): DataFrame =
+    IvfIndexStore.assignAgainst(
+      embRows.select(col("vec_id"), col("embedding"),
+        vectors.norm(col("embedding")).as("nrm")),
+      IvfIndexStore.centroidsOf(s, ivfDir, IvfIndexStore.currentGeneration(ivfDir)),
+      "vec_id", "embedding", "nrm")
 
   /** Table~index coverage audit AS OF an explicit (version, generation)
     * vector — one row per pair: distinct key counts on each side,
@@ -267,27 +281,58 @@ object PipelineTxn {
     * transaction still has an uncommitted arm is NEVER removed,
     * whatever its age: deleting it would make a late resume re-evaluate
     * the predicates at the then-current head — exactly the divergence
-    * the record exists to prevent. Returns the number reclaimed.
+    * the record exists to prevent. Also sweeps abandoned writer tmps
+    * (`txn<id>.tmp-*` left by a crash inside the intent write): a tmp
+    * whose record published (or whose txn is fully applied) is garbage
+    * now; otherwise it ages out past an mtime lease, the
+    * [[GenChain.vacuumGenerations]] discipline — a resumed writer
+    * always builds a FRESH tmp, so old tmps are never live. Returns the
+    * number of intent records reclaimed (tmps not counted).
     */
-  def vacuumIntents(s: SparkSession, p: PipelineStores, keepFromTxn: Long): Int = {
+  def vacuumIntents(p: PipelineStores, keepFromTxn: Long,
+      orphanLeaseMs: Long = 30 * 60 * 1000L): Int = {
     val root = new java.io.File(s"${p.meta}/_intents")
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("txn"))
+    val entries = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    // One log read per layout for the whole sweep, not per intent.
+    val docsDel = VersionedLayout.log(p.docs)
+      .collect { case e if e.action == "delete" => e.txn }.toSet
+    val embDel = VersionedLayout.log(p.emb)
+      .collect { case e if e.action == "delete" => e.txn }.toSet
+    def applied(t: Long): Boolean = {
+      val stamp = eraseStamp(t)
+      docsDel(stamp) && GenChain.committedGen(p.lsh, stamp).isDefined &&
+        embDel(stamp) && GenChain.committedGen(p.ivf, stamp).isDefined
+    }
+    def txnOf(name: String): Option[Long] =
+      "^txn(\\d+)".r.findFirstMatchIn(name).flatMap(_.group(1).toLongOption)
+    val cutoff = System.currentTimeMillis() - orphanLeaseMs
+    entries.filter(_.getName.contains(".tmp-")).foreach { f =>
+      val published = txnOf(f.getName)
+        .exists(t => new java.io.File(intentDir(p, t)).isDirectory || applied(t))
+      if (published || f.lastModified() <= cutoff)
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    entries
+      .filterNot(_.getName.contains(".tmp-"))
       .flatMap(f => f.getName.stripPrefix("txn").toLongOption.map(f -> _))
-      .filter { case (_, t) => t < keepFromTxn && fullyApplied(p, t) }
+      .filter { case (_, t) => t < keepFromTxn && applied(t) }
       .map { case (f, _) =>
         org.apache.commons.io.FileUtils.deleteDirectory(f); 1
       }.sum
   }
 
   /** Every arm of erase txn `txn` carries its stamp (erases touch all
-    * four stores, so all four must).
+    * four stores, so all four must). Matches the ERASE stamp space —
+    * an ingest that used the same caller id can never satisfy it.
     */
-  private def fullyApplied(p: PipelineStores, txn: Long): Boolean =
-    VersionedLayout.log(p.docs).exists(e => e.action == "delete" && e.txn == txn) &&
-      GenChain.committedGen(p.lsh, txn).isDefined &&
-      VersionedLayout.log(p.emb).exists(e => e.action == "delete" && e.txn == txn) &&
-      GenChain.committedGen(p.ivf, txn).isDefined
+  private def fullyApplied(p: PipelineStores, txn: Long): Boolean = {
+    val stamp = eraseStamp(txn)
+    VersionedLayout.log(p.docs).exists(e => e.action == "delete" && e.txn == stamp) &&
+      GenChain.committedGen(p.lsh, stamp).isDefined &&
+      VersionedLayout.log(p.emb).exists(e => e.action == "delete" && e.txn == stamp) &&
+      GenChain.committedGen(p.ivf, stamp).isDefined
+  }
 
   private def pairAudit(pair: String, table: DataFrame, index: DataFrame,
       key: String): DataFrame =

@@ -388,21 +388,6 @@ object VersionedLayout {
     ver
   }
 
-  /** Transactional delete ([[appendInsertOnce]]'s contract for the
-    * delete arm): commit the predicate's tombstones as a version stamped
-    * with `txn` unless one with that stamp is already in the log. The
-    * committed version's tombstone segment ([[tombstonesAt]]) is the
-    * authoritative record of WHICH keys this txn erased — downstream
-    * index maintenance reads it instead of re-evaluating the predicate
-    * at a head that has since moved (see [[PipelineTxn]]).
-    */
-  def appendDeleteOnce(s: SparkSession, dir: String,
-      cond: org.apache.spark.sql.Column, txn: Long): Int =
-    log(dir).find(e => e.action == "delete" && e.txn == txn) match {
-      case Some(e) => e.version
-      case None => appendDelete(s, dir, cond, txn)
-    }
-
   /** DELETE BY KEY SET: tombstone exactly the CURRENTLY-LIVE rows whose
     * key columns match a row of `keys` (a left-semi join — rows
     * inserted after `keys` was evaluated are untouched even if some

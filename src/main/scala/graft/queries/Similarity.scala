@@ -150,14 +150,12 @@ object Similarity {
     * row_number over (cos desc, cid)), but a groupBy partial-aggregates
     * map-side — each task sends one candidate row per vector into the
     * exchange — where a window must shuffle and sort all n*k rows first.
+    * One spelling for every path: delegates to
+    * [[graft.operators.IvfIndexStore.assignAgainst]], which the
+    * pipeline's frozen-centroid admits also use.
     */
   private[graft] def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String, nrm: String): DataFrame =
-    df.join(broadcast(cents))
-      .select(col(id), col("cid"),
-        (vectors.dot(col(vec), col("ce")) / (col(nrm) * col("cn"))).as("cos"))
-      .groupBy(col(id))
-      .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
-      .select(col(id), (-col("m.neg")).as("cid"))
+    graft.operators.IvfIndexStore.assignAgainst(df, cents, id, vec, nrm)
 
   /** IVF coarse quantization: assign every vector to its nearest of 16
     * "centroids" (deterministically: the first 16 vectors — a real IVF

@@ -268,7 +268,7 @@ class PipelineTxnSpec extends SparkSpec {
     assert(intentExists(1L) && intentExists(2L))
     // GC below txn 10: txn 1 (fully applied) goes; txn 2 (pending arms)
     // MUST stay, whatever its age.
-    assert(PipelineTxn.vacuumIntents(spark, p, keepFromTxn = 10L) == 1)
+    assert(PipelineTxn.vacuumIntents(p, keepFromTxn = 10L) == 1)
     assert(!intentExists(1L), "fully-applied intent not reclaimed")
     assert(intentExists(2L), "pending intent reclaimed — a late resume would diverge")
     // Replay of the reclaimed txn is still a no-op (arms skip on their
@@ -283,7 +283,7 @@ class PipelineTxnSpec extends SparkSpec {
     val want = baseIds.filterNot(i => i % 4 == 0 || i % 3 == 0).toSet
     assert(docs == want && lshDocs == want && emb == want && asg.map(_._1) == want,
       s"resumed erase diverged: $docs / $lshDocs / $emb")
-    assert(PipelineTxn.vacuumIntents(spark, p, keepFromTxn = 10L) == 1)
+    assert(PipelineTxn.vacuumIntents(p, keepFromTxn = 10L) == 1)
     assert(!intentExists(2L))
   }
 }
