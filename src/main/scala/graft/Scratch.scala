@@ -464,12 +464,7 @@ object IvfAdmitSlope {
     def proj(df: org.apache.spark.sql.DataFrame) =
       df.select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
     def assign(df: org.apache.spark.sql.DataFrame, cent: org.apache.spark.sql.DataFrame) =
-      df.join(broadcast(cent))
-        .select(col("vec_id"), col("cid"),
-          (vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos"), (-col("cid")).as("neg"))).as("m"))
-        .select(col("vec_id"), (-col("m.neg")).as("cid"))
+      IvfIndexStore.assignAgainst(df, cent, "vec_id", "embedding", "nrm")
     // Fixed 500-vector delta with novel ids; fixed 500-base-id retract.
     val delta = proj(e0.where(col("vec_id") < 500)
       .withColumn("vec_id", col("vec_id") + lit(100L * maxId))).localCheckpoint()
@@ -517,6 +512,106 @@ object IvfAdmitSlope {
     Slopes.record("ivf_admit", "retract", results((1, "retract")), results((10, "retract")), 3.0)
     Slopes.record("ivf_admit", "compact", results((1, "compact")), results((10, "compact")), 10.0)
     Slopes.record("ivf_admit", "rebuild", results((1, "rebuild")), results((10, "rebuild")), 0.0)
+    spark.stop()
+  }
+}
+
+/** Fixed-batch COORDINATED PIPELINE TRANSACTION cost vs corpus size —
+  * the measurement behind PipelineTxn's scale claims: a FIXED
+  * 500-doc + 500-vec ingest and a FIXED 250-key erase, timed against a
+  * 1x and a 10x four-store pipeline (docs layout + LSH index +
+  * embeddings layout + IVF index; 10x via the alphabet-rotation copies
+  * so the LSH vocabulary scales with the corpus). Claims:
+  *
+  *  - INGEST is FLAT (bound 3.0): every arm is its store's O(batch)
+  *    path — two segment inserts, one O(delta + touched buckets) LSH
+  *    admit, one broadcast-argmax IVF admit. The coordination layer
+  *    adds only log/manifest reads.
+  *  - ERASE is at worst CORPUS-LINEAR (bound = the data ratio): the
+  *    intent evaluation scans the table head once per layout
+  *    (predicate over the corpus — irreducible for a predicate-driven
+  *    erase), and the id-driven LSH retract pays its documented
+  *    locating scan; the remaining arms are O(matched + touched). A
+  *    CDC-shaped deployment that already knows the erased band rows
+  *    rides `retractBandsOnce` and drops the locating scan.
+  */
+object PipelineSlope {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(appName = "graft-pipeline-slope", master = Some(s"local[$cpus]"),
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, IvfIndexStore, LshIndexStore, PipelineStores, PipelineTxn, VersionedLayout}
+    import graft.functions.vectors
+
+    val docs0 = spark.read.parquet(s"$baseDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val maxDoc = docs0.agg(max(col("doc_id"))).first().getLong(0) + 1
+    val maxVec = emb0.agg(max(col("vec_id"))).first().getLong(0) + 1
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def docShape(df: org.apache.spark.sql.DataFrame) =
+      df.select((pmod(col("doc_id"), lit(8)) + 1).cast("int").as("pid"),
+        col("doc_id"), col("text"))
+    def embShape(df: org.apache.spark.sql.DataFrame) =
+      df.select((pmod(col("vec_id"), lit(8)) + 1).cast("int").as("pid"),
+        col("vec_id"), col("embedding"))
+    // Fixed batches with NOVEL ids (inside the base pid domain).
+    val dIns = docShape(docs0.where(col("doc_id") < 500)
+      .withColumn("doc_id", col("doc_id") + lit(1000L * maxDoc))).localCheckpoint()
+    val eIns = embShape(emb0.where(col("vec_id") < 500)
+      .withColumn("vec_id", col("vec_id") + lit(1000L * maxVec))).localCheckpoint()
+    def timed(body: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val results = scala.collection.mutable.Map.empty[(Int, String), Double]
+    Seq(1, copies).foreach { n =>
+      val docs = docShape((0 until n).map { k =>
+        val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+        docs0.withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
+          .withColumn("text", translate(col("text"), alpha, rot))
+      }.reduce(_ unionByName _)).localCheckpoint()
+      val emb = embShape((0 until n)
+        .map(k => emb0.withColumn("vec_id", col("vec_id") + lit(k * maxVec)))
+        .reduce(_ unionByName _)).localCheckpoint()
+      (1 to 2).foreach { pass =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-pipeslope-$n-$pass").toString
+        val p = PipelineStores(s"$root/docs", s"$root/lsh", s"$root/emb",
+          s"$root/ivf", s"$root/meta")
+        // Init (untimed here — corpus-proportional by design, the
+        // layouts' own write path).
+        VersionedLayout.writeBaseTable(spark, docs, p.docs, Seq("doc_id"))
+        LshIndexStore.init(spark, p.lsh, Dedup.bandRows(
+          Dedup.minhashSignatures(docs, "doc_id", "text"), rowsPerBand = 1))
+        VersionedLayout.writeBaseTable(spark, emb, p.emb, Seq("vec_id"))
+        val nrm = emb.select(col("vec_id"), col("embedding"),
+          vectors.norm(col("embedding")).as("nrm"))
+        val cent = nrm.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+          .localCheckpoint()
+        IvfIndexStore.init(spark, p.ivf, cent,
+          IvfIndexStore.assignAgainst(nrm, cent, "vec_id", "embedding", "nrm"))
+        val tIngest = timed(PipelineTxn.ingest(spark, p, dIns, eIns, txn = 1L))
+        val tErase = timed(PipelineTxn.erase(spark, p,
+          col("doc_id") < 250, col("vec_id") < 250, txn = 2L))
+        if (pass == 2) {
+          println(f"PIPESLOPE ${n}x docs=${docs.count()} " +
+            f"ingest=$tIngest%.2f erase=$tErase%.2f")
+          results((n, "ingest")) = tIngest
+          results((n, "erase")) = tErase
+        }
+      }
+    }
+    Slopes.record("pipeline", "ingest",
+      results((1, "ingest")), results((copies, "ingest")), 3.0)
+    Slopes.record("pipeline", "erase",
+      results((1, "erase")), results((copies, "erase")), copies.toDouble)
     spark.stop()
   }
 }

@@ -410,8 +410,8 @@ object VersionedLayout {
     ver
   }
 
-  /** Exactly-once [[appendDeleteKeys]] (the [[appendDeleteOnce]] stamp
-    * contract).
+  /** Exactly-once [[appendDeleteKeys]] (the [[appendInsertOnce]] stamp
+    * contract, action-scoped to deletes).
     */
   def appendDeleteKeysOnce(s: SparkSession, dir: String, keys: DataFrame,
       txn: Long): Int =

@@ -28,13 +28,18 @@ class SlopesSpec extends AnyFunSuite {
 
   test("SLOPES.json exists, parses, and covers every slope family") {
     val byHarness = ledger.groupBy(_.harness)
-    assert(Set("scale", "lsh_admit", "ivf_admit", "ckpt").subsetOf(byHarness.keySet),
+    assert(Set("scale", "lsh_admit", "ivf_admit", "ckpt", "pipeline")
+      .subsetOf(byHarness.keySet),
       s"missing slope families: have ${byHarness.keySet}")
     assert(byHarness("scale").size >= 10, "scale family too thin to mean anything")
     Seq("lsh_admit", "ivf_admit").foreach { h =>
       assert(byHarness(h).map(_.name).toSet == Set("admit", "retract", "compact", "rebuild"),
         s"$h family incomplete: ${byHarness(h).map(_.name)}")
     }
+    // The coordinated pipeline's claims: ingest flat (bound 3.0), erase
+    // at worst corpus-linear.
+    assert(byHarness("pipeline").map(_.name).toSet == Set("ingest", "erase"),
+      s"pipeline family incomplete: ${byHarness("pipeline").map(_.name)}")
   }
 
   test("every bounded slope holds its bound — a superlinear regression fails the build") {
