@@ -163,9 +163,23 @@ object PipelineTxn {
         VersionedLayout.appendDeleteKeysOnce(s, p.docs, docKeys, stamp)
       }
     }
+    // The CDC-shaped retract: the erased docs' band rows recompute from
+    // the layout's PRE-DELETE snapshot (readAsOf(dv - 1) still serves
+    // them — deletes are logical), so every LSH state read is
+    // bucket-pruned; the id-only retract would pay an index-sized
+    // locating scan instead. Requires history retention to cover
+    // dv - 1 (a vacuum above it would break a very late resume — keep
+    // erase intents inside the retention horizon).
     val lg = crash {
-      LshIndexStore.retractOnce(s, p.lsh,
-        VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id")), stamp)
+      LshIndexStore.retractBandsOnce(s, p.lsh,
+        Dedup.bandRows(
+          Dedup.minhashSignatures(
+            VersionedLayout.readAsOf(s, p.docs, dv - 1)
+              .join(VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id")),
+                Seq("doc_id"), "left_semi"),
+            "doc_id", "text"),
+          rowsPerBand = 1),
+        stamp)
     }
     val ev = crash {
       VersionedLayout.withWriteRetry() {
