@@ -254,6 +254,35 @@ class PipelineTxnSpec extends SparkSpec {
     }
   }
 
+  test("two concurrent pipeline transactions both commit, sequential-equivalent state across all four stores") {
+    val p = freshPipeline("race")
+    val clean = freshPipeline("raceclean")
+    PipelineTxn.ingest(spark, clean, docsDF(Seq(9L, 10L)), embDF(Seq(9L, 10L)), txn = 1L)
+    PipelineTxn.ingest(spark, clean, docsDF(Seq(11L, 12L)), embDF(Seq(11L, 12L)), txn = 2L)
+    val want = stateOf(clean)
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(ids: Seq[Long], txn: Long) = new Thread(() => {
+      try {
+        barrier.await()
+        PipelineTxn.ingest(spark, p, docsDF(ids), embDF(ids), txn)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(writer(Seq(9L, 10L), 1L), writer(Seq(11L, 12L), 2L))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent pipeline txn failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(stateOf(p) == want,
+      "concurrent pipelines did not converge to the sequential state")
+    val heads = (VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
+      VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+    assert(heads == ((2, 2, 2, 2)), s"a store committed a batch twice or lost one: $heads")
+    // Replays of both transactions are no-ops everywhere.
+    PipelineTxn.ingest(spark, p, docsDF(Seq(9L, 10L)), embDF(Seq(9L, 10L)), txn = 1L)
+    PipelineTxn.ingest(spark, p, docsDF(Seq(11L, 12L)), embDF(Seq(11L, 12L)), txn = 2L)
+    assert(stateOf(p) == want && VersionedLayout.currentVersion(p.docs) == 2)
+  }
+
   test("intent GC reclaims only fully-applied transactions; retained intents keep late resumes convergent") {
     val p = freshPipeline("gc")
     PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 1L)
