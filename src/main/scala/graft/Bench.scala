@@ -76,6 +76,7 @@ object Bench {
       "q170_layout_checkpointed_log", "q171_incremental_ivf", "q172_ivf_index_crud",
       "q176_generic_layout", "q177_ivf_retrain", "q180_layout_schema_evolution",
       "q181_layout_retention_audit", "q182_clustered_fold", "q183_pipeline_txn",
+      "q185_pipeline_maintenance",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

@@ -336,6 +336,52 @@ object PipelineTxn {
       }.sum
   }
 
+  /** ONE maintenance entrypoint for the pipeline's whole store
+    * footprint — the operation a deployment schedules instead of five:
+    * checkpoint both layout logs (O(1)-read discipline), consult each
+    * layout's retention policy ([[VersionedLayout.vacuumIfNeeded]]),
+    * fold each index chain when the shared chain policy says so
+    * ([[LshIndexStore.compactIfNeeded]] /
+    * [[IvfIndexStore.compactIfNeeded]] — a chain compact also
+    * consolidates its txn checkpoint, so exactly-once survives the
+    * maintenance), and reclaim fully-applied erase-intent records.
+    * Returns one report row per store: head version/generation, live
+    * distinct keys, and which policies fired — deterministic given the
+    * store state, so the report itself is oracle-gateable (q185).
+    * Idempotent: a second immediate run fires nothing.
+    */
+  def maintain(s: SparkSession, p: PipelineStores, keepLast: Int,
+      minReclaimRows: Long, keepIntentsBelowTxn: Long,
+      maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
+      maxSegments: Int = IndexStore.recommendMaxSegments): DataFrame = {
+    VersionedLayout.checkpoint(p.docs)
+    val dVac = VersionedLayout.vacuumIfNeeded(s, p.docs, keepLast, minReclaimRows)
+    val lCompacted = LshIndexStore.compactIfNeeded(s, p.lsh, maxOverheadMilli, maxSegments)
+    VersionedLayout.checkpoint(p.emb)
+    val eVac = VersionedLayout.vacuumIfNeeded(s, p.emb, keepLast, minReclaimRows)
+    val iCompacted = IvfIndexStore.compactIfNeeded(s, p.ivf, maxOverheadMilli, maxSegments)
+    val intents = vacuumIntents(p, keepIntentsBelowTxn)
+    def layoutKeys(dir: String, key: String): Long =
+      VersionedLayout.readAsOf(s, dir, VersionedLayout.currentVersion(dir))
+        .select(col(key)).distinct().count()
+    val rows = Seq(
+      ("docs", VersionedLayout.currentVersion(p.docs).toLong,
+        layoutKeys(p.docs, "doc_id"), false, dVac, 0L),
+      ("emb", VersionedLayout.currentVersion(p.emb).toLong,
+        layoutKeys(p.emb, "vec_id"), false, eVac, 0L),
+      ("ivf", IvfIndexStore.currentGeneration(p.ivf).toLong,
+        IvfIndexStore.assignmentsOf(s, p.ivf, IvfIndexStore.currentGeneration(p.ivf))
+          .select(col("vec_id")).distinct().count(), iCompacted, false, 0L),
+      ("lsh", LshIndexStore.currentGeneration(p.lsh).toLong,
+        LshIndexStore.bandsOf(s, p.lsh, LshIndexStore.currentGeneration(p.lsh))
+          .select(col("doc_id")).distinct().count(), lCompacted, false, 0L),
+      ("meta", -1L, 0L, false, false, intents.toLong),
+    )
+    val s0 = s
+    import s0.implicits._
+    rows.toDF("store", "head", "live_keys", "compacted", "vacuumed", "intents_reclaimed")
+  }
+
   /** Every arm of erase txn `txn` carries its stamp (erases touch all
     * four stores, so all four must). Matches the ERASE stamp space —
     * an ingest that used the same caller id can never satisfy it.

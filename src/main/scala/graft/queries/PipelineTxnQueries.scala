@@ -56,10 +56,18 @@ object PipelineTxnQueries {
     * Final heads: docs v2 / lsh g2 / emb v2 / ivf g2, every pair
     * aligned on the `% 10 != 0` survivor set.
     */
-  private[graft] def ensurePipelineStores(s: SparkSession, d: String): PipelineStores = {
+  private[graft] def ensurePipelineStores(s: SparkSession, d: String): PipelineStores =
+    ensurePipelineStores(s, d, "")
+
+  /** `tag` separates independent scenario instances: q183/q184 share
+    * the pristine one (their as-of reads pin its history), q185's
+    * maintenance run mutates its own.
+    */
+  private[graft] def ensurePipelineStores(s: SparkSession, d: String,
+      tag: String): PipelineStores = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pipetxn_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_pipetxn$tag${"_"}${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
     val p = PipelineStores(s"$root/docs", s"$root/lsh", s"$root/emb", s"$root/ivf",
       s"$root/meta")
     pipelineLock.synchronized {
@@ -190,8 +198,80 @@ object PipelineTxnQueries {
        |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM e
        |ORDER BY phase, pair""".stripMargin
 
+  /** PIPELINE MAINTENANCE — one scheduled entrypoint for the whole
+    * store footprint ([[graft.operators.PipelineTxn.maintain]]):
+    * checkpoint both layout logs, consult both retention policies, fold
+    * both index chains when the chain policy fires (`maxSegments = 1`
+    * here so the scenario's two-segment chains deterministically
+    * cross), and reclaim the applied erase intent. Run TWICE on a
+    * dedicated scenario instance: pass 1 folds both chains (head 2→3)
+    * and reclaims the one intent; pass 2 fires NOTHING (idempotence on
+    * the report surface). Live key counts anchor every row to the raw
+    * tables — a maintenance pass that lost or duplicated data shifts a
+    * count and fails the hash. The layouts' vacuum reads `false` by
+    * construction (their histories hold no reclaimable compact
+    * archives), pinning the no-fire edge of the policy. At 100 TB this
+    * is the nightly job: one call, every store's health consulted,
+    * only the stores that need work pay for any.
+    */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PipelineTxn
+    val p = ensurePipelineStores(s, d, "_maint")
+    val passes = maintLock.synchronized {
+      maintRan.computeIfAbsent(p.docs, _ => Seq(1L, 2L).flatMap { pass =>
+        PipelineTxn.maintain(s, p, keepLast = 0, minReclaimRows = 1L,
+          keepIntentsBelowTxn = 100L, maxSegments = 1)
+          .collect()
+          .map(r => (pass, r.getString(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+      })
+    }
+    val s0 = s
+    import s0.implicits._
+    passes.toDF("pass", "store", "head", "live_keys",
+      "compacted", "vacuumed", "intents_reclaimed")
+      .orderBy(col("pass"), col("store"))
+  }
+
+  /** q185's two recorded maintenance passes, keyed by scenario dir —
+    * computed once per JVM so re-running the query replays the SAME
+    * passes instead of re-firing maintenance on an already-folded
+    * store (which would report nothing-fired on both rows).
+    */
+  private val maintRan = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, Long, Long, Boolean, Boolean, Long)]]()
+  private val maintLock = new Object
+
+  private val q185Oracle =
+    """WITH d AS (SELECT count(*) AS kd FROM documents WHERE doc_id % 10 <> 0),
+       |     e AS (SELECT count(*) AS ke FROM embeddings WHERE vec_id % 10 <> 0)
+       |SELECT * FROM (
+       |SELECT CAST(1 AS BIGINT) AS pass, 'docs' AS store, CAST(2 AS BIGINT) AS head,
+       |       kd AS live_keys, false AS compacted, false AS vacuumed,
+       |       CAST(0 AS BIGINT) AS intents_reclaimed FROM d
+       |UNION ALL
+       |SELECT 1, 'emb', 2, ke, false, false, 0 FROM e
+       |UNION ALL
+       |SELECT 1, 'ivf', 3, ke, true, false, 0 FROM e
+       |UNION ALL
+       |SELECT 1, 'lsh', 3, kd, true, false, 0 FROM d
+       |UNION ALL
+       |SELECT 1, 'meta', -1, 0, false, false, 1
+       |UNION ALL
+       |SELECT 2, 'docs', 2, kd, false, false, 0 FROM d
+       |UNION ALL
+       |SELECT 2, 'emb', 2, ke, false, false, 0 FROM e
+       |UNION ALL
+       |SELECT 2, 'ivf', 3, ke, false, false, 0 FROM e
+       |UNION ALL
+       |SELECT 2, 'lsh', 3, kd, false, false, 0 FROM d
+       |UNION ALL
+       |SELECT 2, 'meta', -1, 0, false, false, 0
+       |) ORDER BY pass, store""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q183_pipeline_txn", q183, Some(q183Oracle)),
     QueryDef("q184_pipeline_crash_audit", q184, Some(q184Oracle)),
+    QueryDef("q185_pipeline_maintenance", q185, Some(q185Oracle)),
   )
 }
