@@ -101,11 +101,7 @@ object PipelineTxn {
     // authoritative batch content on a resumed attempt.
     val lg = crash {
       LshIndexStore.admitOnce(s, p.lsh,
-        Dedup.bandRows(
-          Dedup.minhashSignatures(
-            VersionedLayout.insertsAt(s, p.docs, dv), "doc_id", "text"),
-          rowsPerBand = 1),
-        stamp)
+        bandRowsOf(VersionedLayout.insertsAt(s, p.docs, dv)), stamp)
     }
     val ev = crash {
       VersionedLayout.withWriteRetry() {
@@ -166,20 +162,28 @@ object PipelineTxn {
     // The CDC-shaped retract: the erased docs' band rows recompute from
     // the layout's PRE-DELETE snapshot (readAsOf(dv - 1) still serves
     // them — deletes are logical), so every LSH state read is
-    // bucket-pruned; the id-only retract would pay an index-sized
-    // locating scan instead. Requires history retention to cover
-    // dv - 1 (a vacuum above it would break a very late resume — keep
-    // erase intents inside the retention horizon).
+    // bucket-pruned; the id-only retract pays an index-sized locating
+    // scan instead. The stamp is checked BEFORE any as-of read — a
+    // replay of a fully-applied erase must skip even after the docs
+    // history below dv was vacuumed. When a very late resume finds
+    // dv - 1 already below the vacuum horizon, the arm falls back to
+    // the id-driven retract (always resolvable: tombstone segments are
+    // rewritten by folds, never deleted). Known loud edge, by design:
+    // re-ingesting an ERASED key inside the erase's crash-recovery
+    // window makes retractBands' divergence guard refuse (the stored
+    // rows include the re-admit's, which the pre-delete recompute
+    // cannot name) — the write-write conflict on one key that needs an
+    // operator decision, not a silent pick.
     val lg = crash {
-      LshIndexStore.retractBandsOnce(s, p.lsh,
-        Dedup.bandRows(
-          Dedup.minhashSignatures(
-            VersionedLayout.readAsOf(s, p.docs, dv - 1)
-              .join(VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id")),
-                Seq("doc_id"), "left_semi"),
-            "doc_id", "text"),
-          rowsPerBand = 1),
-        stamp)
+      GenChain.committedGen(p.lsh, stamp).getOrElse {
+        val ids = VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id"))
+        if (VersionedLayout.horizon(p.docs) <= dv - 1)
+          LshIndexStore.retractBandsOnce(s, p.lsh,
+            bandRowsOf(VersionedLayout.readAsOf(s, p.docs, dv - 1)
+              .join(ids, Seq("doc_id"), "left_semi")),
+            stamp)
+        else LshIndexStore.retractOnce(s, p.lsh, ids, stamp)
+      }
     }
     val ev = crash {
       VersionedLayout.withWriteRetry() {
@@ -252,6 +256,16 @@ object PipelineTxn {
   }
 
   private def crasher(failAfter: Int) = new Crasher(failAfter)
+
+  /** THE pipeline's LSH banding scheme — r = 1 single-row bands, ONE
+    * spelling shared by the admit and erase arms so a recomputed
+    * retract can never use a different banding than the rows it must
+    * net out. Contract: the pipeline owns its LSH store from `init`
+    * (initialize it with these band rows); a store initialized under a
+    * different scheme is out of contract for BOTH arms.
+    */
+  private def bandRowsOf(docs: DataFrame): DataFrame =
+    Dedup.bandRows(Dedup.minhashSignatures(docs, "doc_id", "text"), rowsPerBand = 1)
 
   /** Assign a batch against the IVF store's FROZEN centroid table —
     * [[IvfIndexStore.assignAgainst]] (the one spelling of the coarse
@@ -351,35 +365,63 @@ object PipelineTxn {
     * Idempotent: a second immediate run fires nothing.
     */
   def maintain(s: SparkSession, p: PipelineStores, keepLast: Int,
-      minReclaimRows: Long, keepIntentsBelowTxn: Long,
+      minReclaimRows: Long, reclaimIntentsBelowTxn: Long,
       maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
-      maxSegments: Int = IndexStore.recommendMaxSegments): DataFrame = {
+      maxSegments: Int = IndexStore.recommendMaxSegments,
+      deepCounts: Boolean = true): DataFrame = {
+    // History vacuum DEFERS while any erase transaction is in flight:
+    // a resumed erase's pruned LSH arm reads the docs snapshot AS OF
+    // its delete version minus one, and a vacuum above that would
+    // force the fallback locating scan (or, for the embeddings side's
+    // tombstone reads, nothing — but the rule is uniform and cheap to
+    // check: one intent-dir listing).
+    val pending = pendingIntents(p)
     VersionedLayout.checkpoint(p.docs)
-    val dVac = VersionedLayout.vacuumIfNeeded(s, p.docs, keepLast, minReclaimRows)
+    val dVac = pending.isEmpty &&
+      VersionedLayout.vacuumIfNeeded(s, p.docs, keepLast, minReclaimRows)
     val lCompacted = LshIndexStore.compactIfNeeded(s, p.lsh, maxOverheadMilli, maxSegments)
     VersionedLayout.checkpoint(p.emb)
-    val eVac = VersionedLayout.vacuumIfNeeded(s, p.emb, keepLast, minReclaimRows)
+    val eVac = pending.isEmpty &&
+      VersionedLayout.vacuumIfNeeded(s, p.emb, keepLast, minReclaimRows)
     val iCompacted = IvfIndexStore.compactIfNeeded(s, p.ivf, maxOverheadMilli, maxSegments)
-    val intents = vacuumIntents(p, keepIntentsBelowTxn)
+    val intents = vacuumIntents(p, reclaimIntentsBelowTxn)
+    // The deep per-store key counts anchor the report to the data (the
+    // q185 oracle rides them) but cost one distinct-count job per
+    // store — a scheduled no-op health check at scale passes
+    // deepCounts = false and reads -1 here.
     def layoutKeys(dir: String, key: String): Long =
-      VersionedLayout.readAsOf(s, dir, VersionedLayout.currentVersion(dir))
+      if (!deepCounts) -1L
+      else VersionedLayout.readAsOf(s, dir, VersionedLayout.currentVersion(dir))
         .select(col(key)).distinct().count()
+    val ivfHead = IvfIndexStore.currentGeneration(p.ivf)
+    val lshHead = LshIndexStore.currentGeneration(p.lsh)
     val rows = Seq(
       ("docs", VersionedLayout.currentVersion(p.docs).toLong,
         layoutKeys(p.docs, "doc_id"), false, dVac, 0L),
       ("emb", VersionedLayout.currentVersion(p.emb).toLong,
         layoutKeys(p.emb, "vec_id"), false, eVac, 0L),
-      ("ivf", IvfIndexStore.currentGeneration(p.ivf).toLong,
-        IvfIndexStore.assignmentsOf(s, p.ivf, IvfIndexStore.currentGeneration(p.ivf))
+      ("ivf", ivfHead.toLong,
+        if (!deepCounts) -1L
+        else IvfIndexStore.assignmentsOf(s, p.ivf, ivfHead)
           .select(col("vec_id")).distinct().count(), iCompacted, false, 0L),
-      ("lsh", LshIndexStore.currentGeneration(p.lsh).toLong,
-        LshIndexStore.bandsOf(s, p.lsh, LshIndexStore.currentGeneration(p.lsh))
+      ("lsh", lshHead.toLong,
+        if (!deepCounts) -1L
+        else LshIndexStore.bandsOf(s, p.lsh, lshHead)
           .select(col("doc_id")).distinct().count(), lCompacted, false, 0L),
       ("meta", -1L, 0L, false, false, intents.toLong),
     )
     val s0 = s
     import s0.implicits._
     rows.toDF("store", "head", "live_keys", "compacted", "vacuumed", "intents_reclaimed")
+  }
+
+  /** Recorded erase transactions with at least one uncommitted arm. */
+  private def pendingIntents(p: PipelineStores): Seq[Long] = {
+    val root = new java.io.File(s"${p.meta}/_intents")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.contains(".tmp-"))
+      .flatMap(_.getName.stripPrefix("txn").toLongOption)
+      .filterNot(t => fullyApplied(p, t)).toSeq
   }
 
   /** Every arm of erase txn `txn` carries its stamp (erases touch all

@@ -220,7 +220,7 @@ object PipelineTxnQueries {
     val passes = maintLock.synchronized {
       maintRan.computeIfAbsent(p.docs, _ => Seq(1L, 2L).flatMap { pass =>
         PipelineTxn.maintain(s, p, keepLast = 0, minReclaimRows = 1L,
-          keepIntentsBelowTxn = 100L, maxSegments = 1)
+          reclaimIntentsBelowTxn = 100L, maxSegments = 1)
           .collect()
           .map(r => (pass, r.getString(0), r.getLong(1), r.getLong(2),
             r.getBoolean(3), r.getBoolean(4), r.getLong(5)))

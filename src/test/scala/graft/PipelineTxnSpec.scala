@@ -283,6 +283,41 @@ class PipelineTxnSpec extends SparkSpec {
     assert(stateOf(p) == want && VersionedLayout.currentVersion(p.docs) == 2)
   }
 
+  test("maintain defers history vacuum while an erase is pending; a post-vacuum resume falls back to the id retract; post-vacuum replay is a no-op") {
+    val p = freshPipeline("vac")
+    PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    // Erase crashes after intent + docs delete (v2); LSH/emb/IVF pending.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0,
+        txn = 2L, failAfter = 2)
+    }
+    // Maintenance with aggressive retention must NOT vacuum while the
+    // erase is in flight, and must NOT reclaim its intent.
+    val rep = PipelineTxn.maintain(spark, p, keepLast = 0, minReclaimRows = 1L,
+      reclaimIntentsBelowTxn = 100L).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(4), r.getLong(5))).toMap
+    assert(!rep("docs")._1 && !rep("emb")._1,
+      "maintain vacuumed layout history out from under a pending erase")
+    assert(rep("meta")._2 == 0L, "maintain reclaimed a pending erase's intent")
+    assert(new java.io.File(s"${p.meta}/_intents/txn2").isDirectory)
+    // An operator forces the vacuum anyway (horizon above the delete's
+    // pre-state): the resumed LSH arm cannot recompute bands from
+    // readAsOf(dv - 1) and must fall back to the id-driven retract —
+    // the erase still completes to the same state.
+    VersionedLayout.vacuum(spark, p.docs, keepFrom = 2)
+    assert(VersionedLayout.horizon(p.docs) == 2)
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 2L)
+    val (docs, lshDocs, _, emb, asg) = stateOf(p)
+    val want = (baseIds ++ deltaIds).filterNot(_ % 4 == 0).toSet
+    assert(docs == want && lshDocs == want && emb == want && asg.map(_._1) == want,
+      s"post-vacuum resume diverged: $docs / $lshDocs / $emb")
+    // A replay of the now-applied erase skips on its stamps WITHOUT
+    // touching the vacuumed as-of read.
+    val after = stateOf(p)
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 2L)
+    assert(stateOf(p) == after, "post-vacuum replay moved a store")
+  }
+
   test("intent GC reclaims only fully-applied transactions; retained intents keep late resumes convergent") {
     val p = freshPipeline("gc")
     PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 1L)
