@@ -269,9 +269,68 @@ object PipelineTxnQueries {
        |SELECT 2, 'meta', -1, 0, false, false, 0
        |) ORDER BY pass, store""".stripMargin
 
+  /** INDEX-SERVED CURATION SNAPSHOT, AS OF A PAST PIPELINE STATE — the
+    * reproducible-training-run query: materialize the shard manifest of
+    * a curated corpus at the POST-INGEST moment (docs v1 / LSH g1),
+    * read purely from retained history even though the live pipeline
+    * has since ERASED part of that corpus. The near-duplicate set comes
+    * from the MAINTAINED LSH index's pair table at that generation
+    * (one O(candidates) exact-Jaccard verify — never a corpus-wide
+    * re-signature; q167's gate proves the chained pair table equals the
+    * ground-up rebuild, which is exactly what lets this query's oracle
+    * derive the same dups from the raw tables), the survivors pass
+    * q46's language/quality rules, and each output shard row carries
+    * count, token mass, and an integer checksum — the manifest a
+    * downstream trainer pins. At 100 TB: snapshotting yesterday's
+    * curated corpus costs one as-of read + one candidate-bounded
+    * verify + one aggregation; the store-less alternative recomputes
+    * corpus-wide signatures against a corpus that no longer exists.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{text, textstats}
+    val p = ensurePipelineStores(s, d)
+    val docs = VersionedLayout.readAsOf(s, p.docs, 1)
+    val toks = text.normalizedTokens(col("text"))
+    val sh = docs.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= Dedup.shingleSize)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("toks"))).as("sh"))
+    val dupIds = LshIndexStore.pairsOf(s, p.lsh, 1)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .where(lit(3) * size(array_intersect(col("sh_a"), col("sh_b")))
+        >= size(col("sh_a")) + size(col("sh_b")))
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.select(col("doc_id"),
+        textstats.predictLang(toks).as("pred_lang"),
+        TextAnalysis.qualityCol(col("text"), toks).as("quality"),
+        size(toks).cast("long").as("n_tokens"))
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .where(col("pred_lang") =!= "und" && col("quality") >= Curation.qualityFloor)
+      .groupBy(pmod(col("doc_id"), lit(8L)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum((col("doc_id") * col("doc_id")) % lit(1000003L)).as("checksum"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
+  /** The oracle rides q46's survivor derivation verbatim (the as-of
+    * docs at v1 ARE the full documents table — the scenario ingested
+    * the whole corpus before the erase), sharded and checksummed.
+    */
+  private def q186Oracle: String = {
+    val surv = Curation.defs.find(_.name == "q46_curation").get.oracle.get
+    s"""WITH surv AS ($surv)
+       |SELECT doc_id % 8 AS shard, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+       |       sum((doc_id * doc_id) % 1000003) AS checksum,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM surv GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q183_pipeline_txn", q183, Some(q183Oracle)),
     QueryDef("q184_pipeline_crash_audit", q184, Some(q184Oracle)),
     QueryDef("q185_pipeline_maintenance", q185, Some(q185Oracle)),
+    QueryDef("q186_snapshot_manifest", q186, Some(q186Oracle)),
   )
 }
