@@ -316,6 +316,12 @@ class PipelineTxnSpec extends SparkSpec {
     val after = stateOf(p)
     PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 2L)
     assert(stateOf(p) == after, "post-vacuum replay moved a store")
+    // The scheduled no-op health check skips the per-store deep counts.
+    val shallow = PipelineTxn.maintain(spark, p, keepLast = 0, minReclaimRows = 1L,
+      reclaimIntentsBelowTxn = 0L, deepCounts = false).collect()
+    assert(shallow.filter(_.getString(0) != "meta").forall(_.getLong(2) == -1L),
+      "deepCounts = false still ran the per-store key scans")
+    assert(stateOf(p) == after, "a shallow maintain pass moved a store")
   }
 
   test("intent GC reclaims only fully-applied transactions; retained intents keep late resumes convergent") {
