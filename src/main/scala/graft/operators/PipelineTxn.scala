@@ -363,6 +363,12 @@ object PipelineTxn {
     * distinct keys, and which policies fired — deterministic given the
     * store state, so the report itself is oracle-gateable (q185).
     * Idempotent: a second immediate run fires nothing.
+    *
+    * The IVF RETRAIN policy deliberately stays a separate scheduled
+    * decision: it needs a drift audit over the embedding data (q173)
+    * and a training pass — compose
+    * [[IvfIndexStore.retrainWhenRecommended]] with the q177 retrain
+    * recipe when the audit flags, exactly as its spec demonstrates.
     */
   def maintain(s: SparkSession, p: PipelineStores, keepLast: Int,
       minReclaimRows: Long, reclaimIntentsBelowTxn: Long,
