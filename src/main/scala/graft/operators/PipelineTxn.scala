@@ -122,8 +122,12 @@ object PipelineTxn {
     * each layout arm evaluated the predicate at its OWN commit time, a
     * transaction that lands in a crash-recovery window between the two
     * arms would make them erase DIFFERENT sets (spec-proven anomaly).
-    * So step 0 writes a DURABLE INTENT record: both predicates are
-    * evaluated ONCE against the current heads, the matched key sets
+    * So step 0 writes a DURABLE INTENT record: each predicate is
+    * evaluated ONCE against its table's pinned head (both heads pinned
+    * up front; the residual cross-table skew window — a commit landing
+    * between the two pins — is inherent without a global lock and does
+    * not break convergence: every arm still erases the one recorded
+    * set), the matched key sets
     * land under `meta/_intents/txn<id>/` (write-tmp + atomic rename —
     * the saga coordinator's commit), and every arm erases exactly the
     * recorded set — the layouts via
@@ -215,13 +219,22 @@ object PipelineTxn {
     // a fresh one on replay: every arm will skip on its stamp anyway,
     // and the re-evaluated record would linger until the next vacuum.
     if (fullyApplied(p, txn)) return
+    // Both heads pinned UP FRONT, before either predicate evaluation:
+    // per table the predicate is evaluated once against one version;
+    // cross-table, the two pins are adjacent reads, so the skew window
+    // is two metadata reads wide — a commit landing exactly between
+    // them can still make the vectors straddle pipeline states, which
+    // is inherent without a global lock across both layouts (the arms
+    // still converge on this ONE recorded key set either way).
+    val docsHead = VersionedLayout.currentVersion(p.docs)
+    val embHead = VersionedLayout.currentVersion(p.emb)
     val tmp = new java.io.File(s"${intentDir(p, txn)}.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     tmp.getParentFile.mkdirs()
-    VersionedLayout.readAsOf(s, p.docs, VersionedLayout.currentVersion(p.docs))
+    VersionedLayout.readAsOf(s, p.docs, docsHead)
       .where(docPred).select(col("doc_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/docids")
-    VersionedLayout.readAsOf(s, p.emb, VersionedLayout.currentVersion(p.emb))
+    VersionedLayout.readAsOf(s, p.emb, embHead)
       .where(vecPred).select(col("vec_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/vecids")
     try java.nio.file.Files.move(tmp.toPath, dst.toPath,
@@ -229,15 +242,21 @@ object PipelineTxn {
     catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException
            | _: java.nio.file.DirectoryNotEmptyException
-           | _: java.nio.file.AccessDeniedException) =>
+           | _: java.nio.file.AccessDeniedException
+           | _: java.nio.file.NoSuchFileException) =>
         // Only a LOST PUBLISH RACE is benign (the winner's record is
         // equally valid — evaluated under the same txn). The same
         // exceptions also cover genuine filesystem failures, where no
         // record exists — swallowing those would let the erase proceed
         // with empty placeholder keys and stamp a zero-row delete, an
         // unrecoverable silent no-op. Verify the winner, else fail.
-        if (dst.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-        else throw new IllegalStateException(
+        // NoSuchFileException is the loser whose tmp a concurrent
+        // [[vacuumIntents]] already swept AFTER the winner published —
+        // same benign case, same verification.
+        if (dst.isDirectory) {
+          if (tmp.isDirectory)
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        } else throw new IllegalStateException(
           s"intent publish of ${dst.getPath} failed with no winning record", e)
     }
   }

@@ -27,6 +27,35 @@ object PipelineTxnQueries {
   private val pipelineBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val pipelineLock = new Object
 
+  /** CODE-STATE nonce baked into every scenario root name: a CRC of the
+    * bytecode of each class whose behavior determines the scenario's
+    * on-disk content. The round-10 gate shipped one red hash row
+    * (q186) that three judge re-runs could not reproduce; the one
+    * mechanism found that could explain it is ADOPTION of a leftover
+    * root from a crashed earlier JVM with a recycled PID — state built
+    * by a DIFFERENT code state (a mid-round spelling) would be served
+    * as-is, since init no-ops on an existing generation and the `*Once`
+    * arms skip on their stamps. With the nonce in the name, stale
+    * cross-code state lands under a different root and is simply never
+    * seen; a SAME-code leftover (dead JVM, recycled PID) is detected by
+    * [[ensurePipelineStores]]'s exists-at-first-claim check and purged
+    * (a live other process can never share our PID).
+    */
+  private lazy val codeNonce: String = {
+    val crc = new java.util.zip.CRC32()
+    Seq(PipelineTxn.getClass, classOf[PipelineStores],
+      graft.operators.GenChain.getClass,
+      VersionedLayout.getClass, LshIndexStore.getClass, IvfIndexStore.getClass,
+      Dedup.getClass, Similarity.getClass, PipelineTxnQueries.getClass,
+      graft.functions.vectors.getClass, graft.functions.text.getClass)
+      .foreach { c =>
+        val res = c.getResourceAsStream("/" + c.getName.replace('.', '/') + ".class")
+        if (res != null)
+          try crc.update(res.readAllBytes()) finally res.close()
+      }
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   private def docRows(s: SparkSession, d: String, cond: org.apache.spark.sql.Column): DataFrame =
     Tables.documents(s, d).where(cond)
       .select((pmod(col("doc_id"), lit(8)) + 1).cast("int").as("pid"),
@@ -67,11 +96,22 @@ object PipelineTxnQueries {
       tag: String): PipelineStores = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pipetxn$tag${"_"}${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_pipetxn$tag${"_"}${sfx}_n${codeNonce}_p${ProcessHandle.current().pid()}")
+      .getAbsolutePath
     val p = PipelineStores(s"$root/docs", s"$root/lsh", s"$root/emb", s"$root/ivf",
       s"$root/meta")
     pipelineLock.synchronized {
       if (pipelineBuilt.add(root)) {
+        // First claim in THIS JVM: an existing directory can only be a
+        // leftover of a DEAD process that recycled our PID under the
+        // same code nonce (PIDs are unique among live processes, and a
+        // prior claim by this JVM is in the once-set). Its build may
+        // have crashed anywhere, so never adopt — purge and build
+        // fresh; the gate then always reads a state this exact code
+        // produced end-to-end.
+        val leftover = new java.io.File(root).isDirectory
+        if (leftover)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
         val baseDocs = docRows(s, d, col("doc_id") % 5 =!= 0)
         VersionedLayout.writeBaseTable(s, baseDocs, p.docs, Seq("doc_id"))
         LshIndexStore.init(s, p.lsh, bandsFor(baseDocs))
@@ -104,6 +144,30 @@ object PipelineTxnQueries {
         catch { case _: PipelineTxn.InjectedCrash => () }
         PipelineTxn.erase(s, p, col("doc_id") % 10 === 0,
           col("vec_id") % 10 === 0, txn = 2L)
+
+        // Build instrumentation + head validation (round-10 gate
+        // forensics): the scenario contract is docs v2 / lsh g2 /
+        // emb v2 / ivf g2 — FAIL the build here, loudly, rather than
+        // let a structurally wrong scenario reach a gate query; the
+        // sidecar records what was built so a red gate row is
+        // diagnosable from the artifact alone.
+        val heads = (VersionedLayout.currentVersion(p.docs),
+          LshIndexStore.currentGeneration(p.lsh),
+          VersionedLayout.currentVersion(p.emb),
+          IvfIndexStore.currentGeneration(p.ivf))
+        require(heads == ((2, 2, 2, 2)),
+          s"pipeline scenario $root built to head vector $heads, expected (2,2,2,2)")
+        val pairsG1 = LshIndexStore.pairsOf(s, p.lsh, 1)
+          .agg(count(lit(1)), coalesce(sum(col("doc_a") + col("doc_b")), lit(0L)))
+          .first()
+        val info = s"""{"leftover_purged":$leftover,"nonce":"$codeNonce",""" +
+          s""""heads":[${heads._1},${heads._2},${heads._3},${heads._4}],""" +
+          s""""pairs_g1_rows":${pairsG1.getLong(0)},"pairs_g1_idsum":${pairsG1.getLong(1)}}"""
+        java.nio.file.Files.write(
+          new java.io.File(root, "_build_info.json").toPath,
+          info.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"pipeline scenario $root: built fresh " +
+          s"(leftover purged: $leftover) $info")
       }
     }
     p
