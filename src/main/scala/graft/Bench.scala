@@ -183,14 +183,19 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $outPath: $e") }
-    // Round-artifact auto-commit (three rounds of uncommitted-artifact
+    // Round-artifact auto-commit (FOUR rounds of uncommitted-artifact
     // flags): the driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json
-    // / LEAKCHECK.json AFTER this JVM exits, so committing them from
-    // here is impossible — instead spawn the deferred committer
-    // DETACHED (setsid survives both this JVM and sbt), which polls for
-    // the artifacts and commits them as they land. Best-effort: a
-    // missing script/git just skips. Disable with
-    // SPARK_GRAFT_AUTOCOMMIT=0.
+    // / LEAKCHECK.json AFTER this JVM exits and exposes no exit hook,
+    // so committing them from here is impossible — instead spawn the
+    // deferred committer DETACHED (setsid survives both this JVM and
+    // sbt), which polls until the CURRENT round's CORRECTNESS file has
+    // landed and been committed (not a fixed window). A benchmark
+    // harness mutating VCS state is a real side-effect concern (round-10
+    // advisor), so the committer is fenced: artifact pathspec only,
+    // mtime-stability guard against torn mid-write adds, and it
+    // refuses to commit off `main` or during a rebase/merge. It stays
+    // default-ON because this repo's round driver has no other way to
+    // reach a clean snapshot; disable with SPARK_GRAFT_AUTOCOMMIT=0.
     if (sys.env.getOrElse("SPARK_GRAFT_AUTOCOMMIT", "1") != "0"
         && new java.io.File("tools/commit_artifacts.sh").isFile)
       try new ProcessBuilder("setsid", "bash", "tools/commit_artifacts.sh")
