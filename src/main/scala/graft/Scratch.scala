@@ -399,28 +399,46 @@ object CkptSlope {
     val versions = args.headOption.map(_.toInt).getOrElse(1000)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(200)
     import graft.operators.VersionedLayout
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-slope").toString + "/t"
-    (0 until versions).foreach { v =>
-      VersionedLayout.commit(dir, VersionedLayout.LogEntry(v, "noop", Nil, 0))
+    def build(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-slope").toString + "/t"
+      (0 until n).foreach { v =>
+        VersionedLayout.commit(dir, VersionedLayout.LogEntry(v, "noop", Nil, 0))
+      }
+      dir
     }
-    def timeReads(label: String): Double = {
+    def timeReads(dir: String, n: Int, label: String): Double = {
       (1 to 20).foreach(_ => VersionedLayout.log(dir)) // warm
       val t0 = System.nanoTime()
-      (1 to reps).foreach(_ => require(VersionedLayout.log(dir).size == versions))
+      (1 to reps).foreach(_ => require(VersionedLayout.log(dir).size == n))
       val ms = (System.nanoTime() - t0) / 1e6 / reps
-      println(f"CKPTSLOPE $label versions=$versions ms_per_read=$ms%.2f")
+      println(f"CKPTSLOPE $label versions=$n ms_per_read=$ms%.2f")
       ms
     }
-    val before = timeReads("per-version-files")
+    val dir = build(versions)
+    val before = timeReads(dir, versions, "per-version-files")
     require(VersionedLayout.checkpoint(dir) == versions - 1)
-    val after = timeReads("checkpointed")
+    val after = timeReads(dir, versions, "checkpointed")
     println(f"CKPTSLOPE ratio=${before / after}%.1f x")
-    // Committed claim: a checkpointed log read is never SLOWER than the
-    // per-version scan it replaces (t1x = checkpointed, t10x =
-    // per-version ms/read; ratio >= 1 is the win, bound is not a
-    // superlinearity test here so assert the direction via bound = 0
-    // and record both legs for the ledger).
+    // Committed claim 1: a checkpointed log read is never SLOWER than
+    // the per-version scan it replaces (t1x = checkpointed, t10x =
+    // per-version ms/read; ratio >= 1 is the win). bound = 0 EXEMPTS
+    // this entry from SlopesSpec's generic ratio<=bound superlinearity
+    // test — the direction itself is asserted by SlopesSpec's dedicated
+    // "ckpt/log_read_ms ratio >= 0.9" test over the recorded legs.
     Slopes.record("ckpt", "log_read_ms", after, before, bound = 0.0)
+    // Committed claim 2 (round-10 verdict: the bound-0 rows left a
+    // log-read regression free to hide): the CHECKPOINTED read's own
+    // scaling across 10x the version count is BOUNDED — the immutable
+    // checkpoint parses once into the process cache, so a read is a
+    // directory listing + cache hit + zero tail, independent of how
+    // many versions the checkpoint covers. Measured ~1.0x; bound 3.0
+    // is machine-noise headroom — a regression that re-parses the
+    // checkpoint per read (~10x here) fails the build.
+    val dir10 = build(versions * 10)
+    require(VersionedLayout.checkpoint(dir10) == versions * 10 - 1)
+    val after10 = timeReads(dir10, versions * 10, "checkpointed-10x")
+    println(f"CKPTSLOPE scale_ratio=${after10 / after}%.2f x at 10x versions")
+    Slopes.record("ckpt", "log_read_scale", after, after10, bound = 3.0)
   }
 }
 

@@ -218,6 +218,37 @@ object VersionedLayout {
     }
   }
 
+  /** Parsed-checkpoint cache: a checkpoint file is IMMUTABLE once
+    * published (named for the version it covers, written by hard-link
+    * CAS, only ever deleted — never rewritten), so its parse can be
+    * reused across reads. Keyed by (absolute path, length, mtime) so a
+    * same-path table torn down and rebuilt from scratch (test fixtures
+    * reuse tmp roots) can never be served a stale parse — any rewrite
+    * changes length or mtime. Bounded: cleared wholesale past a size
+    * cap (entries are per-table, one live checkpoint each; the cap only
+    * matters for many-fixture test JVMs). This is what keeps a
+    * checkpointed log read O(listing + tail) instead of O(covered
+    * versions) re-parse per read — the bound `ckpt/log_read_scale` in
+    * SLOPES.json asserts.
+    */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[LogEntry]]()
+
+  private def parseCkpt(f: java.io.File): Seq[LogEntry] = {
+    val key = (f.getAbsolutePath, f.length(), f.lastModified())
+    val hit = ckptCache.get(key)
+    if (hit != null) hit
+    else {
+      // Read BEFORE inserting: a vanished file (concurrent truncation)
+      // throws here and caches nothing.
+      val parsed = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map(parseEntry).toVector
+      if (ckptCache.size() > 256) ckptCache.clear()
+      ckptCache.put(key, parsed)
+      parsed
+    }
+  }
+
   /** The committed log, ascending by version: the newest CHECKPOINT (a
     * consolidated snapshot of every entry it covers, see [[checkpoint]])
     * plus the per-version entry files committed after it. Entries the
@@ -241,10 +272,7 @@ object VersionedLayout {
         val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         val head: Seq[LogEntry] = files
           .filter(_.getName.matches("ckpt-v\\d+\\.json")).sortBy(_.getName).lastOption
-          .map { f =>
-            new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-              .linesIterator.filter(_.nonEmpty).map(parseEntry).toSeq
-          }.getOrElse(Nil)
+          .map(parseCkpt).getOrElse(Nil)
         val ckptV = head.lastOption.map(_.version).getOrElse(-1)
         return head ++ files.filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName)
           .map(f => parseEntry(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))

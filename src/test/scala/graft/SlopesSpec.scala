@@ -40,6 +40,17 @@ class SlopesSpec extends AnyFunSuite {
     // at worst corpus-linear.
     assert(byHarness("pipeline").map(_.name).toSet == Set("ingest", "erase"),
       s"pipeline family incomplete: ${byHarness("pipeline").map(_.name)}")
+    // The checkpointed-log family carries BOTH claims: the win over the
+    // per-version scan (log_read_ms, direction-asserted below) and the
+    // bounded scaling of the checkpointed read itself across 10x the
+    // version count (log_read_scale, bound > 0 so the generic
+    // superlinearity test gates it — a regression that re-parses the
+    // checkpoint per read fails the build).
+    assert(Set("log_read_ms", "log_read_scale")
+      .subsetOf(byHarness("ckpt").map(_.name).toSet),
+      s"ckpt family incomplete: ${byHarness("ckpt").map(_.name)}")
+    assert(byHarness("ckpt").exists(e => e.name == "log_read_scale" && e.bound > 0),
+      "ckpt/log_read_scale must carry a real (nonzero) bound")
   }
 
   test("every bounded slope holds its bound — a superlinear regression fails the build") {
