@@ -67,6 +67,12 @@ object IvfIndexStore {
   def centroidsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
     s.read.parquet(s"${genDir(dir, baseGenOf(dir, gen))}/centroids")
 
+  /** The full-snapshot generation serving `gen` (the segment chain's
+    * base) — exposed for audits that iterate the chain from its
+    * serving base (e.g. the scheduled drift audit).
+    */
+  private[graft] def baseGeneration(dir: String, gen: Int): Int = baseGenOf(dir, gen)
+
   /** Argmax-cosine assignment of `df`'s vectors against a centroid
     * table `(cid, ce, cn)` — THE single spelling of the IVF coarse
     * quantizer, shared by the query layer's builds and the pipeline's

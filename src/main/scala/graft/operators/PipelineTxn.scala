@@ -62,20 +62,60 @@ object PipelineTxn {
   private[graft] final class InjectedCrash(afterSteps: Int)
     extends RuntimeException(s"injected pipeline crash after $afterSteps store commits")
 
-  /** The caller's txn id mapped into DISJOINT stamp spaces per action:
-    * ingest stamps are even, erase stamps odd. The chain stores'
-    * `committedGen` matches a txn stamp with NO action discrimination
-    * (one stamp per generation), so an erase reusing an id an ingest
-    * once used — e.g. ids drawn from one monotonic counter — would
-    * silently skip both index retracts while the action-scoped layout
-    * arms committed: a half-served erasure with no error. The mapping
-    * removes the hazard structurally; callers keep one id space.
+  /** The caller's txn id mapped into DISJOINT stamp spaces per action
+    * (ingest 4k, erase 4k+1, erase-conflict repair 4k+2; 4k+3
+    * reserved). The chain stores' `committedGen` matches a txn stamp
+    * with NO action discrimination (one stamp per generation), so an
+    * erase reusing an id an ingest once used — e.g. ids drawn from one
+    * monotonic counter — would silently skip both index retracts while
+    * the action-scoped layout arms committed: a half-served erasure
+    * with no error. The mapping removes the hazard structurally;
+    * callers keep one id space.
     */
-  private def ingestStamp(txn: Long): Long = { requireTxn(txn); 2 * txn }
-  private def eraseStamp(txn: Long): Long = { requireTxn(txn); 2 * txn + 1 }
+  private def ingestStamp(txn: Long): Long = { requireTxn(txn); 4 * txn }
+  private def eraseStamp(txn: Long): Long = { requireTxn(txn); 4 * txn + 1 }
+  private def eraseRepairStamp(txn: Long): Long = { requireTxn(txn); 4 * txn + 2 }
   private def requireTxn(txn: Long): Unit =
-    require(txn >= 0 && txn < Long.MaxValue / 2,
-      s"a pipeline transaction needs a txn id in [0, 2^62) (got $txn)")
+    require(txn >= 0 && txn < Long.MaxValue / 4,
+      s"a pipeline transaction needs a txn id in [0, 2^61) (got $txn)")
+
+  /** What the erase's LSH band arm does when it finds the WRITE-WRITE
+    * CONFLICT its divergence guard exists for: a key the transaction
+    * recorded for erasure was RE-INGESTED inside the erase's
+    * crash-recovery window, so the stored band state no longer matches
+    * the pre-delete recompute (the re-admit's rows, which the recompute
+    * cannot name, would be left unmaintained by a blind retract).
+    */
+  sealed trait EraseConflict
+  object EraseConflict {
+    /** Refuse loudly (the default, and the former only behavior): the
+      * divergence guard's IllegalArgumentException propagates and the
+      * operator decides.
+      */
+    case object Fail extends EraseConflict
+
+    /** Resolve by restoring index == table for the conflicted keys:
+      * retract EVERY stored row of the recorded keys (both
+      * incarnations — one bounded locating scan, the id-path cost),
+      * then re-admit the rows of keys still LIVE at the docs head,
+      * re-derived from the table's own committed state (never from the
+      * erase's stale recompute). Exactly-once across crashes: the
+      * retract rides the erase stamp, the re-admit a dedicated repair
+      * stamp, and a durable marker in the intent record carries the
+      * pending-repair fact across a crash between the two (the intent
+      * is not reclaimable until the repair committed). Each resume
+      * converges to index == table AS OF ITS OWN completion — the
+      * alignment audit is the acceptance check, exactly as for every
+      * other recovery path.
+      */
+    case object RetractAndReadmit extends EraseConflict
+  }
+
+  /** An erase found a recorded-for-erasure key LIVE AGAIN in the docs
+    * table (re-ingested inside the erase's crash-recovery window) and
+    * its conflict policy is [[EraseConflict.Fail]].
+    */
+  final class EraseConflictException(msg: String) extends IllegalStateException(msg)
 
   /** Ingest one batch exactly-once across all four stores. `docRows`
     * must carry the docs layout's schema (including computed `pid` and
@@ -139,11 +179,17 @@ object PipelineTxn {
     * however the heads move in between — converges on one key set.
     */
   def erase(s: SparkSession, p: PipelineStores, docPred: Column,
-      vecPred: Column, txn: Long): Map[String, Int] =
-    erase(s, p, docPred, vecPred, txn, Int.MaxValue)
+      vecPred: Column, txn: Long,
+      onConflict: EraseConflict = EraseConflict.Fail): Map[String, Int] =
+    erase(s, p, docPred, vecPred, txn, Int.MaxValue, onConflict)
 
   private[graft] def erase(s: SparkSession, p: PipelineStores, docPred: Column,
-      vecPred: Column, txn: Long, failAfter: Int): Map[String, Int] = {
+      vecPred: Column, txn: Long, failAfter: Int): Map[String, Int] =
+    erase(s, p, docPred, vecPred, txn, failAfter, EraseConflict.Fail)
+
+  private[graft] def erase(s: SparkSession, p: PipelineStores, docPred: Column,
+      vecPred: Column, txn: Long, failAfter: Int,
+      onConflict: EraseConflict): Map[String, Int] = {
     val stamp = eraseStamp(txn)
     val crash = crasher(failAfter)
     crash {
@@ -172,21 +218,52 @@ object PipelineTxn {
     // history below dv was vacuumed. When a very late resume finds
     // dv - 1 already below the vacuum horizon, the arm falls back to
     // the id-driven retract (always resolvable: tombstone segments are
-    // rewritten by folds, never deleted). Known loud edge, by design:
+    // rewritten by folds, never deleted). The write-write edge:
     // re-ingesting an ERASED key inside the erase's crash-recovery
-    // window makes retractBands' divergence guard refuse (the stored
-    // rows include the re-admit's, which the pre-delete recompute
-    // cannot name) — the write-write conflict on one key that needs an
-    // operator decision, not a silent pick.
+    // window leaves the index holding rows the pre-delete recompute
+    // cannot name — a blind retract would leave them unmaintained (and
+    // a tombstone above the re-admit's generation would wrongly erase
+    // it). The conflict is DETECTED STRUCTURALLY, only on a resume
+    // whose head moved (one bounded semi-join; a non-crashed erase can
+    // never conflict): `onConflict` Fail raises
+    // [[EraseConflictException]] (default); RetractAndReadmit restores
+    // index == table for the recorded keys
+    // ([[EraseConflict.RetractAndReadmit]]). retractBands' divergence
+    // guard stays as the in-store backstop for supplier-pipeline
+    // mismatch, a different error.
     val lg = crash {
-      GenChain.committedGen(p.lsh, stamp).getOrElse {
-        val ids = VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id"))
-        if (VersionedLayout.horizon(p.docs) <= dv - 1)
-          LshIndexStore.retractBandsOnce(s, p.lsh,
-            bandRowsOf(VersionedLayout.readAsOf(s, p.docs, dv - 1)
-              .join(ids, Seq("doc_id"), "left_semi")),
-            stamp)
-        else LshIndexStore.retractOnce(s, p.lsh, ids, stamp)
+      GenChain.committedGen(p.lsh, stamp) match {
+        case Some(g) =>
+          // A replay may land between a conflict resolution's retract
+          // and its repair admit — the durable marker carries that.
+          finishLshConflictRepair(s, p, txn)
+          g
+        case None =>
+          val ids = VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id"))
+          val docsHead = VersionedLayout.currentVersion(p.docs)
+          val conflicted = docsHead > dv &&
+            VersionedLayout.readAsOf(s, p.docs, docsHead)
+              .join(ids, Seq("doc_id"), "left_semi").limit(1).count() > 0
+          if (conflicted && onConflict == EraseConflict.Fail)
+            throw new EraseConflictException(
+              s"erase txn $txn: recorded keys were re-ingested into ${p.docs} " +
+                "inside the crash-recovery window — resolve with " +
+                "EraseConflict.RetractAndReadmit, or retract the re-ingest first")
+          if (conflicted) {
+            // Durable marker FIRST: a crash between the retract and the
+            // repair admit must not strand a replay that skips on the
+            // erase stamp and never repairs.
+            java.nio.file.Files.write(lshConflictMarker(p, txn).toPath,
+              Array.emptyByteArray)
+            val g = LshIndexStore.retractOnce(s, p.lsh, ids, stamp)
+            finishLshConflictRepair(s, p, txn)
+            g
+          } else if (VersionedLayout.horizon(p.docs) <= dv - 1)
+            LshIndexStore.retractBandsOnce(s, p.lsh,
+              bandRowsOf(VersionedLayout.readAsOf(s, p.docs, dv - 1)
+                .join(ids, Seq("doc_id"), "left_semi")),
+              stamp)
+          else LshIndexStore.retractOnce(s, p.lsh, ids, stamp)
       }
     }
     val ev = crash {
@@ -203,6 +280,35 @@ object PipelineTxn {
 
   private def intentDir(p: PipelineStores, txn: Long): String =
     s"${p.meta}/_intents/txn$txn"
+
+  /** Durable pending-repair marker of an erase's resolved LSH conflict
+    * — inside the intent record, so it shares the intent's lifecycle:
+    * present from resolution until [[vacuumIntents]] reclaims the
+    * fully-applied transaction (which [[fullyApplied]] refuses while
+    * the repair admit is uncommitted).
+    */
+  private def lshConflictMarker(p: PipelineStores, txn: Long): java.io.File =
+    new java.io.File(intentDir(p, txn), "_lsh_conflict")
+
+  /** Complete a resolved conflict's repair arm: re-admit the recorded
+    * keys' rows still LIVE at the docs head (the re-ingested
+    * incarnations), re-derived from the table's committed state under
+    * the dedicated repair stamp. No-op without a marker or once the
+    * repair committed; a marker whose keys have no live rows (the
+    * re-ingest was itself erased meanwhile) clears without an admit.
+    */
+  private def finishLshConflictRepair(s: SparkSession, p: PipelineStores,
+      txn: Long): Unit = {
+    val marker = lshConflictMarker(p, txn)
+    if (!marker.isFile) return
+    if (GenChain.committedGen(p.lsh, eraseRepairStamp(txn)).isDefined) return
+    val live = VersionedLayout.readAsOf(s, p.docs, VersionedLayout.currentVersion(p.docs))
+      .join(s.read.parquet(s"${intentDir(p, txn)}/docids"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (live.isEmpty) { java.nio.file.Files.deleteIfExists(marker.toPath); return }
+    LshIndexStore.admitOnce(s, p.lsh, bandRowsOf(live), eraseRepairStamp(txn))
+    ()
+  }
 
   /** Commit the erase intent exactly-once: evaluate both predicates at
     * the current heads, write the matched key sets to a writer-private
@@ -349,7 +455,12 @@ object PipelineTxn {
     def applied(t: Long): Boolean = {
       val stamp = eraseStamp(t)
       docsDel(stamp) && GenChain.committedGen(p.lsh, stamp).isDefined &&
-        embDel(stamp) && GenChain.committedGen(p.ivf, stamp).isDefined
+        embDel(stamp) && GenChain.committedGen(p.ivf, stamp).isDefined &&
+        // A resolved-conflict marker pins the record until its repair
+        // admit committed: the marker AND the recorded key set live in
+        // this directory, and the repair needs both.
+        (!lshConflictMarker(p, t).isFile ||
+          GenChain.committedGen(p.lsh, eraseRepairStamp(t)).isDefined)
     }
     def txnOf(name: String): Option[Long] =
       "^txn(\\d+)".r.findFirstMatchIn(name).flatMap(_.group(1).toLongOption)
@@ -383,17 +494,23 @@ object PipelineTxn {
     * store state, so the report itself is oracle-gateable (q185).
     * Idempotent: a second immediate run fires nothing.
     *
-    * The IVF RETRAIN policy deliberately stays a separate scheduled
-    * decision: it needs a drift audit over the embedding data (q173)
-    * and a training pass — compose
-    * [[IvfIndexStore.retrainWhenRecommended]] with the q177 retrain
-    * recipe when the audit flags, exactly as its spec demonstrates.
+    * The IVF RETRAIN decision rides the SAME scheduled pass when the
+    * caller supplies an [[IvfRetrainPolicy]]: the policy's audit frame
+    * (q173-shaped, a `retrain_recommended` boolean per generation —
+    * bounded) is consulted via
+    * [[IvfIndexStore.retrainWhenRecommended]] BEFORE the chain's
+    * compaction consult (a retrain publishes a full snapshot, making a
+    * same-pass fold moot), and whether it fired is reported in the
+    * `retrained` column. Without a policy the retrain stays a separate
+    * scheduled decision, exactly as before — the audit needs the
+    * embedding data and a training pass only the caller can shape.
     */
   def maintain(s: SparkSession, p: PipelineStores, keepLast: Int,
       minReclaimRows: Long, reclaimIntentsBelowTxn: Long,
       maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
       maxSegments: Int = IndexStore.recommendMaxSegments,
-      deepCounts: Boolean = true): DataFrame = {
+      deepCounts: Boolean = true,
+      ivfRetrain: Option[IvfRetrainPolicy] = None): DataFrame = {
     // History vacuum DEFERS while any erase transaction is in flight:
     // a resumed erase's pruned LSH arm reads the docs snapshot AS OF
     // its delete version minus one, and a vacuum above that would
@@ -408,6 +525,12 @@ object PipelineTxn {
     VersionedLayout.checkpoint(p.emb)
     val eVac = pending.isEmpty &&
       VersionedLayout.vacuumIfNeeded(s, p.emb, keepLast, minReclaimRows)
+    // Retrain consult FIRST (policy thunks evaluated lazily, per pass —
+    // the audit must see THIS pass's head), then the fold consult: a
+    // fired retrain publishes a full snapshot, so the fold reads a
+    // zero-segment chain and correctly declines.
+    val retrained = ivfRetrain.exists(pol =>
+      IvfIndexStore.retrainWhenRecommended(pol.audit())(pol.retrain()))
     val iCompacted = IvfIndexStore.compactIfNeeded(s, p.ivf, maxOverheadMilli, maxSegments)
     val intents = vacuumIntents(p, reclaimIntentsBelowTxn)
     // The deep per-store key counts anchor the report to the data (the
@@ -422,23 +545,34 @@ object PipelineTxn {
     val lshHead = LshIndexStore.currentGeneration(p.lsh)
     val rows = Seq(
       ("docs", VersionedLayout.currentVersion(p.docs).toLong,
-        layoutKeys(p.docs, "doc_id"), false, dVac, 0L),
+        layoutKeys(p.docs, "doc_id"), false, dVac, 0L, false),
       ("emb", VersionedLayout.currentVersion(p.emb).toLong,
-        layoutKeys(p.emb, "vec_id"), false, eVac, 0L),
+        layoutKeys(p.emb, "vec_id"), false, eVac, 0L, false),
       ("ivf", ivfHead.toLong,
         if (!deepCounts) -1L
         else IvfIndexStore.assignmentsOf(s, p.ivf, ivfHead)
-          .select(col("vec_id")).distinct().count(), iCompacted, false, 0L),
+          .select(col("vec_id")).distinct().count(), iCompacted, false, 0L, retrained),
       ("lsh", lshHead.toLong,
         if (!deepCounts) -1L
         else LshIndexStore.bandsOf(s, p.lsh, lshHead)
-          .select(col("doc_id")).distinct().count(), lCompacted, false, 0L),
-      ("meta", -1L, 0L, false, false, intents.toLong),
+          .select(col("doc_id")).distinct().count(), lCompacted, false, 0L, false),
+      ("meta", -1L, 0L, false, false, intents.toLong, false),
     )
     val s0 = s
     import s0.implicits._
-    rows.toDF("store", "head", "live_keys", "compacted", "vacuumed", "intents_reclaimed")
+    rows.toDF("store", "head", "live_keys", "compacted", "vacuumed",
+      "intents_reclaimed", "retrained")
   }
+
+  /** The scheduled IVF retrain arm of [[maintain]]: `audit` builds the
+    * q173-shaped drift frame (a boolean `retrain_recommended` column,
+    * one bounded row per generation) and `retrain` runs the epoch-flip
+    * recipe ([[IvfIndexStore.retrain]] — train on the live corpus,
+    * re-assign the live set). Both are THUNKS so each maintenance pass
+    * evaluates them against its own head — an audit frame built before
+    * pass 1 would resolve pass 2's store paths stale.
+    */
+  final case class IvfRetrainPolicy(audit: () => DataFrame, retrain: () => Int)
 
   /** Recorded erase transactions with at least one uncommitted arm. */
   private def pendingIntents(p: PipelineStores): Seq[Long] = {
@@ -450,15 +584,19 @@ object PipelineTxn {
   }
 
   /** Every arm of erase txn `txn` carries its stamp (erases touch all
-    * four stores, so all four must). Matches the ERASE stamp space —
-    * an ingest that used the same caller id can never satisfy it.
+    * four stores, so all four must), AND — when a resolved LSH conflict
+    * left its durable marker — the repair admit committed too. Matches
+    * the ERASE stamp space — an ingest that used the same caller id can
+    * never satisfy it.
     */
   private def fullyApplied(p: PipelineStores, txn: Long): Boolean = {
     val stamp = eraseStamp(txn)
     VersionedLayout.log(p.docs).exists(e => e.action == "delete" && e.txn == stamp) &&
       GenChain.committedGen(p.lsh, stamp).isDefined &&
       VersionedLayout.log(p.emb).exists(e => e.action == "delete" && e.txn == stamp) &&
-      GenChain.committedGen(p.ivf, stamp).isDefined
+      GenChain.committedGen(p.ivf, stamp).isDefined &&
+      (!lshConflictMarker(p, txn).isFile ||
+        GenChain.committedGen(p.lsh, eraseRepairStamp(txn)).isDefined)
   }
 
   private def pairAudit(pair: String, table: DataFrame, index: DataFrame,

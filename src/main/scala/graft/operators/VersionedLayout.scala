@@ -46,9 +46,11 @@ import java.nio.charset.StandardCharsets
   *    keying, upsert matching, the version-stamped mask, and the
   *    change feed all follow this meta; layouts written before it
   *    default to the lineitem triple).
-  *  - `addcolumn` log entries — SCHEMA EVOLUTION commits (see
-  *    [[addColumn]]): metadata-only, no data file touched; every
-  *    version is served under the schema committed as of it.
+  *  - `addcolumn` / `dropcolumn` log entries — SCHEMA EVOLUTION commits
+  *    (see [[addColumn]] / [[dropColumn]]): metadata-only, no data file
+  *    touched; every version is served under the schema committed as of
+  *    it, a re-added name is a new incarnation whose dropped
+  *    predecessor's values never resurface.
   *
   * At 100 TB the points are: the log is O(versions) metadata, AS-OF
   * planning touches only the bounded pid/version maps (no data pass),
@@ -501,8 +503,43 @@ object VersionedLayout {
     require(entries.nonEmpty, s"no committed layout at $dir")
     require(!readAsOf(s, dir, entries.last.version).columns.contains(name),
       s"column '$name' already exists in $dir")
+    // RE-ADD of a dropped name must keep the incarnation's type: old
+    // segments/archives may still carry the previous incarnation's
+    // values, and the plan-time union cannot hold one name at two
+    // types (a column-mapping id scheme would lift this; out of the
+    // log codec's scope).
+    entries.filter(e => e.action == "addcolumn" && e.colName == name)
+      .foreach(p => require(p.colType == sqlType,
+        s"re-adding '$name' as '$sqlType' conflicts with its previous " +
+          s"incarnation's type '${p.colType}'"))
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "addcolumn", Nil, 0, colName = name, colType = sqlType))
+    ver
+  }
+
+  /** DROP COLUMN as version `currentVersion + 1` — the subtractive half
+    * of schema evolution, METADATA-ONLY like [[addColumn]]: no data
+    * file is touched. From this version on, [[readAsOf]] masks the
+    * column; reads BELOW it (including through fold archives) still
+    * serve it exactly as committed, and the change feed spans the
+    * evolution (each part carries its own version's schema). The next
+    * [[majorCompact]] materializes the drop physically. A later
+    * [[addColumn]] of the same name starts a NEW incarnation: values
+    * written under the dropped one never resurface — reads null them
+    * out by source version until a fold makes it physical. Row-identity
+    * columns and `pid` cannot be dropped (tombstone keying and segment
+    * routing depend on them). Commit-only and deterministic:
+    * append-family, safe under [[withWriteRetry]].
+    */
+  def dropColumn(s: SparkSession, dir: String, name: String): Int = {
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    require(name != "pid" && !keyColsOf(dir).contains(name),
+      s"column '$name' is a row-identity/partition column of $dir — cannot drop")
+    require(readAsOf(s, dir, entries.last.version).columns.contains(name),
+      s"column '$name' does not exist at the head of $dir")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "dropcolumn", Nil, 0, colName = name))
     ver
   }
 
@@ -1264,29 +1301,49 @@ object VersionedLayout {
     val data = (base +: segs)
       .reduce(_.unionByName(_, allowMissingColumns = true)).alias("dt")
     val masked = tombstonesIn(s, dir, m, v) match {
-      case None => data.drop("_src_ver") // no mask in range: plain scan
+      case None => data // no mask in range: plain scan
       case Some(t) =>
         val tombs = t.alias("tb")
         val joinKey = ("pid" +: keyColsOf(dir))
           .map(k => col(s"dt.$k") === col(s"tb.$k"))
           .reduce(_ && _)
-        data
-          .join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
-          .drop("_src_ver")
+        data.join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
     }
-    // Serve v under its COMMITTED schema: columns evolved ABOVE v leave
-    // (they can appear when a post-v fold materialized them and a pid
-    // escaped archival routing — defensive, normally a no-op), columns
-    // evolved at-or-below v that no read source carries yet arrive as
-    // typed NULLs (the metadata-only window between the addColumn
-    // commit and the first segment/fold that materializes them).
-    val evolved = entries.filter(_.action == "addcolumn")
-    val above = evolved.filter(_.version > v).map(_.colName)
-    val atOrBelow = evolved.filter(_.version <= v)
-    val dropped = above.foldLeft(masked)(_ drop _)
-    atOrBelow.foldLeft(dropped) { (df, e) =>
-      if (df.columns.contains(e.colName)) df
-      else df.withColumn(e.colName, lit(null).cast(e.colType))
+    // Serve v under its COMMITTED schema by replaying each evolved
+    // column's add/drop events through v (latest event at-or-below v
+    // decides):
+    //  - last event is a DROP -> the column leaves, whatever any source
+    //    still carries (segments written while it lived, pre-drop
+    //    archives);
+    //  - last event is an ADD with a PRIOR incarnation (a re-added
+    //    name) -> sources committed below the re-add read as typed
+    //    NULLs: the dropped incarnation's values never resurface;
+    //  - last event is a first ADD -> typed NULL where no source
+    //    carries it yet (the metadata-only window before the first
+    //    segment/fold materializes it);
+    //  - no event at-or-below v -> a base-origin column (first event is
+    //    its future drop) serves as-is; an added-above-v column leaves
+    //    (it can appear when a post-v fold materialized it and a pid
+    //    escaped archival routing — defensive, normally a no-op).
+    val events = entries
+      .filter(e => e.action == "addcolumn" || e.action == "dropcolumn")
+    val resolved = events.map(_.colName).distinct.foldLeft(masked) { (df, name) =>
+      val evs = events.filter(_.colName == name).sortBy(_.version)
+      evs.filter(_.version <= v).lastOption match {
+        case None =>
+          if (evs.head.action == "addcolumn") df.drop(name) else df
+        case Some(e) if e.action == "dropcolumn" => df.drop(name)
+        case Some(e) =>
+          val priorIncarnation = evs.exists(_.version < e.version)
+          if (!df.columns.contains(name))
+            df.withColumn(name, lit(null).cast(e.colType))
+          else if (priorIncarnation)
+            df.withColumn(name,
+              when(col("_src_ver") >= e.version, col(name))
+                .otherwise(lit(null).cast(e.colType)))
+          else df
+      }
     }
+    resolved.drop("_src_ver")
   }
 }

@@ -391,10 +391,148 @@ object PipelineTxnQueries {
        |FROM surv GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  /** The pipeline IVF chain's drift audit, q173's instrument served
+    * from the head's serving base: per generation from the base up, the
+    * live-member count and mean member-to-centroid cosine in exact
+    * MICRO units under the base's own (current-epoch) centroid table,
+    * `retrain_recommended` when a generation's mean sits more than
+    * [[Similarity.ivfDriftMicro]] below the base's. Bounded: one row
+    * per chain generation.
+    */
+  private def pipelineDriftAudit(s: SparkSession, p: PipelineStores): DataFrame = {
+    val head = IvfIndexStore.currentGeneration(p.ivf)
+    val b = IvfIndexStore.baseGeneration(p.ivf, head)
+    val cent = IvfIndexStore.centroidsOf(s, p.ivf, head)
+    val e = VersionedLayout.readAsOf(s, p.emb, VersionedLayout.currentVersion(p.emb))
+      .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    val segs = (b to head).map(g =>
+        IvfIndexStore.segmentOf(s, p.ivf, g).withColumn("generation", lit(g.toLong)))
+      .reduce(_ unionByName _)
+    val agg = segs.join(e, "vec_id").join(broadcast(cent), "cid")
+      .select(col("generation"),
+        floor((vectors.dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          * lit(1000000.0)).cast("long").as("micro"))
+      .groupBy(col("generation"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("micro")).as("sm"))
+      .withColumn("mean_cos_micro",
+        floor(col("sm").cast("double") / col("n_vecs")).cast("long"))
+    val baseMean = agg.where(col("generation") === b)
+      .select(col("mean_cos_micro").as("base_mean"))
+    agg.crossJoin(broadcast(baseMean))
+      .select(col("generation"), col("n_vecs"), col("mean_cos_micro"),
+        (col("mean_cos_micro") < col("base_mean") - Similarity.ivfDriftMicro)
+          .as("retrain_recommended"))
+  }
+
+  /** q187's two recorded maintenance passes (the q185 once-per-JVM
+    * discipline — re-running the query replays the SAME passes).
+    */
+  private val retrainRan = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, Long, Long, Boolean, Boolean, Long, Boolean)]]()
+  private val retrainLock = new Object
+
+  /** SCHEDULED IVF RETRAIN THROUGH THE MAINTENANCE PASS — the
+    * audit -> policy -> retrain loop closed inside [[PipelineTxn.maintain]]'s
+    * one scheduled entrypoint, on a dedicated pipeline-scenario
+    * instance. Pass 1: the policy's audit (the REAL q173-shaped drift
+    * audit over the chain, ORed with the epoch-age arm "never retrained
+    * since init" — this corpus has no genuine drift, exactly as q177's
+    * fixture documents, so epoch age is the deterministic trigger;
+    * q173 gates the drift instrument itself) fires,
+    * [[graft.operators.IvfIndexStore.retrainWhenRecommended]] runs the
+    * epoch-flip recipe (train on the live corpus, re-assign the live
+    * set — the q177 recipe against the pipeline's own stores), the IVF
+    * head lands at generation 3 / epoch 1, and the fold consult
+    * correctly declines (a retrain publishes a full snapshot); the LSH
+    * chain folds and the applied erase intent is reclaimed in the SAME
+    * pass. Pass 2: the re-audit reads healthy (single-generation chain,
+    * epoch 1) and NOTHING fires — scheduled idempotence. Every row is
+    * anchored to the raw tables: `live_keys` equality with the kept
+    * counts proves the retrain migrated exactly the live assignment
+    * set, and `final_lag` (missing + stale of each table~index pair at
+    * the final heads) reads zero — post-retrain alignment. At 100 TB
+    * this is the retrain actually deployed: one nightly call, drift
+    * consulted, the flip exactly-once inside the chain, ingest replay
+    * detection intact.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndexStore
+    val p = ensurePipelineStores(s, d, "_retrain")
+    val passes = retrainLock.synchronized {
+      retrainRan.computeIfAbsent(p.docs, _ => Seq(1L, 2L).flatMap { pass =>
+        val policy = PipelineTxn.IvfRetrainPolicy(
+          audit = () => {
+            val neverRetrained = IvfIndexStore.epochOf(p.ivf,
+              IvfIndexStore.currentGeneration(p.ivf)) == 0
+            pipelineDriftAudit(s, p).withColumn("retrain_recommended",
+              col("retrain_recommended") || lit(neverRetrained))
+          },
+          retrain = () => {
+            import org.apache.spark.sql.graftbridge.DatasetBridge
+            val e = VersionedLayout.readAsOf(s, p.emb,
+                VersionedLayout.currentVersion(p.emb))
+              .select(col("vec_id"), col("embedding"),
+                vectors.norm(col("embedding")).as("nrm"))
+              .localCheckpoint()
+            val live = IvfIndexStore.assignmentsOf(s, p.ivf,
+              IvfIndexStore.currentGeneration(p.ivf))
+            val cent2 = Similarity.centroids(e, live).localCheckpoint()
+            val g = IvfIndexStore.retrain(s, p.ivf, cent2,
+              Similarity.nearest(e, cent2, "vec_id", "embedding", "nrm"))
+            DatasetBridge.unpersistCheckpoint(cent2)
+            DatasetBridge.unpersistCheckpoint(e)
+            g
+          })
+        PipelineTxn.maintain(s, p, keepLast = 0, minReclaimRows = 1L,
+          reclaimIntentsBelowTxn = 100L, maxSegments = 1,
+          ivfRetrain = Some(policy))
+          .collect()
+          .map(r => (pass, r.getString(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3), r.getBoolean(4), r.getLong(5), r.getBoolean(6)))
+      })
+    }
+    val lag = PipelineTxn.alignmentAudit(s, p)
+      .select(col("pair"), (col("missing_in_index") + col("stale_in_index")).as("lag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ivfEpoch = IvfIndexStore.epochOf(p.ivf,
+      IvfIndexStore.currentGeneration(p.ivf)).toLong
+    val s0 = s
+    import s0.implicits._
+    passes.toDF("pass", "store", "head", "live_keys", "compacted",
+        "vacuumed", "intents_reclaimed", "retrained")
+      .withColumn("epoch",
+        when(col("store") === "ivf", lit(ivfEpoch)).otherwise(lit(0L)))
+      .withColumn("final_lag",
+        when(col("store").isin("docs", "lsh"), lit(lag("documents~lsh")))
+          .when(col("store").isin("emb", "ivf"), lit(lag("embeddings~ivf")))
+          .otherwise(lit(0L)))
+      .orderBy(col("pass"), col("store"))
+  }
+
+  private val q187Oracle =
+    """WITH d AS (SELECT count(*) AS kd FROM documents WHERE doc_id % 10 <> 0),
+       |     e AS (SELECT count(*) AS ke FROM embeddings WHERE vec_id % 10 <> 0)
+       |SELECT * FROM (
+       |SELECT CAST(1 AS BIGINT) AS pass, 'docs' AS store, CAST(2 AS BIGINT) AS head,
+       |       kd AS live_keys, false AS compacted, false AS vacuumed,
+       |       CAST(0 AS BIGINT) AS intents_reclaimed, false AS retrained,
+       |       CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS final_lag FROM d
+       |UNION ALL SELECT 1, 'emb', 2, ke, false, false, 0, false, 0, 0 FROM e
+       |UNION ALL SELECT 1, 'ivf', 3, ke, false, false, 0, true, 1, 0 FROM e
+       |UNION ALL SELECT 1, 'lsh', 3, kd, true, false, 0, false, 0, 0 FROM d
+       |UNION ALL SELECT 1, 'meta', -1, 0, false, false, 1, false, 0, 0
+       |UNION ALL SELECT 2, 'docs', 2, kd, false, false, 0, false, 0, 0 FROM d
+       |UNION ALL SELECT 2, 'emb', 2, ke, false, false, 0, false, 0, 0 FROM e
+       |UNION ALL SELECT 2, 'ivf', 3, ke, false, false, 0, false, 1, 0 FROM e
+       |UNION ALL SELECT 2, 'lsh', 3, kd, false, false, 0, false, 0, 0 FROM d
+       |UNION ALL SELECT 2, 'meta', -1, 0, false, false, 0, false, 0, 0
+       |) ORDER BY pass, store""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q183_pipeline_txn", q183, Some(q183Oracle)),
     QueryDef("q184_pipeline_crash_audit", q184, Some(q184Oracle)),
     QueryDef("q185_pipeline_maintenance", q185, Some(q185Oracle)),
     QueryDef("q186_snapshot_manifest", q186, Some(q186Oracle)),
+    QueryDef("q187_scheduled_retrain", q187, Some(q187Oracle)),
   )
 }

@@ -1647,6 +1647,106 @@ object ScalePatterns {
     VersionedLayout.retentionAudit(s, dir, keepLast = 0).orderBy(col("version"))
   }
 
+  /** Stable location of q188's drop-column events layout. */
+  private[graft] def eventsDropcolDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_dropcol_$sfx").getAbsolutePath
+  }
+  private val eventsDropcolLock = new Object
+
+  /** Build (or fast-forward) q188's history: v0 base (events, pid =
+    * user_id mod 16, key = event_id), v1 ADD COLUMN `bonus_centi`, v2
+    * INSERT purchase copies CARRYING it, v3 DROP COLUMN `bonus_centi`
+    * (metadata-only — the v2 segment's values stay on disk), v4 INSERT
+    * click copies under the narrowed schema, v5 RE-ADD the same name (a
+    * NEW incarnation: the v2 segment still physically carries the old
+    * values, which must now read as typed NULLs), v6 INSERT view copies
+    * carrying NEW values, v7 majorCompact (materializes the incarnation
+    * masking physically; the fold archive keeps serving v2's old values
+    * to below-fold reads).
+    */
+  private def ensureDropcolScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsDropcolDir(d)
+    eventsDropcolLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.addColumn(s, dir, "bonus_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 1)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi"),
+              expr("(value_centi + 7) div 10").as("bonus_centi")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.dropColumn(s, dir, "bonus_centi")
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 3)
+            .where(col("event_type") === "click"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 3).as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.addColumn(s, dir, "bonus_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 5)
+            .where(col("event_type") === "view"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 3 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 9).as("value_centi"),
+              expr("(value_centi + 9) div 100").as("bonus_centi")))
+      if (VersionedLayout.currentVersion(dir) < 7)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** DROP COLUMN through the commit log — the subtractive half of q180,
+    * replayed add -> insert -> drop -> insert -> RE-ADD -> insert ->
+    * fold against one derivation oracle. The load-bearing versions: v3
+    * masks the column even though the v2 segment physically carries
+    * values; v5's re-add is a NEW incarnation, so those same on-disk
+    * values read as NULLs (n_with_bonus drops to zero) while v2 read
+    * back AFTER the fold still serves them through the archive — the
+    * old incarnation is addressable exactly below its drop and nowhere
+    * else; v7's fold materializes the masking physically and preserves
+    * every aggregate. At 100 TB: deprecating a feature column costs one
+    * tiny log write, never a table rewrite — and re-using its name
+    * later can never leak the deprecated values into training data.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureDropcolScenario(s, d)
+    (0 to 7).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val withB =
+        if (df.columns.contains("bonus_centi")) df
+        else df.withColumn("bonus_centi", lit(null).cast("bigint"))
+      withB.select(lit(ver.toLong).as("version"), col("value_centi"), col("bonus_centi"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_centi")).as("total_centi"),
+        count(col("bonus_centi")).as("n_with_bonus"),
+        coalesce(sum(col("bonus_centi")), lit(0L)).as("bonus_total"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q182's z-clustered fold layout. */
   private[graft] def eventsZfoldDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -2049,6 +2149,28 @@ object ScalePatterns {
          |        ON ver.version >= 3 AND e.event_type = 'purchase'
          |       AND e.event_type <> 'error'),
          |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(vc) AS BIGINT) AS total_centi,
+         |  CAST(count(bonus) AS BIGINT) AS n_with_bonus,
+         |  CAST(coalesce(sum(bonus), 0) AS BIGINT) AS bonus_total
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q188_layout_drop_column", q188, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS version),
+         |base AS (SELECT ver.version, e.vc, CAST(NULL AS BIGINT) AS bonus
+         |         FROM ver CROSS JOIN e),
+         |insp AS (SELECT ver.version, e.vc + 7 AS vc,
+         |           CASE WHEN ver.version = 2 THEN (e.vc + 7) // 10
+         |                ELSE CAST(NULL AS BIGINT) END AS bonus
+         |         FROM ver JOIN e ON ver.version >= 2 AND e.event_type = 'purchase'),
+         |insc AS (SELECT ver.version, e.vc + 3 AS vc, CAST(NULL AS BIGINT) AS bonus
+         |         FROM ver JOIN e ON ver.version >= 4 AND e.event_type = 'click'),
+         |insv AS (SELECT ver.version, e.vc + 9 AS vc, (e.vc + 9) // 100 AS bonus
+         |         FROM ver JOIN e ON ver.version >= 6 AND e.event_type = 'view'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insp
+         |      UNION ALL SELECT * FROM insc UNION ALL SELECT * FROM insv)
          |SELECT CAST(version AS BIGINT) AS version,
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(sum(vc) AS BIGINT) AS total_centi,

@@ -324,6 +324,110 @@ class PipelineTxnSpec extends SparkSpec {
     assert(stateOf(p) == after, "a shallow maintain pass moved a store")
   }
 
+  test("erase-vs-reingest conflict: Fail surfaces it loudly; RetractAndReadmit restores index == table for the recorded keys") {
+    val p = freshPipeline("conflict")
+    PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    // Erase {4, 8, 12}; crash after intent + docs delete — the LSH
+    // retract and the whole embeddings arm are pending.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0,
+        txn = 2L, failAfter = 2)
+    }
+    // Inside the crash window, upstream re-ingests doc 4 with REVISED
+    // wording (its embedding job lags — an empty vector batch, the
+    // realistic shape of a corrected-document hotfix).
+    val redoc = docsDF(Seq(4L)).withColumn("text",
+      concat(col("text"), lit(" revised wording after the erasure request")))
+    PipelineTxn.ingest(spark, p, redoc, embDF(Seq.empty[Long]), txn = 3L)
+    // Default policy: the resumed erase REFUSES loudly — no store moved
+    // by the refused arm, the operator decides.
+    intercept[PipelineTxn.EraseConflictException] {
+      PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 2L)
+    }
+    // Resolution WITHOUT manual surgery: retract both incarnations,
+    // re-admit the live one from the table's committed state.
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0,
+      txn = 2L, onConflict = PipelineTxn.EraseConflict.RetractAndReadmit)
+    val (docs, lshDocs, _, emb, asg) = stateOf(p)
+    val wantDocs = (baseIds ++ deltaIds).filterNot(_ % 4 == 0).toSet + 4L
+    val wantVecs = (baseIds ++ deltaIds).filterNot(_ % 4 == 0).toSet
+    assert(docs == wantDocs, s"docs table: $docs")
+    assert(lshDocs == wantDocs, s"LSH did not re-admit the re-ingested key: $lshDocs")
+    assert(emb == wantVecs && asg.map(_._1) == wantVecs,
+      s"embedding arms diverged from the recorded intent: $emb / $asg")
+    // The re-admitted rows are the REVISED text's bands — re-derived
+    // from the table, never the erase's stale recompute.
+    val stored = LshIndexStore.bandsOf(spark, p.lsh,
+        LshIndexStore.currentGeneration(p.lsh))
+      .where(col("doc_id") === 4L)
+      .select(col("band"), col("key")).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val expected = Dedup.bandRows(
+        Dedup.minhashSignatures(redoc, "doc_id", "text"), rowsPerBand = 1)
+      .select(col("band"), col("key")).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(stored == expected, "re-admitted bands are not the revised text's")
+    val a = auditMap(p)
+    assert(a("documents~lsh") == ((10L, 10L, 0L, 0L)) &&
+      a("embeddings~ivf") == ((9L, 9L, 0L, 0L)), s"post-resolution audit: $a")
+    // Replay of the resolved erase is a no-op under either policy; the
+    // intent (pinned until the repair committed) is now reclaimable.
+    val after = stateOf(p)
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 2L)
+    assert(stateOf(p) == after, "replay of the resolved erase moved a store")
+    assert(PipelineTxn.vacuumIntents(p, keepFromTxn = 10L) == 1)
+  }
+
+  test("maintain's scheduled IVF retrain equals the explicit epoch flip, and a second pass fires nothing") {
+    import graft.functions.vectors
+    val s0 = spark
+    import s0.implicits._
+    val p = freshPipeline("schedretrain")
+    val twin = freshPipeline("explretrain")
+    Seq(p, twin).foreach(x =>
+      PipelineTxn.ingest(spark, x, docsDF(deltaIds), embDF(deltaIds), txn = 1L))
+    def liveProj(x: PipelineStores) =
+      VersionedLayout.readAsOf(spark, x.emb, VersionedLayout.currentVersion(x.emb))
+        .select(col("vec_id"), col("embedding"), vectors.norm(col("embedding")).as("nrm"))
+    def flip(x: PipelineStores): Int = {
+      val e = liveProj(x).localCheckpoint()
+      val live = IvfIndexStore.assignmentsOf(spark, x.ivf,
+        IvfIndexStore.currentGeneration(x.ivf))
+      val cent2 = graft.queries.Similarity.centroids(e, live).localCheckpoint()
+      IvfIndexStore.retrain(spark, x.ivf, cent2,
+        graft.queries.Similarity.nearest(e, cent2, "vec_id", "embedding", "nrm"))
+    }
+    flip(twin) // the explicit q177 recipe
+    def policy = PipelineTxn.IvfRetrainPolicy(
+      audit = () => Seq((0L,
+        IvfIndexStore.epochOf(p.ivf, IvfIndexStore.currentGeneration(p.ivf)) == 0))
+        .toDF("generation", "retrain_recommended"),
+      retrain = () => flip(p))
+    def pass() = PipelineTxn.maintain(spark, p, keepLast = 0,
+      minReclaimRows = Long.MaxValue, reclaimIntentsBelowTxn = 0L,
+      ivfRetrain = Some(policy)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3), r.getBoolean(6))).toMap
+    val rep1 = pass()
+    assert(rep1("ivf")._3, "the recommended retrain did not fire through maintain")
+    assert(!rep1("ivf")._2, "the fold consult fired on a freshly retrained chain")
+    def ivfState(x: PipelineStores) = {
+      val g = IvfIndexStore.currentGeneration(x.ivf)
+      (IvfIndexStore.epochOf(x.ivf, g),
+        IvfIndexStore.centroidsOf(spark, x.ivf, g).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getDouble(2))).toSet,
+        IvfIndexStore.assignmentsOf(spark, x.ivf, g).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    assert(ivfState(p) == ivfState(twin),
+      "the scheduled retrain diverged from the explicit epoch flip")
+    // Second scheduled pass: the re-audit reads healthy (epoch 1) and
+    // nothing fires.
+    val head = IvfIndexStore.currentGeneration(p.ivf)
+    val rep2 = pass()
+    assert(!rep2("ivf")._3 && !rep2("ivf")._2,
+      "an already-retrained chain re-fired on the second pass")
+    assert(IvfIndexStore.currentGeneration(p.ivf) == head
+      && rep2("ivf")._1 == head.toLong, "the idle pass moved the IVF head")
+  }
+
   test("intent GC reclaims only fully-applied transactions; retained intents keep late resumes convergent") {
     val p = freshPipeline("gc")
     PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 1L)

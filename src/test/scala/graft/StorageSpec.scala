@@ -1093,6 +1093,68 @@ class StorageSpec extends SparkSpec {
       .where(col("w") === 5L).count() == 1)
   }
 
+  test("drop column: masked at and above its version, served below; a re-added name is a new incarnation whose old values never resurface") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-dropcol").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 8L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    // Guards: key/pid/absent columns refuse.
+    intercept[IllegalArgumentException](VersionedLayout.dropColumn(spark, dir, "event_id"))
+    intercept[IllegalArgumentException](VersionedLayout.dropColumn(spark, dir, "pid"))
+    intercept[IllegalArgumentException](VersionedLayout.dropColumn(spark, dir, "nope"))
+    // v1 add w; v2 insert rows CARRYING w; v3 drop it (metadata-only).
+    VersionedLayout.addColumn(spark, dir, "w", "bigint")
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((101L, 7L), (102L, 9L))).withColumn("w", col("value_centi") * 2))
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+    val filesBefore = dataFiles()
+    assert(VersionedLayout.dropColumn(spark, dir, "w") == 3)
+    assert(dataFiles() == filesBefore, "dropColumn touched data files")
+    // At-or-above the drop the column is gone even though the v2
+    // segment physically carries values; below it, served as committed.
+    assert(!VersionedLayout.readAsOf(spark, dir, 3).columns.contains("w"))
+    assert(VersionedLayout.readAsOf(spark, dir, 3).count() == 10)
+    assert(VersionedLayout.readAsOf(spark, dir, 2)
+      .where(col("w").isNotNull).count() == 2)
+    // A dropped name cannot drop twice; a re-add must keep its type.
+    intercept[IllegalArgumentException](VersionedLayout.dropColumn(spark, dir, "w"))
+    intercept[IllegalArgumentException](VersionedLayout.addColumn(spark, dir, "w", "string"))
+    // v4 RE-ADD: a new incarnation — the v2 segment's on-disk values
+    // must read as NULLs from here on.
+    assert(VersionedLayout.addColumn(spark, dir, "w", "bigint") == 4)
+    val v4 = VersionedLayout.readAsOf(spark, dir, 4)
+    assert(v4.columns.contains("w") && v4.where(col("w").isNotNull).count() == 0,
+      "dropped incarnation's values resurfaced through the re-add")
+    // v5 insert under the new incarnation: only ITS values are live.
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((103L, 11L))).withColumn("w", lit(42L)))
+    val v5 = VersionedLayout.readAsOf(spark, dir, 5)
+    assert(v5.where(col("w").isNotNull).count() == 1
+      && v5.where(col("w") === 42L).count() == 1)
+    // The fold materializes the incarnation masking physically and
+    // preserves answers; v2 read back AFTER the fold still serves the
+    // OLD incarnation's values through the archive.
+    val (m6, _) = VersionedLayout.majorCompact(spark, dir)
+    val v6 = VersionedLayout.readAsOf(spark, dir, m6)
+    assert(v6.count() == 11 && v6.where(col("w").isNotNull).count() == 1)
+    assert(VersionedLayout.readAsOf(spark, dir, 2)
+      .where(col("w").isNotNull).count() == 2,
+      "the archive stopped serving the old incarnation below its drop")
+    assert(!VersionedLayout.readAsOf(spark, dir, 3).columns.contains("w"))
+    // The change feed spans the drop: each part carries its own
+    // version's schema, null-padded to the superset.
+    val feed = VersionedLayout.changeFeed(spark, dir, 0, m6)
+    assert(feed.columns.contains("w"))
+    assert(feed.where(col("change_type") === "insert").count() == 3)
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
