@@ -64,7 +64,11 @@ for _ in $(seq 1 "$MAX_POLLS"); do
   sleep "$POLL"
   safe_to_commit || continue
   paths=()
-  for f in BENCH_LATEST.json SLOPES.json QUERIES.md LEAKCHECK.json \
+  # QUERIES.md is deliberately NOT here: it is source-maintained (committed
+  # with the feature that changes it), not a driver artifact — sweeping an
+  # in-progress edit of it into an artifact commit was a round-10 advisor
+  # finding.
+  for f in BENCH_LATEST.json SLOPES.json LEAKCHECK.json \
            COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json BENCH_AB_*.md; do
     [ -e "$f" ] && stable "$f" && paths+=("$f")
   done
