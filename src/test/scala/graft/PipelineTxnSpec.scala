@@ -460,4 +460,125 @@ class PipelineTxnSpec extends SparkSpec {
     assert(PipelineTxn.vacuumIntents(p, keepFromTxn = 10L) == 1)
     assert(!intentExists(2L))
   }
+
+  test("multi-batch streaming soak: 24 coordinated micro-batches with interleaved erases, a mid-batch crash and a mid-stream maintenance pass converge to the ground-up rebuild") {
+    val s0 = spark
+    import s0.implicits._
+    val p = freshPipeline("soak")
+
+    // 24-op schedule, txn = micro-batch id: ingest batches add two new
+    // docs each; every sixth batch erases the two ids a five-batches-
+    // earlier ingest added (every erase targets committed state).
+    // Ids 9..48 ingested; 9,10 / 19,20 / 29,30 / 39,40 erased.
+    val ops: Seq[(String, Seq[Long])] = {
+      var next = 9L
+      (0 until 24).map { k =>
+        if (k % 6 == 5) ("erase", Seq(9L + (k / 6) * 10, 10L + (k / 6) * 10))
+        else { val ids = Seq(next, next + 1); next += 2; ("ingest", ids) }
+      }
+    }
+    val erased = ops.filter(_._1 == "erase").flatMap(_._2).toSet
+    val survivors = ((1L to 48L).toSet -- erased).toSeq.sorted
+
+    val in = java.nio.file.Files.createTempDirectory("graft-soak-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-soak-chk")
+    def rows(op: String, ids: Seq[Long]): DataFrame = ids.map { i =>
+      val e = if (i % 2 == 0) Array(1.0, 0.001 * i) else Array(0.001 * i, 1.0)
+      (((i % 2) + 1).toInt, i, docText(i), e, op)
+    }.toDF("pid", "id", "text", "embedding", "op")
+    def stage(k: Int): Unit = {
+      val (op, ids) = ops(k)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-soak-stage")
+      rows(op, ids).repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = in.resolve(f"b$k%03d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      // FileStreamSource orders by modification time: force strictly
+      // increasing mtimes so file k is always delivered as txn k.
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 10000L))
+    }
+    val sink: (DataFrame, Long) => Unit = (b, id) => {
+      val eraseIds = b.filter(col("op") === "erase")
+        .select(col("id")).collect().map(_.getLong(0)).toSeq // bounded: <= 2 ids
+      if (eraseIds.nonEmpty)
+        PipelineTxn.erase(spark, p, col("doc_id").isin(eraseIds: _*),
+          col("vec_id").isin(eraseIds: _*), txn = id)
+      else
+        PipelineTxn.ingest(spark, p,
+          b.select(col("pid"), col("id").as("doc_id"), col("text")),
+          b.select(col("pid"), col("id").as("vec_id"), col("embedding")),
+          txn = id)
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(rows("ingest", Seq(0L)).schema)
+        .option("maxFilesPerTrigger", 1) // one file = one micro-batch = one txn
+        .parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // Phase 1: twelve micro-batches (ten ingests, two erases).
+    (0 until 12).foreach(stage)
+    run()
+    val heads1 = (VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
+      VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+    assert(heads1 == ((12, 12, 12, 12)), s"phase-1 heads drifted: $heads1")
+
+    // Batch 12 crashes MID-PIPELINE before the stream delivers it (docs
+    // + LSH commit, embeddings arm never runs), then a maintenance pass
+    // runs IN the crash window — checkpoints, vacuums (keepLast keeps
+    // the half-applied txn's segment), folds chains, and reclaims the
+    // txn-5 erase intent while retaining txn-11's.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.ingest(spark, p, docsDF(Seq(29L, 30L)), embDF(Seq(29L, 30L)),
+        txn = 12L, failAfter = 2)
+    }
+    PipelineTxn.maintain(spark, p, keepLast = 3, minReclaimRows = 0,
+      reclaimIntentsBelowTxn = 6L).collect()
+
+    // Phase 2: the restarted stream delivers batch 12 (the sink's
+    // re-run completes the half-applied transaction on its stamps)
+    // and the remaining eleven batches.
+    (12 until 24).foreach(stage)
+    run()
+
+    val (docs, lshDocs, lshPairs, emb, asg) = stateOf(p)
+    assert(docs == survivors.toSet && lshDocs == survivors.toSet
+      && emb == survivors.toSet, s"soak survivors diverged: $docs")
+    assert(asg == survivors.map(i => (i, i % 2)).toSet, s"soaked IVF diverged: $asg")
+    val rebuilt = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docsDF(survivors), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs == rebuilt, "soaked LSH index diverged from the ground-up rebuild")
+    val a = auditMap(p)
+    assert(a("documents~lsh") == ((40L, 40L, 0L, 0L))
+      && a("embeddings~ivf") == ((40L, 40L, 0L, 0L)), s"soak audit not aligned: $a")
+
+    // Stamp-space integrity: a no-input restart replays nothing, and
+    // replaying a mid-soak ingest plus BOTH erase flavors — the
+    // reclaimed-intent one (txn 5, vacuumed mid-stream) and the
+    // retained one (txn 11) — moves no store. The lit(true) predicates
+    // make the assertion sharp: a stamp miss would erase everything.
+    val headsBefore = (VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
+      VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+    run()
+    PipelineTxn.ingest(spark, p, docsDF(Seq(13L, 14L)), embDF(Seq(13L, 14L)), txn = 2L)
+    PipelineTxn.erase(spark, p, lit(true), lit(true), txn = 5L)
+    PipelineTxn.erase(spark, p, lit(true), lit(true), txn = 11L)
+    val headsAfter = (VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
+      VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+    assert(headsAfter == headsBefore, s"a replayed txn moved a store: $headsBefore -> $headsAfter")
+
+    // A closing maintenance pass reclaims the remaining intents and
+    // leaves the logical state untouched.
+    PipelineTxn.maintain(spark, p, keepLast = 3, minReclaimRows = 0,
+      reclaimIntentsBelowTxn = 24L).collect()
+    assert(stateOf(p) == ((survivors.toSet, survivors.toSet, rebuilt,
+      survivors.toSet, survivors.map(i => (i, i % 2)).toSet)))
+  }
 }
