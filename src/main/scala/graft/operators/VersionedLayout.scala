@@ -46,11 +46,15 @@ import java.nio.charset.StandardCharsets
   *    keying, upsert matching, the version-stamped mask, and the
   *    change feed all follow this meta; layouts written before it
   *    default to the lineitem triple).
-  *  - `addcolumn` / `dropcolumn` log entries — SCHEMA EVOLUTION commits
-  *    (see [[addColumn]] / [[dropColumn]]): metadata-only, no data file
-  *    touched; every version is served under the schema committed as of
-  *    it, a re-added name is a new incarnation whose dropped
-  *    predecessor's values never resurface.
+  *  - `addcolumn` / `dropcolumn` / `renamecolumn` log entries — SCHEMA
+  *    EVOLUTION commits (see [[addColumn]] / [[dropColumn]] /
+  *    [[renameColumn]]): metadata-only, no data file touched; every
+  *    version is served under the schema committed as of it, a re-added
+  *    name is a new incarnation whose dropped predecessor's values
+  *    never resurface, and a renamed column serves each version under
+  *    the name committed as of it (era names fold together at plan
+  *    time; a `renamecolumn` entry's `colType` field carries the NEW
+  *    NAME).
   *
   * At 100 TB the points are: the log is O(versions) metadata, AS-OF
   * planning touches only the bounded pid/version maps (no data pass),
@@ -121,8 +125,10 @@ object VersionedLayout {
     * ingest (-1 when the commit is not transactional); `tag` is the
     * WRITER-UNIQUE suffix of this version's artifact directories (see
     * [[withWriteRetry]] — empty for maintenance commits and layouts
-    * written before tagging); `colName`/`colType` carry an
-    * [[addColumn]] schema-evolution commit (empty otherwise).
+    * written before tagging); `colName`/`colType` carry a schema
+    * evolution commit — [[addColumn]] (name/type), [[dropColumn]]
+    * (name), or [[renameColumn]] (old name / NEW NAME — `colType` is
+    * overloaded as the rename target, not a type); empty otherwise.
     */
   final case class LogEntry(
       version: Int, action: String, pids: Seq[Int], horizon: Int,
@@ -391,7 +397,16 @@ object VersionedLayout {
     * Cost: one distinct over the (bounded) segment pid column.
     */
   private def requireInDomain(dir: String, rows: DataFrame): Unit = {
-    val domain = pidDomain(log(dir))
+    val entries = log(dir)
+    // A renamed-away name can never ride a new segment: the union-time
+    // era coalesce would silently fold the stale-named values into the
+    // renamed column's history. Fail the writer loudly instead.
+    val stale = entries.filter(_.action == "renamecolumn").map(_.colName)
+      .filter(rows.columns.contains)
+    require(stale.isEmpty,
+      s"insert carries renamed-away column(s) ${stale.mkString(",")} of $dir — " +
+        "write under the current name(s)")
+    val domain = pidDomain(entries)
     if (domain.nonEmpty) {
       val novel = rows.select(col("pid").cast("int").as("pid")).distinct()
         .collect().map(_.getInt(0)).filterNot(domain).sorted
@@ -512,6 +527,14 @@ object VersionedLayout {
       .foreach(p => require(p.colType == sqlType,
         s"re-adding '$name' as '$sqlType' conflicts with its previous " +
           s"incarnation's type '${p.colType}'"))
+    // A name that ever rode a RENAME (either side) cannot be re-added:
+    // the read path resolves a renamed column by folding its era names
+    // together, which is only unambiguous while neither name ever
+    // carried a second identity (the same no-column-mapping restriction
+    // as [[renameColumn]]'s fresh-target guard).
+    require(!entries.exists(e => e.action == "renamecolumn"
+        && (e.colName == name || e.colType == name)),
+      s"column name '$name' appears in a rename of $dir — renamed names cannot be re-added")
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "addcolumn", Nil, 0, colName = name, colType = sqlType))
     ver
@@ -540,6 +563,51 @@ object VersionedLayout {
       s"column '$name' does not exist at the head of $dir")
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "dropcolumn", Nil, 0, colName = name))
+    ver
+  }
+
+  /** RENAME COLUMN as version `currentVersion + 1` — the third leg of
+    * schema evolution, METADATA-ONLY like [[addColumn]]/[[dropColumn]]:
+    * no data file is touched. From this version on, [[readAsOf]] serves
+    * the column under `to` — values written under `from` (segments,
+    * pre-fold archives) read under the new name via a plan-time
+    * coalesce of the two era names; reads BELOW this version still
+    * serve `from` exactly as committed, including through a post-rename
+    * fold's archive. The change feed spans the rename the same way it
+    * spans an add (each part carries its own version's schema,
+    * null-filled to the superset). The next [[majorCompact]]
+    * materializes the rename physically. RESTRICTION (the same one real
+    * formats had before column-mapping ids): `to` must be a FRESH name
+    * across the table's whole history, and neither side of a rename can
+    * later be re-added — one physical name must never carry two column
+    * identities, or the era-coalescing read would merge them.
+    * Row-identity columns and `pid` cannot be renamed (tombstone keying
+    * and segment routing depend on them). Commit-only and
+    * deterministic: append-family, safe under [[withWriteRetry]].
+    *
+    * The log entry reuses the [[LogEntry]] evolution fields: `colName`
+    * is the old name, `colType` carries the NEW NAME (not a type).
+    */
+  def renameColumn(s: SparkSession, dir: String, from: String, to: String): Int = {
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name '$to' is not identifier-shaped")
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    require(from != "pid" && !keyColsOf(dir).contains(from),
+      s"column '$from' is a row-identity/partition column of $dir — cannot rename")
+    val head = readAsOf(s, dir, entries.last.version).columns
+    require(head.contains(from), s"column '$from' does not exist at the head of $dir")
+    require(!head.contains(to), s"column '$to' already exists at the head of $dir")
+    val everNamed = entries
+      .filter(e => e.action == "addcolumn" || e.action == "dropcolumn"
+        || e.action == "renamecolumn")
+      .flatMap(e =>
+        if (e.action == "renamecolumn") Seq(e.colName, e.colType) else Seq(e.colName))
+    require(!everNamed.contains(to),
+      s"column name '$to' already appears in the evolution history of $dir — " +
+        "rename targets must be fresh names")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "renamecolumn", Nil, 0, colName = from, colType = to))
     ver
   }
 
@@ -1309,6 +1377,40 @@ object VersionedLayout {
           .reduce(_ && _)
         data.join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
     }
+    // RENAME normalization FIRST: every source carries its own era's
+    // name for a renamed column (segments/archives written below the
+    // rename hold the old name, ones above hold the new), so bring them
+    // all to the name committed AS OF v before the add/drop replay.
+    // unionByName null-filled whichever era name a source lacked, and
+    // [[renameColumn]]'s freshness guard means no source ever carried
+    // both — so where both columns exist, coalesce picks the one the
+    // source's era wrote.
+    val renames = entries.filter(_.action == "renamecolumn").sortBy(_.version)
+    val renamedToV = renames.filter(_.version <= v).foldLeft(masked) { (df, r) =>
+      val (from, to) = (r.colName, r.colType)
+      if (df.columns.contains(from) && df.columns.contains(to))
+        df.withColumn(to, coalesce(col(to), col(from))).drop(from)
+      else if (df.columns.contains(from)) df.withColumnRenamed(from, to)
+      else df
+    }
+    // Defensive mirror of the added-above-v case below: an above-v
+    // rename's to-name can only reach a below-v read when a post-v fold
+    // materialized it and a pid escaped archival routing — read it back
+    // under its as-of-v name (normally a no-op). Reverse order so
+    // chains unwind.
+    val renamed = renames.filter(_.version > v).reverse.foldLeft(renamedToV) { (df, r) =>
+      if (df.columns.contains(r.colType) && !df.columns.contains(r.colName))
+        df.withColumnRenamed(r.colType, r.colName)
+      else df
+    }
+    // Canonicalize add/drop event names through the renames at or below
+    // v: an added column's add event predates its rename, and a
+    // post-rename drop names the new name — the replay must fold both
+    // under the ONE name v serves (unambiguous because rename targets
+    // are fresh names and renamed names cannot be re-added).
+    def canonName(name: String, eventVer: Int): String =
+      renames.filter(r => r.version <= v && r.version > eventVer)
+        .foldLeft(name)((n, r) => if (r.colName == n) r.colType else n)
     // Serve v under its COMMITTED schema by replaying each evolved
     // column's add/drop events through v (latest event at-or-below v
     // decides):
@@ -1327,7 +1429,8 @@ object VersionedLayout {
     //    escaped archival routing — defensive, normally a no-op).
     val events = entries
       .filter(e => e.action == "addcolumn" || e.action == "dropcolumn")
-    val resolved = events.map(_.colName).distinct.foldLeft(masked) { (df, name) =>
+      .map(e => e.copy(colName = canonName(e.colName, e.version)))
+    val resolved = events.map(_.colName).distinct.foldLeft(renamed) { (df, name) =>
       val evs = events.filter(_.colName == name).sortBy(_.version)
       evs.filter(_.version <= v).lastOption match {
         case None =>

@@ -1747,6 +1747,117 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q189's rename-column events layout. */
+  private[graft] def eventsRenamecolDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_renamecol_$sfx").getAbsolutePath
+  }
+  private val eventsRenamecolLock = new Object
+
+  /** Build (or fast-forward) q189's history: v0 base (events, pid =
+    * user_id mod 16, key = event_id), v1 ADD COLUMN `score_centi`, v2
+    * INSERT purchase copies CARRYING it (under the original name), v3
+    * RENAME `score_centi` -> `quality_centi` (metadata-only — the v2
+    * segment keeps the old name on disk), v4 INSERT click copies
+    * written under the NEW name, v5 RENAME the BASE-ORIGIN column
+    * `value_centi` -> `amount_centi` (exercising the base/archive era,
+    * not just segments), v6 INSERT view copies under both new names,
+    * v7 majorCompact (materializes both renames physically; the fold
+    * archive keeps serving the old names to below-fold reads).
+    */
+  private def ensureRenamecolScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsRenamecolDir(d)
+    eventsRenamecolLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.addColumn(s, dir, "score_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 1)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi"),
+              expr("(value_centi + 7) div 10").as("score_centi")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.renameColumn(s, dir, "score_centi", "quality_centi")
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 3)
+            .where(col("event_type") === "click"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 3).as("value_centi"),
+              expr("(value_centi + 3) div 20").as("quality_centi")))
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.renameColumn(s, dir, "value_centi", "amount_centi")
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 5)
+            .where(col("event_type") === "view"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 3 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("amount_centi") + 9).as("amount_centi"),
+              expr("(amount_centi + 9) div 100").as("quality_centi")))
+      if (VersionedLayout.currentVersion(dir) < 7)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** RENAME COLUMN through the commit log — the third leg of q180/q188's
+    * schema evolution, replayed add -> insert -> RENAME -> insert ->
+    * rename-a-BASE-column -> insert -> fold against one derivation
+    * oracle. Every version reports its aggregates AND the literal names
+    * its schema served (`value_col`/`score_col` ride the hash compare),
+    * so the gate pins both the data and the per-version schema: v2
+    * serves `score_centi`, v3 serves the SAME values as `quality_centi`
+    * (a rename moves no data — n_with_score is unchanged across it),
+    * v5 renames the base-origin amount column with every total intact,
+    * and all eight reads run AFTER v7's fold materialized the new
+    * names — below-rename versions still serve the old names through
+    * the fold archive. At 100 TB: renaming a feature column costs one
+    * tiny log write, never a table rewrite, and historical reads keep
+    * serving every training run's exact schema.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureRenamecolScenario(s, d)
+    (0 to 7).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val valueCol =
+        if (df.columns.contains("amount_centi")) "amount_centi" else "value_centi"
+      val scoreCol =
+        Seq("quality_centi", "score_centi").find(df.columns.contains).getOrElse("")
+      val withS =
+        if (scoreCol.isEmpty) df.withColumn("_sc", lit(null).cast("bigint"))
+        else df.withColumn("_sc", col(scoreCol))
+      withS.select(lit(ver.toLong).as("version"),
+        col(valueCol).as("_vc"), col("_sc"),
+        lit(valueCol).as("value_col"), lit(scoreCol).as("score_col"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("value_col"), col("score_col"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_vc")).as("total_centi"),
+        count(col("_sc")).as("n_with_score"),
+        coalesce(sum(col("_sc")), lit(0L)).as("score_total"))
+      .select(col("version"), col("n_events"), col("total_centi"),
+        col("n_with_score"), col("score_total"), col("value_col"), col("score_col"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q182's z-clustered fold layout. */
   private[graft] def eventsZfoldDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -2177,6 +2288,31 @@ object ScalePatterns {
          |  CAST(count(bonus) AS BIGINT) AS n_with_bonus,
          |  CAST(coalesce(sum(bonus), 0) AS BIGINT) AS bonus_total
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q189_layout_rename_column", q189, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS version),
+         |base AS (SELECT ver.version, e.vc, CAST(NULL AS BIGINT) AS sc
+         |         FROM ver CROSS JOIN e),
+         |insp AS (SELECT ver.version, e.vc + 7 AS vc, (e.vc + 7) // 10 AS sc
+         |         FROM ver JOIN e ON ver.version >= 2 AND e.event_type = 'purchase'),
+         |insc AS (SELECT ver.version, e.vc + 3 AS vc, (e.vc + 3) // 20 AS sc
+         |         FROM ver JOIN e ON ver.version >= 4 AND e.event_type = 'click'),
+         |insv AS (SELECT ver.version, e.vc + 9 AS vc, (e.vc + 9) // 100 AS sc
+         |         FROM ver JOIN e ON ver.version >= 6 AND e.event_type = 'view'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insp
+         |      UNION ALL SELECT * FROM insc UNION ALL SELECT * FROM insv)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(vc) AS BIGINT) AS total_centi,
+         |  CAST(count(sc) AS BIGINT) AS n_with_score,
+         |  CAST(coalesce(sum(sc), 0) AS BIGINT) AS score_total,
+         |  CASE WHEN u.version >= 5 THEN 'amount_centi'
+         |       ELSE 'value_centi' END AS value_col,
+         |  CASE WHEN u.version >= 3 THEN 'quality_centi'
+         |       WHEN u.version >= 1 THEN 'score_centi'
+         |       ELSE '' END AS score_col
+         |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
     QueryDef("q170_layout_checkpointed_log", q170, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -1155,6 +1155,91 @@ class StorageSpec extends SparkSpec {
     assert(feed.where(col("change_type") === "insert").count() == 3)
   }
 
+  test("rename column: each version serves the name committed as of it, values preserved across the rename, renamed names can never come back") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-renamecol").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 8L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    // Guards: key/pid/absent sources, occupied or ill-shaped targets.
+    intercept[IllegalArgumentException](
+      VersionedLayout.renameColumn(spark, dir, "event_id", "eid"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.renameColumn(spark, dir, "pid", "p2"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.renameColumn(spark, dir, "nope", "x"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.renameColumn(spark, dir, "value_centi", "event_id"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.renameColumn(spark, dir, "value_centi", "a b"))
+    // v1 add w; v2 insert rows CARRYING it; v3 RENAME w -> w2
+    // (metadata-only: no data file touched).
+    VersionedLayout.addColumn(spark, dir, "w", "bigint")
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((101L, 7L), (102L, 9L))).withColumn("w", col("value_centi") * 2))
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+    val filesBefore = dataFiles()
+    assert(VersionedLayout.renameColumn(spark, dir, "w", "w2") == 3)
+    assert(dataFiles() == filesBefore, "renameColumn touched data files")
+    // At-or-above the rename: the SAME values under the new name (the
+    // v2 segment physically carries the old one); below: the old name.
+    val v3 = VersionedLayout.readAsOf(spark, dir, 3)
+    assert(v3.columns.contains("w2") && !v3.columns.contains("w"))
+    assert(v3.where(col("w2").isNotNull).count() == 2
+      && v3.agg(sum("w2")).collect()(0).getLong(0) == 32L)
+    val v2 = VersionedLayout.readAsOf(spark, dir, 2)
+    assert(v2.columns.contains("w") && !v2.columns.contains("w2"))
+    assert(v2.where(col("w").isNotNull).count() == 2)
+    // A renamed-away name can never ride a new segment, be re-added,
+    // or host another identity; the CURRENT name inserts fine (v4).
+    intercept[IllegalArgumentException](VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((103L, 11L))).withColumn("w", lit(5L))))
+    intercept[IllegalArgumentException](
+      VersionedLayout.addColumn(spark, dir, "w", "bigint"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.addColumn(spark, dir, "w2", "bigint"))
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((103L, 11L))).withColumn("w2", lit(42L)))
+    // v5 rename the BASE-ORIGIN column: totals carry over exactly.
+    assert(VersionedLayout.renameColumn(spark, dir, "value_centi", "amount_centi") == 5)
+    val v5 = VersionedLayout.readAsOf(spark, dir, 5)
+    assert(v5.columns.contains("amount_centi") && !v5.columns.contains("value_centi"))
+    assert(v5.agg(sum("amount_centi")).collect()(0).getLong(0)
+      == VersionedLayout.readAsOf(spark, dir, 4)
+        .agg(sum("value_centi")).collect()(0).getLong(0))
+    // Metadata-only window: v6 add z, v7 rename z -> z2 before any
+    // segment carries it — typed NULL under the canonical name.
+    VersionedLayout.addColumn(spark, dir, "z", "bigint")
+    VersionedLayout.renameColumn(spark, dir, "z", "z2")
+    val v7 = VersionedLayout.readAsOf(spark, dir, 7)
+    assert(v7.columns.contains("z2") && !v7.columns.contains("z")
+      && v7.where(col("z2").isNotNull).count() == 0)
+    // DROP goes by the current name; neither era name can come back.
+    assert(VersionedLayout.dropColumn(spark, dir, "w2") == 8)
+    intercept[IllegalArgumentException](
+      VersionedLayout.addColumn(spark, dir, "w2", "bigint"))
+    // The fold materializes both renames physically; reads below them
+    // AFTER the fold still serve the old names through the archive.
+    val (m9, _) = VersionedLayout.majorCompact(spark, dir)
+    val head = VersionedLayout.readAsOf(spark, dir, m9)
+    assert(head.columns.contains("amount_centi") && !head.columns.contains("w2"))
+    val v2post = VersionedLayout.readAsOf(spark, dir, 2)
+    assert(v2post.columns.contains("w") && v2post.columns.contains("value_centi")
+      && v2post.where(col("w").isNotNull).count() == 2,
+      "the archive stopped serving the old names below the renames")
+    // The change feed spans the renames: each part carries its own
+    // version's schema, null-padded to the superset.
+    val feed = VersionedLayout.changeFeed(spark, dir, 0, m9)
+    assert(feed.columns.contains("w") && feed.columns.contains("w2"))
+    assert(feed.where(col("change_type") === "insert").count() == 3)
+  }
+
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
