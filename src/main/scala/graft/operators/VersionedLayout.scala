@@ -153,14 +153,19 @@ object VersionedLayout {
 
   private def parseEntry(body: String): LogEntry = {
     def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
+    // String fields parse as QUOTED tokens, not comma-splits, so a
+    // comma inside a value — `decimal(10,2)` riding colType — cannot
+    // tear the entry. Values never contain quotes or escapes (the
+    // commit-side identifier/type guards enforce it), so [^"]* is
+    // exact.
+    def strField(k: String) =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
     val pids = body.split(""""pids":\[""")(1).split("]")(0).trim
-    LogEntry(field("version").toInt, field("action").replaceAll("\"", ""),
+    LogEntry(field("version").toInt, strField("action"),
       if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
       field("horizon").toInt,
       if (body.contains("\"txn\":")) field("txn").toLong else -1L,
-      if (body.contains("\"tag\":")) field("tag").replaceAll("\"", "") else "",
-      if (body.contains("\"colName\":")) field("colName").replaceAll("\"", "") else "",
-      if (body.contains("\"colType\":")) field("colType").replaceAll("\"", "") else "")
+      strField("tag"), strField("colName"), strField("colType"))
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -508,11 +513,12 @@ object VersionedLayout {
   def addColumn(s: SparkSession, dir: String, name: String, sqlType: String): Int = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column name '$name' is not identifier-shaped")
-    // The log entry is parsed with a plain splitter — comma-free types
-    // only (covers every scalar; parametrized decimals would need a
-    // richer codec).
-    require(sqlType.matches("[A-Za-z0-9_() ]*") && !sqlType.contains(","),
-      s"column type '$sqlType' cannot ride the log entry (comma or odd character)")
+    // The type rides the log entry as a quoted JSON string: quote-free,
+    // escape-free charset only (covers every scalar INCLUDING
+    // parametrized decimals — the parser reads quoted tokens, so the
+    // comma in `decimal(10,2)` is fine).
+    require(sqlType.matches("[A-Za-z0-9_(), ]*"),
+      s"column type '$sqlType' cannot ride the log entry (odd character)")
     org.apache.spark.sql.types.DataType.fromDDL(sqlType) // fail at commit, not first read
     val entries = log(dir)
     require(entries.nonEmpty, s"no committed layout at $dir")

@@ -1048,11 +1048,11 @@ class StorageSpec extends SparkSpec {
     val filesBefore = dataFiles()
     assert(VersionedLayout.addColumn(spark, dir, "w", "bigint") == 1)
     assert(dataFiles() == filesBefore, "addColumn touched data files")
-    // Guards: duplicate, non-identifier, unparseable/comma types.
+    // Guards: duplicate, non-identifier, unparseable types.
     intercept[IllegalArgumentException](VersionedLayout.addColumn(spark, dir, "w", "bigint"))
     intercept[IllegalArgumentException](VersionedLayout.addColumn(spark, dir, "a b", "bigint"))
-    intercept[IllegalArgumentException](
-      VersionedLayout.addColumn(spark, dir, "d", "decimal(10,2)"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      VersionedLayout.addColumn(spark, dir, "d", "not a type"))
     // Schema per version: v0 lacks w; v1 has it, typed, all NULL.
     assert(!VersionedLayout.readAsOf(spark, dir, 0).columns.contains("w"))
     val v1 = VersionedLayout.readAsOf(spark, dir, 1)
@@ -1091,6 +1091,42 @@ class StorageSpec extends SparkSpec {
       shaped(Seq((103L, 11L))).withColumn("w", lit(5L)))
     assert(VersionedLayout.readAsOf(spark, dir, m4 + 1)
       .where(col("w") === 5L).count() == 1)
+  }
+
+  test("parametrized decimal evolution: the type's comma rides the log entry, a checkpoint consolidation, and a segment carrying values") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-decimalcol").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 8L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    assert(VersionedLayout.addColumn(spark, dir, "d", "decimal(10,2)") == 1)
+    // The comma-carrying entry survives the checkpoint consolidation
+    // (one torn parse would corrupt every later read) and reads back
+    // EXACTLY typed, pre-evolution rows as typed NULLs.
+    VersionedLayout.checkpoint(dir)
+    val v1 = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(v1.schema("d").dataType == org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(v1.where(col("d").isNotNull).count() == 0)
+    // v2: a segment CARRYING decimal values; exact arithmetic reads.
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((101L, 7L), (102L, 9L)))
+        .withColumn("d", (col("value_centi") / lit(4)).cast("decimal(10,2)")))
+    val v2 = VersionedLayout.readAsOf(spark, dir, 2)
+    assert(v2.where(col("d").isNotNull).count() == 2)
+    assert(v2.agg(sum("d")).collect()(0).getDecimal(0)
+      == new java.math.BigDecimal("4.00"))
+    // Re-add type pinning still applies to the parametrized form.
+    assert(VersionedLayout.dropColumn(spark, dir, "d") == 3)
+    intercept[IllegalArgumentException](
+      VersionedLayout.addColumn(spark, dir, "d", "decimal(12,2)"))
+    assert(VersionedLayout.addColumn(spark, dir, "d", "decimal(10,2)") == 4)
+    assert(VersionedLayout.readAsOf(spark, dir, 4)
+      .where(col("d").isNotNull).count() == 0,
+      "dropped incarnation's decimal values resurfaced through the re-add")
   }
 
   test("drop column: masked at and above its version, served below; a re-added name is a new incarnation whose old values never resurface") {
