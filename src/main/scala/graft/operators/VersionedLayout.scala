@@ -690,6 +690,65 @@ object VersionedLayout {
     ver
   }
 
+  /** RESTORE the table to its state AS OF `toVersion`, as ONE new
+    * upsert-shaped commit — the table-format RESTORE: history below the
+    * restore stays fully addressable (time travel still serves every
+    * version, including the undone ones), and the restore itself is an
+    * ordinary version the change feed spans with exact deltas.
+    *
+    * The diff is derived from the CHANGE FEED over `(toVersion, head]`,
+    * never from a snapshot join — O(changed keys), not O(table), the
+    * property that makes "undo a bad backfill" affordable at 100 TB:
+    * every changed key gets a tombstone (a key absent at head masks
+    * nothing), and the key's state AS OF `toVersion` is the delete part
+    * of its EARLIEST change in the range (a key whose earliest change
+    * is insert-only did not exist at `toVersion` and is not
+    * re-inserted). The same-version insert outlives the same-version
+    * tombstone under the version-stamped mask rule, exactly like an
+    * upsert's replacements.
+    *
+    * The committed entry is a plain `upsert` (every reader, fold, and
+    * feed treats it natively) carrying `horizon = toVersion` as
+    * restore provenance — `horizon` is only ever READ on vacuum
+    * entries, so the marker is inert. Restoring across a schema
+    * evolution is refused (the re-inserted rows would carry the old
+    * schema); restore to a version at or above the last evolution.
+    * Deterministic from the as-of state: append-family, safe under
+    * [[withWriteRetry]].
+    */
+  def restore(s: SparkSession, dir: String, toVersion: Int): Int = {
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    val head = entries.last.version
+    require(toVersion <= head, s"cannot restore $dir to future version $toVersion (head $head)")
+    require(toVersion >= horizon(dir),
+      s"version $toVersion of $dir is below the vacuum horizon ${horizon(dir)} — unrestorable")
+    require(!entries.exists(e => e.version > toVersion
+        && (e.action == "addcolumn" || e.action == "dropcolumn"
+          || e.action == "renamecolumn")),
+      s"restore of $dir to $toVersion crosses a schema evolution — " +
+        "restore to a version at or above the last evolution")
+    if (toVersion == head) return head
+    val ver = head + 1
+    val tag = writerTag()
+    val key = keyColsOf(dir)
+    val feed = changeFeed(s, dir, toVersion, head).localCheckpoint()
+    feed.select(col("pid").cast("int").as("pid") +: key.map(col): _*)
+      .distinct()
+      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
+    val earliest = feed.groupBy((col("pid") +: key.map(col)): _*)
+      .agg(min(col("change_version")).as("_ev"))
+    val target = feed.where(col("change_type") === "delete").alias("f")
+      .join(earliest.alias("e"),
+        ("pid" +: key).map(k => col(s"f.$k") === col(s"e.$k")).reduce(_ && _)
+          && col("f.change_version") === col("e._ev"))
+      .select(feed.columns.filterNot(Set("change_type", "change_version"))
+        .map(c => col(s"f.$c")): _*)
+    target.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, tag = tag))
+    ver
+  }
+
   /** COMPACT as version `currentVersion + 1`: archive then rewrite every
     * pid whose deleted fraction (under the full mask) reaches
     * `threshold`. Survivors are computed BEFORE the swap; the archive

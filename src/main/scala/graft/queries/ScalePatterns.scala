@@ -1858,6 +1858,93 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q190's restore events layout. */
+  private[graft] def eventsRestoreDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_restore_$sfx").getAbsolutePath
+  }
+  private val eventsRestoreLock = new Object
+
+  /** Build (or fast-forward) q190's history: v0 base (events, pid =
+    * user_id mod 16, key = event_id), v1 INSERT purchase copies, v2
+    * DELETE the error rows, v3 UPSERT a +100 bump onto the click rows —
+    * then v4 RESTORE TO v1 (one upsert-shaped commit derived from the
+    * change feed over (1, 3]: the deleted errors re-inserted with their
+    * v1 values, the click bump undone, the purchase copies untouched),
+    * v5 INSERT view copies on top of the restored state, v6
+    * majorCompact (the fold preserves the restore like any upsert).
+    */
+  private def ensureRestoreScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsRestoreDir(d)
+    eventsRestoreLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendDelete(s, dir, col("event_type") === "error")
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendUpsert(s, dir, col("event_type") === "click",
+          m => m.withColumn("value_centi", col("value_centi") + 100))
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.restore(s, dir, 1)
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 4)
+            .where(col("event_type") === "view"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 9).as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** RESTORE TO VERSION through the commit log — the table-format
+    * RESTORE, replayed insert -> delete -> upsert -> RESTORE(v1) ->
+    * insert -> fold against one derivation oracle. The load-bearing
+    * versions: v4 must equal v1 EXACTLY (the v2-deleted errors
+    * re-inserted with their v1 values, the v3 click bump undone, the
+    * v1 purchase copies untouched) while v2 and v3 — the undone
+    * versions — stay fully addressable below the restore; v5 builds on
+    * the restored state; v6's fold preserves everything. The diff is
+    * derived from the change feed over the undone range, never a
+    * snapshot join — O(changed keys), the property that makes "undo a
+    * bad backfill" affordable at 100 TB while keeping the incident
+    * history readable for forensics.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureRestoreScenario(s, d)
+    (0 to 6).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .select(lit(ver.toLong).as("version"),
+          col("value_centi"), col("event_type"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_centi")).as("total_centi"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        sum(when(col("event_type") === "click", col("value_centi"))
+          .otherwise(lit(0L))).as("click_centi"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q182's z-clustered fold layout. */
   private[graft] def eventsZfoldDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -2312,6 +2399,29 @@ object ScalePatterns {
          |  CASE WHEN u.version >= 3 THEN 'quality_centi'
          |       WHEN u.version >= 1 THEN 'score_centi'
          |       ELSE '' END AS score_col
+         |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
+    QueryDef("q190_layout_restore", q190, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS version),
+         |base AS (SELECT ver.version, e.event_type,
+         |           CASE WHEN ver.version = 3 AND e.event_type = 'click'
+         |                THEN e.vc + 100 ELSE e.vc END AS vc
+         |         FROM ver JOIN e
+         |           ON NOT (ver.version IN (2, 3) AND e.event_type = 'error')),
+         |insp AS (SELECT ver.version, e.event_type, e.vc + 7 AS vc
+         |         FROM ver JOIN e ON ver.version >= 1 AND e.event_type = 'purchase'),
+         |insv AS (SELECT ver.version, e.event_type, e.vc + 9 AS vc
+         |         FROM ver JOIN e ON ver.version >= 5 AND e.event_type = 'view'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insp
+         |      UNION ALL SELECT * FROM insv)
+         |SELECT CAST(u.version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
+         |  CAST(count(CASE WHEN u.event_type = 'error' THEN 1 END) AS BIGINT)
+         |    AS n_errors,
+         |  CAST(coalesce(sum(CASE WHEN u.event_type = 'click' THEN u.vc END), 0)
+         |    AS BIGINT) AS click_centi
          |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
     QueryDef("q170_layout_checkpointed_log", q170, Some(
       s"""WITH s AS (

@@ -1093,6 +1093,60 @@ class StorageSpec extends SparkSpec {
       .where(col("w") === 5L).count() == 1)
   }
 
+  test("restore to version: head equals the as-of state, undone versions stay addressable, the diff is O(changed keys)") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-restore").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 12L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    // v1 insert, v2 delete two rows, v3 upsert-bump two others.
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((101L, 7L), (102L, 9L))))
+    VersionedLayout.appendDelete(spark, dir, col("event_id").isin(3L, 101L))
+    VersionedLayout.appendUpsert(spark, dir, col("event_id").isin(5L, 102L),
+      m => m.withColumn("value_centi", col("value_centi") + 1000))
+    // Guards: future version, restore-to-head no-op (no commit).
+    intercept[IllegalArgumentException](VersionedLayout.restore(spark, dir, 9))
+    assert(VersionedLayout.restore(spark, dir, 3) == 3
+      && VersionedLayout.currentVersion(dir) == 3)
+    // v4 RESTORE to v1: the deletes and the bump undone in ONE commit.
+    assert(VersionedLayout.restore(spark, dir, 1) == 4)
+    def snap(v: Int) = VersionedLayout.readAsOf(spark, dir, v)
+      .select(col("event_id"), col("value_centi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snap(4) == snap(1), "restored head diverged from the as-of state")
+    // The diff is O(changed keys): the restore's insert segment holds
+    // exactly the four touched keys' v1 rows, not a table snapshot.
+    val entries4 = spark.read.parquet(s"$dir/_inserts/v4" + {
+      // tag-suffixed dir: locate it
+      val f = new java.io.File(dir, "_inserts")
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).find(_.startsWith("v4")).map(_.stripPrefix("v4")).getOrElse("")
+    })
+    assert(entries4.count() == 4,
+      s"restore re-inserted ${entries4.count()} rows — expected exactly the 4 changed keys")
+    // The undone versions stay addressable below the restore.
+    assert(snap(2) == snap(1) -- Set((3L, 30L), (101L, 7L)))
+    assert(snap(3).contains((5L, 1050L)) && snap(3).contains((102L, 1009L)))
+    // The change feed SPANS the restore with exact deltas: v4 re-inserts
+    // the two deleted rows and swaps the two bumped ones back.
+    val feed4 = VersionedLayout.changeFeed(spark, dir, 3, 4)
+    assert(feed4.where(col("change_type") === "insert").count() == 4)
+    assert(feed4.where(col("change_type") === "delete").count() == 2)
+    // Life goes on: insert on the restored state, fold, all preserved.
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((103L, 11L))))
+    val (m6, _) = VersionedLayout.majorCompact(spark, dir)
+    assert(snap(m6) == snap(1) + ((103L, 11L)))
+    assert(snap(2) == snap(1) -- Set((3L, 30L), (101L, 7L)),
+      "the fold stopped serving an undone version below the restore")
+    // Restore across a schema evolution refuses.
+    VersionedLayout.addColumn(spark, dir, "w", "bigint")
+    intercept[IllegalArgumentException](VersionedLayout.restore(spark, dir, m6))
+  }
+
   test("parametrized decimal evolution: the type's comma rides the log entry, a checkpoint consolidation, and a segment carrying values") {
     import graft.operators.VersionedLayout
     val spark0 = spark
