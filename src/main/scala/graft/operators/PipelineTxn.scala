@@ -278,6 +278,98 @@ object PipelineTxn {
     Map("docs" -> dv, "lsh" -> lg, "emb" -> ev, "ivf" -> ig)
   }
 
+  /** Two stamps per RESTORE transaction, both in the `4k+3` space the
+    * ingest/erase/repair mapping reserved — a restore mutates each
+    * chain TWICE (retract the undone rows, re-admit the target rows),
+    * and one generation carries one stamp. `16·txn+3` and `16·txn+7`
+    * are ≡ 3 (mod 4), so no restore stamp can ever collide with an
+    * ingest (4k), erase (4k+1), or repair (4k+2) stamp of any txn id,
+    * and the two are injective per txn.
+    */
+  private def restoreStamps(txn: Long): (Long, Long) = {
+    require(txn >= 0 && txn < (Long.MaxValue - 7) / 16,
+      s"a pipeline restore needs a txn id in [0, 2^59) (got $txn)")
+    (16 * txn + 3, 16 * txn + 7)
+  }
+
+  /** Roll the WHOLE pipeline back to a historical (docs, embeddings)
+    * version pair — the coordinated RESTORE completing the lifecycle:
+    * "undo the bad backfill across the table AND its indexes, keep the
+    * incident history readable". Each layout restores via
+    * [[VersionedLayout.restoreOnce]] (one upsert-shaped commit,
+    * O(changed keys) — see [[VersionedLayout.restore]]), and each index
+    * re-derives its delta from that commit's OWN segments: retract the
+    * tombstoned keys' rows (the CDC-shaped bucket-pruned band recompute
+    * from the pre-restore snapshot, falling back to the id-driven
+    * locating scan when that snapshot was vacuumed), then admit the
+    * re-inserted target rows — both exactly-once under the txn's two
+    * restore stamps, so a crash anywhere is recovered by re-running the
+    * transaction, exactly like ingest and erase.
+    *
+    * SINGLE-WRITER CONTRACT (the maintenance family's): quiesce the
+    * pipeline's writers while restoring. A concurrent ingest between a
+    * crash and its resume is the erase-conflict class of hazard; the
+    * restore makes no attempt to repair it — it is an operator-invoked
+    * rollback, not a steady-state mutation.
+    */
+  def restore(s: SparkSession, p: PipelineStores, docVersion: Int,
+      embVersion: Int, txn: Long): Map[String, Int] =
+    restore(s, p, docVersion, embVersion, txn, Int.MaxValue)
+
+  private[graft] def restore(s: SparkSession, p: PipelineStores, docVersion: Int,
+      embVersion: Int, txn: Long, failAfter: Int): Map[String, Int] = {
+    val (sA, sB) = restoreStamps(txn)
+    val crash = crasher(failAfter)
+    val dv = crash {
+      VersionedLayout.withWriteRetry() {
+        VersionedLayout.restoreOnce(s, p.docs, docVersion, sA)
+      }
+    }
+    // A restore to the current head commits nothing (no stamped entry):
+    // there is no delta to index, and by the pipeline invariant the
+    // indexes already align — the index arms skip.
+    val docsRestored = VersionedLayout.log(p.docs)
+      .exists(e => e.version == dv && e.txn == sA)
+    val lgRetract = crash {
+      if (!docsRestored) LshIndexStore.currentGeneration(p.lsh)
+      else {
+        val ids = VersionedLayout.tombstonesAt(s, p.docs, dv).select(col("doc_id"))
+        // Keys absent just below the restore (the undone range DELETED
+        // them; the restore re-inserts) have no live index rows — the
+        // semi-join drops them, and the retract stays bucket-pruned.
+        if (VersionedLayout.horizon(p.docs) <= dv - 1)
+          LshIndexStore.retractBandsOnce(s, p.lsh,
+            bandRowsOf(VersionedLayout.readAsOf(s, p.docs, dv - 1)
+              .join(ids, Seq("doc_id"), "left_semi")),
+            sA)
+        else LshIndexStore.retractOnce(s, p.lsh, ids, sA)
+      }
+    }
+    val lg = crash {
+      if (!docsRestored) lgRetract
+      else LshIndexStore.admitOnce(s, p.lsh,
+        bandRowsOf(VersionedLayout.insertsAt(s, p.docs, dv)), sB)
+    }
+    val ev = crash {
+      VersionedLayout.withWriteRetry() {
+        VersionedLayout.restoreOnce(s, p.emb, embVersion, sA)
+      }
+    }
+    val embRestored = VersionedLayout.log(p.emb)
+      .exists(e => e.version == ev && e.txn == sA)
+    val igRetract = crash {
+      if (!embRestored) IvfIndexStore.currentGeneration(p.ivf)
+      else IvfIndexStore.retractOnce(s, p.ivf,
+        VersionedLayout.tombstonesAt(s, p.emb, ev).select(col("vec_id")), sA)
+    }
+    val ig = crash {
+      if (!embRestored) igRetract
+      else IvfIndexStore.admitOnce(s, p.ivf,
+        assignFrozen(s, p.ivf, VersionedLayout.insertsAt(s, p.emb, ev)), sB)
+    }
+    Map("docs" -> dv, "lsh" -> lg, "emb" -> ev, "ivf" -> ig)
+  }
+
   private def intentDir(p: PipelineStores, txn: Long): String =
     s"${p.meta}/_intents/txn$txn"
 

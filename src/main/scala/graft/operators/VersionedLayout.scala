@@ -716,7 +716,22 @@ object VersionedLayout {
     * Deterministic from the as-of state: append-family, safe under
     * [[withWriteRetry]].
     */
-  def restore(s: SparkSession, dir: String, toVersion: Int): Int = {
+  def restore(s: SparkSession, dir: String, toVersion: Int): Int =
+    restore(s, dir, toVersion, -1L)
+
+  /** Transactional [[restore]]: commit UNLESS an upsert version with
+    * this `txn` stamp is already in the log — the pipeline-coordinated
+    * restore replays exactly once, like [[appendInsertOnce]].
+    */
+  def restoreOnce(s: SparkSession, dir: String, toVersion: Int, txn: Long): Int = {
+    require(txn >= 0, s"restoreOnce needs a real txn stamp (got $txn)")
+    log(dir).find(e => e.action == "upsert" && e.txn == txn) match {
+      case Some(e) => e.version
+      case None => restore(s, dir, toVersion, txn)
+    }
+  }
+
+  private def restore(s: SparkSession, dir: String, toVersion: Int, txn: Long): Int = {
     val entries = log(dir)
     require(entries.nonEmpty, s"no committed layout at $dir")
     val head = entries.last.version
@@ -745,7 +760,7 @@ object VersionedLayout {
       .select(feed.columns.filterNot(Set("change_type", "change_version"))
         .map(c => col(s"f.$c")): _*)
     target.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
-    commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, tag = tag))
+    commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag))
     ver
   }
 

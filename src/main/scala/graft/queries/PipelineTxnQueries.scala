@@ -528,11 +528,81 @@ object PipelineTxnQueries {
        |UNION ALL SELECT 2, 'meta', -1, 0, false, false, 0, false, 0, 0
        |) ORDER BY pass, store""".stripMargin
 
+  /** q191's once-per-JVM incident history on its own scenario
+    * instance (re-running the query replays the same audits).
+    */
+  private val restoreRan = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val restoreQLock = new Object
+
+  /** COORDINATED PIPELINE RESTORE — the rollback completing the
+    * lifecycle: a BAD BATCH (txn 3 re-ingests the previously erased
+    * `% 10 == 0` ids) and an ACCIDENTAL ERASE (txn 4 deletes the
+    * `% 7 == 3` survivors) pollute all four stores; ONE
+    * [[graft.operators.PipelineTxn.restore]] to the pre-incident
+    * (docs v2, emb v2) vector undoes both — each layout via its
+    * O(changed keys) feed-derived restore commit, each index
+    * re-derived from that commit's own segments (retract the undone
+    * rows bucket-pruned, re-admit the wrongly-erased rows) — CRASHED
+    * in the worst window (docs table restored, LSH half-updated
+    * between retract and re-admit) and resumed by re-running the
+    * transaction on its two restore stamps. The gate audits BOTH
+    * phases from retained history: `polluted` (as of v4/g4/v4/g4)
+    * shows every pair aligned on the polluted corpus — the incident
+    * was internally consistent, which is why only a rollback can fix
+    * it; `restored` (the final heads v5/g6/v5/g6) reads the exact
+    * pre-incident survivor corpus with zero lag. The oracle derives
+    * all eight counts from raw-table id arithmetic. At 100 TB this is
+    * "undo the bad backfill across the table AND its indexes" as one
+    * crash-safe operator call, with the incident history still
+    * addressable for forensics (q184's pattern).
+    */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val p = ensurePipelineStores(s, d, "_restore")
+    restoreQLock.synchronized {
+      if (restoreRan.add(p.docs)) {
+        PipelineTxn.ingest(s, p, docRows(s, d, col("doc_id") % 10 === 0),
+          embRows(s, d, col("vec_id") % 10 === 0), txn = 3L)
+        PipelineTxn.erase(s, p,
+          col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 3,
+          col("vec_id") % 10 =!= 0 && col("vec_id") % 7 === 3, txn = 4L)
+        try PipelineTxn.restore(s, p, 2, 2, txn = 5L, failAfter = 2)
+        catch { case _: PipelineTxn.InjectedCrash => () }
+        PipelineTxn.restore(s, p, 2, 2, txn = 5L)
+      }
+    }
+    Seq(
+      ("polluted", 4, 4, 4, 4),
+      ("restored", 5, 6, 5, 6),
+    ).map { case (phase, dv, lg, ev, ig) =>
+      PipelineTxn.alignmentAuditAsOf(s, p, dv, lg, ev, ig)
+        .select(lit(phase).as("phase"), col("pair"), col("table_keys"),
+          col("index_keys"), col("missing_in_index"), col("stale_in_index"))
+    }.reduce(_ unionByName _).orderBy(col("phase"), col("pair"))
+  }
+
+  private val q191Oracle =
+    """WITH d AS (SELECT count(*) AS n FROM documents
+       |           WHERE NOT (doc_id % 10 <> 0 AND doc_id % 7 = 3)),
+       |     e AS (SELECT count(*) AS n FROM embeddings
+       |           WHERE NOT (vec_id % 10 <> 0 AND vec_id % 7 = 3)),
+       |     dr AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 0),
+       |     er AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 10 <> 0)
+       |SELECT * FROM (
+       |SELECT 'polluted' AS phase, 'documents~lsh' AS pair,
+       |       n AS table_keys, n AS index_keys,
+       |       CAST(0 AS BIGINT) AS missing_in_index,
+       |       CAST(0 AS BIGINT) AS stale_in_index FROM d
+       |UNION ALL SELECT 'polluted', 'embeddings~ivf', n, n, 0, 0 FROM e
+       |UNION ALL SELECT 'restored', 'documents~lsh', n, n, 0, 0 FROM dr
+       |UNION ALL SELECT 'restored', 'embeddings~ivf', n, n, 0, 0 FROM er
+       |) ORDER BY phase, pair""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q183_pipeline_txn", q183, Some(q183Oracle)),
     QueryDef("q184_pipeline_crash_audit", q184, Some(q184Oracle)),
     QueryDef("q185_pipeline_maintenance", q185, Some(q185Oracle)),
     QueryDef("q186_snapshot_manifest", q186, Some(q186Oracle)),
     QueryDef("q187_scheduled_retrain", q187, Some(q187Oracle)),
+    QueryDef("q191_pipeline_restore", q191, Some(q191Oracle)),
   )
 }

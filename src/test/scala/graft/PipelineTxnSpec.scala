@@ -461,6 +461,54 @@ class PipelineTxnSpec extends SparkSpec {
     assert(!intentExists(2L))
   }
 
+  test("pipeline restore: every crash window resumes to the pre-incident state, replay moves nothing, a no-op restore skips the index arms") {
+    // Pre-incident reference: base + ingest(9..12) + erase(3,4,9,10)
+    // -> heads docs v2 / lsh g2 / emb v2 / ivf g2.
+    val clean = freshPipeline("rst-clean")
+    PipelineTxn.ingest(spark, clean, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    PipelineTxn.erase(spark, clean, col("doc_id").isin(3L, 4L, 9L, 10L),
+      col("vec_id").isin(3L, 4L, 9L, 10L), txn = 2L)
+    val want = stateOf(clean)
+
+    // The incident on top: a bad batch (13,14) AND an accidental erase
+    // (5,11); ONE restore to (v2, v2) must undo both — retract the bad
+    // rows, re-admit the wrongly-erased ones — from every crash window
+    // (0..5 = before docs / after docs / after LSH retract / after LSH
+    // admit / after emb / after IVF retract).
+    (0 to 5).foreach { w =>
+      val p = freshPipeline(s"rst$w")
+      PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+      PipelineTxn.erase(spark, p, col("doc_id").isin(3L, 4L, 9L, 10L),
+        col("vec_id").isin(3L, 4L, 9L, 10L), txn = 2L)
+      PipelineTxn.ingest(spark, p, docsDF(Seq(13L, 14L)), embDF(Seq(13L, 14L)), txn = 3L)
+      PipelineTxn.erase(spark, p, col("doc_id").isin(5L, 11L),
+        col("vec_id").isin(5L, 11L), txn = 4L)
+      intercept[PipelineTxn.InjectedCrash] {
+        PipelineTxn.restore(spark, p, 2, 2, txn = 5L, failAfter = w)
+      }
+      val vs = PipelineTxn.restore(spark, p, 2, 2, txn = 5L)
+      assert(stateOf(p) == want,
+        s"restore crash window $w did not resume to the pre-incident state")
+      assert(PipelineTxn.restore(spark, p, 2, 2, txn = 5L) == vs,
+        s"window $w: replaying the completed restore moved a store")
+      assert(stateOf(p) == want)
+      val a = auditMap(p)
+      assert(a("documents~lsh") == ((8L, 8L, 0L, 0L))
+        && a("embeddings~ivf") == ((8L, 8L, 0L, 0L)), s"window $w audit: $a")
+    }
+
+    // No-op restore: the heads already equal the target — nothing
+    // commits and the index arms skip.
+    val p2 = freshPipeline("rst-noop")
+    PipelineTxn.ingest(spark, p2, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    def heads(p: PipelineStores) =
+      (VersionedLayout.currentVersion(p.docs), LshIndexStore.currentGeneration(p.lsh),
+        VersionedLayout.currentVersion(p.emb), IvfIndexStore.currentGeneration(p.ivf))
+    val before = heads(p2)
+    PipelineTxn.restore(spark, p2, 1, 1, txn = 9L)
+    assert(heads(p2) == before, "a no-op restore moved a store")
+  }
+
   test("multi-batch streaming soak: 24 coordinated micro-batches with interleaved erases, a mid-batch crash and a mid-stream maintenance pass converge to the ground-up rebuild") {
     val s0 = spark
     import s0.implicits._
