@@ -618,11 +618,16 @@ object PipelineSlope {
         val tIngest = timed(PipelineTxn.ingest(spark, p, dIns, eIns, txn = 1L))
         val tErase = timed(PipelineTxn.erase(spark, p,
           col("doc_id") < 250, col("vec_id") < 250, txn = 2L))
+        // Undo the erase: the restored delta is the FIXED erased set,
+        // so the coordinated restore must stay flat across the 10x
+        // corpus like the mutation it reverses.
+        val tRestore = timed(PipelineTxn.restore(spark, p, 1, 1, txn = 3L))
         if (pass == 2) {
           println(f"PIPESLOPE ${n}x docs=${docs.count()} " +
-            f"ingest=$tIngest%.2f erase=$tErase%.2f")
+            f"ingest=$tIngest%.2f erase=$tErase%.2f restore=$tRestore%.2f")
           results((n, "ingest")) = tIngest
           results((n, "erase")) = tErase
+          results((n, "restore")) = tRestore
         }
       }
     }
@@ -630,6 +635,8 @@ object PipelineSlope {
       results((1, "ingest")), results((copies, "ingest")), 3.0)
     Slopes.record("pipeline", "erase",
       results((1, "erase")), results((copies, "erase")), copies.toDouble)
+    Slopes.record("pipeline", "restore",
+      results((1, "restore")), results((copies, "restore")), copies.toDouble)
     spark.stop()
   }
 }

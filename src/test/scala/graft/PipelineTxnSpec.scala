@@ -507,6 +507,17 @@ class PipelineTxnSpec extends SparkSpec {
     val before = heads(p2)
     PipelineTxn.restore(spark, p2, 1, 1, txn = 9L)
     assert(heads(p2) == before, "a no-op restore moved a store")
+
+    // Restore undoing ONLY an erase: every changed key is absent at the
+    // pre-restore head, so the retract arm is EMPTY and the admit
+    // re-inserts the erased rows — the clean pipeline returns to its
+    // post-ingest corpus.
+    PipelineTxn.restore(spark, clean, 1, 1, txn = 6L)
+    assert(stateOf(clean)._1 == (baseIds ++ deltaIds).toSet,
+      "erase-undo restore did not re-insert the erased docs")
+    val a2 = auditMap(clean)
+    assert(a2("documents~lsh") == ((12L, 12L, 0L, 0L))
+      && a2("embeddings~ivf") == ((12L, 12L, 0L, 0L)), s"erase-undo audit: $a2")
   }
 
   test("multi-batch streaming soak: 24 coordinated micro-batches with interleaved erases, a mid-batch crash and a mid-stream maintenance pass converge to the ground-up rebuild") {

@@ -37,8 +37,9 @@ class SlopesSpec extends AnyFunSuite {
         s"$h family incomplete: ${byHarness(h).map(_.name)}")
     }
     // The coordinated pipeline's claims: ingest flat (bound 3.0), erase
-    // at worst corpus-linear.
-    assert(byHarness("pipeline").map(_.name).toSet == Set("ingest", "erase"),
+    // and restore at worst corpus-linear.
+    assert(byHarness("pipeline").map(_.name).toSet
+      == Set("ingest", "erase", "restore"),
       s"pipeline family incomplete: ${byHarness("pipeline").map(_.name)}")
     // The checkpointed-log family carries BOTH claims: the win over the
     // per-version scan (log_read_ms, direction-asserted below) and the
