@@ -76,7 +76,9 @@ object Bench {
       "q170_layout_checkpointed_log", "q171_incremental_ivf", "q172_ivf_index_crud",
       "q176_generic_layout", "q177_ivf_retrain", "q180_layout_schema_evolution",
       "q181_layout_retention_audit", "q182_clustered_fold", "q183_pipeline_txn",
-      "q185_pipeline_maintenance",
+      "q185_pipeline_maintenance", "q187_scheduled_retrain",
+      "q188_layout_drop_column", "q189_layout_rename_column",
+      "q190_layout_restore", "q191_pipeline_restore",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()
