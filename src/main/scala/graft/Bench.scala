@@ -78,7 +78,7 @@ object Bench {
       "q181_layout_retention_audit", "q182_clustered_fold", "q183_pipeline_txn",
       "q185_pipeline_maintenance", "q187_scheduled_retrain",
       "q188_layout_drop_column", "q189_layout_rename_column",
-      "q190_layout_restore", "q191_pipeline_restore",
+      "q190_layout_restore", "q191_pipeline_restore", "q192_layout_widen_column",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

@@ -46,9 +46,10 @@ import java.nio.charset.StandardCharsets
   *    keying, upsert matching, the version-stamped mask, and the
   *    change feed all follow this meta; layouts written before it
   *    default to the lineitem triple).
-  *  - `addcolumn` / `dropcolumn` / `renamecolumn` log entries — SCHEMA
-  *    EVOLUTION commits (see [[addColumn]] / [[dropColumn]] /
-  *    [[renameColumn]]): metadata-only, no data file touched; every
+  *  - `addcolumn` / `dropcolumn` / `renamecolumn` / `widencolumn` log
+  *    entries — SCHEMA EVOLUTION commits (see [[addColumn]] /
+  *    [[dropColumn]] / [[renameColumn]] / [[widenColumn]]):
+  *    metadata-only, no data file touched; every
   *    version is served under the schema committed as of it, a re-added
   *    name is a new incarnation whose dropped predecessor's values
   *    never resurface, and a renamed column serves each version under
@@ -569,6 +570,51 @@ object VersionedLayout {
       s"column '$name' does not exist at the head of $dir")
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "dropcolumn", Nil, 0, colName = name))
+    ver
+  }
+
+  /** The lossless widenings [[widenColumn]] admits: integral up-chain
+    * and float→double. Everything else (narrowing, cross-family,
+    * anything decimal) refuses — a widen must be exactly representable
+    * for every value any era's segment can carry.
+    */
+  private val widenChain: Map[DataType, Set[DataType]] = Map(
+    ByteType -> Set(ShortType, IntegerType, LongType),
+    ShortType -> Set(IntegerType, LongType),
+    IntegerType -> Set(LongType),
+    FloatType -> Set(DoubleType))
+
+  /** WIDEN COLUMN TYPE as version `currentVersion + 1` — the fourth leg
+    * of schema evolution (add / drop / rename / widen), METADATA-ONLY
+    * like the others: no data file is touched. From this version on,
+    * [[readAsOf]] serves the column at the widened type (old segments'
+    * narrow values coerce losslessly at plan time — Union's set-op
+    * widening plus one explicit cast); reads BELOW this version still
+    * serve the narrow type exactly as committed, including through a
+    * post-widen fold's archive. The change feed spans the widen at the
+    * superset (widened) type, like its null-pad across an add. The
+    * next [[majorCompact]] materializes the wide type physically. Only
+    * the [[widenChain]] pairs are admitted. Row-identity columns and
+    * `pid` cannot widen (tombstone keying joins on them). Commit-only
+    * and deterministic: append-family, safe under [[withWriteRetry]].
+    */
+  def widenColumn(s: SparkSession, dir: String, name: String, toType: String): Int = {
+    require(toType.matches("[A-Za-z0-9_(), ]*"),
+      s"column type '$toType' cannot ride the log entry (odd character)")
+    val target = DataType.fromDDL(toType)
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    require(name != "pid" && !keyColsOf(dir).contains(name),
+      s"column '$name' is a row-identity/partition column of $dir — cannot widen")
+    val head = readAsOf(s, dir, entries.last.version)
+    require(head.columns.contains(name),
+      s"column '$name' does not exist at the head of $dir")
+    val cur = head.schema(name).dataType
+    require(widenChain.get(cur).exists(_.contains(target)),
+      s"cannot widen '$name' from ${cur.simpleString} to ${target.simpleString} — " +
+        "lossless widenings only (integral up-chain, float->double)")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "widencolumn", Nil, 0, colName = name, colType = toType))
     ver
   }
 
@@ -1527,6 +1573,27 @@ object VersionedLayout {
           else df
       }
     }
-    resolved.drop("_src_ver")
+    // TYPE WIDENING last: serve each widened column at the width
+    // committed AS OF v (latest widen at-or-below v; names
+    // canonicalized through the renames like the add/drop events).
+    // Sources below the widen carry the narrow type — Union's set-op
+    // coercion already lifted the mix, the cast makes the served type
+    // exact. Below-widen reads see only narrow sources and no event,
+    // so they serve the narrow type untouched.
+    val widens = entries.filter(_.action == "widencolumn")
+      .map(e => e.copy(colName = canonName(e.colName, e.version)))
+      .filter(_.version <= v)
+      // A widen belongs to ITS incarnation: once the column was
+      // dropped, a re-added namesake starts at its own add type — the
+      // old era's widen must not lift it.
+      .filter(e => !events.exists(d => d.action == "dropcolumn"
+        && d.colName == e.colName && d.version > e.version && d.version <= v))
+      .groupBy(_.colName).values.map(_.maxBy(_.version))
+    val widened = widens.foldLeft(resolved) { (df, e) =>
+      if (df.columns.contains(e.colName))
+        df.withColumn(e.colName, col(e.colName).cast(e.colType))
+      else df
+    }
+    widened.drop("_src_ver")
   }
 }

@@ -1945,6 +1945,84 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q192's widen-column events layout. */
+  private[graft] def eventsWidencolDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_widencol_$sfx").getAbsolutePath
+  }
+  private val eventsWidencolLock = new Object
+
+  /** Build (or fast-forward) q192's history: v0 base (events, pid =
+    * user_id mod 16, key = event_id, `value_centi` committed as INT),
+    * v1 INSERT click copies (still int-valued), v2 WIDEN `value_centi`
+    * -> bigint (metadata-only), v3 INSERT purchase copies whose values
+    * OVERFLOW int (+3·10⁹ — representable only because of the widen),
+    * v4 majorCompact (materializes the wide type physically; the fold
+    * archive keeps serving int to below-widen reads).
+    */
+  private def ensureWidencolScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsWidencolDir(d)
+    eventsWidencolLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS INT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("event_type") === "click")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 3).cast("int").as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.widenColumn(s, dir, "value_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 2)
+            .where(col("event_type") === "purchase"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + lit(3000000000L)).as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** WIDEN COLUMN TYPE through the commit log — the fourth evolution
+    * leg beside q180/q188/q189, replayed int-base -> int-insert ->
+    * WIDEN -> overflow-insert -> fold against one derivation oracle.
+    * The served type rides the hash compare (`value_type`): v0/v1 read
+    * `int` exactly as committed, v2 reads the SAME values as `bigint`
+    * (a widen moves no data), v3 inserts values only the widened type
+    * can hold (+3·10⁹), and all five reads run AFTER v4's fold
+    * materialized the wide type — below-widen versions still serve int
+    * through the fold archive. At 100 TB: outgrowing a counter's int
+    * costs one tiny log write, never a table rewrite, and historical
+    * reads keep every training run's exact schema.
+    */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureWidencolScenario(s, d)
+    (0 to 4).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      df.select(lit(ver.toLong).as("version"),
+        col("value_centi").cast("bigint").as("_vc"),
+        lit(df.schema("value_centi").dataType.simpleString).as("value_type"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("value_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_vc")).as("total_centi"))
+      .select(col("version"), col("n_events"), col("total_centi"), col("value_type"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q182's z-clustered fold layout. */
   private[graft] def eventsZfoldDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -2399,6 +2477,22 @@ object ScalePatterns {
          |  CASE WHEN u.version >= 3 THEN 'quality_centi'
          |       WHEN u.version >= 1 THEN 'score_centi'
          |       ELSE '' END AS score_col
+         |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
+    QueryDef("q192_layout_widen_column", q192, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+         |base AS (SELECT ver.version, e.vc FROM ver CROSS JOIN e),
+         |insc AS (SELECT ver.version, e.vc + 3 AS vc
+         |         FROM ver JOIN e ON ver.version >= 1 AND e.event_type = 'click'),
+         |insp AS (SELECT ver.version, e.vc + 3000000000 AS vc
+         |         FROM ver JOIN e ON ver.version >= 3 AND e.event_type = 'purchase'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insc
+         |      UNION ALL SELECT * FROM insp)
+         |SELECT CAST(u.version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
+         |  CASE WHEN u.version >= 2 THEN 'bigint' ELSE 'int' END AS value_type
          |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
     QueryDef("q190_layout_restore", q190, Some(
       s"""WITH e AS (SELECT event_id, event_type,

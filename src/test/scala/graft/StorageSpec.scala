@@ -1147,6 +1147,86 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedLayout.restore(spark, dir, m6))
   }
 
+  test("widen column type: narrow below its version, wide at and above, overflow values carried, a re-added namesake is not lifted") {
+    import graft.operators.VersionedLayout
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-widencol").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi").cast("int").as("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 8L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    // Guards: key/pid/absent columns, non-lossless targets.
+    intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "event_id", "bigint"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "pid", "bigint"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "nope", "bigint"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "value_centi", "int"))
+    intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "value_centi", "double"))
+    // v1 WIDEN int -> bigint: metadata-only, same values, new type;
+    // below-widen reads keep the committed int.
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toSet
+    val filesBefore = dataFiles()
+    assert(VersionedLayout.widenColumn(spark, dir, "value_centi", "bigint") == 1)
+    assert(dataFiles() == filesBefore, "widenColumn touched data files")
+    assert(VersionedLayout.readAsOf(spark, dir, 0)
+      .schema("value_centi").dataType == IntegerType)
+    val v1 = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(v1.schema("value_centi").dataType == LongType)
+    assert(v1.agg(sum("value_centi")).collect()(0).getLong(0) == 360L)
+    // Narrowing back refuses (bigint has no admissible widening).
+    intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "value_centi", "int"))
+    // v2: a segment carrying a value only the wide type can hold.
+    VersionedLayout.appendInsert(spark, dir,
+      Seq((101L, 3000000001L)).toDF("event_id", "value_centi")
+        .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+          col("event_id"), col("value_centi")))
+    assert(VersionedLayout.readAsOf(spark, dir, 2)
+      .where(col("value_centi") === 3000000001L).count() == 1)
+    // v3 RENAME: the widen follows the column to its new name.
+    VersionedLayout.renameColumn(spark, dir, "value_centi", "amount_centi")
+    assert(VersionedLayout.readAsOf(spark, dir, 3)
+      .schema("amount_centi").dataType == LongType)
+    // v4 fold: wide type materialized; the archive still serves int
+    // below the widen; the feed spans at the widened type.
+    val (m4, _) = VersionedLayout.majorCompact(spark, dir)
+    assert(VersionedLayout.readAsOf(spark, dir, m4)
+      .schema("amount_centi").dataType == LongType)
+    assert(VersionedLayout.readAsOf(spark, dir, 0)
+      .schema("value_centi").dataType == IntegerType,
+      "post-fold below-widen read lost the committed narrow type")
+    // v5-v8: an added int column widened then dropped — the re-added
+    // namesake starts a NEW incarnation at ITS add type; the dead
+    // era's widen must not lift it.
+    VersionedLayout.addColumn(spark, dir, "w", "int")
+    VersionedLayout.widenColumn(spark, dir, "w", "bigint")
+    assert(VersionedLayout.readAsOf(spark, dir, 6).schema("w").dataType == LongType)
+    VersionedLayout.dropColumn(spark, dir, "w")
+    VersionedLayout.addColumn(spark, dir, "w", "int")
+    assert(VersionedLayout.readAsOf(spark, dir, 8).schema("w").dataType == IntegerType,
+      "a dropped incarnation's widen lifted the re-added namesake")
+    // A post-rename change makes the feed straddle both eras: parts
+    // carry their own version's physical schema, null-padded to the
+    // superset, the widened column at its wide type.
+    VersionedLayout.appendInsert(spark, dir,
+      Seq((102L, 77L)).toDF("event_id", "amount_centi")
+        .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+          col("event_id"), col("amount_centi")))
+    val feed = VersionedLayout.changeFeed(spark, dir, 0, 9)
+    assert(feed.columns.contains("value_centi") && feed.columns.contains("amount_centi"))
+    assert(feed.schema("amount_centi").dataType == LongType)
+    assert(feed.where(col("change_type") === "insert").count() == 2)
+  }
+
   test("parametrized decimal evolution: the type's comma rides the log entry, a checkpoint consolidation, and a segment carrying values") {
     import graft.operators.VersionedLayout
     val spark0 = spark
