@@ -1945,6 +1945,53 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** DESCRIBE HISTORY over the commit log — the operational audit
+    * surface every table format exposes, here over q190's restore
+    * scenario so one fixture carries both the data-level and the
+    * log-level contract. Per version: the committed `action` (v0's
+    * base `write` through `majorcompact`), the restore PROVENANCE a
+    * restore-shaped upsert carries (its entry's horizon field — the
+    * target version, q190's v4 reads 1), the pid set a write/fold
+    * touched, the CHANGE FEED's logical mass (inserts/deletes the
+    * version committed — the restore's asymmetry is load-bearing:
+    * n_err + n_click rows re-inserted but only n_click deleted,
+    * because the v2-deleted errors were already absent from the
+    * pre-state), and the live row count the version serves. Everything
+    * is anchored to the raw `events` table by the oracle. At 100 TB
+    * the point is cost: the log is O(versions) driver-side metadata,
+    * the feed is O(changed rows), and the live counts are the same
+    * as-of reads q190 already proved prune to their version's
+    * segments — DESCRIBE HISTORY never scans the table.
+    */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureRestoreScenario(s, d)
+    val s0 = s
+    import s0.implicits._
+    val head = VersionedLayout.currentVersion(dir)
+    val meta = VersionedLayout.log(dir).map(e => (e.version.toLong, e.action,
+        if (e.action == "upsert" && e.horizon > 0) e.horizon.toLong else -1L,
+        e.pids.size.toLong))
+      .toDF("version", "action", "restored_from", "n_pids")
+    val feed = VersionedLayout.changeFeed(s, dir, 0, head)
+      .groupBy(col("change_version").cast("long").as("version"))
+      .agg(count(when(col("change_type") === "insert", 1)).as("n_feed_inserts"),
+        count(when(col("change_type") === "delete", 1)).as("n_feed_deletes"))
+    val live = (0 to head).map { v =>
+        VersionedLayout.readAsOf(s, dir, v)
+          .groupBy().agg(count(lit(1)).as("n_live"))
+          .select(lit(v.toLong).as("version"), col("n_live"))
+      }.reduce(_ unionByName _)
+    meta.join(feed, Seq("version"), "left")
+      .join(live, Seq("version"), "left")
+      .select(col("version"), col("action"), col("restored_from"),
+        col("n_pids"),
+        coalesce(col("n_feed_inserts"), lit(0L)).as("n_feed_inserts"),
+        coalesce(col("n_feed_deletes"), lit(0L)).as("n_feed_deletes"),
+        col("n_live"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q192's widen-column events layout. */
   private[graft] def eventsWidencolDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -2494,6 +2541,26 @@ object ScalePatterns {
          |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
          |  CASE WHEN u.version >= 2 THEN 'bigint' ELSE 'int' END AS value_type
          |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
+    QueryDef("q193_layout_history", q193, Some(
+      s"""WITH c AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n_all,
+         |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_p,
+         |    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_e,
+         |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_c,
+         |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_v,
+         |    CAST(count(DISTINCT user_id % 16) AS BIGINT) AS n_pids FROM events)
+         |SELECT CAST(0 AS BIGINT) AS version, 'write' AS action,
+         |  CAST(-1 AS BIGINT) AS restored_from, n_pids AS n_pids,
+         |  CAST(0 AS BIGINT) AS n_feed_inserts,
+         |  CAST(0 AS BIGINT) AS n_feed_deletes, n_all AS n_live FROM c
+         |UNION ALL SELECT 1, 'insert', -1, 0, n_p, 0, n_all + n_p FROM c
+         |UNION ALL SELECT 2, 'delete', -1, 0, 0, n_e, n_all + n_p - n_e FROM c
+         |UNION ALL SELECT 3, 'upsert', -1, 0, n_c, n_c, n_all + n_p - n_e FROM c
+         |UNION ALL SELECT 4, 'upsert', 1, 0, n_e + n_c, n_c, n_all + n_p FROM c
+         |UNION ALL SELECT 5, 'insert', -1, 0, n_v, 0, n_all + n_p + n_v FROM c
+         |UNION ALL SELECT 6, 'majorcompact', -1, n_pids, 0, 0,
+         |  n_all + n_p + n_v FROM c
+         |ORDER BY 1""".stripMargin)),
     QueryDef("q190_layout_restore", q190, Some(
       s"""WITH e AS (SELECT event_id, event_type,
          |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
