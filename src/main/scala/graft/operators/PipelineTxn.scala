@@ -79,6 +79,26 @@ object PipelineTxn {
     require(txn >= 0 && txn < Long.MaxValue / 4,
       s"a pipeline transaction needs a txn id in [0, 2^61) (got $txn)")
 
+  /** Decode a committed store stamp back to (logical txn id, action) —
+    * the forensic inverse of the stamp-space mapping above plus
+    * [[restoreStamps]]'s ≡3 (mod 4) pair; the ledger surface (q194)
+    * reads every store's commit history through this. Negative stamps
+    * are the non-transactional sentinel (base writes, batch
+    * maintenance).
+    */
+  def decodeStamp(stamp: Long): (Long, String) =
+    if (stamp < 0) (-1L, "none")
+    else (stamp % 4) match {
+      case 0 => (stamp / 4, "ingest")
+      case 1 => (stamp / 4, "erase")
+      case 2 => (stamp / 4, "erase-repair")
+      case _ => (stamp / 16, (stamp % 16) match {
+        case 3 => "restore-table"
+        case 7 => "restore-index"
+        case _ => "reserved"
+      })
+    }
+
   /** What the erase's LSH band arm does when it finds the WRITE-WRITE
     * CONFLICT its divergence guard exists for: a key the transaction
     * recorded for erasure was RE-INGESTED inside the erase's

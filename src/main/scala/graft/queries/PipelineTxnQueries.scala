@@ -597,6 +597,87 @@ object PipelineTxnQueries {
        |UNION ALL SELECT 'restored', 'embeddings~ivf', n, n, 0, 0 FROM er
        |) ORDER BY phase, pair""".stripMargin
 
+  /** PIPELINE TRANSACTION LEDGER — "which logical transaction wrote
+    * each committed version of each store, and as what step": the
+    * forensic surface the disjoint stamp spaces (the round-10
+    * structural fix — ingest 4k / erase 4k+1 / repair 4k+2 / restore
+    * ≡3 mod 16) were built to support, decoded back through
+    * [[graft.operators.PipelineTxn.decodeStamp]]. One row per committed
+    * store version across all four stores of the base crash/resume
+    * scenario: the store's own action, the logical txn id, the decoded
+    * txn step, and — for the two layouts — the change feed's logical
+    * insert/delete mass (chain generations carry -1: band/assignment
+    * state is index payload, not logical table change). The oracle
+    * re-derives the layout masses from the raw tables (the erased
+    * `% 10 == 0` keys exist only because txn 1's ingest admitted them —
+    * a slipped stamp or double admit shifts a count), so the ledger is
+    * anchored, not a constants table. At 100 TB this is "audit the
+    * erasure request": one O(versions) metadata read per store plus an
+    * O(changed rows) feed — the proof a GDPR erase touched every store
+    * exactly once, without scanning any of them.
+    */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.GenChain
+    val p = ensurePipelineStores(s, d)
+    val s0 = s
+    import s0.implicits._
+    def layoutMeta(store: String, dir: String) =
+      VersionedLayout.log(dir).map { e =>
+        val (t, a) = PipelineTxn.decodeStamp(e.txn)
+        (store, e.version.toLong, e.action, t, a)
+      }
+    def chainMeta(store: String, dir: String) =
+      (0 to GenChain.currentGeneration(dir)).map { g =>
+        val (t, a) = PipelineTxn.decodeStamp(GenChain.txnOf(dir, g))
+        (store, g.toLong, "generation", t, a)
+      }
+    val meta = (layoutMeta("docs", p.docs) ++ chainMeta("lsh", p.lsh) ++
+        layoutMeta("emb", p.emb) ++ chainMeta("ivf", p.ivf))
+      .toDF("store", "version", "action", "txn_id", "txn_action")
+    val feeds = Seq(("docs", p.docs), ("emb", p.emb)).map { case (n, dir) =>
+      VersionedLayout.changeFeed(s, dir, 0, VersionedLayout.currentVersion(dir))
+        .groupBy(col("change_version").cast("long").as("version"))
+        .agg(count(when(col("change_type") === "insert", 1)).as("ins"),
+          count(when(col("change_type") === "delete", 1)).as("del"))
+        .withColumn("store", lit(n))
+    }.reduce(_ unionByName _)
+    meta.join(feeds, Seq("store", "version"), "left")
+      .select(col("store"), col("version"), col("action"),
+        col("txn_id"), col("txn_action"),
+        when(col("store").isin("lsh", "ivf"), lit(-1L))
+          .otherwise(coalesce(col("ins"), lit(0L))).as("n_feed_inserts"),
+        when(col("store").isin("lsh", "ivf"), lit(-1L))
+          .otherwise(coalesce(col("del"), lit(0L))).as("n_feed_deletes"))
+      .orderBy(col("store"), col("version"))
+  }
+
+  private val q194Oracle =
+    s"""WITH c AS (SELECT
+       |    CAST(count(CASE WHEN doc_id % 5 = 0 THEN 1 END) AS BIGINT) AS dp5,
+       |    CAST(count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS BIGINT) AS dd10
+       |  FROM documents),
+       |v AS (SELECT
+       |    CAST(count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS BIGINT) AS ep5,
+       |    CAST(count(CASE WHEN vec_id % 10 = 0 THEN 1 END) AS BIGINT) AS ed10
+       |  FROM embeddings)
+       |SELECT * FROM (
+       |SELECT 'docs' AS store, CAST(0 AS BIGINT) AS version,
+       |  'write' AS action, CAST(-1 AS BIGINT) AS txn_id,
+       |  'none' AS txn_action, CAST(0 AS BIGINT) AS n_feed_inserts,
+       |  CAST(0 AS BIGINT) AS n_feed_deletes FROM c
+       |UNION ALL SELECT 'docs', 1, 'insert', 1, 'ingest', dp5, 0 FROM c
+       |UNION ALL SELECT 'docs', 2, 'delete', 2, 'erase', 0, dd10 FROM c
+       |UNION ALL SELECT 'lsh', 0, 'generation', -1, 'none', -1, -1 FROM c
+       |UNION ALL SELECT 'lsh', 1, 'generation', 1, 'ingest', -1, -1 FROM c
+       |UNION ALL SELECT 'lsh', 2, 'generation', 2, 'erase', -1, -1 FROM c
+       |UNION ALL SELECT 'emb', 0, 'write', -1, 'none', 0, 0 FROM v
+       |UNION ALL SELECT 'emb', 1, 'insert', 1, 'ingest', ep5, 0 FROM v
+       |UNION ALL SELECT 'emb', 2, 'delete', 2, 'erase', 0, ed10 FROM v
+       |UNION ALL SELECT 'ivf', 0, 'generation', -1, 'none', -1, -1 FROM v
+       |UNION ALL SELECT 'ivf', 1, 'generation', 1, 'ingest', -1, -1 FROM v
+       |UNION ALL SELECT 'ivf', 2, 'generation', 2, 'erase', -1, -1 FROM v
+       |) ORDER BY store, version""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q183_pipeline_txn", q183, Some(q183Oracle)),
     QueryDef("q184_pipeline_crash_audit", q184, Some(q184Oracle)),
@@ -604,5 +685,6 @@ object PipelineTxnQueries {
     QueryDef("q186_snapshot_manifest", q186, Some(q186Oracle)),
     QueryDef("q187_scheduled_retrain", q187, Some(q187Oracle)),
     QueryDef("q191_pipeline_restore", q191, Some(q191Oracle)),
+    QueryDef("q194_pipeline_ledger", q194, Some(q194Oracle)),
   )
 }
