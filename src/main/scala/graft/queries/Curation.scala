@@ -149,7 +149,85 @@ object Curation {
         sum((col("n_fails") === 0).cast("long")).as("n_kept"))
   }
 
+  /** Regexes shared by q195's engine and oracle sides (Java and RE2
+    * agree on this subset: classes, bounded repeats, no backrefs).
+    */
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\+1-555-[0-9]{4}"
+  private val piiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII DETECT-AND-REDACT — the scrub every training corpus passes
+    * before anything else sees it: per-class match counts (email,
+    * phone, IPv4) and the redacted text, aggregated per language with
+    * a RESIDUAL check (re-running detection on the redacted text must
+    * find nothing — computed, not assumed). The synthetic corpus is
+    * digit-free, so the PII is INJECTED deterministically from doc_id
+    * (`% 3 != 0` docs get one of each class; the rest stay clean) with
+    * byte-identical synthesis on the oracle side — detection counts,
+    * redacted lengths, and the clean-doc split all ride the hash. One
+    * codegen'd scan (regexp built-ins, no UDF), then a ~languages-row
+    * aggregate: at 100 TB this is a map-only pass whose cost is the
+    * regex automaton per byte, the cheapest shape a scrub can have.
+    */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val synth = Tables.documents(s, d).withColumn("t",
+      when(col("doc_id") % 3 =!= 0,
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 192.168."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(col("text")))
+    val red = synth
+      .withColumn("ne", regexp_count(col("t"), lit(piiEmailRe)).cast("long"))
+      .withColumn("np", regexp_count(col("t"), lit(piiPhoneRe)).cast("long"))
+      .withColumn("ni", regexp_count(col("t"), lit(piiIpRe)).cast("long"))
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(col("t"),
+        piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"), piiIpRe, "<IP>"))
+    red.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ne") + col("np") + col("ni") > 0, 1)).as("docs_with_pii"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum(col("ni")).as("n_ips"),
+        sum(length(col("red")).cast("long")).as("redacted_len"),
+        count(when(regexp_count(col("red"), lit(piiEmailRe))
+          + regexp_count(col("red"), lit(piiPhoneRe))
+          + regexp_count(col("red"), lit(piiIpRe)) > 0, 1)).as("n_residual_docs"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q195_pii_scrub", q195, Some(
+      s"""WITH p AS (SELECT lang,
+         |    CASE WHEN doc_id % 3 <> 0 THEN text || ' reach user'
+         |      || CAST(doc_id AS VARCHAR) || '@mail.example.org or +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |    ELSE text END AS t
+         |  FROM documents),
+         |r AS (SELECT lang,
+         |    len(regexp_extract_all(t, '$piiEmailRe')) AS ne,
+         |    len(regexp_extract_all(t, '$piiPhoneRe')) AS np,
+         |    len(regexp_extract_all(t, '$piiIpRe')) AS ni,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$piiEmailRe', '<EMAIL>', 'g'),
+         |      '$piiPhoneRe', '<PHONE>', 'g'),
+         |      '$piiIpRe', '<IP>', 'g') AS red
+         |  FROM p)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN ne + np + ni > 0 THEN 1 END) AS BIGINT)
+         |    AS docs_with_pii,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(sum(np) AS BIGINT) AS n_phones,
+         |  CAST(sum(ni) AS BIGINT) AS n_ips,
+         |  CAST(sum(length(red)) AS BIGINT) AS redacted_len,
+         |  CAST(count(CASE WHEN len(regexp_extract_all(red, '$piiEmailRe'))
+         |    + len(regexp_extract_all(red, '$piiPhoneRe'))
+         |    + len(regexp_extract_all(red, '$piiIpRe')) > 0 THEN 1 END) AS BIGINT)
+         |    AS n_residual_docs
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
     QueryDef("q143_curation_attribution", q143, Some(
       s"""WITH lang AS (SELECT doc_id, pred_lang FROM (${langDef.oracle.get})),
          |q AS (SELECT doc_id, quality FROM (${qualityDef.oracle.get})),

@@ -1959,9 +1959,13 @@ object ScalePatterns {
     * pre-state), and the live row count the version serves. Everything
     * is anchored to the raw `events` table by the oracle. At 100 TB
     * the point is cost: the log is O(versions) driver-side metadata,
-    * the feed is O(changed rows), and the live counts are the same
-    * as-of reads q190 already proved prune to their version's
-    * segments — DESCRIBE HISTORY never scans the table.
+    * the feed is O(changed rows), and the live counts are the FEED
+    * ALGEBRA — base count plus the running insert-delete delta (the
+    * numRecords bookkeeping real table formats keep as commit
+    * metadata) — so DESCRIBE HISTORY never re-scans the table, not
+    * even per version (the as-of reads themselves are q190's gate).
+    * The per-version feed aggregate is ≤ versions rows — bounded
+    * metadata, collected to fold the running total.
     */
   private def q193(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout
@@ -1969,26 +1973,24 @@ object ScalePatterns {
     val s0 = s
     import s0.implicits._
     val head = VersionedLayout.currentVersion(dir)
-    val meta = VersionedLayout.log(dir).map(e => (e.version.toLong, e.action,
+    val mass = VersionedLayout.changeFeed(s, dir, 0, head)
+      .groupBy(col("change_version").cast("int").as("version"))
+      .agg(count(when(col("change_type") === "insert", 1)).as("ins"),
+        count(when(col("change_type") === "delete", 1)).as("del"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val baseRows = VersionedLayout.readAsOf(s, dir, 0).count()
+    val running = scala.collection.mutable.Map(0 -> baseRows)
+    (1 to head).foreach { v =>
+      val (i, dl) = mass.getOrElse(v, (0L, 0L))
+      running(v) = running(v - 1) + i - dl
+    }
+    VersionedLayout.log(dir).map { e =>
+      val (i, dl) = mass.getOrElse(e.version, (0L, 0L))
+      (e.version.toLong, e.action,
         if (e.action == "upsert" && e.horizon > 0) e.horizon.toLong else -1L,
-        e.pids.size.toLong))
-      .toDF("version", "action", "restored_from", "n_pids")
-    val feed = VersionedLayout.changeFeed(s, dir, 0, head)
-      .groupBy(col("change_version").cast("long").as("version"))
-      .agg(count(when(col("change_type") === "insert", 1)).as("n_feed_inserts"),
-        count(when(col("change_type") === "delete", 1)).as("n_feed_deletes"))
-    val live = (0 to head).map { v =>
-        VersionedLayout.readAsOf(s, dir, v)
-          .groupBy().agg(count(lit(1)).as("n_live"))
-          .select(lit(v.toLong).as("version"), col("n_live"))
-      }.reduce(_ unionByName _)
-    meta.join(feed, Seq("version"), "left")
-      .join(live, Seq("version"), "left")
-      .select(col("version"), col("action"), col("restored_from"),
-        col("n_pids"),
-        coalesce(col("n_feed_inserts"), lit(0L)).as("n_feed_inserts"),
-        coalesce(col("n_feed_deletes"), lit(0L)).as("n_feed_deletes"),
-        col("n_live"))
+        e.pids.size.toLong, i, dl, running(e.version))
+    }.toDF("version", "action", "restored_from", "n_pids",
+        "n_feed_inserts", "n_feed_deletes", "n_live")
       .orderBy(col("version"))
   }
 
