@@ -640,4 +640,34 @@ class PipelineTxnSpec extends SparkSpec {
     assert(stateOf(p) == ((survivors.toSet, survivors.toSet, rebuilt,
       survivors.toSet, survivors.map(i => (i, i % 2)).toSet)))
   }
+
+  test("decodeStamp inverts every stamp-space constructor, including the restore pair and the sentinel") {
+    // The constructors are private by design; their published formulas
+    // (ingest 4k, erase 4k+1, repair 4k+2, restore 16k+3 / 16k+7 — see
+    // the stamp-space scaladoc) are the contract the ledger (q194)
+    // decodes. Pin the inverse over the id range the spaces admit.
+    for (t <- Seq(0L, 1L, 2L, 7L, 1000L, 1L << 40)) {
+      assert(PipelineTxn.decodeStamp(4 * t) == ((t, "ingest")))
+      assert(PipelineTxn.decodeStamp(4 * t + 1) == ((t, "erase")))
+      assert(PipelineTxn.decodeStamp(4 * t + 2) == ((t, "erase-repair")))
+      assert(PipelineTxn.decodeStamp(16 * t + 3) == ((t, "restore-table")))
+      assert(PipelineTxn.decodeStamp(16 * t + 7) == ((t, "restore-index")))
+    }
+    // The two reserved ≡3 (mod 4) residues decode loudly as reserved,
+    // never as a known action.
+    assert(PipelineTxn.decodeStamp(11) == ((0L, "reserved")))
+    assert(PipelineTxn.decodeStamp(15) == ((0L, "reserved")))
+    // Non-transactional sentinel (base writes, batch maintenance).
+    assert(PipelineTxn.decodeStamp(-1L) == ((-1L, "none")))
+    // No two distinct (txn, action) pairs share a stamp: the spaces are
+    // disjoint by residue, restore split from the 4k families by mod 4.
+    val all = for {
+      t <- 0L to 64L
+      s <- Seq(4 * t, 4 * t + 1, 4 * t + 2, 16 * t + 3, 16 * t + 7)
+    } yield s -> PipelineTxn.decodeStamp(s)
+    all.groupBy(_._1).foreach { case (stamp, hits) =>
+      assert(hits.map(_._2).distinct.size == 1,
+        s"stamp $stamp decodes ambiguously: ${hits.map(_._2).distinct}")
+    }
+  }
 }
