@@ -628,8 +628,17 @@ object PipelineTxnQueries {
       }
     def chainMeta(store: String, dir: String) =
       (0 to GenChain.currentGeneration(dir)).map { g =>
-        val (t, a) = PipelineTxn.decodeStamp(GenChain.txnOf(dir, g))
-        (store, g.toLong, "generation", t, a)
+        // A maintained chain's vacuumed generations have no manifest:
+        // the ledger reports them as reclaimed history instead of
+        // throwing (their stamps live on in the txn checkpoint, but
+        // attribution to an action is gone by design — that is what
+        // vacuum reclaims).
+        if (!GenChain.manifest(dir, g).isFile)
+          (store, g.toLong, "vacuumed", -1L, "none")
+        else {
+          val (t, a) = PipelineTxn.decodeStamp(GenChain.txnOf(dir, g))
+          (store, g.toLong, "generation", t, a)
+        }
       }
     val meta = (layoutMeta("docs", p.docs) ++ chainMeta("lsh", p.lsh) ++
         layoutMeta("emb", p.emb) ++ chainMeta("ivf", p.ivf))
