@@ -471,6 +471,40 @@ object ScalePatterns {
       .orderBy(col("n_name"))
   }
 
+  private val orcWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** ORC ROUND TRIP — the third columnar/source format beside parquet
+    * (layouts, every table) and q95's JSON/CSV text formats: orders
+    * written as ORC once per JVM, read back with an explicit schema,
+    * filtered and aggregated. ORC is the format whose stripe-level
+    * statistics make predicate pushdown a scan-time win, and the
+    * pushdown is not assumed: QueryPlanSpec asserts the status filter
+    * reaches the ORC scan's PushedFilters. Steady state is read-only
+    * (the write is a once-per-JVM cold-pass cost, same discipline as
+    * q95); at 100 TB the interop story is "whatever format the lake
+    * already holds, the engine scans it with pruning intact".
+    */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_orc_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    layoutBuildLock.synchronized {
+      if (orcWritten.add(base))
+        Tables.orders(s, d).write.mode("overwrite").orc(s"$base/orders_orc")
+    }
+    ordersOrc(s, d, base)
+      .where(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The q196 ORC scan, exposed for QueryPlanSpec's pushdown assert. */
+  private[graft] def ordersOrc(s: SparkSession, d: String, base: String): DataFrame =
+    s.read.schema(Tables.orders(s, d).schema).orc(s"$base/orders_orc")
+
   /** Morton (Z-order) interleave of two already-quantized non-negative
     * ints of `bits` bits each — the multi-dimensional clustering key.
     * Pure shift/mask built-ins, so the whole key is one codegen'd
@@ -2543,6 +2577,11 @@ object ScalePatterns {
          |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
          |  CASE WHEN u.version >= 2 THEN 'bigint' ELSE 'int' END AS value_type
          |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
+    QueryDef("q196_orc_roundtrip", q196, Some(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS total_price
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q193_layout_history", q193, Some(
       s"""WITH c AS (SELECT
          |    CAST(count(*) AS BIGINT) AS n_all,

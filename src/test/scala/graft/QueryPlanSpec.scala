@@ -27,6 +27,15 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey") && !p.contains("l_shipdate"), p)
   }
 
+  test("q196 pushes the status filter and prunes columns at the ORC scan") {
+    val p = plan("q196_orc_roundtrip")
+    assert(p.contains("Scan orc") || p.contains("FileScan orc"), p)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    // Pruned read schema: untouched orders columns must be absent.
+    assert(!p.contains("o_custkey") && !p.contains("o_orderdate"), p)
+  }
+
   test("q04 broadcasts the nation dimension") {
     val p = plan("q04_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), p)
