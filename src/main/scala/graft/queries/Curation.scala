@@ -16,12 +16,14 @@ import graft.functions.{text, textstats}
   * scans (and tokenizes!) the corpus once per branch — Spark does not
   * dedupe identical subtrees across join branches. Here the plan is
   * FUSED instead: one corpus pass computes every per-row feature
-  * (language, quality, token count — tokenization runs once), one more
-  * pass builds the checkpointed shingle sets for the dedup branch, and
-  * near-duplicates are removed with a left-anti join against verified
-  * duplicate ids (doc_b of a verified pair always exceeds doc_a, so
-  * "is a dup" == "appears as doc_b"). Two corpus reads total — the
-  * difference between 2x and 4x the scan bill at 100 TB. The oracle
+  * (language, quality, token count — tokenization runs once), the
+  * dedup branch reads the shared MATERIALIZED verified-pair table
+  * (DedupQueries.verifiedPairs — built once per JVM, maintained
+  * incrementally in a deployment), and near-duplicates are removed
+  * with a left-anti join against verified duplicate ids (doc_b of a
+  * verified pair always exceeds doc_a, so "is a dup" == "appears as
+  * doc_b"). One corpus read plus a candidate-sized table read — the
+  * difference between 1x and 4x the scan bill at 100 TB. The oracle
   * still composes the three verified oracle subqueries, so the fused
   * plan is checked against the per-stage semantics.
   */
@@ -48,7 +50,7 @@ object Curation {
       textstats.predictLang(toks).as("pred_lang"),
       TextAnalysis.qualityCol(col("text"), toks).as("quality"),
       size(toks).cast("long").as("n_tokens"))
-    val dupIds = DedupQueries.jaccardPairs(DedupQueries.shingleSets(s, d))
+    val dupIds = DedupQueries.verifiedPairs(s, d)
       .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
       .select(col("doc_b").as("doc_id"))
       .distinct()
@@ -115,8 +117,8 @@ object Curation {
     * kill count — what relaxing just that rule would recover), how many
     * fail several, and how many survive. The numbers a pipeline owner
     * reads before touching a threshold. Same fused single-pass feature
-    * computation as q46 (tokenize once, dup ids from the checkpointed
-    * shingle sets), collapsed to ONE aggregation row of exact counts;
+    * computation as q46 (tokenize once, dup ids from the shared
+    * materialized pair table), collapsed to ONE aggregation row of exact counts;
     * q46's kept count must equal n_kept (tied in spec).
     */
   private def q143(s: SparkSession, d: String): DataFrame = {
@@ -125,7 +127,7 @@ object Curation {
       col("doc_id"),
       textstats.predictLang(toks).as("pred_lang"),
       TextAnalysis.qualityCol(col("text"), toks).as("quality"))
-    val dupIds = DedupQueries.jaccardPairs(DedupQueries.shingleSets(s, d))
+    val dupIds = DedupQueries.verifiedPairs(s, d)
       .where(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
       .select(col("doc_b").as("doc_id"))
       .distinct()

@@ -135,8 +135,13 @@ class QueryPlanSpec extends SparkSpec {
   test("optimizer fuses size(array_intersect) on the dedup verify path") {
     // IntersectSizeRewrite must replace the composed form (which would
     // materialize an intersection array per candidate pair) with the
-    // count-only codegen expression.
-    val p = plan("q27_ngram_jaccard")
+    // count-only codegen expression. q27 now serves the MATERIALIZED
+    // pair table (verifiedPairs), so the fusion lives in the build
+    // plan — assert on the building expression itself.
+    val df = graft.queries.DedupQueries.jaccardPairs(
+      graft.queries.DedupQueries.shingleSets(spark, sf0001))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("array_intersect_size"), p.take(3000))
   }
 
