@@ -690,8 +690,8 @@ object Similarity {
     * window partition key where Catalyst pushes it below the dot join.
     */
   private def q106(s: SparkSession, d: String): DataFrame = {
-    val sparse = TextCorpus.sparseTopK(Tables.documents(s, d),
-      TextCorpus.dfCapPct, TextCorpus.postingCap,
+    val sparse = TextCorpus.sparseTopKFrom(TextCorpus.postingsTable(s, d),
+      TextCorpus.postingCap,
       queryPred = col("doc_id") % 100 === 7 && col("doc_id") < 500)
       .select(col("q_id"), col("doc_id"), col("rank").as("sparse_rank"))
     val e = Tables.embeddings(s, d)
