@@ -73,7 +73,27 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   private def q26(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy(col("doc_id"))
+    simhashTable(s, d).orderBy(col("doc_id"))
+
+  private val simhashBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val simhashBuildLock = new Object
+
+  /** The corpus simhash table, MATERIALIZED once per (JVM, sf) —
+    * [[sigTable]]'s discipline for the simhash scheme (q26 dump +
+    * q85's pigeonhole near-dup pairing, which reads it three times).
+    */
+  private[graft] def simhashTable(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_simhash_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    simhashBuildLock.synchronized {
+      if (simhashBuilt.add(path))
+        Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+          .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
 
   /** Hamming radius for q85. Pigeonhole: b bands cover distance <= b-1,
     * so radius 1 needs only [[hammingBands]] = 2 bands — and FEWER bands
@@ -94,7 +114,7 @@ object DedupQueries {
     * both verify joins.
     */
   private def q85(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.simhash(Tables.documents(s, d), "doc_id", "text").localCheckpoint()
+    val sh = simhashTable(s, d)
     Dedup.hammingCandidates(sh, numBands = hammingBands)
       .select(col("doc_a"), col("doc_b"))
       .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
