@@ -81,6 +81,7 @@ object Bench {
       "q190_layout_restore", "q191_pipeline_restore", "q192_layout_widen_column",
       "q27_ngram_jaccard", "q196_orc_roundtrip", "q60_sparse_topk",
       "q115_bm25_topk", "q24_minhash_signatures", "q26_simhash",
+      "q109_bigram_fluency",
     ).map { name =>
       val sec = timed(SparkEntry.queries(name)(spark, sfDir).count())
       cooldown()

@@ -72,11 +72,7 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(text.normalizedTokens(col("text")).as("toks"))
       .localCheckpoint() // tokenization feeds the bigram AND unigram branches
-    val bigrams = docs
-      .where(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = TextAnalysis.docBigramsTable(s, d)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
     // Unigram counts and the corpus total come from ALL documents — only
     // the bigram source needs the >= 2-token guard. (The oracle's uni CTE

@@ -338,13 +338,38 @@ object TextAnalysis {
     * decimal/HUGEINT before the x1000 so corpus-scale counts cannot
     * wrap.
     */
+  private val bigramsBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val bigramsBuildLock = new Object
+
+  /** The corpus doc-level bigram table ((doc_id, w1, w2), one row per
+    * adjacent token pair), MATERIALIZED once per (JVM, sf): q109's
+    * plan read its pairs subtree THREE times (the n2/n1 count branches
+    * plus the probe side — three corpus tokenize+explode passes inlined
+    * by Catalyst), and q57's bigram branch is the same explode. Both
+    * now read the parquet table; q57's unigram branch keeps its own
+    * single tokenize (unigram counts include one-token docs the bigram
+    * table by construction cannot carry).
+    */
+  private[graft] def docBigramsTable(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_bigrams_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+    bigramsBuildLock.synchronized {
+      if (bigramsBuilt.add(path))
+        Tables.documents(s, d)
+          .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private def q109(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.documents(s, d)
-      .select(col("doc_id"), text.normalizedTokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairs = docBigramsTable(s, d)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
     val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
     pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
