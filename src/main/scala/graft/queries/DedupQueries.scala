@@ -61,12 +61,14 @@ object DedupQueries {
   private def q24(s: SparkSession, d: String): DataFrame =
     sigTable(s, d).orderBy(col("doc_id"))
 
-  /** Signatures feed BOTH sides of the band self-join; localCheckpoint
-    * materializes them once and truncates lineage — otherwise Catalyst
-    * inlines the whole tokenize+minhash pipeline into each side and the
-    * join costs ~7x (measured 8.5s -> 1.2s at sf0.1). Same pattern any
-    * iterative/self-join consumer should use at scale (persist the small
-    * signature table, not the corpus).
+  /** Signatures feed BOTH sides of the band self-join; the
+    * materialized [[sigTable]] gives each side a plain parquet scan —
+    * without it Catalyst inlines the whole tokenize+minhash pipeline
+    * into each side and the join costs ~7x (measured 8.5s -> 1.2s at
+    * sf0.1 for the in-JVM localCheckpoint variant; the parquet table
+    * additionally amortizes across queries). Same pattern any
+    * iterative/self-join consumer should use at scale (persist the
+    * small signature table, not the corpus).
     */
   private def q25(s: SparkSession, d: String): DataFrame =
     Dedup.lshCandidates(sigTable(s, d))
