@@ -284,6 +284,7 @@ object DedupQueries {
     val base = docs
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= Dedup.shingleSize)
+      .localCheckpoint() // tokenize once: feeds the shingle AND key branches
     val sh = base
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("toks"))).as("sh"))
       .localCheckpoint() // feeds both sides of the verify join
