@@ -185,7 +185,7 @@ object DedupQueries {
     * there (q167), never rebuilt per report. PID-unique path, so bench
     * and verify JVMs cannot clobber each other.
     */
-  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),

@@ -747,4 +747,50 @@ class DedupSpec extends SparkSpec {
     assert(got.values.sum > 0, "candidate graph has no triangles at sf0.001")
     assert(got == want.toMap, s"per-vertex counts differ: got ${got.size} want ${want.size}")
   }
+
+  test("every materialized shared table equals its inline derivation") {
+    // The per-JVM parquet artifacts (verified pairs, minhash/simhash
+    // signatures) must stay row-identical to the expressions that
+    // define them — a drift here would silently serve stale semantics
+    // to every rider while the riders' own specs keep passing.
+    import graft.queries.{DedupQueries, TextAnalysis, TextCorpus}
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(DedupQueries.verifiedPairs(spark, sf0001)) ==
+      rows(DedupQueries.jaccardPairs(DedupQueries.shingleSets(spark, sf0001))),
+      "verifiedPairs drifted from jaccardPairs(shingleSets)")
+    assert(rows(DedupQueries.sigTable(spark, sf0001)) ==
+      rows(Dedup.minhashSignatures(Tables.documents(spark, sf0001), "doc_id", "text")),
+      "sigTable drifted from minhashSignatures")
+    assert(rows(DedupQueries.simhashTable(spark, sf0001)) ==
+      rows(Dedup.simhash(Tables.documents(spark, sf0001), "doc_id", "text")),
+      "simhashTable drifted from simhash")
+    assert(rows(TextCorpus.postingsTable(spark, sf0001)) ==
+      rows(TextCorpus.weightedPostings(
+        Tables.documents(spark, sf0001), TextCorpus.dfCapPct)),
+      "postingsTable drifted from weightedPostings")
+    assert(rows(TextCorpus.tfTable(spark, sf0001)) ==
+      rows(graft.operators.InvertedIndex.words(
+          Tables.documents(spark, sf0001), "doc_id", "text")
+        .groupBy(org.apache.spark.sql.functions.col("file_id").as("doc_id"),
+          org.apache.spark.sql.functions.col("word"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("tf"))),
+      "tfTable drifted from the tokenize+count derivation")
+    // Bigram rows repeat by design (a doc can contain a pair twice):
+    // compare as grouped counts, which is the multiset identity.
+    def bigramCounts(df: org.apache.spark.sql.DataFrame): Set[String] =
+      rows(df.groupBy("doc_id", "w1", "w2").count())
+    val inlineBigrams = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.text.normalizedTokens(
+          org.apache.spark.sql.functions.col("text")).as("toks"))
+      .where(org.apache.spark.sql.functions.expr("size(toks) >= 2"))
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))) AS p")
+      .selectExpr("doc_id", "p.w1 AS w1", "p.w2 AS w2")
+    assert(bigramCounts(TextAnalysis.docBigramsTable(spark, sf0001)) ==
+      bigramCounts(inlineBigrams),
+      "docBigramsTable drifted from the tokenize+explode derivation")
+  }
 }
