@@ -1,8 +1,14 @@
 package graft
 
-/** Ad-hoc profiling entry (not part of the library surface): times each
-  * named query twice (cold + warm within this JVM) on the given sf dir.
-  * Run: SPARK_GRAFT_CPUS=32 runMain graft.Scratch <sfDir> <query...>
+/** Measurement harnesses (not part of the query/library surface, but
+  * product-adjacent tooling: their outputs are the committed,
+  * build-gated artifacts SLOPES.json and BENCH_AB_r{N}.md). Each
+  * `object ... { def main }` below is one instrument: [[ScaleSlope]]
+  * and the per-store *Slope mains feed SlopesSpec's asserted bounds;
+  * [[BenchAB]] is the interleaved single-JVM re-measurement that
+  * adjudicates bench drift vs machine load. The round-5 ad-hoc
+  * cold/warm profiler (`graft.Scratch`) is retired — `BenchAB <dir>
+  * <query...>` with SPARK_GRAFT_AB_ROUNDS=1 covers its use.
   *
   * CLOSED (round 5): q79 (bucketed as-of) under VERIFY's exact
   * conditions — local[4], shufflePartitions=4, coalesce(1) parquet
@@ -167,7 +173,7 @@ object ScaleSlope {
 
     val scaledDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_scale${copies}x_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_scale${copies}x_p${graft.JvmId.token}").getAbsolutePath
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -711,29 +717,6 @@ object BenchAB {
   }
 }
 
-object Scratch {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession
-      .builder(appName = "graft-scratch", master = Some(s"local[$cpus]"),
-        shufflePartitions = cpus.toInt)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"TIMING $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.catalog.clearCache(); System.gc()
-    }
-    args.drop(1).foreach { q =>
-      time(s"${q}_cold")(SparkEntry.queries(q)(spark, sfDir).count())
-      time(s"${q}_warm")(SparkEntry.queries(q)(spark, sfDir).count())
-    }
-    spark.stop()
-  }
-}
-
 /** One-JVM A/B of the deletion-mask read tax: the same aggregate over
   * the range layout read RAW vs through the tombstone mask (broadcast
   * anti-join) vs after compaction — quantifying what "reads pay one
@@ -764,7 +747,7 @@ object MaskOverhead {
     val uppers = ScalePatterns.rangeUppers(spark, sfDir)
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_mask_overhead_p${ProcessHandle.current().pid()}").getAbsolutePath + "/layout"
+      s"graft_mask_overhead_p${graft.JvmId.token}").getAbsolutePath + "/layout"
     DeletableRangeLayout.ensure(spark, sfDir, dir, uppers)
     DeletableRangeLayout.applyDelete(spark, dir,
       col("v").between(ScalePatterns.deleteBandLoCenti, ScalePatterns.deleteBandHiCenti))

@@ -91,7 +91,7 @@ object SkewTwin {
 
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_skewtwin_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_skewtwin_p${graft.JvmId.token}").getAbsolutePath
     val (uniDir, skwDir) = (s"$root/uniform", s"$root/skewed")
 
     // --- documents: equal token mass, different key concentration ---

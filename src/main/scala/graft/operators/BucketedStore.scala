@@ -35,7 +35,7 @@ object BucketedStore {
   private def physicalName(table: String): String = {
     require(!table.contains("."),
       s"BucketedStore requires an unqualified (default-database) table name, got '$table'")
-    s"${table}_p${ProcessHandle.current().pid()}"
+    s"${table}_p${graft.JvmId.token}"
   }
 
   /** Save as a bucketed + per-bucket-sorted managed parquet table
@@ -186,7 +186,7 @@ object BucketedStore {
           "layout invariant is broken; refusing a multi-file swap")
       val live = files.head
       // Survivors of THIS bucket only: its file vs its tombstone bucket.
-      val tmp = new org.apache.hadoop.fs.Path(dir, s".compact-tmp-b$b-p${ProcessHandle.current().pid()}")
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".compact-tmp-b$b-p${graft.JvmId.token}")
       fs.delete(tmp, true)
       s.read.parquet(live.toString)
         .join(s.table(physicalName(tomb)).where(tombBucketId === b),

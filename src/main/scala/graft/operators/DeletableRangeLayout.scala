@@ -79,7 +79,7 @@ object DeletableRangeLayout {
           // which a blind delete would destroy. Move the dir aside
           // atomically, INSPECT what was actually moved, and restore it
           // if it turns out to be a just-published new-format layout.
-          val trash = new java.io.File(dir + s".legacy-trash-p${ProcessHandle.current().pid()}")
+          val trash = new java.io.File(dir + s".legacy-trash-p${graft.JvmId.token}")
           org.apache.commons.io.FileUtils.deleteDirectory(trash)
           Files.move(f.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
           if (VersionedLayout.currentVersion(trash.getPath) >= 0) {
@@ -105,7 +105,7 @@ object DeletableRangeLayout {
           }
           org.apache.commons.io.FileUtils.deleteDirectory(trash)
         }
-        val tmp = dir + s".tmp-p${ProcessHandle.current().pid()}"
+        val tmp = dir + s".tmp-p${graft.JvmId.token}"
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
         VersionedLayout.writeBase(s, d, tmp, uppers)
         try Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)

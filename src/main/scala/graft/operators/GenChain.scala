@@ -146,7 +146,7 @@ private[graft] object GenChain {
     val f = new java.io.File(dir, s"_txn-ckpt-v$head.txt")
     if (!f.isFile) {
       val tmp = new java.io.File(dir, s"._txn-ckpt-v$head.tmp-" +
-        s"p${ProcessHandle.current().pid()}t${Thread.currentThread().getId}")
+        s"p${graft.JvmId.token}t${Thread.currentThread().getId}")
       Files.write(tmp.toPath, all.toSeq.sorted
         .map { case (t, g) => s"$t,$g" }.mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
@@ -192,7 +192,7 @@ private[graft] object GenChain {
     * [[VersionedLayout]] writer-tag discipline applied to the chains.
     */
   def freshTmp(dir: String, gen: Int): String = {
-    val tmp = s"$dir/.gen-tmp-v$gen-p${ProcessHandle.current().pid()}" +
+    val tmp = s"$dir/.gen-tmp-v$gen-p${graft.JvmId.token}" +
       s"t${Thread.currentThread().getId}"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     Files.createDirectories(Paths.get(tmp))

@@ -53,10 +53,10 @@ object IndexStore {
   }
 
   private def writeAtomic(df: DataFrame, dest: String): Unit = {
-    val tmp = dest + s".tmp-p${ProcessHandle.current().pid()}"
+    val tmp = dest + s".tmp-p${graft.JvmId.token}"
     df.select(col("word"), col("file_ids")).write.mode("overwrite").parquet(tmp)
     val live = Paths.get(dest)
-    val old = Paths.get(dest + s".old-p${ProcessHandle.current().pid()}")
+    val old = Paths.get(dest + s".old-p${graft.JvmId.token}")
     if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old))
@@ -149,7 +149,7 @@ object IndexStore {
     val seq = archiveDirs(store).size + 1
     val arch = Paths.get(archiveRoot(store), s"c$seq")
     Files.createDirectories(arch)
-    val tmp = baseDir(store) + s".tmp-p${ProcessHandle.current().pid()}"
+    val tmp = baseDir(store) + s".tmp-p${graft.JvmId.token}"
     merged.select(col("word"), col("file_ids")).write.mode("overwrite").parquet(tmp)
     // Same two-rename publish window as before; a crash between the
     // moves leaves the old base in the archive — recoverable metadata,

@@ -141,7 +141,7 @@ object VersionedLayout {
     * rather than a silent overwrite of the winner's.
     */
   private def writerTag(): String =
-    s"p${ProcessHandle.current().pid()}t${Thread.currentThread().getId}"
+    s"p${graft.JvmId.token}t${Thread.currentThread().getId}"
 
   private def entryFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"v$ver%05d.json")
   private def ckptFile(dir: String, ver: Int) = new java.io.File(logDir(dir), f"ckpt-v$ver%05d.json")
@@ -204,7 +204,7 @@ object VersionedLayout {
     // under A's successful CAS — the silent corruption the hard-link
     // protocol exists to exclude.
     val tmp = new java.io.File(logDir(dir),
-      s".v${e.version}.tmp-p${ProcessHandle.current().pid()}-t${Thread.currentThread().getId}")
+      s".v${e.version}.tmp-p${graft.JvmId.token}-t${Thread.currentThread().getId}")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
     try Files.createLink(entryFile(dir, e.version).toPath, tmp.toPath)
     catch {
@@ -324,7 +324,7 @@ object VersionedLayout {
     val f = ckptFile(dir, v)
     if (!f.isFile) {
       val tmp = new java.io.File(logDir(dir),
-        s".ckpt-v$v.tmp-p${ProcessHandle.current().pid()}-t${Thread.currentThread().getId}")
+        s".ckpt-v$v.tmp-p${graft.JvmId.token}-t${Thread.currentThread().getId}")
       Files.write(tmp.toPath,
         entries.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
       try Files.createLink(f.toPath, tmp.toPath)
@@ -1047,7 +1047,7 @@ object VersionedLayout {
           val td = tombDirOf(dir, entries, te.version)
           val kept = s.read.parquet(td)
             .where(!col("pid").isin(reclaimed: _*)).localCheckpoint()
-          val tag = ProcessHandle.current().pid()
+          val tag = graft.JvmId.token
           val tmp = s"$td.gc-tmp-p$tag"
           kept.coalesce(1).write.mode("overwrite").parquet(tmp)
           val live = Paths.get(td)
@@ -1326,7 +1326,7 @@ object VersionedLayout {
     require(v >= srcHorizon,
       s"version $v is below the vacuum horizon $srcHorizon — its archives are gone")
     if (new java.io.File(dst).exists()) return // already published (idempotent re-entry)
-    val tmp = s"$dst.clone-tmp-p${ProcessHandle.current().pid()}"
+    val tmp = s"$dst.clone-tmp-p${graft.JvmId.token}"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     def linkTree(src: java.io.File, to: java.nio.file.Path): Unit = if (src.isDirectory) {
       Files.createDirectories(to)

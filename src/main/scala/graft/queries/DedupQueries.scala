@@ -49,7 +49,7 @@ object DedupQueries {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_sigs_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_sigs_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     sigBuildLock.synchronized {
       if (sigBuilt.add(path))
         Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
@@ -88,7 +88,7 @@ object DedupQueries {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_simhash_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_simhash_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     simhashBuildLock.synchronized {
       if (simhashBuilt.add(path))
         Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -189,7 +189,7 @@ object DedupQueries {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_pairs_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_pairs_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     pairsBuildLock.synchronized {
       if (pairsBuilt.add(path))
         jaccardPairs(shingleSets(s, d)).write.mode("overwrite").parquet(path)
@@ -390,7 +390,7 @@ object DedupQueries {
     import graft.operators.LshIndexStore
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_lsh_index_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_lsh_index_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     chainAuditLock.synchronized {
       if (lshIndexWritten.add(dir)) {
         LshIndexStore.init(s, dir,
@@ -457,7 +457,7 @@ object DedupQueries {
     import graft.operators.LshIndexStore
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_lsh_crud_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_lsh_crud_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     def bands(cond: org.apache.spark.sql.Column) = Dedup.bandRows(
       Dedup.minhashSignatures(
         Tables.documents(s, d).where(cond), "doc_id", "text"), rowsPerBand = 1)
@@ -503,7 +503,7 @@ object DedupQueries {
   private def q169(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{IndexStore, InvertedIndex, LshIndexStore}
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    val pid = ProcessHandle.current().pid()
+    val pid = graft.JvmId.token
     val lshDir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_chain_audit_lsh_${sfx}_p$pid").getAbsolutePath
     val idxDir = new java.io.File(sys.props("java.io.tmpdir"),

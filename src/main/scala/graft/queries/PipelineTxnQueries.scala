@@ -37,9 +37,17 @@ object PipelineTxnQueries {
     * as-is, since init no-ops on an existing generation and the `*Once`
     * arms skip on their stamps. With the nonce in the name, stale
     * cross-code state lands under a different root and is simply never
-    * seen; a SAME-code leftover (dead JVM, recycled PID) is detected by
-    * [[ensurePipelineStores]]'s exists-at-first-claim check and purged
-    * (a live other process can never share our PID).
+    * seen. Round 11 killed the remaining adoption window a different
+    * way: the root's per-process component is now [[graft.JvmId.token]]
+    * (a once-per-JVM 128-bit random token), not the PID — PIDs collide
+    * across PID namespaces sharing one `/tmp`, and under that collision
+    * the old purge-on-first-claim deleted a LIVE peer's mid-build state
+    * before both JVMs interleaved writes under one root (exactly the
+    * rows-match/hash-mismatch/never-reproduces signature the q186 gate
+    * showed two rounds running). With a random token no live or dead
+    * stranger can ever share our root; a leftover at first claim is
+    * a 2^-128 event, still purged, and now reported durably via
+    * [[graft.JvmId.diag]].
     */
   private lazy val codeNonce: String = {
     val crc = new java.util.zip.CRC32()
@@ -96,19 +104,17 @@ object PipelineTxnQueries {
       tag: String): PipelineStores = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pipetxn$tag${"_"}${sfx}_n${codeNonce}_p${ProcessHandle.current().pid()}")
+      s"graft_pipetxn$tag${"_"}${sfx}_n${codeNonce}_p${graft.JvmId.token}")
       .getAbsolutePath
     val p = PipelineStores(s"$root/docs", s"$root/lsh", s"$root/emb", s"$root/ivf",
       s"$root/meta")
     pipelineLock.synchronized {
       if (pipelineBuilt.add(root)) {
-        // First claim in THIS JVM: an existing directory can only be a
-        // leftover of a DEAD process that recycled our PID under the
-        // same code nonce (PIDs are unique among live processes, and a
-        // prior claim by this JVM is in the once-set). Its build may
-        // have crashed anywhere, so never adopt — purge and build
-        // fresh; the gate then always reads a state this exact code
-        // produced end-to-end.
+        // First claim in THIS JVM: the root name carries a per-JVM
+        // random token, so an existing directory here is a 2^-128
+        // accident (or an external actor). Never adopt — purge and
+        // build fresh; the gate then always reads a state this exact
+        // code produced end-to-end, and the purge is diag-logged.
         val leftover = new java.io.File(root).isDirectory
         if (leftover)
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -166,11 +172,70 @@ object PipelineTxnQueries {
         java.nio.file.Files.write(
           new java.io.File(root, "_build_info.json").toPath,
           info.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        pipelineExpected.put(root, (pairsG1.getLong(0), pairsG1.getLong(1)))
+        graft.JvmId.diag("pipeline_scenario_built", "root" -> root,
+          "tag" -> tag, "sf" -> sfx, "nonce" -> codeNonce,
+          "leftover_purged" -> leftover,
+          "heads" -> s"${heads._1},${heads._2},${heads._3},${heads._4}",
+          "pairs_g1_rows" -> pairsG1.getLong(0),
+          "pairs_g1_idsum" -> pairsG1.getLong(1))
         System.err.println(s"pipeline scenario $root: built fresh " +
           s"(leftover purged: $leftover) $info")
       }
     }
     p
+  }
+
+  /** What the build recorded for each scenario root, for later
+    * read-time revalidation: (pairs-of-g1 row count, id-sum).
+    */
+  private val pipelineExpected =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** The gate-hardened entry q186 uses: ensure the scenario, then
+    * REVALIDATE the exact inputs the manifest derives from — the head
+    * vector and the g1 pair-table checksum — against what this JVM's
+    * build recorded. A mismatch means something outside this process
+    * mutated the root (or a purge raced us): purge, rebuild once, and
+    * leave a durable [[graft.JvmId.diag]] trail either way. Cost: two
+    * metadata head reads plus one candidate-bounded aggregate —
+    * negligible against the query, and it makes the gate self-healing
+    * under ANY external interference rather than only the failure
+    * modes we have hypothesized so far.
+    */
+  private[graft] def validatedPipelineStores(s: SparkSession, d: String): PipelineStores = {
+    val p = ensurePipelineStores(s, d)
+    val root = new java.io.File(p.docs).getParent
+    val heads = (VersionedLayout.currentVersion(p.docs),
+      LshIndexStore.currentGeneration(p.lsh),
+      VersionedLayout.currentVersion(p.emb),
+      IvfIndexStore.currentGeneration(p.ivf))
+    val pairsG1 = LshIndexStore.pairsOf(s, p.lsh, 1)
+      .agg(count(lit(1)), coalesce(sum(col("doc_a") + col("doc_b")), lit(0L)))
+      .first()
+    val expected = Option(pipelineExpected.get(root))
+    val ok = heads == ((2, 2, 2, 2)) &&
+      expected.contains((pairsG1.getLong(0), pairsG1.getLong(1)))
+    if (ok) {
+      graft.JvmId.diag("pipeline_scenario_revalidated", "root" -> root,
+        "pairs_g1_rows" -> pairsG1.getLong(0),
+        "pairs_g1_idsum" -> pairsG1.getLong(1))
+      p
+    } else {
+      graft.JvmId.diag("pipeline_scenario_TAMPERED", "root" -> root,
+        "heads" -> s"${heads._1},${heads._2},${heads._3},${heads._4}",
+        "pairs_g1_rows" -> pairsG1.getLong(0),
+        "pairs_g1_idsum" -> pairsG1.getLong(1),
+        "expected_rows" -> expected.map(_._1).getOrElse(-1L),
+        "expected_idsum" -> expected.map(_._2).getOrElse(-1L))
+      pipelineLock.synchronized {
+        pipelineBuilt.remove(root)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+      val rebuilt = ensurePipelineStores(s, d)
+      graft.JvmId.diag("pipeline_scenario_rebuilt", "root" -> root)
+      rebuilt
+    }
   }
 
   /** COORDINATED PIPELINE TRANSACTIONS — the final-state gate: after a
@@ -352,7 +417,7 @@ object PipelineTxnQueries {
     */
   private def q186(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{text, textstats}
-    val p = ensurePipelineStores(s, d)
+    val p = validatedPipelineStores(s, d)
     val docs = VersionedLayout.readAsOf(s, p.docs, 1)
     val toks = text.normalizedTokens(col("text"))
     val sh = docs.select(col("doc_id"), toks.as("toks"))
@@ -365,7 +430,7 @@ object PipelineTxnQueries {
       .where(lit(3) * size(array_intersect(col("sh_a"), col("sh_b")))
         >= size(col("sh_a")) + size(col("sh_b")))
       .select(col("doc_b").as("doc_id")).distinct()
-    docs.select(col("doc_id"),
+    val manifest = docs.select(col("doc_id"),
         textstats.predictLang(toks).as("pred_lang"),
         TextAnalysis.qualityCol(col("text"), toks).as("quality"),
         size(toks).cast("long").as("n_tokens"))
@@ -376,6 +441,14 @@ object PipelineTxnQueries {
         sum((col("doc_id") * col("doc_id")) % lit(1000003L)).as("checksum"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
+      // 8 rows: checkpoint so the durable result log below and the
+      // caller's write share ONE computation of the heavy subtree.
+      .localCheckpoint()
+    graft.JvmId.diag("q186_manifest", "sf" -> d,
+      "rows" -> manifest.collect().map(r =>
+        s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}:${r.getLong(3)}")
+        .mkString("|"))
+    manifest
   }
 
   /** The oracle rides q46's survivor derivation verbatim (the as-of

@@ -419,7 +419,7 @@ object ScalePatterns {
     // mid-read. Written once per session; later calls read steady-state.
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_events_bytype_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_events_bytype_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     layoutBuildLock.synchronized {
       if (partitionedWritten.add(dir)) {
         Tables.events(s, d)
@@ -454,7 +454,7 @@ object ScalePatterns {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_formats_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_formats_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     layoutBuildLock.synchronized {
       if (formatWritten.add(base)) {
         Tables.customer(s, d).write.mode("overwrite").json(s"$base/customer_json")
@@ -488,7 +488,7 @@ object ScalePatterns {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_orc_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_orc_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     layoutBuildLock.synchronized {
       if (orcWritten.add(base))
         Tables.orders(s, d).write.mode("overwrite").orc(s"$base/orders_orc")
@@ -536,7 +536,7 @@ object ScalePatterns {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_events_zorder_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_events_zorder_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     val fiveDaysNs = 5L * 86400L * 1000000000L
     layoutBuildLock.synchronized { if (zorderWritten.add(dir)) {
       val ev = Tables.events(s, d)
@@ -580,7 +580,7 @@ object ScalePatterns {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_schema_evo_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_schema_evo_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     layoutBuildLock.synchronized {
       if (evoWritten.add(base)) {
         val c = Tables.customer(s, d)
@@ -1058,7 +1058,7 @@ object ScalePatterns {
       if (rangeLayoutWritten.contains(dir)) return dir
       if (readDiskManifest(dir).isEmpty) {
         val uppers = rangeUppers(s, d)
-        val tmp = dir + s".tmp-p${ProcessHandle.current().pid()}"
+        val tmp = dir + s".tmp-p${graft.JvmId.token}"
         val upLit = array(uppers.map(lit).toSeq: _*)
         Tables.lineitem(s, d)
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),

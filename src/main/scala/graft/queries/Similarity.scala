@@ -237,7 +237,7 @@ object Similarity {
     import org.apache.spark.sql.graftbridge.DatasetBridge
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_${sfx}_p${ProcessHandle.current().pid()}")
+      s"graft_ivf_${sfx}_p${graft.JvmId.token}")
     val centDir = new java.io.File(base, "centroids").getAbsolutePath
     val asgDir = new java.io.File(base, "assignments").getAbsolutePath
     ivfBuildLock.synchronized { if (ivfWritten.add(base.getAbsolutePath)) {
@@ -778,7 +778,7 @@ object Similarity {
   private[graft] def ensureIvfStore(s: SparkSession, d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfstore_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_ivfstore_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     ivfStoreLock.synchronized {
       if (ivfStoreBuilt.add(dir)) buildIvfChain(s, d, dir)
     }
@@ -793,7 +793,7 @@ object Similarity {
     import graft.operators.IvfIndexStore
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfcrud_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_ivfcrud_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     ivfStoreLock.synchronized {
       if (ivfStoreBuilt.add(dir)) {
         buildIvfChain(s, d, dir)
@@ -823,7 +823,7 @@ object Similarity {
     import org.apache.spark.sql.graftbridge.DatasetBridge
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfretrain_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_ivfretrain_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     ivfStoreLock.synchronized {
       if (ivfStoreBuilt.add(dir)) {
         buildIvfChain(s, d, dir)

@@ -354,7 +354,7 @@ object TextAnalysis {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_bigrams_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_bigrams_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     bigramsBuildLock.synchronized {
       if (bigramsBuilt.add(path))
         Tables.documents(s, d)

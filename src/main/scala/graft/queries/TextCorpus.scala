@@ -132,7 +132,7 @@ object TextCorpus {
       // Build the 2-delta chain under a tmp dir and publish it with one
       // atomic rename: a killed first session can never leave a
       // partial chain (missing delta) for later sessions to read.
-      val tmp = store + s".tmp-p${ProcessHandle.current().pid()}"
+      val tmp = store + s".tmp-p${graft.JvmId.token}"
       val docs = Tables.documents(s, d)
       def side(pred: Column) = InvertedIndex
         .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))
@@ -295,7 +295,7 @@ object TextCorpus {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_postings_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_postings_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     postingsBuildLock.synchronized {
       if (postingsBuilt.add(path))
         weightedPostings(graft.Tables.documents(s, d), dfCapPct)
@@ -397,7 +397,7 @@ object TextCorpus {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_tf_${sfx}_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s"graft_tf_${sfx}_p${graft.JvmId.token}").getAbsolutePath
     tfBuildLock.synchronized {
       if (tfBuilt.add(path))
         InvertedIndex.words(graft.Tables.documents(s, d), "doc_id", "text")
@@ -562,7 +562,7 @@ object TextCorpus {
     import graft.operators.IndexStore
     val store = indexStoreDir(d) + "_tt"
     if (!new java.io.File(store).isDirectory) {
-      val tmp = store + s".tmp-p${ProcessHandle.current().pid()}"
+      val tmp = store + s".tmp-p${graft.JvmId.token}"
       val docs = Tables.documents(s, d)
       def side(pred: Column) = InvertedIndex
         .index(InvertedIndex.words(docs.where(pred), "doc_id", "text"))

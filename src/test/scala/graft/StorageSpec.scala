@@ -1612,7 +1612,7 @@ class StorageSpec extends SparkSpec {
     def inventory(): Map[String, (Long, Long)] = {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val dir = new org.apache.hadoop.fs.Path(wh,
-        s"spec_ord_bg_p${ProcessHandle.current().pid()}".toLowerCase)
+        s"spec_ord_bg_p${graft.JvmId.token}".toLowerCase)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
         .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap

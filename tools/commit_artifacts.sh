@@ -68,7 +68,7 @@ for _ in $(seq 1 "$MAX_POLLS"); do
   # with the feature that changes it), not a driver artifact — sweeping an
   # in-progress edit of it into an artifact commit was a round-10 advisor
   # finding.
-  for f in BENCH_LATEST.json SLOPES.json LEAKCHECK.json \
+  for f in BENCH_LATEST.json SLOPES.json LEAKCHECK.json DIAG.jsonl \
            COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json BENCH_AB_*.md; do
     [ -e "$f" ] && stable "$f" && paths+=("$f")
   done
@@ -81,14 +81,24 @@ for _ in $(seq 1 "$MAX_POLLS"); do
 No-Verification-Needed: artifact-only commit (bench/correctness JSON)" \
       -- "${paths[@]}" || true
   fi
-  # Done once the NEW round's CORRECTNESS file is committed clean.
+  # Done once the NEW round's CORRECTNESS file is committed clean AND
+  # every other artifact is clean too. Round 11 broke as soon as
+  # CORRECTNESS_r11 was in, leaving a later-arriving LEAKCHECK.json
+  # staged-but-uncommitted at snapshot time — the driver writes the
+  # leak/copy sweeps AFTER correctness, so the done-signal must cover
+  # the whole artifact set, not just the trigger file.
   if [ "$(max_round)" -gt "$START_ROUND" ]; then
     newf=$(printf 'CORRECTNESS_r%02d.json' "$(max_round)")
-    if [ -e "$newf" ] && stable "$newf" \
-        && git diff --quiet -- "$newf" 2>/dev/null \
-        && git diff --cached --quiet -- "$newf" 2>/dev/null; then
-      break
-    fi
+    all_clean=1
+    for f in "$newf" LEAKCHECK.json COPYCHECK.json SLOPES.json \
+             BENCH_LATEST.json DIAG.jsonl; do
+      [ -e "$f" ] || continue
+      if ! stable "$f" || ! git diff --quiet -- "$f" 2>/dev/null \
+          || ! git diff --cached --quiet -- "$f" 2>/dev/null; then
+        all_clean=0; break
+      fi
+    done
+    [ -e "$newf" ] && [ "$all_clean" = 1 ] && break
   fi
 done
 exit 0
