@@ -429,8 +429,10 @@ object CkptSlope {
     // the per-version scan it replaces (t1x = checkpointed, t10x =
     // per-version ms/read; ratio >= 1 is the win). bound = 0 EXEMPTS
     // this entry from SlopesSpec's generic ratio<=bound superlinearity
-    // test — the direction itself is asserted by SlopesSpec's dedicated
-    // "ckpt/log_read_ms ratio >= 0.9" test over the recorded legs.
+    // test (that gate is smaller-is-better-shaped; this row is a
+    // bigger-is-better win ratio) — its teeth are SlopesSpec's
+    // dedicated test: win ratio >= 10x AND checkpointed read <= 2 ms
+    // absolute, over the recorded legs.
     Slopes.record("ckpt", "log_read_ms", after, before, bound = 0.0)
     // Committed claim 2 (round-10 verdict: the bound-0 rows left a
     // log-read regression free to hide): the CHECKPOINTED read's own

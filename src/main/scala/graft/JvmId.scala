@@ -25,6 +25,26 @@ object JvmId {
   val token: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
+  /** CRC of the given classes' bytecode — the CODE-STATE nonce baked
+    * into the name of every STABLE (cross-JVM, cross-round) scenario
+    * root. The q186 lesson generalized: a scratch root that outlives
+    * its JVM gets adopted by later JVMs, and adoption of state built by
+    * a DIFFERENT code spelling is the one mechanism that yields
+    * rows-match/hash-mismatch gate rows no single-process re-run can
+    * reproduce. With the nonce in the NAME, cross-code state lands
+    * under a different root and is never seen — no purge, so no risk of
+    * deleting a live peer's mid-build state either.
+    */
+  def classNonce(classes: Class[_]*): String = {
+    val crc = new java.util.zip.CRC32()
+    classes.foreach { c =>
+      val res = c.getResourceAsStream("/" + c.getName.replace('.', '/') + ".class")
+      if (res != null)
+        try crc.update(res.readAllBytes()) finally res.close()
+    }
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   private val diagLock = new Object
 
   /** Repo-root DIAG.jsonl, when the working directory IS a repo root

@@ -51,11 +51,12 @@ import java.nio.charset.StandardCharsets
   *    [[dropColumn]] / [[renameColumn]] / [[widenColumn]]):
   *    metadata-only, no data file touched; every
   *    version is served under the schema committed as of it, a re-added
-  *    name is a new incarnation whose dropped predecessor's values
-  *    never resurface, and a renamed column serves each version under
-  *    the name committed as of it (era names fold together at plan
-  *    time; a `renamecolumn` entry's `colType` field carries the NEW
-  *    NAME).
+  *    name is a new incarnation whose dropped (or renamed-away)
+  *    predecessor's values never resurface, and a renamed column serves
+  *    each version under the name committed as of it (era names fold
+  *    together at plan time, VERSION-GATED so one physical name can
+  *    host successive identities — column mapping by source version; a
+  *    `renamecolumn` entry's `colType` field carries the NEW NAME).
   *
   * At 100 TB the points are: the log is O(versions) metadata, AS-OF
   * planning touches only the bounded pid/version maps (no data pass),
@@ -402,13 +403,32 @@ object VersionedLayout {
     * bytes. Closing the domain at v0 makes that state unreachable.
     * Cost: one distinct over the (bounded) segment pid column.
     */
+  /** The version at which `name` LAST VACATED the schema (dropped, or
+    * renamed away), or None when the name is live or evolution never
+    * touched it: the last liveness-affecting event wins — add and
+    * rename-target revive a name, drop and rename-source vacate it.
+    */
+  private def lastVacatedAt(entries: Seq[LogEntry], name: String): Option[Int] = {
+    val evs = entries.collect {
+      case e if e.action == "addcolumn" && e.colName == name => (e.version, true)
+      case e if e.action == "dropcolumn" && e.colName == name => (e.version, false)
+      case e if e.action == "renamecolumn" && e.colName == name => (e.version, false)
+      case e if e.action == "renamecolumn" && e.colType == name => (e.version, true)
+    }
+    evs.sortBy(_._1).lastOption.collect { case (ver, false) => ver }
+  }
+
   private def requireInDomain(dir: String, rows: DataFrame): Unit = {
     val entries = log(dir)
-    // A renamed-away name can never ride a new segment: the union-time
-    // era coalesce would silently fold the stale-named values into the
-    // renamed column's history. Fail the writer loudly instead.
-    val stale = entries.filter(_.action == "renamecolumn").map(_.colName)
+    // A name currently RENAMED AWAY cannot ride a new segment: writers
+    // must use head-era names, or version-gated era resolution would
+    // have no version range to assign the stale-named values to. A name
+    // a later addColumn RE-ADDED is live again and rides segments
+    // normally (the read path separates the incarnations by source
+    // version). Fail the stale writer loudly instead.
+    val stale = entries.filter(_.action == "renamecolumn").map(_.colName).distinct
       .filter(rows.columns.contains)
+      .filter(n => lastVacatedAt(entries, n).isDefined)
     require(stale.isEmpty,
       s"insert carries renamed-away column(s) ${stale.mkString(",")} of $dir — " +
         "write under the current name(s)")
@@ -534,14 +554,26 @@ object VersionedLayout {
       .foreach(p => require(p.colType == sqlType,
         s"re-adding '$name' as '$sqlType' conflicts with its previous " +
           s"incarnation's type '${p.colType}'"))
-    // A name that ever rode a RENAME (either side) cannot be re-added:
-    // the read path resolves a renamed column by folding its era names
-    // together, which is only unambiguous while neither name ever
-    // carried a second identity (the same no-column-mapping restriction
-    // as [[renameColumn]]'s fresh-target guard).
-    require(!entries.exists(e => e.action == "renamecolumn"
-        && (e.colName == name || e.colType == name)),
-      s"column name '$name' appears in a rename of $dir — renamed names cannot be re-added")
+    // COLUMN MAPPING BY SOURCE VERSION (round 12): a name that rode a
+    // RENAME (either side) and has since vacated CAN be re-added — the
+    // read path separates the incarnations by version-gated era
+    // resolution (each physical name reads only in the `_src_ver` range
+    // its identity owned it), so the renamed-away identity's values
+    // never leak into the new one. The single physical constraint is
+    // the plan-time union: one physical name resolves to ONE Spark type
+    // across every era's sources, so the re-added type must equal the
+    // type the name SERVED when it last vacated (narrower physical
+    // bytes under older eras coerce losslessly to that same type).
+    if (entries.exists(e => e.action == "renamecolumn"
+        && (e.colName == name || e.colType == name))) {
+      val vz = lastVacatedAt(entries, name).getOrElse(throw new IllegalStateException(
+        s"rename-involved column '$name' absent at the head of $dir yet never vacated"))
+      val served = readAsOf(s, dir, vz - 1).schema(name).dataType
+      require(served == org.apache.spark.sql.types.DataType.fromDDL(sqlType),
+        s"re-adding renamed column name '$name' as '$sqlType' conflicts with the " +
+          s"${served.simpleString} it served before vacating at v$vz of $dir — " +
+          "one physical name holds one type across all eras")
+    }
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "addcolumn", Nil, 0, colName = name, colType = sqlType))
     ver
@@ -628,11 +660,16 @@ object VersionedLayout {
     * fold's archive. The change feed spans the rename the same way it
     * spans an add (each part carries its own version's schema,
     * null-filled to the superset). The next [[majorCompact]]
-    * materializes the rename physically. RESTRICTION (the same one real
-    * formats had before column-mapping ids): `to` must be a FRESH name
-    * across the table's whole history, and neither side of a rename can
-    * later be re-added — one physical name must never carry two column
-    * identities, or the era-coalescing read would merge them.
+    * materializes the rename physically. COLUMN MAPPING BY SOURCE
+    * VERSION (round 12): the old name CAN later be re-added — the read
+    * path gates each physical name by the `_src_ver` range its identity
+    * owned it, so the renamed-away identity folds into `to` while a
+    * re-added `from` serves only its own incarnation's sources (see
+    * [[addColumn]]'s one-type-per-physical-name constraint). `to` must
+    * still be a FRESH name across the table's history: a rename-target
+    * is a REVIVAL of nothing — reviving a previously-used name via
+    * rename would need the add/drop replay to treat rename-targets as
+    * adds, an ambiguity kept out of scope.
     * Row-identity columns and `pid` cannot be renamed (tombstone keying
     * and segment routing depend on them). Commit-only and
     * deterministic: append-family, safe under [[withWriteRetry]].
@@ -756,11 +793,15 @@ object VersionedLayout {
     * The committed entry is a plain `upsert` (every reader, fold, and
     * feed treats it natively) carrying `horizon = toVersion` as
     * restore provenance — `horizon` is only ever READ on vacuum
-    * entries, so the marker is inert. Restoring across a schema
-    * evolution is refused (the re-inserted rows would carry the old
-    * schema); restore to a version at or above the last evolution.
-    * Deterministic from the as-of state: append-family, safe under
-    * [[withWriteRetry]].
+    * entries, so the marker is inert. A restore MAY cross schema
+    * evolutions (round 12; previously refused): the re-inserted
+    * pre-images are projected to the HEAD era's schema — renames inside
+    * the range fold era-gated, in-range widens cast losslessly, columns
+    * dropped in-range leave, and any column whose current incarnation
+    * was born above `toVersion` restores as NULL (the state being
+    * restored predates that incarnation; its retired predecessor's
+    * values never resurface). Deterministic from the as-of state:
+    * append-family, safe under [[withWriteRetry]].
     */
   def restore(s: SparkSession, dir: String, toVersion: Int): Int =
     restore(s, dir, toVersion, -1L)
@@ -784,28 +825,79 @@ object VersionedLayout {
     require(toVersion <= head, s"cannot restore $dir to future version $toVersion (head $head)")
     require(toVersion >= horizon(dir),
       s"version $toVersion of $dir is below the vacuum horizon ${horizon(dir)} — unrestorable")
-    require(!entries.exists(e => e.version > toVersion
-        && (e.action == "addcolumn" || e.action == "dropcolumn"
-          || e.action == "renamecolumn")),
-      s"restore of $dir to $toVersion crosses a schema evolution — " +
-        "restore to a version at or above the last evolution")
     if (toVersion == head) return head
     val ver = head + 1
     val tag = writerTag()
     val key = keyColsOf(dir)
     val feed = changeFeed(s, dir, toVersion, head).localCheckpoint()
+    // The tombstone key set is bounded by CHANGED keys, not the table:
+    // incident-sized restores write one small file, which is why the
+    // coalesce(1) is safe here. Restoring away a corpus-scale backfill
+    // would single-task this write — at that scale shard the key set
+    // like the delete path instead (documented contract, not a latent
+    // scale bug: the restore's whole design is O(changed keys)).
     feed.select(col("pid").cast("int").as("pid") +: key.map(col): _*)
       .distinct()
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
     val earliest = feed.groupBy((col("pid") +: key.map(col)): _*)
       .agg(min(col("change_version")).as("_ev"))
+    // Keep each part's commit version (`_cv`) through the pre-image
+    // selection: it is the era stamp the schema projection below gates
+    // on when the restore range crosses a rename.
     val target = feed.where(col("change_type") === "delete").alias("f")
       .join(earliest.alias("e"),
         ("pid" +: key).map(k => col(s"f.$k") === col(s"e.$k")).reduce(_ && _)
           && col("f.change_version") === col("e._ev"))
-      .select(feed.columns.filterNot(Set("change_type", "change_version"))
+      .select(col("f.change_version").as("_cv") +: feed.columns
+        .filterNot(Set("change_type", "change_version"))
         .map(c => col(s"f.$c")): _*)
-    target.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    // RESTORE ACROSS SCHEMA EVOLUTION (round 12; previously refused):
+    // the segment commits at head+1, so it must carry the HEAD era's
+    // schema while its VALUES are each key's state as of `toVersion`.
+    // Three-step projection, mirroring the read path's era rules:
+    //  1. fold renames inside (toVersion, head] to head names —
+    //     era-gated by each pre-image's as-of version (`_cv - 1`), so a
+    //     re-added old name's new-incarnation values never fold into
+    //     the renamed column;
+    //  2. select exactly the head columns (columns dropped in-range
+    //     leave; head columns the feed never carried null-fill);
+    //  3. null every column whose CURRENT incarnation was born above
+    //     `toVersion` (state at `toVersion` had no such incarnation —
+    //     serving the pre-image's old-incarnation values would
+    //     resurface data the drop/rename already retired), and cast to
+    //     the head types (covers in-range widens losslessly).
+    val rens = entries.filter(e => e.action == "renamecolumn"
+      && e.version > toVersion && e.version <= head).sortBy(_.version)
+    val renamed = rens.foldLeft(target) { (df, r) =>
+      val (from, to) = (r.colName, r.colType)
+      if (!df.columns.contains(from)) df
+      else {
+        val fromBelow = when(col("_cv") - 1 < r.version, col(from))
+        val merged =
+          if (df.columns.contains(to)) df.withColumn(to, coalesce(col(to), fromBelow))
+          else df.withColumn(to, fromBelow)
+        // A re-added `from` is born above toVersion by construction
+        // (its rename sits inside the range): step 3 nulls it, so the
+        // spent physical name can simply leave.
+        merged.drop(from)
+      }
+    }
+    def canonToHead(n: String, ev: Int): String = entries
+      .filter(e => e.action == "renamecolumn" && e.version > ev && e.version <= head)
+      .sortBy(_.version)
+      .foldLeft(n)((nm, r) => if (r.colName == nm) r.colType else nm)
+    val birth: Map[String, Int] = entries.filter(_.action == "addcolumn")
+      .groupBy(e => canonToHead(e.colName, e.version))
+      .map { case (c, es) => c -> es.map(_.version).max }
+    val headSchema = readAsOf(s, dir, head).schema
+    val projected = renamed.select(headSchema.fields.toSeq.map { f =>
+      if (birth.getOrElse(f.name, 0) > toVersion)
+        lit(null).cast(f.dataType).as(f.name)
+      else if (renamed.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    projected.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag))
     ver
   }
@@ -1507,17 +1599,28 @@ object VersionedLayout {
     // name for a renamed column (segments/archives written below the
     // rename hold the old name, ones above hold the new), so bring them
     // all to the name committed AS OF v before the add/drop replay.
-    // unionByName null-filled whichever era name a source lacked, and
-    // [[renameColumn]]'s freshness guard means no source ever carried
-    // both — so where both columns exist, coalesce picks the one the
-    // source's era wrote.
+    // VERSION-GATED (column mapping by source version): one physical
+    // name can host TWO identities when the old name was later
+    // re-added, so each fold reads `from` only in the `_src_ver` range
+    // the renamed identity owned it — sources BELOW the rename. A
+    // re-added `from` (new incarnation, committed at or below v)
+    // survives under its own name for the add/drop replay to
+    // version-gate; without a re-add the spent name drops here exactly
+    // as before.
     val renames = entries.filter(_.action == "renamecolumn").sortBy(_.version)
     val renamedToV = renames.filter(_.version <= v).foldLeft(masked) { (df, r) =>
       val (from, to) = (r.colName, r.colType)
-      if (df.columns.contains(from) && df.columns.contains(to))
-        df.withColumn(to, coalesce(col(to), col(from))).drop(from)
-      else if (df.columns.contains(from)) df.withColumnRenamed(from, to)
-      else df
+      if (!df.columns.contains(from)) df
+      else {
+        val fromBelow = when(col("_src_ver") < r.version, col(from))
+        val merged =
+          if (df.columns.contains(to)) df.withColumn(to, coalesce(col(to), fromBelow))
+          else df.withColumn(to, fromBelow)
+        val readded = entries.exists(e => e.action == "addcolumn"
+          && e.colName == from && e.version > r.version && e.version <= v)
+        if (readded) merged.withColumn(from, when(col("_src_ver") >= r.version, col(from)))
+        else merged.drop(from)
+      }
     }
     // Defensive mirror of the added-above-v case below: an above-v
     // rename's to-name can only reach a below-v read when a post-v fold
@@ -1560,10 +1663,26 @@ object VersionedLayout {
       val evs = events.filter(_.colName == name).sortBy(_.version)
       evs.filter(_.version <= v).lastOption match {
         case None =>
-          if (evs.head.action == "addcolumn") df.drop(name) else df
+          // First event is an above-v ADD: the column normally leaves
+          // (it does not exist yet at v) — UNLESS an OLDER identity
+          // still held the physical name at v and only vacated it via
+          // a rename inside (v, addVer): then the name is a live
+          // base-origin column at v and serves as-is (its rename, being
+          // above v, has not folded it away).
+          val olderIdentityLiveAtV = renames.exists(rn => rn.colName == name
+            && rn.version > v && rn.version <= evs.head.version)
+          if (evs.head.action == "addcolumn" && !olderIdentityLiveAtV) df.drop(name)
+          else df
         case Some(e) if e.action == "dropcolumn" => df.drop(name)
         case Some(e) =>
-          val priorIncarnation = evs.exists(_.version < e.version)
+          // A prior identity under this physical name: an earlier
+          // add/drop event, OR a rename that MOVED an identity off the
+          // name before this add re-used it (the old identity's values
+          // live in sources below the rename and must not resurface
+          // under the re-added incarnation).
+          val priorIncarnation = evs.exists(_.version < e.version) ||
+            renames.exists(rn => rn.version < e.version
+              && (rn.colName == name || rn.colType == name))
           if (!df.columns.contains(name))
             df.withColumn(name, lit(null).cast(e.colType))
           else if (priorIncarnation)

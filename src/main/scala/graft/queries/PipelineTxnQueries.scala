@@ -49,20 +49,12 @@ object PipelineTxnQueries {
     * a 2^-128 event, still purged, and now reported durably via
     * [[graft.JvmId.diag]].
     */
-  private lazy val codeNonce: String = {
-    val crc = new java.util.zip.CRC32()
-    Seq(PipelineTxn.getClass, classOf[PipelineStores],
-      graft.operators.GenChain.getClass,
-      VersionedLayout.getClass, LshIndexStore.getClass, IvfIndexStore.getClass,
-      Dedup.getClass, Similarity.getClass, PipelineTxnQueries.getClass,
-      graft.functions.vectors.getClass, graft.functions.text.getClass)
-      .foreach { c =>
-        val res = c.getResourceAsStream("/" + c.getName.replace('.', '/') + ".class")
-        if (res != null)
-          try crc.update(res.readAllBytes()) finally res.close()
-      }
-    java.lang.Long.toHexString(crc.getValue)
-  }
+  private lazy val codeNonce: String = graft.JvmId.classNonce(
+    PipelineTxn.getClass, classOf[PipelineStores],
+    graft.operators.GenChain.getClass,
+    VersionedLayout.getClass, LshIndexStore.getClass, IvfIndexStore.getClass,
+    Dedup.getClass, Similarity.getClass, PipelineTxnQueries.getClass,
+    graft.functions.vectors.getClass, graft.functions.text.getClass)
 
   private def docRows(s: SparkSession, d: String, cond: org.apache.spark.sql.Column): DataFrame =
     Tables.documents(s, d).where(cond)

@@ -959,7 +959,7 @@ object ScalePatterns {
   private[graft] def rangeLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_lineitem_range_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_range_${sfx}_n$scenarioNonce").getAbsolutePath
   }
 
   /** The persisted boundary manifest: a `_`-prefixed file INSIDE the
@@ -1095,7 +1095,7 @@ object ScalePatterns {
   private[graft] def deletableLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_lineitem_deletable_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_deletable_${sfx}_n$scenarioNonce").getAbsolutePath
   }
 
   /** The price band q151 erases, in centi ($3000.00–$4000.00): ~1% of
@@ -1157,7 +1157,7 @@ object ScalePatterns {
   private[graft] def versionedLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_lineitem_versioned_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_versioned_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val versionedLock = new Object
 
@@ -1222,7 +1222,7 @@ object ScalePatterns {
   private[graft] def crudLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_lineitem_crud_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_crud_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val crudLock = new Object
 
@@ -1348,7 +1348,7 @@ object ScalePatterns {
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_lineitem_major_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_major_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val majorLock = new Object
 
@@ -1419,7 +1419,7 @@ object ScalePatterns {
   private[graft] def ckptLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_lineitem_ckpt_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_ckpt_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val ckptLock = new Object
 
@@ -1511,12 +1511,26 @@ object ScalePatterns {
   private[graft] def eventsVersionedDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_versioned_v2_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_versioned_v2_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val eventsVersionedLock = new Object
 
   /** Key offset for q176's inserted event copies (fresh event_ids). */
   val evInsertKeyOffset = 900000000L
+
+  /** Code-state nonce in every STABLE scenario-dir name (see
+    * [[graft.JvmId.classNonce]]): these roots outlive their JVM by
+    * design (a fresh session reuses the layouts a previous one paid
+    * for), so adoption is the norm — the nonce confines it to state the
+    * CURRENT code spelling built. A builder change re-lands every
+    * scenario under a fresh root (one layout_write-bucket rebuild);
+    * other-nonce leftovers are never touched (purging could hit a live
+    * other-code peer mid-build — the original q186 bug).
+    */
+  private lazy val scenarioNonce: String = graft.JvmId.classNonce(
+    ScalePatterns.getClass, graft.operators.VersionedLayout.getClass,
+    graft.operators.DeletableRangeLayout.getClass,
+    graft.operators.BucketedStore.getClass, Tables.getClass)
 
   /** Build (or fast-forward) q176's history — the commit log driven by
     * a SECOND table: the events stream, hash-partitioned on user
@@ -1585,7 +1599,7 @@ object ScalePatterns {
   private[graft] def eventsEvolvedDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_evolved_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_evolved_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val eventsEvolvedLock = new Object
 
@@ -1685,7 +1699,7 @@ object ScalePatterns {
   private[graft] def eventsDropcolDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_dropcol_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_dropcol_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val eventsDropcolLock = new Object
 
@@ -1785,7 +1799,7 @@ object ScalePatterns {
   private[graft] def eventsRenamecolDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_renamecol_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_renamecol_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val eventsRenamecolLock = new Object
 
@@ -1896,7 +1910,7 @@ object ScalePatterns {
   private[graft] def eventsRestoreDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_restore_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_restore_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val eventsRestoreLock = new Object
 
@@ -2032,7 +2046,7 @@ object ScalePatterns {
   private[graft] def eventsWidencolDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_widencol_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_widencol_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val eventsWidencolLock = new Object
 
@@ -2106,11 +2120,240 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q197's rename-then-re-add events layout. */
+  private[graft] def eventsReaddDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_readd_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val eventsReaddLock = new Object
+
+  /** Build (or fast-forward) q197's history: v0 base (events, pid =
+    * user_id mod 16, key = event_id), v1 ADD `score_centi`, v2 INSERT
+    * purchase copies carrying it (the OLD identity), v3 RENAME
+    * `score_centi` -> `quality_centi`, v4 INSERT click copies under the
+    * new name, v5 RE-ADD `score_centi` (a NEW incarnation of the
+    * vacated physical name — the column-mapping move real formats need
+    * IDs for, here carried by version-gated era resolution), v6 INSERT
+    * view copies carrying BOTH columns, v7 majorCompact.
+    */
+  private def ensureReaddScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsReaddDir(d)
+    eventsReaddLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.addColumn(s, dir, "score_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 1)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi"),
+              expr("(value_centi + 7) div 10").as("score_centi")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.renameColumn(s, dir, "score_centi", "quality_centi")
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 3)
+            .where(col("event_type") === "click"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 3).as("value_centi"),
+              expr("(value_centi + 3) div 20").as("quality_centi")))
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.addColumn(s, dir, "score_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 5)
+            .where(col("event_type") === "view"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 3 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 9).as("value_centi"),
+              expr("(value_centi + 9) div 100").as("quality_centi"),
+              expr("(value_centi + 9) div 50").as("score_centi")))
+      if (VersionedLayout.currentVersion(dir) < 7)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** RENAME THEN RE-ADD THE OLD NAME — column mapping by source
+    * version, the restriction the round-11 rename leg documented and
+    * round 12 lifted: after `score_centi` -> `quality_centi` (v3), v5
+    * RE-ADDS `score_centi` as a brand-new incarnation of the vacated
+    * physical name. The load-bearing rows: v2 serves the old identity's
+    * values under `score_centi`; v3/v4 serve the SAME values under
+    * `quality_centi`; v5 serves the re-added `score_centi` as ALL-NULL
+    * (`n_with_score` = 0 — the old identity's values must NOT resurface
+    * under the re-used physical name, though they are alive and well
+    * under `quality_centi` in the same read); v6 fills the new
+    * incarnation only from its own era's segment; v7's fold
+    * materializes both identities physically and every below-fold read
+    * still resolves from the archive. Each version also reports the
+    * literal era names it served, so the hash pins schema AND data. At
+    * 100 TB: rename-then-reuse of a feature column name is a metadata
+    * operation, not a table rewrite, and no historical read ever mixes
+    * the two identities.
+    */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureReaddScenario(s, d)
+    (0 to 7).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val hasQ = df.columns.contains("quality_centi")
+      val hasS = df.columns.contains("score_centi")
+      // The OLD identity under its era name; the NEW incarnation only
+      // exists once both names are live side by side (v5+).
+      val q =
+        if (hasQ) col("quality_centi")
+        else if (hasS) col("score_centi")
+        else lit(null).cast("bigint")
+      val sNew = if (hasQ && hasS) col("score_centi") else lit(null).cast("bigint")
+      df.select(lit(ver.toLong).as("version"),
+        col("value_centi").as("_vc"), q.as("_q"), sNew.as("_s"),
+        lit(if (hasQ) "quality_centi" else if (hasS) "score_centi" else "")
+          .as("quality_col"),
+        lit(if (hasQ && hasS) "score_centi" else "").as("score_col"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("quality_col"), col("score_col"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_vc")).as("total_centi"),
+        count(col("_q")).as("n_with_quality"),
+        coalesce(sum(col("_q")), lit(0L)).as("quality_total"),
+        count(col("_s")).as("n_with_score"),
+        coalesce(sum(col("_s")), lit(0L)).as("score_total"))
+      .select(col("version"), col("n_events"), col("total_centi"),
+        col("n_with_quality"), col("quality_total"),
+        col("n_with_score"), col("score_total"),
+        col("quality_col"), col("score_col"))
+      .orderBy(col("version"))
+  }
+
+  /** Stable location of q198's restore-across-evolution events layout. */
+  private[graft] def eventsRestoreEvoDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_restore_evo_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val eventsRestoreEvoLock = new Object
+
+  /** Build (or fast-forward) q198's history: v0 base, v1 INSERT
+    * purchase copies, v2 ADD `score_centi`, v3 INSERT click copies
+    * carrying it, v4 DELETE the original views, v5 RENAME `value_centi`
+    * -> `amount_centi` — then v6 RESTORE TO v1, a restore whose range
+    * contains an ADD, a DELETE, an INSERT and a RENAME (refused before
+    * round 12), v7 INSERT view copies on the restored state (carrying
+    * the post-restore-era schema incl. score values), v8 majorCompact.
+    */
+  private def ensureRestoreEvoScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsRestoreEvoDir(d)
+    eventsRestoreEvoLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.addColumn(s, dir, "score_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 2)
+            .where(col("event_type") === "click"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 3).as("value_centi"),
+              expr("(value_centi + 3) div 10").as("score_centi")))
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendDelete(s, dir,
+          col("event_type") === "view" && col("event_id") < evInsertKeyOffset)
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.renameColumn(s, dir, "value_centi", "amount_centi")
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.restore(s, dir, 1)
+      if (VersionedLayout.currentVersion(dir) < 7)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 6)
+            .where(col("event_type") === "view"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 3 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("amount_centi") + 9).as("amount_centi"),
+              expr("(amount_centi + 9) div 40").as("score_centi")))
+      if (VersionedLayout.currentVersion(dir) < 8)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** RESTORE ACROSS SCHEMA EVOLUTION — the q190 move with an ADD and a
+    * RENAME inside the undone range (refused until round 12). The
+    * load-bearing versions: v6 must serve exactly v1's DATA under v5's
+    * HEAD SCHEMA — the deleted views re-inserted with their v1 values
+    * read under `amount_centi` (the rename folds the pre-images'
+    * era-named values), the v3 clicks gone, and `score_centi` —
+    * whose incarnation was born ABOVE the restore target — ALL-NULL
+    * (`n_with_score` = 0: the restore must not resurface values the
+    * evolution introduced after the target). v7 proves life goes on:
+    * new inserts on the restored state carry the head era's full
+    * schema, score values included; v8's fold preserves everything,
+    * and the undone v3/v4 stay addressable below the restore. At
+    * 100 TB: "undo a bad backfill" no longer has a schema-change
+    * blackout window — the restore stays O(changed keys) and the
+    * incident history stays readable.
+    */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureRestoreEvoScenario(s, d)
+    (0 to 8).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val valueCol =
+        if (df.columns.contains("amount_centi")) "amount_centi" else "value_centi"
+      val sc =
+        if (df.columns.contains("score_centi")) col("score_centi")
+        else lit(null).cast("bigint")
+      df.select(lit(ver.toLong).as("version"),
+        col(valueCol).as("_vc"), sc.as("_s"), lit(valueCol).as("value_col"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("value_col"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_vc")).as("total_centi"),
+        count(col("_s")).as("n_with_score"),
+        coalesce(sum(col("_s")), lit(0L)).as("score_total"))
+      .select(col("version"), col("n_events"), col("total_centi"),
+        col("n_with_score"), col("score_total"), col("value_col"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q182's z-clustered fold layout. */
   private[graft] def eventsZfoldDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_events_zfold_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_events_zfold_${sfx}_n$scenarioNonce").getAbsolutePath
   }
   private val eventsZfoldLock = new Object
 
@@ -2181,7 +2424,7 @@ object ScalePatterns {
   private[graft] def cloneLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_lineitem_clone_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_lineitem_clone_${sfx}_n$scenarioNonce").getAbsolutePath
   }
 
   /** ZERO-COPY CLONE of the versioned layout — the snapshot-export /
@@ -2576,6 +2819,59 @@ object ScalePatterns {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
          |  CASE WHEN u.version >= 2 THEN 'bigint' ELSE 'int' END AS value_type
+         |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
+    QueryDef("q197_layout_rename_readd", q197, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS version),
+         |base AS (SELECT ver.version, e.vc, CAST(NULL AS BIGINT) AS q,
+         |           CAST(NULL AS BIGINT) AS s
+         |         FROM ver CROSS JOIN e),
+         |insp AS (SELECT ver.version, e.vc + 7 AS vc, (e.vc + 7) // 10 AS q,
+         |           CAST(NULL AS BIGINT) AS s
+         |         FROM ver JOIN e ON ver.version >= 2 AND e.event_type = 'purchase'),
+         |insc AS (SELECT ver.version, e.vc + 3 AS vc, (e.vc + 3) // 20 AS q,
+         |           CAST(NULL AS BIGINT) AS s
+         |         FROM ver JOIN e ON ver.version >= 4 AND e.event_type = 'click'),
+         |insv AS (SELECT ver.version, e.vc + 9 AS vc, (e.vc + 9) // 100 AS q,
+         |           (e.vc + 9) // 50 AS s
+         |         FROM ver JOIN e ON ver.version >= 6 AND e.event_type = 'view'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insp
+         |      UNION ALL SELECT * FROM insc UNION ALL SELECT * FROM insv)
+         |SELECT CAST(u.version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
+         |  CAST(count(u.q) AS BIGINT) AS n_with_quality,
+         |  CAST(coalesce(sum(u.q), 0) AS BIGINT) AS quality_total,
+         |  CAST(count(u.s) AS BIGINT) AS n_with_score,
+         |  CAST(coalesce(sum(u.s), 0) AS BIGINT) AS score_total,
+         |  CASE WHEN u.version >= 3 THEN 'quality_centi'
+         |       WHEN u.version >= 1 THEN 'score_centi' ELSE '' END AS quality_col,
+         |  CASE WHEN u.version >= 5 THEN 'score_centi' ELSE '' END AS score_col
+         |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
+    QueryDef("q198_layout_restore_evolution", q198, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8]) AS version),
+         |base AS (SELECT ver.version, e.vc, CAST(NULL AS BIGINT) AS s
+         |         FROM ver JOIN e
+         |           ON NOT (ver.version IN (4, 5) AND e.event_type = 'view')),
+         |insp AS (SELECT ver.version, e.vc + 7 AS vc, CAST(NULL AS BIGINT) AS s
+         |         FROM ver JOIN e ON ver.version >= 1 AND e.event_type = 'purchase'),
+         |insc AS (SELECT ver.version, e.vc + 3 AS vc, (e.vc + 3) // 10 AS s
+         |         FROM ver JOIN e
+         |           ON ver.version BETWEEN 3 AND 5 AND e.event_type = 'click'),
+         |insv AS (SELECT ver.version, e.vc + 9 AS vc, (e.vc + 9) // 40 AS s
+         |         FROM ver JOIN e ON ver.version >= 7 AND e.event_type = 'view'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insp
+         |      UNION ALL SELECT * FROM insc UNION ALL SELECT * FROM insv)
+         |SELECT CAST(u.version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(u.vc) AS BIGINT) AS total_centi,
+         |  CAST(count(u.s) AS BIGINT) AS n_with_score,
+         |  CAST(coalesce(sum(u.s), 0) AS BIGINT) AS score_total,
+         |  CASE WHEN u.version >= 5 THEN 'amount_centi'
+         |       ELSE 'value_centi' END AS value_col
          |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
     QueryDef("q196_orc_roundtrip", q196, Some(
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,

@@ -105,11 +105,18 @@ object TextCorpus {
       .orderBy(col("doc_freq").desc, col("word"))
   }
 
-  /** Stable location of q152's persisted base+delta index store. */
+  /** Stable location of q152's persisted base+delta index store —
+    * code-nonce-suffixed like every cross-JVM scenario root (see
+    * [[graft.JvmId.classNonce]]), so a builder change never adopts a
+    * previous spelling's on-disk state.
+    */
   private[graft] def indexStoreDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val nonce = graft.JvmId.classNonce(TextCorpus.getClass,
+      graft.operators.IndexStore.getClass, graft.operators.InvertedIndex.getClass,
+      graft.functions.text.getClass)
     new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_index_store_$sfx").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_index_store_${sfx}_n$nonce").getAbsolutePath
   }
 
   /** Index-chain COMPACTION — the maintenance step q146 (merge) and

@@ -1142,9 +1142,21 @@ class StorageSpec extends SparkSpec {
     assert(snap(m6) == snap(1) + ((103L, 11L)))
     assert(snap(2) == snap(1) -- Set((3L, 30L), (101L, 7L)),
       "the fold stopped serving an undone version below the restore")
-    // Restore across a schema evolution refuses.
+    // Restore ACROSS a schema evolution (round 12; previously refused):
+    // v7 add w, v8 insert a row carrying it, then RESTORE to the
+    // pre-evolution fold — the restore commits under the HEAD schema
+    // (w stays a column) while the DATA returns to m6, and no value of
+    // the above-target incarnation survives on restored rows.
     VersionedLayout.addColumn(spark, dir, "w", "bigint")
-    intercept[IllegalArgumentException](VersionedLayout.restore(spark, dir, m6))
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((104L, 13L))).withColumn("w", lit(77L)))
+    val r9 = VersionedLayout.restore(spark, dir, m6)
+    assert(r9 == 9)
+    val headDf = VersionedLayout.readAsOf(spark, dir, r9)
+    assert(headDf.columns.contains("w"), "cross-evolution restore lost the head schema")
+    assert(snap(r9) == snap(m6), "cross-evolution restore diverged from the as-of data")
+    assert(headDf.where(col("w").isNotNull).count() == 0,
+      "restore resurfaced values of an incarnation born above the restore target")
   }
 
   test("widen column type: narrow below its version, wide at and above, overflow values carried, a re-added namesake is not lifted") {
@@ -1325,7 +1337,7 @@ class StorageSpec extends SparkSpec {
     assert(feed.where(col("change_type") === "insert").count() == 3)
   }
 
-  test("rename column: each version serves the name committed as of it, values preserved across the rename, renamed names can never come back") {
+  test("rename column: each version serves the name committed as of it, values preserved across the rename, a vacated name re-adds only at its served type") {
     import graft.operators.VersionedLayout
     val spark0 = spark
     import spark0.implicits._
@@ -1366,12 +1378,15 @@ class StorageSpec extends SparkSpec {
     val v2 = VersionedLayout.readAsOf(spark, dir, 2)
     assert(v2.columns.contains("w") && !v2.columns.contains("w2"))
     assert(v2.where(col("w").isNotNull).count() == 2)
-    // A renamed-away name can never ride a new segment, be re-added,
-    // or host another identity; the CURRENT name inserts fine (v4).
+    // A renamed-away name cannot ride a new segment WHILE VACATED, a
+    // LIVE name cannot be re-added, and a re-add at a different type
+    // than the name last served refuses (one physical name, one type —
+    // the full re-add lifecycle has its own test); the CURRENT name
+    // inserts fine (v4).
     intercept[IllegalArgumentException](VersionedLayout.appendInsert(spark, dir,
       shaped(Seq((103L, 11L))).withColumn("w", lit(5L))))
     intercept[IllegalArgumentException](
-      VersionedLayout.addColumn(spark, dir, "w", "bigint"))
+      VersionedLayout.addColumn(spark, dir, "w", "string"))
     intercept[IllegalArgumentException](
       VersionedLayout.addColumn(spark, dir, "w2", "bigint"))
     VersionedLayout.appendInsert(spark, dir,
@@ -1390,10 +1405,11 @@ class StorageSpec extends SparkSpec {
     val v7 = VersionedLayout.readAsOf(spark, dir, 7)
     assert(v7.columns.contains("z2") && !v7.columns.contains("z")
       && v7.where(col("z2").isNotNull).count() == 0)
-    // DROP goes by the current name; neither era name can come back.
+    // DROP goes by the current name; a re-add must keep the type the
+    // name last served.
     assert(VersionedLayout.dropColumn(spark, dir, "w2") == 8)
     intercept[IllegalArgumentException](
-      VersionedLayout.addColumn(spark, dir, "w2", "bigint"))
+      VersionedLayout.addColumn(spark, dir, "w2", "string"))
     // The fold materializes both renames physically; reads below them
     // AFTER the fold still serve the old names through the archive.
     val (m9, _) = VersionedLayout.majorCompact(spark, dir)
@@ -1408,6 +1424,71 @@ class StorageSpec extends SparkSpec {
     val feed = VersionedLayout.changeFeed(spark, dir, 0, m9)
     assert(feed.columns.contains("w") && feed.columns.contains("w2"))
     assert(feed.where(col("change_type") === "insert").count() == 3)
+  }
+
+  test("column mapping by source version: a renamed-away name re-added is a NEW incarnation — each era serves its own values, through the fold") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-readd").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "price")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("price"))
+    // v0 base: price = id*10 for ids 1..4. v1 insert 101/102 carrying
+    // price (old identity). v2 RENAME price -> cost. v3 insert 103
+    // under the new name. v4 RE-ADD price (new incarnation, same
+    // served type). v5 insert 104 carrying BOTH columns.
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 4L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((101L, 7L), (102L, 9L))))
+    assert(VersionedLayout.renameColumn(spark, dir, "price", "cost") == 2)
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((103L, 0L))).withColumnRenamed("price", "cost")
+        .withColumn("cost", lit(11L)))
+    assert(VersionedLayout.addColumn(spark, dir, "price", "bigint") == 4)
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((104L, 0L))).withColumnRenamed("price", "cost")
+        .withColumn("cost", lit(13L)).withColumn("price", lit(999L)))
+    def sums(v: Int): (Seq[String], Long, Long, Long, Long) = {
+      val df = VersionedLayout.readAsOf(spark, dir, v)
+      val cost = if (df.columns.contains("cost"))
+        df.agg(coalesce(sum("cost"), lit(0L)), count(col("cost"))).collect()(0)
+      else null
+      val price = if (df.columns.contains("price"))
+        df.agg(coalesce(sum("price"), lit(0L)), count(col("price"))).collect()(0)
+      else null
+      (df.columns.toSeq.sorted,
+        if (cost == null) -1L else cost.getLong(0),
+        if (cost == null) -1L else cost.getLong(1),
+        if (price == null) -1L else price.getLong(0),
+        if (price == null) -1L else price.getLong(1))
+    }
+    def check(): Unit = {
+      // v1: only the OLD identity, under its old name.
+      assert(sums(1) == ((Seq("event_id", "pid", "price"), -1L, -1L, 116L, 6L)))
+      // v3: the old identity serves under `cost`; `price` is gone.
+      assert(sums(3) == ((Seq("cost", "event_id", "pid"), 127L, 7L, -1L, -1L)))
+      // v4: the re-added incarnation exists but is all-NULL (no
+      // segment carries it yet) — the old identity's values MUST NOT
+      // leak under the re-used physical name.
+      assert(sums(4) == ((Seq("cost", "event_id", "pid", "price"), 127L, 7L, 0L, 0L)))
+      // v5: each incarnation serves exactly its own era's values.
+      assert(sums(5) == ((Seq("cost", "event_id", "pid", "price"), 140L, 8L, 999L, 1L)))
+    }
+    check()
+    // The fold materializes the head schema physically; every as-of
+    // read below it serves identically from the archive.
+    val (m6, _) = VersionedLayout.majorCompact(spark, dir)
+    check()
+    assert(sums(m6) == ((Seq("cost", "event_id", "pid", "price"), 140L, 8L, 999L, 1L)))
+    // Rename the RE-ADDED incarnation away again: chains of identities
+    // over one physical name unwind per era.
+    assert(VersionedLayout.renameColumn(spark, dir, "price", "unit_price") == 7)
+    val v7 = VersionedLayout.readAsOf(spark, dir, 7)
+    assert(v7.columns.sorted.toSeq == Seq("cost", "event_id", "pid", "unit_price"))
+    assert(v7.agg(sum("unit_price")).collect()(0).getLong(0) == 999L
+      && v7.agg(sum("cost")).collect()(0).getLong(0) == 140L)
+    check() // below-rename reads unchanged
   }
 
   test("versioned CRUD (q160): a same-key upsert replacement outlives its own tombstone; inserts are invisible below their commit") {
