@@ -1779,4 +1779,139 @@ class StorageSpec extends SparkSpec {
     assert(merged.where(col("c_name").isNull).count() == 3)
     assert(merged.where(col("c_mktsegment").isNull).count() == 3)
   }
+
+  test("randomized evolution histories match an identity-based model — insert/delete/add/drop/rename/re-add/fold/restore, every version checked") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    // ADVERSARIAL MODEL CHECK for the column-mapping semantics: the
+    // model stores row values BY COLUMN IDENTITY (a stable id with a
+    // birth version and a current name), so a rename is pure relabeling
+    // and a re-add is a genuinely new identity — exactly the contract
+    // the layout claims. Three seeded random histories mix every
+    // append-family mutation with schema evolution, folds, and
+    // cross-evolution restores; at the end EVERY committed version's
+    // readAsOf must equal the model's snapshot rendered under that
+    // version's names (row sets, column sets, and per-cell values
+    // including NULLs for pre-birth / post-death incarnation windows).
+    final case class Ident(id: Int, var name: String, var dead: Boolean)
+    for (seed <- Seq(11, 23, 47, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft-evomodel-$seed").toString + "/t"
+      var nextKey = 9L
+      var nextId = 1
+      var freshCounter = 0
+      val idents = scala.collection.mutable.ArrayBuffer(Ident(0, "c0", dead = false))
+      val usedNames = scala.collection.mutable.Set("c0", "pid", "event_id")
+      var rows = Map.empty[Long, Map[Int, Long]] // key -> identId -> value
+      val deadKeys = scala.collection.mutable.Set.empty[Long]
+      var ver = 0
+      // snapshots(v) = (live identId -> its name at v, rows at v)
+      val snaps = scala.collection.mutable.ArrayBuffer.empty[(Map[Int, String], Map[Long, Map[Int, Long]])]
+      def live = idents.filter(!_.dead)
+      def snap(): Unit = snaps += ((live.map(i => i.id -> i.name).toMap, rows))
+      def mkDf(ks: Seq[Long]): org.apache.spark.sql.DataFrame = {
+        val cols = live.toSeq
+        val data = ks.map(k => (k, cols.map(i => k * 1000 + i.id * 10 + (ver % 10))))
+        data.toDF("event_id", "vals")
+          .select(Seq(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+            col("event_id")) ++
+            cols.zipWithIndex.map { case (i, x) =>
+              col("vals").getItem(x).as(i.name) }: _*)
+      }
+      def modelRows(ks: Seq[Long]): Map[Long, Map[Int, Long]] =
+        ks.map(k => k -> live.map(i => i.id -> (k * 1000 + i.id * 10 + (ver % 10))).toMap).toMap
+      // v0 base: keys 1..8.
+      val baseKeys = (1L to 8L)
+      rows = modelRows(baseKeys)
+      VersionedLayout.writeBaseTable(spark, mkDf(baseKeys), dir, Seq("event_id"))
+      snap()
+      (1 to 18).foreach { _ =>
+        val roll = rnd.nextInt(100)
+        if (roll < 28) { // INSERT fresh keys (or revive a deleted one)
+          val revive = deadKeys.nonEmpty && rnd.nextBoolean()
+          val ks =
+            if (revive) { val k = deadKeys.head; deadKeys -= k; Seq(k) }
+            else { val ks0 = (nextKey until nextKey + (2 + rnd.nextInt(3))); nextKey = ks0.end; ks0 }
+          ver += 1
+          rows ++= modelRows(ks)
+          VersionedLayout.appendInsert(spark, dir, mkDf(ks))
+          snap()
+        } else if (roll < 42 && rows.nonEmpty) { // DELETE 1-3 live keys
+          val ks = rnd.shuffle(rows.keys.toSeq).take(1 + rnd.nextInt(3))
+          ver += 1
+          rows --= ks; deadKeys ++= ks
+          VersionedLayout.appendDelete(spark, dir, col("event_id").isin(ks: _*))
+          snap()
+        } else if (roll < 56) { // ADD: a fresh name, or RE-ADD a dead one
+          val deadNames = (usedNames -- live.map(_.name) -- Seq("pid", "event_id"))
+            .toSeq.sorted
+          val name =
+            if (deadNames.nonEmpty && rnd.nextBoolean()) deadNames(rnd.nextInt(deadNames.size))
+            else { freshCounter += 1; s"c$freshCounter" }
+          ver += 1
+          idents += Ident({ nextId += 1; nextId - 1 }, name, dead = false)
+          usedNames += name
+          assert(VersionedLayout.addColumn(spark, dir, name, "bigint") == ver)
+          snap()
+        } else if (roll < 66 && live.nonEmpty) { // DROP a live column
+          val i = live(rnd.nextInt(live.size))
+          ver += 1
+          i.dead = true
+          assert(VersionedLayout.dropColumn(spark, dir, i.name) == ver)
+          snap()
+        } else if (roll < 80 && live.nonEmpty) { // RENAME to a fresh name
+          val i = live(rnd.nextInt(live.size))
+          freshCounter += 1
+          val to = s"r$freshCounter"
+          ver += 1
+          assert(VersionedLayout.renameColumn(spark, dir, i.name, to) == ver)
+          i.name = to; usedNames += to
+          snap()
+        } else if (roll < 88) { // MAJOR FOLD: no logical change
+          val (v2, _) = VersionedLayout.majorCompact(spark, dir)
+          ver = v2
+          snap()
+        } else if (ver >= 1) { // RESTORE to a random past version
+          val toV = rnd.nextInt(ver)
+          // The restore serves the HEAD's names/identities; the model
+          // takes toV's VALUES filtered to identities still live now
+          // (an incarnation born above toV has no value in the old
+          // snapshot, so it restores to NULL by construction).
+          val rowsAt = snaps(toV)._2
+          ver += 1
+          val liveIds = live.map(_.id).toSet
+          rows = rowsAt.map { case (k, m) => k -> m.filter(kv => liveIds(kv._1)) }
+          deadKeys.clear()
+          deadKeys ++= (snaps.flatMap(_._2.keys).toSet -- rows.keys)
+          assert(VersionedLayout.restore(spark, dir, toV) == ver)
+          snap()
+        } else { // nothing applicable: burn no version
+          ()
+        }
+      }
+      // Verify EVERY version against its snapshot.
+      (0 to ver).foreach { v =>
+        val (names, mrows) = snaps(v)
+        val df = VersionedLayout.readAsOf(spark, dir, v)
+        val expectCols = (Seq("pid", "event_id") ++ names.values).sorted
+        assert(df.columns.sorted.toSeq == expectCols,
+          s"seed $seed v$v: columns ${df.columns.sorted.toSeq} != $expectCols")
+        val got = df.collect().map { r =>
+          val k = r.getLong(r.fieldIndex("event_id"))
+          k -> names.map { case (id, n) =>
+            id -> (if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getLong(r.fieldIndex(n))))
+          }
+        }.toMap
+        val want = mrows.map { case (k, m) =>
+          k -> names.map { case (id, _) => id -> m.get(id) }
+        }
+        assert(got.keySet == want.keySet,
+          s"seed $seed v$v: keys ${got.keySet -- want.keySet} extra, ${want.keySet -- got.keySet} missing")
+        want.foreach { case (k, m) =>
+          assert(got(k) == m, s"seed $seed v$v key $k: got ${got(k)}, want $m")
+        }
+      }
+    }
+  }
 }
