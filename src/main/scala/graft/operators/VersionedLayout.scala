@@ -665,11 +665,12 @@ object VersionedLayout {
     * path gates each physical name by the `_src_ver` range its identity
     * owned it, so the renamed-away identity folds into `to` while a
     * re-added `from` serves only its own incarnation's sources (see
-    * [[addColumn]]'s one-type-per-physical-name constraint). `to` must
-    * still be a FRESH name across the table's history: a rename-target
-    * is a REVIVAL of nothing — reviving a previously-used name via
-    * rename would need the add/drop replay to treat rename-targets as
-    * adds, an ambiguity kept out of scope.
+    * [[addColumn]]'s one-type-per-physical-name constraint), and `to`
+    * may itself be a REVIVAL of a previously-used, now-vacated name —
+    * the from-identity continues under it, held apart from the name's
+    * dead prior incarnation by the same source-version gating. No
+    * restriction remains on the evolution matrix except type constancy
+    * per physical name.
     * Row-identity columns and `pid` cannot be renamed (tombstone keying
     * and segment routing depend on them). Commit-only and
     * deterministic: append-family, safe under [[withWriteRetry]].
@@ -684,17 +685,32 @@ object VersionedLayout {
     require(entries.nonEmpty, s"no committed layout at $dir")
     require(from != "pid" && !keyColsOf(dir).contains(from),
       s"column '$from' is a row-identity/partition column of $dir — cannot rename")
-    val head = readAsOf(s, dir, entries.last.version).columns
-    require(head.contains(from), s"column '$from' does not exist at the head of $dir")
-    require(!head.contains(to), s"column '$to' already exists at the head of $dir")
+    val headDf = readAsOf(s, dir, entries.last.version)
+    require(headDf.columns.contains(from), s"column '$from' does not exist at the head of $dir")
+    require(!headDf.columns.contains(to), s"column '$to' already exists at the head of $dir")
+    // NAME REVIVAL (round 12; previously `to` had to be fresh across
+    // the whole history): a vacated name can be a rename target — the
+    // from-identity CONTINUES under the revived name, and the read
+    // path's identity resolution keeps it apart from the name's dead
+    // prior incarnation by source version. The one physical constraint,
+    // as for [[addColumn]] re-adds: the union holds ONE Spark type per
+    // physical name, so the identity moving in must serve exactly the
+    // type the name served when it last vacated.
     val everNamed = entries
       .filter(e => e.action == "addcolumn" || e.action == "dropcolumn"
         || e.action == "renamecolumn")
       .flatMap(e =>
         if (e.action == "renamecolumn") Seq(e.colName, e.colType) else Seq(e.colName))
-    require(!everNamed.contains(to),
-      s"column name '$to' already appears in the evolution history of $dir — " +
-        "rename targets must be fresh names")
+    if (everNamed.contains(to)) {
+      val vz = lastVacatedAt(entries, to).getOrElse(throw new IllegalStateException(
+        s"column '$to' appears in the history of $dir, is absent at head, yet never vacated"))
+      val prevT = readAsOf(s, dir, vz - 1).schema(to).dataType
+      val curT = headDf.schema(from).dataType
+      require(prevT == curT,
+        s"renaming '$from' (${curT.simpleString}) onto vacated name '$to' conflicts " +
+          s"with the ${prevT.simpleString} it served before vacating at v$vz of $dir — " +
+          "one physical name holds one type across all eras")
+    }
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "renamecolumn", Nil, 0, colName = from, colType = to))
     ver
@@ -873,8 +889,13 @@ object VersionedLayout {
       if (!df.columns.contains(from)) df
       else {
         val fromBelow = when(col("_cv") - 1 < r.version, col(from))
+        // Gate the to-arm too: with NAME REVIVAL a pre-image below the
+        // rename can carry `to` as a DEAD prior incarnation's values —
+        // only parts whose as-of version is at-or-above the rename hold
+        // the continuing identity under `to` (no-op for fresh targets).
+        val toAbove = when(col("_cv") - 1 >= r.version, col(to))
         val merged =
-          if (df.columns.contains(to)) df.withColumn(to, coalesce(col(to), fromBelow))
+          if (df.columns.contains(to)) df.withColumn(to, coalesce(toAbove, fromBelow))
           else df.withColumn(to, fromBelow)
         // A re-added `from` is born above toVersion by construction
         // (its rename sits inside the range): step 3 nulls it, so the
@@ -882,13 +903,12 @@ object VersionedLayout {
         merged.drop(from)
       }
     }
-    def canonToHead(n: String, ev: Int): String = entries
-      .filter(e => e.action == "renamecolumn" && e.version > ev && e.version <= head)
-      .sortBy(_.version)
-      .foldLeft(n)((nm, r) => if (r.colName == nm) r.colType else nm)
-    val birth: Map[String, Int] = entries.filter(_.action == "addcolumn")
-      .groupBy(e => canonToHead(e.colName, e.version))
-      .map { case (c, es) => c -> es.map(_.version).max }
+    // Births come from the identity scan (NOT a name-folded add-event
+    // map): a revived name's CURRENT identity may be base-origin or far
+    // older than the dead namesake's add event, and only the identity
+    // birth decides whether the restore target predates it.
+    val birth: Map[String, Int] = identitiesAt(entries, head)._2
+      .map(i => i.servedName -> i.birth).toMap
     val headSchema = readAsOf(s, dir, head).schema
     val projected = renamed.select(headSchema.fields.toSeq.map { f =>
       if (birth.getOrElse(f.name, 0) > toVersion)
@@ -1511,6 +1531,60 @@ object VersionedLayout {
     }
   }
 
+  /** One column identity of a layout: its birth version (0 for
+    * base-origin), declared add type when added, the chain of
+    * (name, startVersion) eras its renames produced, and its widens.
+    */
+  private final case class ColIdentity(birth: Int, addType: Option[String],
+    eras: Seq[(String, Int)], widens: Seq[(Int, String)]) {
+    def servedName: String = eras.last._1
+  }
+
+  /** Forward scan of the evolution events at-or-below `v`: ALL column
+    * identities ever created, and which are LIVE at v. The single
+    * source of truth for column mapping by source version —
+    * [[readAsOf]] serves each live identity as one era-gated
+    * expression; [[restore]] uses the head identities' births to decide
+    * which columns restore as NULL.
+    */
+  private def identitiesAt(entries: Seq[LogEntry], v: Int): (Seq[ColIdentity], Seq[ColIdentity]) = {
+    final case class B(birth: Int, addType: Option[String],
+      eras: scala.collection.mutable.ArrayBuffer[(String, Int)],
+      widens: scala.collection.mutable.ArrayBuffer[(Int, String)])
+    val liveByName = scala.collection.mutable.LinkedHashMap.empty[String, B]
+    val all = scala.collection.mutable.ArrayBuffer.empty[B]
+    // First mention of a name that was never added = a BASE-ORIGIN
+    // column (born with the table at version 0).
+    def claim(name: String): B = liveByName.getOrElseUpdate(name, {
+      val it = B(0, None, scala.collection.mutable.ArrayBuffer(name -> 0),
+        scala.collection.mutable.ArrayBuffer.empty)
+      all += it
+      it
+    })
+    entries.filter(_.version <= v).foreach { e =>
+      e.action match {
+        case "addcolumn" =>
+          val it = B(e.version, Some(e.colType),
+            scala.collection.mutable.ArrayBuffer(e.colName -> e.version),
+            scala.collection.mutable.ArrayBuffer.empty)
+          all += it
+          liveByName(e.colName) = it
+        case "dropcolumn" =>
+          claim(e.colName); liveByName.remove(e.colName); ()
+        case "renamecolumn" =>
+          val it = claim(e.colName)
+          liveByName.remove(e.colName)
+          it.eras += (e.colType -> e.version)
+          liveByName(e.colType) = it
+        case "widencolumn" =>
+          claim(e.colName).widens += (e.version -> e.colType); ()
+        case _ => ()
+      }
+    }
+    def fin(b: B) = ColIdentity(b.birth, b.addType, b.eras.toSeq, b.widens.toSeq)
+    (all.toSeq.map(fin), liveByName.values.toSeq.map(fin))
+  }
+
   def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
     val entries = log(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
@@ -1595,124 +1669,81 @@ object VersionedLayout {
           .reduce(_ && _)
         data.join(tombs, joinKey && col("tb._tomb_ver") > col("dt._src_ver"), "left_anti")
     }
-    // RENAME normalization FIRST: every source carries its own era's
-    // name for a renamed column (segments/archives written below the
-    // rename hold the old name, ones above hold the new), so bring them
-    // all to the name committed AS OF v before the add/drop replay.
-    // VERSION-GATED (column mapping by source version): one physical
-    // name can host TWO identities when the old name was later
-    // re-added, so each fold reads `from` only in the `_src_ver` range
-    // the renamed identity owned it — sources BELOW the rename. A
-    // re-added `from` (new incarnation, committed at or below v)
-    // survives under its own name for the add/drop replay to
-    // version-gate; without a re-add the spent name drops here exactly
-    // as before.
-    val renames = entries.filter(_.action == "renamecolumn").sortBy(_.version)
-    val renamedToV = renames.filter(_.version <= v).foldLeft(masked) { (df, r) =>
-      val (from, to) = (r.colName, r.colType)
-      if (!df.columns.contains(from)) df
-      else {
-        val fromBelow = when(col("_src_ver") < r.version, col(from))
-        val merged =
-          if (df.columns.contains(to)) df.withColumn(to, coalesce(col(to), fromBelow))
-          else df.withColumn(to, fromBelow)
-        val readded = entries.exists(e => e.action == "addcolumn"
-          && e.colName == from && e.version > r.version && e.version <= v)
-        if (readded) merged.withColumn(from, when(col("_src_ver") >= r.version, col(from)))
-        else merged.drop(from)
-      }
-    }
-    // Defensive mirror of the added-above-v case below: an above-v
-    // rename's to-name can only reach a below-v read when a post-v fold
+    // IDENTITY RESOLUTION (column mapping by source version, round 12):
+    // one forward scan of the evolution events at-or-below v builds the
+    // COLUMN IDENTITIES — each with a birth version, a chain of
+    // (name, startVersion) eras, its widens, and possibly a death — and
+    // each identity live at v becomes ONE version-gated expression: era
+    // k's physical name is read only where `_src_ver` falls inside era
+    // k's range (clipped at birth). This single mechanism subsumes what
+    // used to be four compositional passes (rename coalescing, re-add
+    // incarnation gating, add/drop replay, widen-per-incarnation) and
+    // is what makes the FULL evolution matrix safe: one physical name
+    // may host successive identities (re-add after rename, rename onto
+    // a vacated name), and no identity ever reads another's era.
+    val (allIdents, liveIdents) = identitiesAt(entries, v)
+    // Names that did NOT exist at v: their ENTIRE history starts with
+    // an above-v add (or above-v rename-target). A name whose first
+    // event is an above-v drop or rename-FROM existed at v as an
+    // untouched base column and is NOT in this set.
+    val absentAtV = entries
+      .flatMap(e => e.action match {
+        case "addcolumn" | "dropcolumn" => Seq(e.colName -> e)
+        case "renamecolumn" => Seq(e.colName -> e, e.colType -> e)
+        case _ => Nil
+      })
+      .groupBy(_._1).collect { case (n, evs)
+        if {
+          val first = evs.map(_._2).minBy(_.version)
+          first.version > v && (first.action == "addcolumn"
+            || (first.action == "renamecolumn" && first.colType == n))
+        } => n
+      }.toSet
+    // Defensive pre-pass (unchanged semantics): an ABOVE-v rename's
+    // to-name can only reach a below-v read when a post-v fold
     // materialized it and a pid escaped archival routing — read it back
-    // under its as-of-v name (normally a no-op). Reverse order so
-    // chains unwind.
-    val renamed = renames.filter(_.version > v).reverse.foldLeft(renamedToV) { (df, r) =>
-      if (df.columns.contains(r.colType) && !df.columns.contains(r.colName))
+    // under its as-of-v name so the era expressions below can see it
+    // (normally a no-op). GUARDED by absence-at-v: with name revival, a
+    // future rename's target may be a name that legitimately exists at
+    // v (an era column, or an untouched base column) — those must never
+    // be renamed away. Reverse order so chains unwind. Likewise, a
+    // column ADDED above v that leaked the same way simply leaves (the
+    // `absentAtV` exclusion in the final projection).
+    val futureRenames = entries
+      .filter(e => e.action == "renamecolumn" && e.version > v).sortBy(-_.version)
+    val mirrored = futureRenames.foldLeft(masked) { (df, r) =>
+      if (absentAtV.contains(r.colType)
+          && df.columns.contains(r.colType) && !df.columns.contains(r.colName))
         df.withColumnRenamed(r.colType, r.colName)
       else df
     }
-    // Canonicalize add/drop event names through the renames at or below
-    // v: an added column's add event predates its rename, and a
-    // post-rename drop names the new name — the replay must fold both
-    // under the ONE name v serves (unambiguous because rename targets
-    // are fresh names and renamed names cannot be re-added).
-    def canonName(name: String, eventVer: Int): String =
-      renames.filter(r => r.version <= v && r.version > eventVer)
-        .foldLeft(name)((n, r) => if (r.colName == n) r.colType else n)
-    // Serve v under its COMMITTED schema by replaying each evolved
-    // column's add/drop events through v (latest event at-or-below v
-    // decides):
-    //  - last event is a DROP -> the column leaves, whatever any source
-    //    still carries (segments written while it lived, pre-drop
-    //    archives);
-    //  - last event is an ADD with a PRIOR incarnation (a re-added
-    //    name) -> sources committed below the re-add read as typed
-    //    NULLs: the dropped incarnation's values never resurface;
-    //  - last event is a first ADD -> typed NULL where no source
-    //    carries it yet (the metadata-only window before the first
-    //    segment/fold materializes it);
-    //  - no event at-or-below v -> a base-origin column (first event is
-    //    its future drop) serves as-is; an added-above-v column leaves
-    //    (it can appear when a post-v fold materialized it and a pid
-    //    escaped archival routing — defensive, normally a no-op).
-    val events = entries
-      .filter(e => e.action == "addcolumn" || e.action == "dropcolumn")
-      .map(e => e.copy(colName = canonName(e.colName, e.version)))
-    val resolved = events.map(_.colName).distinct.foldLeft(renamed) { (df, name) =>
-      val evs = events.filter(_.colName == name).sortBy(_.version)
-      evs.filter(_.version <= v).lastOption match {
-        case None =>
-          // First event is an above-v ADD: the column normally leaves
-          // (it does not exist yet at v) — UNLESS an OLDER identity
-          // still held the physical name at v and only vacated it via
-          // a rename inside (v, addVer): then the name is a live
-          // base-origin column at v and serves as-is (its rename, being
-          // above v, has not folded it away).
-          val olderIdentityLiveAtV = renames.exists(rn => rn.colName == name
-            && rn.version > v && rn.version <= evs.head.version)
-          if (evs.head.action == "addcolumn" && !olderIdentityLiveAtV) df.drop(name)
-          else df
-        case Some(e) if e.action == "dropcolumn" => df.drop(name)
-        case Some(e) =>
-          // A prior identity under this physical name: an earlier
-          // add/drop event, OR a rename that MOVED an identity off the
-          // name before this add re-used it (the old identity's values
-          // live in sources below the rename and must not resurface
-          // under the re-added incarnation).
-          val priorIncarnation = evs.exists(_.version < e.version) ||
-            renames.exists(rn => rn.version < e.version
-              && (rn.colName == name || rn.colType == name))
-          if (!df.columns.contains(name))
-            df.withColumn(name, lit(null).cast(e.colType))
-          else if (priorIncarnation)
-            df.withColumn(name,
-              when(col("_src_ver") >= e.version, col(name))
-                .otherwise(lit(null).cast(e.colType)))
-          else df
+    // Names any identity (live or dead) ever carried: their physical
+    // columns are consumed by the era expressions and must not leak
+    // through as raw columns.
+    val involved = allIdents.flatMap(_.eras.map(_._1)).toSet
+    val servedExprs = liveIdents.map { it =>
+      val served = it.eras.last._1
+      val arms = it.eras.zipWithIndex.flatMap { case ((n, s0), k) =>
+        val lo = math.max(s0, it.birth)
+        val hi = it.eras.lift(k + 1).map(_._2)
+        if (!mirrored.columns.contains(n)) None
+        else Some(hi match {
+          case Some(h) => when(col("_src_ver") >= lo && col("_src_ver") < h, col(n))
+          case None => when(col("_src_ver") >= lo, col(n))
+        })
       }
+      val servedType = it.widens.lastOption.map(_._2).orElse(it.addType)
+      val raw =
+        if (arms.isEmpty)
+          lit(null).cast(servedType.getOrElse("bigint"))
+        else arms.reduceLeft(coalesce(_, _))
+      val cast = servedType.map(t => raw.cast(t)).getOrElse(raw)
+      served -> cast.as(served)
     }
-    // TYPE WIDENING last: serve each widened column at the width
-    // committed AS OF v (latest widen at-or-below v; names
-    // canonicalized through the renames like the add/drop events).
-    // Sources below the widen carry the narrow type — Union's set-op
-    // coercion already lifted the mix, the cast makes the served type
-    // exact. Below-widen reads see only narrow sources and no event,
-    // so they serve the narrow type untouched.
-    val widens = entries.filter(_.action == "widencolumn")
-      .map(e => e.copy(colName = canonName(e.colName, e.version)))
-      .filter(_.version <= v)
-      // A widen belongs to ITS incarnation: once the column was
-      // dropped, a re-added namesake starts at its own add type — the
-      // old era's widen must not lift it.
-      .filter(e => !events.exists(d => d.action == "dropcolumn"
-        && d.colName == e.colName && d.version > e.version && d.version <= v))
-      .groupBy(_.colName).values.map(_.maxBy(_.version))
-    val widened = widens.foldLeft(resolved) { (df, e) =>
-      if (df.columns.contains(e.colName))
-        df.withColumn(e.colName, col(e.colName).cast(e.colType))
-      else df
-    }
-    widened.drop("_src_ver")
+    val servedNames = servedExprs.map(_._1).toSet
+    val keepAsIs = mirrored.columns.toSeq
+      .filter(c => c != "_src_ver" && !involved.contains(c)
+        && !servedNames.contains(c) && !absentAtV.contains(c))
+    mirrored.select(keepAsIs.map(col) ++ servedExprs.map(_._2): _*)
   }
 }

@@ -2349,6 +2349,103 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q199's rename-revival events layout. */
+  private[graft] def eventsReviveDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_events_revive_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val eventsReviveLock = new Object
+
+  /** Build (or fast-forward) q199's history: v0 base (events, pid =
+    * user_id mod 16, key = event_id), v1 ADD `score_centi`, v2 INSERT
+    * purchase copies carrying it, v3 DROP `score_centi`, v4 RENAME the
+    * BASE column `value_centi` ONTO the vacated name `score_centi` —
+    * a NAME REVIVAL: the base identity continues under the re-used
+    * physical name while the dropped incarnation's values stay dead —
+    * v5 INSERT click copies under the revived name, v6 majorCompact.
+    */
+  private def ensureReviveScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsReviveDir(d)
+    eventsReviveLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.addColumn(s, dir, "score_centi", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 1)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi"),
+              expr("(value_centi + 7) div 10").as("score_centi")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.dropColumn(s, dir, "score_centi")
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.renameColumn(s, dir, "value_centi", "score_centi")
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 4)
+            .where(col("event_type") === "click"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("score_centi") + 3).as("score_centi")))
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** NAME REVIVAL VIA RENAME — the final evolution restriction, lifted:
+    * v4 renames the BASE column `value_centi` onto `score_centi`, a
+    * name a dropped incarnation used until v3. The load-bearing rows:
+    * v2 serves the dead incarnation's values (`n_with_score` =
+    * purchases); v3 has no score column; v4 serves EVERY row's
+    * value_centi under the revived name (`n_with_score` = all rows,
+    * `score_total` = the full value mass — and NOT one cent of the
+    * dead incarnation's per-purchase scores); v5 adds clicks under the
+    * revived name; v6's fold materializes it and below-fold reads keep
+    * each era exact from the archive. Combined with q197 (re-add after
+    * rename) and q198 (restore across evolution), no restriction
+    * remains on the evolution matrix except one-type-per-physical-name.
+    * At 100 TB: reclaiming a retired column name is one metadata
+    * commit; no read at any version can mix the two identities.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureReviveScenario(s, d)
+    (0 to 6).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val hasS = df.columns.contains("score_centi")
+      val hasV = df.columns.contains("value_centi")
+      val sc = if (hasS) col("score_centi") else lit(null).cast("bigint")
+      val vc = if (hasV) col("value_centi") else lit(null).cast("bigint")
+      df.select(lit(ver.toLong).as("version"), vc.as("_vc"), sc.as("_s"),
+        lit(if (hasV) "value_centi" else "").as("value_col"),
+        lit(if (hasS) "score_centi" else "").as("score_col"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("value_col"), col("score_col"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_vc")).as("n_with_value"),
+        coalesce(sum(col("_vc")), lit(0L)).as("value_total"),
+        count(col("_s")).as("n_with_score"),
+        coalesce(sum(col("_s")), lit(0L)).as("score_total"))
+      .select(col("version"), col("n_events"), col("n_with_value"),
+        col("value_total"), col("n_with_score"), col("score_total"),
+        col("value_col"), col("score_col"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q182's z-clustered fold layout. */
   private[graft] def eventsZfoldDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -2872,6 +2969,33 @@ object ScalePatterns {
          |  CAST(coalesce(sum(u.s), 0) AS BIGINT) AS score_total,
          |  CASE WHEN u.version >= 5 THEN 'amount_centi'
          |       ELSE 'value_centi' END AS value_col
+         |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
+    QueryDef("q199_layout_rename_revive", q199, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS version),
+         |base AS (SELECT ver.version,
+         |           CASE WHEN ver.version < 4 THEN e.vc END AS v,
+         |           CASE WHEN ver.version >= 4 THEN e.vc END AS s
+         |         FROM ver CROSS JOIN e),
+         |insp AS (SELECT ver.version,
+         |           CASE WHEN ver.version < 4 THEN e.vc + 7 END AS v,
+         |           CASE WHEN ver.version = 2 THEN (e.vc + 7) // 10
+         |                WHEN ver.version >= 4 THEN e.vc + 7 END AS s
+         |         FROM ver JOIN e ON ver.version >= 2 AND e.event_type = 'purchase'),
+         |insc AS (SELECT ver.version, CAST(NULL AS BIGINT) AS v, e.vc + 3 AS s
+         |         FROM ver JOIN e ON ver.version >= 5 AND e.event_type = 'click'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insp
+         |      UNION ALL SELECT * FROM insc)
+         |SELECT CAST(u.version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(u.v) AS BIGINT) AS n_with_value,
+         |  CAST(coalesce(sum(u.v), 0) AS BIGINT) AS value_total,
+         |  CAST(count(u.s) AS BIGINT) AS n_with_score,
+         |  CAST(coalesce(sum(u.s), 0) AS BIGINT) AS score_total,
+         |  CASE WHEN u.version < 4 THEN 'value_centi' ELSE '' END AS value_col,
+         |  CASE WHEN u.version IN (1, 2) OR u.version >= 4
+         |       THEN 'score_centi' ELSE '' END AS score_col
          |FROM u GROUP BY u.version ORDER BY 1""".stripMargin)),
     QueryDef("q196_orc_roundtrip", q196, Some(
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,

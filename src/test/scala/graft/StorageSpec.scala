@@ -1780,6 +1780,46 @@ class StorageSpec extends SparkSpec {
     assert(merged.where(col("c_mktsegment").isNull).count() == 3)
   }
 
+  test("restore across a NAME REVIVAL: pre-images below the rename never leak the dead incarnation's values into the revived column") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-restore-revive").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    // v0 base (value_centi = id*10), v1 add w, v2 insert 101/102
+    // CARRYING w (the doomed incarnation), v3 drop w, v4 RENAME the
+    // base column value_centi ONTO the vacated name w (revival), v5
+    // delete two rows, v6 RESTORE to v2 — the range crosses the drop
+    // AND the revival, and the restored pre-images (as-of v2/v4) carry
+    // BOTH eras of the physical name `w`.
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 8L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    VersionedLayout.addColumn(spark, dir, "w", "bigint")
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((101L, 7L), (102L, 9L))).withColumn("w", lit(5000L)))
+    VersionedLayout.dropColumn(spark, dir, "w")
+    assert(VersionedLayout.renameColumn(spark, dir, "value_centi", "w") == 4)
+    VersionedLayout.appendDelete(spark, dir, col("event_id").isin(3L, 101L))
+    val r6 = VersionedLayout.restore(spark, dir, 2)
+    assert(r6 == 6)
+    val head = VersionedLayout.readAsOf(spark, dir, r6)
+    assert(head.columns.sorted.toSeq == Seq("event_id", "pid", "w"))
+    // The revived `w` is the VALUE identity (base-origin, birth 0 — so
+    // a restore below the revival keeps its values); the dead
+    // incarnation's 5000s must be nowhere.
+    val got = head.select(col("event_id"), col("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((1L to 8L).map(i => i -> i * 10) ++ Seq(101L -> 7L, 102L -> 9L)).toMap
+    assert(got == want, s"got $got")
+    // Below-restore history intact: v2 still serves the dead
+    // incarnation under `w` and the base identity under value_centi.
+    val v2 = VersionedLayout.readAsOf(spark, dir, 2)
+    assert(v2.columns.sorted.toSeq == Seq("event_id", "pid", "value_centi", "w"))
+    assert(v2.where(col("w") === 5000L).count() == 2)
+  }
+
   test("randomized evolution histories match an identity-based model — insert/delete/add/drop/rename/re-add/fold/restore, every version checked") {
     import graft.operators.VersionedLayout
     val spark0 = spark
@@ -1795,7 +1835,7 @@ class StorageSpec extends SparkSpec {
     // version's names (row sets, column sets, and per-cell values
     // including NULLs for pre-birth / post-death incarnation windows).
     final case class Ident(id: Int, var name: String, var dead: Boolean)
-    for (seed <- Seq(11, 23, 47, 61)) {
+    for (seed <- Seq(11, 23, 47, 61, 83, 97)) {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-evomodel-$seed").toString + "/t"
       var nextKey = 9L
@@ -1808,6 +1848,7 @@ class StorageSpec extends SparkSpec {
       var ver = 0
       // snapshots(v) = (live identId -> its name at v, rows at v)
       val snaps = scala.collection.mutable.ArrayBuffer.empty[(Map[Int, String], Map[Long, Map[Int, Long]])]
+      val oplog = scala.collection.mutable.ArrayBuffer.empty[String]
       def live = idents.filter(!_.dead)
       def snap(): Unit = snaps += ((live.map(i => i.id -> i.name).toMap, rows))
       def mkDf(ks: Seq[Long]): org.apache.spark.sql.DataFrame = {
@@ -1835,12 +1876,14 @@ class StorageSpec extends SparkSpec {
             else { val ks0 = (nextKey until nextKey + (2 + rnd.nextInt(3))); nextKey = ks0.end; ks0 }
           ver += 1
           rows ++= modelRows(ks)
+          oplog += s"v$ver insert ${ks.mkString(",")}"
           VersionedLayout.appendInsert(spark, dir, mkDf(ks))
           snap()
         } else if (roll < 42 && rows.nonEmpty) { // DELETE 1-3 live keys
           val ks = rnd.shuffle(rows.keys.toSeq).take(1 + rnd.nextInt(3))
           ver += 1
           rows --= ks; deadKeys ++= ks
+          oplog += s"v$ver delete ${ks.mkString(",")}"
           VersionedLayout.appendDelete(spark, dir, col("event_id").isin(ks: _*))
           snap()
         } else if (roll < 56) { // ADD: a fresh name, or RE-ADD a dead one
@@ -1852,25 +1895,32 @@ class StorageSpec extends SparkSpec {
           ver += 1
           idents += Ident({ nextId += 1; nextId - 1 }, name, dead = false)
           usedNames += name
+          oplog += s"v$ver add $name(id ${nextId - 1})"
           assert(VersionedLayout.addColumn(spark, dir, name, "bigint") == ver)
           snap()
         } else if (roll < 66 && live.nonEmpty) { // DROP a live column
           val i = live(rnd.nextInt(live.size))
           ver += 1
           i.dead = true
+          oplog += s"v$ver drop ${i.name}(id ${i.id})"
           assert(VersionedLayout.dropColumn(spark, dir, i.name) == ver)
           snap()
-        } else if (roll < 80 && live.nonEmpty) { // RENAME to a fresh name
+        } else if (roll < 80 && live.nonEmpty) { // RENAME: fresh target, or REVIVE a vacated name
           val i = live(rnd.nextInt(live.size))
-          freshCounter += 1
-          val to = s"r$freshCounter"
+          val deadNames = (usedNames -- live.map(_.name) -- Seq("pid", "event_id"))
+            .toSeq.sorted
+          val to =
+            if (deadNames.nonEmpty && rnd.nextBoolean()) deadNames(rnd.nextInt(deadNames.size))
+            else { freshCounter += 1; s"r$freshCounter" }
           ver += 1
+          oplog += s"v$ver rename ${i.name}->$to(id ${i.id})"
           assert(VersionedLayout.renameColumn(spark, dir, i.name, to) == ver)
           i.name = to; usedNames += to
           snap()
         } else if (roll < 88) { // MAJOR FOLD: no logical change
           val (v2, _) = VersionedLayout.majorCompact(spark, dir)
           ver = v2
+          oplog += s"v$ver fold"
           snap()
         } else if (ver >= 1) { // RESTORE to a random past version
           val toV = rnd.nextInt(ver)
@@ -1884,6 +1934,7 @@ class StorageSpec extends SparkSpec {
           rows = rowsAt.map { case (k, m) => k -> m.filter(kv => liveIds(kv._1)) }
           deadKeys.clear()
           deadKeys ++= (snaps.flatMap(_._2.keys).toSet -- rows.keys)
+          oplog += s"v$ver restore->$toV"
           assert(VersionedLayout.restore(spark, dir, toV) == ver)
           snap()
         } else { // nothing applicable: burn no version
@@ -1909,7 +1960,8 @@ class StorageSpec extends SparkSpec {
         assert(got.keySet == want.keySet,
           s"seed $seed v$v: keys ${got.keySet -- want.keySet} extra, ${want.keySet -- got.keySet} missing")
         want.foreach { case (k, m) =>
-          assert(got(k) == m, s"seed $seed v$v key $k: got ${got(k)}, want $m")
+          assert(got(k) == m,
+            s"seed $seed v$v key $k: got ${got(k)}, want $m [${oplog.mkString("; ")}]")
         }
       }
     }
