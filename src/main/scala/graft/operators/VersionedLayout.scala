@@ -134,7 +134,8 @@ object VersionedLayout {
     */
   final case class LogEntry(
       version: Int, action: String, pids: Seq[Int], horizon: Int,
-      txn: Long = -1L, tag: String = "", colName: String = "", colType: String = "")
+      txn: Long = -1L, tag: String = "", colName: String = "", colType: String = "",
+      ts: Long = 0L)
 
   /** Artifact-directory suffix unique to this writer (process+thread):
     * concurrent writers preparing the SAME version number write disjoint
@@ -151,7 +152,7 @@ object VersionedLayout {
     s"""{"version":${e.version},"action":"${e.action}",""" +
       s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},""" +
       s""""tag":"${e.tag}","txn":${e.txn},""" +
-      s""""colName":"${e.colName}","colType":"${e.colType}"}"""
+      s""""colName":"${e.colName}","colType":"${e.colType}","ts":${e.ts}}"""
 
   private def parseEntry(body: String): LogEntry = {
     def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
@@ -167,7 +168,11 @@ object VersionedLayout {
       if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
       field("horizon").toInt,
       if (body.contains("\"txn\":")) field("txn").toLong else -1L,
-      strField("tag"), strField("colName"), strField("colType"))
+      strField("tag"), strField("colName"), strField("colType"),
+      // Optional (entries written before round 12 lack it): 0 reads as
+      // "no own stamp" and the monotonicized view carries the previous
+      // commit's time forward.
+      if (body.contains("\"ts\":")) field("ts").toLong else 0L)
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -199,7 +204,13 @@ object VersionedLayout {
         "this mutation raced a checkpointed head and published nothing",
       // cause marks this as a version-CAS loss so withWriteRetry rebases it
       new java.nio.file.FileAlreadyExistsException(entryFile(dir, e.version).toString))
-    val body = renderEntry(e)
+    // Stamp the commit time unless the caller carries its own (tests
+    // inject explicit stamps; re-rendered entries — checkpoint
+    // consolidation, clones — keep their original). The stamp feeds
+    // AS-OF-TIMESTAMP resolution only; nothing data-deterministic
+    // reads it.
+    val stamped = if (e.ts == 0L) e.copy(ts = System.currentTimeMillis()) else e
+    val body = renderEntry(stamped)
     // Writer-unique tmp: a shared name would let racing writer B rewrite
     // the tmp between A's write and createLink, publishing B's bytes
     // under A's successful CAS — the silent corruption the hard-link
@@ -340,6 +351,43 @@ object VersionedLayout {
   }
 
   def currentVersion(dir: String): Int = log(dir).lastOption.map(_.version).getOrElse(-1)
+
+  /** Effective (MONOTONICIZED) commit time of each version — the
+    * running max of the stamped wall-clock times, the DESCRIBE
+    * HISTORY timestamp column. Wall clocks can step backwards between
+    * commits (NTP) and pre-round-12 entries carry no stamp at all (0);
+    * the running max makes the time axis order-consistent with the
+    * version axis, which is what makes timestamp resolution
+    * deterministic.
+    */
+  def commitTimes(dir: String): Seq[(Int, Long)] = {
+    var eff = 0L
+    log(dir).map { e => eff = math.max(eff, e.ts); e.version -> eff }
+  }
+
+  /** The version a TIMESTAMP resolves to: the LAST version whose
+    * effective commit time is at-or-before `tsMs` (several commits
+    * inside one millisecond resolve to the newest — the same tie rule
+    * table formats use). Fails EXPLICITLY for a timestamp before the
+    * first commit: serving the empty pre-history silently would turn a
+    * caller's clock bug into a zero-row training corpus.
+    */
+  def versionAtTimestamp(dir: String, tsMs: Long): Int = {
+    val times = commitTimes(dir)
+    require(times.nonEmpty, s"no committed layout at $dir")
+    require(tsMs >= times.head._2,
+      s"timestamp $tsMs precedes the first commit (at ${times.head._2}) of $dir")
+    times.filter(_._2 <= tsMs).last._1
+  }
+
+  /** The table AS OF a wall-clock TIMESTAMP — [[readAsOf]] at
+    * [[versionAtTimestamp]]'s resolution. The reproducibility story for
+    * consumers that pin a TIME, not a version ("train on the corpus as
+    * of last midnight"): resolution is pure log metadata, and the read
+    * itself is the ordinary as-of read with all its archive routing.
+    */
+  def readAsOfTimestamp(s: SparkSession, dir: String, tsMs: Long): DataFrame =
+    readAsOf(s, dir, versionAtTimestamp(dir, tsMs))
 
   /** Oldest version still readable: 0 until a vacuum raises it. */
   def horizon(dir: String): Int =

@@ -1206,6 +1206,31 @@ object ScalePatterns {
     * planning is pure log metadata (bounded); vacuum/horizon and
     * archive-routing invariants are proven in StorageSpec.
     */
+  /** TIME TRAVEL BY TIMESTAMP — q159's four-version read resolved
+    * through WALL-CLOCK commit times instead of version numbers: each
+    * version's effective (monotonicized) commit time is read from the
+    * log and fed to [[graft.operators.VersionedLayout.readAsOfTimestamp]];
+    * the result must be row-identical to the version-addressed read
+    * (one oracle serves both queries). This is the reproducibility
+    * story consumers actually pin — "the corpus as of last midnight" —
+    * and it costs pure log metadata: resolution never touches data.
+    * Boundary semantics (newest-wins inside one millisecond, explicit
+    * refusal before the first commit, clock-step monotonicization) are
+    * proven deterministically in StorageSpec with injected stamps.
+    */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureVersionedScenario(s, d)
+    val times = VersionedLayout.commitTimes(dir).toMap
+    (0 to 3).map { ver =>
+      VersionedLayout.readAsOfTimestamp(s, dir, times(ver))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .select(lit(ver.toLong).as("version"),
+          col("n_rows"), col("total_centi"), col("n_orders"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   private def q159(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout
     val dir = ensureVersionedScenario(s, d)
@@ -2643,6 +2668,26 @@ object ScalePatterns {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** One derivation oracle for BOTH time-travel spellings (q159 by
+    * version, q200 by commit timestamp): each version's answer derived
+    * from the immutable source.
+    */
+  private lazy val timeTravelOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey
+       |  FROM lineitem),
+       |ver AS (SELECT unnest([0, 1, 2, 3]) AS version)
+       |SELECT CAST(ver.version AS BIGINT) AS version,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(s.v) AS BIGINT) AS total_centi,
+       |  count(DISTINCT s.l_orderkey) AS n_orders
+       |FROM ver JOIN s
+       |  ON NOT (ver.version >= 1
+       |          AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+       | AND NOT (ver.version >= 2
+       |          AND s.v BETWEEN $ttBandLoCenti AND $ttBandHiCenti)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_layout_delete", q151, Some(
       s"""WITH s AS (
@@ -3096,21 +3141,10 @@ object ScalePatterns {
          |  CAST(sum(v) AS BIGINT) AS total_centi,
          |  CAST(sum(q) AS BIGINT) AS qty_centi
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
-    QueryDef("q159_layout_time_travel", q159, Some(
-      s"""WITH s AS (
-         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey
-         |  FROM lineitem),
-         |ver AS (SELECT unnest([0, 1, 2, 3]) AS version)
-         |SELECT CAST(ver.version AS BIGINT) AS version,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(s.v) AS BIGINT) AS total_centi,
-         |  count(DISTINCT s.l_orderkey) AS n_orders
-         |FROM ver JOIN s
-         |  ON NOT (ver.version >= 1
-         |          AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
-         | AND NOT (ver.version >= 2
-         |          AND s.v BETWEEN $ttBandLoCenti AND $ttBandHiCenti)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q159_layout_time_travel", q159, Some(timeTravelOracleSql)),
+    // Same oracle on purpose: resolving by timestamp MUST reproduce the
+    // version-addressed read row-for-row.
+    QueryDef("q200_layout_time_travel_ts", q200, Some(timeTravelOracleSql)),
     QueryDef("q158_compaction_audit", q158, Some(
       s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |             count(*) AS cnt

@@ -1780,6 +1780,50 @@ class StorageSpec extends SparkSpec {
     assert(merged.where(col("c_mktsegment").isNull).count() == 3)
   }
 
+  test("timestamp time travel: monotonicized commit times, newest-wins ties, pre-history refusal, backwards clocks") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-ts-travel").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 4L).map(i => (i, i * 10))),
+      dir, Seq("event_id"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((5L, 50L))))
+    val times = VersionedLayout.commitTimes(dir)
+    assert(times.map(_._1) == Seq(0, 1) && times.forall(_._2 > 0),
+      s"commits not stamped: $times")
+    val (t0, t1) = (times(0)._2, times(1)._2)
+    assert(t1 >= t0, "effective times not monotone")
+    // Boundary semantics on REAL stamps.
+    assert(VersionedLayout.versionAtTimestamp(dir, t0) >= 0)
+    assert(VersionedLayout.versionAtTimestamp(dir, t1) == 1)
+    assert(VersionedLayout.versionAtTimestamp(dir, t1 + 3600000L) == 1,
+      "a future timestamp must resolve to the head")
+    intercept[IllegalArgumentException](
+      VersionedLayout.versionAtTimestamp(dir, t0 - 1))
+    assert(VersionedLayout.readAsOfTimestamp(spark, dir, t1 + 60000L).count() == 5)
+    // INJECTED stamps (commit keeps a caller-carried ts) make the clock
+    // pathologies deterministic: v2 commits with a clock that stepped
+    // BACKWARDS 1 hour — its effective time must carry v1's forward
+    // (running max), and resolution at t1 must now prefer the NEWEST
+    // version of the tie.
+    VersionedLayout.commit(dir,
+      VersionedLayout.LogEntry(2, "noop", Nil, 0, ts = t1 - 3600000L))
+    val eff = VersionedLayout.commitTimes(dir).toMap
+    assert(eff(2) == math.max(t1, t1 - 3600000L),
+      s"backwards clock leaked into the effective time axis: $eff")
+    assert(VersionedLayout.versionAtTimestamp(dir, t1) == 2,
+      "ties must resolve to the newest version")
+    // And an ancient stamp (epoch 1 ms — the same shape a pre-round-12
+    // unstamped entry reads back as) carries the axis forward too.
+    VersionedLayout.commit(dir,
+      VersionedLayout.LogEntry(3, "noop", Nil, 0, ts = 1L))
+    assert(VersionedLayout.commitTimes(dir).toMap.apply(3) == eff(2),
+      "an ancient/absent stamp must not fold the axis backwards")
+  }
+
   test("restore across a NAME REVIVAL: pre-images below the rename never leak the dead incarnation's values into the revived column") {
     import graft.operators.VersionedLayout
     val spark0 = spark
