@@ -1878,15 +1878,25 @@ class StorageSpec extends SparkSpec {
     // readAsOf must equal the model's snapshot rendered under that
     // version's names (row sets, column sets, and per-cell values
     // including NULLs for pre-birth / post-death incarnation windows).
-    final case class Ident(id: Int, var name: String, var dead: Boolean)
+    final case class Ident(id: Int, var name: String, var dead: Boolean,
+      var tpe: String)
     for (seed <- Seq(11, 23, 47, 61, 83, 97)) {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-evomodel-$seed").toString + "/t"
       var nextKey = 9L
       var nextId = 1
       var freshCounter = 0
-      val idents = scala.collection.mutable.ArrayBuffer(Ident(0, "c0", dead = false))
+      val idents = scala.collection.mutable.ArrayBuffer(
+        Ident(0, "c0", dead = false, tpe = "int"))
       val usedNames = scala.collection.mutable.Set("c0", "pid", "event_id")
+      // Engine type rules the generator must honor: a re-add must match
+      // every prior ADD declaration of the name, and a rename-involved
+      // name (either side) must re-enter at the type it SERVED when it
+      // last vacated. vanishType records the served type at each
+      // drop/rename-away; addTypes the declared add types per name.
+      val vanishType = scala.collection.mutable.Map.empty[String, String]
+      val addTypes = scala.collection.mutable.Map.empty[String, String]
+      val renameInvolved = scala.collection.mutable.Set.empty[String]
       var rows = Map.empty[Long, Map[Int, Long]] // key -> identId -> value
       val deadKeys = scala.collection.mutable.Set.empty[Long]
       var ver = 0
@@ -1902,7 +1912,7 @@ class StorageSpec extends SparkSpec {
           .select(Seq(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
             col("event_id")) ++
             cols.zipWithIndex.map { case (i, x) =>
-              col("vals").getItem(x).as(i.name) }: _*)
+              col("vals").getItem(x).cast(i.tpe).as(i.name) }: _*)
       }
       def modelRows(ks: Seq[Long]): Map[Long, Map[Int, Long]] =
         ks.map(k => k -> live.map(i => i.id -> (k * 1000 + i.id * 10 + (ver % 10))).toMap).toMap
@@ -1930,36 +1940,62 @@ class StorageSpec extends SparkSpec {
           oplog += s"v$ver delete ${ks.mkString(",")}"
           VersionedLayout.appendDelete(spark, dir, col("event_id").isin(ks: _*))
           snap()
-        } else if (roll < 56) { // ADD: a fresh name, or RE-ADD a dead one
+        } else if (roll < 54) { // ADD: a fresh name, or RE-ADD a dead one
+          // Re-addable dead names: the engine-legal declared type exists.
           val deadNames = (usedNames -- live.map(_.name) -- Seq("pid", "event_id"))
             .toSeq.sorted
-          val name =
+            .flatMap { n =>
+              val t =
+                if (renameInvolved(n)) vanishType.get(n)
+                  .filter(vt => addTypes.get(n).forall(_ == vt))
+                else addTypes.get(n).orElse(vanishType.get(n))
+              t.map(n -> _)
+            }
+          val (name, tpe) =
             if (deadNames.nonEmpty && rnd.nextBoolean()) deadNames(rnd.nextInt(deadNames.size))
-            else { freshCounter += 1; s"c$freshCounter" }
+            else {
+              freshCounter += 1
+              (s"c$freshCounter", if (rnd.nextBoolean()) "int" else "bigint")
+            }
           ver += 1
-          idents += Ident({ nextId += 1; nextId - 1 }, name, dead = false)
+          idents += Ident({ nextId += 1; nextId - 1 }, name, dead = false, tpe)
           usedNames += name
-          oplog += s"v$ver add $name(id ${nextId - 1})"
-          assert(VersionedLayout.addColumn(spark, dir, name, "bigint") == ver)
+          addTypes(name) = tpe
+          oplog += s"v$ver add $name:$tpe(id ${nextId - 1})"
+          assert(VersionedLayout.addColumn(spark, dir, name, tpe) == ver)
           snap()
-        } else if (roll < 66 && live.nonEmpty) { // DROP a live column
+        } else if (roll < 62 && live.nonEmpty) { // DROP a live column
           val i = live(rnd.nextInt(live.size))
           ver += 1
           i.dead = true
+          vanishType(i.name) = i.tpe
           oplog += s"v$ver drop ${i.name}(id ${i.id})"
           assert(VersionedLayout.dropColumn(spark, dir, i.name) == ver)
           snap()
-        } else if (roll < 80 && live.nonEmpty) { // RENAME: fresh target, or REVIVE a vacated name
+        } else if (roll < 74 && live.nonEmpty) { // RENAME: fresh target, or REVIVE a vacated name
           val i = live(rnd.nextInt(live.size))
+          // A revival target must have served exactly the mover's type
+          // when it vacated (the engine's one-type-per-name rule).
           val deadNames = (usedNames -- live.map(_.name) -- Seq("pid", "event_id"))
-            .toSeq.sorted
+            .toSeq.sorted.filter(n => vanishType.get(n).contains(i.tpe))
           val to =
             if (deadNames.nonEmpty && rnd.nextBoolean()) deadNames(rnd.nextInt(deadNames.size))
             else { freshCounter += 1; s"r$freshCounter" }
           ver += 1
+          vanishType(i.name) = i.tpe
+          renameInvolved += i.name
+          renameInvolved += to
           oplog += s"v$ver rename ${i.name}->$to(id ${i.id})"
           assert(VersionedLayout.renameColumn(spark, dir, i.name, to) == ver)
           i.name = to; usedNames += to
+          snap()
+        } else if (roll < 82 && live.exists(_.tpe == "int")) { // WIDEN int -> bigint
+          val cands = live.filter(_.tpe == "int")
+          val i = cands(rnd.nextInt(cands.size))
+          ver += 1
+          i.tpe = "bigint"
+          oplog += s"v$ver widen ${i.name}(id ${i.id})"
+          assert(VersionedLayout.widenColumn(spark, dir, i.name, "bigint") == ver)
           snap()
         } else if (roll < 88) { // MAJOR FOLD: no logical change
           val (v2, _) = VersionedLayout.majorCompact(spark, dir)
@@ -1995,7 +2031,8 @@ class StorageSpec extends SparkSpec {
         val got = df.collect().map { r =>
           val k = r.getLong(r.fieldIndex("event_id"))
           k -> names.map { case (id, n) =>
-            id -> (if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getLong(r.fieldIndex(n))))
+            id -> (if (r.isNullAt(r.fieldIndex(n))) None
+              else Some(r.getAs[Number](r.fieldIndex(n)).longValue))
           }
         }.toMap
         val want = mrows.map { case (k, m) =>
