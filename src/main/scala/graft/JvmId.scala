@@ -69,6 +69,15 @@ object JvmId {
   def diag(event: String, fields: (String, Any)*): Unit = diagLock.synchronized {
     diagFile.foreach { f =>
       try {
+        // Rotation: the ledger is append-forever across rounds; past
+        // ~1 MB keep the newest 2000 lines (months of builds) so the
+        // committed artifact stays reviewable and the repo lean.
+        if (f.isFile && f.length > 1000000L) {
+          val lines = java.nio.file.Files.readAllLines(f.toPath)
+          val keep = lines.subList(math.max(0, lines.size - 2000), lines.size)
+          java.nio.file.Files.write(f.toPath,
+            (String.join("\n", keep) + "\n").getBytes("UTF-8"))
+        }
         val kv = fields.map {
           case (k, v: String) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
           case (k, v: Boolean) => s""""$k":$v"""

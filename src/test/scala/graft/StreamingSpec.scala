@@ -756,4 +756,80 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(tot - b(k)._2) < 1e-6, s"user $k total")
     }
   }
+
+  test("streaming ingest continues across a MID-STREAM schema evolution: old batches under the old schema, new under the new, exactly-once throughout") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo-ingest").toString + "/layout"
+    def shapedOld(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("event_id", "user_id", "value_centi")
+      .select(pmod(col("user_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("user_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark,
+      shapedOld(Seq((1L, 0L, 10L), (2L, 1L, 20L), (3L, 2L, 30L), (4L, 3L, 40L))),
+      dir, Seq("event_id"))
+    def stage(df: org.apache.spark.sql.DataFrame, in: java.nio.file.Path, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evo-stage")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+    def run(in: java.nio.file.Path, chk: java.nio.file.Path,
+        schema: org.apache.spark.sql.types.StructType, txnBase: Long): Unit = {
+      val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (b, id) => { VersionedLayout.appendInsertOnce(spark, dir, b, txnBase + id); () }
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // Phase 1: a micro-batch under the ORIGINAL schema -> v1.
+    val in1 = java.nio.file.Files.createTempDirectory("graft-evo-in1")
+    val chk1 = java.nio.file.Files.createTempDirectory("graft-evo-chk1")
+    val b0 = shapedOld(Seq((101L, 0L, 7L), (102L, 1L, 9L))).localCheckpoint()
+    stage(b0, in1, "b0.parquet")
+    run(in1, chk1, b0.schema, txnBase = 0L)
+    assert(VersionedLayout.currentVersion(dir) == 1)
+    // MID-STREAM EVOLUTION while ingest is stopped (a deploy window):
+    // v2 adds a feature column, v3 renames the value column.
+    VersionedLayout.addColumn(spark, dir, "score_centi", "bigint")
+    VersionedLayout.renameColumn(spark, dir, "value_centi", "amount_centi")
+    // Phase 2: a NEW stream (new source schema, disjoint txn range —
+    // a schema change is a new ingest epoch) carrying the HEAD era's
+    // columns -> v4.
+    val in2 = java.nio.file.Files.createTempDirectory("graft-evo-in2")
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-evo-chk2")
+    val b1 = Seq((201L, 2L, 11L, 5L), (202L, 3L, 13L, 6L))
+      .toDF("event_id", "user_id", "amount_centi", "score_centi")
+      .select(pmod(col("user_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("user_id"), col("amount_centi"), col("score_centi"))
+      .localCheckpoint()
+    stage(b1, in2, "b1.parquet")
+    run(in2, chk2, b1.schema, txnBase = 100L)
+    assert(VersionedLayout.currentVersion(dir) == 4)
+    // The head serves ONE unified schema: old-batch rows fold their
+    // value under the new name with a NULL feature column; new-batch
+    // rows carry both.
+    val head = VersionedLayout.readAsOf(spark, dir, 4)
+    assert(head.columns.sorted.toSeq
+      == Seq("amount_centi", "event_id", "pid", "score_centi", "user_id"))
+    assert(head.count() == 8)
+    assert(head.where(col("amount_centi").isNotNull).count() == 8,
+      "pre-evolution rows lost their value under the renamed column")
+    assert(head.where(col("score_centi").isNotNull).count() == 2,
+      "the feature column must be non-null exactly on the new-era rows")
+    assert(head.agg(sum("amount_centi")).collect()(0).getLong(0)
+      == 10 + 20 + 30 + 40 + 7 + 9 + 11 + 13)
+    // Per-batch time travel below the evolution serves the OLD schema.
+    val v1 = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(v1.columns.contains("value_centi") && !v1.columns.contains("amount_centi")
+      && v1.count() == 6)
+    // Exactly-once across the evolution: replaying the new-era batch
+    // with its txn stamp is a no-op.
+    assert(VersionedLayout.appendInsertOnce(spark, dir, b1, 100L) == 4)
+    assert(VersionedLayout.currentVersion(dir) == 4, "replay appended a commit")
+  }
 }
