@@ -13,17 +13,18 @@ package graft
   * two JVMs then interleave writes under one root — data that is
   * structurally valid (rows/schema match) but value-divergent (hash
   * mismatch) and unreproducible in any single-process re-run. A
-  * 128-bit random token generated once per JVM cannot collide across
-  * namespaces, hosts, or recycled process tables.
+  * random UUID token generated once per JVM (122 random bits) cannot
+  * collide across namespaces, hosts, or recycled process tables.
   */
 object JvmId {
 
-  /** Stable for the lifetime of this JVM, unique across JVMs with
-    * 2^-128 collision odds: the drop-in replacement for the PID in
-    * every tmp-root name.
+  /** Stable for the lifetime of this JVM, unique across JVMs: the
+    * drop-in replacement for the PID in every tmp-root name. The full
+    * 32-hex-char UUIDv4 (122 random bits — ~2^-122 per-pair collision
+    * odds; the 6 version/variant bits are fixed), not a truncation.
     */
   val token: String =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    java.util.UUID.randomUUID().toString.replace("-", "")
 
   /** CRC of the given classes' bytecode — the CODE-STATE nonce baked
     * into the name of every STABLE (cross-JVM, cross-round) scenario
@@ -70,13 +71,22 @@ object JvmId {
     diagFile.foreach { f =>
       try {
         // Rotation: the ledger is append-forever across rounds; past
-        // ~1 MB keep the newest 2000 lines (months of builds) so the
-        // committed artifact stays reviewable and the repo lean.
+        // ~1 MB RENAME it to DIAG.1.jsonl (committed alongside, one
+        // rotation generation of history) and start fresh. Rename is
+        // O(1) — no per-append rewrite of the newest N lines once past
+        // the threshold — and it is the rotation that cannot LOSE a
+        // line across processes: a racing JVM's already-open append
+        // follows the inode into the rotated file, where the old
+        // read-truncate-rewrite could silently drop a concurrent
+        // append it never read. Two concurrent rotations: the second
+        // rename moves a near-empty fresh file over DIAG.1 — bounded
+        // loss of already-rotated (not fresh) lines, diagnostics-only.
         if (f.isFile && f.length > 1000000L) {
-          val lines = java.nio.file.Files.readAllLines(f.toPath)
-          val keep = lines.subList(math.max(0, lines.size - 2000), lines.size)
-          java.nio.file.Files.write(f.toPath,
-            (String.join("\n", keep) + "\n").getBytes("UTF-8"))
+          val rotated = new java.io.File(f.getParentFile, "DIAG.1.jsonl")
+          try java.nio.file.Files.move(f.toPath, rotated.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: Throwable => () }
         }
         val kv = fields.map {
           case (k, v: String) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""

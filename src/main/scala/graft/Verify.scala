@@ -40,6 +40,31 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // GATE SELF-CHECK (round 13): for the watched queries, replay the
+    // driver's DuckDB compare LOCALLY against the gate parquet just
+    // written, and append the verdict + both sides' full row digests
+    // to DIAG.jsonl. This closes the q186 forensics gap: a later
+    // driver-red row beside a same-timestamp local-green line proves
+    // the divergence is in the driver's harness; a local-red names the
+    // exact cells. Best-effort — duckdb is a driver-side tool, so ad
+    // hoc environments without it just skip (never fail the gate).
+    val selfCheck = Set("q186b_snapshot_manifest")
+    selfCheck.filter(n => only.isEmpty || only(n))
+      .filter(n => new java.io.File(s"$outDir/$n").isDirectory)
+      .filter(_ => new java.io.File("tools/gate_selfcheck.py").isFile)
+      .foreach { n =>
+        try {
+          val out = new ProcessBuilder(
+              "python3", "tools/gate_selfcheck.py", outDir, sfDir, n)
+            .redirectErrorStream(true).start()
+          val line = new String(out.getInputStream.readAllBytes(), "UTF-8").trim
+          out.waitFor()
+          JvmId.diag("gate_selfcheck", "query" -> n, "result" -> line)
+        } catch { case e: Throwable =>
+          JvmId.diag("gate_selfcheck", "query" -> n,
+            "result" -> s"spawn failed: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }

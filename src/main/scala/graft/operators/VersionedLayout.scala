@@ -352,23 +352,27 @@ object VersionedLayout {
 
   def currentVersion(dir: String): Int = log(dir).lastOption.map(_.version).getOrElse(-1)
 
-  /** Effective (MONOTONICIZED) commit time of each version — the
-    * running max of the stamped wall-clock times, the DESCRIBE
-    * HISTORY timestamp column. Wall clocks can step backwards between
-    * commits (NTP) and pre-round-12 entries carry no stamp at all (0);
-    * the running max makes the time axis order-consistent with the
-    * version axis, which is what makes timestamp resolution
-    * deterministic.
+  /** Effective (STRICTLY MONOTONICIZED) commit time of each version —
+    * `eff = max(prevEff + 1, ts)`, the DESCRIBE HISTORY timestamp
+    * column. Wall clocks can step backwards between commits (NTP),
+    * two commits can land inside one millisecond, and pre-round-12
+    * entries carry no stamp at all (0); forcing each version onto its
+    * OWN effective millisecond (the same forced-monotonicity rule
+    * table formats apply to commit timestamps) means a timestamp
+    * never aliases two versions — so version → time → version
+    * round-trips exactly, which is what makes [[versionAtTimestamp]]
+    * resolution deterministic even for same-millisecond commit pairs.
     */
   def commitTimes(dir: String): Seq[(Int, Long)] = {
-    var eff = 0L
-    log(dir).map { e => eff = math.max(eff, e.ts); e.version -> eff }
+    var eff = -1L
+    log(dir).map { e => eff = math.max(eff + 1, e.ts); e.version -> eff }
   }
 
   /** The version a TIMESTAMP resolves to: the LAST version whose
-    * effective commit time is at-or-before `tsMs` (several commits
-    * inside one millisecond resolve to the newest — the same tie rule
-    * table formats use). Fails EXPLICITLY for a timestamp before the
+    * effective commit time is at-or-before `tsMs`. Effective times are
+    * strictly increasing ([[commitTimes]]), so there are no ties to
+    * break — a version's own effective time always resolves back to
+    * that version. Fails EXPLICITLY for a timestamp before the
     * first commit: serving the empty pre-history silently would turn a
     * caller's clock bug into a zero-row training corpus.
     */
@@ -1777,7 +1781,15 @@ object VersionedLayout {
         if (!mirrored.columns.contains(n)) None
         else Some(hi match {
           case Some(h) => when(col("_src_ver") >= lo && col("_src_ver") < h, col(n))
-          case None => when(col("_src_ver") >= lo, col(n))
+          // The LAST era closes at v, not open-ended: every legitimate
+          // source carries _src_ver <= v, so this costs nothing — but a
+          // pid that escaped archival routing (the leaked-pid corner)
+          // can surface _src_ver > v rows whose values belong to an
+          // ABOVE-v identity under this physical name (a future rename
+          // whose target revived it, which the absentAtV-gated mirror
+          // pre-pass deliberately leaves in place); the upper bound
+          // keeps those future values out of the historical read.
+          case None => when(col("_src_ver") >= lo && col("_src_ver") <= v, col(n))
         })
       }
       val servedType = it.widens.lastOption.map(_._2).orElse(it.addType)

@@ -1214,9 +1214,12 @@ object ScalePatterns {
     * (one oracle serves both queries). This is the reproducibility
     * story consumers actually pin — "the corpus as of last midnight" —
     * and it costs pure log metadata: resolution never touches data.
-    * Boundary semantics (newest-wins inside one millisecond, explicit
-    * refusal before the first commit, clock-step monotonicization) are
-    * proven deterministically in StorageSpec with injected stamps.
+    * Boundary semantics (STRICTLY increasing effective times — each
+    * version owns its own millisecond, so this version → time →
+    * version round trip is exact even for same-millisecond commit
+    * pairs — explicit refusal before the first commit, clock-step
+    * monotonicization) are proven deterministically in StorageSpec
+    * with injected stamps.
     */
   private def q200(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout

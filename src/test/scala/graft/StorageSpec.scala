@@ -1806,22 +1806,33 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOfTimestamp(spark, dir, t1 + 60000L).count() == 5)
     // INJECTED stamps (commit keeps a caller-carried ts) make the clock
     // pathologies deterministic: v2 commits with a clock that stepped
-    // BACKWARDS 1 hour — its effective time must carry v1's forward
-    // (running max), and resolution at t1 must now prefer the NEWEST
-    // version of the tie.
+    // BACKWARDS 1 hour — its effective time must land STRICTLY above
+    // v1's (eff = max(prevEff + 1, ts), the forced-monotonicity rule
+    // table formats apply), so each version owns its own millisecond
+    // and a version's own effective time always resolves back to that
+    // version — no two versions can ever alias one timestamp (the
+    // round-12 advisor's q200 nondeterminism finding).
     VersionedLayout.commit(dir,
       VersionedLayout.LogEntry(2, "noop", Nil, 0, ts = t1 - 3600000L))
     val eff = VersionedLayout.commitTimes(dir).toMap
-    assert(eff(2) == math.max(t1, t1 - 3600000L),
-      s"backwards clock leaked into the effective time axis: $eff")
-    assert(VersionedLayout.versionAtTimestamp(dir, t1) == 2,
-      "ties must resolve to the newest version")
+    assert(eff(2) == eff(1) + 1,
+      s"backwards clock must force prevEff+1, got: $eff")
+    assert(VersionedLayout.versionAtTimestamp(dir, eff(1)) == 1
+      && VersionedLayout.versionAtTimestamp(dir, eff(2)) == 2,
+      "each version's own effective time must resolve to itself")
     // And an ancient stamp (epoch 1 ms — the same shape a pre-round-12
-    // unstamped entry reads back as) carries the axis forward too.
+    // unstamped entry reads back as) lands strictly above too.
     VersionedLayout.commit(dir,
       VersionedLayout.LogEntry(3, "noop", Nil, 0, ts = 1L))
-    assert(VersionedLayout.commitTimes(dir).toMap.apply(3) == eff(2),
+    assert(VersionedLayout.commitTimes(dir).toMap.apply(3) == eff(2) + 1,
       "an ancient/absent stamp must not fold the axis backwards")
+    // Same-millisecond pair: strict monotonicity separates them.
+    VersionedLayout.commit(dir,
+      VersionedLayout.LogEntry(4, "noop", Nil, 0, ts = eff(2) + 1))
+    val eff2 = VersionedLayout.commitTimes(dir).toMap
+    assert(eff2(4) == eff2(3) + 1 && (3 to 4).forall(v =>
+      VersionedLayout.versionAtTimestamp(dir, eff2(v)) == v),
+      s"same-millisecond commits must not alias: $eff2")
   }
 
   test("restore across a NAME REVIVAL: pre-images below the rename never leak the dead incarnation's values into the revived column") {

@@ -60,19 +60,35 @@ stable() {
   [ $((now - m)) -ge "$POLL" ]
 }
 
-for _ in $(seq 1 "$MAX_POLLS"); do
-  sleep "$POLL"
-  safe_to_commit || continue
-  paths=()
-  # QUERIES.md is deliberately NOT here: it is source-maintained (committed
-  # with the feature that changes it), not a driver artifact — sweeping an
-  # in-progress edit of it into an artifact commit was a round-10 advisor
-  # finding.
+# QUERIES.md is deliberately NOT here: it is source-maintained (committed
+# with the feature that changes it), not a driver artifact — sweeping an
+# in-progress edit of it into an artifact commit was a round-10 advisor
+# finding.
+artifact_files() {
+  local f
   for f in BENCH_LATEST.json SLOPES.json LEAKCHECK.json DIAG.jsonl \
-           COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json BENCH_AB_*.md; do
-    [ -e "$f" ] && stable "$f" && paths+=("$f")
+           DIAG.1.jsonl COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
+           BENCH_AB_*.md; do
+    [ -e "$f" ] && printf '%s\n' "$f"
   done
-  [ "${#paths[@]}" -eq 0 ] && continue
+}
+
+# One atomic add+commit attempt. The round-11 AND round-12 snapshots
+# both caught an artifact staged-but-uncommitted: adding a PARTIAL set
+# (only the files stable so far) leaves the add→commit sequence racing
+# later-arriving artifacts across poll iterations. The fix prescribed
+# by the round-12 review: add NOTHING unless the ENTIRE present
+# artifact set is stable, then add and commit back-to-back — so the
+# staged-but-uncommitted state can never persist past one subshell.
+# Returns 0 when every present artifact is committed clean.
+sweep_commit() {
+  safe_to_commit || return 1
+  local paths=() f
+  while IFS= read -r f; do
+    stable "$f" || return 1   # something still in flight: touch nothing
+    paths+=("$f")
+  done < <(artifact_files)
+  [ "${#paths[@]}" -eq 0 ] && return 1
   git_quiet add -- "${paths[@]}"
   # Commit ONLY the artifact pathspec; a no-change commit fails quietly.
   if ! git diff --cached --quiet -- "${paths[@]}" 2>/dev/null; then
@@ -81,24 +97,24 @@ for _ in $(seq 1 "$MAX_POLLS"); do
 No-Verification-Needed: artifact-only commit (bench/correctness JSON)" \
       -- "${paths[@]}" || true
   fi
-  # Done once the NEW round's CORRECTNESS file is committed clean AND
-  # every other artifact is clean too. Round 11 broke as soon as
-  # CORRECTNESS_r11 was in, leaving a later-arriving LEAKCHECK.json
-  # staged-but-uncommitted at snapshot time — the driver writes the
-  # leak/copy sweeps AFTER correctness, so the done-signal must cover
-  # the whole artifact set, not just the trigger file.
+  # Clean = nothing unstaged AND nothing staged across the whole set.
+  git diff --quiet -- "${paths[@]}" 2>/dev/null \
+    && git diff --cached --quiet -- "${paths[@]}" 2>/dev/null
+}
+
+for _ in $(seq 1 "$MAX_POLLS"); do
+  sleep "$POLL"
+  sweep_commit || continue
+  # Done once the NEW round's CORRECTNESS file exists and the sweep
+  # above committed the whole artifact set clean — the driver writes
+  # the leak/copy sweeps AFTER correctness, so the done-signal is the
+  # full-set sweep, not the trigger file alone. One FINAL sweep next
+  # iteration closes the window between this commit and anything the
+  # driver wrote while it ran.
   if [ "$(max_round)" -gt "$START_ROUND" ]; then
-    newf=$(printf 'CORRECTNESS_r%02d.json' "$(max_round)")
-    all_clean=1
-    for f in "$newf" LEAKCHECK.json COPYCHECK.json SLOPES.json \
-             BENCH_LATEST.json DIAG.jsonl; do
-      [ -e "$f" ] || continue
-      if ! stable "$f" || ! git diff --quiet -- "$f" 2>/dev/null \
-          || ! git diff --cached --quiet -- "$f" 2>/dev/null; then
-        all_clean=0; break
-      fi
-    done
-    [ -e "$newf" ] && [ "$all_clean" = 1 ] && break
+    sleep "$POLL"
+    sweep_commit
+    break
   fi
 done
 exit 0
