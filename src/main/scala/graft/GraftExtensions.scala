@@ -1,20 +1,36 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.expressions.{StringPolyHash, VectorDotProduct}
 import graft.plans.IntersectSizeRewrite
 
 /** Registers the engine's custom Catalyst surface: expressions as SQL
   * functions (`spark.sql("SELECT vector_dot(a, b) ...")` works alongside
-  * the Column API) and the optimizer rule that fuses
-  * `size(array_intersect)` into a count-only expression. Installed by
-  * GraftSession via `builder.withExtensions`; external users can add it
-  * with `spark.sql.extensions=graft.GraftExtensions`.
+  * the Column API), TABLE functions for the versioned layout's time
+  * travel (`FROM graft_layout_asof('/path', 2)`), and the optimizer
+  * rule that fuses `size(array_intersect)` into a count-only
+  * expression. Installed by GraftSession via `builder.withExtensions`;
+  * external users can add it with
+  * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** A table function's arguments must be compile-time constants — the
+    * layout directory and version resolve at PLAN time (the as-of read
+    * assembles its source list from log metadata before any task runs),
+    * exactly like a table format's `VERSION AS OF` literal.
+    */
+  private def constArg(args: Seq[Expression], i: Int, fn: String): Any = {
+    require(i < args.length && args(i).foldable,
+      s"$fn argument ${i + 1} must be a literal")
+    args(i).eval()
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IntersectSizeRewrite)
     e.injectFunction((
@@ -26,6 +42,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("string_poly_hash"),
       new ExpressionInfo(classOf[StringPolyHash].getName, "string_poly_hash"),
       (args: Seq[Expression]) => StringPolyHash(args.head),
+    ))
+    // SQL-FACING TIME TRAVEL (round 13): the Scala API
+    // (VersionedLayout.readAsOf / readAsOfTimestamp) exposed as table
+    // functions, so a pure-SQL consumer can address retained history
+    // without touching the Scala surface:
+    //   SELECT * FROM graft_layout_asof('/table/dir', 2)
+    //   SELECT * FROM graft_layout_asof_ts('/table/dir', 1786800000000)
+    // The builder returns the as-of read's LOGICAL PLAN — Catalyst
+    // analyzes and optimizes it like any subquery (filters still push
+    // into the underlying parquet scans), and every layout guarantee
+    // (archive routing, tombstone masking, era-gated identity
+    // resolution, below-horizon refusal) rides along because it IS the
+    // same plan the Scala API builds.
+    e.injectTableFunction((
+      FunctionIdentifier("graft_layout_asof"),
+      new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
+        "graft_layout_asof"),
+      (args: Seq[Expression]) => {
+        val dir = constArg(args, 0, "graft_layout_asof").toString
+        val v = constArg(args, 1, "graft_layout_asof").toString.toInt
+        graft.operators.VersionedLayout.readAsOf(SparkSession.active, dir, v)
+          .queryExecution.logical: LogicalPlan
+      },
+    ))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_layout_asof_ts"),
+      new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
+        "graft_layout_asof_ts"),
+      (args: Seq[Expression]) => {
+        val dir = constArg(args, 0, "graft_layout_asof_ts").toString
+        val ts = constArg(args, 1, "graft_layout_asof_ts").toString.toLong
+        graft.operators.VersionedLayout
+          .readAsOfTimestamp(SparkSession.active, dir, ts)
+          .queryExecution.logical: LogicalPlan
+      },
     ))
   }
 }

@@ -1322,6 +1322,72 @@ object VersionedLayout {
     fire
   }
 
+  /** The version a TIME-BASED retain policy keeps from: the version
+    * that was CURRENT at `cutoffMs` — a reader pinning "as of the
+    * cutoff" ([[readAsOfTimestamp]]) must stay servable, so the policy
+    * keeps that version and everything after it. 0 when the cutoff
+    * precedes the first commit (retain everything — never a refusal).
+    * Pure log metadata; effective times are strictly increasing
+    * ([[commitTimes]]), so the resolution is deterministic.
+    */
+  def versionRetainedAt(dir: String, cutoffMs: Long): Int = {
+    val times = commitTimes(dir)
+    if (times.isEmpty || cutoffMs < times.head._2) 0
+    else times.filter(_._2 <= cutoffMs).last._1
+  }
+
+  /** RETENTION AUDIT, TIME-BASED — [[retentionAudit]]'s `keep_after_ts`
+    * arm: the `RETAIN <window>` policy real table formats run ("keep 7
+    * days of history") instead of keep-last-N-versions. Per committed
+    * version: its effective commit time, whether the window still
+    * covers it, and what a [[vacuumIfNeededByTime]] at this cutoff
+    * would reclaim. Pure log metadata + the same bounded archive
+    * masses as the count-based audit.
+    */
+  def retentionAuditByTime(s: SparkSession, dir: String, retainMs: Long,
+      nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    val entries = log(dir)
+    val masses = archivedMasses(s, dir, entries)
+    val cutoff = nowMs - retainMs
+    val keepFrom = math.max(horizon(dir), versionRetainedAt(dir, cutoff))
+    val reclaim = masses.collect { case (v, m) if v <= keepFrom => m }.sum
+    val times = commitTimes(dir).toMap
+    val rows = entries.map { e =>
+      (e.version.toLong, e.action, times(e.version),
+        times(e.version) >= cutoff,
+        (e.action == "compact" || e.action == "majorcompact") && e.version <= keepFrom,
+        keepFrom.toLong, cutoff, reclaim)
+    }
+    val s0 = s
+    import s0.implicits._
+    rows.toDF("version", "action", "eff_commit_ts", "inside_window",
+      "reclaimable", "keep_from", "cutoff_ts", "predicted_reclaim_rows")
+  }
+
+  /** Vacuum to the TIME-BASED horizon — `VACUUM ... RETAIN <window>`
+    * semantics riding the strictly-monotone commit-time axis: drop the
+    * archives backing only versions older than `nowMs - retainMs`,
+    * keeping the version that was current AT the cutoff (so every
+    * [[readAsOfTimestamp]] inside the window keeps resolving). Fires
+    * when the time horizon has moved past the current one and the
+    * reclaim meets `minReclaimRows`; AS-OF below the new horizon then
+    * fails loudly like any other below-horizon read. Returns whether
+    * it fired. `nowMs` is injectable so policies (and the gate) are
+    * deterministic — production callers pass the default.
+    */
+  def vacuumIfNeededByTime(s: SparkSession, dir: String, retainMs: Long,
+      nowMs: Long = System.currentTimeMillis(),
+      minReclaimRows: Long = 0L): Boolean = {
+    val entries = log(dir)
+    val h = horizon(dir)
+    val keepFrom = math.max(h, versionRetainedAt(dir, nowMs - retainMs))
+    val reclaim = archivedMasses(s, dir, entries)
+      .collect { case (v, m) if v <= keepFrom => m }.sum
+    val fire = keepFrom > h && reclaim >= minReclaimRows
+    if (fire) vacuum(s, dir, keepFrom)
+    fire
+  }
+
   /** Reclaim append-race leftovers: artifact dirs at versions at or
     * below the head whose name is NOT the committed entry's resolution
     * — a CAS loser's writer-tagged garbage (never referenced by any

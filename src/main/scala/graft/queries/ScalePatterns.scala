@@ -1234,6 +1234,141 @@ object ScalePatterns {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** Stable location of q201's TIME-RETAINED layout — separate from
+    * q159's shared history (whose below-horizon versions other queries
+    * still read; a retention vacuum here must never break them).
+    */
+  private[graft] def timeRetainLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_timeretain_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val timeRetainLock = new Object
+
+  /** How long q201's RETAIN window is (any value works — the injected
+    * `nowMs` pins the cutoff to v3's own effective commit time).
+    */
+  private val timeRetainWindowMs = 60000L
+
+  /** Build (or fast-forward) q201's history: q159's four-version
+    * write -> delete -> delete -> compact, then the TIME-BASED
+    * retention vacuum: `nowMs` is injected as eff(v3) + window so the
+    * cutoff lands EXACTLY on v3's effective commit time — the policy
+    * resolves keep_from = 3 deterministically whatever the wall clock
+    * did during the build (effective times are strictly monotone, so
+    * version -> time -> version round-trips exactly). The vacuum
+    * reclaims v3's compaction archive and raises the horizon to 3;
+    * re-entry sees keep_from == horizon and correctly refuses to fire
+    * again (the boundary is proven with injected stamps in
+    * StorageSpec).
+    */
+  private def ensureTimeRetainScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = timeRetainLayoutDir(d)
+    timeRetainLock.synchronized {
+      VersionedLayout.writeBase(s, d, dir, rangeUppers(s, d))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(ttBandLoCenti, ttBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+      if (VersionedLayout.horizon(dir) < 3) {
+        val effHead = VersionedLayout.commitTimes(dir).toMap.apply(3)
+        val fired = VersionedLayout.vacuumIfNeededByTime(s, dir,
+          timeRetainWindowMs, nowMs = effHead + timeRetainWindowMs)
+        require(fired, s"time-based retention vacuum did not fire on $dir")
+      }
+    }
+    dir
+  }
+
+  /** TIME-BASED RETENTION on the commit log — `VACUUM ... RETAIN
+    * <window>` semantics (keep a time window of history, not a version
+    * count), the policy real deployments actually run: after the
+    * builder's retention vacuum (cutoff pinned to v3's own commit
+    * time), versions 0-2 sit below the horizon and REFUSE loudly —
+    * the query proves each refusal before emitting its row — while the
+    * head version still serves the full post-delete corpus. The oracle
+    * re-derives the head aggregate from the immutable source and the
+    * refusal pattern from the policy's arithmetic. At 100 TB this is
+    * the difference between "history grows forever" and "storage is
+    * bounded by the retention SLA while every timestamp inside the
+    * window keeps resolving" ([[graft.operators.VersionedLayout
+    * .vacuumIfNeededByTime]]; audit arm `retentionAuditByTime`).
+    */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureTimeRetainScenario(s, d)
+    val h = VersionedLayout.horizon(dir)
+    (0 to 3).map { ver =>
+      if (ver >= h)
+        VersionedLayout.readAsOf(s, dir, ver)
+          .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"))
+          .select(lit(ver.toLong).as("version"), lit(true).as("readable"),
+            col("n_rows"), col("total_centi"))
+      else {
+        // The refusal must be LOUD — an accidental silent serve of
+        // post-compact bytes for a reclaimed version is the failure
+        // mode the horizon exists to exclude.
+        require(scala.util.Try(VersionedLayout.readAsOf(s, dir, ver)).isFailure,
+          s"below-horizon read of v$ver did not refuse after retention vacuum")
+        s.range(1).select(lit(ver.toLong).as("version"),
+          lit(false).as("readable"),
+          lit(null).cast("long").as("n_rows"),
+          lit(null).cast("long").as("total_centi"))
+      }
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private lazy val q201OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  FROM lineitem),
+       |head AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(v) AS BIGINT) AS total_centi
+       |  FROM s
+       |  WHERE NOT (v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+       |    AND NOT (v BETWEEN $ttBandLoCenti AND $ttBandHiCenti))
+       |SELECT CAST(x.version AS BIGINT) AS version,
+       |       x.version >= 3 AS readable,
+       |       CASE WHEN x.version >= 3 THEN head.n_rows END AS n_rows,
+       |       CASE WHEN x.version >= 3 THEN head.total_centi END AS total_centi
+       |FROM (SELECT unnest([0, 1, 2, 3]) AS version) x CROSS JOIN head
+       |ORDER BY version""".stripMargin
+
+  /** SQL-FACING TIME TRAVEL — q159's four-version read issued as PURE
+    * SQL through the table functions [[graft.GraftExtensions]] injects
+    * (`FROM graft_layout_asof(dir, v)` / `graft_layout_asof_ts(dir,
+    * ts)`): versions 0-1 addressed by VERSION, versions 2-3 by
+    * TIMESTAMP (each version's own effective commit time read from the
+    * log — strictly monotone, so the round trip is exact). The result
+    * must be row-identical to the Scala-API reads, against the same
+    * oracle as q159/q200. This is the surface a BI tool or a SQL-only
+    * consumer actually has: retained history addressable without one
+    * line of Scala, and since the function returns the as-of read's
+    * logical plan, Catalyst still pushes filters into the underlying
+    * scans like any subquery.
+    */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureVersionedScenario(s, d)
+    val times = VersionedLayout.commitTimes(dir).toMap
+    val parts = (0 to 3).map { ver =>
+      val src =
+        if (ver < 2) s"graft_layout_asof('$dir', $ver)"
+        else s"graft_layout_asof_ts('$dir', ${times(ver)})"
+      s"""SELECT CAST($ver AS BIGINT) AS version,
+         |  count(*) AS n_rows, sum(v) AS total_centi,
+         |  count(DISTINCT l_orderkey) AS n_orders
+         |FROM $src""".stripMargin
+    }
+    s.sql(parts.mkString("", "\nUNION ALL\n", "\nORDER BY version"))
+  }
+
   private def q159(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout
     val dir = ensureVersionedScenario(s, d)
@@ -3148,6 +3283,8 @@ object ScalePatterns {
     // Same oracle on purpose: resolving by timestamp MUST reproduce the
     // version-addressed read row-for-row.
     QueryDef("q200_layout_time_travel_ts", q200, Some(timeTravelOracleSql)),
+    QueryDef("q201_layout_retention_by_time", q201, Some(q201OracleSql)),
+    QueryDef("q202_layout_sql_asof", q202, Some(timeTravelOracleSql)),
     QueryDef("q158_compaction_audit", q158, Some(
       s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |             count(*) AS cnt

@@ -1030,6 +1030,65 @@ class StorageSpec extends SparkSpec {
       VersionedLayout.currentVersion(dir)).count() == 31)
   }
 
+  test("time-based retention: vacuumIfNeededByTime fires exactly at the window crossing; below-horizon timestamps refuse; inside-window timestamps keep resolving") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-retain-time").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    // Same history as the count-based mirror: v0 base, v1 delete half
+    // of pids 0-1, v2 compact (archives those two pre-compact dirs).
+    VersionedLayout.writeBaseTable(spark, shaped((1L to 40L).map(i => (i, i))),
+      dir, Seq("event_id"))
+    VersionedLayout.appendDelete(spark, dir,
+      col("event_id") % 4 < 2 && col("event_id") <= 20L)
+    VersionedLayout.appendCompact(spark, dir, 0.1)
+    val eff = VersionedLayout.commitTimes(dir).toMap
+    val archDir = new java.io.File(s"$dir/_archive/v2")
+    val window = 1000L
+
+    // Audit arm: the predicted reclaim at a cutoff ON v2 names the
+    // compact reclaimable and predicts the archived mass (20 rows).
+    val audit = VersionedLayout
+      .retentionAuditByTime(spark, dir, window, nowMs = eff(2) + window)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(audit(2L).getBoolean(4) && audit(2L).getLong(7) == 20L,
+      s"time audit wrong: ${audit(2L)}")
+    assert(audit(2L).getBoolean(3), "v2 (the cutoff version) is inside the window")
+    assert(!audit(0L).getBoolean(3), "v0 must sit outside the window")
+
+    // BELOW the crossing: cutoff strictly before v1's effective time
+    // retains v0 (keep_from == horizon == 0) — no fire, archives stay.
+    assert(!VersionedLayout.vacuumIfNeededByTime(spark, dir, window,
+      nowMs = eff(1) - 1 + window))
+    assert(archDir.isDirectory, "a non-firing time vacuum deleted archives")
+    // minReclaimRows teeth: at the crossing but demanding more than the
+    // archive holds — no fire.
+    assert(!VersionedLayout.vacuumIfNeededByTime(spark, dir, window,
+      nowMs = eff(2) + window, minReclaimRows = 21L))
+    assert(archDir.isDirectory)
+    // AT the crossing (cutoff == eff(v2), exactly q201's shape): fires,
+    // reclaims the archive, horizon rises to 2.
+    assert(VersionedLayout.vacuumIfNeededByTime(spark, dir, window,
+      nowMs = eff(2) + window, minReclaimRows = 20L))
+    assert(!archDir.exists(), "time vacuum left the reclaimable archive")
+    assert(VersionedLayout.horizon(dir) == 2)
+    // Version reads below the horizon refuse; the head still answers.
+    intercept[IllegalArgumentException](VersionedLayout.readAsOf(spark, dir, 1))
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 30)
+    // Timestamp reads: inside the window resolves (v2 at its own eff
+    // time), below it the resolved version is under the horizon and
+    // the read refuses loudly.
+    assert(VersionedLayout.readAsOfTimestamp(spark, dir, eff(2)).count() == 30)
+    intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfTimestamp(spark, dir, eff(1)))
+    // Idempotence: same policy again — keep_from == horizon, no fire.
+    assert(!VersionedLayout.vacuumIfNeededByTime(spark, dir, window,
+      nowMs = eff(2) + window))
+  }
+
   test("schema evolution: every version serves its committed schema; the fold materializes; the old schema survives in the archive; the feed spans the flip") {
     import graft.operators.VersionedLayout
     val spark0 = spark
