@@ -109,6 +109,40 @@ object VersionedLayout {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
   }
 
+  /** The layout's STATS COLUMN — the single numeric column whose
+    * per-artifact min/max ride every data-writing log entry
+    * ([[LogEntry.stats]]) and drive [[readAsOfRange]]'s plan-time data
+    * skipping. Opt-in at base-write time ([[writeBaseTable]]); None for
+    * layouts written without one (every read still works, nothing
+    * skips).
+    */
+  private[graft] def statsColOf(dir: String): Option[String] = {
+    val f = metaFile(dir)
+    if (!f.isFile) None
+    else """"statsCol":"([^"]*)"""".r
+      .findFirstMatchIn(
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+      .map(_.group(1))
+  }
+
+  /** Per-pid (min, max) of the stats column over `df` — the one extra
+    * bounded aggregation a stats-tracking write pays (a real format
+    * collects the same bounds from task-level file stats for free; one
+    * map-side-combined pass over bytes already in hand is the honest
+    * local equivalent). Empty when the layout tracks no stats column or
+    * `df` does not carry it (e.g. a pre-evolution segment). Pids whose
+    * values are all NULL emit no triple (unknown — never skipped on).
+    */
+  private def computeStats(df: DataFrame, statsCol: Option[String]): Seq[(Int, Long, Long)] =
+    statsCol.toSeq.flatMap { c =>
+      if (!df.columns.contains(c)) Nil
+      else df.groupBy(col("pid").cast("int").as("p"))
+        .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
+        .collect().toSeq
+        .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
+
   private def logDir(dir: String) = new java.io.File(dir, "_log")
   private def tombDir(dir: String, ver: Int, tag: String = "") =
     s"$dir/_tombs/v$ver" + (if (tag.isEmpty) "" else s"-$tag")
@@ -131,11 +165,22 @@ object VersionedLayout {
     * evolution commit — [[addColumn]] (name/type), [[dropColumn]]
     * (name), or [[renameColumn]] (old name / NEW NAME — `colType` is
     * overloaded as the rename target, not a type); empty otherwise.
+    * `stats` (round 13) is the FILE-LEVEL DATA-SKIPPING metadata real
+    * table formats record per data file: (pid, min, max) of the
+    * layout's stats column ([[statsColOf]]) over the bytes this commit
+    * wrote — per landed pid dir for write/compact/majorcompact, per
+    * segment pid for insert/upsert. Recorded at write time (the bytes
+    * are in hand anyway), consumed by [[readAsOfRange]] to drop whole
+    * sources at PLAN time from log metadata alone — no footer reads,
+    * which at 100 TB is the difference between "prune before listing"
+    * and "open every surviving file at v". Bounds stay sound forever:
+    * rows only ever LEAVE a written artifact (tombstone masking), so a
+    * write-time [min,max] is a superset bound for all later reads.
     */
   final case class LogEntry(
       version: Int, action: String, pids: Seq[Int], horizon: Int,
       txn: Long = -1L, tag: String = "", colName: String = "", colType: String = "",
-      ts: Long = 0L)
+      ts: Long = 0L, stats: Seq[(Int, Long, Long)] = Nil)
 
   /** Artifact-directory suffix unique to this writer (process+thread):
     * concurrent writers preparing the SAME version number write disjoint
@@ -152,7 +197,10 @@ object VersionedLayout {
     s"""{"version":${e.version},"action":"${e.action}",""" +
       s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},""" +
       s""""tag":"${e.tag}","txn":${e.txn},""" +
-      s""""colName":"${e.colName}","colType":"${e.colType}","ts":${e.ts}}"""
+      s""""colName":"${e.colName}","colType":"${e.colType}","ts":${e.ts}""" +
+      // stats LAST (nested arrays — the scalar field parser splits on
+      // the first bracket/comma and must never see these first).
+      s""","stats":[${e.stats.map(t => s"[${t._1},${t._2},${t._3}]").mkString(",")}]}"""
 
   private def parseEntry(body: String): LogEntry = {
     def field(k: String) = body.split(s""""$k":""")(1).split("[,}\\]]")(0).trim
@@ -164,15 +212,25 @@ object VersionedLayout {
     def strField(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
     val pids = body.split(""""pids":\[""")(1).split("]")(0).trim
+    // Optional (entries written before round 13 lack it): the stats
+    // array holds only integer triples, so the triple regex over the
+    // remainder after `"stats":[` is exact.
+    val stats =
+      if (!body.contains("\"stats\":[")) Nil
+      else """\[(-?\d+),(-?\d+),(-?\d+)\]""".r
+        .findAllMatchIn(body.split(""""stats":\[""")(1))
+        .map(m => (m.group(1).toInt, m.group(2).toLong, m.group(3).toLong))
+        .toSeq
     LogEntry(field("version").toInt, strField("action"),
       if (pids.isEmpty) Nil else pids.split(",").map(_.trim.toInt).toSeq,
       field("horizon").toInt,
       if (body.contains("\"txn\":")) field("txn").toLong else -1L,
       strField("tag"), strField("colName"), strField("colType"),
       // Optional (entries written before round 12 lack it): 0 reads as
-      // "no own stamp" and the monotonicized view carries the previous
-      // commit's time forward.
-      if (body.contains("\"ts\":")) field("ts").toLong else 0L)
+      // "no own stamp" and the monotonicized view assigns the previous
+      // commit's effective time plus one.
+      if (body.contains("\"ts\":")) field("ts").toLong else 0L,
+      stats)
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -407,7 +465,10 @@ object VersionedLayout {
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1),
-      dir, legacyKeyCols)
+      // `v` is both the range-partitioning measure and the stats
+      // column: per-pid bounds are tight bands, so a selective AS-OF
+      // range read prunes most sources from log metadata alone.
+      dir, legacyKeyCols, statsCol = Some("v"))
   }
 
   /** Version 0 for ANY table: `df` must carry an integer `pid`
@@ -416,24 +477,31 @@ object VersionedLayout {
     * No-op if v0 is already committed.
     */
   def writeBaseTable(s: SparkSession, df: DataFrame, dir: String,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String], statsCol: Option[String] = None): Unit = {
     // The meta file is parsed with a plain splitter — identifier-shaped
     // names only, and at least one (an empty key set would make every
     // row identical for tombstone purposes).
     require(keyCols.nonEmpty, "a layout needs at least one row-identity column")
-    keyCols.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"key column '$k' is not identifier-shaped — the layout meta cannot carry it"))
+    (keyCols ++ statsCol).foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column '$k' is not identifier-shaped — the layout meta cannot carry it"))
     if (currentVersion(dir) >= 0) return
     df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
     logDir(dir).mkdirs()
     Files.write(metaFile(dir).toPath,
-      keyCols.mkString("{\"keyCols\":[\"", "\",\"", "\"]}")
+      (keyCols.mkString("{\"keyCols\":[\"", "\",\"", "\"]")
+        + statsCol.map(c => s""","statsCol":"$c"""").getOrElse("") + "}")
         .getBytes(StandardCharsets.UTF_8))
+    // Stats come from reading BACK the written bytes (a two-column
+    // pruned scan — cheaper than recomputing or caching the input),
+    // which also makes them bounds over exactly what landed.
+    val stats = statsCol.toSeq.flatMap(_ =>
+      computeStats(s.read.option("basePath", dir)
+        .parquet(basePidDirs(dir).map(p => s"$dir/pid=$p"): _*), statsCol))
     // The v0 entry records the base pid DOMAIN — the closed set of
     // partitions every later segment must stay inside (see
     // [[appendInsert]]); AS-OF correctness below a fold depends on it.
-    commit(dir, LogEntry(0, "write", basePidDirs(dir), 0))
+    commit(dir, LogEntry(0, "write", basePidDirs(dir), 0, stats = stats))
   }
 
   private def basePidDirs(dir: String): Seq[Int] =
@@ -566,7 +634,8 @@ object VersionedLayout {
     val tag = writerTag()
     requireInDomain(dir, rows)
     rows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
-    commit(dir, LogEntry(ver, "insert", Nil, 0, txn, tag))
+    commit(dir, LogEntry(ver, "insert", Nil, 0, txn, tag,
+      stats = computeStats(s.read.parquet(insertDir(dir, ver, tag)), statsColOf(dir))))
     ver
   }
 
@@ -837,7 +906,8 @@ object VersionedLayout {
     val replacements = transform(matched).localCheckpoint()
     requireInDomain(dir, replacements)
     replacements.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
-    commit(dir, LogEntry(ver, "upsert", Nil, 0, tag = tag))
+    commit(dir, LogEntry(ver, "upsert", Nil, 0, tag = tag,
+      stats = computeStats(replacements, statsColOf(dir))))
     ver
   }
 
@@ -970,7 +1040,8 @@ object VersionedLayout {
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     projected.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
-    commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag))
+    commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag,
+      stats = computeStats(s.read.parquet(insertDir(dir, ver, tag)), statsColOf(dir))))
     ver
   }
 
@@ -1079,7 +1150,18 @@ object VersionedLayout {
         Files.move(Paths.get(tmp), Paths.get(pdir), StandardCopyOption.ATOMIC_MOVE)
       }
     }
-    commit(dir, LogEntry(ver, "compact", pids, 0))
+    // Stats over the LANDED survivors (the new live bytes of every
+    // rewritten pid) — read back per the writeBaseTable recipe. A pid
+    // whose rows all died lands an empty dir and emits no triple
+    // (unknown — never skipped on, and the source listing is empty
+    // anyway).
+    val postStats = statsColOf(dir).toSeq.flatMap { _ =>
+      val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
+      if (landed.isEmpty) Nil
+      else computeStats(s.read.option("basePath", dir)
+        .parquet(landed.map(p => s"$dir/pid=$p"): _*), statsColOf(dir))
+    }
+    commit(dir, LogEntry(ver, "compact", pids, 0, stats = postStats))
     (ver, pids)
   }
 
@@ -1163,7 +1245,16 @@ object VersionedLayout {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpBase))
     val pids = preFold.map(_.stripPrefix("pid=").toInt).sorted
-    commit(dir, LogEntry(ver, "majorcompact", pids, 0))
+    // Stats over the folded output's live pid dirs (the fold's entry
+    // covers every pre-fold pid for archive routing; a pid the fold
+    // left no live dir for emits no triple).
+    val postStats = statsColOf(dir).toSeq.flatMap { _ =>
+      val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
+      if (landed.isEmpty) Nil
+      else computeStats(s.read.option("basePath", dir)
+        .parquet(landed.map(p => s"$dir/pid=$p"): _*), statsColOf(dir))
+    }
+    commit(dir, LogEntry(ver, "majorcompact", pids, 0, stats = postStats))
     (ver, pids)
   }
 
@@ -1703,11 +1794,73 @@ object VersionedLayout {
     (all.toSeq.map(fin), liveByName.values.toSeq.map(fin))
   }
 
-  def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
+  /** Fold of the data-writing entries strictly BELOW `uptoExclusive`:
+    * for each pid, the recorded stats of the entry that last REWROTE
+    * its directory (None = that writer recorded no bounds — unknown,
+    * never skipped). `uptoExclusive = MaxValue` describes the live pid
+    * dirs; `uptoExclusive = c` describes archive generation c's bytes
+    * (the pre-rewrite state c parked — written by the last rewrite
+    * before c). Pure log metadata, O(entries).
+    */
+  private def statsByPid(
+      entries: Seq[LogEntry], uptoExclusive: Int): Map[Int, Option[(Long, Long)]] = {
+    val m = scala.collection.mutable.Map.empty[Int, Option[(Long, Long)]]
+    entries.iterator
+      .filter(e => e.version < uptoExclusive
+        && (e.action == "write" || e.action == "compact" || e.action == "majorcompact"))
+      .foreach { e =>
+        val st = e.stats.map(t => t._1 -> ((t._2, t._3))).toMap
+        e.pids.foreach(p => m(p) = st.get(p))
+      }
+    m.toMap
+  }
+
+  /** The table AS OF `v` restricted to `statsCol BETWEEN lo AND hi`,
+    * with PLAN-TIME DATA SKIPPING: whole sources (live pid dirs,
+    * archived pid dirs, insert segments) whose commit-time [min,max]
+    * bounds ([[LogEntry.stats]]) miss the range are dropped from the
+    * plan before any file is listed or opened — log metadata only, the
+    * zone-map move (q129) on a MUTABLE table's whole history.
+    * Exactness never depends on the pruning (the range predicate
+    * applies regardless; parquet footer skipping handles what the
+    * log-level prune keeps), and skipped sources provably lose no
+    * matches: a source's bounds cover every row it ever held, and rows
+    * only LEAVE artifacts after write. REFUSES loudly once schema
+    * evolution touches the stats column (the recorded name may no
+    * longer exist, or may name a different identity, at v): address
+    * the current name with `readAsOf().where()` instead — silently
+    * serving an un-pruned or wrong-identity band would be worse.
+    */
+  def readAsOfRange(s: SparkSession, dir: String, v: Int, lo: Long, hi: Long): DataFrame = {
+    val sc = statsColOf(dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir records no stats column — readAsOfRange needs one (writeBaseTable's statsCol)"))
+    val touched = log(dir).find(e =>
+      ((e.action == "addcolumn" || e.action == "dropcolumn"
+        || e.action == "widencolumn") && e.colName == sc)
+        || (e.action == "renamecolumn" && (e.colName == sc || e.colType == sc)))
+    require(touched.isEmpty, s"stats column '$sc' of $dir was touched by " +
+      s"${touched.get.action}@v${touched.get.version} — stats-pruned range reads " +
+      "are only sound while the column's identity never evolved; use " +
+      "readAsOf(...).where(...) on the current schema instead")
+    readAsOfImpl(s, dir, v, Some((lo, hi)))
+      .where(col(sc).between(lo, hi))
+  }
+
+  def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame =
+    readAsOfImpl(s, dir, v, None)
+
+  private def readAsOfImpl(
+      s: SparkSession, dir: String, v: Int, skip: Option[(Long, Long)]): DataFrame = {
     val entries = log(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
     require(v >= horizon(dir),
       s"version $v is below the vacuum horizon ${horizon(dir)} — its archives are gone")
+    // Range-vs-bounds test for one source; an absent/unknown bound can
+    // never be skipped.
+    def hits(st: Option[(Long, Long)]): Boolean = (skip, st) match {
+      case (Some((lo, hi)), Some((mn, mx))) => mx >= lo && mn <= hi
+      case _ => true
+    }
     // For each pid ever rewritten, the first compaction (minor or
     // major) AFTER v holds its pre-rewrite files; others read live.
     val archived: Map[Int, Int] = entries
@@ -1723,23 +1876,42 @@ object VersionedLayout {
     val firstMajorAfter = entries
       .filter(e => e.action == "majorcompact" && e.version > v)
       .sortBy(_.version).headOption
-    val livePids = new java.io.File(dir).listFiles()
+    val livePidsAll = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("pid="))
       .map(f => f.getName.stripPrefix("pid=").toInt)
       .filterNot(archived.contains)
       .filter(p => firstMajorAfter.forall(_.pids.contains(p)))
       .toSeq
-    val liveDf =
-      if (livePids.isEmpty) None
-      else Some(s.read.option("basePath", dir)
-        .parquet(livePids.map(p => s"$dir/pid=$p"): _*))
+    val liveStats =
+      if (skip.isDefined) statsByPid(entries, Int.MaxValue)
+      else Map.empty[Int, Option[(Long, Long)]]
+    val livePids = livePidsAll.filter(p => hits(liveStats.getOrElse(p, None)))
+    def liveRead(ps: Seq[Int]) = s.read.option("basePath", dir)
+      .parquet(ps.map(p => s"$dir/pid=$p"): _*)
+    val liveDf = if (livePids.isEmpty) None else Some(liveRead(livePids))
     // ONE read per archive generation (multi-path), not one per pid —
     // per-pid relations made archive-heavy AS-OF plans explode in
     // codegen size (32 scans where one suffices).
-    val archDf = archived.toSeq.groupBy(_._2).toSeq.map { case (c, ps) =>
-      s.read.option("basePath", archiveDir(dir, c))
-        .parquet(ps.map { case (p, _) => s"${archiveDir(dir, c)}/pid=$p" }: _*)
-    }
+    val archGroups = archived.toSeq.groupBy(_._2).toSeq.map { case (c, ps) =>
+      val aStats =
+        if (skip.isDefined) statsByPid(entries, c)
+        else Map.empty[Int, Option[(Long, Long)]]
+      c -> ps.map(_._1).filter(p => hits(aStats.getOrElse(p, None)))
+    }.filter(_._2.nonEmpty)
+    def archRead(c: Int, ps: Seq[Int]) = s.read.option("basePath", archiveDir(dir, c))
+      .parquet(ps.map(p => s"${archiveDir(dir, c)}/pid=$p"): _*)
+    val archDf0 = archGroups.map { case (c, ps) => archRead(c, ps) }
+    // If the prune dropped EVERY base source, keep one (rowless) for
+    // its schema — the union below still resolves, and zero rows is
+    // exactly what the bounds proved.
+    val archDf =
+      if (liveDf.nonEmpty || archDf0.nonEmpty || (livePidsAll.isEmpty && archived.isEmpty))
+        archDf0
+      else if (livePidsAll.nonEmpty) Seq(liveRead(livePidsAll.take(1)).where(lit(false)))
+      else {
+        val (c, ps) = archived.toSeq.groupBy(_._2).toSeq.head
+        Seq(archRead(c, ps.map(_._1).take(1)).where(lit(false)))
+      }
     // The base's source version is the latest major fold at or before
     // v: a fold physically applied every older tombstone and absorbed
     // every older segment, so its output rows are "committed at m" —
@@ -1771,6 +1943,10 @@ object VersionedLayout {
     val segs = entries
       .filter(e => (e.action == "insert" || e.action == "upsert")
         && e.version > m && e.version <= v)
+      // Segment-level skip: a segment whose recorded per-pid bounds all
+      // miss the range contributes nothing (no stats = unknown = kept).
+      .filter(e => e.stats.isEmpty
+        || e.stats.exists { case (_, mn, mx) => hits(Some((mn, mx))) })
       .map(e => s.read.parquet(locateSegment(dir, entries, e.version))
         .withColumn("_src_ver", lit(e.version)))
     // Sources may differ in schema across an addColumn evolution:

@@ -1369,6 +1369,65 @@ object ScalePatterns {
     s.sql(parts.mkString("", "\nUNION ALL\n", "\nORDER BY version"))
   }
 
+  /** The selective band q203's skipping read probes — chosen to
+    * OVERLAP delete band A (so versions differ) while covering only a
+    * narrow slice of the price range (so per-pid bounds prune most
+    * sources).
+    */
+  val skipBandLoCenti = 250000L
+  val skipBandHiCenti = 450000L
+
+  /** AS-OF DATA SKIPPING from commit-log stats — zone maps (q129) on a
+    * MUTABLE table's whole history: every data-writing commit records
+    * per-pid [min,max] of the range measure in its log entry, and
+    * [[graft.operators.VersionedLayout.readAsOfRange]] drops whole
+    * sources (live pid dirs, archived pid dirs, insert segments) whose
+    * bounds miss the predicate at PLAN time — log metadata only, no
+    * footer read, ACROSS archive routing (the v0/v1 reads here run
+    * post-compaction and prune archived dirs by the stats of the entry
+    * that wrote those bytes). The query proves in-plan that the v0
+    * skipping read touches strictly fewer files than the full as-of
+    * read, then aggregates a band that straddles delete band A so each
+    * version's answer differs; soundness (skips lose no matches at any
+    * version) is proven in StorageSpec. At 100 TB: a selective
+    * historical read opens the files that can match, not every
+    * surviving file at v.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureVersionedScenario(s, d)
+    val pruned = VersionedLayout
+      .readAsOfRange(s, dir, 0, skipBandLoCenti, skipBandHiCenti)
+    require(pruned.inputFiles.length < VersionedLayout.readAsOf(s, dir, 0)
+        .where(col("v").between(skipBandLoCenti, skipBandHiCenti)).inputFiles.length,
+      s"stats-pruned v0 read of $dir scans no fewer files than the full read")
+    (0 to 3).map { ver =>
+      VersionedLayout.readAsOfRange(s, dir, ver, skipBandLoCenti, skipBandHiCenti)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .select(lit(ver.toLong).as("version"),
+          col("n_rows"), col("total_centi"), col("n_orders"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private lazy val q203OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey
+       |  FROM lineitem
+       |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
+       |        BETWEEN $skipBandLoCenti AND $skipBandHiCenti),
+       |ver AS (SELECT unnest([0, 1, 2, 3]) AS version)
+       |SELECT CAST(ver.version AS BIGINT) AS version,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(s.v) AS BIGINT) AS total_centi,
+       |  count(DISTINCT s.l_orderkey) AS n_orders
+       |FROM ver JOIN s
+       |  ON NOT (ver.version >= 1
+       |          AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+       | AND NOT (ver.version >= 2
+       |          AND s.v BETWEEN $ttBandLoCenti AND $ttBandHiCenti)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def q159(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout
     val dir = ensureVersionedScenario(s, d)
@@ -3285,6 +3344,7 @@ object ScalePatterns {
     QueryDef("q200_layout_time_travel_ts", q200, Some(timeTravelOracleSql)),
     QueryDef("q201_layout_retention_by_time", q201, Some(q201OracleSql)),
     QueryDef("q202_layout_sql_asof", q202, Some(timeTravelOracleSql)),
+    QueryDef("q203_layout_asof_skipping", q203, Some(q203OracleSql)),
     QueryDef("q158_compaction_audit", q158, Some(
       s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |             count(*) AS cnt

@@ -1089,6 +1089,72 @@ class StorageSpec extends SparkSpec {
       nowMs = eff(2) + window))
   }
 
+  test("as-of data skipping: commit-log stats prune whole sources at plan time; skips lose no matches at any version, across archives and segments; evolution of the stats column refuses") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-skip").toString + "/t"
+    // pid = value/10, so per-pid bounds are TIGHT decades of the value
+    // axis — the shape a range layout gives the stats for free.
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i)).toDF("event_id", "value_centi")
+      .select((col("value_centi") / 10).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 40L), dir,
+      Seq("event_id"), statsCol = Some("value_centi"))     // v0: pids 0..4
+    VersionedLayout.appendInsert(spark, dir, shaped(41L to 45L)) // v1: segment, pid 4
+    VersionedLayout.appendDelete(spark, dir,                     // v2: kills 14..16
+      col("value_centi").between(14L, 16L))
+    VersionedLayout.appendCompact(spark, dir, 0.1)               // v3: rewrites pid 1
+    VersionedLayout.appendInsert(spark, dir, shaped(46L to 48L)) // v4: segment, pid 4
+
+    // SOUNDNESS at every version x band: the pruned read returns
+    // exactly what the unpruned filtered read returns — including v0/v1
+    // reads that now route pid 1 through v3's archive.
+    val bands = Seq((12L, 18L), (5L, 25L), (41L, 47L))
+    for (v <- 0 to 4; (lo, hi) <- bands) {
+      val got = VersionedLayout.readAsOfRange(spark, dir, v, lo, hi)
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted
+      val want = VersionedLayout.readAsOf(spark, dir, v)
+        .where(col("value_centi").between(lo, hi))
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want),
+        s"v$v band [$lo,$hi]: pruned ${got.toSeq} != full ${want.toSeq}")
+    }
+    // inputFiles also lists the tombstone-mask parquet (the anti-join's
+    // build side) — the prune claims are about DATA sources only.
+    def dataFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.toSeq.filterNot(_.contains("_tombs"))
+    // PRUNING at the head: a one-decade band reads ONLY pid 1's live
+    // dir — no other pid, no segment.
+    val headBand = VersionedLayout.readAsOfRange(spark, dir, 4, 12L, 18L)
+    assert(dataFiles(headBand).nonEmpty
+      && dataFiles(headBand).forall(f => f.contains("pid=1") && !f.contains("_inserts")),
+      s"head band read touched: ${dataFiles(headBand).mkString(", ")}")
+    // PRUNING across archive routing: the same band AS OF v0 (pid 1's
+    // pre-compact bytes live in v3's archive) reads only archived pid 1.
+    val v0Band = VersionedLayout.readAsOfRange(spark, dir, 0, 12L, 18L)
+    assert(dataFiles(v0Band).nonEmpty
+      && dataFiles(v0Band).forall(f => f.contains("_archive/v3") && f.contains("pid=1")),
+      s"v0 band read touched: ${dataFiles(v0Band).mkString(", ")}")
+    // SEGMENT pruning + base pruning the other way: a band above the
+    // base domain's values reads only the two insert segments.
+    val segBand = VersionedLayout.readAsOfRange(spark, dir, 4, 41L, 47L)
+    assert(dataFiles(segBand).nonEmpty
+      && dataFiles(segBand).forall(_.contains("_inserts")),
+      s"segment band read touched: ${dataFiles(segBand).mkString(", ")}")
+    // Strictly fewer files than the unpruned filtered read, which must
+    // open every surviving source.
+    val full = VersionedLayout.readAsOf(spark, dir, 4)
+      .where(col("value_centi").between(12L, 18L))
+    assert(dataFiles(headBand).length < dataFiles(full).length)
+    // EVOLUTION GUARD: once the stats column's identity evolves, the
+    // pruned read refuses loudly instead of serving stale-name bounds.
+    VersionedLayout.renameColumn(spark, dir, "value_centi", "val_centi")
+    val ex = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfRange(spark, dir, 5, 12L, 18L))
+    assert(ex.getMessage.contains("renamecolumn"), ex.getMessage)
+  }
+
   test("schema evolution: every version serves its committed schema; the fold materializes; the old schema survives in the archive; the feed spans the flip") {
     import graft.operators.VersionedLayout
     val spark0 = spark
