@@ -109,6 +109,26 @@ object VersionedLayout {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
   }
 
+  /** The base write's column types (name -> Spark simpleString),
+    * recorded in `_log/meta.json` since round 13 — what makes the
+    * TYPED-RE-ADD conflict analysis pure log metadata: a base-origin
+    * identity's physical type is known without reading a footer.
+    * Empty for layouts written before the field existed (their
+    * base-origin columns read as an opaque "base" type token —
+    * conservatively treated as conflicting with any declared type).
+    */
+  private[graft] def baseTypesOf(dir: String): Map[String, String] = {
+    val f = metaFile(dir)
+    if (!f.isFile) Map.empty
+    else {
+      val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      if (!body.contains("\"types\":{")) Map.empty
+      else """"([A-Za-z_][A-Za-z0-9_]*)":"([^"]+)"""".r
+        .findAllMatchIn(body.split(""""types":\{""")(1).split("}")(0))
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
   /** The layout's STATS COLUMN — the single numeric column whose
     * per-artifact min/max ride every data-writing log entry
     * ([[LogEntry.stats]]) and drive [[readAsOfRange]]'s plan-time data
@@ -488,9 +508,17 @@ object VersionedLayout {
     df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
     logDir(dir).mkdirs()
+    // The base TYPES ride the meta (identifier-shaped names only, and
+    // simpleString emits a quote-free charset) — the typed-re-add
+    // conflict analysis needs base-origin physical types without a
+    // footer read.
+    val types = df.schema.fields
+      .filter(_.name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      .map(f => s""""${f.name}":"${f.dataType.simpleString}"""").mkString(",")
     Files.write(metaFile(dir).toPath,
       (keyCols.mkString("{\"keyCols\":[\"", "\",\"", "\"]")
-        + statsCol.map(c => s""","statsCol":"$c"""").getOrElse("") + "}")
+        + statsCol.map(c => s""","statsCol":"$c"""").getOrElse("")
+        + s""","types":{$types}""" + "}")
         .getBytes(StandardCharsets.UTF_8))
     // Stats come from reading BACK the written bytes (a two-column
     // pruned scan — cheaper than recomputing or caching the input),
@@ -666,35 +694,16 @@ object VersionedLayout {
     require(entries.nonEmpty, s"no committed layout at $dir")
     require(!readAsOf(s, dir, entries.last.version).columns.contains(name),
       s"column '$name' already exists in $dir")
-    // RE-ADD of a dropped name must keep the incarnation's type: old
-    // segments/archives may still carry the previous incarnation's
-    // values, and the plan-time union cannot hold one name at two
-    // types (a column-mapping id scheme would lift this; out of the
-    // log codec's scope).
-    entries.filter(e => e.action == "addcolumn" && e.colName == name)
-      .foreach(p => require(p.colType == sqlType,
-        s"re-adding '$name' as '$sqlType' conflicts with its previous " +
-          s"incarnation's type '${p.colType}'"))
-    // COLUMN MAPPING BY SOURCE VERSION (round 12): a name that rode a
-    // RENAME (either side) and has since vacated CAN be re-added — the
-    // read path separates the incarnations by version-gated era
-    // resolution (each physical name reads only in the `_src_ver` range
-    // its identity owned it), so the renamed-away identity's values
-    // never leak into the new one. The single physical constraint is
-    // the plan-time union: one physical name resolves to ONE Spark type
-    // across every era's sources, so the re-added type must equal the
-    // type the name SERVED when it last vacated (narrower physical
-    // bytes under older eras coerce losslessly to that same type).
-    if (entries.exists(e => e.action == "renamecolumn"
-        && (e.colName == name || e.colType == name))) {
-      val vz = lastVacatedAt(entries, name).getOrElse(throw new IllegalStateException(
-        s"rename-involved column '$name' absent at the head of $dir yet never vacated"))
-      val served = readAsOf(s, dir, vz - 1).schema(name).dataType
-      require(served == org.apache.spark.sql.types.DataType.fromDDL(sqlType),
-        s"re-adding renamed column name '$name' as '$sqlType' conflicts with the " +
-          s"${served.simpleString} it served before vacating at v$vz of $dir — " +
-          "one physical name holds one type across all eras")
-    }
+    // TYPED RE-ADD (round 13 — the one-type-per-physical-name guard is
+    // LIFTED): a vacated name (dropped, or renamed away) can be
+    // re-added at ANY type. Each incarnation is its own identity, and
+    // the read path serves each at its own type: sources carrying a
+    // type-conflicted physical name are aliased per their write
+    // version's declared type before the plan-time union (every base
+    // source group is schema-uniform — minor compacts preserve schema,
+    // folds rewrite every pid — so the aliasing is pure log metadata),
+    // and each identity's era arms coalesce only over its OWN type
+    // chain. See the conflict machinery in [[readAsOfImpl]].
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "addcolumn", Nil, 0, colName = name, colType = sqlType))
     ver
@@ -813,25 +822,11 @@ object VersionedLayout {
     // the whole history): a vacated name can be a rename target — the
     // from-identity CONTINUES under the revived name, and the read
     // path's identity resolution keeps it apart from the name's dead
-    // prior incarnation by source version. The one physical constraint,
-    // as for [[addColumn]] re-adds: the union holds ONE Spark type per
-    // physical name, so the identity moving in must serve exactly the
-    // type the name served when it last vacated.
-    val everNamed = entries
-      .filter(e => e.action == "addcolumn" || e.action == "dropcolumn"
-        || e.action == "renamecolumn")
-      .flatMap(e =>
-        if (e.action == "renamecolumn") Seq(e.colName, e.colType) else Seq(e.colName))
-    if (everNamed.contains(to)) {
-      val vz = lastVacatedAt(entries, to).getOrElse(throw new IllegalStateException(
-        s"column '$to' appears in the history of $dir, is absent at head, yet never vacated"))
-      val prevT = readAsOf(s, dir, vz - 1).schema(to).dataType
-      val curT = headDf.schema(from).dataType
-      require(prevT == curT,
-        s"renaming '$from' (${curT.simpleString}) onto vacated name '$to' conflicts " +
-          s"with the ${prevT.simpleString} it served before vacating at v$vz of $dir — " +
-          "one physical name holds one type across all eras")
-    }
+    // prior incarnation by source version. Since round 13 the revived
+    // name may even have served a DIFFERENT type: the typed-re-add
+    // machinery aliases type-conflicted physical names apart per
+    // source, so the plan-time union never holds one name at two types
+    // (see [[readAsOfImpl]]); no type guard remains here.
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "renamecolumn", Nil, 0, colName = from, colType = to))
     ver
@@ -1531,7 +1526,37 @@ object VersionedLayout {
     */
   def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
     val key = "pid" +: keyColsOf(dir)
-    val parts = log(dir).filter(e => e.version > fromV && e.version <= toV).flatMap { e =>
+    val entries = log(dir)
+    // A feed whose range crosses a TYPE FLIP of a physical name (typed
+    // re-add, round 13) cannot union its parts — each part carries its
+    // own version's schema, and one name at two types has no single
+    // feed column. Refuse with guidance rather than leak the union's
+    // analysis error: consumers split the subscription at the flip,
+    // which is what a type change forces on them anyway.
+    val baseTypes = baseTypesOf(dir)
+    val conflicts = typeConflictedNames(
+      identitiesAt(entries, entries.last.version)._1, baseTypes,
+      keyColsOf(dir).toSet + "pid")
+    if (conflicts.nonEmpty) {
+      val checkVers = (math.max(fromV, 0) +: entries
+        .filter(e => Set("addcolumn", "dropcolumn", "renamecolumn", "widencolumn")(e.action)
+          && e.version > fromV && e.version <= toV).map(_.version)).distinct
+      // Tokens the union can still COERCE are not a flip: the numeric
+      // family widens losslessly under unionByName (the pre-round-13
+      // widen behavior), and an opaque legacy "base" token stays lenient
+      // (a truly mixed legacy union fails loudly on its own).
+      val coercible = Set("int", "bigint", "smallint", "tinyint",
+        "float", "double", "base")
+      conflicts.foreach { n =>
+        val toks = checkVers.flatMap(w => declaredTokenAt(entries, baseTypes, n, w)).distinct
+        require(toks.size <= 1 || toks.forall(coercible),
+          s"change feed ($fromV, $toV] of $dir crosses a TYPE FLIP of '$n' " +
+            s"(${toks.mkString(" -> ")}): consume the feed in type-uniform " +
+            "windows (split at the re-add); a RESTORE across the flip is " +
+            "likewise refused")
+      }
+    }
+    val parts = entries.filter(e => e.version > fromV && e.version <= toV).flatMap { e =>
       val ins =
         if (e.action == "insert" || e.action == "upsert")
           Seq(insertsAt(s, dir, e.version)
@@ -1794,6 +1819,80 @@ object VersionedLayout {
     (all.toSeq.map(fin), liveByName.values.toSeq.map(fin))
   }
 
+  private def normType(t: String): String =
+    org.apache.spark.sql.types.DataType.fromDDL(t)
+      .simpleString.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The type TOKENS identity `it` can carry across its lifetime: its
+    * declared add type — or, for a base-origin column, the base type
+    * recorded in the layout meta (opaque "base" for pre-round-13
+    * layouts without one) — plus every widen target. Two identities
+    * sharing a physical name whose token seqs differ make that name
+    * TYPE-CONFLICTED: its sources must be aliased apart before the
+    * plan-time union (see [[readAsOfImpl]]).
+    */
+  private def tokensOf(it: ColIdentity, baseTypes: Map[String, String]): Seq[String] = {
+    val first =
+      if (it.birth == 0 && it.addType.isEmpty)
+        baseTypes.get(it.eras.head._1).map(normType).getOrElse("base")
+      else it.addType.map(normType).getOrElse("base")
+    (first +: it.widens.map(w => normType(w._2))).distinct
+  }
+
+  /** Physical names whose sources can disagree on Spark type — owned
+    * by 2+ identities with differing token seqs. Row-identity columns
+    * and `pid` are excluded by construction (they can never be dropped
+    * so never re-added). Pure log metadata.
+    */
+  private def typeConflictedNames(
+      allIdents: Seq[ColIdentity], baseTypes: Map[String, String],
+      protectedCols: Set[String]): Set[String] =
+    allIdents.flatMap(it => it.eras.map(_._1 -> tokensOf(it, baseTypes)))
+      .groupBy(_._1)
+      .collect { case (n, owns)
+        if !protectedCols(n) && owns.map(_._2).distinct.size > 1 => n }
+      .toSet
+
+  /** The declared type token physical name `n` carried in bytes
+    * written at version `w` (the schema committed as of w): the owning
+    * identity's type at w. None when no identity served `n` at w — a
+    * source carrying it anyway holds a DEAD name's values, which must
+    * not be served.
+    */
+  private def declaredTokenAt(entries: Seq[LogEntry], baseTypes: Map[String, String],
+      n: String, w: Int): Option[String] =
+    identitiesAt(entries, w)._2.find(_.eras.last._1 == n).map { it =>
+      it.widens.lastOption.map(x => normType(x._2)).getOrElse {
+        if (it.birth == 0 && it.addType.isEmpty)
+          baseTypes.get(it.eras.head._1).map(normType).getOrElse("base")
+        else it.addType.map(normType).getOrElse("base")
+      }
+    }.orElse {
+      // The at-or-below-w identity scan only knows names EVENTS mention:
+      // a base-origin column untouched through w is invisible to it yet
+      // alive — its token is the recorded base type. A name some event
+      // at-or-below w DID mention but the scan does not serve is dead at
+      // w (None — the caller drops those bytes). A name absent from a
+      // recorded base-type map is a ghost (None likewise); only layouts
+      // without the map (pre-round-13) fall through to the opaque token.
+      val mentioned = entries.exists(e => e.version <= w
+        && (e.colName == n || (e.action == "renamecolumn" && e.colType == n)))
+      if (mentioned) None
+      else if (baseTypes.nonEmpty) baseTypes.get(n).map(normType)
+      else Some("base")
+    }
+
+  /** The version whose committed schema the CURRENT bytes of a base
+    * source carry: the last base write or major fold strictly below
+    * `upto` (minor compacts rewrite bytes but read them raw — schema
+    * preserved — and folds rewrite EVERY pid, which is why every base
+    * source group is schema-uniform and this resolution is per-group,
+    * not per-file).
+    */
+  private def lastSchemaWriterBefore(entries: Seq[LogEntry], upto: Int): Int =
+    entries.filter(e => (e.action == "write" || e.action == "majorcompact")
+      && e.version < upto).map(_.version).maxOption.getOrElse(0)
+
   /** Fold of the data-writing entries strictly BELOW `uptoExclusive`:
     * for each pid, the recorded stats of the entry that last REWROTE
     * its directory (None = that writer recorded no bounds — unknown,
@@ -1861,6 +1960,30 @@ object VersionedLayout {
       case (Some((lo, hi)), Some((mn, mx))) => mx >= lo && mn <= hi
       case _ => true
     }
+    // TYPED RE-ADD support (round 13): physical names whose identities
+    // disagree on type get aliased APART per source — keyed by the
+    // declared type at the source's schema-writer version — so the
+    // plan-time union holds one column per (name, type) and each
+    // identity's era arms read only its own type chain. Zero cost (and
+    // zero plan change) while no name is conflicted.
+    val baseTypes = baseTypesOf(dir)
+    val conflicts = typeConflictedNames(
+      identitiesAt(entries, entries.last.version)._1, baseTypes,
+      protectedCols = keyColsOf(dir).toSet + "pid")
+    def aliasConflicted(df: DataFrame, sigVersion: Int): DataFrame =
+      if (conflicts.isEmpty) df
+      else conflicts.foldLeft(df) { (d, n) =>
+        if (!d.columns.contains(n)) d
+        else declaredTokenAt(entries, baseTypes, n, sigVersion) match {
+          case Some(tok) => d.withColumnRenamed(n, s"${n}__as_$tok")
+          // No identity served `n` when these bytes were written: the
+          // column holds a dead name's values — drop it so they can
+          // never be served (the one-type world nulled them by era
+          // gating; with type conflicts the union itself must not see
+          // them).
+          case None => d.drop(n)
+        }
+      }
     // For each pid ever rewritten, the first compaction (minor or
     // major) AFTER v holds its pre-rewrite files; others read live.
     val archived: Map[Int, Int] = entries
@@ -1886,8 +2009,9 @@ object VersionedLayout {
       if (skip.isDefined) statsByPid(entries, Int.MaxValue)
       else Map.empty[Int, Option[(Long, Long)]]
     val livePids = livePidsAll.filter(p => hits(liveStats.getOrElse(p, None)))
-    def liveRead(ps: Seq[Int]) = s.read.option("basePath", dir)
-      .parquet(ps.map(p => s"$dir/pid=$p"): _*)
+    def liveRead(ps: Seq[Int]) = aliasConflicted(
+      s.read.option("basePath", dir).parquet(ps.map(p => s"$dir/pid=$p"): _*),
+      lastSchemaWriterBefore(entries, Int.MaxValue))
     val liveDf = if (livePids.isEmpty) None else Some(liveRead(livePids))
     // ONE read per archive generation (multi-path), not one per pid —
     // per-pid relations made archive-heavy AS-OF plans explode in
@@ -1898,8 +2022,10 @@ object VersionedLayout {
         else Map.empty[Int, Option[(Long, Long)]]
       c -> ps.map(_._1).filter(p => hits(aStats.getOrElse(p, None)))
     }.filter(_._2.nonEmpty)
-    def archRead(c: Int, ps: Seq[Int]) = s.read.option("basePath", archiveDir(dir, c))
-      .parquet(ps.map(p => s"${archiveDir(dir, c)}/pid=$p"): _*)
+    def archRead(c: Int, ps: Seq[Int]) = aliasConflicted(
+      s.read.option("basePath", archiveDir(dir, c))
+        .parquet(ps.map(p => s"${archiveDir(dir, c)}/pid=$p"): _*),
+      lastSchemaWriterBefore(entries, c))
     val archDf0 = archGroups.map { case (c, ps) => archRead(c, ps) }
     // If the prune dropped EVERY base source, keep one (rowless) for
     // its schema — the union below still resolves, and zero rows is
@@ -1926,18 +2052,20 @@ object VersionedLayout {
         // or archived source covers v: recover the table's schema from
         // the newest surviving archive (the fold parked the pre-state
         // there) and serve zero base rows.
-        val (arch, pidDir) = entries
+        val (archVer, arch, pidDir) = entries
           .filter(e => e.action == "compact" || e.action == "majorcompact")
           .sortBy(-_.version)
-          .map(e => new java.io.File(archiveDir(dir, e.version)))
-          .flatMap(a => Option(a.listFiles()).getOrElse(Array.empty)
+          .map(e => e.version -> new java.io.File(archiveDir(dir, e.version)))
+          .flatMap { case (av, a) => Option(a.listFiles()).getOrElse(Array.empty)
             .find(f => f.isDirectory && f.getName.startsWith("pid="))
-            .map(a -> _))
+            .map(pd => (av, a, pd)) }
           .headOption
           .getOrElse(throw new IllegalStateException(
             s"$dir has no base data files and no surviving archive to derive a schema from"))
-        s.read.option("basePath", arch.getAbsolutePath)
-          .parquet(pidDir.getAbsolutePath).where(lit(false))
+        aliasConflicted(
+          s.read.option("basePath", arch.getAbsolutePath)
+            .parquet(pidDir.getAbsolutePath).where(lit(false)),
+          lastSchemaWriterBefore(entries, archVer))
       }
       .withColumn("_src_ver", lit(m))
     val segs = entries
@@ -1947,7 +2075,8 @@ object VersionedLayout {
       // miss the range contributes nothing (no stats = unknown = kept).
       .filter(e => e.stats.isEmpty
         || e.stats.exists { case (_, mn, mx) => hits(Some((mn, mx))) })
-      .map(e => s.read.parquet(locateSegment(dir, entries, e.version))
+      .map(e => aliasConflicted(
+        s.read.parquet(locateSegment(dir, entries, e.version)), e.version)
         .withColumn("_src_ver", lit(e.version)))
     // Sources may differ in schema across an addColumn evolution:
     // null-fill the union, then project to the schema COMMITTED AS OF v
@@ -1975,7 +2104,19 @@ object VersionedLayout {
     // is what makes the FULL evolution matrix safe: one physical name
     // may host successive identities (re-add after rename, rename onto
     // a vacated name), and no identity ever reads another's era.
-    val (allIdents, liveIdents) = identitiesAt(entries, v)
+    val (allIdents0, liveIdents0) = identitiesAt(entries, v)
+    // Conflicted base-origin names no event at-or-below v ever touched
+    // are invisible to the ≤v identity scan, yet their sources WERE
+    // aliased (type conflicts are a full-log property — an above-v
+    // rename/re-add makes the name conflicted at every v): synthesize
+    // the base identity so its era arm serves the alias back under the
+    // name, exactly as the keep-as-is path would have.
+    val untouchedConflicted = conflicts.filter(n =>
+      !entries.exists(e => e.version <= v
+        && (e.colName == n || (e.action == "renamecolumn" && e.colType == n))))
+      .map(n => ColIdentity(0, None, Seq(n -> 0), Nil)).toSeq
+    val allIdents = allIdents0 ++ untouchedConflicted
+    val liveIdents = liveIdents0 ++ untouchedConflicted
     // Names that did NOT exist at v: their ENTIRE history starts with
     // an above-v add (or above-v rename-target). A name whose first
     // event is an above-v drop or rename-FROM existed at v as an
@@ -2020,19 +2161,32 @@ object VersionedLayout {
       val arms = it.eras.zipWithIndex.flatMap { case ((n, s0), k) =>
         val lo = math.max(s0, it.birth)
         val hi = it.eras.lift(k + 1).map(_._2)
-        if (!mirrored.columns.contains(n)) None
-        else Some(hi match {
-          case Some(h) => when(col("_src_ver") >= lo && col("_src_ver") < h, col(n))
-          // The LAST era closes at v, not open-ended: every legitimate
-          // source carries _src_ver <= v, so this costs nothing — but a
-          // pid that escaped archival routing (the leaked-pid corner)
-          // can surface _src_ver > v rows whose values belong to an
-          // ABOVE-v identity under this physical name (a future rename
-          // whose target revived it, which the absentAtV-gated mirror
-          // pre-pass deliberately leaves in place); the upper bound
-          // keeps those future values out of the historical read.
-          case None => when(col("_src_ver") >= lo && col("_src_ver") <= v, col(n))
-        })
+        // A type-conflicted physical name was aliased apart per source
+        // (see aliasConflicted): this identity's era reads ONLY the
+        // aliases of its OWN type chain — other identities' aliases are
+        // different columns entirely, so their values are unreachable
+        // even before the era gate; within the chain the coalesce
+        // coerces losslessly (it IS the widen chain).
+        val srcCols =
+          if (!conflicts(n)) Seq(n).filter(mirrored.columns.contains)
+          else tokensOf(it, baseTypes).map(tok => s"${n}__as_$tok")
+            .filter(mirrored.columns.contains)
+        if (srcCols.isEmpty) None
+        else {
+          val src = srcCols.map(col).reduceLeft(coalesce(_, _))
+          Some(hi match {
+            case Some(h) => when(col("_src_ver") >= lo && col("_src_ver") < h, src)
+            // The LAST era closes at v, not open-ended: every legitimate
+            // source carries _src_ver <= v, so this costs nothing — but a
+            // pid that escaped archival routing (the leaked-pid corner)
+            // can surface _src_ver > v rows whose values belong to an
+            // ABOVE-v identity under this physical name (a future rename
+            // whose target revived it, which the absentAtV-gated mirror
+            // pre-pass deliberately leaves in place); the upper bound
+            // keeps those future values out of the historical read.
+            case None => when(col("_src_ver") >= lo && col("_src_ver") <= v, src)
+          })
+        }
       }
       val servedType = it.widens.lastOption.map(_._2).orElse(it.addType)
       val raw =
@@ -2045,7 +2199,10 @@ object VersionedLayout {
     val servedNames = servedExprs.map(_._1).toSet
     val keepAsIs = mirrored.columns.toSeq
       .filter(c => c != "_src_ver" && !involved.contains(c)
-        && !servedNames.contains(c) && !absentAtV.contains(c))
+        && !servedNames.contains(c) && !absentAtV.contains(c)
+        // per-type aliases of conflicted names are consumed by the era
+        // arms above and must not leak through as raw columns
+        && !conflicts.exists(n => c.startsWith(n + "__as_")))
     mirrored.select(keepAsIs.map(col) ++ servedExprs.map(_._2): _*)
   }
 }

@@ -2017,6 +2017,110 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q204's typed-re-add events layout. */
+  private[graft] def eventsTypedReaddDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_typedreadd_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val eventsTypedReaddLock = new Object
+
+  /** Build (or fast-forward) q204's history — q188's drop/re-add replay
+    * with the round-13 lift: the re-add FLIPS THE TYPE. v0 base, v1 ADD
+    * `bonus_tag BIGINT`, v2 INSERT purchase copies carrying bigint
+    * values, v3 DROP, v4 INSERT click copies under the narrowed schema,
+    * v5 RE-ADD `bonus_tag` AS STRING (previously refused — one type per
+    * physical name), v6 INSERT view copies carrying STRING values, v7
+    * majorCompact (materializes the string incarnation; the archive
+    * keeps serving the bigint one to below-fold reads).
+    */
+  private def ensureTypedReaddScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsTypedReaddDir(d)
+    eventsTypedReaddLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.addColumn(s, dir, "bonus_tag", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 1)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi"),
+              expr("(value_centi + 7) div 10").as("bonus_tag")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.dropColumn(s, dir, "bonus_tag")
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 3)
+            .where(col("event_type") === "click"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 2 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 3).as("value_centi")))
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.addColumn(s, dir, "bonus_tag", "string")
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 5)
+            .where(col("event_type") === "view"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 3 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 9).as("value_centi"),
+              concat(lit("t"),
+                expr("(value_centi + 9) div 100").cast("string")).as("bonus_tag")))
+      if (VersionedLayout.currentVersion(dir) < 7)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** TYPED RE-ADD through the commit log — the round-13 lift of the
+    * one-type-per-physical-name restriction: `bonus_tag` lives as
+    * BIGINT, is dropped, and returns as STRING; each incarnation is its
+    * own column identity served at its OWN type at every version.
+    * Load-bearing versions: v2 serves the bigint values; v3-v4 mask
+    * the name; v5 is a typed-NULL STRING column over the same physical
+    * bytes (the dead bigint values can never resurface under the new
+    * incarnation — at 100 TB that is what makes re-using a deprecated
+    * feature column's name SAFE for training data); v6 carries string
+    * values; v7's fold materializes the string schema while the archive
+    * keeps serving v2's bigints below the fold. The read path aliases
+    * type-conflicted physical names apart per source at PLAN time from
+    * log metadata alone — no footer reads, no union coercion — and the
+    * randomized identity-model spec drives the same machinery through
+    * arbitrary histories (StorageSpec).
+    */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureTypedReaddScenario(s, d)
+    (0 to 7).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val withT =
+        if (df.columns.contains("bonus_tag"))
+          df.withColumn("bonus_tag", col("bonus_tag").cast("string"))
+        else df.withColumn("bonus_tag", lit(null).cast("string"))
+      withT.select(lit(ver.toLong).as("version"), col("value_centi"), col("bonus_tag"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_centi")).as("total_centi"),
+        count(col("bonus_tag")).as("n_with_tag"),
+        coalesce(sum(length(col("bonus_tag"))), lit(0L)).as("tag_chars"),
+        coalesce(max(col("bonus_tag")), lit("")).as("tag_max"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q189's rename-column events layout. */
   private[graft] def eventsRenamecolDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3345,6 +3449,30 @@ object ScalePatterns {
     QueryDef("q201_layout_retention_by_time", q201, Some(q201OracleSql)),
     QueryDef("q202_layout_sql_asof", q202, Some(timeTravelOracleSql)),
     QueryDef("q203_layout_asof_skipping", q203, Some(q203OracleSql)),
+    QueryDef("q204_layout_typed_readd", q204, Some(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS version),
+         |base AS (SELECT ver.version, e.vc, CAST(NULL AS VARCHAR) AS tag
+         |         FROM ver CROSS JOIN e),
+         |insp AS (SELECT ver.version, e.vc + 7 AS vc,
+         |           CASE WHEN ver.version = 2
+         |                THEN CAST((e.vc + 7) // 10 AS VARCHAR) END AS tag
+         |         FROM ver JOIN e ON ver.version >= 2 AND e.event_type = 'purchase'),
+         |insc AS (SELECT ver.version, e.vc + 3 AS vc, CAST(NULL AS VARCHAR) AS tag
+         |         FROM ver JOIN e ON ver.version >= 4 AND e.event_type = 'click'),
+         |insv AS (SELECT ver.version, e.vc + 9 AS vc,
+         |           't' || CAST((e.vc + 9) // 100 AS VARCHAR) AS tag
+         |         FROM ver JOIN e ON ver.version >= 6 AND e.event_type = 'view'),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM insp
+         |      UNION ALL SELECT * FROM insc UNION ALL SELECT * FROM insv)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(vc) AS BIGINT) AS total_centi,
+         |  CAST(count(tag) AS BIGINT) AS n_with_tag,
+         |  CAST(coalesce(sum(length(tag)), 0) AS BIGINT) AS tag_chars,
+         |  coalesce(max(tag), '') AS tag_max
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q158_compaction_audit", q158, Some(
       s"""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          |             count(*) AS cnt

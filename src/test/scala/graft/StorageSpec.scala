@@ -1155,6 +1155,81 @@ class StorageSpec extends SparkSpec {
     assert(ex.getMessage.contains("renamecolumn"), ex.getMessage)
   }
 
+  test("typed re-add: a vacated name returns at a DIFFERENT type; every version serves its own incarnation at its own type; the feed refuses across the flip") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-typed-readd").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i * 10)).toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 8L), dir, Seq("event_id")) // v0
+    VersionedLayout.addColumn(spark, dir, "tag", "bigint")                        // v1
+    VersionedLayout.appendInsert(spark, dir,                                       // v2
+      shaped(Seq(101L, 102L)).withColumn("tag", col("event_id") * 7))
+    VersionedLayout.dropColumn(spark, dir, "tag")                                  // v3
+    VersionedLayout.addColumn(spark, dir, "tag", "string")                         // v4 — the lift
+    VersionedLayout.appendInsert(spark, dir,                                       // v5
+      shaped(Seq(201L, 202L)).withColumn("tag", concat(lit("s"), col("event_id"))))
+
+    def tagAt(v: Int): (org.apache.spark.sql.types.DataType, Map[Long, Any]) = {
+      val df = VersionedLayout.readAsOf(spark, dir, v)
+      (df.schema("tag").dataType,
+        df.select(col("event_id"), col("tag")).collect()
+          .map(r => r.getLong(0) -> r.get(1)).toMap)
+    }
+    // v2: the bigint incarnation, values only on its own segment.
+    val (t2, m2) = tagAt(2)
+    assert(t2 == org.apache.spark.sql.types.LongType, s"v2 tag type $t2")
+    assert(m2(101L) == 707L && m2(102L) == 714L && m2(1L) == null)
+    // v3: dropped.
+    assert(!VersionedLayout.readAsOf(spark, dir, 3).columns.contains("tag"))
+    // v4: the STRING incarnation — typed NULL everywhere; the dead
+    // bigint values never resurface.
+    val (t4, m4) = tagAt(4)
+    assert(t4 == org.apache.spark.sql.types.StringType, s"v4 tag type $t4")
+    assert(m4.values.forall(_ == null), s"v4 leaked: $m4")
+    // v5: strings on the new segment only.
+    val (t5, m5) = tagAt(5)
+    assert(t5 == org.apache.spark.sql.types.StringType)
+    assert(m5(201L) == "s201" && m5(202L) == "s202"
+      && m5(101L) == null && m5(1L) == null, s"v5: $m5")
+    // The fold materializes the string schema; every answer above
+    // holds through the archives afterwards.
+    VersionedLayout.majorCompact(spark, dir)                                       // v6
+    val (t2b, m2b) = tagAt(2)
+    assert(t2b == org.apache.spark.sql.types.LongType && m2b == m2,
+      "pre-flip read changed across the fold")
+    val (t6, m6) = tagAt(6)
+    assert(t6 == org.apache.spark.sql.types.StringType && m6 == m5,
+      "head read changed across the fold")
+    // Feed across the flip refuses with guidance; a type-uniform
+    // window works.
+    val exf = intercept[IllegalArgumentException](
+      VersionedLayout.changeFeed(spark, dir, 0, 6))
+    assert(exf.getMessage.contains("TYPE FLIP"), exf.getMessage)
+    assert(VersionedLayout.changeFeed(spark, dir, 4, 6)
+      .where(col("change_type") === "insert").count() == 2)
+    // Restore across the flip rides the feed and refuses likewise.
+    val exr = intercept[IllegalArgumentException](
+      VersionedLayout.restore(spark, dir, 2))
+    assert(exr.getMessage.contains("TYPE FLIP"), exr.getMessage)
+    // BASE-ORIGIN flip: rename the base column away, revive the name
+    // as a string — the recorded base types key the conflict exactly.
+    VersionedLayout.renameColumn(spark, dir, "value_centi", "vc")                  // v7
+    VersionedLayout.addColumn(spark, dir, "value_centi", "string")                 // v8
+    val head = VersionedLayout.readAsOf(spark, dir, 8)
+    assert(head.schema("value_centi").dataType == org.apache.spark.sql.types.StringType)
+    assert(head.where(col("value_centi").isNotNull).count() == 0,
+      "revived base name leaked the old incarnation's values")
+    assert(head.where(col("vc") === col("event_id") * 10).count() == head.count() - 0,
+      "renamed base column lost values")
+    // And the ORIGINAL bigint base column still serves below the rename.
+    val v1 = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(v1.schema("value_centi").dataType == org.apache.spark.sql.types.LongType)
+    assert(v1.where(col("value_centi") === col("event_id") * 10).count() == 8)
+  }
+
   test("schema evolution: every version serves its committed schema; the fold materializes; the old schema survives in the archive; the feed spans the flip") {
     import graft.operators.VersionedLayout
     val spark0 = spark
@@ -1390,14 +1465,18 @@ class StorageSpec extends SparkSpec {
     assert(v2.where(col("d").isNotNull).count() == 2)
     assert(v2.agg(sum("d")).collect()(0).getDecimal(0)
       == new java.math.BigDecimal("4.00"))
-    // Re-add type pinning still applies to the parametrized form.
+    // TYPED RE-ADD (round 13): the parametrized form re-adds at a
+    // DIFFERENT precision — its own incarnation, exactly typed, with
+    // the dropped incarnation's values never resurfacing.
     assert(VersionedLayout.dropColumn(spark, dir, "d") == 3)
-    intercept[IllegalArgumentException](
-      VersionedLayout.addColumn(spark, dir, "d", "decimal(12,2)"))
-    assert(VersionedLayout.addColumn(spark, dir, "d", "decimal(10,2)") == 4)
-    assert(VersionedLayout.readAsOf(spark, dir, 4)
-      .where(col("d").isNotNull).count() == 0,
-      "dropped incarnation's decimal values resurfaced through the re-add")
+    assert(VersionedLayout.addColumn(spark, dir, "d", "decimal(12,2)") == 4)
+    val v4d = VersionedLayout.readAsOf(spark, dir, 4)
+    assert(v4d.schema("d").dataType == org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(v4d.where(col("d").isNotNull).count() == 0,
+      "dropped incarnation's decimal values resurfaced through the typed re-add")
+    // And the original precision still serves below the drop.
+    assert(VersionedLayout.readAsOf(spark, dir, 2).schema("d").dataType
+      == org.apache.spark.sql.types.DecimalType(10, 2))
   }
 
   test("drop column: masked at and above its version, served below; a re-added name is a new incarnation whose old values never resurface") {
@@ -1430,9 +1509,10 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 3).count() == 10)
     assert(VersionedLayout.readAsOf(spark, dir, 2)
       .where(col("w").isNotNull).count() == 2)
-    // A dropped name cannot drop twice; a re-add must keep its type.
+    // A dropped name cannot drop twice. (A re-add at a DIFFERENT type
+    // is legal since round 13 — the typed re-add test and the
+    // randomized model spec own that surface.)
     intercept[IllegalArgumentException](VersionedLayout.dropColumn(spark, dir, "w"))
-    intercept[IllegalArgumentException](VersionedLayout.addColumn(spark, dir, "w", "string"))
     // v4 RE-ADD: a new incarnation — the v2 segment's on-disk values
     // must read as NULLs from here on.
     assert(VersionedLayout.addColumn(spark, dir, "w", "bigint") == 4)
@@ -1503,15 +1583,13 @@ class StorageSpec extends SparkSpec {
     val v2 = VersionedLayout.readAsOf(spark, dir, 2)
     assert(v2.columns.contains("w") && !v2.columns.contains("w2"))
     assert(v2.where(col("w").isNotNull).count() == 2)
-    // A renamed-away name cannot ride a new segment WHILE VACATED, a
-    // LIVE name cannot be re-added, and a re-add at a different type
-    // than the name last served refuses (one physical name, one type —
-    // the full re-add lifecycle has its own test); the CURRENT name
-    // inserts fine (v4).
+    // A renamed-away name cannot ride a new segment WHILE VACATED and
+    // a LIVE name cannot be re-added; the CURRENT name inserts fine
+    // (v4). (Re-adding the vacated name at a different type is legal
+    // since round 13 — the typed re-add surface has its own test and
+    // the randomized model spec.)
     intercept[IllegalArgumentException](VersionedLayout.appendInsert(spark, dir,
       shaped(Seq((103L, 11L))).withColumn("w", lit(5L))))
-    intercept[IllegalArgumentException](
-      VersionedLayout.addColumn(spark, dir, "w", "string"))
     intercept[IllegalArgumentException](
       VersionedLayout.addColumn(spark, dir, "w2", "bigint"))
     VersionedLayout.appendInsert(spark, dir,
@@ -1530,11 +1608,10 @@ class StorageSpec extends SparkSpec {
     val v7 = VersionedLayout.readAsOf(spark, dir, 7)
     assert(v7.columns.contains("z2") && !v7.columns.contains("z")
       && v7.where(col("z2").isNotNull).count() == 0)
-    // DROP goes by the current name; a re-add must keep the type the
-    // name last served.
+    // DROP goes by the current name. (Re-adding it at a different type
+    // is legal since round 13 — covered by the typed re-add test and
+    // the randomized model spec.)
     assert(VersionedLayout.dropColumn(spark, dir, "w2") == 8)
-    intercept[IllegalArgumentException](
-      VersionedLayout.addColumn(spark, dir, "w2", "string"))
     // The fold materializes both renames physically; reads below them
     // AFTER the fold still serve the old names through the archive.
     val (m9, _) = VersionedLayout.majorCompact(spark, dir)
@@ -2025,14 +2102,6 @@ class StorageSpec extends SparkSpec {
       val idents = scala.collection.mutable.ArrayBuffer(
         Ident(0, "c0", dead = false, tpe = "int"))
       val usedNames = scala.collection.mutable.Set("c0", "pid", "event_id")
-      // Engine type rules the generator must honor: a re-add must match
-      // every prior ADD declaration of the name, and a rename-involved
-      // name (either side) must re-enter at the type it SERVED when it
-      // last vacated. vanishType records the served type at each
-      // drop/rename-away; addTypes the declared add types per name.
-      val vanishType = scala.collection.mutable.Map.empty[String, String]
-      val addTypes = scala.collection.mutable.Map.empty[String, String]
-      val renameInvolved = scala.collection.mutable.Set.empty[String]
       var rows = Map.empty[Long, Map[Int, Long]] // key -> identId -> value
       val deadKeys = scala.collection.mutable.Set.empty[Long]
       var ver = 0
@@ -2076,19 +2145,16 @@ class StorageSpec extends SparkSpec {
           oplog += s"v$ver delete ${ks.mkString(",")}"
           VersionedLayout.appendDelete(spark, dir, col("event_id").isin(ks: _*))
           snap()
-        } else if (roll < 54) { // ADD: a fresh name, or RE-ADD a dead one
-          // Re-addable dead names: the engine-legal declared type exists.
+        } else if (roll < 54) { // ADD: a fresh name, or RE-ADD a dead one at ANY type
+          // TYPED RE-ADD (round 13): the one-type-per-name guard is
+          // lifted — a vacated name re-enters at a RANDOM type,
+          // including string against a numeric predecessor.
           val deadNames = (usedNames -- live.map(_.name) -- Seq("pid", "event_id"))
             .toSeq.sorted
-            .flatMap { n =>
-              val t =
-                if (renameInvolved(n)) vanishType.get(n)
-                  .filter(vt => addTypes.get(n).forall(_ == vt))
-                else addTypes.get(n).orElse(vanishType.get(n))
-              t.map(n -> _)
-            }
           val (name, tpe) =
-            if (deadNames.nonEmpty && rnd.nextBoolean()) deadNames(rnd.nextInt(deadNames.size))
+            if (deadNames.nonEmpty && rnd.nextBoolean())
+              (deadNames(rnd.nextInt(deadNames.size)),
+                Seq("int", "bigint", "string")(rnd.nextInt(3)))
             else {
               freshCounter += 1
               (s"c$freshCounter", if (rnd.nextBoolean()) "int" else "bigint")
@@ -2096,7 +2162,6 @@ class StorageSpec extends SparkSpec {
           ver += 1
           idents += Ident({ nextId += 1; nextId - 1 }, name, dead = false, tpe)
           usedNames += name
-          addTypes(name) = tpe
           oplog += s"v$ver add $name:$tpe(id ${nextId - 1})"
           assert(VersionedLayout.addColumn(spark, dir, name, tpe) == ver)
           snap()
@@ -2104,23 +2169,17 @@ class StorageSpec extends SparkSpec {
           val i = live(rnd.nextInt(live.size))
           ver += 1
           i.dead = true
-          vanishType(i.name) = i.tpe
           oplog += s"v$ver drop ${i.name}(id ${i.id})"
           assert(VersionedLayout.dropColumn(spark, dir, i.name) == ver)
           snap()
-        } else if (roll < 74 && live.nonEmpty) { // RENAME: fresh target, or REVIVE a vacated name
+        } else if (roll < 74 && live.nonEmpty) { // RENAME: fresh target, or REVIVE a vacated name (any type since round 13)
           val i = live(rnd.nextInt(live.size))
-          // A revival target must have served exactly the mover's type
-          // when it vacated (the engine's one-type-per-name rule).
           val deadNames = (usedNames -- live.map(_.name) -- Seq("pid", "event_id"))
-            .toSeq.sorted.filter(n => vanishType.get(n).contains(i.tpe))
+            .toSeq.sorted
           val to =
             if (deadNames.nonEmpty && rnd.nextBoolean()) deadNames(rnd.nextInt(deadNames.size))
             else { freshCounter += 1; s"r$freshCounter" }
           ver += 1
-          vanishType(i.name) = i.tpe
-          renameInvolved += i.name
-          renameInvolved += to
           oplog += s"v$ver rename ${i.name}->$to(id ${i.id})"
           assert(VersionedLayout.renameColumn(spark, dir, i.name, to) == ver)
           i.name = to; usedNames += to
@@ -2143,16 +2202,25 @@ class StorageSpec extends SparkSpec {
           // The restore serves the HEAD's names/identities; the model
           // takes toV's VALUES filtered to identities still live now
           // (an incarnation born above toV has no value in the old
-          // snapshot, so it restores to NULL by construction).
-          val rowsAt = snaps(toV)._2
-          ver += 1
-          val liveIds = live.map(_.id).toSet
-          rows = rowsAt.map { case (k, m) => k -> m.filter(kv => liveIds(kv._1)) }
-          deadKeys.clear()
-          deadKeys ++= (snaps.flatMap(_._2.keys).toSet -- rows.keys)
-          oplog += s"v$ver restore->$toV"
-          assert(VersionedLayout.restore(spark, dir, toV) == ver)
-          snap()
+          // snapshot, so it restores to NULL by construction). A range
+          // crossing a TYPE FLIP refuses loudly (rides the change
+          // feed's round-13 guard) — the engine consumes no version and
+          // the model moves on.
+          try {
+            val got = VersionedLayout.restore(spark, dir, toV)
+            ver += 1
+            assert(got == ver, s"restore committed $got, expected $ver")
+            val rowsAt = snaps(toV)._2
+            val liveIds = live.map(_.id).toSet
+            rows = rowsAt.map { case (k, m) => k -> m.filter(kv => liveIds(kv._1)) }
+            deadKeys.clear()
+            deadKeys ++= (snaps.flatMap(_._2.keys).toSet -- rows.keys)
+            oplog += s"v$ver restore->$toV"
+            snap()
+          } catch {
+            case e: IllegalArgumentException if e.getMessage.contains("TYPE FLIP") =>
+              oplog += s"restore->$toV refused (type flip)"
+          }
         } else { // nothing applicable: burn no version
           ()
         }
@@ -2167,8 +2235,14 @@ class StorageSpec extends SparkSpec {
         val got = df.collect().map { r =>
           val k = r.getLong(r.fieldIndex("event_id"))
           k -> names.map { case (id, n) =>
-            id -> (if (r.isNullAt(r.fieldIndex(n))) None
-              else Some(r.getAs[Number](r.fieldIndex(n)).longValue))
+            // Typed re-add means a cell can be numeric OR string (the
+            // generator casts the same long either way): normalize back.
+            id -> (r.get(r.fieldIndex(n)) match {
+              case null => None
+              case x: Number => Some(x.longValue)
+              case s: String => Some(s.toLong)
+              case other => fail(s"seed $seed v$v $n: unexpected cell $other")
+            })
           }
         }.toMap
         val want = mrows.map { case (k, m) =>
