@@ -48,7 +48,10 @@ object Verify {
     // the divergence is in the driver's harness; a local-red names the
     // exact cells. Best-effort — duckdb is a driver-side tool, so ad
     // hoc environments without it just skip (never fail the gate).
-    val selfCheck = Set("q186b_snapshot_manifest")
+    // q46 rides along because q186b's oracle embeds q46's survivor SQL
+    // verbatim — a joint verdict pair splits "manifest aggregation
+    // diverged" from "survivor derivation diverged" at a glance.
+    val selfCheck = Set("q186b_snapshot_manifest", "q46_curation")
     selfCheck.filter(n => only.isEmpty || only(n))
       .filter(n => new java.io.File(s"$outDir/$n").isDirectory)
       .filter(_ => new java.io.File("tools/gate_selfcheck.py").isFile)
