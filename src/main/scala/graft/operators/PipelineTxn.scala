@@ -622,7 +622,8 @@ object PipelineTxn {
       maxOverheadMilli: Long = IndexStore.recommendOverheadMilli,
       maxSegments: Int = IndexStore.recommendMaxSegments,
       deepCounts: Boolean = true,
-      ivfRetrain: Option[IvfRetrainPolicy] = None): DataFrame = {
+      ivfRetrain: Option[IvfRetrainPolicy] = None,
+      retainWindow: Option[(Long, Long)] = None): DataFrame = {
     // History vacuum DEFERS while any erase transaction is in flight:
     // a resumed erase's pruned LSH arm reads the docs snapshot AS OF
     // its delete version minus one, and a vacuum above that would
@@ -630,13 +631,22 @@ object PipelineTxn {
     // tombstone reads, nothing — but the rule is uniform and cheap to
     // check: one intent-dir listing).
     val pending = pendingIntents(p)
+    // TIME-BASED arm (round 13): `retainWindow = Some((retainMs,
+    // nowMs))` swaps the keep-last-N policy for `VACUUM ... RETAIN
+    // <window>` semantics on both layouts
+    // ([[VersionedLayout.vacuumIfNeededByTime]]) — the same erase-
+    // pending deferral applies; `nowMs` is injectable so scheduled
+    // policies (and specs) are deterministic.
+    def layoutVac(dir: String): Boolean = pending.isEmpty && (retainWindow match {
+      case Some((w, now)) =>
+        VersionedLayout.vacuumIfNeededByTime(s, dir, w, now, minReclaimRows)
+      case None => VersionedLayout.vacuumIfNeeded(s, dir, keepLast, minReclaimRows)
+    })
     VersionedLayout.checkpoint(p.docs)
-    val dVac = pending.isEmpty &&
-      VersionedLayout.vacuumIfNeeded(s, p.docs, keepLast, minReclaimRows)
+    val dVac = layoutVac(p.docs)
     val lCompacted = LshIndexStore.compactIfNeeded(s, p.lsh, maxOverheadMilli, maxSegments)
     VersionedLayout.checkpoint(p.emb)
-    val eVac = pending.isEmpty &&
-      VersionedLayout.vacuumIfNeeded(s, p.emb, keepLast, minReclaimRows)
+    val eVac = layoutVac(p.emb)
     // Retrain consult FIRST (policy thunks evaluated lazily, per pass —
     // the audit must see THIS pass's head), then the fold consult: a
     // fired retrain publishes a full snapshot, so the fold reads a

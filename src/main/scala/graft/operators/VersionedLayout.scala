@@ -471,6 +471,13 @@ object VersionedLayout {
   def readAsOfTimestamp(s: SparkSession, dir: String, tsMs: Long): DataFrame =
     readAsOf(s, dir, versionAtTimestamp(dir, tsMs))
 
+  /** [[cloneAsOf]] addressed by wall-clock time — "export the corpus as
+    * of last midnight" as a zero-copy snapshot; resolution is the same
+    * pure-log-metadata [[versionAtTimestamp]] the reads use.
+    */
+  def cloneAsOfTimestamp(s: SparkSession, dir: String, dst: String, tsMs: Long): Unit =
+    cloneAsOf(s, dir, dst, versionAtTimestamp(dir, tsMs))
+
   /** Oldest version still readable: 0 until a vacuum raises it. */
   def horizon(dir: String): Int =
     log(dir).filter(_.action == "vacuum").map(_.horizon).maxOption.getOrElse(0)

@@ -324,6 +324,54 @@ class PipelineTxnSpec extends SparkSpec {
     assert(stateOf(p) == after, "a shallow maintain pass moved a store")
   }
 
+  test("maintain's RETAIN-window arm: the time policy vacuums both layouts at the cutoff, refuses below-horizon reads after, and still defers while an erase is pending") {
+    import graft.operators.VersionedLayout
+    val p = freshPipeline("vacts")
+    PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
+    // A completed erase + a compaction give both layouts archive mass
+    // a retention vacuum can reclaim.
+    PipelineTxn.erase(spark, p, col("doc_id") % 4 === 0, col("vec_id") % 4 === 0, txn = 2L)
+    VersionedLayout.appendCompact(spark, p.docs, 0.01)
+    VersionedLayout.appendCompact(spark, p.emb, 0.01)
+    val window = 1000L
+    val cutoffNow = math.max(
+      VersionedLayout.commitTimes(p.docs).last._2,
+      VersionedLayout.commitTimes(p.emb).last._2) + window
+    // The time arm fires on both layouts (cutoff at each head's own
+    // effective time), raises both horizons, and the report says so.
+    val rep = PipelineTxn.maintain(spark, p, keepLast = 99, minReclaimRows = 0L,
+      reclaimIntentsBelowTxn = 100L, retainWindow = Some((window, cutoffNow)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(rep("docs") && rep("emb"),
+      s"RETAIN-window arm did not vacuum both layouts: $rep")
+    assert(VersionedLayout.horizon(p.docs) == VersionedLayout.currentVersion(p.docs) - 1,
+      "docs horizon not at the cutoff version") // -1: the vacuum entry itself
+    intercept[IllegalArgumentException](VersionedLayout.readAsOf(spark, p.docs, 0))
+    // The state is untouched by retention: live reads keep answering.
+    val (docs, lshDocs, _, emb, _) = stateOf(p)
+    val want = (baseIds ++ deltaIds).filterNot(_ % 4 == 0).toSet
+    assert(docs == want && lshDocs == want && emb == want,
+      "time-based retention changed live state")
+    // Deferral is policy-independent: a pending erase blocks the time
+    // arm exactly like the count arm.
+    intercept[PipelineTxn.InjectedCrash] {
+      PipelineTxn.erase(spark, p, col("doc_id") % 8 === 2, col("vec_id") % 8 === 2,
+        txn = 3L, failAfter = 2)
+    }
+    val rep2 = PipelineTxn.maintain(spark, p, keepLast = 99, minReclaimRows = 0L,
+      reclaimIntentsBelowTxn = 100L,
+      retainWindow = Some((window, System.currentTimeMillis() + 3600000L)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(!rep2("docs") && !rep2("emb"),
+      "RETAIN-window arm vacuumed out from under a pending erase")
+    // The resumed erase completes to the same state it would have.
+    PipelineTxn.erase(spark, p, col("doc_id") % 8 === 2, col("vec_id") % 8 === 2, txn = 3L)
+    val want2 = want.filterNot(_ % 8 == 2)
+    val (d2, l2, _, e2, _) = stateOf(p)
+    assert(d2 == want2 && l2 == want2 && e2 == want2,
+      "erase resumed after a deferred time-maintenance pass diverged")
+  }
+
   test("erase-vs-reingest conflict: Fail surfaces it loudly; RetractAndReadmit restores index == table for the recorded keys") {
     val p = freshPipeline("conflict")
     PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)

@@ -2035,6 +2035,12 @@ class StorageSpec extends SparkSpec {
     assert(eff2(4) == eff2(3) + 1 && (3 to 4).forall(v =>
       VersionedLayout.versionAtTimestamp(dir, eff2(v)) == v),
       s"same-millisecond commits must not alias: $eff2")
+    // Clone by timestamp: the v1-era snapshot exports zero-copy and
+    // reads back standalone.
+    val dst = Files.createTempDirectory("graft-ts-clone").toString + "/c"
+    VersionedLayout.cloneAsOfTimestamp(spark, dir, dst, eff2(1))
+    assert(VersionedLayout.readAsOf(spark, dst,
+      VersionedLayout.currentVersion(dst)).count() == 5)
   }
 
   test("restore across a NAME REVIVAL: pre-images below the rename never leak the dead incarnation's values into the revived column") {

@@ -282,6 +282,18 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 2).count() == base + 8)
     // Batch-0's view is still addressable: per-micro-batch time travel.
     assert(VersionedLayout.readAsOf(spark, dir, 1).count() == base + 5)
+    // Streamed segments carry DATA-SKIPPING stats like any other commit
+    // (appendInsertOnce rides appendInsert; the layout records per-pid
+    // [min,max] of `v`): both micro-batch entries have bounds, and a
+    // range read outside them drops the segments at PLAN time — the
+    // continuous-ingest story and the zone-map story compose.
+    val segEntries = VersionedLayout.log(dir).filter(_.action == "insert")
+    assert(segEntries.size == 2 && segEntries.forall(_.stats.nonEmpty),
+      "streamed micro-batch commits recorded no skip stats")
+    val segMax = segEntries.flatMap(_.stats.map(_._3)).max
+    val pruned = VersionedLayout.readAsOfRange(spark, dir, 2, segMax + 1, segMax + 1000)
+    assert(!pruned.inputFiles.exists(_.contains("_inserts")),
+      "a band outside the streamed segments' bounds still scanned them")
   }
 
   test("streaming ingest into a GENERIC (events-keyed) layout: exactly-once commits, per-batch time travel, and a change feed that sums to the head") {
