@@ -78,5 +78,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       },
     ))
+    // The DATA-SKIPPING read as SQL:
+    //   SELECT * FROM graft_layout_asof_range('/table/dir', v, lo, hi)
+    // — whole sources whose commit-time bounds miss [lo, hi] never even
+    // enter the plan (log metadata only), and the range predicate still
+    // pushes into the surviving parquet scans.
+    e.injectTableFunction((
+      FunctionIdentifier("graft_layout_asof_range"),
+      new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
+        "graft_layout_asof_range"),
+      (args: Seq[Expression]) => {
+        val dir = constArg(args, 0, "graft_layout_asof_range").toString
+        val v = constArg(args, 1, "graft_layout_asof_range").toString.toInt
+        val lo = constArg(args, 2, "graft_layout_asof_range").toString.toLong
+        val hi = constArg(args, 3, "graft_layout_asof_range").toString.toLong
+        graft.operators.VersionedLayout
+          .readAsOfRange(SparkSession.active, dir, v, lo, hi)
+          .queryExecution.logical: LogicalPlan
+      },
+    ))
   }
 }

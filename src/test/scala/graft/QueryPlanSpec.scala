@@ -422,4 +422,28 @@ class QueryPlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("readAsOfRange pushes the range predicate into every surviving parquet scan (log-level skip + footer-level skip compose)") {
+    // The log-metadata source prune (StorageSpec owns its file-set
+    // assertions) is the FIRST gate; the range predicate must still
+    // reach the scans that survive it, so parquet row-group min/max
+    // skipping handles the within-file tail — the two layers compose.
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-skip").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i)).toDF("event_id", "value_centi")
+      .select((col("value_centi") / 10).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 40L), dir,
+      Seq("event_id"), statsCol = Some("value_centi"))
+    VersionedLayout.appendInsert(spark, dir, shaped(41L to 45L))
+    val df = VersionedLayout.readAsOfRange(spark, dir,
+      VersionedLayout.currentVersion(dir), 12L, 44L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(value_centi,12)")
+      && p.contains("LessThanOrEqual(value_centi,44)"), p.take(4000))
+  }
 }

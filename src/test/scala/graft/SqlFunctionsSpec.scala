@@ -17,4 +17,30 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(v == 32.0)
   }
+
+  test("layout time travel callable from SQL: asof / asof_ts / asof_range table functions") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql-tvf").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i)).toDF("event_id", "value_centi")
+      .select((col("value_centi") / 10).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 40L), dir,
+      Seq("event_id"), statsCol = Some("value_centi"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(41L, 42L)))
+    val ts1 = VersionedLayout.commitTimes(dir).toMap.apply(1)
+    assert(spark.sql(s"SELECT count(*) FROM graft_layout_asof('$dir', 0)")
+      .head().getLong(0) == 40)
+    assert(spark.sql(s"SELECT count(*) FROM graft_layout_asof_ts('$dir', $ts1)")
+      .head().getLong(0) == 42)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_layout_asof_range('$dir', 1, 40, 50)")
+      .head().getLong(0) == 3)
+    // Non-literal arguments refuse loudly (plan-time resolution).
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_layout_asof('$dir', CAST(rand() AS INT))").collect())
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
 }
