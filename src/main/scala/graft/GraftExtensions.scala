@@ -78,6 +78,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       },
     ))
+    // DESCRIBE HISTORY as SQL — metadata-only (zero Spark jobs to
+    // build), the frame a dashboard polls:
+    //   SELECT * FROM graft_layout_history('/table/dir')
+    e.injectTableFunction((
+      FunctionIdentifier("graft_layout_history"),
+      new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
+        "graft_layout_history"),
+      (args: Seq[Expression]) => {
+        val dir = constArg(args, 0, "graft_layout_history").toString
+        graft.operators.VersionedLayout.describeHistory(SparkSession.active, dir)
+          .queryExecution.logical: LogicalPlan
+      },
+    ))
     // The DATA-SKIPPING read as SQL:
     //   SELECT * FROM graft_layout_asof_range('/table/dir', v, lo, hi)
     // — whole sources whose commit-time bounds miss [lo, hi] never even

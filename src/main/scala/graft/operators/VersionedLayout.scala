@@ -478,6 +478,29 @@ object VersionedLayout {
   def cloneAsOfTimestamp(s: SparkSession, dir: String, dst: String, tsMs: Long): Unit =
     cloneAsOf(s, dir, dst, versionAtTimestamp(dir, tsMs))
 
+  /** DESCRIBE HISTORY, METADATA-ONLY: one row per committed version —
+    * action, effective commit time (strictly monotone axis), restore
+    * provenance (the target version a restore-shaped upsert carries),
+    * vacuum horizon, touched-pid count, txn stamp, and whether skip
+    * stats rode the entry. Pure log: building this frame runs ZERO
+    * Spark jobs, which is what makes it safe to expose as a SQL table
+    * function (`graft_layout_history`) a dashboard polls. The
+    * data-anchored deep audit (feed mass, live counts) is q193's
+    * separate, costed shape.
+    */
+  def describeHistory(s: SparkSession, dir: String): DataFrame = {
+    val times = commitTimes(dir).toMap
+    val s0 = s
+    import s0.implicits._
+    log(dir).map { e =>
+      (e.version.toLong, e.action, times(e.version),
+        if (e.action == "upsert" && e.horizon > 0) e.horizon.toLong else -1L,
+        if (e.action == "vacuum") e.horizon.toLong else -1L,
+        e.pids.size.toLong, e.txn, e.stats.nonEmpty)
+    }.toDF("version", "action", "eff_commit_ts", "restored_from",
+      "vacuum_horizon", "n_pids", "txn", "has_stats")
+  }
+
   /** Oldest version still readable: 0 until a vacuum raises it. */
   def horizon(dir: String): Int =
     log(dir).filter(_.action == "vacuum").map(_.horizon).maxOption.getOrElse(0)

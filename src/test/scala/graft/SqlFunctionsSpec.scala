@@ -42,5 +42,14 @@ class SqlFunctionsSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_layout_asof('$dir', CAST(rand() AS INT))").collect())
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // DESCRIBE HISTORY from SQL: one metadata row per committed version,
+    // strictly increasing effective times, the insert carrying stats.
+    val hist = spark.sql(
+      s"""SELECT version, action, eff_commit_ts, has_stats
+         |FROM graft_layout_history('$dir') ORDER BY version""".stripMargin).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(hist.map(_.getString(1)).toSeq == Seq("write", "insert"))
+    assert(hist(1).getLong(2) > hist(0).getLong(2), "effective times not strict")
+    assert(hist.forall(_.getBoolean(3)), "stats missing from history rows")
   }
 }
