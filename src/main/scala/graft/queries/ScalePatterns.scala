@@ -2368,6 +2368,30 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** DESCRIBE HISTORY, METADATA-ONLY (q205) — the round-13 companion to
+    * q193's data-anchored deep audit: [[graft.operators.VersionedLayout
+    * .describeHistory]] renders one row per committed version from the
+    * LOG ALONE (zero Spark jobs to build the frame — the same frame the
+    * `graft_layout_history` SQL table function serves a dashboard), and
+    * the gate pins the full action sequence of q190's restore scenario:
+    * write → insert → delete → upsert → RESTORE (an upsert carrying its
+    * target version as provenance) → insert → majorcompact, with the
+    * vacuum-horizon, txn, and stats markers all at their documented
+    * idle values. The wall-clock effective-time column is deliberately
+    * excluded here (gate-incompatible); its strict monotonicity is
+    * proven with injected stamps in StorageSpec. At 100 TB the point is
+    * the cost model: a table's operational history is O(versions)
+    * driver-side metadata, never a data pass.
+    */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureRestoreScenario(s, d)
+    VersionedLayout.describeHistory(s, dir)
+      .select(col("version"), col("action"), col("restored_from"),
+        col("vacuum_horizon"), col("txn"), col("has_stats"))
+      .orderBy(col("version"))
+  }
+
   /** Stable location of q192's widen-column events layout. */
   private[graft] def eventsWidencolDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3449,6 +3473,18 @@ object ScalePatterns {
     QueryDef("q201_layout_retention_by_time", q201, Some(q201OracleSql)),
     QueryDef("q202_layout_sql_asof", q202, Some(timeTravelOracleSql)),
     QueryDef("q203_layout_asof_skipping", q203, Some(q203OracleSql)),
+    QueryDef("q205_layout_describe_history", q205, Some(
+      s"""SELECT * FROM (VALUES
+         |  (CAST(0 AS BIGINT), 'write', CAST(-1 AS BIGINT),
+         |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), false),
+         |  (1, 'insert', -1, -1, -1, false),
+         |  (2, 'delete', -1, -1, -1, false),
+         |  (3, 'upsert', -1, -1, -1, false),
+         |  (4, 'upsert', 1, -1, -1, false),
+         |  (5, 'insert', -1, -1, -1, false),
+         |  (6, 'majorcompact', -1, -1, -1, false)
+         |) AS t(version, action, restored_from, vacuum_horizon, txn, has_stats)
+         |ORDER BY version""".stripMargin)),
     QueryDef("q204_layout_typed_readd", q204, Some(
       s"""WITH e AS (SELECT event_id, event_type,
          |        CAST(round(value * 100) AS BIGINT) AS vc FROM events),
