@@ -206,13 +206,31 @@ object Bench {
     // default-ON because this repo's round driver has no other way to
     // reach a clean snapshot; disable with SPARK_GRAFT_AUTOCOMMIT=0.
     if (sys.env.getOrElse("SPARK_GRAFT_AUTOCOMMIT", "1") != "0"
-        && new java.io.File("tools/commit_artifacts.sh").isFile)
+        && new java.io.File("tools/commit_artifacts.sh").isFile) {
+      // Synchronous sweep FIRST (round-13 advisor: three rounds of
+      // poller races left artifacts staged-but-uncommitted at snapshot
+      // time): everything already on disk — this round's CORRECTNESS
+      // (the driver runs verify before bench), BENCH_LATEST just
+      // written above, DIAG/SLOPES — is committed by this JVM's own
+      // exit path, bounded at 90 s so a wedged git can't hang the gate.
+      try {
+        val once = new ProcessBuilder("bash", "tools/commit_artifacts.sh", "--once")
+          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
+        if (!once.waitFor(90, java.util.concurrent.TimeUnit.SECONDS))
+          once.destroyForcibly()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: inline artifact sweep failed: $e") }
+      // Detached poller stays as the BACKSTOP for the files the driver
+      // writes after this JVM exits (BENCH_r{N}, LEAKCHECK, COPYCHECK).
       try new ProcessBuilder("setsid", "bash", "tools/commit_artifacts.sh")
         .redirectOutput(ProcessBuilder.Redirect.DISCARD)
         .redirectError(ProcessBuilder.Redirect.DISCARD)
         .start()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench: artifact committer not spawned: $e") }
+    }
     spark.stop()
     // The driver records only the LAST 2000 chars of stdout, and sbt
     // appends a ~75-char "[success]" line after the JVM exits — so the

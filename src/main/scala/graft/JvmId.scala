@@ -71,21 +71,22 @@ object JvmId {
     diagFile.foreach { f =>
       try {
         // Rotation: the ledger is append-forever across rounds; past
-        // ~1 MB RENAME it to DIAG.1.jsonl (committed alongside, one
-        // rotation generation of history) and start fresh. Rename is
-        // O(1) — no per-append rewrite of the newest N lines once past
-        // the threshold — and it is the rotation that cannot LOSE a
-        // line across processes: a racing JVM's already-open append
-        // follows the inode into the rotated file, where the old
-        // read-truncate-rewrite could silently drop a concurrent
-        // append it never read. Two concurrent rotations: the second
-        // rename moves a near-empty fresh file over DIAG.1 — bounded
-        // loss of already-rotated (not fresh) lines, diagnostics-only.
+        // ~1 MB RENAME it aside (committed alongside) and start fresh.
+        // Rename is O(1) — no per-append rewrite of the newest N lines
+        // once past the threshold — and it is the rotation that cannot
+        // LOSE a line across processes: a racing JVM's already-open
+        // append follows the inode into the rotated file. The rotated
+        // NAME is unique per (time, jvm) — round-13 advisor: renaming
+        // to a fixed DIAG.1.jsonl let the LOSER of two concurrent
+        // rotations move a near-empty fresh file over the winner's
+        // just-rotated ~1 MB generation; a collision-free name makes
+        // the losing racer rotate its own (tiny, still-valid) file
+        // instead of clobbering anything.
         if (f.isFile && f.length > 1000000L) {
-          val rotated = new java.io.File(f.getParentFile, "DIAG.1.jsonl")
+          val rotated = new java.io.File(f.getParentFile,
+            s"DIAG.${System.currentTimeMillis()}.${token.take(8)}.jsonl")
           try java.nio.file.Files.move(f.toPath, rotated.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch { case _: Throwable => () }
         }
         val kv = fields.map {

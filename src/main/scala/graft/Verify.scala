@@ -57,11 +57,22 @@ object Verify {
       .filter(_ => new java.io.File("tools/gate_selfcheck.py").isFile)
       .foreach { n =>
         try {
+          // Bounded: a hung duckdb (import deadlock, etc.) must never
+          // stall the gate — read stdout on a side thread and give the
+          // whole check 120 s before force-killing and logging a
+          // timeout verdict (round-13 advisor).
           val out = new ProcessBuilder(
               "python3", "tools/gate_selfcheck.py", outDir, sfDir, n)
             .redirectErrorStream(true).start()
-          val line = new String(out.getInputStream.readAllBytes(), "UTF-8").trim
-          out.waitFor()
+          val buf = new java.util.concurrent.atomic.AtomicReference[String]("")
+          val rd = new Thread(() =>
+            try buf.set(new String(out.getInputStream.readAllBytes(), "UTF-8").trim)
+            catch { case _: Throwable => () })
+          rd.setDaemon(true); rd.start()
+          val done = out.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) out.destroyForcibly()
+          rd.join(5000)
+          val line = if (done) buf.get else s"timeout after 120s; partial: ${buf.get.take(500)}"
           JvmId.diag("gate_selfcheck", "query" -> n, "result" -> line)
         } catch { case e: Throwable =>
           JvmId.diag("gate_selfcheck", "query" -> n,

@@ -64,15 +64,19 @@ object IncrementalView {
     val joined = tombVers match {
       case Nil => rows.withColumn("_death", lit(head + 1))
       case tvs =>
-        // Bounded: one (key -> sorted tombstone-version list) row per
-        // ever-deleted key — broadcast-sized by construction (tombstone
-        // sets are the deltas, not the table).
+        // One (key -> sorted tombstone-version list) row per
+        // ever-deleted key. No explicit broadcast hint: the set is
+        // delta-sized in practice, but it accumulates over the WHOLE
+        // history, so a delete-heavy table could outgrow the broadcast
+        // limit — let AQE pick broadcast at runtime from the actual
+        // post-agg size and fall back to shuffle when it doesn't fit
+        // (round-13 advisor).
         val tombs = tvs.map(tv => VersionedLayout.tombstonesAt(s, dir, tv)
             .select(key.map(col) :+ lit(tv).as("_tv"): _*))
           .reduce(_ unionByName _)
           .groupBy(key.map(col): _*)
           .agg(sort_array(collect_list(col("_tv"))).as("_tvs"))
-        rows.join(broadcast(tombs), key, "left")
+        rows.join(tombs, key, "left")
           .withColumn("_death", coalesce(
             // get (0-based) returns NULL for an empty filter result —
             // an upsert replacement whose only tombstones sit at or

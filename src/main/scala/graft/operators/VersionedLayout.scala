@@ -145,6 +145,26 @@ object VersionedLayout {
       .map(_.group(1))
   }
 
+  /** ALL declared stats columns (round 14: real zone maps cover a
+    * small SET of columns, not one) — the `statsCols` meta list when
+    * present, else the legacy single `statsCol`. Names are the
+    * columns' ORIGINAL (base-write) spellings; a later rename moves
+    * the SERVED name, not the declaration — reads resolve through the
+    * column-identity scan ([[statsIdentityAt]]), which is what lets
+    * skipping survive a rename.
+    */
+  private[graft] def statsColsOf(dir: String): Seq[String] = {
+    val f = metaFile(dir)
+    if (!f.isFile) Nil
+    else {
+      val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      """"statsCols":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(statsColOf(dir).toSeq)
+    }
+  }
+
   /** Per-pid (min, max) of the stats column over `df` — the one extra
     * bounded aggregation a stats-tracking write pays (a real format
     * collects the same bounds from task-level file stats for free; one
@@ -196,11 +216,21 @@ object VersionedLayout {
     * and "open every surviving file at v". Bounds stay sound forever:
     * rows only ever LEAVE a written artifact (tombstone masking), so a
     * write-time [min,max] is a superset bound for all later reads.
+    * `rowsW`/`rowsD` (round 14) are the LOGICAL row masses of a data
+    * commit — rows the commit's segment wrote / its tombstones killed
+    * — recorded at write time from counts the write path already has
+    * in hand (the numRecords bookkeeping real table formats keep as
+    * commit metadata); -1 on entries written before the field existed.
+    * `restoreOf` (round 14) is UNAMBIGUOUS restore provenance: the
+    * target version a restore-shaped upsert rewound to, -1 otherwise —
+    * the pre-r14 inference (`action == "upsert" && horizon > 0`) could
+    * not represent a legal restore to version 0.
     */
   final case class LogEntry(
       version: Int, action: String, pids: Seq[Int], horizon: Int,
       txn: Long = -1L, tag: String = "", colName: String = "", colType: String = "",
-      ts: Long = 0L, stats: Seq[(Int, Long, Long)] = Nil)
+      ts: Long = 0L, stats: Seq[(Int, Long, Long)] = Nil,
+      rowsW: Long = -1L, rowsD: Long = -1L, restoreOf: Int = -1)
 
   /** Artifact-directory suffix unique to this writer (process+thread):
     * concurrent writers preparing the SAME version number write disjoint
@@ -217,7 +247,8 @@ object VersionedLayout {
     s"""{"version":${e.version},"action":"${e.action}",""" +
       s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},""" +
       s""""tag":"${e.tag}","txn":${e.txn},""" +
-      s""""colName":"${e.colName}","colType":"${e.colType}","ts":${e.ts}""" +
+      s""""colName":"${e.colName}","colType":"${e.colType}","ts":${e.ts},""" +
+      s""""rowsW":${e.rowsW},"rowsD":${e.rowsD},"restoreOf":${e.restoreOf}""" +
       // stats LAST (nested arrays — the scalar field parser splits on
       // the first bracket/comma and must never see these first).
       s""","stats":[${e.stats.map(t => s"[${t._1},${t._2},${t._3}]").mkString(",")}]}"""
@@ -250,7 +281,11 @@ object VersionedLayout {
       // "no own stamp" and the monotonicized view assigns the previous
       // commit's effective time plus one.
       if (body.contains("\"ts\":")) field("ts").toLong else 0L,
-      stats)
+      stats,
+      // Optional (round 14): -1 = unknown / not a restore.
+      if (body.contains("\"rowsW\":")) field("rowsW").toLong else -1L,
+      if (body.contains("\"rowsD\":")) field("rowsD").toLong else -1L,
+      if (body.contains("\"restoreOf\":")) field("restoreOf").toInt else -1)
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -492,13 +527,24 @@ object VersionedLayout {
     val times = commitTimes(dir).toMap
     val s0 = s
     import s0.implicits._
+    // Maintenance and evolution commits change zero LOGICAL rows by
+    // definition; data commits report the recorded masses (-1 =
+    // written before the field existed — unknown, never guessed).
+    val zeroRowActions = Set("compact", "majorcompact", "vacuum",
+      "addcolumn", "dropcolumn", "renamecolumn", "widencolumn")
     log(dir).map { e =>
       (e.version.toLong, e.action, times(e.version),
-        if (e.action == "upsert" && e.horizon > 0) e.horizon.toLong else -1L,
+        if (e.restoreOf >= 0) e.restoreOf.toLong
+        // Legacy inference for pre-r14 entries (blind to v0 restores).
+        else if (e.action == "upsert" && e.horizon > 0) e.horizon.toLong
+        else -1L,
         if (e.action == "vacuum") e.horizon.toLong else -1L,
-        e.pids.size.toLong, e.txn, e.stats.nonEmpty)
+        e.pids.size.toLong, e.txn, e.stats.nonEmpty,
+        if (zeroRowActions(e.action)) 0L else e.rowsW,
+        if (zeroRowActions(e.action)) 0L else e.rowsD)
     }.toDF("version", "action", "eff_commit_ts", "restored_from",
-      "vacuum_horizon", "n_pids", "txn", "has_stats")
+      "vacuum_horizon", "n_pids", "txn", "has_stats",
+      "rows_written", "rows_deleted")
   }
 
   /** Oldest version still readable: 0 until a vacuum raises it. */
@@ -556,10 +602,17 @@ object VersionedLayout {
     val stats = statsCol.toSeq.flatMap(_ =>
       computeStats(s.read.option("basePath", dir)
         .parquet(basePidDirs(dir).map(p => s"$dir/pid=$p"): _*), statsCol))
+    // Commit-metadata row count (parquet footer metadata, no column
+    // bytes read) — what DESCRIBE HISTORY serves without a data pass.
+    val nBase =
+      if (basePidDirs(dir).isEmpty) 0L
+      else s.read.option("basePath", dir)
+        .parquet(basePidDirs(dir).map(p => s"$dir/pid=$p"): _*).count()
     // The v0 entry records the base pid DOMAIN — the closed set of
     // partitions every later segment must stay inside (see
     // [[appendInsert]]); AS-OF correctness below a fold depends on it.
-    commit(dir, LogEntry(0, "write", basePidDirs(dir), 0, stats = stats))
+    commit(dir, LogEntry(0, "write", basePidDirs(dir), 0, stats = stats,
+      rowsW = nBase, rowsD = 0L))
   }
 
   private def basePidDirs(dir: String): Seq[Int] =
@@ -633,7 +686,8 @@ object VersionedLayout {
     readAsOf(s, dir, ver - 1).where(cond)
       .select(col("pid").cast("int").as("pid") +: keyColsOf(dir).map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
-    commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag))
+    commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag,
+      rowsW = 0L, rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
     ver
   }
 
@@ -655,7 +709,8 @@ object VersionedLayout {
       .join(keys.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select(col("pid").cast("int").as("pid") +: keyCols.map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
-    commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag))
+    commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag,
+      rowsW = 0L, rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
     ver
   }
 
@@ -692,8 +747,10 @@ object VersionedLayout {
     val tag = writerTag()
     requireInDomain(dir, rows)
     rows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    val seg = s.read.parquet(insertDir(dir, ver, tag))
     commit(dir, LogEntry(ver, "insert", Nil, 0, txn, tag,
-      stats = computeStats(s.read.parquet(insertDir(dir, ver, tag)), statsColOf(dir))))
+      stats = computeStats(seg, statsColOf(dir)),
+      rowsW = seg.count(), rowsD = 0L))
     ver
   }
 
@@ -932,7 +989,8 @@ object VersionedLayout {
     requireInDomain(dir, replacements)
     replacements.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     commit(dir, LogEntry(ver, "upsert", Nil, 0, tag = tag,
-      stats = computeStats(replacements, statsColOf(dir))))
+      stats = computeStats(replacements, statsColOf(dir)),
+      rowsW = replacements.count(), rowsD = matched.count()))
     ver
   }
 
@@ -1065,8 +1123,14 @@ object VersionedLayout {
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     projected.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    val seg = s.read.parquet(insertDir(dir, ver, tag))
     commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag,
-      stats = computeStats(s.read.parquet(insertDir(dir, ver, tag)), statsColOf(dir))))
+      stats = computeStats(seg, statsColOf(dir)),
+      rowsW = seg.count(), rowsD = s.read.parquet(tombDir(dir, ver, tag)).count(),
+      // Unambiguous provenance: horizon = 0 made a legal restore TO
+      // VERSION 0 indistinguishable from a plain upsert (round-13
+      // advisor) — the dedicated field has no zero blind spot.
+      restoreOf = toVersion))
     ver
   }
 
@@ -1468,16 +1532,23 @@ object VersionedLayout {
     val keepFrom = math.max(horizon(dir), versionRetainedAt(dir, cutoff))
     val reclaim = masses.collect { case (v, m) if v <= keepFrom => m }.sum
     val times = commitTimes(dir).toMap
+    // `readable` is the CURRENT refusal bit — exactly the predicate
+    // readAsOf enforces — so policy consumers (and the q201 gate) read
+    // it from the audit instead of probing each version with a
+    // try-and-catch loop (round-13 advisor: the probe loop would not
+    // survive a thousand-version history).
+    val h = horizon(dir)
     val rows = entries.map { e =>
       (e.version.toLong, e.action, times(e.version),
         times(e.version) >= cutoff,
         (e.action == "compact" || e.action == "majorcompact") && e.version <= keepFrom,
-        keepFrom.toLong, cutoff, reclaim)
+        keepFrom.toLong, cutoff, reclaim, e.version >= h)
     }
     val s0 = s
     import s0.implicits._
     rows.toDF("version", "action", "eff_commit_ts", "inside_window",
-      "reclaimable", "keep_from", "cutoff_ts", "predicted_reclaim_rows")
+      "reclaimable", "keep_from", "cutoff_ts", "predicted_reclaim_rows",
+      "readable")
   }
 
   /** Vacuum to the TIME-BASED horizon — `VACUUM ... RETAIN <window>`

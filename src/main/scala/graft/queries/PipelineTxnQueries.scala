@@ -467,8 +467,9 @@ object PipelineTxnQueries {
   private def q186bOracle: String = {
     val surv = Curation.defs.find(_.name == "q46_curation").get.oracle.get
     s"""WITH surv AS ($surv)
-       |SELECT doc_id % 8 AS shard, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
-       |       sum((doc_id * doc_id) % 1000003) AS checksum,
+       |SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(sum((doc_id * doc_id) % 1000003) AS BIGINT) AS checksum,
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM surv GROUP BY 1 ORDER BY shard""".stripMargin
   }

@@ -22,10 +22,23 @@
 #
 # Idempotent and safe to run concurrently. Disable by spawning with
 # SPARK_GRAFT_AUTOCOMMIT=0 (see graft.Bench).
+#
+# Modes:
+#   (no args)  detached poller — spawned by graft.Bench, polls until the
+#              new round's artifact set is committed clean (backstop).
+#   --once     synchronous single sweep — called INLINE by graft.Bench
+#              right before it exits, so everything already on disk
+#              (CORRECTNESS_r{N}, BENCH_LATEST, DIAG, SLOPES, ...) is
+#              committed by the gate's own exit path (round-13 advisor:
+#              three rounds of poller races left artifacts staged).
+#              Uses a short 5 s stability window: at bench exit the
+#              only fresh file is BENCH_LATEST.json, which this JVM
+#              wrote whole and closed.
 cd "$(dirname "$0")/.." || exit 1
 
 POLL=45
 MAX_POLLS=45   # hard cap ~34 min
+STABLE_SECS="$POLL"
 
 # Highest round number whose CORRECTNESS file exists right now: the
 # current round's file (N+1) landing is the done-signal.
@@ -52,12 +65,12 @@ safe_to_commit() {
     && [ ! -e "$g/MERGE_HEAD" ] && [ ! -e "$g/CHERRY_PICK_HEAD" ]
 }
 
-# mtime stable = not modified within the last poll interval.
+# mtime stable = not modified within the last stability window.
 stable() {
   local now m
   now=$(date +%s)
   m=$(stat -c %Y "$1" 2>/dev/null) || return 1
-  [ $((now - m)) -ge "$POLL" ]
+  [ $((now - m)) -ge "$STABLE_SECS" ]
 }
 
 # QUERIES.md is deliberately NOT here: it is source-maintained (committed
@@ -67,7 +80,7 @@ stable() {
 artifact_files() {
   local f
   for f in BENCH_LATEST.json SLOPES.json LEAKCHECK.json DIAG.jsonl \
-           DIAG.1.jsonl COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
+           DIAG.*.jsonl COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
            BENCH_AB_*.md; do
     [ -e "$f" ] && printf '%s\n' "$f"
   done
@@ -102,18 +115,36 @@ No-Verification-Needed: artifact-only commit (bench/correctness JSON)" \
     && git diff --cached --quiet -- "${paths[@]}" 2>/dev/null
 }
 
+# --once: synchronous single sweep with a short stability window, for
+# the gate's own exit path. Never loops, never detaches.
+if [ "$1" = "--once" ]; then
+  STABLE_SECS=5
+  sleep 5
+  sweep_commit
+  exit 0
+fi
+
 for _ in $(seq 1 "$MAX_POLLS"); do
   sleep "$POLL"
   sweep_commit || continue
-  # Done once the NEW round's CORRECTNESS file exists and the sweep
-  # above committed the whole artifact set clean — the driver writes
-  # the leak/copy sweeps AFTER correctness, so the done-signal is the
-  # full-set sweep, not the trigger file alone. One FINAL sweep next
-  # iteration closes the window between this commit and anything the
-  # driver wrote while it ran.
+  # The NEW round's CORRECTNESS file exists and the sweep above
+  # committed the whole artifact set clean — the driver writes the
+  # leak/copy sweeps AFTER correctness, so the done-signal is the
+  # full-set sweep, not the trigger file alone. Round-13 advisor: a
+  # single final sweep here raced late-arriving artifacts (a failed
+  # attempt broke out with files staged) — so keep sweeping until TWO
+  # consecutive polls come back clean, bounded by the same hard cap.
   if [ "$(max_round)" -gt "$START_ROUND" ]; then
-    sleep "$POLL"
-    sweep_commit
+    clean=0
+    for _ in $(seq 1 "$MAX_POLLS"); do
+      sleep "$POLL"
+      if sweep_commit; then
+        clean=$((clean + 1))
+        [ "$clean" -ge 2 ] && break
+      else
+        clean=0
+      fi
+    done
     break
   fi
 done
