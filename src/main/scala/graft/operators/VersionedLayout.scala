@@ -183,6 +183,93 @@ object VersionedLayout {
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     }
 
+  /** Multi-column [[computeStats]] (round 14): per-pid [min,max] for
+    * EVERY given physical column `df` carries at a numeric type, in
+    * ONE map-side-combined pass (the per-column bounds ride the same
+    * aggregation — a stats set of k columns does not cost k scans).
+    * Keys are the PHYSICAL column names in the bytes — exactly what a
+    * parquet footer records — and read-time identity resolution maps
+    * a query column back to each source's physical spelling, which is
+    * what lets skipping survive a rename.
+    */
+  private def computeStatsM(
+      df: DataFrame, physCols: Seq[String]): Map[String, Seq[(Int, Long, Long)]] = {
+    val present = physCols.distinct.filter(c => df.columns.contains(c)
+      && df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
+    val rows = df.groupBy(col("pid").cast("int").as("p"))
+      .agg(aggs.head, aggs.tail: _*).collect().toSeq
+    present.map { c =>
+      c -> rows.flatMap { r =>
+        val (mnI, mxI) = (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"))
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        else Some((r.getInt(0), r.getLong(mnI), r.getLong(mxI)))
+      }
+    }.toMap.filter(_._2.nonEmpty)
+  }
+
+  /** Stats to record for a commit whose landed bytes are `df`:
+    * (legacy primary-column triples, full physical-name-keyed map).
+    * The physical names worth scanning are every era spelling of every
+    * DECLARED stats identity — a segment written after a rename
+    * carries the new spelling, a minor compact's raw bytes the old —
+    * and [[computeStatsM]] keeps whichever ones `df` actually has.
+    */
+  private def statsOf(dir: String,
+      df: DataFrame): (Seq[(Int, Long, Long)], Map[String, Seq[(Int, Long, Long)]]) = {
+    val declared = statsColsOf(dir)
+    if (declared.isEmpty) return (Nil, Map.empty)
+    val entries = log(dir)
+    val head = entries.lastOption.map(_.version).getOrElse(0)
+    val phys = declared.flatMap { dc =>
+      statsIdentityAt(entries, dc, head).map(_.eras.map(_._1)).getOrElse(Seq(dc))
+    }.distinct
+    val m = computeStatsM(df, phys)
+    (statsColOf(dir).flatMap(m.get).getOrElse(Nil), m)
+  }
+
+  /** The live column identity a DECLARED stats column (its ORIGINAL
+    * base-write name) resolves to at version `v` — None once the
+    * identity is dead at v (dropped; a later re-add under the same
+    * name is a NEW identity and resolves, soundly: its pre-birth
+    * sources serve NULL for the column, so their unknown bounds can
+    * never lose a match). Untouched base-origin columns are invisible
+    * to the event-driven identity scan and synthesize the base
+    * identity, exactly like the read path's untouched-conflicted
+    * fallback.
+    */
+  private def statsIdentityAt(
+      entries: Seq[LogEntry], originalName: String, v: Int): Option[ColIdentity] =
+    identitiesAt(entries, v)._2.find(_.eras.head._1 == originalName).orElse {
+      val mentioned = entries.exists(e => e.version <= v
+        && (e.colName == originalName
+          || (e.action == "renamecolumn" && e.colType == originalName)))
+      if (mentioned) None
+      else Some(ColIdentity(0, None, Seq(originalName -> 0), Nil))
+    }
+
+  /** The physical spelling identity `it` had in bytes committed under
+    * the schema of version `w` — None when the identity did not exist
+    * yet (its column is all-NULL in those bytes).
+    */
+  private def eraNameAt(it: ColIdentity, w: Int): Option[String] = {
+    val named = it.eras.takeWhile(_._2 <= w)
+    if (named.isEmpty || w < it.birth) None else Some(named.last._1)
+  }
+
+  /** Entry `e`'s recorded triples for physical column `phys` — the
+    * round-14 map when present, falling back to the legacy single
+    * `stats` field for entries written when only the meta's primary
+    * column was tracked (sound: legacy triples were always recorded
+    * under the primary's original spelling).
+    */
+  private def statsTriples(e: LogEntry, phys: String,
+      legacyPrimary: Option[String]): Seq[(Int, Long, Long)] =
+    e.statsM.getOrElse(phys,
+      if (legacyPrimary.contains(phys)) e.stats else Nil)
+
   private def logDir(dir: String) = new java.io.File(dir, "_log")
   private def tombDir(dir: String, ver: Int, tag: String = "") =
     s"$dir/_tombs/v$ver" + (if (tag.isEmpty) "" else s"-$tag")
@@ -225,12 +312,19 @@ object VersionedLayout {
     * target version a restore-shaped upsert rewound to, -1 otherwise —
     * the pre-r14 inference (`action == "upsert" && horizon > 0`) could
     * not represent a legal restore to version 0.
+    * `statsM` (round 14) extends `stats` to a SET of columns, keyed by
+    * the PHYSICAL column spelling in the committed bytes (what a
+    * parquet footer would key on); read-time identity resolution maps
+    * a queried column to each source's spelling, so skipping survives
+    * renames. `stats` stays the meta primary column's triples for
+    * back-compat with pre-r14 entries.
     */
   final case class LogEntry(
       version: Int, action: String, pids: Seq[Int], horizon: Int,
       txn: Long = -1L, tag: String = "", colName: String = "", colType: String = "",
       ts: Long = 0L, stats: Seq[(Int, Long, Long)] = Nil,
-      rowsW: Long = -1L, rowsD: Long = -1L, restoreOf: Int = -1)
+      rowsW: Long = -1L, rowsD: Long = -1L, restoreOf: Int = -1,
+      statsM: Map[String, Seq[(Int, Long, Long)]] = Map.empty)
 
   /** Artifact-directory suffix unique to this writer (process+thread):
     * concurrent writers preparing the SAME version number write disjoint
@@ -249,8 +343,14 @@ object VersionedLayout {
       s""""tag":"${e.tag}","txn":${e.txn},""" +
       s""""colName":"${e.colName}","colType":"${e.colType}","ts":${e.ts},""" +
       s""""rowsW":${e.rowsW},"rowsD":${e.rowsD},"restoreOf":${e.restoreOf}""" +
-      // stats LAST (nested arrays — the scalar field parser splits on
-      // the first bracket/comma and must never see these first).
+      // statsm then stats LAST (nested structures — the scalar field
+      // parser splits on the first bracket/comma and must never see
+      // these first; the legacy `stats` triple scan runs to the END of
+      // the body, so `stats` must stay the final field). Keys sorted
+      // for deterministic bytes.
+      s""","statsm":{${e.statsM.toSeq.sortBy(_._1).map { case (n, ts) =>
+          s""""$n":[${ts.map(t => s"[${t._1},${t._2},${t._3}]").mkString(",")}]"""
+        }.mkString(",")}}""" +
       s""","stats":[${e.stats.map(t => s"[${t._1},${t._2},${t._3}]").mkString(",")}]}"""
 
   private def parseEntry(body: String): LogEntry = {
@@ -285,7 +385,21 @@ object VersionedLayout {
       // Optional (round 14): -1 = unknown / not a restore.
       if (body.contains("\"rowsW\":")) field("rowsW").toLong else -1L,
       if (body.contains("\"rowsD\":")) field("rowsD").toLong else -1L,
-      if (body.contains("\"restoreOf\":")) field("restoreOf").toInt else -1)
+      if (body.contains("\"restoreOf\":")) field("restoreOf").toInt else -1,
+      // Optional multi-column stats map (round 14): identifier-shaped
+      // keys, integer-triple values, no nested braces — the brace
+      // split is exact.
+      if (!body.contains("\"statsm\":{")) Map.empty
+      else {
+        val seg = body.split(""""statsm":\{""")(1).split("}")(0)
+        """"([A-Za-z_][A-Za-z0-9_]*)":\[((?:\[-?\d+,-?\d+,-?\d+\],?)*)\]""".r
+          .findAllMatchIn(seg).map { m =>
+            m.group(1) -> """\[(-?\d+),(-?\d+),(-?\d+)\]""".r
+              .findAllMatchIn(m.group(2))
+              .map(x => (x.group(1).toInt, x.group(2).toLong, x.group(3).toLong))
+              .toSeq
+          }.toMap
+      })
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -573,13 +687,19 @@ object VersionedLayout {
     * No-op if v0 is already committed.
     */
   def writeBaseTable(s: SparkSession, df: DataFrame, dir: String,
-      keyCols: Seq[String], statsCol: Option[String] = None): Unit = {
+      keyCols: Seq[String], statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     // The meta file is parsed with a plain splitter — identifier-shaped
     // names only, and at least one (an empty key set would make every
     // row identical for tombstone purposes).
     require(keyCols.nonEmpty, "a layout needs at least one row-identity column")
-    (keyCols ++ statsCol).foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    val allStats = (statsCol.toSeq ++ statsCols).distinct
+    (keyCols ++ allStats).foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column '$k' is not identifier-shaped — the layout meta cannot carry it"))
+    // The log-entry parser locates the legacy triple array by its
+    // field name — a stats COLUMN spelled like the field would tear it.
+    allStats.foreach(k => require(k != "stats" && k != "statsm",
+      s"'$k' cannot be a stats column (reserved log-entry field name)"))
     if (currentVersion(dir) >= 0) return
     df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
@@ -593,15 +713,19 @@ object VersionedLayout {
       .map(f => s""""${f.name}":"${f.dataType.simpleString}"""").mkString(",")
     Files.write(metaFile(dir).toPath,
       (keyCols.mkString("{\"keyCols\":[\"", "\",\"", "\"]")
-        + statsCol.map(c => s""","statsCol":"$c"""").getOrElse("")
+        + allStats.headOption.map(c => s""","statsCol":"$c"""").getOrElse("")
+        + (if (allStats.size > 1)
+             allStats.mkString(""","statsCols":["""", "\",\"", "\"]")
+           else "")
         + s""","types":{$types}""" + "}")
         .getBytes(StandardCharsets.UTF_8))
-    // Stats come from reading BACK the written bytes (a two-column
-    // pruned scan — cheaper than recomputing or caching the input),
-    // which also makes them bounds over exactly what landed.
-    val stats = statsCol.toSeq.flatMap(_ =>
-      computeStats(s.read.option("basePath", dir)
-        .parquet(basePidDirs(dir).map(p => s"$dir/pid=$p"): _*), statsCol))
+    // Stats come from reading BACK the written bytes (a pruned scan —
+    // cheaper than recomputing or caching the input), which also makes
+    // them bounds over exactly what landed.
+    val (stats, statsM) =
+      if (allStats.isEmpty || basePidDirs(dir).isEmpty) (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
+      else statsOf(dir, s.read.option("basePath", dir)
+        .parquet(basePidDirs(dir).map(p => s"$dir/pid=$p"): _*))
     // Commit-metadata row count (parquet footer metadata, no column
     // bytes read) — what DESCRIBE HISTORY serves without a data pass.
     val nBase =
@@ -612,7 +736,7 @@ object VersionedLayout {
     // partitions every later segment must stay inside (see
     // [[appendInsert]]); AS-OF correctness below a fold depends on it.
     commit(dir, LogEntry(0, "write", basePidDirs(dir), 0, stats = stats,
-      rowsW = nBase, rowsD = 0L))
+      rowsW = nBase, rowsD = 0L, statsM = statsM))
   }
 
   private def basePidDirs(dir: String): Seq[Int] =
@@ -748,8 +872,9 @@ object VersionedLayout {
     requireInDomain(dir, rows)
     rows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val seg = s.read.parquet(insertDir(dir, ver, tag))
+    val (st, stM) = statsOf(dir, seg)
     commit(dir, LogEntry(ver, "insert", Nil, 0, txn, tag,
-      stats = computeStats(seg, statsColOf(dir)),
+      stats = st, statsM = stM,
       rowsW = seg.count(), rowsD = 0L))
     ver
   }
@@ -988,8 +1113,9 @@ object VersionedLayout {
     val replacements = transform(matched).localCheckpoint()
     requireInDomain(dir, replacements)
     replacements.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    val (st, stM) = statsOf(dir, replacements)
     commit(dir, LogEntry(ver, "upsert", Nil, 0, tag = tag,
-      stats = computeStats(replacements, statsColOf(dir)),
+      stats = st, statsM = stM,
       rowsW = replacements.count(), rowsD = matched.count()))
     ver
   }
@@ -1124,8 +1250,9 @@ object VersionedLayout {
     }: _*)
     projected.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val seg = s.read.parquet(insertDir(dir, ver, tag))
+    val (rSt, rStM) = statsOf(dir, seg)
     commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag,
-      stats = computeStats(seg, statsColOf(dir)),
+      stats = rSt, statsM = rStM,
       rowsW = seg.count(), rowsD = s.read.parquet(tombDir(dir, ver, tag)).count(),
       // Unambiguous provenance: horizon = 0 made a legal restore TO
       // VERSION 0 indistinguishable from a plain upsert (round-13
@@ -1244,13 +1371,14 @@ object VersionedLayout {
     // whose rows all died lands an empty dir and emits no triple
     // (unknown — never skipped on, and the source listing is empty
     // anyway).
-    val postStats = statsColOf(dir).toSeq.flatMap { _ =>
-      val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
-      if (landed.isEmpty) Nil
-      else computeStats(s.read.option("basePath", dir)
-        .parquet(landed.map(p => s"$dir/pid=$p"): _*), statsColOf(dir))
-    }
-    commit(dir, LogEntry(ver, "compact", pids, 0, stats = postStats))
+    val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
+    val (postStats, postStatsM) =
+      if (statsColsOf(dir).isEmpty || landed.isEmpty)
+        (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
+      else statsOf(dir, s.read.option("basePath", dir)
+        .parquet(landed.map(p => s"$dir/pid=$p"): _*))
+    commit(dir, LogEntry(ver, "compact", pids, 0,
+      stats = postStats, statsM = postStatsM))
     (ver, pids)
   }
 
@@ -1337,13 +1465,14 @@ object VersionedLayout {
     // Stats over the folded output's live pid dirs (the fold's entry
     // covers every pre-fold pid for archive routing; a pid the fold
     // left no live dir for emits no triple).
-    val postStats = statsColOf(dir).toSeq.flatMap { _ =>
-      val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
-      if (landed.isEmpty) Nil
-      else computeStats(s.read.option("basePath", dir)
-        .parquet(landed.map(p => s"$dir/pid=$p"): _*), statsColOf(dir))
-    }
-    commit(dir, LogEntry(ver, "majorcompact", pids, 0, stats = postStats))
+    val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
+    val (postStats, postStatsM) =
+      if (statsColsOf(dir).isEmpty || landed.isEmpty)
+        (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
+      else statsOf(dir, s.read.option("basePath", dir)
+        .parquet(landed.map(p => s"$dir/pid=$p"): _*))
+    commit(dir, LogEntry(ver, "majorcompact", pids, 0,
+      stats = postStats, statsM = postStatsM))
     (ver, pids)
   }
 
@@ -2002,14 +2131,14 @@ object VersionedLayout {
     * (the pre-rewrite state c parked — written by the last rewrite
     * before c). Pure log metadata, O(entries).
     */
-  private def statsByPid(
-      entries: Seq[LogEntry], uptoExclusive: Int): Map[Int, Option[(Long, Long)]] = {
+  private def statsByPid(entries: Seq[LogEntry], uptoExclusive: Int,
+      boundsOf: LogEntry => Map[Int, (Long, Long)]): Map[Int, Option[(Long, Long)]] = {
     val m = scala.collection.mutable.Map.empty[Int, Option[(Long, Long)]]
     entries.iterator
       .filter(e => e.version < uptoExclusive
         && (e.action == "write" || e.action == "compact" || e.action == "majorcompact"))
       .foreach { e =>
-        val st = e.stats.map(t => t._1 -> ((t._2, t._3))).toMap
+        val st = boundsOf(e)
         e.pids.foreach(p => m(p) = st.get(p))
       }
     m.toMap
@@ -2032,25 +2161,50 @@ object VersionedLayout {
     * serving an un-pruned or wrong-identity band would be worse.
     */
   def readAsOfRange(s: SparkSession, dir: String, v: Int, lo: Long, hi: Long): DataFrame = {
-    val sc = statsColOf(dir).getOrElse(throw new IllegalArgumentException(
+    val primary = statsColsOf(dir).headOption.getOrElse(throw new IllegalArgumentException(
       s"$dir records no stats column — readAsOfRange needs one (writeBaseTable's statsCol)"))
-    val touched = log(dir).find(e =>
-      ((e.action == "addcolumn" || e.action == "dropcolumn"
-        || e.action == "widencolumn") && e.colName == sc)
-        || (e.action == "renamecolumn" && (e.colName == sc || e.colType == sc)))
-    require(touched.isEmpty, s"stats column '$sc' of $dir was touched by " +
-      s"${touched.get.action}@v${touched.get.version} — stats-pruned range reads " +
-      "are only sound while the column's identity never evolved; use " +
-      "readAsOf(...).where(...) on the current schema instead")
-    readAsOfImpl(s, dir, v, Some((lo, hi)))
-      .where(col(sc).between(lo, hi))
+    readAsOfRangeResolved(s, dir, v, primary, lo, hi)
+  }
+
+  /** [[readAsOfRange]] on ANY declared stats column, addressed by the
+    * name it carries AT `v` (round 14): the column's IDENTITY — not
+    * its spelling — keys the skip, so a rename mid-history neither
+    * kills pruning nor lets bounds recorded under the old spelling go
+    * stale: each source's recorded [min,max] is looked up under the
+    * spelling that source's bytes physically carry ([[eraNameAt]]).
+    * Sound across re-add too: sources written before the current
+    * incarnation's birth serve NULL for the column, so keeping them on
+    * unknown bounds loses nothing and the range predicate drops their
+    * rows. Refuses only when no declared stats identity serves
+    * `column` at v (dropped, or never declared).
+    */
+  def readAsOfRangeOn(s: SparkSession, dir: String, v: Int,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    val entries = log(dir)
+    val declared = statsColsOf(dir)
+    val original = declared.find(dc =>
+      statsIdentityAt(entries, dc, v).exists(_.eras.last._1 == column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$column' at v$v of $dir is not served by any declared stats column " +
+          s"(declared: ${declared.mkString(", ")}) — use readAsOf(...).where(...)"))
+    readAsOfRangeResolved(s, dir, v, original, lo, hi)
+  }
+
+  private def readAsOfRangeResolved(s: SparkSession, dir: String, v: Int,
+      original: String, lo: Long, hi: Long): DataFrame = {
+    val it = statsIdentityAt(log(dir), original, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"stats column '$original' of $dir does not exist at v$v (dropped) — " +
+          "stats-pruned reads need a live stats identity; use readAsOf(...).where(...)"))
+    readAsOfImpl(s, dir, v, Some((it, lo, hi)))
+      .where(col(it.eras.last._1).between(lo, hi))
   }
 
   def readAsOf(s: SparkSession, dir: String, v: Int): DataFrame =
     readAsOfImpl(s, dir, v, None)
 
-  private def readAsOfImpl(
-      s: SparkSession, dir: String, v: Int, skip: Option[(Long, Long)]): DataFrame = {
+  private def readAsOfImpl(s: SparkSession, dir: String, v: Int,
+      skip: Option[(ColIdentity, Long, Long)]): DataFrame = {
     val entries = log(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
     require(v >= horizon(dir),
@@ -2058,8 +2212,25 @@ object VersionedLayout {
     // Range-vs-bounds test for one source; an absent/unknown bound can
     // never be skipped.
     def hits(st: Option[(Long, Long)]): Boolean = (skip, st) match {
-      case (Some((lo, hi)), Some((mn, mx))) => mx >= lo && mn <= hi
+      case (Some((_, lo, hi)), Some((mn, mx))) => mx >= lo && mn <= hi
       case _ => true
+    }
+    // Per-entry bounds of the skip identity for the pids the entry
+    // rewrote, looked up under the PHYSICAL spelling its bytes carry:
+    // segments and folds carry their own version's schema; a minor
+    // compact rewrites bytes read raw, so its spelling is the last
+    // base schema writer's (identity resolution — this is what makes
+    // skipping survive a rename, and stay sound across one).
+    val legacyPrimary = if (skip.isDefined) statsColOf(dir) else None
+    def boundsOf(e: LogEntry): Map[Int, (Long, Long)] = skip match {
+      case None => Map.empty
+      case Some((it, _, _)) =>
+        val w = if (e.action == "compact") lastSchemaWriterBefore(entries, e.version)
+                else e.version
+        eraNameAt(it, w)
+          .map(p => statsTriples(e, p, legacyPrimary)
+            .map(t => t._1 -> ((t._2, t._3))).toMap)
+          .getOrElse(Map.empty)
     }
     // TYPED RE-ADD support (round 13): physical names whose identities
     // disagree on type get aliased APART per source — keyed by the
@@ -2107,7 +2278,7 @@ object VersionedLayout {
       .filter(p => firstMajorAfter.forall(_.pids.contains(p)))
       .toSeq
     val liveStats =
-      if (skip.isDefined) statsByPid(entries, Int.MaxValue)
+      if (skip.isDefined) statsByPid(entries, Int.MaxValue, boundsOf)
       else Map.empty[Int, Option[(Long, Long)]]
     val livePids = livePidsAll.filter(p => hits(liveStats.getOrElse(p, None)))
     def liveRead(ps: Seq[Int]) = aliasConflicted(
@@ -2119,7 +2290,7 @@ object VersionedLayout {
     // codegen size (32 scans where one suffices).
     val archGroups = archived.toSeq.groupBy(_._2).toSeq.map { case (c, ps) =>
       val aStats =
-        if (skip.isDefined) statsByPid(entries, c)
+        if (skip.isDefined) statsByPid(entries, c, boundsOf)
         else Map.empty[Int, Option[(Long, Long)]]
       c -> ps.map(_._1).filter(p => hits(aStats.getOrElse(p, None)))
     }.filter(_._2.nonEmpty)
@@ -2173,9 +2344,13 @@ object VersionedLayout {
       .filter(e => (e.action == "insert" || e.action == "upsert")
         && e.version > m && e.version <= v)
       // Segment-level skip: a segment whose recorded per-pid bounds all
-      // miss the range contributes nothing (no stats = unknown = kept).
-      .filter(e => e.stats.isEmpty
-        || e.stats.exists { case (_, mn, mx) => hits(Some((mn, mx))) })
+      // miss the range contributes nothing (no stats = unknown = kept;
+      // bounds resolve under the segment's own-era spelling).
+      .filter(e => skip.forall { case (it, lo, hi) =>
+        val tr = eraNameAt(it, e.version)
+          .map(p => statsTriples(e, p, legacyPrimary)).getOrElse(Nil)
+        tr.isEmpty || tr.exists { case (_, mn, mx) => mx >= lo && mn <= hi }
+      })
       .map(e => aliasConflicted(
         s.read.parquet(locateSegment(dir, entries, e.version)), e.version)
         .withColumn("_src_ver", lit(e.version)))

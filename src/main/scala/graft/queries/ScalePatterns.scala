@@ -1383,6 +1383,159 @@ object ScalePatterns {
   val skipBandLoCenti = 250000L
   val skipBandHiCenti = 450000L
 
+  /** q206 constants: the GROSS (price + integer tax) band its
+    * second-stats-column read probes, the slice of the skip band whose
+    * copies the post-rename insert lands, and the fresh-key offset.
+    * Gross is derived in INTEGER arithmetic (`v + (v * tax_pct) div
+    * 100`) so Spark and DuckDB agree bit-for-bit.
+    */
+  val grossBandLoCenti = 260000L
+  val grossBandHiCenti = 280000L
+  val statsCopyLoCenti = 250000L
+  val statsCopyHiCenti = 260000L
+  val statsInsertKeyOffset = 60000000L
+
+  /** Stable location of q206's stats-rename layout. */
+  private[graft] def statsRenameLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_statsrename_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val statsRenameLock = new Object
+
+  /** Build (or fast-forward) q206's five-version history on a TWO-
+    * column stats declaration: v0 base (range-pid on `v`, key = the
+    * legacy lineitem triple — (l_orderkey, l_linenumber) alone is NOT
+    * unique in this corpus — statsCols = [v, gross]; gross is the
+    * charge column, price plus integer tax, strongly correlated with
+    * the partition axis the way a clustering key's sibling columns
+    * are), v1 DELETE band A, v2 RENAME gross -> charge_centi (pure
+    * metadata — the column's skipping must survive it), v3 INSERT
+    * copies of the [2500,2600) dollar slice under fresh keys (bytes
+    * that carry the NEW spelling, so their bounds land under it), v4
+    * COMPACT (archive routing on top of the rename).
+    */
+  private def ensureStatsRenameScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = statsRenameLayoutDir(d)
+    statsRenameLock.synchronized {
+      if (VersionedLayout.currentVersion(dir) < 0) {
+        val uppers = rangeUppers(s, d)
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        VersionedLayout.writeBaseTable(s,
+          graft.Tables.lineitem(s, d)
+            .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+              expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_pct"),
+              col("l_orderkey"), col("l_linenumber"))
+            .withColumn("gross", expr("v + (v * tax_pct) div 100"))
+            .drop("tax_pct")
+            .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1),
+          dir, Seq("l_orderkey", "l_linenumber", "v"),
+          statsCols = Seq("v", "gross"))
+      }
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.renameColumn(s, dir, "gross", "charge_centi")
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 2)
+            .where(col("v").between(statsCopyLoCenti, statsCopyHiCenti))
+            .select(col("pid").cast("int").as("pid"),
+              (col("l_orderkey") + statsInsertKeyOffset).as("l_orderkey"),
+              col("l_linenumber"), col("v"), col("charge_centi")))
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** IDENTITY-KEYED, MULTI-COLUMN DATA SKIPPING (q206) — q203's move
+    * hardened the way a real format's column-id stats are: the skip is
+    * keyed by COLUMN IDENTITY, not spelling, so the v2 rename neither
+    * kills pruning nor lets bounds recorded under the old spelling go
+    * stale (each source's [min,max] resolves under the spelling its
+    * bytes physically carry — old-spelling base dirs and archives, new-
+    * spelling post-rename segments); and a SECOND declared column
+    * (`gross`) prunes independently through the same one-pass write
+    * stats ([[graft.operators.VersionedLayout.readAsOfRangeOn]]). The
+    * query proves in-plan, at the head (post-rename, post-compact) and
+    * at v0 (old spelling, archive-routed), that the pruned reads touch
+    * strictly fewer files than the full filtered reads — on BOTH
+    * columns — then aggregates both bands at every version. At 100 TB:
+    * renaming a column is a metadata operation and must not cost the
+    * fleet its zone maps; multi-column bounds are one map-side-combined
+    * pass at write time, not k scans.
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureStatsRenameScenario(s, d)
+    def dataFiles(df: DataFrame): Int =
+      df.inputFiles.count(f => !f.contains("_tombs"))
+    val prunedHead = VersionedLayout
+      .readAsOfRange(s, dir, 4, skipBandLoCenti, skipBandHiCenti)
+    require(dataFiles(prunedHead) < dataFiles(
+        VersionedLayout.readAsOf(s, dir, 4)
+          .where(col("v").between(skipBandLoCenti, skipBandHiCenti))),
+      s"stats-pruned head read of $dir scans no fewer files than the full read")
+    val pruned0 = VersionedLayout
+      .readAsOfRange(s, dir, 0, skipBandLoCenti, skipBandHiCenti)
+    require(dataFiles(pruned0) < dataFiles(
+        VersionedLayout.readAsOf(s, dir, 0)
+          .where(col("v").between(skipBandLoCenti, skipBandHiCenti))),
+      s"v0 (archive-routed) stats-pruned read of $dir scans no fewer files than the full read")
+    val prunedG = VersionedLayout
+      .readAsOfRangeOn(s, dir, 4, "charge_centi", grossBandLoCenti, grossBandHiCenti)
+    require(dataFiles(prunedG) < dataFiles(
+        VersionedLayout.readAsOf(s, dir, 4)
+          .where(col("charge_centi").between(grossBandLoCenti, grossBandHiCenti))),
+      s"post-rename (charge_centi) stats-pruned read of $dir scans no fewer files than the full read")
+    (0 to 4).map { ver =>
+      val gName = if (ver < 2) "gross" else "charge_centi"
+      val vBand = VersionedLayout
+        .readAsOfRange(s, dir, ver, skipBandLoCenti, skipBandHiCenti)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val gBand = VersionedLayout
+        .readAsOfRangeOn(s, dir, ver, gName, grossBandLoCenti, grossBandHiCenti)
+        .agg(count(lit(1)).as("g_rows"), sum(col(gName)).as("g_total"))
+      vBand.crossJoin(gBand)
+        .select(lit(ver.toLong).as("version"), col("n_rows"),
+          col("total_centi"), col("n_orders"), col("g_rows"), col("g_total"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private lazy val q206OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT l_orderkey,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS tp
+       |  FROM lineitem),
+       |s2 AS (SELECT l_orderkey, v, v + (v * tp) // 100 AS g FROM s),
+       |ver AS (SELECT unnest([0, 1, 2, 3, 4]) AS version),
+       |live AS (
+       |  SELECT ver.version, s2.l_orderkey, s2.v, s2.g FROM ver JOIN s2
+       |    ON NOT (ver.version >= 1
+       |            AND s2.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+       |  UNION ALL
+       |  SELECT ver.version, s2.l_orderkey + $statsInsertKeyOffset, s2.v, s2.g
+       |  FROM ver JOIN s2
+       |    ON ver.version >= 3
+       |   AND s2.v BETWEEN $statsCopyLoCenti AND $statsCopyHiCenti)
+       |SELECT CAST(version AS BIGINT) AS version,
+       |  CAST(count(CASE WHEN v BETWEEN $skipBandLoCenti AND $skipBandHiCenti
+       |        THEN 1 END) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN v BETWEEN $skipBandLoCenti AND $skipBandHiCenti
+       |        THEN v END) AS BIGINT) AS total_centi,
+       |  count(DISTINCT CASE WHEN v BETWEEN $skipBandLoCenti AND $skipBandHiCenti
+       |        THEN l_orderkey END) AS n_orders,
+       |  CAST(count(CASE WHEN g BETWEEN $grossBandLoCenti AND $grossBandHiCenti
+       |        THEN 1 END) AS BIGINT) AS g_rows,
+       |  CAST(sum(CASE WHEN g BETWEEN $grossBandLoCenti AND $grossBandHiCenti
+       |        THEN g END) AS BIGINT) AS g_total
+       |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AS-OF DATA SKIPPING from commit-log stats — zone maps (q129) on a
     * MUTABLE table's whole history: every data-writing commit records
     * per-pid [min,max] of the range measure in its log entry, and
@@ -3480,6 +3633,7 @@ object ScalePatterns {
     QueryDef("q201_layout_retention_by_time", q201, Some(q201OracleSql)),
     QueryDef("q202_layout_sql_asof", q202, Some(timeTravelOracleSql)),
     QueryDef("q203_layout_asof_skipping", q203, Some(q203OracleSql)),
+    QueryDef("q206_layout_stats_identity", q206, Some(q206OracleSql)),
     QueryDef("q205_layout_describe_history", q205, Some(
       // rows_written / rows_deleted are the commit-metadata row masses
       // (round 14): the segment's physical row count and the physical

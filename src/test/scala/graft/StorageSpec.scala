@@ -1089,7 +1089,7 @@ class StorageSpec extends SparkSpec {
       nowMs = eff(2) + window))
   }
 
-  test("as-of data skipping: commit-log stats prune whole sources at plan time; skips lose no matches at any version, across archives and segments; evolution of the stats column refuses") {
+  test("as-of data skipping: commit-log stats prune whole sources at plan time; skips lose no matches at any version, across archives and segments; skipping survives a rename and refuses only a drop") {
     import graft.operators.VersionedLayout
     val spark0 = spark
     import spark0.implicits._
@@ -1147,12 +1147,82 @@ class StorageSpec extends SparkSpec {
     val full = VersionedLayout.readAsOf(spark, dir, 4)
       .where(col("value_centi").between(12L, 18L))
     assert(dataFiles(headBand).length < dataFiles(full).length)
-    // EVOLUTION GUARD: once the stats column's identity evolves, the
-    // pruned read refuses loudly instead of serving stale-name bounds.
+    // IDENTITY-KEYED SKIPPING (round 14): a RENAME of the stats column
+    // no longer kills pruning — the head read serves the NEW name,
+    // returns the same rows, and prunes to the SAME file set (bounds
+    // recorded under the old spelling resolve through the identity's
+    // era chain).
     VersionedLayout.renameColumn(spark, dir, "value_centi", "val_centi")
+    val renamedBand = VersionedLayout.readAsOfRange(spark, dir, 5, 12L, 18L)
+    assert(renamedBand.columns.contains("val_centi")
+      && !renamedBand.columns.contains("value_centi"))
+    assert(renamedBand.select(col("event_id")).collect().map(_.getLong(0)).sorted
+      .sameElements(headBand.select(col("event_id")).collect().map(_.getLong(0)).sorted))
+    assert(dataFiles(renamedBand).toSet == dataFiles(headBand).toSet,
+      s"rename changed the pruned file set: ${dataFiles(renamedBand).mkString(", ")}")
+    // A post-rename insert records bounds under the NEW spelling; a
+    // band covering only its values reads only that segment.
+    VersionedLayout.appendInsert(spark, dir,                     // v6: pid 4
+      Seq((4, 61L, 61L), (4, 62L, 62L)).toDF("pid", "event_id", "val_centi"))
+    val newSeg = VersionedLayout.readAsOfRange(spark, dir, 6, 61L, 62L)
+    assert(dataFiles(newSeg).nonEmpty
+      && dataFiles(newSeg).forall(f => f.contains("_inserts/v6")),
+      s"post-rename segment band touched: ${dataFiles(newSeg).mkString(", ")}")
+    // Historical reads below the rename still skip under the old name.
+    val oldV0 = VersionedLayout.readAsOfRange(spark, dir, 0, 12L, 18L)
+    assert(dataFiles(oldV0).toSet == dataFiles(v0Band).toSet)
+    // A DROP kills the identity: the pruned read refuses loudly at and
+    // above the drop, and keeps serving below it.
+    VersionedLayout.dropColumn(spark, dir, "val_centi")          // v7
     val ex = intercept[IllegalArgumentException](
-      VersionedLayout.readAsOfRange(spark, dir, 5, 12L, 18L))
-    assert(ex.getMessage.contains("renamecolumn"), ex.getMessage)
+      VersionedLayout.readAsOfRange(spark, dir, 7, 12L, 18L))
+    assert(ex.getMessage.contains("dropped"), ex.getMessage)
+    assert(VersionedLayout.readAsOfRange(spark, dir, 5, 12L, 18L)
+      .select(col("event_id")).collect().length > 0)
+  }
+
+  test("multi-column stats: a second declared column prunes independently via readAsOfRangeOn, in the same write pass, and stays sound at every version") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-skip-multi").toString + "/t"
+    // Two independent numeric axes: value decades drive pid (tight v
+    // bounds per pid); weight = 1000 - value (anti-correlated, so a
+    // weight band selects DIFFERENT pids than the value band).
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i, 1000 - i)).toDF("event_id", "v", "w")
+      .select((col("v") / 10).cast("int").as("pid"),
+        col("event_id"), col("v"), col("w"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 40L), dir,
+      Seq("event_id"), statsCols = Seq("v", "w"))            // v0: pids 0..4
+    VersionedLayout.appendInsert(spark, dir, shaped(41L to 45L)) // v1
+    VersionedLayout.appendDelete(spark, dir, col("v").between(14L, 16L)) // v2
+    VersionedLayout.appendCompact(spark, dir, 0.1)               // v3
+    def dataFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.toSeq.filterNot(_.contains("_tombs"))
+    // Soundness on BOTH columns at every version.
+    for (v <- 0 to 3; (c, lo, hi) <- Seq(("v", 12L, 18L), ("w", 982L, 988L),
+        ("v", 41L, 44L), ("w", 955L, 959L))) {
+      val got = VersionedLayout.readAsOfRangeOn(spark, dir, v, c, lo, hi)
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted
+      val want = VersionedLayout.readAsOf(spark, dir, v)
+        .where(col(c).between(lo, hi))
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want),
+        s"v$v $c band [$lo,$hi]: pruned ${got.toSeq} != full ${want.toSeq}")
+    }
+    // The SECOND column prunes: w in [982,988] <=> v in [12,18] —
+    // only pid 1 can match.
+    val wBand = VersionedLayout.readAsOfRangeOn(spark, dir, 3, "w", 982L, 988L)
+    assert(dataFiles(wBand).nonEmpty
+      && dataFiles(wBand).forall(f => f.contains("pid=1") && !f.contains("_inserts")),
+      s"w-band read touched: ${dataFiles(wBand).mkString(", ")}")
+    // The primary API still rides the FIRST declared column.
+    val vBand = VersionedLayout.readAsOfRange(spark, dir, 3, 12L, 18L)
+    assert(dataFiles(vBand).toSet == dataFiles(wBand).toSet)
+    // An undeclared column refuses with guidance.
+    val ex = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfRangeOn(spark, dir, 3, "event_id", 1L, 5L))
+    assert(ex.getMessage.contains("declared"), ex.getMessage)
   }
 
   test("typed re-add: a vacated name returns at a DIFFERENT type; every version serves its own incarnation at its own type; the feed refuses across the flip") {
