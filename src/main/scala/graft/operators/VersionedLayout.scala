@@ -1173,6 +1173,16 @@ object VersionedLayout {
     require(toVersion >= horizon(dir),
       s"version $toVersion of $dir is below the vacuum horizon ${horizon(dir)} — unrestorable")
     if (toVersion == head) return head
+    // A restore across a TYPE FLIP stays refused (the feed itself now
+    // serves per-type columns across one — round 14 — but a restore
+    // segment must commit ONE head-typed column, and the pre-flip
+    // incarnation's values have no sound cast into it).
+    val restoreFlips = feedFlipVersions(entries, baseTypesOf(dir),
+      keyColsOf(dir).toSet + "pid", toVersion, head)
+    require(restoreFlips.isEmpty,
+      s"restore of $dir to v$toVersion crosses a TYPE FLIP at " +
+        s"v${restoreFlips.mkString(",v")} — restore to a version inside the " +
+        "current incarnation's window instead")
     val ver = head + 1
     val tag = writerTag()
     val key = keyColsOf(dir)
@@ -1754,48 +1764,99 @@ object VersionedLayout {
     * work proportional to the CHANGES, not the table; the IVM audit
     * (IncrementalView) is exactly this feed folded into an aggregate.
     */
+  /** Versions in (fromV, toV] where some physical name's declared type
+    * FLIPS non-coercibly (a typed re-add) — the cut points a feed
+    * consumer must split at. Tokens the union can still COERCE are not
+    * a flip: the numeric family widens losslessly under unionByName,
+    * and an opaque legacy "base" token stays lenient (a truly mixed
+    * legacy union fails loudly on its own). Pure log metadata.
+    */
+  private def feedFlipVersions(entries: Seq[LogEntry], baseTypes: Map[String, String],
+      protectedCols: Set[String], fromV: Int, toV: Int): Seq[Int] = {
+    val conflicts = typeConflictedNames(
+      identitiesAt(entries, entries.last.version)._1, baseTypes, protectedCols)
+    if (conflicts.isEmpty) return Nil
+    val coercible = Set("int", "bigint", "smallint", "tinyint",
+      "float", "double", "base")
+    val evoVers = entries
+      .filter(e => Set("addcolumn", "dropcolumn", "renamecolumn", "widencolumn")(e.action)
+        && e.version > fromV && e.version <= toV)
+      .map(_.version).distinct.sorted
+    val flips = scala.collection.mutable.SortedSet.empty[Int]
+    conflicts.foreach { n =>
+      // Walk the range once, carrying the last DEFINED token (a dead
+      // interval between drop and re-add defines nothing — the flip
+      // lands on the re-add, where the new token first appears).
+      var last = declaredTokenAt(entries, baseTypes, n, math.max(fromV, 0))
+      evoVers.foreach { w =>
+        declaredTokenAt(entries, baseTypes, n, w).foreach { t =>
+          if (last.exists(p => p != t && !(coercible(p) && coercible(t))))
+            flips += w
+          last = Some(t)
+        }
+      }
+    }
+    flips.toSeq
+  }
+
+  /** The maximal TYPE-UNIFORM sub-windows of feed range (fromV, toV],
+    * as (from, to] pairs (round 14): consuming [[changeFeed]] window
+    * by window yields plain-named frames, each carrying its
+    * incarnation's type — the shape a downstream subscriber wants
+    * across a typed re-add, served automatically instead of the
+    * pre-r14 refusal. One window (the whole range) when no flip is
+    * crossed. Pure log metadata — no data pass, no Spark job.
+    */
+  def changeFeedWindows(s: SparkSession, dir: String, fromV: Int, toV: Int): Seq[(Int, Int)] = {
+    val entries = log(dir)
+    val flips = feedFlipVersions(entries, baseTypesOf(dir),
+      keyColsOf(dir).toSet + "pid", fromV, toV)
+    val cuts = (fromV +: flips.map(_ - 1).filter(c => c > fromV && c < toV))
+      .distinct.sorted :+ toV
+    cuts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+  }
+
   def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
     val key = "pid" +: keyColsOf(dir)
     val entries = log(dir)
     // A feed whose range crosses a TYPE FLIP of a physical name (typed
-    // re-add, round 13) cannot union its parts — each part carries its
-    // own version's schema, and one name at two types has no single
-    // feed column. Refuse with guidance rather than leak the union's
-    // analysis error: consumers split the subscription at the flip,
+    // re-add) cannot union its parts under the plain name — one name
+    // at two types has no single feed column. Round 14 retires the
+    // pre-r14 refusal: the flip versions are pure log metadata
+    // ([[feedFlipVersions]]), so a crossing feed serves each
+    // incarnation as its OWN per-type column (`n__as_<type>` — the
+    // read path's aliasing convention), null outside its windows;
+    // consumers who want plain-named, type-uniform frames split the
+    // subscription at [[changeFeedWindows]]'s boundaries instead,
     // which is what a type change forces on them anyway.
     val baseTypes = baseTypesOf(dir)
     val conflicts = typeConflictedNames(
       identitiesAt(entries, entries.last.version)._1, baseTypes,
       keyColsOf(dir).toSet + "pid")
-    if (conflicts.nonEmpty) {
-      val checkVers = (math.max(fromV, 0) +: entries
-        .filter(e => Set("addcolumn", "dropcolumn", "renamecolumn", "widencolumn")(e.action)
-          && e.version > fromV && e.version <= toV).map(_.version)).distinct
-      // Tokens the union can still COERCE are not a flip: the numeric
-      // family widens losslessly under unionByName (the pre-round-13
-      // widen behavior), and an opaque legacy "base" token stays lenient
-      // (a truly mixed legacy union fails loudly on its own).
-      val coercible = Set("int", "bigint", "smallint", "tinyint",
-        "float", "double", "base")
-      conflicts.foreach { n =>
-        val toks = checkVers.flatMap(w => declaredTokenAt(entries, baseTypes, n, w)).distinct
-        require(toks.size <= 1 || toks.forall(coercible),
-          s"change feed ($fromV, $toV] of $dir crosses a TYPE FLIP of '$n' " +
-            s"(${toks.mkString(" -> ")}): consume the feed in type-uniform " +
-            "windows (split at the re-add); a RESTORE across the flip is " +
-            "likewise refused")
+    val flips = feedFlipVersions(entries, baseTypes,
+      keyColsOf(dir).toSet + "pid", fromV, toV)
+    // Within a type-uniform range the plain name is kept (zero schema
+    // change vs pre-r14); across a flip each part's conflicted columns
+    // are renamed by the declared token at the part's schema version.
+    def tagConflicted(df: DataFrame, w: Int): DataFrame =
+      if (flips.isEmpty) df
+      else conflicts.foldLeft(df) { (d, n) =>
+        if (!d.columns.contains(n)) d
+        else declaredTokenAt(entries, baseTypes, n, w) match {
+          case Some(tok) => d.withColumnRenamed(n, s"${n}__as_$tok")
+          case None => d.drop(n) // dead name's values — never served
+        }
       }
-    }
     val parts = entries.filter(e => e.version > fromV && e.version <= toV).flatMap { e =>
       val ins =
         if (e.action == "insert" || e.action == "upsert")
-          Seq(insertsAt(s, dir, e.version)
+          Seq(tagConflicted(insertsAt(s, dir, e.version), e.version)
             .withColumn("change_type", lit("insert"))
             .withColumn("change_version", lit(e.version)))
         else Nil
       val del =
         if (e.action == "delete" || e.action == "upsert")
-          Seq(readAsOf(s, dir, e.version - 1)
+          Seq(tagConflicted(readAsOf(s, dir, e.version - 1), e.version - 1)
             .join(tombstonesAt(s, dir, e.version).select(key.map(col): _*), key, "left_semi")
             .withColumn("change_type", lit("delete"))
             .withColumn("change_version", lit(e.version)))

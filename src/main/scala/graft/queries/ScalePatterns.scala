@@ -2280,6 +2280,92 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** TYPE-FLIP CHANGE-FEED WINDOWS (q207) — the round-13 feed refusal
+    * retired: a CDC subscription over q204's typed-re-add history is
+    * served end-to-end. [[graft.operators.VersionedLayout
+    * .changeFeedWindows]] names the type-uniform splits from log
+    * metadata alone (here (0,4] and (4,7] — the cut at the v5 STRING
+    * re-add of `bonus_tag`), each window's feed carries the plain name
+    * at its incarnation's own type, and the CROSSING feed (0,7] serves
+    * the two incarnations as separate per-type columns
+    * (`bonus_tag__as_bigint` / `__as_string`) rather than refusing —
+    * the column-ID semantics Delta/Iceberg CDC consumers get. The gate
+    * pins one row per window plus the combined crossing row: insert /
+    * delete masses, the value sum, and each incarnation's tag count
+    * and rendered width, all re-derived by the oracle from the raw
+    * events table. At 100 TB the point is that a type change costs a
+    * subscriber a WINDOW SPLIT, not a full-table resync.
+    */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureTypedReaddScenario(s, d)
+    val wins = VersionedLayout.changeFeedWindows(s, dir, 0, 7)
+    require(wins == Seq((0, 4), (4, 7)),
+      s"unexpected type-uniform feed windows of $dir: $wins")
+    val perWin = wins.map { case (a, b) =>
+      val f = VersionedLayout.changeFeed(s, dir, a, b)
+      val hasTag = f.columns.contains("bonus_tag")
+      val isStr = hasTag &&
+        f.schema("bonus_tag").dataType == org.apache.spark.sql.types.StringType
+      val tagStr =
+        if (hasTag) col("bonus_tag").cast("string") else lit(null).cast("string")
+      f.agg(
+          count(when(col("change_type") === "insert", 1)).as("n_inserts"),
+          count(when(col("change_type") === "delete", 1)).as("n_deletes"),
+          sum(col("value_centi")).as("total_centi"),
+          (if (hasTag) count(col("bonus_tag")) else count(lit(null))).as("n_tag"),
+          coalesce(sum(length(tagStr)), lit(0L)).as("tag_chars"))
+        .select(lit(a.toLong).as("win_from"), lit(b.toLong).as("win_to"),
+          col("n_inserts"), col("n_deletes"), col("total_centi"),
+          (if (isStr) lit(0L) else col("n_tag")).as("n_tag_int"),
+          (if (isStr) col("n_tag") else lit(0L)).as("n_tag_str"),
+          col("tag_chars"))
+    }
+    val whole = VersionedLayout.changeFeed(s, dir, 0, 7)
+    require(whole.columns.contains("bonus_tag__as_bigint")
+        && whole.columns.contains("bonus_tag__as_string")
+        && !whole.columns.contains("bonus_tag"),
+      s"crossing feed of $dir lacks per-type incarnation columns: " +
+        whole.columns.mkString(","))
+    val combined = whole.agg(
+        count(when(col("change_type") === "insert", 1)).as("n_inserts"),
+        count(when(col("change_type") === "delete", 1)).as("n_deletes"),
+        sum(col("value_centi")).as("total_centi"),
+        count(col("bonus_tag__as_bigint")).as("n_tag_int"),
+        count(col("bonus_tag__as_string")).as("n_tag_str"),
+        (coalesce(sum(length(col("bonus_tag__as_bigint").cast("string"))), lit(0L))
+          + coalesce(sum(length(col("bonus_tag__as_string"))), lit(0L))).as("tag_chars"))
+      .select(lit(0L).as("win_from"), lit(7L).as("win_to"),
+        col("n_inserts"), col("n_deletes"), col("total_centi"),
+        col("n_tag_int"), col("n_tag_str"), col("tag_chars"))
+    (perWin :+ combined).reduce(_ unionByName _)
+      .orderBy(col("win_from"), col("win_to"))
+  }
+
+  private lazy val q207OracleSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |a AS (SELECT
+       |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_p,
+       |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_c,
+       |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_v,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vc + 7 END) AS BIGINT) AS s_p,
+       |  CAST(sum(CASE WHEN event_type = 'click' THEN vc + 3 END) AS BIGINT) AS s_c,
+       |  CAST(sum(CASE WHEN event_type = 'view' THEN vc + 9 END) AS BIGINT) AS s_v,
+       |  CAST(sum(CASE WHEN event_type = 'purchase'
+       |        THEN length(CAST((vc + 7) // 10 AS VARCHAR)) END) AS BIGINT) AS tc_p,
+       |  CAST(sum(CASE WHEN event_type = 'view'
+       |        THEN length('t' || CAST((vc + 9) // 100 AS VARCHAR)) END) AS BIGINT) AS tc_v
+       | FROM e)
+       |SELECT CAST(0 AS BIGINT) AS win_from, CAST(4 AS BIGINT) AS win_to,
+       |  n_p + n_c AS n_inserts, CAST(0 AS BIGINT) AS n_deletes,
+       |  s_p + s_c AS total_centi, n_p AS n_tag_int,
+       |  CAST(0 AS BIGINT) AS n_tag_str, tc_p AS tag_chars FROM a
+       |UNION ALL SELECT 0, 7, n_p + n_c + n_v, 0, s_p + s_c + s_v,
+       |  n_p, n_v, tc_p + tc_v FROM a
+       |UNION ALL SELECT 4, 7, n_v, 0, s_v, 0, n_v, tc_v FROM a
+       |ORDER BY win_from, win_to""".stripMargin
+
   /** Stable location of q189's rename-column events layout. */
   private[graft] def eventsRenamecolDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3634,6 +3720,7 @@ object ScalePatterns {
     QueryDef("q202_layout_sql_asof", q202, Some(timeTravelOracleSql)),
     QueryDef("q203_layout_asof_skipping", q203, Some(q203OracleSql)),
     QueryDef("q206_layout_stats_identity", q206, Some(q206OracleSql)),
+    QueryDef("q207_layout_feed_windows", q207, Some(q207OracleSql)),
     QueryDef("q205_layout_describe_history", q205, Some(
       // rows_written / rows_deleted are the commit-metadata row masses
       // (round 14): the segment's physical row count and the physical

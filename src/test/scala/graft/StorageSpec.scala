@@ -1225,7 +1225,7 @@ class StorageSpec extends SparkSpec {
     assert(ex.getMessage.contains("declared"), ex.getMessage)
   }
 
-  test("typed re-add: a vacated name returns at a DIFFERENT type; every version serves its own incarnation at its own type; the feed refuses across the flip") {
+  test("typed re-add: a vacated name returns at a DIFFERENT type; every version serves its own incarnation at its own type; the feed splits at the flip") {
     import graft.operators.VersionedLayout
     val spark0 = spark
     import spark0.implicits._
@@ -1273,13 +1273,24 @@ class StorageSpec extends SparkSpec {
     val (t6, m6) = tagAt(6)
     assert(t6 == org.apache.spark.sql.types.StringType && m6 == m5,
       "head read changed across the fold")
-    // Feed across the flip refuses with guidance; a type-uniform
-    // window works.
-    val exf = intercept[IllegalArgumentException](
-      VersionedLayout.changeFeed(spark, dir, 0, 6))
-    assert(exf.getMessage.contains("TYPE FLIP"), exf.getMessage)
-    assert(VersionedLayout.changeFeed(spark, dir, 4, 6)
-      .where(col("change_type") === "insert").count() == 2)
+    // Feed across the flip (round 14): no refusal — changeFeedWindows
+    // names the type-uniform splits, each window serves the plain name
+    // at its incarnation's type, and the CROSSING feed serves each
+    // incarnation as its own per-type column.
+    val wins = VersionedLayout.changeFeedWindows(spark, dir, 0, 6)
+    assert(wins == Seq((0, 3), (3, 6)), s"windows: $wins")
+    val w1 = VersionedLayout.changeFeed(spark, dir, 0, 3)
+    assert(w1.schema("tag").dataType == org.apache.spark.sql.types.LongType)
+    assert(w1.where(col("change_type") === "insert").count() == 2)
+    val w2 = VersionedLayout.changeFeed(spark, dir, 3, 6)
+    assert(w2.schema("tag").dataType == org.apache.spark.sql.types.StringType)
+    assert(w2.where(col("change_type") === "insert").count() == 2)
+    val whole = VersionedLayout.changeFeed(spark, dir, 0, 6)
+    assert(whole.columns.contains("tag__as_bigint")
+      && whole.columns.contains("tag__as_string")
+      && !whole.columns.contains("tag"), whole.columns.mkString(","))
+    assert(whole.where(col("tag__as_bigint").isNotNull).count() == 2
+      && whole.where(col("tag__as_string").isNotNull).count() == 2)
     // Restore across the flip rides the feed and refuses likewise.
     val exr = intercept[IllegalArgumentException](
       VersionedLayout.restore(spark, dir, 2))
