@@ -1725,6 +1725,62 @@ object ScalePatterns {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** TABLE-AS-STREAM (q208) — the layout's change feed served as a
+    * STRUCTURED STREAMING SOURCE (`readStream.format("graft-layout")`,
+    * [[graft.streaming.LayoutChangeSource]]): offsets are commit-log
+    * versions, each micro-batch is exactly `changeFeed(lastSeen,
+    * head]`, and the engine's checkpointed offsets make the
+    * subscription exactly-once across restarts (proven with a
+    * mid-history restart in StreamingSpec). The gate runs a full
+    * subscription over q160's CRUD history, folds each micro-batch to
+    * per-(version, change-type) masses (bounded — never raw rows on
+    * the driver), and must reproduce the BATCH feed's aggregate
+    * row-for-row — q164's oracle verbatim, because streaming == batch
+    * is the contract. At 100 TB this is how a downstream index stays
+    * current for the cost of the CHANGES instead of re-reading the
+    * curated table per round.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Long, Long)]()
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      b.groupBy(col("change_version"), col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("tc"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qc"))
+        .collect().foreach { r =>
+          buf.add((r.getInt(0).toLong, r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))); ()
+        }
+      ()
+    }
+    val chk = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q208_chk_${graft.JvmId.token}_${buf.hashCode()}").getAbsolutePath
+    val q = s.readStream.format("graft-layout").option("path", dir).load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", chk).start()
+    try q.processAllAvailable() finally q.stop()
+    val s0 = s
+    import s0.implicits._
+    val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
+      .toDF("version", "change_type", "n_rows", "total_centi", "qty_centi")
+      // One row per (version, type) even if the engine split triggers.
+      .groupBy(col("version"), col("change_type"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("total_centi")).as("total_centi"),
+        sum(col("qty_centi")).as("qty_centi"))
+    // STREAMING == BATCH, proven in-query before the gate ever hashes:
+    // the subscription's fold must equal the batch feed's.
+    val batch = VersionedLayout
+      .changeFeed(s, dir, 0, VersionedLayout.currentVersion(dir))
+      .groupBy(col("change_version").cast("long").as("version"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+    require(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streaming subscription over $dir diverged from the batch change feed")
+    streamed.orderBy(col("version"), col("change_type"))
+  }
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3239,6 +3295,33 @@ object ScalePatterns {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** One derivation oracle for BOTH crud-feed spellings (q164 batch,
+    * q208 streaming): the feed masses derived from the immutable
+    * source.
+    */
+  private lazy val crudFeedOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+       |  FROM lineitem),
+       |feed AS (
+       |  SELECT 1 AS version, 'insert' AS change_type, count(*) AS n,
+       |    sum(v + 5) AS tc, sum(q) AS qc
+       |  FROM s WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti
+       |  UNION ALL
+       |  SELECT 2, 'delete', count(*), sum(v), sum(q)
+       |  FROM s WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT 2, 'insert', count(*), sum(v), sum(q + 10000)
+       |  FROM s WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT 3, 'delete', count(*), sum(v), sum(q)
+       |  FROM s WHERE v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+       |SELECT CAST(version AS BIGINT) AS version, change_type,
+       |  CAST(n AS BIGINT) AS n_rows, CAST(tc AS BIGINT) AS total_centi,
+       |  CAST(qc AS BIGINT) AS qty_centi
+       |FROM feed ORDER BY version, change_type""".stripMargin
+
   /** One derivation oracle for BOTH time-travel spellings (q159 by
     * version, q200 by commit timestamp): each version's answer derived
     * from the immutable source.
@@ -3329,28 +3412,10 @@ object ScalePatterns {
          |  CAST(sum(v) AS BIGINT) AS total_centi,
          |  CAST(sum(q) AS BIGINT) AS qty_centi
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
-    QueryDef("q164_change_data_feed", q164, Some(
-      s"""WITH s AS (
-         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-         |    CAST(round(l_quantity * 100) AS BIGINT) AS q
-         |  FROM lineitem),
-         |feed AS (
-         |  SELECT 1 AS version, 'insert' AS change_type, count(*) AS n,
-         |    sum(v + 5) AS tc, sum(q) AS qc
-         |  FROM s WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti
-         |  UNION ALL
-         |  SELECT 2, 'delete', count(*), sum(v), sum(q)
-         |  FROM s WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
-         |  UNION ALL
-         |  SELECT 2, 'insert', count(*), sum(v), sum(q + 10000)
-         |  FROM s WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
-         |  UNION ALL
-         |  SELECT 3, 'delete', count(*), sum(v), sum(q)
-         |  FROM s WHERE v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
-         |SELECT CAST(version AS BIGINT) AS version, change_type,
-         |  CAST(n AS BIGINT) AS n_rows, CAST(tc AS BIGINT) AS total_centi,
-         |  CAST(qc AS BIGINT) AS qty_centi
-         |FROM feed ORDER BY version, change_type""".stripMargin)),
+    QueryDef("q164_change_data_feed", q164, Some(crudFeedOracleSql)),
+    // Streaming == batch is q208's in-query contract, so ONE oracle
+    // serves both spellings of the crud feed.
+    QueryDef("q208_layout_stream_feed", q208, Some(crudFeedOracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -358,6 +358,63 @@ class StreamingSpec extends SparkSpec {
     assert(feed.select(col("event_id")).distinct().count() == 3)
   }
 
+  test("graft-layout streaming source: streaming == batch over a CRUD history; checkpoint restart resumes exactly where it left off") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark,
+      shaped((1L to 20L).map(i => (i, i * 10))), dir, Seq("event_id"))
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((101L, 1010L), (102L, 1020L))))                 // v1
+    VersionedLayout.appendDelete(spark, dir, col("event_id") <= 5L) // v2
+
+    val chk = java.nio.file.Files.createTempDirectory("graft-stream-chk").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+      b.groupBy(col("change_version"), col("change_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .foreach(r => buf.synchronized {
+          buf += ((r.getInt(0), r.getString(1), r.getLong(2))); () })
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-layout").option("path", dir).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val first = buf.toSet
+    assert(first == Set((1, "insert", 2L), (2, "delete", 5L)), s"first run: $first")
+    // Advance the table; a RESTART from the same checkpoint serves
+    // ONLY the new version window (exactly-once across restarts).
+    VersionedLayout.appendUpsert(spark, dir, col("event_id") === 10L,
+      m => m.withColumn("value_centi", col("value_centi") + 1))  // v3
+    buf.clear()
+    run()
+    val second = buf.toSet
+    assert(second == Set((3, "insert", 1L), (3, "delete", 1L)), s"second run: $second")
+    // STREAMING == BATCH: the two runs together are exactly the batch
+    // feed's masses over the full history.
+    val batch = VersionedLayout.changeFeed(spark, dir, 0, 3)
+      .groupBy(col("change_version"), col("change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(first ++ second == batch, s"stream != batch: ${first ++ second} vs $batch")
+    // A fresh subscriber with its own checkpoint replays everything.
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-stream-chk2").toString
+    buf.clear()
+    val q2 = spark.readStream.format("graft-layout").option("path", dir).load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", chk2).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(buf.toSet == batch, s"fresh replay != batch: ${buf.toSet} vs $batch")
+  }
+
   test("streaming ingest into the LSH index store: one generation per micro-batch, replayed batches admit exactly once") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, LshIndexStore}
