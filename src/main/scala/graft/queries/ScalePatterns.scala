@@ -1781,6 +1781,106 @@ object ScalePatterns {
     streamed.orderBy(col("version"), col("change_type"))
   }
 
+  /** Stable location of q209's versioned embedding layout. */
+  private[graft] def embLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_embeddings_versioned_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val embLayoutLock = new Object
+
+  /** Fresh-key offset for q209's inserted vector copies — divisible by
+    * 8 AND 10, so copies keep both their pid (hash residue) and their
+    * delete-band residue.
+    */
+  val embInsertKeyOffset = 10000000L
+
+  /** Build (or fast-forward) q209's four-version embedding history:
+    * v0 base (the embeddings table — `array<float>` payload — hashed
+    * into 8 pids, key = vec_id), v1 INSERT negated copies of the
+    * residue-3 vectors under fresh keys, v2 DELETE the residue-7
+    * vectors, v3 COMPACT (every pid crosses the threshold — the
+    * array bytes ride the archive/rewrite machinery).
+    */
+  private def ensureEmbeddingScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = embLayoutDir(d)
+    embLayoutLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.embeddings(s, d).select(
+          pmod(col("vec_id"), lit(8)).cast("int").as("pid"),
+          col("vec_id"), col("embedding"), col("label")),
+        dir, Seq("vec_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("vec_id") % 10 === 3)
+            .select(col("pid").cast("int").as("pid"),
+              (col("vec_id") + embInsertKeyOffset).as("vec_id"),
+              expr("transform(embedding, x -> -x)").as("embedding"),
+              (col("label") + 100).as("label")))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendDelete(s, dir, col("vec_id") % 10 === 7)
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** ARRAY-TYPED COLUMNS IN THE VERSIONED LAYOUT (q209) — the
+    * embedding corpus under the same time-travel/retention discipline
+    * as text: `array<float>` is an ordinary payload column of the
+    * commit log (insert / delete / compact / as-of all work; schema
+    * EVOLUTION on nested types refuses loudly at commit — the log's
+    * type charset admits scalars only — which is the honest contract
+    * until identity-mapped nested evolution exists). The gate
+    * time-travels a write -> insert -> delete -> compact history of
+    * the embeddings table and pins per-version vector counts, an
+    * integer embedding checksum (floor-quantized MICRO units, exact in
+    * both engines), dimension mass, and label sum; v1/v2 reads run
+    * post-compaction through the archives. At 100 TB an embedding
+    * corpus wants erasure and reproducible as-of training cuts exactly
+    * like documents — this closes the round-13 gap where vectors
+    * lived outside the versioned story.
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureEmbeddingScenario(s, d)
+    val qsum = "CAST(aggregate(transform(embedding, " +
+      "x -> CAST(floor(1000.0d * CAST(x AS DOUBLE)) AS BIGINT)), 0L, (a, x) -> a + x) AS BIGINT)"
+    (0 to 3).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr(qsum)).as("emb_checksum"),
+          sum(size(col("embedding"))).as("dim_sum"),
+          sum(col("label")).as("label_sum"))
+        .select(lit(ver.toLong).as("version"), col("n_vecs"),
+          col("emb_checksum"), col("dim_sum"), col("label_sum"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private lazy val q209OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |    CAST(list_sum(list_transform(embedding,
+       |      x -> CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT))) AS BIGINT) AS qs,
+       |    CAST(list_sum(list_transform(embedding,
+       |      x -> CAST(floor(-1000.0 * CAST(x AS DOUBLE)) AS BIGINT))) AS BIGINT) AS qsn,
+       |    CAST(len(embedding) AS BIGINT) AS nd
+       |  FROM embeddings),
+       |ver AS (SELECT unnest([0, 1, 2, 3]) AS version),
+       |live AS (
+       |  SELECT ver.version, e.label, e.qs, e.nd FROM ver JOIN e
+       |    ON NOT (ver.version >= 2 AND e.vec_id % 10 = 7)
+       |  UNION ALL
+       |  SELECT ver.version, e.label + 100, e.qsn, e.nd
+       |  FROM ver JOIN e ON ver.version >= 1 AND e.vec_id % 10 = 3)
+       |SELECT CAST(version AS BIGINT) AS version,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(qs) AS BIGINT) AS emb_checksum,
+       |  CAST(sum(nd) AS BIGINT) AS dim_sum,
+       |  CAST(sum(label) AS BIGINT) AS label_sum
+       |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3786,6 +3886,7 @@ object ScalePatterns {
     QueryDef("q203_layout_asof_skipping", q203, Some(q203OracleSql)),
     QueryDef("q206_layout_stats_identity", q206, Some(q206OracleSql)),
     QueryDef("q207_layout_feed_windows", q207, Some(q207OracleSql)),
+    QueryDef("q209_layout_array_embeddings", q209, Some(q209OracleSql)),
     QueryDef("q205_layout_describe_history", q205, Some(
       // rows_written / rows_deleted are the commit-metadata row masses
       // (round 14): the segment's physical row count and the physical

@@ -2164,6 +2164,40 @@ class StorageSpec extends SparkSpec {
     assert(v2.where(col("w") === 5000L).count() == 2)
   }
 
+  test("array-typed payload columns ride the layout end-to-end; nested schema evolution refuses loudly") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-array-col").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, Seq(i.toFloat, (i * 2).toFloat), i * 10))
+      .toDF("vec_id", "emb", "w")
+      .select(pmod(col("vec_id"), lit(4)).cast("int").as("pid"),
+        col("vec_id"), col("emb"), col("w"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 12L), dir, Seq("vec_id"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(101L, 102L)))  // v1
+    VersionedLayout.appendDelete(spark, dir, col("vec_id") % 3 === 0)  // v2
+    VersionedLayout.appendCompact(spark, dir, 0.1)                     // v3
+    def embs(v: Int): Map[Long, Seq[Float]] =
+      VersionedLayout.readAsOf(spark, dir, v).collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id"))
+          -> r.getSeq[Float](r.fieldIndex("emb"))).toMap
+    val e0 = embs(0)
+    assert(e0.keySet == (1L to 12L).toSet && e0(5L) == Seq(5f, 10f))
+    val e2 = embs(2)
+    assert(e2.keySet == ((1L to 12L) ++ Seq(101L, 102L)).toSet.filterNot(_ % 3 == 0))
+    assert(e2(101L) == Seq(101f, 202f))
+    assert(embs(3) == e2, "compact changed the array payload")
+    assert(embs(1)(12L) == Seq(12f, 24f), "archive-routed read lost array bytes")
+    // Nested types refuse EVOLUTION loudly (scalar-only log charset /
+    // widen chain) — the documented contract.
+    val exAdd = intercept[IllegalArgumentException](
+      VersionedLayout.addColumn(spark, dir, "emb2", "array<float>"))
+    assert(exAdd.getMessage.contains("odd character"), exAdd.getMessage)
+    val exWiden = intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "emb", "bigint"))
+    assert(exWiden.getMessage.contains("lossless widenings"), exWiden.getMessage)
+  }
+
   test("randomized evolution histories match an identity-based model — insert/delete/add/drop/rename/re-add/fold/restore, every version checked") {
     import graft.operators.VersionedLayout
     val spark0 = spark
@@ -2190,19 +2224,29 @@ class StorageSpec extends SparkSpec {
         Ident(0, "c0", dead = false, tpe = "int"))
       val usedNames = scala.collection.mutable.Set("c0", "pid", "event_id")
       var rows = Map.empty[Long, Map[Int, Long]] // key -> identId -> value
+      // The FIXED array<float> payload column (round 14): rides every
+      // write/delete/fold/restore like any payload, never evolved
+      // (nested evolution refuses by contract). Model value derives
+      // from (key, write version) like the scalar cells.
+      var arr = Map.empty[Long, Seq[Float]]
       val deadKeys = scala.collection.mutable.Set.empty[Long]
       var ver = 0
-      // snapshots(v) = (live identId -> its name at v, rows at v)
-      val snaps = scala.collection.mutable.ArrayBuffer.empty[(Map[Int, String], Map[Long, Map[Int, Long]])]
+      // snapshots(v) = (live identId -> its name at v, rows at v, arrays at v)
+      val snaps = scala.collection.mutable.ArrayBuffer
+        .empty[(Map[Int, String], Map[Long, Map[Int, Long]], Map[Long, Seq[Float]])]
       val oplog = scala.collection.mutable.ArrayBuffer.empty[String]
       def live = idents.filter(!_.dead)
-      def snap(): Unit = snaps += ((live.map(i => i.id -> i.name).toMap, rows))
+      def snap(): Unit = snaps += ((live.map(i => i.id -> i.name).toMap, rows, arr))
+      def embOf(k: Long, v: Int): Seq[Float] =
+        Seq((k * 1000 + v % 10).toFloat, (k % 97).toFloat)
       def mkDf(ks: Seq[Long]): org.apache.spark.sql.DataFrame = {
         val cols = live.toSeq
         val data = ks.map(k => (k, cols.map(i => k * 1000 + i.id * 10 + (ver % 10))))
         data.toDF("event_id", "vals")
           .select(Seq(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
-            col("event_id")) ++
+            col("event_id"),
+            array(((col("event_id") * 1000) + lit(ver % 10)).cast("float"),
+              pmod(col("event_id"), lit(97)).cast("float")).as("emb")) ++
             cols.zipWithIndex.map { case (i, x) =>
               col("vals").getItem(x).cast(i.tpe).as(i.name) }: _*)
       }
@@ -2211,6 +2255,7 @@ class StorageSpec extends SparkSpec {
       // v0 base: keys 1..8.
       val baseKeys = (1L to 8L)
       rows = modelRows(baseKeys)
+      arr = baseKeys.map(k => k -> embOf(k, 0)).toMap
       VersionedLayout.writeBaseTable(spark, mkDf(baseKeys), dir, Seq("event_id"))
       snap()
       (1 to 18).foreach { _ =>
@@ -2222,13 +2267,14 @@ class StorageSpec extends SparkSpec {
             else { val ks0 = (nextKey until nextKey + (2 + rnd.nextInt(3))); nextKey = ks0.end; ks0 }
           ver += 1
           rows ++= modelRows(ks)
+          arr ++= ks.map(k => k -> embOf(k, ver))
           oplog += s"v$ver insert ${ks.mkString(",")}"
           VersionedLayout.appendInsert(spark, dir, mkDf(ks))
           snap()
         } else if (roll < 42 && rows.nonEmpty) { // DELETE 1-3 live keys
           val ks = rnd.shuffle(rows.keys.toSeq).take(1 + rnd.nextInt(3))
           ver += 1
-          rows --= ks; deadKeys ++= ks
+          rows --= ks; arr --= ks; deadKeys ++= ks
           oplog += s"v$ver delete ${ks.mkString(",")}"
           VersionedLayout.appendDelete(spark, dir, col("event_id").isin(ks: _*))
           snap()
@@ -2300,6 +2346,7 @@ class StorageSpec extends SparkSpec {
             val rowsAt = snaps(toV)._2
             val liveIds = live.map(_.id).toSet
             rows = rowsAt.map { case (k, m) => k -> m.filter(kv => liveIds(kv._1)) }
+            arr = snaps(toV)._3
             deadKeys.clear()
             deadKeys ++= (snaps.flatMap(_._2.keys).toSet -- rows.keys)
             oplog += s"v$ver restore->$toV"
@@ -2314,12 +2361,18 @@ class StorageSpec extends SparkSpec {
       }
       // Verify EVERY version against its snapshot.
       (0 to ver).foreach { v =>
-        val (names, mrows) = snaps(v)
+        val (names, mrows, marr) = snaps(v)
         val df = VersionedLayout.readAsOf(spark, dir, v)
-        val expectCols = (Seq("pid", "event_id") ++ names.values).sorted
+        val expectCols = (Seq("pid", "event_id", "emb") ++ names.values).sorted
         assert(df.columns.sorted.toSeq == expectCols,
           s"seed $seed v$v: columns ${df.columns.sorted.toSeq} != $expectCols")
-        val got = df.collect().map { r =>
+        val collected = df.collect()
+        val gotEmb = collected.map(r =>
+          r.getLong(r.fieldIndex("event_id"))
+            -> r.getSeq[Float](r.fieldIndex("emb")).toSeq).toMap
+        assert(gotEmb == marr,
+          s"seed $seed v$v: array column diverged [${oplog.mkString("; ")}]")
+        val got = collected.map { r =>
           val k = r.getLong(r.fieldIndex("event_id"))
           k -> names.map { case (id, n) =>
             // Typed re-add means a cell can be numeric OR string (the
