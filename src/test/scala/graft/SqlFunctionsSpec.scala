@@ -51,5 +51,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(hist.map(_.getString(1)).toSeq == Seq("write", "insert"))
     assert(hist(1).getLong(2) > hist(0).getLong(2), "effective times not strict")
     assert(hist.forall(_.getBoolean(3)), "stats missing from history rows")
+    // Round 14: per-commit row masses ride the history (recorded at
+    // write time), and the frame stays METADATA-ONLY: its physical
+    // plan is a LocalTableScan off the parsed log — collect() on that
+    // launches zero Spark jobs, the property that makes a dashboard
+    // polling it free.
+    val histDf = graft.operators.VersionedLayout.describeHistory(spark, dir)
+      .select(col("version"), col("rows_written"), col("rows_deleted"))
+    val masses = histDf.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(masses == Map(0L -> ((40L, 0L)), 1L -> ((2L, 0L))), s"masses: $masses")
+    assert(histDf.queryExecution.executedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"history frame is not a local scan:\n${histDf.queryExecution.executedPlan}")
   }
 }
