@@ -1760,25 +1760,32 @@ object ScalePatterns {
       .writeStream.foreachBatch(sink)
       .option("checkpointLocation", chk).start()
     try q.processAllAvailable() finally q.stop()
-    val s0 = s
-    import s0.implicits._
+    // One row per (version, type) even if the engine split triggers —
+    // merged driver-side (bounded: versions x 2).
     val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
-      .toDF("version", "change_type", "n_rows", "total_centi", "qty_centi")
-      // One row per (version, type) even if the engine split triggers.
-      .groupBy(col("version"), col("change_type"))
-      .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("total_centi")).as("total_centi"),
-        sum(col("qty_centi")).as("qty_centi"))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((v, ct), ts) =>
+        (v, ct, ts.map(_._3).sum, ts.map(_._4).sum, ts.map(_._5).sum) }
+      .toSeq
     // STREAMING == BATCH, proven in-query before the gate ever hashes:
-    // the subscription's fold must equal the batch feed's.
+    // the subscription's fold must equal the batch feed's. ONE batch
+    // pass, compared as collected (bounded) sets — an exceptAll join
+    // here would re-execute the feed plan per side.
     val batch = VersionedLayout
       .changeFeed(s, dir, 0, VersionedLayout.currentVersion(dir))
       .groupBy(col("change_version").cast("long").as("version"), col("change_type"))
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
         sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
-    require(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
-      s"streaming subscription over $dir diverged from the batch change feed")
-    streamed.orderBy(col("version"), col("change_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    require(streamed.toSet == batch,
+      s"streaming subscription over $dir diverged from the batch change feed: " +
+        s"${streamed.toSet} vs $batch")
+    val s0 = s
+    import s0.implicits._
+    streamed.toDF("version", "change_type", "n_rows", "total_centi", "qty_centi")
+      .orderBy(col("version"), col("change_type"))
   }
 
   /** Stable location of q209's versioned embedding layout. */
