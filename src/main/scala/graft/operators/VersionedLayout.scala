@@ -1816,7 +1816,22 @@ object VersionedLayout {
     cuts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
   }
 
-  def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+  def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame =
+    changeFeedImpl(s, dir, fromV, toV, forceTag = false)
+
+  /** [[changeFeed]] with the per-type tagging FORCED on (round 14):
+    * the streaming source pins its schema at subscription start, so a
+    * subscription whose RANGE already crosses a flip must serve the
+    * per-incarnation columns in EVERY batch — including later batches
+    * that sit inside one window and would otherwise carry the plain
+    * name — or the conform-to-declared-schema step would null them.
+    */
+  private[graft] def changeFeedTagged(
+      s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame =
+    changeFeedImpl(s, dir, fromV, toV, forceTag = true)
+
+  private def changeFeedImpl(s: SparkSession, dir: String, fromV: Int, toV: Int,
+      forceTag: Boolean): DataFrame = {
     val key = "pid" +: keyColsOf(dir)
     val entries = log(dir)
     // A feed whose range crosses a TYPE FLIP of a physical name (typed
@@ -1836,10 +1851,13 @@ object VersionedLayout {
     val flips = feedFlipVersions(entries, baseTypes,
       keyColsOf(dir).toSet + "pid", fromV, toV)
     // Within a type-uniform range the plain name is kept (zero schema
-    // change vs pre-r14); across a flip each part's conflicted columns
-    // are renamed by the declared token at the part's schema version.
+    // change vs pre-r14); across a flip — or when the caller forces it
+    // (streaming subscriptions with a pinned schema) — each part's
+    // conflicted columns are renamed by the declared token at the
+    // part's schema version.
+    val tagging = forceTag || flips.nonEmpty
     def tagConflicted(df: DataFrame, w: Int): DataFrame =
-      if (flips.isEmpty) df
+      if (!tagging) df
       else conflicts.foldLeft(df) { (d, n) =>
         if (!d.columns.contains(n)) d
         else declaredTokenAt(entries, baseTypes, n, w) match {
@@ -1865,9 +1883,12 @@ object VersionedLayout {
     }
     // Empty range: same schema as the non-empty case (layout columns +
     // change_type/change_version), so downstream aggregates over data
-    // columns resolve regardless of whether the range held changes.
+    // columns resolve regardless of whether the range held changes —
+    // tagged under the HEAD's token when tagging is on, so a pinned
+    // subscription schema stays consistent across empty triggers.
     if (parts.isEmpty)
-      readAsOf(s, dir, currentVersion(dir)).where(lit(false))
+      tagConflicted(readAsOf(s, dir, currentVersion(dir)).where(lit(false)),
+          currentVersion(dir))
         .withColumn("change_type", lit("")).withColumn("change_version", lit(0))
     // Feed parts may straddle an addColumn evolution (each part carries
     // its own version's schema): null-fill to the superset, exactly how

@@ -25,15 +25,19 @@ import graft.operators.VersionedLayout
   * offsets EXACTLY-ONCE across restarts: a crashed trigger re-runs the
   * same version window and gets the same rows.
   *
-  * The stream's schema is pinned at stream START (the head feed schema
-  * at creation): later batches are CONFORMED to it — columns added by
-  * later evolution are dropped until the subscriber re-subscribes, a
-  * column retired by a later drop null-fills, and a typed re-add's new
-  * incarnation (served by the feed as its per-type
-  * `name__as_<type>` column, see [[graft.operators.VersionedLayout
-  * .changeFeed]]) stays out of the old-typed column rather than
-  * corrupting it — re-subscribing at the flip is the window split
-  * `changeFeedWindows` names.
+  * The stream's schema is pinned at stream START — the schema of the
+  * SUBSCRIPTION RANGE (startingVersion-1, head]. A range that already
+  * crosses a typed re-add makes the subscription permanently TAGGED:
+  * every batch serves the per-incarnation `name__as_<type>` columns
+  * ([[graft.operators.VersionedLayout.changeFeedTagged]]), so both
+  * incarnations arrive intact — this is how the source COMPOSES with
+  * `changeFeedWindows`' window semantics. Later batches are CONFORMED
+  * to the pinned schema: columns added by LATER evolution are dropped
+  * until the subscriber re-subscribes, a column retired by a later
+  * drop null-fills, and a flip happening AFTER stream start leaves
+  * the new incarnation out (or fails the cast loudly under ANSI)
+  * rather than corrupting the old column — re-subscribing at the flip
+  * is the window split `changeFeedWindows` names.
   *
   * Options: `path` (the layout root, required); `startingVersion` (the
   * first change version to serve, default 1 — i.e. every change after
@@ -43,12 +47,22 @@ final class LayoutChangeSource(
     spark: SparkSession, dir: String, startExclusive: Int)
   extends Source {
 
-  // Pinned at creation: the feed schema at the current head (an empty
-  // version range — plan-time only, no job).
+  // Pinned at creation: the schema of the SUBSCRIPTION RANGE
+  // (startExclusive, head-at-start]. If that range already crosses a
+  // type flip, the subscription is permanently TAGGED — every batch
+  // (including later in-window ones that would carry the plain name)
+  // serves the per-incarnation `name__as_<type>` columns, so the
+  // crossing history's both incarnations arrive intact instead of
+  // being conformed away (plan-time only, no job).
   private val head0 = VersionedLayout.currentVersion(dir)
   require(head0 >= 0, s"no committed layout at $dir")
+  private val tagged = head0 > startExclusive &&
+    VersionedLayout.changeFeedWindows(spark, dir, startExclusive, head0).size > 1
+  private def feedOf(fromV: Int, toV: Int): DataFrame =
+    if (tagged) VersionedLayout.changeFeedTagged(spark, dir, fromV, toV)
+    else VersionedLayout.changeFeed(spark, dir, fromV, toV)
   override val schema: StructType =
-    VersionedLayout.changeFeed(spark, dir, head0, head0).schema
+    feedOf(startExclusive, math.max(head0, startExclusive)).schema
 
   private def ver(o: Offset): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -64,7 +78,7 @@ final class LayoutChangeSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(startExclusive)
     val toV = ver(end)
-    val feed = VersionedLayout.changeFeed(spark, dir, fromV, toV)
+    val feed = feedOf(fromV, toV)
     // Conform to the stream-start schema (see class doc).
     val conformed = feed.select(schema.fields.toSeq.map { f =>
       if (feed.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -95,24 +109,27 @@ final class LayoutChangeSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-layout source requires option 'path' (the layout root)"))
 
+  private def startExclusiveOf(parameters: Map[String, String]): Int = {
+    val startingVersion = parameters.get("startingVersion").map(_.toInt).getOrElse(1)
+    require(startingVersion >= 1,
+      s"startingVersion must be >= 1 (got $startingVersion) — v0 is the base write, not a change")
+    startingVersion - 1
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-layout source derives its schema from the layout")
-    val dir = dirOf(parameters)
-    val s = sqlContext.sparkSession
-    val head = VersionedLayout.currentVersion(dir)
-    require(head >= 0, s"no committed layout at $dir")
-    (shortName(), VersionedLayout.changeFeed(s, dir, head, head).schema)
+    // One throwaway source — schema resolution shares the real
+    // subscription-range (and flip-tagging) logic exactly.
+    (shortName(), new LayoutChangeSource(sqlContext.sparkSession,
+      dirOf(parameters), startExclusiveOf(parameters)).schema)
   }
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    val startingVersion = parameters.get("startingVersion").map(_.toInt).getOrElse(1)
-    require(startingVersion >= 1,
-      s"startingVersion must be >= 1 (got $startingVersion) — v0 is the base write, not a change")
-    new LayoutChangeSource(sqlContext.sparkSession, dirOf(parameters), startingVersion - 1)
-  }
+      parameters: Map[String, String]): Source =
+    new LayoutChangeSource(sqlContext.sparkSession, dirOf(parameters),
+      startExclusiveOf(parameters))
 }

@@ -415,6 +415,62 @@ class StreamingSpec extends SparkSpec {
     assert(buf.toSet == batch, s"fresh replay != batch: ${buf.toSet} vs $batch")
   }
 
+  test("graft-layout streaming source over a typed re-add: a subscription crossing the flip serves both incarnations as per-type columns") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-flip").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i * 10)).toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 8L), dir, Seq("event_id")) // v0
+    VersionedLayout.addColumn(spark, dir, "tag", "bigint")                        // v1
+    VersionedLayout.appendInsert(spark, dir,                                       // v2
+      shaped(Seq(101L, 102L)).withColumn("tag", col("event_id") * 7))
+    VersionedLayout.dropColumn(spark, dir, "tag")                                  // v3
+    VersionedLayout.addColumn(spark, dir, "tag", "string")                         // v4 — the flip
+    VersionedLayout.appendInsert(spark, dir,                                       // v5
+      shaped(Seq(201L, 202L)).withColumn("tag", concat(lit("s"), col("event_id"))))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Option[String])]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+      assert(b.columns.contains("tag__as_bigint")
+        && b.columns.contains("tag__as_string") && !b.columns.contains("tag"),
+        s"crossing subscription batch lacks per-type columns: ${b.columns.mkString(",")}")
+      b.where(col("change_type") === "insert")
+        .select(col("event_id"), col("tag__as_bigint"), col("tag__as_string"))
+        .collect().foreach { r =>
+          collected.synchronized {
+            collected += ((r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getString(2)))); () }
+        }
+      ()
+    }
+    val chk = java.nio.file.Files.createTempDirectory("graft-stream-flip-chk").toString
+    val q = spark.readStream.format("graft-layout").option("path", dir).load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", chk).start()
+    try q.processAllAvailable() finally q.stop()
+    // Both incarnations arrive, each in its own typed column.
+    assert(collected.toSet == Set(
+      (101L, Some(707L), None), (102L, Some(714L), None),
+      (201L, None, Some("s201")), (202L, None, Some("s202"))),
+      s"crossing subscription lost an incarnation: ${collected.toSet}")
+    // A LATER commit inside the head window keeps the tagged schema
+    // (pinned at start): the restart serves its rows under the
+    // string-incarnation column.
+    VersionedLayout.appendInsert(spark, dir,                                       // v6
+      shaped(Seq(301L)).withColumn("tag", concat(lit("s"), col("event_id"))))
+    collected.clear()
+    val q2 = spark.readStream.format("graft-layout").option("path", dir).load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", chk).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(collected.toSet == Set((301L, None, Some("s301"))),
+      s"post-flip restart window: ${collected.toSet}")
+  }
+
   test("streaming ingest into the LSH index store: one generation per micro-batch, replayed batches admit exactly once") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, LshIndexStore}
