@@ -1788,6 +1788,78 @@ object ScalePatterns {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** STREAMED INCREMENTAL VIEW MAINTENANCE (q210) — the q208 source
+    * composed with a STREAMING AGGREGATE: a downstream materialized
+    * view (per-quantity-bucket row count and revenue) subscribes to
+    * the crud layout's change feed and folds signed deltas (+1 insert,
+    * -1 delete — the upsert arrives as its insert+delete pair) into
+    * keyed streaming state, instead of re-reading the table per round.
+    * The query then proves IVM CORRECTNESS in-body — base-at-v0 plus
+    * the streamed net must equal the direct head read, bucket for
+    * bucket — and emits the MAINTAINED view, gated against the same
+    * lineitem-derived head-state oracle a snapshot query would use.
+    * At 100 TB: the subscriber's work is O(changes) and its state is
+    * O(buckets); the table is never re-scanned after v0. (q162 is the
+    * batch-replay spelling of the same algebra; this is the standing-
+    * subscription spelling.)
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    val viewName = s"q210_ivm_${graft.JvmId.token.take(8)}_${System.nanoTime()}"
+    val qk = expr("CAST(round(l_quantity) AS BIGINT)").as("qk")
+    val q = s.readStream.format("graft-layout").option("path", dir).load()
+      .withColumn("op", when(col("change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(qk)
+      .agg(sum(col("op")).as("net_rows"),
+        sum(col("op") * col("v")).as("net_centi"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(viewName).start()
+    try q.processAllAvailable() finally q.stop()
+    // Bounded: one row per quantity bucket (~50).
+    val net = try s.table(viewName).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally { s.catalog.dropTempView(viewName); () }
+    val base = VersionedLayout.readAsOf(s, dir, 0)
+      .groupBy(qk).agg(count(lit(1)).as("n"), sum(col("v")).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val derived = (base.keySet ++ net.keySet).toSeq.map { k =>
+      val (bn, bc) = base.getOrElse(k, (0L, 0L))
+      val (nn, nc) = net.getOrElse(k, (0L, 0L))
+      (k, bn + nn, bc + nc)
+    }.filter(_._2 > 0).sortBy(_._1)
+    // IVM == SNAPSHOT, proven before the gate hashes: the maintained
+    // view folded onto the base must equal the direct head read.
+    val head = VersionedLayout
+      .readAsOf(s, dir, VersionedLayout.currentVersion(dir))
+      .groupBy(qk).agg(count(lit(1)).as("n"), sum(col("v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(derived.toSet == head,
+      s"streamed IVM over $dir diverged from the head snapshot")
+    val s0 = s
+    import s0.implicits._
+    derived.toDF("qk", "n_rows", "total_centi").orderBy(col("qk"))
+  }
+
+  private lazy val q210OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity) AS BIGINT) AS qk
+       |  FROM lineitem),
+       |head AS (
+       |  SELECT v, qk FROM s
+       |  WHERE v NOT BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti
+       |    AND v NOT BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT v, qk + 100 FROM s
+       |  WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT v + 5, qk FROM s
+       |  WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti)
+       |SELECT qk, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(v) AS BIGINT) AS total_centi
+       |FROM head GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stable location of q209's versioned embedding layout. */
   private[graft] def embLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3523,6 +3595,7 @@ object ScalePatterns {
     // Streaming == batch is q208's in-query contract, so ONE oracle
     // serves both spellings of the crud feed.
     QueryDef("q208_layout_stream_feed", q208, Some(crudFeedOracleSql)),
+    QueryDef("q210_layout_stream_ivm", q210, Some(q210OracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
