@@ -415,6 +415,65 @@ class StreamingSpec extends SparkSpec {
     assert(buf.toSet == batch, s"fresh replay != batch: ${buf.toSet} vs $batch")
   }
 
+  test("LSH index maintained by a LAYOUT SUBSCRIPTION: feed inserts admit, feed deletes retract via before-images; converged pairs == rebuild of the head corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, LshIndexStore, VersionedLayout}
+    val spark0 = spark
+    import spark0.implicits._
+    val cap = 4
+    val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
+    val textB = "winter summer autumn spring morning evening midnight noon dusk dawn"
+    def shaped(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(pmod(col("doc_id"), lit(4)).cast("int").as("pid"),
+        col("doc_id"), col("text"))
+    def bands(df: org.apache.spark.sql.DataFrame) = Dedup.bandRows(
+      Dedup.minhashSignatures(
+        df.select(col("doc_id"), col("text")).localCheckpoint(), "doc_id", "text"), 1)
+    // The CURATED TABLE: a documents layout the index subscribes to —
+    // the downstream never re-reads it after the v0 bootstrap.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-sub").toString + "/docs"
+    // Base covers all four pids (doc 8 -> pid 0), so later segment
+    // rows stay inside the v0 pid domain.
+    VersionedLayout.writeBaseTable(spark,
+      shaped(Seq(1L -> textA, 2L -> textA, 3L -> textA, 8L -> textA, 11L -> textB)),
+      dir, Seq("doc_id"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-sub-idx").toString + "/index"
+    LshIndexStore.init(spark, idx, bands(VersionedLayout.readAsOf(spark, dir, 0)), cap)
+    // Subscription: inserts ADMIT, deletes RETRACT — the feed's
+    // before-image rows mean retraction never re-reads the corpus.
+    // Distinct txn stamps per action keep replays exactly-once.
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+      val ins = b.where(col("change_type") === "insert")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val del = b.where(col("change_type") === "delete")
+        .select(col("doc_id")).localCheckpoint()
+      if (ins.count() > 0) LshIndexStore.admitOnce(spark, idx, bands(ins), id * 2, cap)
+      if (del.count() > 0) LshIndexStore.retractOnce(spark, idx, del, id * 2 + 1)
+      ()
+    }
+    val chk = java.nio.file.Files.createTempDirectory("graft-lsh-sub-chk").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-layout").option("path", dir).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(4L -> textA, 12L -> textB))) // v1
+    VersionedLayout.appendDelete(spark, dir, col("doc_id") <= 2L)                    // v2
+    run()
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(100L -> textA)))             // v3
+    run() // restart from checkpoint: only v3's window
+    // Converged index == LSH built fresh from the table's HEAD.
+    val got = LshIndexStore.pairs(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.lshCandidates(
+      Dedup.minhashSignatures(VersionedLayout.readAsOf(spark, dir, 3)
+        .select(col("doc_id"), col("text")).localCheckpoint(), "doc_id", "text"),
+      cap).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == rebuilt, s"subscribed index diverged from rebuild: $got vs $rebuilt")
+    assert(!got.exists(p => p._1 <= 2L || p._2 <= 2L), "retracted docs still paired")
+  }
+
   test("graft-layout streaming source over a typed re-add: a subscription crossing the flip serves both incarnations as per-type columns") {
     import org.apache.spark.sql.functions._
     import graft.operators.VersionedLayout
