@@ -96,6 +96,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // — whole sources whose commit-time bounds miss [lo, hi] never even
     // enter the plan (log metadata only), and the range predicate still
     // pushes into the surviving parquet scans.
+    // SQL-FACING CDC (round 14): the change feed as a table function —
+    //   SELECT * FROM graft_layout_feed('/table/dir', fromV, toV)
+    // serves the row-level changes in (fromV, toV] (insert rows +
+    // delete before-images, stamped change_type/change_version); a
+    // range crossing a typed re-add serves per-incarnation
+    // `name__as_<type>` columns exactly like the Scala API. Pure-SQL
+    // consumers subscribe window by window (changeFeedWindows names
+    // the cuts) without touching Scala.
+    e.injectTableFunction((
+      FunctionIdentifier("graft_layout_feed"),
+      new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
+        "graft_layout_feed"),
+      (args: Seq[Expression]) => {
+        val dir = constArg(args, 0, "graft_layout_feed").toString
+        val fromV = constArg(args, 1, "graft_layout_feed").toString.toInt
+        val toV = constArg(args, 2, "graft_layout_feed").toString.toInt
+        graft.operators.VersionedLayout
+          .changeFeed(SparkSession.active, dir, fromV, toV)
+          .queryExecution.logical: LogicalPlan
+      },
+    ))
     e.injectTableFunction((
       FunctionIdentifier("graft_layout_asof_range"),
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,

@@ -1841,6 +1841,28 @@ object ScalePatterns {
     derived.toDF("qk", "n_rows", "total_centi").orderBy(col("qk"))
   }
 
+  /** SQL-FACING CDC (q211) — q164's change-feed aggregate issued as
+    * PURE SQL through the `graft_layout_feed` table function
+    * ([[graft.GraftExtensions]]): the subscription surface a SQL-only
+    * consumer actually has. The function returns the feed's logical
+    * plan, so Catalyst treats it like any subquery and every feed
+    * guarantee (before-image recovery, version stamps, per-incarnation
+    * typing across flips) rides along; the result must be
+    * row-identical to the Scala-API feed — one oracle serves q164,
+    * q208 (streaming) and q211 (SQL).
+    */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    val head = VersionedLayout.currentVersion(dir)
+    s.sql(
+      s"""SELECT CAST(change_version AS BIGINT) AS version, change_type,
+         |  count(*) AS n_rows, sum(v) AS total_centi,
+         |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_centi
+         |FROM graft_layout_feed('$dir', 0, $head)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   private lazy val q210OracleSql: String =
     s"""WITH s AS (
        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
@@ -3596,6 +3618,7 @@ object ScalePatterns {
     // serves both spellings of the crud feed.
     QueryDef("q208_layout_stream_feed", q208, Some(crudFeedOracleSql)),
     QueryDef("q210_layout_stream_ivm", q210, Some(q210OracleSql)),
+    QueryDef("q211_layout_sql_feed", q211, Some(crudFeedOracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
