@@ -1120,6 +1120,126 @@ object VersionedLayout {
     ver
   }
 
+  /** MERGE INTO — the full three-arm Delta-shaped merge as ONE
+    * committed version: join `source` against the table's head state on
+    * the layout's key columns, then
+    *
+    *   - WHEN MATCHED AND `deleteCond`  → tombstone the target row;
+    *   - WHEN MATCHED AND `updateCond`  → tombstone the target row and
+    *     re-insert it with `updateSet` applied (unlisted target columns
+    *     keep their value);
+    *   - WHEN MATCHED, neither          → the row is UNTOUCHED (no
+    *     tombstone, no feed event — the arm `appendUpsert` cannot
+    *     express);
+    *   - WHEN NOT MATCHED (source-only) → insert the source row, if
+    *     `insertNotMatched` (it must carry the head schema incl. a
+    *     domain-valid `pid`).
+    *
+    * Inside `deleteCond` / `updateCond` / `updateSet` expressions,
+    * TARGET columns keep their plain names and SOURCE columns appear as
+    * `s_<name>` (the join renames the source internally so the matched
+    * frame has unique, checkpoint-stable column names — no alias
+    * qualifiers to lose). `updateSet` may not touch key columns or
+    * `pid` (row identity and placement are immutable; delete+insert is
+    * the explicit spelling for a key change). Like Delta, a source
+    * whose rows match the SAME target row more than once is rejected
+    * loudly — the update would be non-deterministic.
+    *
+    * One commit, `upsert`-shaped (action = "upsert"): tombstones =
+    * delete ∪ update pre-images, insert segment = updated ∪ inserted
+    * rows, so every reader, the change feed, incremental views, and
+    * compaction treat a merge natively with zero new read-path cases.
+    * The version-stamped mask keeps same-key replacements alive, exactly
+    * as [[appendUpsert]]. `source` is checkpointed ONCE up front — the
+    * match, anti and cardinality passes all see the same rows even if
+    * the caller's frame is non-deterministic. Deterministic from the
+    * as-of state + checkpointed source, so pre-commit crash replay is
+    * safe; append-family, safe under [[withWriteRetry]].
+    *
+    * At 100 TB: the join is target ⋈ source on the key columns — AQE
+    * broadcasts a small source (the common CDC-apply case) and the
+    * anti/inner passes share the scan; cost scales with the SOURCE and
+    * the matched keys, never with unmatched target data beyond one
+    * join pass.
+    */
+  def appendMerge(s: SparkSession, dir: String, source: DataFrame,
+      updateSet: Map[String, org.apache.spark.sql.Column],
+      deleteCond: Option[org.apache.spark.sql.Column] = None,
+      updateCond: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = true,
+      txn: Long = -1L): Int = {
+    val keyCols = keyColsOf(dir)
+    val banned = updateSet.keySet.intersect((keyCols :+ "pid").toSet)
+    require(banned.isEmpty,
+      s"updateSet may not assign key/placement column(s) ${banned.mkString(",")} — " +
+        "delete + insert is the explicit spelling for a key change")
+    val ver = currentVersion(dir) + 1
+    val tag = writerTag()
+    val target = readAsOf(s, dir, ver - 1)
+    val headCols = target.columns.toSeq
+    require(updateSet.keySet.subsetOf(headCols.toSet),
+      s"updateSet assigns unknown column(s) ${updateSet.keySet.diff(headCols.toSet).mkString(",")}")
+    val src0 = source.localCheckpoint()
+    keyCols.foreach(k => require(src0.columns.contains(k),
+      s"merge source must carry key column '$k'"))
+    // Matched pairs: target columns plain, source columns as s_<name> —
+    // unique names, so the frame survives checkpointing and the arms'
+    // expressions resolve unambiguously.
+    val srcR = src0.select(src0.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
+    val matched = target.join(srcR,
+      keyCols.map(k => col(k) === col(s"s_$k")).reduce(_ && _), "inner")
+      .localCheckpoint()
+    val dups = matched.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__m")).where(col("__m") > 1)
+    require(dups.isEmpty,
+      s"merge source matches some target key(s) of $dir more than once — " +
+        "the update/delete choice would be non-deterministic (Delta's multiple-match rule)")
+    val falseC = lit(false)
+    val delPart = matched.where(deleteCond.getOrElse(falseC))
+    val updPart = matched.where(
+      updateCond.getOrElse(lit(true)) && !deleteCond.getOrElse(falseC))
+    // Tombstones: pre-images of BOTH mutating arms; untouched matches
+    // stay out (no event, no rewrite).
+    delPart.unionByName(updPart)
+      .select(col("pid").cast("int").as("pid") +: keyCols.map(col): _*)
+      .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
+    val updated = updPart.select(headCols.map(c =>
+      updateSet.getOrElse(c, col(c)).as(c)): _*)
+    val inserted =
+      if (!insertNotMatched) updated.limit(0)
+      else {
+        val anti = src0.join(target.select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+        headCols.foreach(c => require(anti.columns.contains(c),
+          s"merge source must carry head-schema column '$c' for the not-matched insert arm"))
+        anti.select(headCols.map(col): _*)
+      }
+    val newRows = updated.unionByName(inserted).localCheckpoint()
+    requireInDomain(dir, newRows)
+    newRows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    val (st, stM) = statsOf(dir, newRows)
+    commit(dir, LogEntry(ver, "upsert", Nil, 0, txn, tag,
+      stats = st, statsM = stM,
+      rowsW = newRows.count(),
+      rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
+    ver
+  }
+
+  /** Exactly-once [[appendMerge]] (the [[appendInsertOnce]] stamp
+    * contract, scoped to the merge's upsert-shaped commits).
+    */
+  def appendMergeOnce(s: SparkSession, dir: String, source: DataFrame,
+      updateSet: Map[String, org.apache.spark.sql.Column],
+      deleteCond: Option[org.apache.spark.sql.Column] = None,
+      updateCond: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = true,
+      txn: Long): Int =
+    log(dir).find(e => e.action == "upsert" && e.txn == txn) match {
+      case Some(e) => e.version
+      case None => appendMerge(s, dir, source, updateSet, deleteCond,
+        updateCond, insertNotMatched, txn)
+    }
+
   /** RESTORE the table to its state AS OF `toVersion`, as ONE new
     * upsert-shaped commit — the table-format RESTORE: history below the
     * restore stays fully addressable (time travel still serves every

@@ -1982,6 +1982,145 @@ object ScalePatterns {
        |  CAST(sum(label) AS BIGINT) AS label_sum
        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stable location of q212's merge layout. */
+  private[graft] def mergeLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_merge_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val mergeLock = new Object
+
+  /** q212's MATCHED-BUT-UNTOUCHED band ($5000.00–$5200.00) — source
+    * rows that match target keys but satisfy neither merge arm, and the
+    * fresh-key offset for its not-matched inserts. Disjoint from every
+    * other band in play.
+    */
+  val mergeNoopLoCenti = 500000L
+  val mergeNoopHiCenti = 520000L
+  val mergeInsertKeyOffset = 70000000L
+  /** q212's exactly-once stamp (the builder merges TWICE with it). */
+  val mergeTxnStamp = 777001L
+
+  /** Build (or fast-forward) q212's history: v0 base, v1 ONE
+    * three-arm MERGE whose source unions four deterministic slices of
+    * the base — 'd' rows (delete band → WHEN MATCHED DELETE), 'u' rows
+    * (upsert band, qdelta=100 → WHEN MATCHED UPDATE via the source
+    * column), 'n' rows (noop band → matched, NEITHER arm: must stay
+    * untouched and emit nothing), 'i' rows (insert-band copies under
+    * fresh keys → WHEN NOT MATCHED INSERT). Committed through
+    * [[graft.operators.VersionedLayout.appendMergeOnce]] and replayed
+    * immediately with the same stamp — the second call must return the
+    * same version without committing.
+    */
+  private def ensureMergeScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = mergeLayoutDir(d)
+    mergeLock.synchronized {
+      val uppers = rangeUppers(s, d)
+      VersionedLayout.writeBase(s, d, dir, uppers)
+      if (VersionedLayout.currentVersion(dir) < 1) {
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        val base = VersionedLayout.readAsOf(s, dir, 0)
+        def slice(lo: Long, hi: Long, action: String) =
+          base.where(col("v").between(lo, hi))
+            .withColumn("action", lit(action))
+            .withColumn("qdelta", lit(100.0))
+        val source = slice(deleteBandLoCenti, deleteBandHiCenti, "d")
+          .unionByName(slice(crudUpsertLoCenti, crudUpsertHiCenti, "u"))
+          .unionByName(slice(mergeNoopLoCenti, mergeNoopHiCenti, "n"))
+          .unionByName(
+            base.where(col("v").between(crudInsertLoCenti, crudInsertHiCenti))
+              .select((col("v") + 5).as("v"),
+                (col("l_orderkey") + mergeInsertKeyOffset).as("l_orderkey"),
+                col("l_linenumber"), col("l_quantity"))
+              .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int"))
+              .withColumn("action", lit("i"))
+              .withColumn("qdelta", lit(100.0)))
+        def merge() = VersionedLayout.appendMergeOnce(s, dir, source,
+          updateSet = Map("l_quantity" -> (col("l_quantity") + col("s_qdelta"))),
+          deleteCond = Some(col("s_action") === "d"),
+          updateCond = Some(col("s_action") === "u"),
+          txn = mergeTxnStamp)
+        val v1 = merge()
+        val replay = merge()
+        require(v1 == replay && VersionedLayout.currentVersion(dir) == v1,
+          s"appendMergeOnce replay committed a second version ($v1 vs $replay)")
+      }
+    }
+    dir
+  }
+
+  /** MERGE INTO (q212) — the full three-arm Delta-shaped merge as ONE
+    * committed version
+    * ([[graft.operators.VersionedLayout.appendMerge]]): WHEN MATCHED
+    * DELETE, WHEN MATCHED UPDATE (the update expression reads a SOURCE
+    * column), WHEN MATCHED-BUT-NEITHER (row untouched — no tombstone,
+    * no feed event; the arm a plain upsert cannot express), WHEN NOT
+    * MATCHED INSERT — committed exactly-once under a txn stamp and
+    * replayed to prove it. The gate pins the AS-OF aggregate at v0 and
+    * v1 AND the v1 CHANGE FEED's per-type masses: the feed must carry
+    * exactly the delete+update pre-images and the update+insert
+    * after-images — the noop band appearing in either mass, or the
+    * update arm double-firing on the replay, fails the oracle. At
+    * 100 TB this is the CDC-apply primitive: one target⋈source key
+    * join (AQE broadcasts the small source), cost scaling with the
+    * source and matched keys, never a second table rewrite.
+    */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureMergeScenario(s, d)
+    val asOf = (0 to 1).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+        .select(lit(s"asof_v$ver").as("phase"), lit("").as("change_type"),
+          col("n_rows"), col("total_centi"), col("qty_centi"))
+    }.reduce(_ unionByName _)
+    val feed = VersionedLayout.changeFeed(s, dir, 0, 1)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+      .select(lit("feed_v1").as("phase"), col("change_type"),
+        col("n_rows"), col("total_centi"), col("qty_centi"))
+    asOf.unionByName(feed).orderBy(col("phase"), col("change_type"))
+  }
+
+  private lazy val q212OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+       |  FROM lineitem),
+       |v1 AS (
+       |  SELECT v, qc FROM s
+       |  WHERE v NOT BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti
+       |    AND v NOT BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT v, qc + 10000 FROM s
+       |  WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT v + 5, qc FROM s
+       |  WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+       |fdel AS (
+       |  SELECT v, qc FROM s
+       |  WHERE v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti
+       |     OR v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti),
+       |fins AS (
+       |  SELECT v, qc + 10000 AS qc FROM s
+       |  WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT v + 5, qc FROM s
+       |  WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti)
+       |SELECT 'asof_v0' AS phase, '' AS change_type,
+       |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(v) AS BIGINT) AS total_centi,
+       |  CAST(sum(qc) AS BIGINT) AS qty_centi FROM s
+       |UNION ALL SELECT 'asof_v1', '', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v1
+       |UNION ALL SELECT 'feed_v1', 'delete', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM fdel
+       |UNION ALL SELECT 'feed_v1', 'insert', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM fins
+       |ORDER BY 1, 2""".stripMargin
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3619,6 +3758,7 @@ object ScalePatterns {
     QueryDef("q208_layout_stream_feed", q208, Some(crudFeedOracleSql)),
     QueryDef("q210_layout_stream_ivm", q210, Some(q210OracleSql)),
     QueryDef("q211_layout_sql_feed", q211, Some(crudFeedOracleSql)),
+    QueryDef("q212_layout_merge", q212, Some(q212OracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -1813,6 +1813,95 @@ class StorageSpec extends SparkSpec {
     assert(old.length == 1 && old.head.getDouble(0) == k.getDouble(3))
   }
 
+  test("merge (q212): three arms in one commit, untouched matches emit nothing, multiple-match and key-assignment refuse, replay is exactly-once") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-merge").toString + "/layout"
+    VersionedLayout.writeBase(spark, sf0001, dir, uppers)
+    val base = VersionedLayout.readAsOf(spark, dir, 0)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("v")).limit(4)
+      .localCheckpoint()
+    val rows = base.collect()
+    def keyed(i: Int) = (rows(i).getLong(1), rows(i).getInt(2), rows(i).getLong(0))
+    val (dOk, dLn, dV) = keyed(0) // delete arm
+    val (uOk, uLn, uV) = keyed(1) // update arm
+    val (nOk, nLn, nV) = keyed(2) // matched, neither arm — must stay untouched
+    val total = VersionedLayout.readAsOf(spark, dir, 0).count()
+
+    def act(ok: Long, ln: Int, v: Long, a: String) =
+      base.where(col("l_orderkey") === ok && col("l_linenumber") === ln && col("v") === v)
+        .withColumn("action", lit(a)).withColumn("qdelta", lit(9.0))
+    val fresh = base
+      .where(col("l_orderkey") === dOk && col("l_linenumber") === dLn && col("v") === dV)
+      .select((col("v") + 1).as("v"), (col("l_orderkey") + 900000001L).as("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("pid").cast("int").as("pid"))
+      .withColumn("action", lit("i")).withColumn("qdelta", lit(9.0))
+    val source = act(dOk, dLn, dV, "d")
+      .unionByName(act(uOk, uLn, uV, "u"))
+      .unionByName(act(nOk, nLn, nV, "n"))
+      .unionByName(fresh).localCheckpoint()
+
+    val v1 = VersionedLayout.appendMergeOnce(spark, dir, source,
+      updateSet = Map("l_quantity" -> (col("l_quantity") + col("s_qdelta"))),
+      deleteCond = Some(col("s_action") === "d"),
+      updateCond = Some(col("s_action") === "u"),
+      txn = 424242L)
+    assert(v1 == 1)
+    // Exactly-once: replay with the same stamp returns the same version.
+    val replay = VersionedLayout.appendMergeOnce(spark, dir, source,
+      updateSet = Map("l_quantity" -> (col("l_quantity") + col("s_qdelta"))),
+      deleteCond = Some(col("s_action") === "d"),
+      updateCond = Some(col("s_action") === "u"),
+      txn = 424242L)
+    assert(replay == 1 && VersionedLayout.currentVersion(dir) == 1)
+
+    val head = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(head.count() == total, "delete(-1) + insert(+1) should keep the count")
+    assert(head.where(col("l_orderkey") === dOk && col("l_linenumber") === dLn
+      && col("v") === dV).count() == 0, "delete arm did not remove the row")
+    val uq = head.where(col("l_orderkey") === uOk && col("l_linenumber") === uLn
+      && col("v") === uV).select(col("l_quantity")).collect()
+    assert(uq.length == 1 && uq.head.getDouble(0) == rows(1).getDouble(3) + 9,
+      "update arm did not apply the source-column delta")
+    assert(head.where(col("l_orderkey") === dOk + 900000001L).count() == 1,
+      "not-matched insert arm missing")
+    // The untouched match: value unchanged AND no feed event for it.
+    val nq = head.where(col("l_orderkey") === nOk && col("l_linenumber") === nLn
+      && col("v") === nV).select(col("l_quantity")).collect()
+    assert(nq.length == 1 && nq.head.getDouble(0) == rows(2).getDouble(3),
+      "matched-but-neither row was touched")
+    val feed = VersionedLayout.changeFeed(spark, dir, 0, 1)
+    assert(feed.where(col("l_orderkey") === nOk && col("l_linenumber") === nLn
+      && col("v") === nV).count() == 0,
+      "untouched match leaked into the change feed")
+    assert(feed.where(col("change_type") === "delete").count() == 2, "delete + update pre-images")
+    assert(feed.where(col("change_type") === "insert").count() == 2, "update + insert after-images")
+
+    // Multiple source rows matching one target key refuse loudly.
+    val dup = act(uOk, uLn, uV, "u").unionByName(act(uOk, uLn, uV, "d"))
+    val eDup = intercept[IllegalArgumentException] {
+      VersionedLayout.appendMerge(spark, dir, dup,
+        updateSet = Map("l_quantity" -> (col("l_quantity") + col("s_qdelta"))),
+        deleteCond = Some(col("s_action") === "d"))
+    }
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    // Assigning a key or placement column refuses loudly.
+    val eKey = intercept[IllegalArgumentException] {
+      VersionedLayout.appendMerge(spark, dir, source,
+        updateSet = Map("v" -> (col("v") + 1)))
+    }
+    assert(eKey.getMessage.contains("key/placement"), eKey.getMessage)
+    // insertNotMatched = false: source-only rows are ignored.
+    val v2 = VersionedLayout.appendMerge(spark, dir, fresh
+      .select((col("l_orderkey") + 1).as("l_orderkey"), col("l_linenumber"),
+        col("v"), col("l_quantity"), col("pid"), col("action"), col("qdelta")),
+      updateSet = Map("l_quantity" -> (col("l_quantity") + col("s_qdelta"))),
+      insertNotMatched = false)
+    assert(VersionedLayout.readAsOf(spark, dir, v2).count() == total,
+      "insertNotMatched=false still inserted")
+  }
+
   test("q158 compaction audit predicts the physical compaction exactly; byte-level write amplification measured") {
     import graft.operators.DeletableRangeLayout
     import graft.queries.ScalePatterns
