@@ -2121,6 +2121,72 @@ object ScalePatterns {
        |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM fins
        |ORDER BY 1, 2""".stripMargin
 
+  /** RATE-LIMITED TABLE-AS-STREAM (q213) — q208's subscription under
+    * admission control (`maxVersionsPerTrigger`, the `maxFilesPerTrigger`
+    * shape): a FRESH subscriber of a long-lived 100 TB table must drain
+    * the backlog in bounded bites, not plan one giant (0, head] batch
+    * whose delete-preimage join holds the whole history in a single
+    * trigger. The cap changes BATCH BOUNDARIES only — the query proves
+    * in-body that (a) every micro-batch spans at most one commit
+    * version and the backlog took one batch per change version, and
+    * (b) the union of the rate-limited batches reproduces the batch
+    * feed EXACTLY (q164's oracle verbatim, same as q208 — one oracle,
+    * three transports). The reporting position persists under the
+    * query's own metadataPath, so a restart cannot regress the offset
+    * the engine compares by inequality.
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    val head = VersionedLayout.currentVersion(dir)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long, Long, Long)]()
+    val sink: (DataFrame, Long) => Unit = (b, id) => {
+      b.groupBy(col("change_version"), col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("tc"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qc"))
+        .collect().foreach { r =>
+          buf.add((id, r.getInt(0).toLong, r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))); ()
+        }
+      ()
+    }
+    val chk = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q213_chk_${graft.JvmId.token}_${buf.hashCode()}").getAbsolutePath
+    val q = s.readStream.format("graft-layout").option("path", dir)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", chk).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
+    // Admission control held: each micro-batch carried at most ONE
+    // commit version, and the non-empty change versions each got their
+    // own batch (the compact emits nothing and may share or skip one).
+    val perBatch = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    require(perBatch.values.forall(_.size <= 1),
+      s"a rate-limited micro-batch spanned multiple versions: $perBatch")
+    require(perBatch.size >= rows.map(_._2).distinct.size,
+      s"backlog did not drain one version per trigger: $perBatch")
+    val streamed = rows
+      .groupBy(t => (t._2, t._3))
+      .map { case ((v, ct), ts) =>
+        (v, ct, ts.map(_._4).sum, ts.map(_._5).sum, ts.map(_._6).sum) }
+      .toSeq
+    val batch = VersionedLayout.changeFeed(s, dir, 0, head)
+      .groupBy(col("change_version").cast("long").as("version"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    require(streamed.toSet == batch,
+      s"rate-limited subscription over $dir diverged from the batch feed: " +
+        s"${streamed.toSet} vs $batch")
+    val s0 = s
+    import s0.implicits._
+    streamed.toDF("version", "change_type", "n_rows", "total_centi", "qty_centi")
+      .orderBy(col("version"), col("change_type"))
+  }
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3759,6 +3825,7 @@ object ScalePatterns {
     QueryDef("q210_layout_stream_ivm", q210, Some(q210OracleSql)),
     QueryDef("q211_layout_sql_feed", q211, Some(crudFeedOracleSql)),
     QueryDef("q212_layout_merge", q212, Some(q212OracleSql)),
+    QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -41,10 +41,24 @@ import graft.operators.VersionedLayout
   *
   * Options: `path` (the layout root, required); `startingVersion` (the
   * first change version to serve, default 1 — i.e. every change after
-  * the base write).
+  * the base write); `maxVersionsPerTrigger` (admission control for
+  * catching-up subscribers, the `maxFilesPerTrigger` shape: cap each
+  * micro-batch at N commit versions instead of planning one giant
+  * (lastSeen, head] batch — at 100 TB a fresh subscriber of a
+  * long-lived table must drain the backlog in bounded bites, not in
+  * one trigger whose shuffle holds the whole history). The cap is a
+  * BATCH BOUNDARY choice only — the union of the rate-limited batches
+  * is byte-identical to the unlimited subscription, and exactly-once
+  * survives restarts because the reporting position is persisted under
+  * the query's own `metadataPath` (a regressed in-memory tracker could
+  * otherwise re-report an old head after a restart whose last batch
+  * already committed, and the engine's inequality test would replan
+  * it).
   */
 final class LayoutChangeSource(
-    spark: SparkSession, dir: String, startExclusive: Int)
+    spark: SparkSession, dir: String, startExclusive: Int,
+    maxVersionsPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None)
   extends Source {
 
   // Pinned at creation: the schema of the SUBSCRIPTION RANGE
@@ -70,14 +84,62 @@ final class LayoutChangeSource(
     case other => other.json().trim.toInt
   }
 
+  // Rate-limit bookkeeping: the highest version this source has ever
+  // REPORTED or SERVED. Persisted (tiny single-line file under the
+  // query's metadataPath) so a restart whose last batch committed
+  // cannot regress the next reported offset below the committed one —
+  // the engine compares offsets by INEQUALITY, so a regressed report
+  // would schedule a bogus backwards batch. Unlimited sources skip all
+  // of this (head is monotone by construction).
+  private val rateFile = metadataPath.map { p =>
+    // metadataPath may arrive scheme-qualified (file:/...); resolve it
+    // the way the layout resolves everything else — local filesystem
+    // semantics (an object-store deployment would swap this single
+    // touch point for its FileSystem API, like the commit log's CAS).
+    val plain = if (p.startsWith("file:"))
+      new java.io.File(java.net.URI.create(p).getPath)
+    else new java.io.File(p)
+    new java.io.File(plain, "graft-max-served")
+  }
+  private var maxServed: Int = rateFile match {
+    case Some(f) if f.isFile =>
+      val s0 = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      math.max(startExclusive, s0.toInt)
+    case _ => startExclusive
+  }
+  // Persisted from getBatch ONLY: every batch — fresh, or replayed
+  // after a crash — passes through getBatch before the engine commits
+  // it, so the file always covers the engine's committed offset; a
+  // getOffset-time persist would instead inflate the cap after a crash
+  // between getOffset and getBatch (the next report would start from
+  // the never-run batch's end).
+  private def noteServed(v: Int): Unit = if (v > maxServed) {
+    maxServed = v
+    rateFile.foreach { f =>
+      f.getParentFile.mkdirs()
+      val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   override def getOffset: Option[Offset] = {
     val head = VersionedLayout.currentVersion(dir)
-    if (head <= startExclusive) None else Some(LongOffset(head.toLong))
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(head, maxServed + n)
+      case None => head
+    }
+    if (capped <= startExclusive) None else Some(LongOffset(capped.toLong))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(startExclusive)
     val toV = ver(end)
+    noteServed(math.max(fromV, toV))
     val feed = feedOf(fromV, toV)
     // Conform to the stream-start schema (see class doc).
     val conformed = feed.select(schema.fields.toSeq.map { f =>
@@ -126,10 +188,17 @@ final class LayoutChangeSourceProvider
       dirOf(parameters), startExclusiveOf(parameters)).schema)
   }
 
+  private def maxPerTriggerOf(parameters: Map[String, String]): Option[Int] = {
+    val m = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    m.foreach(n => require(n >= 1, s"maxVersionsPerTrigger must be >= 1 (got $n)"))
+    m
+  }
+
   override def createSource(
       sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new LayoutChangeSource(sqlContext.sparkSession, dirOf(parameters),
-      startExclusiveOf(parameters))
+      startExclusiveOf(parameters), maxPerTriggerOf(parameters),
+      Some(metadataPath))
 }

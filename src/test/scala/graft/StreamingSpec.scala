@@ -415,6 +415,69 @@ class StreamingSpec extends SparkSpec {
     assert(buf.toSet == batch, s"fresh replay != batch: ${buf.toSet} vs $batch")
   }
 
+  test("graft-layout maxVersionsPerTrigger: a catching-up subscription drains the backlog one version per trigger; union == batch feed; restart stays bounded and exactly-once") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ratelim-src").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark,
+      shaped((1L to 20L).map(i => (i, i * 10))), dir, Seq("event_id"))
+    VersionedLayout.appendInsert(spark, dir,
+      shaped(Seq((101L, 1010L), (102L, 1020L))))                    // v1
+    VersionedLayout.appendDelete(spark, dir, col("event_id") <= 5L) // v2
+    VersionedLayout.appendUpsert(spark, dir, col("event_id") === 10L,
+      m => m.withColumn("value_centi", col("value_centi") + 1))     // v3
+
+    val chk = java.nio.file.Files.createTempDirectory("graft-ratelim-chk").toString
+    // Per micro-batch: the distinct change versions it carried.
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+      val agg = b.groupBy(col("change_version"), col("change_type"))
+        .agg(count(lit(1)).as("n")).collect()
+      batches.synchronized {
+        batches += agg.map(_.getInt(0)).toSet
+        agg.foreach(r => rows += ((r.getInt(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      ()
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-layout").option("path", dir)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // The backlog (v1..v3) drains in BOUNDED bites: every micro-batch
+    // spans at most one commit version, and it takes >1 batch.
+    assert(batches.size >= 3, s"expected >=3 rate-limited batches, got ${batches.size}")
+    assert(batches.forall(_.size <= 1), s"a batch spanned multiple versions: $batches")
+    val batchFeed = VersionedLayout.changeFeed(spark, dir, 0, 3)
+      .groupBy(col("change_version"), col("change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.toSet == batchFeed, s"rate-limited union != batch: ${rows.toSet} vs $batchFeed")
+    // Advance by TWO more versions; a restart from the same checkpoint
+    // (fresh source instance — the persisted tracker must survive)
+    // serves exactly the new window, still one version per batch.
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((103L, 1030L)))) // v4
+    VersionedLayout.appendDelete(spark, dir, col("event_id") === 6L)     // v5
+    batches.clear(); rows.clear()
+    run()
+    assert(batches.size >= 2 && batches.forall(_.size <= 1),
+      s"restarted catch-up not rate-limited: $batches")
+    val tail = VersionedLayout.changeFeed(spark, dir, 3, 5)
+      .groupBy(col("change_version"), col("change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.toSet == tail,
+      s"restart re-served or lost a window: ${rows.toSet} vs $tail")
+  }
+
   test("LSH index maintained by a LAYOUT SUBSCRIPTION: feed inserts admit, feed deletes retract via before-images; converged pairs == rebuild of the head corpus") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, LshIndexStore, VersionedLayout}
