@@ -165,6 +165,163 @@ object VersionedLayout {
     }
   }
 
+  /** Declared BLOOM columns (original base-write spellings) — per-pid
+    * Bloom filters recorded per data commit, the POINT-LOOKUP skip zone
+    * maps cannot give: on a key hashed or scattered across the range
+    * axis, every source's [min,max] covers every probe, but a Bloom
+    * answers "definitely absent" per (source, pid) from log-side
+    * metadata alone. Integral columns only (the probe and the write
+    * path hash the value cast to BIGINT).
+    */
+  private[graft] def bloomColsOf(dir: String): Seq[String] = {
+    val f = metaFile(dir)
+    if (!f.isFile) Nil
+    else """"bloomCols":\[([^\]]*)\]""".r
+      .findFirstMatchIn(
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
+  private def integralType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t == LongType || t == IntegerType || t == ShortType || t == ByteType
+
+  /** Bloom geometry: k = 3 probe positions sliced from ONE xxhash64
+    * (bits [0,21), [21,42), [42,63), each masked to m — slicing avoids
+    * the multiply-add of classic double hashing, which ANSI arithmetic
+    * would reject on overflow, and xxhash64's bits are independent
+    * enough for membership). m is chosen PER (column, commit) from the
+    * landed data — the next power of two ≥ 16× the largest per-pid
+    * distinct count, floored at 1 Kibit and capped at 2^18 bits
+    * (32 KiB, the Parquet-footer-bloom scale) — and recorded on every
+    * sidecar line, so readers probe each source at the geometry its
+    * writer used. At the 16× load factor p(false positive) ≈ 8e-3 per
+    * (source, pid); a segment past the cap degrades gradually instead
+    * of bloating the log.
+    */
+  private val bloomK = 3
+  private val bloomMinBits = 1 << 10
+  private val bloomMaxBits = 1 << 18
+  /** Must equal Spark's `xxhash64(CAST(x AS BIGINT))` (seed 42). */
+  private def bloomHash(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+  private def bloomPositions(h: Long, m: Int): Seq[Int] =
+    (0 until bloomK).map(i => ((h >>> (21 * i)) & (m - 1)).toInt)
+  private[graft] def bloomMightContain(m: Int, bits: Array[Byte], value: Long): Boolean =
+    bloomPositions(bloomHash(value), m).forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
+
+  /** Per-(column, pid) Bloom bitsets over `df` — one bounded
+    * distinct-count pass sizes each column's m, then ONE
+    * distinct-aggregate pass covers all declared spellings: bit
+    * positions are computed executor-side (codegen'd shift/mask off
+    * xxhash64), deduplicated, and only the distinct (pid, column,
+    * position) triples — bounded by pids × columns × m, i.e. the total
+    * bitset size — reach the driver. A deployment whose per-commit
+    * segments dwarf that bound would fold the bitsets executor-side
+    * (a binary-OR aggregate) into the same sidecar format; the
+    * position-set spelling keeps the hot path pure codegen'd
+    * built-ins.
+    */
+  private def computeBlooms(
+      df: DataFrame, physCols: Seq[String]): Map[String, Map[Int, (Int, Array[Byte])]] = {
+    val present = physCols.distinct.filter(c => df.columns.contains(c)
+      && integralType(df.schema(c).dataType))
+    if (present.isEmpty) return Map.empty
+    val dAggs = present.map(c => countDistinct(col(c)).as(s"__d_$c"))
+    val dRows = df.groupBy(col("pid").cast("int").as("p"))
+      .agg(dAggs.head, dAggs.tail: _*).collect()
+    val mOf: Map[String, Int] = present.map { c =>
+      val maxD = dRows.headOption.map(_.fieldIndex(s"__d_$c"))
+        .map(ix => dRows.map(_.getLong(ix)).max).getOrElse(0L)
+      var m = bloomMinBits
+      while (m < 16L * maxD && m < bloomMaxBits) m <<= 1
+      c -> m
+    }.toMap
+    val triples = df
+      .select(col("pid").cast("int").as("p"),
+        explode(array(present.map(c => struct(lit(c).as("c"),
+          array(bloomPositionCols(col(c), mOf(c)): _*).as("ps"))): _*)).as("ch"))
+      .select(col("p"), col("ch.c").as("c"), explode(col("ch.ps")).as("pos"))
+      .distinct().collect()
+    triples.groupBy(_.getString(1)).map { case (c, rows) =>
+      val m = mOf(c)
+      c -> rows.groupBy(_.getInt(0)).map { case (p, rs) =>
+        val bits = new Array[Byte](m / 8)
+        rs.foreach { r =>
+          val pos = r.getLong(2).toInt
+          bits(pos >>> 3) = (bits(pos >>> 3) | (1 << (pos & 7))).toByte
+        }
+        p -> ((m, bits))
+      }
+    }
+  }
+
+  /** The executor-side mirror of [[bloomPositions]] over a column. */
+  private def bloomPositionCols(c: org.apache.spark.sql.Column,
+      m: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until bloomK).map(i =>
+      shiftrightunsigned(xxhash64(c.cast("long")), 21 * i)
+        .bitwiseAND(lit((m - 1).toLong)))
+
+  private def bloomFile(dir: String, ver: Int, tag: String) =
+    new java.io.File(logDir(dir),
+      f"bloom-v$ver%05d" + (if (tag.isEmpty) "" else s"-$tag") + ".txt")
+
+  /** Sidecar lines `phys|pid|m|base64(bits)` — written BEFORE the
+    * commit (like every artifact), writer-tag-named so concurrent
+    * same-version writers cannot cross-read. Lives beside the log under
+    * its own prefix: checkpoints truncate `v*.json` entry files only,
+    * so Bloom metadata survives log consolidation like the tombstone
+    * dirs do.
+    */
+  private def writeBlooms(dir: String, ver: Int, tag: String,
+      blooms: Map[String, Map[Int, (Int, Array[Byte])]]): Unit = {
+    if (blooms.isEmpty || blooms.forall(_._2.isEmpty)) return
+    val enc = java.util.Base64.getEncoder
+    val body = blooms.toSeq.sortBy(_._1).flatMap { case (c, byPid) =>
+      byPid.toSeq.sortBy(_._1).map { case (p, (m, bits)) =>
+        s"$c|$p|$m|${enc.encodeToString(bits)}" }
+    }.mkString("\n")
+    logDir(dir).mkdirs()
+    Files.write(bloomFile(dir, ver, tag).toPath,
+      body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def bloomsOf(dir: String, e: LogEntry): Map[String, Map[Int, (Int, Array[Byte])]] = {
+    val f = bloomFile(dir, e.version, e.tag)
+    if (!f.isFile) return Map.empty
+    val dec = java.util.Base64.getDecoder
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+      .map { line =>
+        val Array(c, p, m, b) = line.split("\\|", 4)
+        (c, p.toInt, m.toInt, dec.decode(b))
+      }
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.map(r => r._2 -> ((r._3, r._4))).toMap }
+  }
+
+  /** Stats + Blooms for a commit whose landed bytes are `df`: computes
+    * [[statsOf]] and, when the layout declares Bloom columns, writes
+    * this commit's Bloom sidecar (every era spelling of every declared
+    * Bloom identity that `df` carries). The single recording hook every
+    * data-writing action calls before its commit.
+    */
+  private def recordStats(dir: String, ver: Int, tag: String,
+      df: DataFrame): (Seq[(Int, Long, Long)], Map[String, Seq[(Int, Long, Long)]]) = {
+    val declared = bloomColsOf(dir)
+    if (declared.nonEmpty) {
+      val entries = log(dir)
+      val head = entries.lastOption.map(_.version).getOrElse(0)
+      val phys = declared.flatMap { dc =>
+        statsIdentityAt(entries, dc, head).map(_.eras.map(_._1)).getOrElse(Seq(dc))
+      }.distinct
+      writeBlooms(dir, ver, tag, computeBlooms(df, phys))
+    }
+    statsOf(dir, df)
+  }
+
   /** Per-pid (min, max) of the stats column over `df` — the one extra
     * bounded aggregation a stats-tracking write pays (a real format
     * collects the same bounds from task-level file stats for free; one
@@ -688,18 +845,21 @@ object VersionedLayout {
     */
   def writeBaseTable(s: SparkSession, df: DataFrame, dir: String,
       keyCols: Seq[String], statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
     // The meta file is parsed with a plain splitter — identifier-shaped
     // names only, and at least one (an empty key set would make every
     // row identical for tombstone purposes).
     require(keyCols.nonEmpty, "a layout needs at least one row-identity column")
     val allStats = (statsCol.toSeq ++ statsCols).distinct
-    (keyCols ++ allStats).foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    (keyCols ++ allStats ++ bloomCols).foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column '$k' is not identifier-shaped — the layout meta cannot carry it"))
     // The log-entry parser locates the legacy triple array by its
     // field name — a stats COLUMN spelled like the field would tear it.
     allStats.foreach(k => require(k != "stats" && k != "statsm",
       s"'$k' cannot be a stats column (reserved log-entry field name)"))
+    bloomCols.foreach(k => require(df.columns.contains(k)
+      && integralType(df.schema(k).dataType),
+      s"Bloom column '$k' must be an integral column of the base write"))
     if (currentVersion(dir) >= 0) return
     df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
@@ -717,14 +877,18 @@ object VersionedLayout {
         + (if (allStats.size > 1)
              allStats.mkString(""","statsCols":["""", "\",\"", "\"]")
            else "")
+        + (if (bloomCols.nonEmpty)
+             bloomCols.distinct.mkString(""","bloomCols":["""", "\",\"", "\"]")
+           else "")
         + s""","types":{$types}""" + "}")
         .getBytes(StandardCharsets.UTF_8))
     // Stats come from reading BACK the written bytes (a pruned scan —
     // cheaper than recomputing or caching the input), which also makes
     // them bounds over exactly what landed.
     val (stats, statsM) =
-      if (allStats.isEmpty || basePidDirs(dir).isEmpty) (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
-      else statsOf(dir, s.read.option("basePath", dir)
+      if ((allStats.isEmpty && bloomCols.isEmpty) || basePidDirs(dir).isEmpty)
+        (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
+      else recordStats(dir, 0, "", s.read.option("basePath", dir)
         .parquet(basePidDirs(dir).map(p => s"$dir/pid=$p"): _*))
     // Commit-metadata row count (parquet footer metadata, no column
     // bytes read) — what DESCRIBE HISTORY serves without a data pass.
@@ -872,7 +1036,7 @@ object VersionedLayout {
     requireInDomain(dir, rows)
     rows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val seg = s.read.parquet(insertDir(dir, ver, tag))
-    val (st, stM) = statsOf(dir, seg)
+    val (st, stM) = recordStats(dir, ver, tag, seg)
     commit(dir, LogEntry(ver, "insert", Nil, 0, txn, tag,
       stats = st, statsM = stM,
       rowsW = seg.count(), rowsD = 0L))
@@ -1113,7 +1277,7 @@ object VersionedLayout {
     val replacements = transform(matched).localCheckpoint()
     requireInDomain(dir, replacements)
     replacements.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
-    val (st, stM) = statsOf(dir, replacements)
+    val (st, stM) = recordStats(dir, ver, tag, replacements)
     commit(dir, LogEntry(ver, "upsert", Nil, 0, tag = tag,
       stats = st, statsM = stM,
       rowsW = replacements.count(), rowsD = matched.count()))
@@ -1217,7 +1381,7 @@ object VersionedLayout {
     val newRows = updated.unionByName(inserted).localCheckpoint()
     requireInDomain(dir, newRows)
     newRows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
-    val (st, stM) = statsOf(dir, newRows)
+    val (st, stM) = recordStats(dir, ver, tag, newRows)
     commit(dir, LogEntry(ver, "upsert", Nil, 0, txn, tag,
       stats = st, statsM = stM,
       rowsW = newRows.count(),
@@ -1380,7 +1544,7 @@ object VersionedLayout {
     }: _*)
     projected.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val seg = s.read.parquet(insertDir(dir, ver, tag))
-    val (rSt, rStM) = statsOf(dir, seg)
+    val (rSt, rStM) = recordStats(dir, ver, tag, seg)
     commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag,
       stats = rSt, statsM = rStM,
       rowsW = seg.count(), rowsD = s.read.parquet(tombDir(dir, ver, tag)).count(),
@@ -1503,9 +1667,9 @@ object VersionedLayout {
     // anyway).
     val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
     val (postStats, postStatsM) =
-      if (statsColsOf(dir).isEmpty || landed.isEmpty)
+      if ((statsColsOf(dir).isEmpty && bloomColsOf(dir).isEmpty) || landed.isEmpty)
         (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
-      else statsOf(dir, s.read.option("basePath", dir)
+      else recordStats(dir, ver, "", s.read.option("basePath", dir)
         .parquet(landed.map(p => s"$dir/pid=$p"): _*))
     commit(dir, LogEntry(ver, "compact", pids, 0,
       stats = postStats, statsM = postStatsM))
@@ -1597,9 +1761,9 @@ object VersionedLayout {
     // left no live dir for emits no triple).
     val landed = pids.filter(p => new java.io.File(s"$dir/pid=$p").isDirectory)
     val (postStats, postStatsM) =
-      if (statsColsOf(dir).isEmpty || landed.isEmpty)
+      if ((statsColsOf(dir).isEmpty && bloomColsOf(dir).isEmpty) || landed.isEmpty)
         (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
-      else statsOf(dir, s.read.option("basePath", dir)
+      else recordStats(dir, ver, "", s.read.option("basePath", dir)
         .parquet(landed.map(p => s"$dir/pid=$p"): _*))
     commit(dir, LogEntry(ver, "majorcompact", pids, 0,
       stats = postStats, statsM = postStatsM))
@@ -2333,14 +2497,26 @@ object VersionedLayout {
     * (the pre-rewrite state c parked — written by the last rewrite
     * before c). Pure log metadata, O(entries).
     */
-  private def statsByPid(entries: Seq[LogEntry], uptoExclusive: Int,
-      boundsOf: LogEntry => Map[Int, (Long, Long)]): Map[Int, Option[(Long, Long)]] = {
-    val m = scala.collection.mutable.Map.empty[Int, Option[(Long, Long)]]
+  /** Plan-time source-pruning spec — the one abstraction both skip
+    * flavors (zone-map RANGE bounds and BLOOM point membership) feed
+    * [[readAsOfImpl]] through: `it` is the skip column's identity (era
+    * resolution picks the physical spelling per source), and
+    * `entryKeep(e, phys)` maps each pid the entry rewrote to a KEEP
+    * decision derived from the entry's recorded metadata under that
+    * spelling. A pid absent from the map is UNKNOWN and always kept —
+    * exactness never depends on pruning, only extra work does.
+    */
+  private final case class PruneSpec(it: ColIdentity,
+      entryKeep: (LogEntry, String) => Map[Int, Boolean])
+
+  private def keepByPid(entries: Seq[LogEntry], uptoExclusive: Int,
+      keepOf: LogEntry => Map[Int, Boolean]): Map[Int, Option[Boolean]] = {
+    val m = scala.collection.mutable.Map.empty[Int, Option[Boolean]]
     entries.iterator
       .filter(e => e.version < uptoExclusive
         && (e.action == "write" || e.action == "compact" || e.action == "majorcompact"))
       .foreach { e =>
-        val st = boundsOf(e)
+        val st = keepOf(e)
         e.pids.foreach(p => m(p) = st.get(p))
       }
     m.toMap
@@ -2392,13 +2568,49 @@ object VersionedLayout {
     readAsOfRangeResolved(s, dir, v, original, lo, hi)
   }
 
+  /** POINT LOOKUP with plan-time BLOOM skipping — the probe zone maps
+    * cannot serve: on a key that is hashed or scattered across the
+    * range axis every source's [min,max] covers every value, but the
+    * per-(source, pid) Bloom filters recorded at write time
+    * ([[bloomColsOf]]) answer "definitely absent" from log-side
+    * metadata alone, so whole sources (live pid dirs, archived pid
+    * dirs, insert segments) leave the plan before a single data file is
+    * listed. Same contracts as [[readAsOfRangeOn]]: `column` is
+    * addressed by the name it carries AT `v` and resolves through the
+    * column-identity era chain (a rename neither kills pruning nor
+    * misroutes it); sources without a recorded Bloom are kept (unknown
+    * never skips); the equality predicate applies regardless, so
+    * exactness never depends on the pruning — a Bloom false positive
+    * costs a scan, never a wrong row.
+    */
+  def readAsOfPoint(s: SparkSession, dir: String, v: Int,
+      column: String, value: Long): DataFrame = {
+    val entries = log(dir)
+    val declared = bloomColsOf(dir)
+    val original = declared.find(dc =>
+      statsIdentityAt(entries, dc, v).exists(_.eras.last._1 == column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$column' at v$v of $dir is not served by any declared Bloom column " +
+          s"(declared: ${declared.mkString(", ")}) — use readAsOf(...).where(...)"))
+    val it = statsIdentityAt(entries, original, v).get
+    val spec = PruneSpec(it, (e, phys) =>
+      bloomsOf(dir, e).getOrElse(phys, Map.empty)
+        .map { case (p, (m, bits)) => p -> bloomMightContain(m, bits, value) })
+    readAsOfImpl(s, dir, v, Some(spec))
+      .where(col(it.eras.last._1).cast("long") === value)
+  }
+
   private def readAsOfRangeResolved(s: SparkSession, dir: String, v: Int,
       original: String, lo: Long, hi: Long): DataFrame = {
     val it = statsIdentityAt(log(dir), original, v).getOrElse(
       throw new IllegalArgumentException(
         s"stats column '$original' of $dir does not exist at v$v (dropped) — " +
           "stats-pruned reads need a live stats identity; use readAsOf(...).where(...)"))
-    readAsOfImpl(s, dir, v, Some((it, lo, hi)))
+    val legacyPrimary = statsColOf(dir)
+    val spec = PruneSpec(it, (e, phys) =>
+      statsTriples(e, phys, legacyPrimary)
+        .map(t => t._1 -> (t._3 >= lo && t._2 <= hi)).toMap)
+    readAsOfImpl(s, dir, v, Some(spec))
       .where(col(it.eras.last._1).between(lo, hi))
   }
 
@@ -2406,33 +2618,25 @@ object VersionedLayout {
     readAsOfImpl(s, dir, v, None)
 
   private def readAsOfImpl(s: SparkSession, dir: String, v: Int,
-      skip: Option[(ColIdentity, Long, Long)]): DataFrame = {
+      skip: Option[PruneSpec]): DataFrame = {
     val entries = log(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
     require(v >= horizon(dir),
       s"version $v is below the vacuum horizon ${horizon(dir)} — its archives are gone")
-    // Range-vs-bounds test for one source; an absent/unknown bound can
-    // never be skipped.
-    def hits(st: Option[(Long, Long)]): Boolean = (skip, st) match {
-      case (Some((_, lo, hi)), Some((mn, mx))) => mx >= lo && mn <= hi
-      case _ => true
-    }
-    // Per-entry bounds of the skip identity for the pids the entry
-    // rewrote, looked up under the PHYSICAL spelling its bytes carry:
-    // segments and folds carry their own version's schema; a minor
-    // compact rewrites bytes read raw, so its spelling is the last
-    // base schema writer's (identity resolution — this is what makes
-    // skipping survive a rename, and stay sound across one).
-    val legacyPrimary = if (skip.isDefined) statsColOf(dir) else None
-    def boundsOf(e: LogEntry): Map[Int, (Long, Long)] = skip match {
+    // An absent/unknown keep decision can never skip a source.
+    def hits(k: Option[Boolean]): Boolean = k.getOrElse(true)
+    // Per-entry keep decisions of the skip identity for the pids the
+    // entry rewrote, looked up under the PHYSICAL spelling its bytes
+    // carry: segments and folds carry their own version's schema; a
+    // minor compact rewrites bytes read raw, so its spelling is the
+    // last base schema writer's (identity resolution — this is what
+    // makes skipping survive a rename, and stay sound across one).
+    def keepOf(e: LogEntry): Map[Int, Boolean] = skip match {
       case None => Map.empty
-      case Some((it, _, _)) =>
+      case Some(sp) =>
         val w = if (e.action == "compact") lastSchemaWriterBefore(entries, e.version)
                 else e.version
-        eraNameAt(it, w)
-          .map(p => statsTriples(e, p, legacyPrimary)
-            .map(t => t._1 -> ((t._2, t._3))).toMap)
-          .getOrElse(Map.empty)
+        eraNameAt(sp.it, w).map(p => sp.entryKeep(e, p)).getOrElse(Map.empty)
     }
     // TYPED RE-ADD support (round 13): physical names whose identities
     // disagree on type get aliased APART per source — keyed by the
@@ -2480,8 +2684,8 @@ object VersionedLayout {
       .filter(p => firstMajorAfter.forall(_.pids.contains(p)))
       .toSeq
     val liveStats =
-      if (skip.isDefined) statsByPid(entries, Int.MaxValue, boundsOf)
-      else Map.empty[Int, Option[(Long, Long)]]
+      if (skip.isDefined) keepByPid(entries, Int.MaxValue, keepOf)
+      else Map.empty[Int, Option[Boolean]]
     val livePids = livePidsAll.filter(p => hits(liveStats.getOrElse(p, None)))
     def liveRead(ps: Seq[Int]) = aliasConflicted(
       s.read.option("basePath", dir).parquet(ps.map(p => s"$dir/pid=$p"): _*),
@@ -2492,8 +2696,8 @@ object VersionedLayout {
     // codegen size (32 scans where one suffices).
     val archGroups = archived.toSeq.groupBy(_._2).toSeq.map { case (c, ps) =>
       val aStats =
-        if (skip.isDefined) statsByPid(entries, c, boundsOf)
-        else Map.empty[Int, Option[(Long, Long)]]
+        if (skip.isDefined) keepByPid(entries, c, keepOf)
+        else Map.empty[Int, Option[Boolean]]
       c -> ps.map(_._1).filter(p => hits(aStats.getOrElse(p, None)))
     }.filter(_._2.nonEmpty)
     def archRead(c: Int, ps: Seq[Int]) = aliasConflicted(
@@ -2545,14 +2749,14 @@ object VersionedLayout {
     val segs = entries
       .filter(e => (e.action == "insert" || e.action == "upsert")
         && e.version > m && e.version <= v)
-      // Segment-level skip: a segment whose recorded per-pid bounds all
-      // miss the range contributes nothing (no stats = unknown = kept;
-      // bounds resolve under the segment's own-era spelling).
-      .filter(e => skip.forall { case (it, lo, hi) =>
-        val tr = eraNameAt(it, e.version)
-          .map(p => statsTriples(e, p, legacyPrimary)).getOrElse(Nil)
-        tr.isEmpty || tr.exists { case (_, mn, mx) => mx >= lo && mn <= hi }
-      })
+      // Segment-level skip: a segment whose recorded per-pid metadata
+      // rules out every pid contributes nothing (no metadata =
+      // unknown = kept; the spelling resolves under the segment's
+      // own era).
+      .filter { e =>
+        val k = keepOf(e)
+        k.isEmpty || k.values.exists(identity)
+      }
       .map(e => aliasConflicted(
         s.read.parquet(locateSegment(dir, entries, e.version)), e.version)
         .withColumn("_src_ver", lit(e.version)))

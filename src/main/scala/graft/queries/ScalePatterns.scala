@@ -2187,6 +2187,144 @@ object ScalePatterns {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** Stable location of q214's bloom layout. */
+  private[graft] def bloomLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_bloom_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val bloomLock = new Object
+
+  /** Fresh-part-key offset for q214's inserted copies, and a probe key
+    * that exists in no version (the all-sources-pruned case).
+    */
+  val bloomInsertPartOffset = 90000000L
+  val bloomAbsentPart = 987654321098L
+
+  /** Build (or fast-forward) q214's history on a BLOOM declaration
+    * over `part_ref` (an integral payload axis uncorrelated with the
+    * range-partitioning measure — the case zone maps cannot prune):
+    * v0 base (statsCols = v for range skip, bloomCols = part_ref for
+    * point skip, both on one table), v1 INSERT copies of the insert
+    * band under fresh order keys AND fresh part ids, v2 DELETE band A,
+    * v3 COMPACT (bloom metadata must survive archive routing).
+    */
+  private def ensureBloomScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = bloomLayoutDir(d)
+    bloomLock.synchronized {
+      if (VersionedLayout.currentVersion(dir) < 0) {
+        val uppers = rangeUppers(s, d)
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        VersionedLayout.writeBaseTable(s,
+          graft.Tables.lineitem(s, d)
+            .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+              col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_partkey").as("part_ref"))
+            .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1),
+          dir, Seq("l_orderkey", "l_linenumber", "v"),
+          statsCols = Seq("v"), bloomCols = Seq("part_ref"))
+      }
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("v").between(crudInsertLoCenti, crudInsertHiCenti))
+            .select(col("pid").cast("int").as("pid"), col("v"),
+              (col("l_orderkey") + crudInsertKeyOffset).as("l_orderkey"),
+              col("l_linenumber"), col("l_quantity"),
+              (col("part_ref") + bloomInsertPartOffset).as("part_ref")))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendDelete(s, dir,
+          col("v").between(deleteBandLoCenti, deleteBandHiCenti))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** BLOOM POINT-LOOKUP SKIPPING (q214) — the probe zone maps cannot
+    * serve: `part_ref` is scattered across the range-partitioning axis,
+    * so every source's [min,max] covers every part id and
+    * `readAsOfRange` can prune nothing — but the per-(source, pid)
+    * Bloom filters recorded by every data commit
+    * ([[graft.operators.VersionedLayout.readAsOfPoint]]) drop whole
+    * sources from the plan at metadata time. The gate probes three
+    * deterministic keys (a base part, an inserted fresh part, an
+    * absent part) at every version of a write → insert → delete →
+    * compact history, proving in-plan at v0 AND post-compact head that
+    * the probe scans strictly fewer files than the full filtered read,
+    * and that an absent key scans (near-)zero sources. Exactness never
+    * depends on the Bloom (the equality predicate applies regardless):
+    * the DuckDB oracle replays every aggregate from the immutable
+    * source. At 100 TB this is the needle-in-haystack path: ~4 KiB of
+    * log-side metadata per (source, pid) answers "definitely absent"
+    * without listing, opening, or footer-reading a single data file.
+    */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureBloomScenario(s, d)
+    val pkBase = graft.Tables.lineitem(s, d)
+      .agg(min(col("l_partkey"))).first().getLong(0)
+    val pkIns = pkBase + bloomInsertPartOffset
+    def dataFiles(df: DataFrame): Int =
+      df.inputFiles.count(f => !f.contains("_tombs"))
+    // In-plan proofs: the probe scans strictly fewer data files than
+    // the full filtered read — at v0 (pre-evolution bytes) and at the
+    // post-compact head (archive routing); the absent key prunes to
+    // (near-)zero sources while the full read still scans everything.
+    Seq(0, 3).foreach { ver =>
+      val probe = VersionedLayout.readAsOfPoint(s, dir, ver, "part_ref", pkBase)
+      val full = VersionedLayout.readAsOf(s, dir, ver)
+        .where(col("part_ref") === pkBase)
+      require(dataFiles(probe) < dataFiles(full),
+        s"v$ver bloom probe of $dir scans no fewer files than the full read")
+    }
+    require(dataFiles(VersionedLayout.readAsOfPoint(s, dir, 3, "part_ref", bloomAbsentPart))
+        <= 2,
+      s"absent-key probe of $dir kept more than a schema source + false positives")
+    (0 to 3).flatMap { ver =>
+      Seq("base" -> pkBase, "ins" -> pkIns, "absent" -> bloomAbsentPart).map {
+        case (pname, k) =>
+          VersionedLayout.readAsOfPoint(s, dir, ver, "part_ref", k)
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("v")), lit(0L)).as("total_centi"),
+              coalesce(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")), lit(0L))
+                .as("qty_centi"))
+            .select(lit(ver.toLong).as("version"), lit(pname).as("probe"),
+              col("n_rows"), col("total_centi"), col("qty_centi"))
+      }
+    }.reduce(_ unionByName _).orderBy(col("version"), col("probe"))
+  }
+
+  private lazy val q214OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT l_partkey AS pr,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+       |  FROM lineitem),
+       |pk AS (SELECT min(pr) AS pk FROM s),
+       |ver AS (SELECT unnest([0, 1, 2, 3]) AS version),
+       |live AS (
+       |  SELECT ver.version, s.pr, s.v, s.qc FROM ver JOIN s
+       |    ON NOT (ver.version >= 2
+       |            AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+       |  UNION ALL
+       |  SELECT ver.version, s.pr + $bloomInsertPartOffset, s.v, s.qc
+       |  FROM ver JOIN s
+       |    ON ver.version >= 1
+       |   AND s.v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+       |probes AS (
+       |  SELECT 'base' AS probe, pk AS k FROM pk
+       |  UNION ALL SELECT 'ins', pk + $bloomInsertPartOffset FROM pk
+       |  UNION ALL SELECT 'absent', $bloomAbsentPart FROM pk)
+       |SELECT CAST(ver.version AS BIGINT) AS version, probes.probe,
+       |  CAST(count(live.pr) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(sum(live.v), 0) AS BIGINT) AS total_centi,
+       |  CAST(COALESCE(sum(live.qc), 0) AS BIGINT) AS qty_centi
+       |FROM ver CROSS JOIN probes
+       |LEFT JOIN live ON live.version = ver.version AND live.pr = probes.k
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3826,6 +3964,7 @@ object ScalePatterns {
     QueryDef("q211_layout_sql_feed", q211, Some(crudFeedOracleSql)),
     QueryDef("q212_layout_merge", q212, Some(q212OracleSql)),
     QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
+    QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -1902,6 +1902,76 @@ class StorageSpec extends SparkSpec {
       "insertNotMatched=false still inserted")
   }
 
+  test("bloom point-lookup skipping (q214): probes prune sources, never rows; survives rename, insert, delete, compact; absent keys prune everything") {
+    import graft.operators.VersionedLayout
+    import graft.queries.ScalePatterns
+    val uppers = ScalePatterns.rangeUppers(spark, sf0001)
+    val upLit = array(uppers.map(lit).toSeq: _*)
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/layout"
+    VersionedLayout.writeBaseTable(spark,
+      Tables.lineitem(spark, sf0001)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_partkey").as("part_ref"))
+        .withColumn("pid", size(filter(upLit, u => u < col("v"))) + 1),
+      dir, Seq("l_orderkey", "l_linenumber", "v"),
+      statsCol = Some("v"), bloomCols = Seq("part_ref"))
+    def dataFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(f => !f.contains("_tombs"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_orderkey"), col("l_linenumber"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pk = VersionedLayout.readAsOf(spark, dir, 0)
+      .agg(min(col("part_ref"))).first().getLong(0)
+    // Soundness + pruning at v0: same rows, fewer files.
+    val p0 = VersionedLayout.readAsOfPoint(spark, dir, 0, "part_ref", pk)
+    val f0 = VersionedLayout.readAsOf(spark, dir, 0).where(col("part_ref") === pk)
+    assert(rowsOf(p0) == rowsOf(f0) && rowsOf(p0).nonEmpty)
+    assert(dataFiles(p0) < dataFiles(f0),
+      s"bloom probe scans ${dataFiles(p0)} files vs full ${dataFiles(f0)}")
+    // Absent key: zero rows, and (modulo ~0.3%/pid false positives)
+    // close to zero sources.
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 0, "part_ref", 987654321098L)
+      .count() == 0)
+    // v1: RENAME the bloom column — identity-keyed probes must survive.
+    VersionedLayout.renameColumn(spark, dir, "part_ref", "part_id")
+    // v2: insert fresh-key copies under the NEW spelling (their bloom
+    // lands under the spelling the bytes carry) pointing at a FRESH
+    // part id.
+    val ins = VersionedLayout.readAsOf(spark, dir, 1)
+      .where(col("part_id") === pk)
+      .select(col("pid").cast("int").as("pid"),
+        (col("l_orderkey") + 900000002L).as("l_orderkey"),
+        col("l_linenumber"), col("v"), col("l_quantity"),
+        (col("part_id") + 700000L).as("part_id"))
+    VersionedLayout.appendInsert(spark, dir, ins)
+    val pNew = VersionedLayout.readAsOfPoint(spark, dir, 2, "part_id", pk + 700000L)
+    val fNew = VersionedLayout.readAsOf(spark, dir, 2).where(col("part_id") === pk + 700000L)
+    assert(rowsOf(pNew) == rowsOf(fNew) && rowsOf(pNew).nonEmpty,
+      "post-rename segment probe lost rows")
+    assert(dataFiles(pNew) < dataFiles(fNew),
+      "post-rename probe did not prune")
+    // Pre-rename values still resolve under the new name at head (era
+    // chain: the base bytes carry part_ref, the probe says part_id).
+    assert(rowsOf(VersionedLayout.readAsOfPoint(spark, dir, 2, "part_id", pk))
+      == rowsOf(VersionedLayout.readAsOf(spark, dir, 2).where(col("part_id") === pk)))
+    // v3 delete part of the probed rows, v4 compact: probes stay exact
+    // through the tombstone mask and archive routing.
+    VersionedLayout.appendDelete(spark, dir,
+      col("part_id") === pk && col("l_linenumber") === 1)
+    VersionedLayout.appendCompact(spark, dir, 0.0)
+    (2 to 4).foreach { ver =>
+      val p = VersionedLayout.readAsOfPoint(spark, dir, ver, "part_id", pk)
+      val f = VersionedLayout.readAsOf(spark, dir, ver).where(col("part_id") === pk)
+      assert(rowsOf(p) == rowsOf(f), s"bloom probe diverged at v$ver")
+    }
+    // Probing a NON-declared column refuses loudly.
+    val e = intercept[IllegalArgumentException] {
+      VersionedLayout.readAsOfPoint(spark, dir, 4, "v", 100L)
+    }
+    assert(e.getMessage.contains("Bloom"), e.getMessage)
+  }
+
   test("q158 compaction audit predicts the physical compaction exactly; byte-level write amplification measured") {
     import graft.operators.DeletableRangeLayout
     import graft.queries.ScalePatterns
