@@ -117,6 +117,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       },
     ))
+    // DESCRIBE DETAIL as SQL — the one-row table summary beside
+    // graft_layout_history (metadata-only, zero jobs):
+    //   SELECT * FROM graft_layout_detail('/table/dir')
+    e.injectTableFunction((
+      FunctionIdentifier("graft_layout_detail"),
+      new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
+        "graft_layout_detail"),
+      (args: Seq[Expression]) => {
+        val dir = constArg(args, 0, "graft_layout_detail").toString
+        graft.operators.VersionedLayout.describeDetail(SparkSession.active, dir)
+          .queryExecution.logical: LogicalPlan
+      },
+    ))
     e.injectTableFunction((
       FunctionIdentifier("graft_layout_asof_range"),
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,

@@ -818,6 +818,43 @@ object VersionedLayout {
       "rows_written", "rows_deleted")
   }
 
+  /** DESCRIBE DETAIL — the table-level one-row summary beside
+    * [[describeHistory]]'s per-commit frame: head version, vacuum
+    * horizon, checkpoint coverage, commit counts, the declared key /
+    * stats / Bloom columns, live-source shape (base pid dirs, live
+    * insert segments above the last major fold, archive generations),
+    * and cumulative row masses. METADATA-ONLY like describeHistory —
+    * parsed log + the meta file + directory listings; the frame is a
+    * local Seq (zero Spark jobs), what a catalog or dashboard polls
+    * per table without costing the fleet a data pass.
+    */
+  def describeDetail(s: SparkSession, dir: String): DataFrame = {
+    val entries = log(dir)
+    val s0 = s
+    import s0.implicits._
+    val head = entries.last.version
+    val zeroRowActions = Set("compact", "majorcompact", "vacuum",
+      "addcolumn", "dropcolumn", "renamecolumn", "widencolumn")
+    val dataMass = entries.filterNot(e => zeroRowActions(e.action))
+    val m = majorAtOrBefore(entries, head)
+    Seq((
+      head.toLong, horizon(dir).toLong, checkpointedVersion(dir).toLong,
+      entries.size.toLong,
+      keyColsOf(dir).mkString(","),
+      statsColsOf(dir).mkString(","),
+      bloomColsOf(dir).mkString(","),
+      basePidDirs(dir).size.toLong,
+      entries.count(e => (e.action == "insert" || e.action == "upsert")
+        && e.version > m).toLong,
+      entries.count(e => e.action == "compact" || e.action == "majorcompact").toLong,
+      dataMass.map(e => math.max(e.rowsW, 0L)).sum,
+      dataMass.map(e => math.max(e.rowsD, 0L)).sum))
+      .toDF("head_version", "vacuum_horizon", "checkpointed_version",
+        "n_commits", "key_cols", "stats_cols", "bloom_cols",
+        "n_live_pids", "n_live_segments", "n_compactions",
+        "rows_written_total", "rows_deleted_total")
+  }
+
   /** Oldest version still readable: 0 until a vacuum raises it. */
   def horizon(dir: String): Int =
     log(dir).filter(_.action == "vacuum").map(_.horizon).maxOption.getOrElse(0)

@@ -2325,6 +2325,50 @@ object ScalePatterns {
        |LEFT JOIN live ON live.version = ver.version AND live.pr = probes.k
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** DESCRIBE DETAIL (q215) — the table-level summary a catalog polls
+    * per table, issued as PURE SQL (`graft_layout_detail` TVF) over
+    * q160's five-version CRUD history and verified against a
+    * literal-VALUES oracle whose row masses derive from the immutable
+    * source: head/horizon/checkpoint coverage, commit counts, the
+    * declared key/stats/Bloom columns, live-source shape (segments
+    * above the last fold, archive generations), and cumulative
+    * rows_written/rows_deleted. Metadata-only — parsed log + meta +
+    * directory listings, zero Spark jobs to build the frame
+    * (SqlFunctionsSpec pins the LocalTableScan) — because at 100 TB a
+    * fleet-wide catalog sweep must never cost a data pass per table.
+    */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    ensureCrudScenario(s, d)
+    s.sql(s"""SELECT head_version, vacuum_horizon, checkpointed_version,
+      |  n_commits, key_cols, stats_cols, bloom_cols, n_live_segments,
+      |  n_compactions, rows_written_total, rows_deleted_total
+      |FROM graft_layout_detail('${crudLayoutDir(d)}')""".stripMargin)
+  }
+
+  private lazy val q215OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+       |c AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n_all,
+       |    CAST(count(CASE WHEN v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti
+       |      THEN 1 END) AS BIGINT) AS n_i,
+       |    CAST(count(CASE WHEN v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |      THEN 1 END) AS BIGINT) AS n_u,
+       |    CAST(count(CASE WHEN v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti
+       |      THEN 1 END) AS BIGINT) AS n_d
+       |  FROM s)
+       |SELECT CAST(4 AS BIGINT) AS head_version,
+       |  CAST(0 AS BIGINT) AS vacuum_horizon,
+       |  CAST(-1 AS BIGINT) AS checkpointed_version,
+       |  CAST(5 AS BIGINT) AS n_commits,
+       |  'l_orderkey,l_linenumber,v' AS key_cols,
+       |  'v' AS stats_cols, '' AS bloom_cols,
+       |  CAST(2 AS BIGINT) AS n_live_segments,
+       |  CAST(1 AS BIGINT) AS n_compactions,
+       |  CAST(n_all + n_i + n_u AS BIGINT) AS rows_written_total,
+       |  CAST(n_d + n_u AS BIGINT) AS rows_deleted_total
+       |FROM c""".stripMargin
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -3965,6 +4009,7 @@ object ScalePatterns {
     QueryDef("q212_layout_merge", q212, Some(q212OracleSql)),
     QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
     QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
+    QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

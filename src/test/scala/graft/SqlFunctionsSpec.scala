@@ -64,5 +64,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(histDf.queryExecution.executedPlan.collectLeaves().forall(
         _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
       s"history frame is not a local scan:\n${histDf.queryExecution.executedPlan}")
+    // DESCRIBE DETAIL (q215): the one-row table summary, from SQL and
+    // Scala, also metadata-only (LocalTableScan, zero jobs).
+    val det = spark.sql(
+      s"""SELECT head_version, n_commits, key_cols, stats_cols,
+         |  n_live_pids, n_live_segments, rows_written_total
+         |FROM graft_layout_detail('$dir')""".stripMargin).collect()
+    assert(det.length == 1)
+    assert(det(0).getLong(0) == 1L && det(0).getLong(1) == 2L, det(0).toString)
+    assert(det(0).getString(2) == "event_id" && det(0).getString(3) == "value_centi")
+    assert(det(0).getLong(4) > 0 && det(0).getLong(5) == 1L
+      && det(0).getLong(6) == 42L, det(0).toString)
+    val detDf = graft.operators.VersionedLayout.describeDetail(spark, dir)
+    assert(detDf.queryExecution.executedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"detail frame is not a local scan:\n${detDf.queryExecution.executedPlan}")
   }
 }
