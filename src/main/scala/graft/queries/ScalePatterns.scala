@@ -2369,6 +2369,101 @@ object ScalePatterns {
        |  CAST(n_d + n_u AS BIGINT) AS rows_deleted_total
        |FROM c""".stripMargin
 
+  /** Stable location of q216's struct-payload document layout. */
+  private[graft] def structLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_documents_struct_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val structLock = new Object
+
+  /** Fresh-key offset for q216's inserted document copies (divisible
+    * by 8 and 10, preserving pid residue and delete-band residue).
+    */
+  val structInsertKeyOffset = 20000000L
+
+  /** Build (or fast-forward) q216's four-version document history with
+    * a STRUCT payload: v0 base (the documents table keyed by doc_id,
+    * hashed into 8 pids, carrying `meta = struct(lang, source,
+    * n_chars)` — the typed-metadata shape a multimodal corpus rides),
+    * v1 INSERT re-sourced copies of the residue-3 docs under fresh
+    * keys (nested field values changed, n_chars + 1000), v2 DELETE the
+    * residue-7 docs, v3 COMPACT (struct bytes ride archive/rewrite).
+    */
+  private def ensureStructScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = structLayoutDir(d)
+    structLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        graft.Tables.documents(s, d).select(
+          pmod(col("doc_id"), lit(8)).cast("int").as("pid"),
+          col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta")),
+        dir, Seq("doc_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("doc_id") % 10 === 3)
+            .select(col("pid").cast("int").as("pid"),
+              (col("doc_id") + structInsertKeyOffset).as("doc_id"),
+              struct(col("meta.lang").as("lang"), lit("mirror").as("source"),
+                (col("meta.n_chars") + 1000L).as("n_chars")).as("meta")))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendDelete(s, dir, col("doc_id") % 10 === 7)
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** STRUCT-TYPED COLUMNS IN THE VERSIONED LAYOUT (q216) — typed
+    * document/multimodal metadata under the same time-travel/retention
+    * discipline as scalars and arrays (q209): `struct<lang, source,
+    * n_chars>` is an ordinary payload column of the commit log —
+    * write / insert / delete / compact / as-of all work, nested
+    * schema EVOLUTION refuses loudly at commit (the log's scalar-only
+    * type charset, StorageSpec) — and nested FIELD access composes
+    * with time travel (the per-version aggregates read `meta.n_chars`
+    * and `meta.lang` straight through the as-of plan; Catalyst pushes
+    * the field extraction into the scan's ReadSchema, so a 100 TB
+    * metadata struct costs only the fields a query touches). Every
+    * version's aggregate derives from the immutable source in the
+    * DuckDB oracle — no struct needed oracle-side, which is exactly
+    * the point: the struct is layout plumbing, not semantics.
+    */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureStructScenario(s, d)
+    (0 to 3).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("meta.n_chars")).as("chars_sum"),
+          countDistinct(col("meta.lang")).as("n_langs"),
+          sum(length(col("meta.source"))).as("src_len_sum"))
+        .select(lit(ver.toLong).as("version"), col("n_docs"),
+          col("chars_sum"), col("n_langs"), col("src_len_sum"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private lazy val q216OracleSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS nc
+       |  FROM documents),
+       |ver AS (SELECT unnest([0, 1, 2, 3]) AS version),
+       |live AS (
+       |  SELECT ver.version, base.lang, base.source, base.nc
+       |  FROM ver JOIN base
+       |    ON NOT (ver.version >= 2 AND base.doc_id % 10 = 7)
+       |  UNION ALL
+       |  SELECT ver.version, base.lang, 'mirror', base.nc + 1000
+       |  FROM ver JOIN base ON ver.version >= 1 AND base.doc_id % 10 = 3)
+       |SELECT CAST(version AS BIGINT) AS version,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS chars_sum,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(length(source)) AS BIGINT) AS src_len_sum
+       |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -4010,6 +4105,7 @@ object ScalePatterns {
     QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
     QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
     QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),
+    QueryDef("q216_layout_struct_metadata", q216, Some(q216OracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

@@ -2357,6 +2357,47 @@ class StorageSpec extends SparkSpec {
     assert(exWiden.getMessage.contains("lossless widenings"), exWiden.getMessage)
   }
 
+  test("struct-typed payload columns ride the layout end-to-end; field access prunes to the touched fields; nested evolution refuses loudly") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-struct-col").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, s"lang$i", s"src$i", i * 7))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .select(pmod(col("doc_id"), lit(4)).cast("int").as("pid"),
+        col("doc_id"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 12L), dir, Seq("doc_id"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(101L, 102L)))  // v1
+    VersionedLayout.appendDelete(spark, dir, col("doc_id") % 3 === 0)  // v2
+    VersionedLayout.appendCompact(spark, dir, 0.1)                     // v3
+    def metas(v: Int): Map[Long, (String, Long)] =
+      VersionedLayout.readAsOf(spark, dir, v)
+        .select(col("doc_id"), col("meta.lang"), col("meta.n_chars")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val m0 = metas(0)
+    assert(m0.keySet == (1L to 12L).toSet && m0(5L) == (("lang5", 35L)))
+    val m2 = metas(2)
+    assert(m2.keySet == ((1L to 12L) ++ Seq(101L, 102L)).toSet.filterNot(_ % 3 == 0))
+    assert(m2(101L) == (("lang101", 707L)))
+    assert(metas(3) == m2, "compact changed the struct payload")
+    assert(metas(1)(12L) == (("lang12", 84L)), "archive-routed read lost struct bytes")
+    // Nested FIELD access prunes the scan to the touched fields: a
+    // query reading only meta.n_chars must not fetch lang/source bytes.
+    val pruned = VersionedLayout.readAsOf(spark, dir, 3)
+      .agg(sum(col("meta.n_chars")))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("n_chars") && !scan.contains("ReadSchema: struct<meta:struct<lang"),
+      s"struct field access did not prune the read schema:\n$scan")
+    // Nested types refuse EVOLUTION loudly, same contract as arrays.
+    val exAdd = intercept[IllegalArgumentException](
+      VersionedLayout.addColumn(spark, dir, "meta2", "struct<a:int>"))
+    assert(exAdd.getMessage.contains("odd character"), exAdd.getMessage)
+    val exWiden = intercept[IllegalArgumentException](
+      VersionedLayout.widenColumn(spark, dir, "meta", "bigint"))
+    assert(exWiden.getMessage.contains("lossless widenings"), exWiden.getMessage)
+  }
+
   test("randomized evolution histories match an identity-based model — insert/delete/add/drop/rename/re-add/fold/restore, every version checked") {
     import graft.operators.VersionedLayout
     val spark0 = spark
