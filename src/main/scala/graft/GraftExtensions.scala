@@ -117,6 +117,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       },
     ))
+    // The change feed addressed by TIMESTAMP window:
+    //   SELECT * FROM graft_layout_feed_ts('/table/dir', fromMs, toMs)
+    // — "every change since yesterday's sync" in pure SQL, resolved on
+    // the same monotonicized commit-time axis as graft_layout_asof_ts.
+    e.injectTableFunction((
+      FunctionIdentifier("graft_layout_feed_ts"),
+      new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
+        "graft_layout_feed_ts"),
+      (args: Seq[Expression]) => {
+        val dir = constArg(args, 0, "graft_layout_feed_ts").toString
+        val fromTs = constArg(args, 1, "graft_layout_feed_ts").toString.toLong
+        val toTs = constArg(args, 2, "graft_layout_feed_ts").toString.toLong
+        graft.operators.VersionedLayout
+          .changeFeedByTimestamp(SparkSession.active, dir, fromTs, toTs)
+          .queryExecution.logical: LogicalPlan
+      },
+    ))
     // DESCRIBE DETAIL as SQL — the one-row table summary beside
     // graft_layout_history (metadata-only, zero jobs):
     //   SELECT * FROM graft_layout_detail('/table/dir')

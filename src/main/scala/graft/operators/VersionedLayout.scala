@@ -2137,6 +2137,21 @@ object VersionedLayout {
     cuts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
   }
 
+  /** [[changeFeed]] addressed by TIMESTAMP window — "every change
+    * since yesterday's sync" without the consumer tracking versions:
+    * each bound resolves to the newest version whose effective commit
+    * time is <= it ([[versionAtTimestamp]] — the same monotonicized
+    * axis every timestamp read uses), then the feed serves exactly
+    * `(v(fromTs), v(toTs)]`. Metadata-only resolution; all feed
+    * guarantees (before-image recovery, version stamps, flip windows)
+    * ride along because it IS the version-addressed feed.
+    */
+  def changeFeedByTimestamp(s: SparkSession, dir: String,
+      fromTs: Long, toTs: Long): DataFrame = {
+    require(fromTs <= toTs, s"timestamp window inverted: $fromTs > $toTs")
+    changeFeed(s, dir, versionAtTimestamp(dir, fromTs), versionAtTimestamp(dir, toTs))
+  }
+
   def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame =
     changeFeedImpl(s, dir, fromV, toV, forceTag = false)
 

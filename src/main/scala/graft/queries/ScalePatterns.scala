@@ -2464,6 +2464,58 @@ object ScalePatterns {
        |  CAST(sum(length(source)) AS BIGINT) AS src_len_sum
        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TIMESTAMP-WINDOWED CDC (q217) — the change feed addressed by
+    * TIME instead of version ("every change since yesterday's sync"),
+    * in pure SQL (`graft_layout_feed_ts`): each bound resolves to the
+    * newest version whose effective commit time is <= it — the same
+    * monotonicized axis every timestamp read uses — then serves the
+    * version-addressed feed verbatim. The gate splits q160's history
+    * at the v2 commit time: the early window must carry EXACTLY the
+    * insert+upsert events, the late window exactly the delete events
+    * (the compact emits nothing), and their union is q164's full feed
+    * — proven against per-window oracles derived from the immutable
+    * source. A consumer that knows only wall-clock time gets the same
+    * exactly-bounded windows a version-tracking consumer would.
+    */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    val times = VersionedLayout.commitTimes(dir).toMap
+    def windowAgg(label: String, fromTs: Long, toTs: Long) =
+      s.sql(
+        s"""SELECT '$label' AS win, change_type,
+           |  count(*) AS n_rows, sum(v) AS total_centi,
+           |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_centi
+           |FROM graft_layout_feed_ts('$dir', $fromTs, $toTs)
+           |GROUP BY 1, 2""".stripMargin)
+    windowAgg("early", times(0), times(2))
+      .unionByName(windowAgg("late", times(2), times(4)))
+      .orderBy(col("win"), col("change_type"))
+  }
+
+  private lazy val q217OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+       |  FROM lineitem),
+       |ev AS (
+       |  SELECT 'early' AS win, 'insert' AS ct, v + 5 AS v, qc FROM s
+       |  WHERE v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti
+       |  UNION ALL
+       |  SELECT 'early', 'insert', v, qc + 10000 FROM s
+       |  WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT 'early', 'delete', v, qc FROM s
+       |  WHERE v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |  UNION ALL
+       |  SELECT 'late', 'delete', v, qc FROM s
+       |  WHERE v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)
+       |SELECT win, ct AS change_type,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(v) AS BIGINT) AS total_centi,
+       |  CAST(sum(qc) AS BIGINT) AS qty_centi
+       |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -4106,6 +4158,7 @@ object ScalePatterns {
     QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
     QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),
     QueryDef("q216_layout_struct_metadata", q216, Some(q216OracleSql)),
+    QueryDef("q217_layout_feed_by_time", q217, Some(q217OracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
