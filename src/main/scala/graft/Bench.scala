@@ -84,7 +84,8 @@ object Bench {
       "q201_layout_retention_by_time", "q203_layout_asof_skipping",
       "q204_layout_typed_readd", "q206_layout_stats_identity",
       "q207_layout_feed_windows", "q208_layout_stream_feed",
-      "q209_layout_array_embeddings",
+      "q209_layout_array_embeddings", "q212_layout_merge",
+      "q214_layout_bloom_point", "q216_layout_struct_metadata",
       "q27_ngram_jaccard", "q196_orc_roundtrip", "q60_sparse_topk",
       "q115_bm25_topk", "q24_minhash_signatures", "q26_simhash",
       "q109_bigram_fluency",

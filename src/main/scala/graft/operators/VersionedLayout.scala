@@ -2652,6 +2652,31 @@ object VersionedLayout {
       .where(col(it.eras.last._1).cast("long") === value)
   }
 
+  /** IN-LIST [[readAsOfPoint]] — "fetch these N keys" as one plan: a
+    * source survives when its Bloom admits ANY of the probed values
+    * (union of per-value keeps; unknown still keeps), and the IN
+    * predicate applies regardless. One plan and one pass for the whole
+    * key set, instead of N single-key reads each re-walking the log.
+    */
+  def readAsOfPoints(s: SparkSession, dir: String, v: Int,
+      column: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "readAsOfPoints needs at least one probe value")
+    val entries = log(dir)
+    val declared = bloomColsOf(dir)
+    val original = declared.find(dc =>
+      statsIdentityAt(entries, dc, v).exists(_.eras.last._1 == column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$column' at v$v of $dir is not served by any declared Bloom column " +
+          s"(declared: ${declared.mkString(", ")}) — use readAsOf(...).where(...)"))
+    val it = statsIdentityAt(entries, original, v).get
+    val spec = PruneSpec(it, (e, phys) =>
+      bloomsOf(dir, e).getOrElse(phys, Map.empty)
+        .map { case (p, (m, bits)) =>
+          p -> values.exists(bloomMightContain(m, bits, _)) })
+    readAsOfImpl(s, dir, v, Some(spec))
+      .where(col(it.eras.last._1).cast("long").isin(values: _*))
+  }
+
   private def readAsOfRangeResolved(s: SparkSession, dir: String, v: Int,
       original: String, lo: Long, hi: Long): DataFrame = {
     val it = statsIdentityAt(log(dir), original, v).getOrElse(

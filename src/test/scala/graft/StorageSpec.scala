@@ -1965,6 +1965,15 @@ class StorageSpec extends SparkSpec {
       val f = VersionedLayout.readAsOf(spark, dir, ver).where(col("part_id") === pk)
       assert(rowsOf(p) == rowsOf(f), s"bloom probe diverged at v$ver")
     }
+    // IN-list probe: one plan for the whole key set — same rows as the
+    // union of single-key probes, still pruned vs the full read.
+    val keys = Seq(pk, pk + 700000L, 987654321098L)
+    val pMulti = VersionedLayout.readAsOfPoints(spark, dir, 4, "part_id", keys)
+    val fMulti = VersionedLayout.readAsOf(spark, dir, 4)
+      .where(col("part_id").isin(keys: _*))
+    assert(rowsOf(pMulti) == rowsOf(fMulti) && rowsOf(pMulti).nonEmpty,
+      "IN-list probe diverged from the full read")
+    assert(dataFiles(pMulti) < dataFiles(fMulti), "IN-list probe did not prune")
     // Probing a NON-declared column refuses loudly.
     val e = intercept[IllegalArgumentException] {
       VersionedLayout.readAsOfPoint(spark, dir, 4, "v", 100L)
