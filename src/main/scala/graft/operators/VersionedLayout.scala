@@ -203,13 +203,26 @@ object VersionedLayout {
   private val bloomK = 3
   private val bloomMinBits = 1 << 10
   private val bloomMaxBits = 1 << 18
-  /** Must equal Spark's `xxhash64(CAST(x AS BIGINT))` (seed 42). */
+  /** Must equal Spark's `xxhash64(...)` (seed 42) on the probed type:
+    * integral columns hash normalized to BIGINT, strings hash their
+    * UTF-8 bytes — both through the engine's own interpreted hash
+    * function, so write path (codegen'd `xxhash64`) and probe path
+    * (driver-side) can never drift.
+    */
   private def bloomHash(v: Long): Long =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(v, LongType, 42L)
+  private def bloomHash(v: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType, 42L)
   private def bloomPositions(h: Long, m: Int): Seq[Int] =
     (0 until bloomK).map(i => ((h >>> (21 * i)) & (m - 1)).toInt)
   private[graft] def bloomMightContain(m: Int, bits: Array[Byte], value: Long): Boolean =
-    bloomPositions(bloomHash(value), m).forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
+    bloomHit(m, bits, bloomHash(value))
+  private[graft] def bloomMightContain(m: Int, bits: Array[Byte], value: String): Boolean =
+    bloomHit(m, bits, bloomHash(value))
+  private def bloomHit(m: Int, bits: Array[Byte], h: Long): Boolean =
+    bloomPositions(h, m).forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
 
   /** Per-(column, pid) Bloom bitsets over `df` — one bounded
     * distinct-count pass sizes each column's m, then ONE
@@ -226,7 +239,7 @@ object VersionedLayout {
   private def computeBlooms(
       df: DataFrame, physCols: Seq[String]): Map[String, Map[Int, (Int, Array[Byte])]] = {
     val present = physCols.distinct.filter(c => df.columns.contains(c)
-      && integralType(df.schema(c).dataType))
+      && bloomableType(df.schema(c).dataType))
     if (present.isEmpty) return Map.empty
     val dAggs = present.map(c => countDistinct(col(c)).as(s"__d_$c"))
     val dRows = df.groupBy(col("pid").cast("int").as("p"))
@@ -241,7 +254,7 @@ object VersionedLayout {
     val triples = df
       .select(col("pid").cast("int").as("p"),
         explode(array(present.map(c => struct(lit(c).as("c"),
-          array(bloomPositionCols(col(c), mOf(c)): _*).as("ps"))): _*)).as("ch"))
+          array(bloomPositionCols(col(c), df.schema(c).dataType, mOf(c)): _*).as("ps"))): _*)).as("ch"))
       .select(col("p"), col("ch.c").as("c"), explode(col("ch.ps")).as("pos"))
       .distinct().collect()
     triples.groupBy(_.getString(1)).map { case (c, rows) =>
@@ -257,12 +270,20 @@ object VersionedLayout {
     }
   }
 
-  /** The executor-side mirror of [[bloomPositions]] over a column. */
+  private def bloomableType(t: org.apache.spark.sql.types.DataType): Boolean =
+    integralType(t) || t == StringType
+
+  /** The executor-side mirror of [[bloomPositions]] over a column:
+    * integral columns normalize to BIGINT before hashing (so INT and
+    * BIGINT incarnations of one identity agree); strings hash as-is.
+    */
   private def bloomPositionCols(c: org.apache.spark.sql.Column,
-      m: Int): Seq[org.apache.spark.sql.Column] =
+      t: org.apache.spark.sql.types.DataType,
+      m: Int): Seq[org.apache.spark.sql.Column] = {
+    val hashed = if (t == StringType) xxhash64(c) else xxhash64(c.cast("long"))
     (0 until bloomK).map(i =>
-      shiftrightunsigned(xxhash64(c.cast("long")), 21 * i)
-        .bitwiseAND(lit((m - 1).toLong)))
+      shiftrightunsigned(hashed, 21 * i).bitwiseAND(lit((m - 1).toLong)))
+  }
 
   private def bloomFile(dir: String, ver: Int, tag: String) =
     new java.io.File(logDir(dir),
@@ -895,8 +916,8 @@ object VersionedLayout {
     allStats.foreach(k => require(k != "stats" && k != "statsm",
       s"'$k' cannot be a stats column (reserved log-entry field name)"))
     bloomCols.foreach(k => require(df.columns.contains(k)
-      && integralType(df.schema(k).dataType),
-      s"Bloom column '$k' must be an integral column of the base write"))
+      && bloomableType(df.schema(k).dataType),
+      s"Bloom column '$k' must be an integral or string column of the base write"))
     if (currentVersion(dir) >= 0) return
     df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
@@ -2636,7 +2657,24 @@ object VersionedLayout {
     * costs a scan, never a wrong row.
     */
   def readAsOfPoint(s: SparkSession, dir: String, v: Int,
-      column: String, value: Long): DataFrame = {
+      column: String, value: Long): DataFrame =
+    readAsOfPointImpl(s, dir, v, column,
+      bloomMightContain(_, _, value), c => c.cast("long") === value)
+
+  /** [[readAsOfPoint]] on a STRING key (document ids, URLs, content
+    * hashes — the shapes a text pipeline actually probes): the write
+    * path hashed the column's UTF-8 bytes, the probe mirrors it
+    * through the engine's own interpreted hash, same pruning and
+    * exactness contracts.
+    */
+  def readAsOfPoint(s: SparkSession, dir: String, v: Int,
+      column: String, value: String): DataFrame =
+    readAsOfPointImpl(s, dir, v, column,
+      bloomMightContain(_, _, value), c => c === value)
+
+  private def readAsOfPointImpl(s: SparkSession, dir: String, v: Int,
+      column: String, might: (Int, Array[Byte]) => Boolean,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val entries = log(dir)
     val declared = bloomColsOf(dir)
     val original = declared.find(dc =>
@@ -2647,9 +2685,9 @@ object VersionedLayout {
     val it = statsIdentityAt(entries, original, v).get
     val spec = PruneSpec(it, (e, phys) =>
       bloomsOf(dir, e).getOrElse(phys, Map.empty)
-        .map { case (p, (m, bits)) => p -> bloomMightContain(m, bits, value) })
+        .map { case (p, (m, bits)) => p -> might(m, bits) })
     readAsOfImpl(s, dir, v, Some(spec))
-      .where(col(it.eras.last._1).cast("long") === value)
+      .where(pred(col(it.eras.last._1)))
   }
 
   /** IN-LIST [[readAsOfPoint]] — "fetch these N keys" as one plan: a

@@ -2366,6 +2366,41 @@ class StorageSpec extends SparkSpec {
     assert(exWiden.getMessage.contains("lossless widenings"), exWiden.getMessage)
   }
 
+  test("string-keyed bloom probes: UTF-8 hashing matches the engine's, pruning and exactness hold on a string column") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-bloom-str").toString + "/t"
+    // Distinct string keys spread over 4 pids; values echo the key.
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, f"doc-$i%09d", i * 3))
+      .toDF("row_id", "doc_key", "w")
+      .select(pmod(col("row_id"), lit(4)).cast("int").as("pid"),
+        col("row_id"), col("doc_key"), col("w"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 400L), dir,
+      Seq("row_id"), bloomCols = Seq("doc_key"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(901L, 902L))) // v1
+    VersionedLayout.appendDelete(spark, dir, col("row_id") === 902L)  // v2
+    def dataFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(f => !f.contains("_tombs"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("row_id"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Present key (base): exact rows, fewer files than the full read.
+    val k = "doc-%09d".format(7)
+    val p = VersionedLayout.readAsOfPoint(spark, dir, 2, "doc_key", k)
+    val f = VersionedLayout.readAsOf(spark, dir, 2).where(col("doc_key") === k)
+    assert(rowsOf(p) == rowsOf(f) && rowsOf(p) == Set((7L, 21L)))
+    assert(dataFiles(p) < dataFiles(f), "string probe did not prune")
+    // Segment key present only at v1+; deleted key serves zero rows.
+    assert(rowsOf(VersionedLayout.readAsOfPoint(spark, dir, 2, "doc_key",
+      "doc-%09d".format(901))) == Set((901L, 2703L)))
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 2, "doc_key",
+      "doc-%09d".format(902)).count() == 0, "tombstoned row leaked")
+    // Absent key: zero rows, near-zero sources.
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 2, "doc_key",
+      "doc-never-written").count() == 0)
+  }
+
   test("struct-typed payload columns ride the layout end-to-end; field access prunes to the touched fields; nested evolution refuses loudly") {
     import graft.operators.VersionedLayout
     val spark0 = spark
