@@ -2516,6 +2516,115 @@ object ScalePatterns {
        |  CAST(sum(qc) AS BIGINT) AS qty_centi
        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Stable location of q218's string-keyed bloom layout. */
+  private[graft] def strBloomLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_documents_strbloom_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val strBloomLock = new Object
+
+  /** Build (or fast-forward) q218's history: the documents table keyed
+    * by a STRING content key (`ck = 'doc-' || doc_id` — the
+    * id-as-string shape a text pipeline probes), Bloom-declared on it:
+    * v0 base (8 hash pids), v1 INSERT mirrored copies of the residue-3
+    * docs under fresh string keys, v2 DELETE residue-7, v3 COMPACT.
+    */
+  private def ensureStrBloomScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = strBloomLayoutDir(d)
+    strBloomLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        graft.Tables.documents(s, d).select(
+          pmod(col("doc_id"), lit(8)).cast("int").as("pid"),
+          col("doc_id"),
+          concat(lit("doc-"), col("doc_id")).as("ck"),
+          col("n_chars")),
+        dir, Seq("doc_id"), bloomCols = Seq("ck"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 0)
+            .where(col("doc_id") % 10 === 3)
+            .select(col("pid").cast("int").as("pid"),
+              (col("doc_id") + structInsertKeyOffset).as("doc_id"),
+              concat(lit("mir-"),
+                (col("doc_id") + structInsertKeyOffset)).as("ck"),
+              (col("n_chars") + 1000L).as("n_chars")))
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendDelete(s, dir, col("doc_id") % 10 === 7)
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.appendCompact(s, dir, deleteCompactThreshold)
+    }
+    dir
+  }
+
+  /** STRING-KEYED BLOOM PROBES (q218) — q214's point-lookup skip on
+    * the key type a text pipeline actually probes (document ids, URLs,
+    * content hashes): the write path Bloom-hashes the string column's
+    * UTF-8 bytes with the engine's codegen'd xxhash64, the probe
+    * mirrors it through the engine's interpreted hash, and whole
+    * sources leave the plan at metadata time. Three deterministic
+    * probes (a base doc key, a mirrored insert key, a never-written
+    * key) at every version of the write → insert → delete → compact
+    * history, with the same in-plan strict-subset proofs as q214 —
+    * every aggregate replayed by the DuckDB oracle from the immutable
+    * documents table via the integer id the string key encodes.
+    */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureStrBloomScenario(s, d)
+    val idBase = graft.Tables.documents(s, d)
+      .agg(min(col("doc_id"))).first().getLong(0)
+    // The residue-3 ids exist as mirrored copies; probe the first one.
+    val idMir = graft.Tables.documents(s, d)
+      .where(col("doc_id") % 10 === 3)
+      .agg(min(col("doc_id"))).first().getLong(0) + structInsertKeyOffset
+    def dataFiles(df: DataFrame): Int =
+      df.inputFiles.count(f => !f.contains("_tombs"))
+    Seq(0, 3).foreach { ver =>
+      val probe = VersionedLayout.readAsOfPoint(s, dir, ver, "ck", s"doc-$idBase")
+      val full = VersionedLayout.readAsOf(s, dir, ver)
+        .where(col("ck") === s"doc-$idBase")
+      require(dataFiles(probe) < dataFiles(full),
+        s"v$ver string-bloom probe of $dir scans no fewer files than the full read")
+    }
+    (0 to 3).flatMap { ver =>
+      Seq("base" -> s"doc-$idBase", "mir" -> s"mir-$idMir",
+          "absent" -> "doc-never-written").map { case (pname, k) =>
+        VersionedLayout.readAsOfPoint(s, dir, ver, "ck", k)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+          .select(lit(ver.toLong).as("version"), lit(pname).as("probe"),
+            col("n_rows"), col("chars_sum"))
+      }
+    }.reduce(_ unionByName _).orderBy(col("version"), col("probe"))
+  }
+
+  private lazy val q218OracleSql: String =
+    s"""WITH ids AS (
+       |  SELECT min(doc_id) AS id_base,
+       |    min(CASE WHEN doc_id % 10 = 3 THEN doc_id END)
+       |      + $structInsertKeyOffset AS id_mir
+       |  FROM documents),
+       |ver AS (SELECT unnest([0, 1, 2, 3]) AS version),
+       |live AS (
+       |  SELECT ver.version, d.doc_id, CAST(d.n_chars AS BIGINT) AS nc
+       |  FROM ver JOIN documents d
+       |    ON NOT (ver.version >= 2 AND d.doc_id % 10 = 7)
+       |  UNION ALL
+       |  SELECT ver.version, d.doc_id + $structInsertKeyOffset, d.n_chars + 1000
+       |  FROM ver JOIN documents d ON ver.version >= 1 AND d.doc_id % 10 = 3),
+       |probes AS (
+       |  SELECT 'base' AS probe, id_base AS k FROM ids
+       |  UNION ALL SELECT 'mir', id_mir FROM ids
+       |  UNION ALL SELECT 'absent', -1 FROM ids)
+       |SELECT CAST(ver.version AS BIGINT) AS version, probes.probe,
+       |  CAST(count(live.doc_id) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(sum(live.nc), 0) AS BIGINT) AS chars_sum
+       |FROM ver CROSS JOIN probes
+       |LEFT JOIN live ON live.version = ver.version AND live.doc_id = probes.k
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Stable location of q165's major-compaction layout. */
   private[graft] def majorLayoutDir(d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -4159,6 +4268,7 @@ object ScalePatterns {
     QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),
     QueryDef("q216_layout_struct_metadata", q216, Some(q216OracleSql)),
     QueryDef("q217_layout_feed_by_time", q217, Some(q217OracleSql)),
+    QueryDef("q218_layout_bloom_string", q218, Some(q218OracleSql)),
     QueryDef("q162_incremental_view", q162, Some(
       s"""WITH s AS (
          |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
