@@ -86,6 +86,7 @@ object Bench {
       "q207_layout_feed_windows", "q208_layout_stream_feed",
       "q209_layout_array_embeddings", "q212_layout_merge",
       "q214_layout_bloom_point", "q216_layout_struct_metadata",
+      "q218_layout_bloom_string",
       "q27_ngram_jaccard", "q196_orc_roundtrip", "q60_sparse_topk",
       "q115_bm25_topk", "q24_minhash_signatures", "q26_simhash",
       "q109_bigram_fluency",
