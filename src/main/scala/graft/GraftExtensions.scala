@@ -33,6 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IntersectSizeRewrite)
+    // SQL DML over the versioned layout (round 15): MERGE INTO /
+    // DELETE / UPDATE statements addressed as `graft.`<dir>`` rewrite
+    // to the engine's own appendMerge/appendDelete/appendUpsert — one
+    // commit-log version, identical artifacts to the Scala API. See
+    // graft.plans.GraftDmlRule.
+    e.injectResolutionRule(session => new graft.plans.GraftDmlRule(session))
+    // Batch reads of the layout format (round 15):
+    // `spark.read.format("graft-layout").option("versionAsOf", v)` —
+    // the DSv2 relation is swapped for the engine's as-of plan. See
+    // graft.plans.GraftBatchReadRule.
+    e.injectResolutionRule(session => new graft.plans.GraftBatchReadRule(session))
     e.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),

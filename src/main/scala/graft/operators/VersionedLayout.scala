@@ -225,16 +225,19 @@ object VersionedLayout {
     bloomPositions(h, m).forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
 
   /** Per-(column, pid) Bloom bitsets over `df` — one bounded
-    * distinct-count pass sizes each column's m, then ONE
-    * distinct-aggregate pass covers all declared spellings: bit
-    * positions are computed executor-side (codegen'd shift/mask off
-    * xxhash64), deduplicated, and only the distinct (pid, column,
-    * position) triples — bounded by pids × columns × m, i.e. the total
-    * bitset size — reach the driver. A deployment whose per-commit
-    * segments dwarf that bound would fold the bitsets executor-side
-    * (a binary-OR aggregate) into the same sidecar format; the
-    * position-set spelling keeps the hot path pure codegen'd
-    * built-ins.
+    * distinct-count pass sizes each column's m, then ONE aggregate pass
+    * covers all declared spellings: bit positions are computed
+    * executor-side (codegen'd shift/mask off xxhash64) and OR-FOLDED
+    * executor-side into 64-bit words (`bit_or` over
+    * `1L << (pos % 64)`, grouped by (pid, column, pos / 64)) — the
+    * map-side-combined binary-OR aggregate, so what reaches the driver
+    * is EXACTLY the bitset mass, pids × columns × m/64 longs
+    * (≤ 4096 words = 32 KiB per (pid, column) at the m cap), never a
+    * data-proportional position set (round-15 advisor: the previous
+    * distinct-triples spelling was bounded by the same product but
+    * paid Row overhead per SET bit; the word fold is 64× fewer rows
+    * and its bound holds whatever the commit's distinct count does).
+    * Hot path stays pure codegen'd built-ins.
     */
   private def computeBlooms(
       df: DataFrame, physCols: Seq[String]): Map[String, Map[Int, (Int, Array[Byte])]] = {
@@ -251,19 +254,26 @@ object VersionedLayout {
       while (m < 16L * maxD && m < bloomMaxBits) m <<= 1
       c -> m
     }.toMap
-    val triples = df
+    val words = df
       .select(col("pid").cast("int").as("p"),
         explode(array(present.map(c => struct(lit(c).as("c"),
           array(bloomPositionCols(col(c), df.schema(c).dataType, mOf(c)): _*).as("ps"))): _*)).as("ch"))
       .select(col("p"), col("ch.c").as("c"), explode(col("ch.ps")).as("pos"))
-      .distinct().collect()
-    triples.groupBy(_.getString(1)).map { case (c, rows) =>
+      .groupBy(col("p"), col("c"), shiftrightunsigned(col("pos"), 6).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").as("mask"))
+      .collect()
+    words.groupBy(_.getString(1)).map { case (c, rows) =>
       val m = mOf(c)
       c -> rows.groupBy(_.getInt(0)).map { case (p, rs) =>
         val bits = new Array[Byte](m / 8)
         rs.foreach { r =>
-          val pos = r.getLong(2).toInt
-          bits(pos >>> 3) = (bits(pos >>> 3) | (1 << (pos & 7))).toByte
+          val base = r.getInt(2) * 8
+          val mask = r.getLong(3)
+          var i = 0
+          while (i < 8) {
+            bits(base + i) = (bits(base + i) | ((mask >>> (8 * i)) & 0xffL)).toByte
+            i += 1
+          }
         }
         p -> ((m, bits))
       }
@@ -851,6 +861,7 @@ object VersionedLayout {
     */
   def describeDetail(s: SparkSession, dir: String): DataFrame = {
     val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
     val s0 = s
     import s0.implicits._
     val head = entries.last.version
@@ -1389,7 +1400,9 @@ object VersionedLayout {
       deleteCond: Option[org.apache.spark.sql.Column] = None,
       updateCond: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = true,
-      txn: Long = -1L): Int = {
+      txn: Long = -1L,
+      insertCond: Option[org.apache.spark.sql.Column] = None,
+      insertSet: Option[Map[String, org.apache.spark.sql.Column]] = None): Int = {
     val keyCols = keyColsOf(dir)
     val banned = updateSet.keySet.intersect((keyCols :+ "pid").toSet)
     require(banned.isEmpty,
@@ -1404,6 +1417,15 @@ object VersionedLayout {
     val src0 = source.localCheckpoint()
     keyCols.foreach(k => require(src0.columns.contains(k),
       s"merge source must carry key column '$k'"))
+    // The matched frame holds target columns plain + source columns as
+    // s_<name>: a target column literally named like a renamed source
+    // column would collide and make the arm expressions ambiguous
+    // (round-15 advisor) — refuse with the cause, not an analysis error.
+    val sClash = headCols.toSet.intersect(src0.columns.map("s_" + _).toSet)
+    require(sClash.isEmpty,
+      s"merge into $dir: target column(s) ${sClash.mkString(",")} collide with " +
+        "the internal s_<source-column> renaming — rename the target column or " +
+        "drop the clashing source column before merging")
     // Matched pairs: target columns plain, source columns as s_<name> —
     // unique names, so the frame survives checkpointing and the arms'
     // expressions resolve unambiguously.
@@ -1430,11 +1452,34 @@ object VersionedLayout {
     val inserted =
       if (!insertNotMatched) updated.limit(0)
       else {
-        val anti = src0.join(target.select(keyCols.map(col): _*),
+        val anti0 = src0.join(target.select(keyCols.map(col): _*),
           keyCols, "left_anti")
-        headCols.foreach(c => require(anti.columns.contains(c),
-          s"merge source must carry head-schema column '$c' for the not-matched insert arm"))
-        anti.select(headCols.map(col): _*)
+        // Arm condition (SQL's WHEN NOT MATCHED AND <cond>): evaluated
+        // over the SOURCE row's plain columns — rows failing it are
+        // simply not inserted (no tombstone, no event).
+        val anti = insertCond.map(anti0.where).getOrElse(anti0)
+        insertSet match {
+          // Explicit insert projection (SQL's INSERT (cols) VALUES
+          // (exprs)): build each head column from the given expression
+          // over the source's plain columns; unassigned non-key columns
+          // null-fill, everything casts to the head type. Key columns
+          // and pid MUST be assigned — a null row identity or
+          // placement would be silently unaddressable.
+          case Some(m) =>
+            val mustAssign = (keyCols :+ "pid").filterNot(m.contains)
+            require(mustAssign.isEmpty,
+              s"merge INSERT must assign key/placement column(s) ${mustAssign.mkString(",")}")
+            val unknown = m.keySet.diff(headCols.toSet)
+            require(unknown.isEmpty,
+              s"merge INSERT assigns unknown column(s) ${unknown.mkString(",")}")
+            val headTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+            anti.select(headCols.map(c =>
+              m.getOrElse(c, lit(null)).cast(headTypes(c)).as(c)): _*)
+          case None =>
+            headCols.foreach(c => require(anti.columns.contains(c),
+              s"merge source must carry head-schema column '$c' for the not-matched insert arm"))
+            anti.select(headCols.map(col): _*)
+        }
       }
     val newRows = updated.unionByName(inserted).localCheckpoint()
     requireInDomain(dir, newRows)
@@ -1455,12 +1500,20 @@ object VersionedLayout {
       deleteCond: Option[org.apache.spark.sql.Column] = None,
       updateCond: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = true,
-      txn: Long): Int =
+      txn: Long,
+      insertCond: Option[org.apache.spark.sql.Column] = None,
+      insertSet: Option[Map[String, org.apache.spark.sql.Column]] = None): Int = {
+    // The idempotence lookup shares the txn namespace with every other
+    // upsert-shaped once-commit (restoreOnce, appendInsertOnce's
+    // upserts) — the -1 "non-transactional" sentinel would match any
+    // prior plain commit and silently SKIP the merge (round-15 advisor).
+    require(txn >= 0, s"appendMergeOnce needs a real txn stamp (got $txn)")
     log(dir).find(e => e.action == "upsert" && e.txn == txn) match {
       case Some(e) => e.version
       case None => appendMerge(s, dir, source, updateSet, deleteCond,
-        updateCond, insertNotMatched, txn)
+        updateCond, insertNotMatched, txn, insertCond, insertSet)
     }
+  }
 
   /** RESTORE the table to its state AS OF `toVersion`, as ONE new
     * upsert-shaped commit — the table-format RESTORE: history below the
@@ -2658,7 +2711,7 @@ object VersionedLayout {
     */
   def readAsOfPoint(s: SparkSession, dir: String, v: Int,
       column: String, value: Long): DataFrame =
-    readAsOfPointImpl(s, dir, v, column,
+    readAsOfPointImpl(s, dir, v, column, integralProbe = true,
       bloomMightContain(_, _, value), c => c.cast("long") === value)
 
   /** [[readAsOfPoint]] on a STRING key (document ids, URLs, content
@@ -2669,11 +2722,42 @@ object VersionedLayout {
     */
   def readAsOfPoint(s: SparkSession, dir: String, v: Int,
       column: String, value: String): DataFrame =
-    readAsOfPointImpl(s, dir, v, column,
+    readAsOfPointImpl(s, dir, v, column, integralProbe = false,
       bloomMightContain(_, _, value), c => c === value)
 
+  /** The declared type token identity `it` carries at `v` — the last
+    * at-or-below-v widen target, else the add/base type ("base" only
+    * for pre-round-13 layouts without a recorded types map).
+    */
+  private def declaredTokenOf(dir: String, it: ColIdentity): String =
+    it.widens.lastOption.map(w => normType(w._2)).getOrElse {
+      if (it.birth == 0 && it.addType.isEmpty)
+        baseTypesOf(dir).get(it.eras.head._1).map(normType).getOrElse("base")
+      else it.addType.map(normType).getOrElse("base")
+    }
+
+  private val integralTokens = Set("bigint", "int", "smallint", "tinyint")
+
+  /** A point probe MUST hash the way the write path hashed the column:
+    * probing a string-bloomed column through the Long overload (or an
+    * integral one through the String overload) computes different
+    * positions, and a source holding real matches could be pruned —
+    * silent row loss. Refuse loudly instead (round-15 advisor).
+    */
+  private def requireProbeType(dir: String, it: ColIdentity, v: Int,
+      column: String, integralProbe: Boolean): Unit = {
+    val token = declaredTokenOf(dir, it)
+    val ok = if (integralProbe) integralTokens(token) else token == "string"
+    require(ok,
+      s"'$column' at v$v of $dir is declared '$token' — probe it with the " +
+        (if (integralProbe) "String" else "Long") +
+        " readAsOfPoint overload (a mis-typed probe hashes differently from " +
+        "the write path and would silently prune real matches)")
+  }
+
   private def readAsOfPointImpl(s: SparkSession, dir: String, v: Int,
-      column: String, might: (Int, Array[Byte]) => Boolean,
+      column: String, integralProbe: Boolean,
+      might: (Int, Array[Byte]) => Boolean,
       pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val entries = log(dir)
     val declared = bloomColsOf(dir)
@@ -2683,6 +2767,7 @@ object VersionedLayout {
         s"'$column' at v$v of $dir is not served by any declared Bloom column " +
           s"(declared: ${declared.mkString(", ")}) — use readAsOf(...).where(...)"))
     val it = statsIdentityAt(entries, original, v).get
+    requireProbeType(dir, it, v, column, integralProbe)
     val spec = PruneSpec(it, (e, phys) =>
       bloomsOf(dir, e).getOrElse(phys, Map.empty)
         .map { case (p, (m, bits)) => p -> might(m, bits) })
@@ -2707,6 +2792,7 @@ object VersionedLayout {
         s"'$column' at v$v of $dir is not served by any declared Bloom column " +
           s"(declared: ${declared.mkString(", ")}) — use readAsOf(...).where(...)"))
     val it = statsIdentityAt(entries, original, v).get
+    requireProbeType(dir, it, v, column, integralProbe = true)
     val spec = PruneSpec(it, (e, phys) =>
       bloomsOf(dir, e).getOrElse(phys, Map.empty)
         .map { case (p, (m, bits)) =>

@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.operators.VersionedLayout
+import graft.streaming.GraftLayoutTable
+
+/** Resolves `spark.read.format("graft-layout")` relations into the
+  * engine's own AS-OF plan. The DSv2 [[GraftLayoutTable]] is a
+  * metadata-only handle (path + pinned version + schema); this rule
+  * swaps its relation for `VersionedLayout.readAsOf`'s LOGICAL plan —
+  * the union of parquet scans, tombstone masks, archive routing, and
+  * era-gated identity resolution the Scala API builds — so Catalyst
+  * treats a format-read exactly like an API read: filters and column
+  * pruning still push into the surviving parquet scans, and every
+  * layout guarantee rides along because it IS the same plan (the move
+  * `graft_layout_asof` already made for SQL text, completed for the
+  * DataFrameReader surface).
+  *
+  * The swap happens during resolution, so operators above may already
+  * have bound to the relation's attribute ids — the substituted plan
+  * is wrapped in a Project that re-publishes the as-of columns under
+  * the ORIGINAL ids (standard relation-substitution discipline), which
+  * the optimizer then collapses away.
+  */
+final class GraftBatchReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftLayoutTable] =>
+      val t = r.table.asInstanceOf[GraftLayoutTable]
+      val asOf = VersionedLayout.readAsOf(spark, t.dir, t.asOfVersion)
+        .queryExecution.logical
+      Project(r.output.map(o =>
+        Alias(UnresolvedAttribute(Seq(o.name)), o.name)(exprId = o.exprId)), asOf)
+  }
+}

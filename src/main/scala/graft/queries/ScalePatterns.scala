@@ -2121,6 +2121,250 @@ object ScalePatterns {
        |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM fins
        |ORDER BY 1, 2""".stripMargin
 
+  /** Stable location of q219's SQL-DML layout. */
+  private[graft] def sqlDmlLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_sqldml_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val sqlDmlLock = new Object
+
+  /** q219's bands — internal to its own layout, mutually disjoint, and
+    * chosen so the merge-inserted copies (`v + 5`, fresh keys) can
+    * never drift into the later DELETE/UPDATE bands.
+    */
+  val sqlMergeDelLo = 560000L; val sqlMergeDelHi = 580000L
+  val sqlMergeUpdLo = 600000L; val sqlMergeUpdHi = 620000L
+  val sqlMergeNoopLo = 630000L; val sqlMergeNoopHi = 640000L
+  val sqlMergeInsLo = 730000L; val sqlMergeInsHi = 740000L
+  val sqlDeleteLo = 660000L; val sqlDeleteHi = 680000L
+  val sqlUpdateLo = 830000L; val sqlUpdateHi = 850000L
+  val sqlInsertKeyOffset = 80000000L
+
+  /** Build (or fast-forward) q219's history — every mutation issued as
+    * a SQL STATEMENT through `spark.sql` (the
+    * [[graft.plans.GraftDmlRule]] front door), never the Scala API:
+    * v0 base; v1 a three-arm `MERGE INTO graft.`<dir>`` (WHEN MATCHED
+    * AND d DELETE / WHEN MATCHED AND u UPDATE SET via a source column /
+    * matched-neither untouched / WHEN NOT MATCHED AND i INSERT with an
+    * explicit column list); v2 a `DELETE ... WHERE` band; v3 an
+    * `UPDATE ... SET ... WHERE` band. Each statement's RESULT row
+    * (version, rows_written, rows_deleted) is asserted against the
+    * committed log entry at build time — the SQL answer and the log
+    * cannot disagree.
+    */
+  private def ensureSqlDmlScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = sqlDmlLayoutDir(d)
+    sqlDmlLock.synchronized {
+      val uppers = rangeUppers(s, d)
+      VersionedLayout.writeBase(s, d, dir, uppers)
+      def checkDml(res: Array[org.apache.spark.sql.Row], ver: Int): Unit = {
+        require(res.length == 1 && res(0).getLong(0) == ver.toLong,
+          s"SQL DML on $dir returned ${res.mkString(";")}, expected version $ver")
+        val e = VersionedLayout.log(dir).last
+        require(res(0).getLong(1) == math.max(e.rowsW, 0L)
+          && res(0).getLong(2) == math.max(e.rowsD, 0L),
+          s"SQL DML result row ${res(0)} disagrees with log entry " +
+            s"(${e.rowsW}, ${e.rowsD}) at v$ver of $dir")
+      }
+      if (VersionedLayout.currentVersion(dir) < 1) {
+        val upLit = array(uppers.map(lit).toSeq: _*)
+        val base = VersionedLayout.readAsOf(s, dir, 0)
+        def slice(lo: Long, hi: Long, action: String) =
+          base.where(col("v").between(lo, hi))
+            .withColumn("action", lit(action))
+            .withColumn("qdelta", lit(100.0))
+        val source = slice(sqlMergeDelLo, sqlMergeDelHi, "d")
+          .unionByName(slice(sqlMergeUpdLo, sqlMergeUpdHi, "u"))
+          .unionByName(slice(sqlMergeNoopLo, sqlMergeNoopHi, "n"))
+          .unionByName(
+            base.where(col("v").between(sqlMergeInsLo, sqlMergeInsHi))
+              .select((col("v") + 5).as("v"),
+                (col("l_orderkey") + sqlInsertKeyOffset).as("l_orderkey"),
+                col("l_linenumber"), col("l_quantity"))
+              .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int"))
+              .withColumn("action", lit("i"))
+              .withColumn("qdelta", lit(100.0)))
+        source.createOrReplaceTempView("graft_sqldml_src")
+        checkDml(s.sql(
+          s"""MERGE INTO graft.`$dir` AS t USING graft_sqldml_src AS src
+             |ON t.l_orderkey = src.l_orderkey
+             |  AND t.l_linenumber = src.l_linenumber AND t.v = src.v
+             |WHEN MATCHED AND src.action = 'd' THEN DELETE
+             |WHEN MATCHED AND src.action = 'u' THEN
+             |  UPDATE SET l_quantity = t.l_quantity + src.qdelta
+             |WHEN NOT MATCHED AND src.action = 'i' THEN
+             |  INSERT (v, l_orderkey, l_linenumber, l_quantity, pid)
+             |  VALUES (src.v, src.l_orderkey, src.l_linenumber,
+             |          src.l_quantity, src.pid)""".stripMargin).collect(), 1)
+      }
+      if (VersionedLayout.currentVersion(dir) < 2)
+        checkDml(s.sql(
+          s"DELETE FROM graft.`$dir` WHERE v BETWEEN $sqlDeleteLo AND $sqlDeleteHi")
+          .collect(), 2)
+      if (VersionedLayout.currentVersion(dir) < 3)
+        checkDml(s.sql(
+          s"""UPDATE graft.`$dir` SET l_quantity = l_quantity + 7.0
+             |WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi""".stripMargin)
+          .collect(), 3)
+    }
+    dir
+  }
+
+  /** SQL DML (q219) — MERGE INTO / DELETE / UPDATE issued as SQL TEXT
+    * against the layout (the round-15 front door:
+    * [[graft.plans.GraftDmlRule]] rewrites the parsed statements to the
+    * engine's appendMerge/appendDelete/appendUpsert). The gate pins
+    * (a) the AS-OF aggregate at every version of the SQL-built history,
+    * (b) the (1, 3] CHANGE FEED masses — CDC must see SQL-issued
+    * mutations natively, and (c) each statement's returned
+    * (version, rows_written, rows_deleted) row via DESCRIBE HISTORY
+    * (build-time asserted equal to the statements' actual results).
+    * At 100 TB this is the analyst surface: the statements plan into
+    * the exact commits the Scala API writes — one key join for the
+    * merge (AQE broadcasts the small source), tombstone-only deletes,
+    * O(matched) updates — with zero new read-path cases.
+    */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureSqlDmlScenario(s, d)
+    val asOf = (0 to 3).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+        .select(lit(s"asof_v$ver").as("phase"), lit("").as("change_type"),
+          col("n_rows"), col("total_centi"), col("qty_centi"))
+    }.reduce(_ unionByName _)
+    val feed = VersionedLayout.changeFeed(s, dir, 1, 3)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+      .select(lit("feed").as("phase"), col("change_type"),
+        col("n_rows"), col("total_centi"), col("qty_centi"))
+    val dml = VersionedLayout.describeHistory(s, dir)
+      .where(col("version").between(1, 3))
+      .select(concat(lit("dml_v"), col("version")).as("phase"),
+        lit("").as("change_type"), col("rows_written").as("n_rows"),
+        col("rows_deleted").as("total_centi"), col("version").as("qty_centi"))
+    asOf.unionByName(feed).unionByName(dml)
+      .orderBy(col("phase"), col("change_type"))
+  }
+
+  private lazy val q219OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+       |  FROM lineitem),
+       |v1 AS (
+       |  SELECT v, qc FROM s
+       |  WHERE v NOT BETWEEN $sqlMergeDelLo AND $sqlMergeDelHi
+       |    AND v NOT BETWEEN $sqlMergeUpdLo AND $sqlMergeUpdHi
+       |  UNION ALL
+       |  SELECT v, qc + 10000 FROM s
+       |  WHERE v BETWEEN $sqlMergeUpdLo AND $sqlMergeUpdHi
+       |  UNION ALL
+       |  SELECT v + 5, qc FROM s
+       |  WHERE v BETWEEN $sqlMergeInsLo AND $sqlMergeInsHi),
+       |v2 AS (SELECT v, qc FROM v1 WHERE v NOT BETWEEN $sqlDeleteLo AND $sqlDeleteHi),
+       |v3 AS (SELECT v, CASE WHEN v BETWEEN $sqlUpdateLo AND $sqlUpdateHi
+       |                      THEN qc + 700 ELSE qc END AS qc FROM v2),
+       |fdel AS (
+       |  SELECT v, qc FROM v1 WHERE v BETWEEN $sqlDeleteLo AND $sqlDeleteHi
+       |  UNION ALL
+       |  SELECT v, qc FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi),
+       |fins AS (
+       |  SELECT v, qc + 700 AS qc FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi)
+       |SELECT 'asof_v0' AS phase, '' AS change_type,
+       |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(v) AS BIGINT) AS total_centi,
+       |  CAST(sum(qc) AS BIGINT) AS qty_centi FROM s
+       |UNION ALL SELECT 'asof_v1', '', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v1
+       |UNION ALL SELECT 'asof_v2', '', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v2
+       |UNION ALL SELECT 'asof_v3', '', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v3
+       |UNION ALL SELECT 'feed', 'delete', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM fdel
+       |UNION ALL SELECT 'feed', 'insert', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM fins
+       |UNION ALL SELECT 'dml_v1', '',
+       |  (SELECT count(*) FROM s WHERE v BETWEEN $sqlMergeUpdLo AND $sqlMergeUpdHi)
+       |    + (SELECT count(*) FROM s WHERE v BETWEEN $sqlMergeInsLo AND $sqlMergeInsHi),
+       |  (SELECT count(*) FROM s WHERE v BETWEEN $sqlMergeDelLo AND $sqlMergeDelHi)
+       |    + (SELECT count(*) FROM s WHERE v BETWEEN $sqlMergeUpdLo AND $sqlMergeUpdHi),
+       |  1
+       |UNION ALL SELECT 'dml_v2', '', 0,
+       |  (SELECT count(*) FROM v1 WHERE v BETWEEN $sqlDeleteLo AND $sqlDeleteHi), 2
+       |UNION ALL SELECT 'dml_v3', '',
+       |  (SELECT count(*) FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi),
+       |  (SELECT count(*) FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi), 3
+       |ORDER BY 1, 2""".stripMargin
+
+  /** BATCH FORMAT READ (q220) — `spark.read.format("graft-layout")`
+    * over q160's five-version CRUD history: every version via
+    * `versionAsOf`, the head default, and a `timestampAsOf` pinned to
+    * v2's effective commit time. [[graft.plans.GraftBatchReadRule]]
+    * swaps the DSv2 relation for the engine's as-of plan, so each
+    * phase must aggregate EXACTLY what the Scala `readAsOf` serves
+    * (one oracle covers both spellings — the same move q208 made for
+    * streaming==batch). At 100 TB this is the tool-integration
+    * surface: any DataFrameReader-speaking system (a notebook, a BI
+    * connector, another pipeline) addresses retained history without
+    * linking the engine's Scala API, and still gets plan-time
+    * pushdown because the swapped plan IS the engine plan.
+    */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCrudScenario(s, d)
+    def aggOf(df: DataFrame, phase: String) =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+        .select(lit(phase).as("phase"), col("n_rows"),
+          col("total_centi"), col("qty_centi"))
+    val byVersion = (0 to 4).map { ver =>
+      aggOf(s.read.format("graft-layout").option("versionAsOf", ver).load(dir),
+        s"asof_v$ver")
+    }
+    val head = aggOf(s.read.format("graft-layout").load(dir), "head")
+    val tsV2 = VersionedLayout.commitTimes(dir).toMap.apply(2)
+    val byTime = aggOf(
+      s.read.format("graft-layout").option("timestampAsOf", tsV2).load(dir),
+      "ts_v2")
+    (byVersion :+ head :+ byTime).reduce(_ unionByName _).orderBy(col("phase"))
+  }
+
+  private lazy val q220OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS q
+       |  FROM lineitem),
+       |ver AS (SELECT unnest(['asof_v0', 'asof_v1', 'asof_v2', 'asof_v3',
+       |                       'asof_v4', 'head', 'ts_v2']) AS phase),
+       |vn AS (SELECT phase, CASE phase WHEN 'asof_v0' THEN 0 WHEN 'asof_v1' THEN 1
+       |         WHEN 'asof_v2' THEN 2 WHEN 'ts_v2' THEN 2 WHEN 'asof_v3' THEN 3
+       |         ELSE 4 END AS n
+       |       FROM ver),
+       |base AS (
+       |  SELECT vn.phase, s.v,
+       |    CASE WHEN vn.n >= 2
+       |           AND s.v BETWEEN $crudUpsertLoCenti AND $crudUpsertHiCenti
+       |         THEN s.q + 10000 ELSE s.q END AS q
+       |  FROM vn JOIN s
+       |    ON NOT (vn.n >= 3
+       |            AND s.v BETWEEN $deleteBandLoCenti AND $deleteBandHiCenti)),
+       |ins AS (
+       |  SELECT vn.phase, s.v + 5 AS v, s.q AS q
+       |  FROM vn JOIN s
+       |    ON vn.n >= 1
+       |   AND s.v BETWEEN $crudInsertLoCenti AND $crudInsertHiCenti),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+       |SELECT phase,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(v) AS BIGINT) AS total_centi,
+       |  CAST(sum(q) AS BIGINT) AS qty_centi
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** RATE-LIMITED TABLE-AS-STREAM (q213) — q208's subscription under
     * admission control (`maxVersionsPerTrigger`, the `maxFilesPerTrigger`
     * shape): a FRESH subscriber of a long-lived 100 TB table must drain
@@ -4263,6 +4507,8 @@ object ScalePatterns {
     QueryDef("q210_layout_stream_ivm", q210, Some(q210OracleSql)),
     QueryDef("q211_layout_sql_feed", q211, Some(crudFeedOracleSql)),
     QueryDef("q212_layout_merge", q212, Some(q212OracleSql)),
+    QueryDef("q219_layout_sql_dml", q219, Some(q219OracleSql)),
+    QueryDef("q220_layout_batch_read", q220, Some(q220OracleSql)),
     QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
     QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
     QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),

@@ -1,11 +1,15 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.VersionedLayout
 
@@ -157,19 +161,79 @@ final class LayoutChangeSource(
   override def stop(): Unit = ()
 }
 
+/** BATCH-read handle for the layout (round 15): `spark.read
+  * .format("graft-layout").load(dir)` — options `versionAsOf` /
+  * `timestampAsOf` (mutually exclusive; default = head at read time).
+  * The version is PINNED at table-resolution time, so the schema this
+  * table reports and the plan that later replaces it can never see
+  * different log states. The table deliberately carries no working
+  * ScanBuilder: batch reads are planned by
+  * [[graft.plans.GraftBatchReadRule]], which swaps the relation for
+  * the engine's own as-of plan (union of parquet scans + tombstone
+  * masks) — the SAME plan `VersionedLayout.readAsOf` builds, keeping
+  * pushdown into the underlying scans and every layout guarantee. A
+  * session without the graft extensions fails loudly here instead of
+  * silently serving nothing.
+  */
+final case class GraftLayoutTable(dir: String, asOfVersion: Int,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-layout `$dir` v$asOfVersion"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "graft-layout batch reads are planned by graft.plans.GraftBatchReadRule — " +
+        "install the engine extensions (spark.sql.extensions=graft.GraftExtensions)")
+}
+
 /** `format("graft-layout")` registration (DSv1 streaming provider —
   * the getBatch-returns-a-DataFrame contract is exactly what lets the
   * feed's delete-pre-image JOIN ride the source, which a DSv2
-  * partition reader could not express).
+  * partition reader could not express). Also a DSv2 [[TableProvider]]
+  * for BATCH reads (see [[GraftLayoutTable]]); Spark's stream reader
+  * probes the v2 table first, finds no streaming capability, and falls
+  * back to this same provider's DSv1 source — one `shortName`, both
+  * directions.
   */
 final class LayoutChangeSourceProvider
-  extends StreamSourceProvider with DataSourceRegister {
+  extends StreamSourceProvider with DataSourceRegister with TableProvider {
 
   override def shortName(): String = "graft-layout"
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-layout source requires option 'path' (the layout root)"))
+
+  /** Resolve (dir, pinned version) from batch-read options. */
+  private def batchTarget(options: CaseInsensitiveStringMap): (String, Int) = {
+    val dir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-layout requires option 'path' (the layout root)"))
+    val vOpt = Option(options.get("versionAsOf")).map(_.toInt)
+    val tsOpt = Option(options.get("timestampAsOf")).map(_.toLong)
+    require(vOpt.isEmpty || tsOpt.isEmpty,
+      "graft-layout: versionAsOf and timestampAsOf are mutually exclusive")
+    val head = VersionedLayout.currentVersion(dir)
+    require(head >= 0, s"no committed layout at $dir")
+    val v = vOpt.orElse(tsOpt.map(VersionedLayout.versionAtTimestamp(dir, _)))
+      .getOrElse(head)
+    (dir, v)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (dir, v) = batchTarget(options)
+    // Plan-level only — building the as-of frame runs zero jobs.
+    VersionedLayout.readAsOf(SparkSession.active, dir, v).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val (dir, v) = batchTarget(new CaseInsensitiveStringMap(properties))
+    GraftLayoutTable(dir, v, schema)
+  }
 
   private def startExclusiveOf(parameters: Map[String, String]): Int = {
     val startingVersion = parameters.get("startingVersion").map(_.toInt).getOrElse(1)

@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.VersionedLayout
+
+/** SQL DML over the versioned layout ([[graft.plans.GraftDmlRule]]):
+  * the statements must produce EXACTLY the commits the Scala API
+  * produces — same head state, same log-entry masses, same change
+  * feed — plus the spelling contracts refuse loudly.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-sqldml-$tag").resolve("t").toString
+
+  private def baseDf: DataFrame =
+    spark.range(0, 100).select(col("id").as("k"), (col("id") % 10).as("v"),
+      (col("id") * lit(1.0)).as("q"), (col("id") % 4).cast("int").as("pid"))
+
+  private def writeTwin(tag: String): (String, String) = {
+    val (a, b) = (freshDir(s"$tag-sql"), freshDir(s"$tag-api"))
+    VersionedLayout.writeBaseTable(spark, baseDf, a, Seq("k"))
+    VersionedLayout.writeBaseTable(spark, baseDf, b, Seq("k"))
+    (a, b)
+  }
+
+  private def assertTwinsEqual(a: String, b: String): Unit = {
+    val (ha, hb) = (VersionedLayout.currentVersion(a), VersionedLayout.currentVersion(b))
+    assert(ha == hb, s"twin heads differ: $ha vs $hb")
+    val (ra, rb) = (VersionedLayout.readAsOf(spark, a, ha),
+      VersionedLayout.readAsOf(spark, b, hb))
+    assert(ra.exceptAll(rb).isEmpty && rb.exceptAll(ra).isEmpty,
+      "SQL-path head state differs from API-path head state")
+    val masses = (d: String) => VersionedLayout.log(d)
+      .map(e => (e.version, e.action, e.rowsW, e.rowsD))
+    assert(masses(a) == masses(b),
+      s"log masses differ:\n sql=${masses(a)}\n api=${masses(b)}")
+    if (ha >= 1) {
+      val (fa, fb) = (VersionedLayout.changeFeed(spark, a, 0, ha),
+        VersionedLayout.changeFeed(spark, b, 0, hb))
+      assert(fa.exceptAll(fb).isEmpty && fb.exceptAll(fa).isEmpty,
+        "SQL-path change feed differs from API-path change feed")
+    }
+  }
+
+  test("SQL MERGE (three-arm, INSERT *) commits exactly the API merge") {
+    val (a, b) = writeTwin("merge")
+    val base = VersionedLayout.readAsOf(spark, a, 0)
+    val source = base.where(col("k") < 10).withColumn("action", lit("d"))
+      .unionByName(base.where(col("k").between(10, 19)).withColumn("action", lit("u")))
+      .unionByName(base.where(col("k").between(20, 29)).withColumn("action", lit("n")))
+      .unionByName(base.where(col("k").between(30, 39))
+        .withColumn("k", col("k") + 1000).withColumn("action", lit("i")))
+      .withColumn("qdelta", lit(5.0))
+    source.createOrReplaceTempView("sqldml_spec_src")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$a` AS t USING sqldml_spec_src AS s2
+         |ON t.k = s2.k
+         |WHEN MATCHED AND s2.action = 'd' THEN DELETE
+         |WHEN MATCHED AND s2.action = 'u' THEN UPDATE SET q = t.q + s2.qdelta
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    VersionedLayout.appendMerge(spark, b, source,
+      updateSet = Map("q" -> (col("q") + col("s_qdelta"))),
+      deleteCond = Some(col("s_action") === "d"),
+      updateCond = Some(col("s_action") === "u"))
+    assertTwinsEqual(a, b)
+    val e = VersionedLayout.log(a).last
+    assert(res.length == 1 && res(0).getLong(0) == 1L
+      && res(0).getLong(1) == e.rowsW && res(0).getLong(2) == e.rowsD,
+      s"MERGE result row ${res.toSeq} vs log (${e.rowsW}, ${e.rowsD})")
+    // Mass sanity: 10 updated + 10 inserted written, 10+10 pre-images.
+    assert(e.rowsW == 20 && e.rowsD == 20, s"(${e.rowsW}, ${e.rowsD})")
+  }
+
+  test("SQL MERGE explicit INSERT (cols) VALUES projects the source; unassigned non-keys null-fill") {
+    val dir = freshDir("insproj")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    spark.range(500, 505)
+      .select(col("id").as("k"), lit(3).cast("int").as("p"), lit(9L).as("w"))
+      .createOrReplaceTempView("sqldml_spec_ins")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_ins AS s2
+         |ON t.k = s2.k
+         |WHEN NOT MATCHED AND s2.w > 0 THEN INSERT (k, v, pid) VALUES (s2.k, s2.w, s2.p)""".stripMargin)
+    val head = VersionedLayout.readAsOf(spark, dir, 1)
+    val added = head.where(col("k") >= 500).collect()
+    assert(added.length == 5)
+    assert(added.forall(r => r.getLong(1) == 9L && r.isNullAt(2)),
+      added.mkString(";"))
+  }
+
+  test("SQL DELETE commits exactly the API delete") {
+    val (a, b) = writeTwin("delete")
+    val res = spark.sql(s"DELETE FROM graft.`$a` WHERE v < 3").collect()
+    VersionedLayout.appendDelete(spark, b, col("v") < 3)
+    assertTwinsEqual(a, b)
+    assert(res(0).getLong(2) == 30L, res.toSeq.toString)
+  }
+
+  test("SQL UPDATE commits exactly the API upsert") {
+    val (a, b) = writeTwin("update")
+    spark.sql(s"UPDATE graft.`$a` SET q = q * 2.0 WHERE v = 7")
+    VersionedLayout.appendUpsert(spark, b, col("v") === 7,
+      df => df.select(col("k"), col("v"), (col("q") * 2.0).as("q"), col("pid")))
+    assertTwinsEqual(a, b)
+  }
+
+  test("SQL MERGE honors first-match-wins arm order (UPDATE before DELETE)") {
+    val dir = freshDir("order")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    VersionedLayout.readAsOf(spark, dir, 0).where(col("k") < 20)
+      .createOrReplaceTempView("sqldml_spec_order")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_order AS s2
+         |ON t.k = s2.k
+         |WHEN MATCHED AND s2.v < 5 THEN UPDATE SET q = 0.0
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val head = VersionedLayout.readAsOf(spark, dir, 1)
+    // k<20 & v<5: updated (survive with q=0); k<20 & v>=5: deleted.
+    assert(head.where(col("k") < 20).count() == 10)
+    assert(head.where(col("k") < 20 && col("q") =!= 0.0).count() == 0)
+    assert(head.count() == 90)
+  }
+
+  test("SQL DML contracts refuse loudly") {
+    val dir = freshDir("refuse")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    VersionedLayout.readAsOf(spark, dir, 0).limit(5)
+      .createOrReplaceTempView("sqldml_spec_refuse")
+    def msg(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // ON clause must equate exactly the key columns.
+    assert(msg(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_refuse AS s2
+         |ON t.v = s2.v WHEN MATCHED THEN DELETE""".stripMargin)
+      .contains("key columns"))
+    assert(msg(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_refuse AS s2
+         |ON t.k > s2.k WHEN MATCHED THEN DELETE""".stripMargin)
+      .contains("conjunction"))
+    // WHEN NOT MATCHED BY SOURCE has no engine arm.
+    assert(msg(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_refuse AS s2
+         |ON t.k = s2.k WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .contains("NOT MATCHED BY SOURCE"))
+    // Key/placement assignment is immutable row identity.
+    assert(msg(s"UPDATE graft.`$dir` SET k = k + 1 WHERE v = 1")
+      .contains("key/placement"))
+    assert(msg(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_refuse AS s2
+         |ON t.k = s2.k WHEN MATCHED THEN UPDATE SET pid = 0""".stripMargin)
+      .contains("key/placement"))
+  }
+
+  test("merge internal s_ renaming collision refuses with the cause") {
+    val dir = freshDir("clash")
+    val df = spark.range(0, 10).select(col("id").as("k"), col("id").as("s_v"),
+      lit(0).cast("int").as("pid"))
+    VersionedLayout.writeBaseTable(spark, df, dir, Seq("k"))
+    val src = spark.range(0, 5).select(col("id").as("k"), col("id").as("v"),
+      lit(0).cast("int").as("pid"))
+    val ex = intercept[IllegalArgumentException](
+      VersionedLayout.appendMerge(spark, dir, src, Map.empty,
+        deleteCond = Some(lit(true))))
+    assert(ex.getMessage.contains("s_<source-column>"), ex.getMessage)
+  }
+
+  test("appendMergeOnce refuses the -1 non-transactional sentinel") {
+    val dir = freshDir("txn")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    val ex = intercept[IllegalArgumentException](
+      VersionedLayout.appendMergeOnce(spark, dir,
+        VersionedLayout.readAsOf(spark, dir, 0).limit(1), Map.empty,
+        deleteCond = Some(lit(true)), txn = -1L))
+    assert(ex.getMessage.contains("txn"), ex.getMessage)
+  }
+
+  test("mis-typed point probe refuses instead of silently pruning (advisor)") {
+    val dir = freshDir("probetype")
+    val df = spark.range(0, 50).select(col("id").as("k"),
+      concat(lit("doc-"), col("id")).as("ck"), col("id").as("n"),
+      (col("id") % 2).cast("int").as("pid"))
+    VersionedLayout.writeBaseTable(spark, df, dir, Seq("k"),
+      bloomCols = Seq("ck", "n"))
+    // Correct-typed probes work.
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 0, "ck", "doc-7").count() == 1)
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 0, "n", 7L).count() == 1)
+    // Cross-typed probes refuse loudly.
+    val e1 = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfPoint(spark, dir, 0, "ck", 7L))
+    assert(e1.getMessage.contains("overload"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfPoint(spark, dir, 0, "n", "7"))
+    assert(e2.getMessage.contains("overload"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfPoints(spark, dir, 0, "ck", Seq(1L, 2L)))
+    assert(e3.getMessage.contains("overload"), e3.getMessage)
+  }
+
+  test("format(graft-layout) batch read equals readAsOf — result, plan, pushdown") {
+    val dir = freshDir("batch")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    VersionedLayout.appendDelete(spark, dir, col("v") < 2)
+    val api = VersionedLayout.readAsOf(spark, dir, 1)
+    val fmt = spark.read.format("graft-layout").option("versionAsOf", 1).load(dir)
+    assert(fmt.exceptAll(api).isEmpty && api.exceptAll(fmt).isEmpty)
+    // The swapped relation IS the as-of plan (optimizer collapses the
+    // id-preserving Project away).
+    assert(fmt.queryExecution.optimizedPlan
+      .sameResult(api.queryExecution.optimizedPlan),
+      s"format plan != api plan:\n${fmt.queryExecution.optimizedPlan}\n--\n${api.queryExecution.optimizedPlan}")
+    // Default = head; timestampAsOf resolves on the monotonicized axis.
+    assert(spark.read.format("graft-layout").load(dir).count() == api.count())
+    val ts0 = VersionedLayout.commitTimes(dir).toMap.apply(0)
+    assert(spark.read.format("graft-layout").option("timestampAsOf", ts0)
+      .load(dir).count() == 100)
+    // Filters on a format read push into the underlying parquet scans.
+    val filtered = fmt.where(col("v") === 5L)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(v,5)"), plan)
+    // versionAsOf and timestampAsOf are mutually exclusive.
+    val ex = intercept[Exception](spark.read.format("graft-layout")
+      .option("versionAsOf", 0).option("timestampAsOf", ts0).load(dir))
+    assert(ex.getMessage.contains("mutually exclusive"), ex.getMessage)
+    // The DSv2 table addition must not break the DSv1 streaming path.
+    assert(spark.readStream.format("graft-layout").option("path", dir)
+      .load().isStreaming)
+  }
+
+  test("describeDetail refuses an uncommitted layout explicitly") {
+    val ex = intercept[IllegalArgumentException](
+      VersionedLayout.describeDetail(spark, freshDir("empty")))
+    assert(ex.getMessage.contains("no committed layout"), ex.getMessage)
+  }
+}
