@@ -319,18 +319,67 @@ object VersionedLayout {
       body.getBytes(StandardCharsets.UTF_8))
   }
 
-  private def bloomsOf(dir: String, e: LogEntry): Map[String, Map[Int, (Int, Array[Byte])]] = {
-    val f = bloomFile(dir, e.version, e.tag)
-    if (!f.isFile) return Map.empty
+  private def parseBloomLines(
+      lines: Iterator[String]): Map[String, Map[Int, (Int, Array[Byte])]] = {
     val dec = java.util.Base64.getDecoder
-    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).toSeq
+    lines.filter(_.nonEmpty).toSeq
       .map { line =>
         val Array(c, p, m, b) = line.split("\\|", 4)
         (c, p.toInt, m.toInt, dec.decode(b))
       }
       .groupBy(_._1).map { case (c, rows) =>
         c -> rows.map(r => r._2 -> ((r._3, r._4))).toMap }
+  }
+
+  /** The consolidated Bloom sidecar a checkpoint writes (lines
+    * `ver|phys|pid|m|base64(bits)`, ascending by version) — one file
+    * covering every covered entry's live Blooms, so a point probe's
+    * planning on a long-lived table reads O(1) checkpoint + the tail's
+    * per-version sidecars, never O(total versions) files (round 15;
+    * previously Blooms survived checkpoints as per-version files
+    * forever).
+    */
+  private def ckptBloomFile(dir: String, ver: Int) =
+    new java.io.File(logDir(dir), f"ckpt-bloom-v$ver%05d.txt")
+
+  private def newestCkptBloom(dir: String): Option[java.io.File] =
+    Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("ckpt-bloom-v\\d+\\.txt"))
+      .sortBy(_.getName).lastOption
+
+  /** Parsed consolidated-Bloom cache — same immutability contract and
+    * (path, length, mtime) keying as [[parseCkpt]]'s entry cache.
+    */
+  private val ckptBloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[Int, Map[String, Map[Int, (Int, Array[Byte])]]]]()
+
+  private def parseCkptBloom(
+      f: java.io.File): Map[Int, Map[String, Map[Int, (Int, Array[Byte])]]] = {
+    val key = (f.getAbsolutePath, f.length(), f.lastModified())
+    val hit = ckptBloomCache.get(key)
+    if (hit != null) hit
+    else {
+      val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      val parsed = body.linesIterator.filter(_.nonEmpty).toSeq
+        .map { line =>
+          val Array(v, rest) = line.split("\\|", 2)
+          (v.toInt, rest)
+        }
+        .groupBy(_._1)
+        .map { case (v, rows) => v -> parseBloomLines(rows.iterator.map(_._2)) }
+      if (ckptBloomCache.size() > 256) ckptBloomCache.clear()
+      ckptBloomCache.put(key, parsed)
+      parsed
+    }
+  }
+
+  private def bloomsOf(dir: String, e: LogEntry): Map[String, Map[Int, (Int, Array[Byte])]] = {
+    val f = bloomFile(dir, e.version, e.tag)
+    if (f.isFile)
+      parseBloomLines(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).linesIterator)
+    else newestCkptBloom(dir).map(parseCkptBloom)
+      .flatMap(_.get(e.version)).getOrElse(Map.empty)
   }
 
   /** Stats + Blooms for a commit whose landed bytes are `df`: computes
@@ -757,6 +806,37 @@ object VersionedLayout {
       try Files.createLink(f.toPath, tmp.toPath)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp.toPath)
+    }
+    // Fold live Blooms into ONE consolidated sidecar (round 15 — the
+    // same consolidation the entry files get): deterministic content
+    // (ascending versions, sorted columns/pids, sourced from the same
+    // committed sidecars every racer reads), published by the same
+    // write-then-link CAS, truncation strictly AFTER publish — a crash
+    // anywhere leaves either per-version sidecars, or overlap
+    // ([[bloomsOf]] prefers the per-version file; contents identical).
+    val enc = java.util.Base64.getEncoder
+    val bloomBody = entries.flatMap { e =>
+      bloomsOf(dir, e).toSeq.sortBy(_._1).flatMap { case (c, byPid) =>
+        byPid.toSeq.sortBy(_._1).map { case (p, (m, bits)) =>
+          s"${e.version}|$c|$p|$m|${enc.encodeToString(bits)}" }
+      }
+    }.mkString("\n")
+    val bf = ckptBloomFile(dir, v)
+    if (bloomBody.nonEmpty && !bf.isFile) {
+      val tmp = new java.io.File(logDir(dir),
+        s".ckpt-bloom-v$v.tmp-p${graft.JvmId.token}-t${Thread.currentThread().getId}")
+      Files.write(tmp.toPath, bloomBody.getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(bf.toPath, tmp.toPath)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp.toPath)
+    }
+    if (bf.isFile || bloomBody.isEmpty) {
+      entries.foreach(e =>
+        Files.deleteIfExists(bloomFile(dir, e.version, e.tag).toPath))
+      Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("ckpt-bloom-v\\d+\\.txt"))
+        .filter(_.getName.stripPrefix("ckpt-bloom-v").stripSuffix(".txt").toInt < v)
+        .foreach(old => Files.deleteIfExists(old.toPath))
     }
     entries.foreach(e => Files.deleteIfExists(entryFile(dir, e.version).toPath))
     logDir(dir).listFiles().filter(_.getName.matches("ckpt-v\\d+\\.json"))
@@ -2135,6 +2215,20 @@ object VersionedLayout {
         }
     sweep("_tombs", v => tombDirOf(dir, entries, v))
     sweep("_inserts", v => insertDirOf(dir, entries, v))
+    // Lost-race writer-tagged Bloom sidecars (round 15): a CAS loser's
+    // `bloom-vN-<tag>.txt` is never read (readers resolve through the
+    // committed entry's tag) — reclaim it under the same lease once the
+    // committed file at that version provably has a different name.
+    Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("bloom-v\\d+(-[^.]+)?\\.txt"))
+      .foreach { f =>
+        val ver = f.getName.stripPrefix("bloom-v").takeWhile(_.isDigit).toInt
+        val expected = entries.find(_.version == ver)
+          .map(e => bloomFile(dir, ver, e.tag).getName)
+        if (ver <= head && f.lastModified() <= cutoff
+            && expected.exists(_ != f.getName))
+          Files.deleteIfExists(f.toPath)
+      }
   }
 
   /** The tombstone set one version committed (spec observability). */

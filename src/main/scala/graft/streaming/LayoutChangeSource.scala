@@ -236,10 +236,25 @@ final class LayoutChangeSourceProvider
   }
 
   private def startExclusiveOf(parameters: Map[String, String]): Int = {
-    val startingVersion = parameters.get("startingVersion").map(_.toInt).getOrElse(1)
-    require(startingVersion >= 1,
-      s"startingVersion must be >= 1 (got $startingVersion) — v0 is the base write, not a change")
-    startingVersion - 1
+    val sv = parameters.get("startingVersion").map(_.toInt)
+    val st = parameters.get("startingTimestamp").map(_.toLong)
+    require(sv.isEmpty || st.isEmpty,
+      "graft-layout source: startingVersion and startingTimestamp are mutually exclusive")
+    st match {
+      // "Subscribe from time T" (round 15): resolve T on the same
+      // monotonicized commit-time axis as the batch feed, so the
+      // subscription serves exactly changeFeedByTimestamp(T, head] —
+      // changes AFTER the version T resolves to. Resolution happens
+      // ONCE at stream start (the offset axis stays versions; restarts
+      // recover from the checkpointed version offsets, immune to any
+      // later wall-clock weirdness).
+      case Some(ts) => VersionedLayout.versionAtTimestamp(dirOf(parameters), ts)
+      case None =>
+        val startingVersion = sv.getOrElse(1)
+        require(startingVersion >= 1,
+          s"startingVersion must be >= 1 (got $startingVersion) — v0 is the base write, not a change")
+        startingVersion - 1
+    }
   }
 
   override def sourceSchema(

@@ -47,11 +47,14 @@ class SlopesSpec extends AnyFunSuite {
     // version count (log_read_scale, bound > 0 so the generic
     // superlinearity test gates it — a regression that re-parses the
     // checkpoint per read fails the build).
-    assert(Set("log_read_ms", "log_read_scale")
+    assert(Set("log_read_ms", "log_read_scale",
+      "bloom_probe_plan_ms", "bloom_probe_plan_scale")
       .subsetOf(byHarness("ckpt").map(_.name).toSet),
       s"ckpt family incomplete: ${byHarness("ckpt").map(_.name)}")
     assert(byHarness("ckpt").exists(e => e.name == "log_read_scale" && e.bound > 0),
       "ckpt/log_read_scale must carry a real (nonzero) bound")
+    assert(byHarness("ckpt").exists(e => e.name == "bloom_probe_plan_scale" && e.bound > 0),
+      "ckpt/bloom_probe_plan_scale must carry a real (nonzero) bound")
   }
 
   test("every bounded slope holds its bound — a superlinear regression fails the build") {
@@ -92,5 +95,23 @@ class SlopesSpec extends AnyFunSuite {
     //     read lands in tens of ms and fails.
     assert(e.t1x <= 2.0,
       f"checkpointed log read costs ${e.t1x}%.3f ms/read > 2 ms ceiling")
+  }
+
+  test("bloom-probe planning: consolidation wins on an aged table and stays absolutely bounded") {
+    val e = ledger.find(x => x.harness == "ckpt" && x.name == "bloom_probe_plan_ms")
+      .getOrElse(fail("ckpt/bloom_probe_plan_ms missing"))
+    // t1x = post-checkpoint ms/plan, t10x = per-version-sidecar ms/plan
+    // at 10x table age — a bigger-is-better win row (bound 0 by
+    // design, direction asserted here). The measured win is modest
+    // (1.6x at 300 commits) because plan ASSEMBLY is an
+    // age-independent ~100 ms floor; the age-dependent sidecar-read
+    // term the checkpoint removes is the claim: direction must hold,
+    assert(e.ratio >= 1.15,
+      f"bloom consolidation stopped winning: pre/post = ${e.ratio}%.2f < 1.15")
+    // and the post-checkpoint plan must stay absolutely bounded (a
+    // regression that re-reads per-version sidecars on a checkpointed
+    // table grows with age and trips this).
+    assert(e.t1x <= 500.0,
+      f"post-checkpoint probe planning costs ${e.t1x}%.1f ms > 500 ms ceiling")
   }
 }

@@ -2641,4 +2641,65 @@ class StorageSpec extends SparkSpec {
       }
     }
   }
+
+  test("bloom sidecars fold into the checkpoint: point probes read NO per-version sidecar after it, prune identically; lost-race sidecars lease away") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-bloom-ckpt").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i * 3)).toDF("row_id", "n")
+      .select(pmod(col("row_id"), lit(4)).cast("int").as("pid"),
+        col("row_id"), col("n"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 400L), dir,
+      Seq("row_id"), bloomCols = Seq("n"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(901L, 902L)))   // v1
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(903L, 904L)))   // v2
+    VersionedLayout.appendDelete(spark, dir, col("row_id") === 902L)    // v3
+    val logDir = new java.io.File(dir, "_log")
+    def sidecars(re: String) = Option(logDir.listFiles()).get
+      .map(_.getName).filter(_.matches(re)).sorted.toSeq
+    assert(sidecars("bloom-v\\d+(-[^.]+)?\\.txt").size == 3,
+      sidecars(".*bloom.*").toString) // v0 base + two inserts (delete lands no bytes)
+    def probe(v: Int, value: Long) =
+      VersionedLayout.readAsOfPoint(spark, dir, v, "n", value)
+    def filesOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.filterNot(_.contains("_tombs")).toSet
+    val before = Seq(21L, 2703L, 2712L, 999999L).map(x =>
+      (filesOf(probe(3, x)), probe(3, x).collect().map(_.toSeq).toSet))
+    VersionedLayout.checkpoint(dir)
+    // Consolidated: ONE ckpt-bloom file, zero per-version sidecars.
+    assert(sidecars("ckpt-bloom-v\\d+\\.txt") == Seq("ckpt-bloom-v00003.txt"),
+      sidecars(".*").toString)
+    assert(sidecars("bloom-v\\d+(-[^.]+)?\\.txt").isEmpty,
+      "per-version bloom sidecars survived the checkpoint")
+    // Identical pruning AND identical rows from the folded metadata.
+    val after = Seq(21L, 2703L, 2712L, 999999L).map(x =>
+      (filesOf(probe(3, x)), probe(3, x).collect().map(_.toSeq).toSet))
+    assert(before == after, s"probe drifted across checkpoint:\n$before\n$after")
+    // Post-checkpoint commits land fresh per-version sidecars that keep
+    // probing alongside the consolidated file (O(1) + tail).
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(905L)))         // v4
+    assert(sidecars("bloom-v\\d+(-[^.]+)?\\.txt").size == 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("row_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(probe(4, 2715L)) == Set(905L))
+    assert(ids(probe(4, 2703L)) == Set(901L))
+    // A SECOND checkpoint folds the tail sidecar into the new file and
+    // drops the older consolidated artifact.
+    VersionedLayout.checkpoint(dir)
+    assert(sidecars("ckpt-bloom-v\\d+\\.txt") == Seq("ckpt-bloom-v00004.txt"))
+    assert(ids(probe(4, 2715L)) == Set(905L))
+    // Lost-race writer-tagged sidecars: an aged orphan at a committed
+    // version is reclaimed by the vacuum sweep; a FRESH one (in-flight
+    // writer) survives the lease.
+    val aged = new java.io.File(logDir, "bloom-v00002-deadbeef.txt")
+    val fresh = new java.io.File(logDir, "bloom-v00003-cafe.txt")
+    Files.write(aged.toPath, "n|0|1024|AAAA".getBytes)
+    Files.write(fresh.toPath, "n|0|1024|AAAA".getBytes)
+    aged.setLastModified(System.currentTimeMillis() - 120000L)
+    VersionedLayout.vacuum(spark, dir, keepFrom = 0, orphanLeaseMs = 60000L)
+    assert(!aged.exists(), "aged lost-race sidecar not reclaimed")
+    assert(fresh.exists(), "fresh (possibly in-flight) sidecar must survive the lease")
+    Files.deleteIfExists(fresh.toPath)
+  }
 }

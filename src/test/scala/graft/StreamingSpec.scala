@@ -1079,4 +1079,48 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedLayout.appendInsertOnce(spark, dir, b1, 100L) == 4)
     assert(VersionedLayout.currentVersion(dir) == 4, "replay appended a commit")
   }
+
+  test("graft-layout startingTimestamp: a subscriber started as-of T serves exactly changeFeedByTimestamp(T, head]") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ts").toString + "/t"
+    def shaped(rows: Seq[(Long, Long)]) = rows.toDF("event_id", "value_centi")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("value_centi"))
+    VersionedLayout.writeBaseTable(spark,
+      shaped((1L to 20L).map(i => (i, i * 10))), dir, Seq("event_id"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((101L, 1010L))))  // v1
+    VersionedLayout.appendDelete(spark, dir, col("event_id") <= 3L)       // v2
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq((102L, 1020L))))  // v3
+    val times = VersionedLayout.commitTimes(dir).toMap
+    // Subscribe "as of v1's effective time": serves exactly (v1, head].
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val chk = java.nio.file.Files.createTempDirectory("graft-stream-ts-chk").toString
+    val q = spark.readStream.format("graft-layout").option("path", dir)
+      .option("startingTimestamp", times(1)).load()
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy(col("change_version"), col("change_type"))
+          .agg(count(lit(1)).as("n")).collect()
+          .foreach(r => buf.synchronized {
+            buf += ((r.getInt(0), r.getString(1), r.getLong(2))); () })
+        ()
+      }
+      .option("checkpointLocation", chk).start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = VersionedLayout
+      .changeFeedByTimestamp(spark, dir, times(1), times(3))
+      .groupBy(col("change_version"), col("change_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(buf.toSet == batch && batch ==
+      Set((2, "delete", 3L), (3, "insert", 1L)),
+      s"ts-subscription ${buf.toSet} != batch feed $batch")
+    // startingVersion and startingTimestamp are mutually exclusive.
+    val ex = intercept[Exception](
+      spark.readStream.format("graft-layout").option("path", dir)
+        .option("startingVersion", 1).option("startingTimestamp", times(1))
+        .load())
+    assert(ex.getMessage.contains("mutually exclusive"), ex.getMessage)
+  }
 }
