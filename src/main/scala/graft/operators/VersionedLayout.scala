@@ -1648,20 +1648,25 @@ object VersionedLayout {
     require(toVersion >= horizon(dir),
       s"version $toVersion of $dir is below the vacuum horizon ${horizon(dir)} — unrestorable")
     if (toVersion == head) return head
-    // A restore across a TYPE FLIP stays refused (the feed itself now
-    // serves per-type columns across one — round 14 — but a restore
-    // segment must commit ONE head-typed column, and the pre-flip
-    // incarnation's values have no sound cast into it).
+    // RESTORE ACROSS A TYPE FLIP (round 15; previously refused): a
+    // flip inside (toVersion, head] means the name's HEAD incarnation
+    // was born in-range — so step 3 below nulls it (the state being
+    // restored predates it), and the PRE-flip incarnation left the
+    // head schema entirely — exactly the same-type re-add semantics
+    // restore already served. The only mechanical difference is the
+    // feed's shape: a crossing range serves per-incarnation
+    // `name__as_<type>` columns ([[changeFeedTagged]]); none of those
+    // values can reach the segment (dead incarnation, or nulled by the
+    // birth gate), so they are dropped after pre-image selection. No
+    // cast between incarnations ever happens — the refusal this
+    // replaces guarded a cast the projection never needed.
     val restoreFlips = feedFlipVersions(entries, baseTypesOf(dir),
       keyColsOf(dir).toSet + "pid", toVersion, head)
-    require(restoreFlips.isEmpty,
-      s"restore of $dir to v$toVersion crosses a TYPE FLIP at " +
-        s"v${restoreFlips.mkString(",v")} — restore to a version inside the " +
-        "current incarnation's window instead")
     val ver = head + 1
     val tag = writerTag()
     val key = keyColsOf(dir)
-    val feed = changeFeed(s, dir, toVersion, head).localCheckpoint()
+    val feed = (if (restoreFlips.nonEmpty) changeFeedTagged(s, dir, toVersion, head)
+                else changeFeed(s, dir, toVersion, head)).localCheckpoint()
     // The tombstone key set is bounded by CHANGED keys, not the table:
     // incident-sized restores write one small file, which is why the
     // coalesce(1) is safe here. Restoring away a corpus-scale backfill
@@ -1676,13 +1681,21 @@ object VersionedLayout {
     // Keep each part's commit version (`_cv`) through the pre-image
     // selection: it is the era stamp the schema projection below gates
     // on when the restore range crosses a rename.
-    val target = feed.where(col("change_type") === "delete").alias("f")
+    val target0 = feed.where(col("change_type") === "delete").alias("f")
       .join(earliest.alias("e"),
         ("pid" +: key).map(k => col(s"f.$k") === col(s"e.$k")).reduce(_ && _)
           && col("f.change_version") === col("e._ev"))
       .select(col("f.change_version").as("_cv") +: feed.columns
         .filterNot(Set("change_type", "change_version"))
         .map(c => col(s"f.$c")): _*)
+    // Tagged per-incarnation columns (flip crossings only): every one
+    // is either a dead pre-flip incarnation or a head incarnation born
+    // above toVersion — neither can contribute values (see above), so
+    // they leave here. Guarded against a genuine head column that
+    // merely contains the separator.
+    val headSchema = readAsOf(s, dir, head).schema
+    val target = target0.drop(target0.columns.filter(c =>
+      c.contains("__as_") && !headSchema.fieldNames.contains(c)): _*)
     // RESTORE ACROSS SCHEMA EVOLUTION (round 12; previously refused):
     // the segment commits at head+1, so it must carry the HEAD era's
     // schema while its VALUES are each key's state as of `toVersion`.
@@ -1725,7 +1738,6 @@ object VersionedLayout {
     // birth decides whether the restore target predates it.
     val birth: Map[String, Int] = identitiesAt(entries, head)._2
       .map(i => i.servedName -> i.birth).toMap
-    val headSchema = readAsOf(s, dir, head).schema
     val projected = renamed.select(headSchema.fields.toSeq.map { f =>
       if (birth.getOrElse(f.name, 0) > toVersion)
         lit(null).cast(f.dataType).as(f.name)

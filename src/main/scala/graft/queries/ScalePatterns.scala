@@ -3424,6 +3424,125 @@ object ScalePatterns {
       .orderBy(col("version"))
   }
 
+  /** Stable location of q221's restore-across-flip events layout. */
+  private[graft] def eventsRestoreFlipDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_events_restoreflip_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val eventsRestoreFlipLock = new Object
+
+  /** Build (or fast-forward) q221's history — a typed re-add UNDER a
+    * later restore: v0 base, v1 ADD `bonus_tag BIGINT`, v2 INSERT
+    * purchase copies carrying bigint values, v3 DROP, v4 RE-ADD
+    * `bonus_tag` AS STRING (the flip), v5 INSERT view copies carrying
+    * STRING values, v6 DELETE the clicks, v7 RESTORE TO v2 — a restore
+    * whose feed range (2, 6] CROSSES the flip at v4 (refused until
+    * round 15).
+    */
+  private def ensureRestoreFlipScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = eventsRestoreFlipDir(d)
+    eventsRestoreFlipLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.events(s, d).select(
+          pmod(col("user_id"), lit(16)).cast("int").as("pid"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_centi")),
+        dir, Seq("event_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.addColumn(s, dir, "bonus_tag", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 1)
+            .where(col("event_type") === "purchase")
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 7).as("value_centi"),
+              expr("(value_centi + 7) div 10").as("bonus_tag")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.dropColumn(s, dir, "bonus_tag")
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.addColumn(s, dir, "bonus_tag", "string")
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.appendInsert(s, dir,
+          VersionedLayout.readAsOf(s, dir, 4)
+            .where(col("event_type") === "view"
+              && col("event_id") < evInsertKeyOffset)
+            .select(col("pid").cast("int").as("pid"),
+              (col("event_id") + 3 * evInsertKeyOffset).as("event_id"),
+              col("user_id"), col("event_type"),
+              (col("value_centi") + 9).as("value_centi"),
+              concat(lit("t"),
+                expr("(value_centi + 9) div 100").cast("string")).as("bonus_tag")))
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.appendDelete(s, dir, col("event_type") === "click")
+      if (VersionedLayout.currentVersion(dir) < 7) {
+        val rv = VersionedLayout.restore(s, dir, 2)
+        require(rv == 7, s"restore committed v$rv, expected v7")
+      }
+    }
+    dir
+  }
+
+  /** RESTORE ACROSS A TYPE FLIP (q221) — the last restore refusal
+    * retired (round 15): undoing v3-v6 (drop, STRING re-add, string
+    * inserts, delete) lands the table back at its v2 state as ONE
+    * feed-derived commit, even though the restore's change-feed range
+    * crosses the `bonus_tag` BIGINT->STRING flip at v4. Semantics
+    * pinned per version: v7 must re-serve v2's keys and value masses
+    * EXACTLY, with `bonus_tag` (whose HEAD incarnation — string, born
+    * v4 — postdates the restore target) all-NULL: the dead bigint
+    * incarnation's values never resurface under the string column, the
+    * string incarnation's own values correctly vanish (their rows were
+    * born above v2), and no cast between incarnations ever happens.
+    * History below stays addressable — v2's bigint values and v5's
+    * string values both still serve. At 100 TB: "undo the bad
+    * backfill" works even when the backfill window contains a type
+    * migration — O(changed keys), never a table rewrite.
+    */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureRestoreFlipScenario(s, d)
+    (0 to 7).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val withT =
+        if (df.columns.contains("bonus_tag"))
+          df.withColumn("bonus_tag", col("bonus_tag").cast("string"))
+        else df.withColumn("bonus_tag", lit(null).cast("string"))
+      withT.select(lit(ver.toLong).as("version"), col("value_centi"), col("bonus_tag"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_centi")).as("total_centi"),
+        count(col("bonus_tag")).as("n_with_tag"))
+      .orderBy(col("version"))
+  }
+
+  private lazy val q221OracleSql: String =
+    s"""WITH e AS (SELECT event_id, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       |p AS (SELECT vc + 7 AS vc FROM e WHERE event_type = 'purchase'),
+       |vw AS (SELECT vc + 9 AS vc FROM e WHERE event_type = 'view'),
+       |nc AS (SELECT vc FROM e WHERE event_type <> 'click'),
+       |base AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(vc) AS BIGINT) t FROM e),
+       |pp AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(vc) AS BIGINT) t FROM p),
+       |vv AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(vc) AS BIGINT) t FROM vw),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(vc) AS BIGINT) t FROM nc)
+       |SELECT CAST(0 AS BIGINT) AS version, base.n AS n_events, base.t AS total_centi,
+       |  CAST(0 AS BIGINT) AS n_with_tag FROM base
+       |UNION ALL SELECT 1, base.n, base.t, 0 FROM base
+       |UNION ALL SELECT 2, base.n + pp.n, base.t + pp.t, pp.n FROM base, pp
+       |UNION ALL SELECT 3, base.n + pp.n, base.t + pp.t, 0 FROM base, pp
+       |UNION ALL SELECT 4, base.n + pp.n, base.t + pp.t, 0 FROM base, pp
+       |UNION ALL SELECT 5, base.n + pp.n + vv.n, base.t + pp.t + vv.t, vv.n
+       |  FROM base, pp, vv
+       |UNION ALL SELECT 6, nn.n + pp.n + vv.n, nn.t + pp.t + vv.t, vv.n
+       |  FROM nn, pp, vv
+       |UNION ALL SELECT 7, base.n + pp.n, base.t + pp.t, 0 FROM base, pp
+       |ORDER BY 1""".stripMargin
+
   /** TYPE-FLIP CHANGE-FEED WINDOWS (q207) — the round-13 feed refusal
     * retired: a CDC subscription over q204's typed-re-add history is
     * served end-to-end. [[graft.operators.VersionedLayout
@@ -4509,6 +4628,7 @@ object ScalePatterns {
     QueryDef("q212_layout_merge", q212, Some(q212OracleSql)),
     QueryDef("q219_layout_sql_dml", q219, Some(q219OracleSql)),
     QueryDef("q220_layout_batch_read", q220, Some(q220OracleSql)),
+    QueryDef("q221_layout_restore_flip", q221, Some(q221OracleSql)),
     QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
     QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
     QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),

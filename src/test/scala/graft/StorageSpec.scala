@@ -2642,6 +2642,53 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("restore ACROSS A TYPE FLIP: pre-images project to the head schema with the flipped column nulled; history below stays addressable") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-restore-flip").toString + "/t"
+    def base(ids: Seq[Long]) = ids.map(i => (i, i * 100, i * 10)).toDF("event_id", "score", "w")
+      .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+        col("event_id"), col("score"), col("w"))
+    VersionedLayout.writeBaseTable(spark, base(1L to 12L), dir, Seq("event_id"))
+    VersionedLayout.dropColumn(spark, dir, "score")                    // v1
+    VersionedLayout.addColumn(spark, dir, "score", "string")           // v2 — FLIP
+    VersionedLayout.appendInsert(spark, dir,                           // v3
+      Seq((101L, "s101", 1L), (102L, "s102", 2L)).toDF("event_id", "score", "w")
+        .select(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
+          col("event_id"), col("score"), col("w")))
+    VersionedLayout.appendDelete(spark, dir, col("event_id") <= 3L)    // v4
+    VersionedLayout.appendUpsert(spark, dir, col("event_id") === 10L,  // v5
+      m => m.withColumn("w", col("w") + 1))
+    // Restore to v0 — the feed range (0, 5] crosses the flip at v2.
+    val rv = VersionedLayout.restore(spark, dir, 0)
+    assert(rv == 6)
+    val head = VersionedLayout.readAsOf(spark, dir, 6)
+    assert(head.schema("score").dataType == org.apache.spark.sql.types.StringType)
+    val rows = head.select(col("event_id"), col("w"), col("score")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    // Exactly the v0 key set; w back at v0 values; the flipped column
+    // NULL everywhere (its head incarnation was born above the target,
+    // and the dead bigint incarnation never resurfaces).
+    assert(rows.keySet == (1L to 12L).toSet, rows.keySet.toSeq.sorted.toString)
+    assert((1L to 12L).forall(i => rows(i) == ((i * 10, null))), rows.toString)
+    // History below the restore still serves BOTH incarnations.
+    val v3 = VersionedLayout.readAsOf(spark, dir, 3)
+    assert(v3.where(col("event_id") === 101L).select(col("score"))
+      .collect().head.getString(0) == "s101")
+    val v0 = VersionedLayout.readAsOf(spark, dir, 0)
+    assert(v0.where(col("event_id") === 5L).select(col("score"))
+      .collect().head.getLong(0) == 500L)
+    // The restore is an ordinary feed-visible commit.
+    val feed = VersionedLayout.changeFeed(spark, dir, 5, 6)
+    assert(feed.where(col("change_type") === "insert").count() == 4)   // 1,2,3 back + 10 un-bumped
+    // Restoring to a version at-or-above the flip takes the plain path.
+    val rv2 = VersionedLayout.restore(spark, dir, 3)
+    val head2 = VersionedLayout.readAsOf(spark, dir, rv2)
+    assert(head2.count() == 14 &&
+      head2.where(col("score").isNotNull).count() == 2)
+  }
+
   test("bloom sidecars fold into the checkpoint: point probes read NO per-version sidecar after it, prune identically; lost-race sidecars lease away") {
     import graft.operators.VersionedLayout
     val spark0 = spark
