@@ -887,3 +887,41 @@ object StreamThroughput {
     spark.stop()
   }
 }
+
+/** One-JVM toggle A/B of the round-15 resolution rules' analyzer tax:
+  * alternates the `graft.r15rules.off` kill-switch around interleaved
+  * runs of one plan-heavy query, so machine load cancels and the
+  * printed delta is the rules' true cost. Diagnostic-only main.
+  */
+object RulesToggleAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val qname = args.drop(1).headOption.getOrElse("q162_incremental_view")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(appName = "graft-rules-ab", master = Some(s"local[$cpus]"),
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(qname)
+    def timed(): Double = {
+      val t0 = System.nanoTime(); fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc(); sec
+    }
+    timed(); timed() // cold passes discarded
+    val on = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val off = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to 5).foreach { _ =>
+      System.clearProperty("graft.r15rules.off"); on += timed()
+      System.setProperty("graft.r15rules.off", "1"); off += timed()
+    }
+    System.clearProperty("graft.r15rules.off")
+    def fmt(xs: Seq[Double]) =
+      f"min=${xs.min}%.2f med=${xs.sorted.apply(xs.size / 2)}%.2f " +
+        xs.map(x => f"$x%.2f").mkString("[", " ", "]")
+    println(s"RULESAB $qname rules-ON  ${fmt(on.toSeq)}")
+    println(s"RULESAB $qname rules-OFF ${fmt(off.toSeq)}")
+    spark.stop()
+  }
+}

@@ -913,7 +913,8 @@ object VersionedLayout {
     // definition; data commits report the recorded masses (-1 =
     // written before the field existed — unknown, never guessed).
     val zeroRowActions = Set("compact", "majorcompact", "vacuum",
-      "addcolumn", "dropcolumn", "renamecolumn", "widencolumn")
+      "addcolumn", "dropcolumn", "renamecolumn", "widencolumn",
+      "addfield", "dropfield", "renamefield", "widenfield")
     log(dir).map { e =>
       (e.version.toLong, e.action, times(e.version),
         if (e.restoreOf >= 0) e.restoreOf.toLong
@@ -946,7 +947,8 @@ object VersionedLayout {
     import s0.implicits._
     val head = entries.last.version
     val zeroRowActions = Set("compact", "majorcompact", "vacuum",
-      "addcolumn", "dropcolumn", "renamecolumn", "widencolumn")
+      "addcolumn", "dropcolumn", "renamecolumn", "widencolumn",
+      "addfield", "dropfield", "renamefield", "widenfield")
     val dataMass = entries.filterNot(e => zeroRowActions(e.action))
     val m = majorAtOrBefore(entries, head)
     Seq((
@@ -1253,6 +1255,9 @@ object VersionedLayout {
     require(entries.nonEmpty, s"no committed layout at $dir")
     require(name != "pid" && !keyColsOf(dir).contains(name),
       s"column '$name' is a row-identity/partition column of $dir — cannot drop")
+    require(fieldEventsOf(entries, name).isEmpty,
+      s"column '$name' of $dir carries field-evolution history — top-level " +
+        "drop of a field-evolved struct is not supported (drop its fields)")
     require(readAsOf(s, dir, entries.last.version).columns.contains(name),
       s"column '$name' does not exist at the head of $dir")
     val ver = entries.last.version + 1
@@ -1340,6 +1345,9 @@ object VersionedLayout {
     require(entries.nonEmpty, s"no committed layout at $dir")
     require(from != "pid" && !keyColsOf(dir).contains(from),
       s"column '$from' is a row-identity/partition column of $dir — cannot rename")
+    require(fieldEventsOf(entries, from).isEmpty,
+      s"column '$from' of $dir carries field-evolution history — renaming a " +
+        "field-evolved struct would unbind its field events (unsupported)")
     val headDf = readAsOf(s, dir, entries.last.version)
     require(headDf.columns.contains(from), s"column '$from' does not exist at the head of $dir")
     require(!headDf.columns.contains(to), s"column '$to' already exists at the head of $dir")
@@ -1355,6 +1363,250 @@ object VersionedLayout {
     val ver = entries.last.version + 1
     commit(dir, LogEntry(ver, "renamecolumn", Nil, 0, colName = from, colType = to))
     ver
+  }
+
+  // ---------------------------------------------------------------
+  // NESTED FIELD EVOLUTION (round 15): add / drop / rename / widen of
+  // STRUCT FIELDS, metadata-only like the top-level legs. Scope is
+  // deliberately the unambiguous core: base-origin struct columns
+  // whose top-level name was never itself evolved, scalar field types,
+  // one nesting level, and NO field-name reuse (a dropped or
+  // renamed-away field name cannot return — the refusal that keeps
+  // every field a single identity, so reads need no per-source era
+  // gating: a field's spellings are disjoint across history and a
+  // plain coalesce over the physically-present spellings is exact).
+  // The read path replays the field events at the READ version over
+  // the original (base-write) field list and rebuilds the struct —
+  // zero plan change for layouts without field events; folds
+  // materialize the evolved shape because majorCompact snapshots
+  // through readAsOf. The change feed serves each part's own physical
+  // field spellings (a consumer crossing a field rename sees both
+  // spellings, null-split by era), like its per-version schema rule
+  // for top-level evolution.
+  // ---------------------------------------------------------------
+
+  private val fieldActions = Set("addfield", "dropfield", "renamefield", "widenfield")
+
+  private def fieldPathParts(path: String): (String, String) = {
+    val i = path.indexOf('.')
+    require(i > 0 && path.indexOf('.', i + 1) < 0 && i < path.length - 1,
+      s"field path '$path' must be parent.field (exactly one nesting level)")
+    (path.substring(0, i), path.substring(i + 1))
+  }
+
+  private def fieldEventsOf(entries: Seq[LogEntry], parent: String): Seq[LogEntry] =
+    entries.filter(e => fieldActions(e.action)
+      && e.colName.startsWith(parent + "."))
+
+  /** The original (base-write) struct fields of `parent` — the
+    * baseline every field-evolution replay starts from. Field
+    * evolution requires it (base-origin struct columns only; an
+    * addColumn'd struct cannot exist — the add-type charset is
+    * scalar-only — and pre-round-13 layouts record no base types).
+    */
+  private def originalFieldsOf(dir: String, parent: String): StructType = {
+    val ddl = baseTypesOf(dir).getOrElse(parent, throw new IllegalArgumentException(
+      s"'$parent' of $dir has no recorded base type — field evolution needs a " +
+        "round-13+ layout (writeBaseTable records base types)"))
+    DataType.fromDDL(ddl) match {
+      case st: StructType => st
+      case other => throw new IllegalArgumentException(
+        s"'$parent' of $dir is ${other.simpleString}, not a struct — " +
+          "field evolution applies to struct columns")
+    }
+  }
+
+  /** One live field identity at some version: served name, all its
+    * physical spellings (newest first — renames prepend), declared
+    * type (original, or the last at-or-below widen).
+    */
+  private final case class ServedField(name: String, spellings: List[String],
+      tpe: DataType, birth: Int)
+
+  /** Replay `parent`'s field events at-or-below `v` over its original
+    * field list — the authoritative served-field state at `v`. Pure
+    * log metadata. Sound without era gating because field names are
+    * never reused (enforced at commit).
+    */
+  private def servedFieldsAt(dir: String, entries: Seq[LogEntry],
+      parent: String, v: Int): Seq[ServedField] = {
+    val orig = originalFieldsOf(dir, parent)
+    var served = orig.fields.toVector.map(f =>
+      ServedField(f.name, List(f.name), f.dataType, birth = 0))
+    fieldEventsOf(entries, parent).filter(_.version <= v).sortBy(_.version)
+      .foreach { e =>
+        val f = e.colName.split("\\.", 2)(1)
+        e.action match {
+          case "addfield" =>
+            served :+= ServedField(f, List(f), DataType.fromDDL(e.colType), e.version)
+          case "dropfield" => served = served.filterNot(_.name == f)
+          case "renamefield" => served = served.map(sf =>
+            if (sf.name == f)
+              ServedField(e.colType, e.colType :: sf.spellings, sf.tpe, sf.birth)
+            else sf)
+          case "widenfield" => served = served.map(sf =>
+            if (sf.name == f) sf.copy(tpe = DataType.fromDDL(e.colType)) else sf)
+        }
+      }
+    served
+  }
+
+  /** Every field name `parent` has EVER used (original fields, add
+    * targets, rename sources and targets) — the no-reuse freshness
+    * domain for [[addField]]/[[renameField]].
+    */
+  private def everUsedFieldNames(dir: String, entries: Seq[LogEntry],
+      parent: String): Set[String] =
+    originalFieldsOf(dir, parent).fieldNames.toSet ++
+      fieldEventsOf(entries, parent).flatMap { e =>
+        val f = e.colName.split("\\.", 2)(1)
+        if (e.action == "renamefield") Seq(f, e.colType) else Seq(f)
+      }
+
+  /** Field evolution's identity-simplicity contract: `parent` must be
+    * a base-origin struct column whose top-level name no top-level
+    * evolution event ever touched — otherwise which incarnation the
+    * field events bind to is genuinely ambiguous, and the engine
+    * refuses rather than guesses.
+    */
+  private def requireFieldEvolvable(dir: String, entries: Seq[LogEntry],
+      parent: String): Unit = {
+    require(parent != "pid" && !keyColsOf(dir).contains(parent),
+      s"'$parent' is a row-identity/partition column of $dir")
+    val touched = entries.exists(e =>
+      Set("addcolumn", "dropcolumn", "renamecolumn", "widencolumn")(e.action)
+        && (e.colName == parent
+          || (e.action == "renamecolumn" && e.colType == parent)))
+    require(!touched,
+      s"'$parent' of $dir has top-level evolution history — field evolution " +
+        "binds to base-origin, never-renamed struct columns only")
+    originalFieldsOf(dir, parent)
+    ()
+  }
+
+  /** ADD FIELD as version `currentVersion + 1` — nested schema
+    * evolution, METADATA-ONLY: no data file is touched. Sources
+    * written before this version lack the field physically and serve
+    * NULL (the plan-time union null-fills nested fields); segments
+    * written after carry it. Scalar types only; the name must be
+    * FRESH across the struct's whole field history (no reuse — see
+    * the section comment).
+    */
+  def addField(s: SparkSession, dir: String, path: String, sqlType: String): Int = {
+    val (parent, f) = fieldPathParts(path)
+    require(f.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"field name '$f' is not identifier-shaped")
+    require(sqlType.matches("[A-Za-z0-9_(), ]*"),
+      s"field type '$sqlType' cannot ride the log entry (odd character)")
+    DataType.fromDDL(sqlType)
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    requireFieldEvolvable(dir, entries, parent)
+    val used = everUsedFieldNames(dir, entries, parent)
+    require(!used.contains(f),
+      s"field name '$f' was already used in '$parent' of $dir — field names " +
+        "are single identities and never return (add under a fresh name)")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "addfield", Nil, 0, colName = path, colType = sqlType))
+    ver
+  }
+
+  /** DROP FIELD as version `currentVersion + 1`, METADATA-ONLY: reads
+    * at-or-above mask the field, reads below still serve it, the next
+    * fold materializes the drop. The name never returns.
+    */
+  def dropField(s: SparkSession, dir: String, path: String): Int = {
+    val (parent, f) = fieldPathParts(path)
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    requireFieldEvolvable(dir, entries, parent)
+    val served = servedFieldsAt(dir, entries, parent, entries.last.version)
+    require(served.exists(_.name == f),
+      s"field '$f' is not served by '$parent' of $dir at head " +
+        s"(served: ${served.map(_.name).mkString(", ")})")
+    require(served.size > 1,
+      s"cannot drop the last field of struct column '$parent'")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "dropfield", Nil, 0, colName = path))
+    ver
+  }
+
+  /** RENAME FIELD as version `currentVersion + 1`, METADATA-ONLY: the
+    * identity continues under the new name; bytes written under either
+    * spelling serve under the new one (spellings are disjoint across
+    * history, so a plain coalesce is exact). `colType` carries the NEW
+    * NAME, like [[renameColumn]]'s entry.
+    */
+  def renameField(s: SparkSession, dir: String, path: String, to: String): Int = {
+    val (parent, f) = fieldPathParts(path)
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"field name '$to' is not identifier-shaped")
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    requireFieldEvolvable(dir, entries, parent)
+    val served = servedFieldsAt(dir, entries, parent, entries.last.version)
+    require(served.exists(_.name == f),
+      s"field '$f' is not served by '$parent' of $dir at head")
+    val used = everUsedFieldNames(dir, entries, parent)
+    require(!used.contains(to),
+      s"field name '$to' was already used in '$parent' of $dir — field names " +
+        "are single identities and never return")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "renamefield", Nil, 0, colName = path, colType = to))
+    ver
+  }
+
+  /** WIDEN FIELD TYPE as version `currentVersion + 1`, METADATA-ONLY:
+    * same lossless-only [[widenChain]] as the top-level leg; old bytes
+    * coerce at plan time, the next fold materializes the wide type.
+    */
+  def widenField(s: SparkSession, dir: String, path: String, toType: String): Int = {
+    val (parent, f) = fieldPathParts(path)
+    require(toType.matches("[A-Za-z0-9_(), ]*"),
+      s"field type '$toType' cannot ride the log entry (odd character)")
+    val target = DataType.fromDDL(toType)
+    val entries = log(dir)
+    require(entries.nonEmpty, s"no committed layout at $dir")
+    requireFieldEvolvable(dir, entries, parent)
+    val cur = servedFieldsAt(dir, entries, parent, entries.last.version)
+      .find(_.name == f).getOrElse(throw new IllegalArgumentException(
+        s"field '$f' is not served by '$parent' of $dir at head")).tpe
+    require(widenChain.get(cur).exists(_.contains(target)),
+      s"cannot widen '$path' from ${cur.simpleString} to ${target.simpleString} — " +
+        "lossless widenings only (integral up-chain, float->double)")
+    val ver = entries.last.version + 1
+    commit(dir, LogEntry(ver, "widenfield", Nil, 0, colName = path, colType = toType))
+    ver
+  }
+
+  /** Rebuild each field-evolved struct column of an as-of frame to its
+    * served shape at `v`: replay the field events, then construct the
+    * struct explicitly — each field a coalesce over its physically
+    * present spellings, cast to its declared type; fields added above
+    * `v` or dropped at-or-below it simply don't appear. Row-level NULL
+    * structs stay NULL. No-op (zero plan change) when the log carries
+    * no field events.
+    */
+  private def conformStructFields(df: DataFrame, dir: String,
+      entries: Seq[LogEntry], v: Int): DataFrame = {
+    val parents = entries.filter(e => fieldActions(e.action))
+      .map(_.colName.split("\\.", 2)(0)).distinct
+    if (parents.isEmpty) return df
+    parents.filter(df.columns.contains).foldLeft(df) { (d, p) =>
+      d.schema(p).dataType match {
+        case st: StructType =>
+          val phys = st.fieldNames.toSet
+          val exprs = servedFieldsAt(dir, entries, p, v).map { sf =>
+            val present = sf.spellings.filter(phys)
+            val raw =
+              if (present.isEmpty) lit(null)
+              else present.map(n => col(s"$p.$n")).reduceLeft(coalesce(_, _))
+            raw.cast(sf.tpe).as(sf.name)
+          }
+          d.withColumn(p, when(col(p).isNotNull, struct(exprs: _*)))
+        case _ => d
+      }
+    }
   }
 
   /** Transactional insert for streaming ingest: commit `rows` as an
@@ -1738,9 +1990,32 @@ object VersionedLayout {
     // birth decides whether the restore target predates it.
     val birth: Map[String, Int] = identitiesAt(entries, head)._2
       .map(i => i.servedName -> i.birth).toMap
+    // FIELD-EVOLVED struct columns (round 15) project per FIELD, never
+    // through a whole-struct cast (struct casts are positional — a
+    // pre-image whose struct predates a field add/rename/drop would
+    // mis-map): each head-served field coalesces over its spellings
+    // physically present in the pre-images, cast to its declared type,
+    // with the SAME birth rule as top-level columns — a field whose
+    // add postdates the restore target restores as NULL.
+    val fieldEvolved = entries.filter(e => fieldActions(e.action))
+      .map(_.colName.split("\\.", 2)(0)).distinct.toSet
     val projected = renamed.select(headSchema.fields.toSeq.map { f =>
       if (birth.getOrElse(f.name, 0) > toVersion)
         lit(null).cast(f.dataType).as(f.name)
+      else if (fieldEvolved(f.name) && renamed.columns.contains(f.name)) {
+        val phys = renamed.schema(f.name).dataType match {
+          case st: StructType => st.fieldNames.toSet
+          case _ => Set.empty[String]
+        }
+        val exprs = servedFieldsAt(dir, entries, f.name, head).map { sf =>
+          val present = sf.spellings.filter(phys)
+          val raw =
+            if (sf.birth > toVersion || present.isEmpty) lit(null)
+            else present.map(n => col(s"${f.name}.$n")).reduceLeft(coalesce(_, _))
+          raw.cast(sf.tpe).as(sf.name)
+        }
+        when(col(f.name).isNotNull, struct(exprs: _*)).as(f.name)
+      }
       else if (renamed.columns.contains(f.name))
         col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
@@ -3192,6 +3467,8 @@ object VersionedLayout {
         // per-type aliases of conflicted names are consumed by the era
         // arms above and must not leak through as raw columns
         && !conflicts.exists(n => c.startsWith(n + "__as_")))
-    mirrored.select(keepAsIs.map(col) ++ servedExprs.map(_._2): _*)
+    conformStructFields(
+      mirrored.select(keepAsIs.map(col) ++ servedExprs.map(_._2): _*),
+      dir, entries, v)
   }
 }

@@ -3543,6 +3543,130 @@ object ScalePatterns {
        |UNION ALL SELECT 7, base.n + pp.n, base.t + pp.t, 0 FROM base, pp
        |ORDER BY 1""".stripMargin
 
+  /** Stable location of q222's field-evolution documents layout. */
+  private[graft] def docsFieldEvoDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_documents_fieldevo_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val docsFieldEvoLock = new Object
+  val fieldEvoIns1Offset = 4000000L
+  val fieldEvoIns2Offset = 8000000L
+
+  /** Build (or fast-forward) q222's history — NESTED FIELD EVOLUTION
+    * over a documents layout whose payload is one struct column
+    * `meta(lang, source, n_chars INT)`: v1 ADD FIELD `meta.quality
+    * BIGINT`, v2 INSERT src7-doc copies carrying it, v3 RENAME FIELD
+    * `meta.lang -> meta.language`, v4 WIDEN FIELD `meta.n_chars ->
+    * BIGINT`, v5 DROP FIELD `meta.source`, v6 INSERT copies under the
+    * fully-evolved shape, v7 majorCompact (materializes the evolved
+    * struct physically).
+    */
+  private def ensureFieldEvoScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = docsFieldEvoDir(d)
+    docsFieldEvoLock.synchronized {
+      VersionedLayout.writeBaseTable(s,
+        Tables.documents(s, d).select(
+          pmod(col("doc_id"), lit(8)).cast("int").as("pid"),
+          col("doc_id"),
+          struct(col("lang"), col("source"),
+            col("n_chars").cast("int").as("n_chars")).as("meta")),
+        dir, Seq("doc_id"))
+      if (VersionedLayout.currentVersion(dir) < 1)
+        VersionedLayout.addField(s, dir, "meta.quality", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 2)
+        VersionedLayout.appendInsert(s, dir,
+          Tables.documents(s, d).where(col("source") === "src7")
+            .select(pmod(col("doc_id"), lit(8)).cast("int").as("pid"),
+              (col("doc_id") + fieldEvoIns1Offset).as("doc_id"),
+              struct(col("lang"), col("source"),
+                col("n_chars").cast("int").as("n_chars"),
+                (col("n_chars") % 100).as("quality")).as("meta")))
+      if (VersionedLayout.currentVersion(dir) < 3)
+        VersionedLayout.renameField(s, dir, "meta.lang", "language")
+      if (VersionedLayout.currentVersion(dir) < 4)
+        VersionedLayout.widenField(s, dir, "meta.n_chars", "bigint")
+      if (VersionedLayout.currentVersion(dir) < 5)
+        VersionedLayout.dropField(s, dir, "meta.source")
+      if (VersionedLayout.currentVersion(dir) < 6)
+        VersionedLayout.appendInsert(s, dir,
+          Tables.documents(s, d).where(col("doc_id") % 7 === 3)
+            .select(pmod(col("doc_id"), lit(8)).cast("int").as("pid"),
+              (col("doc_id") + fieldEvoIns2Offset).as("doc_id"),
+              struct(col("lang").as("language"), col("n_chars"),
+                (col("n_chars") % 50).as("quality")).as("meta")))
+      if (VersionedLayout.currentVersion(dir) < 7)
+        VersionedLayout.majorCompact(s, dir)
+    }
+    dir
+  }
+
+  /** NESTED FIELD EVOLUTION (q222) — add / rename / widen / drop of
+    * STRUCT FIELDS through the commit log (round 15; any nested
+    * evolution previously refused at commit). Every leg is
+    * metadata-only: sources written before an add serve NULL for the
+    * field, bytes written under either spelling of a renamed field
+    * serve under the new name (field names are single identities —
+    * reuse refuses — so a plain coalesce over physically-present
+    * spellings is exact, no era gating), widens coerce old bytes at
+    * plan time, drops mask at-or-above and keep serving below, and the
+    * v7 fold MATERIALIZES the evolved shape while archives keep
+    * serving every older era to below-fold reads. The gate reads all
+    * eight versions, flattening the struct into fixed scalar columns
+    * (absent-at-v fields report zero), and the DuckDB oracle re-derives
+    * every version from the raw documents table. At 100 TB: a
+    * multimodal corpus's metadata struct gains/renames/retypes a field
+    * for the cost of one log write — never a struct-column
+    * drop-and-re-add, never a table rewrite.
+    */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureFieldEvoScenario(s, d)
+    (0 to 7).map { ver =>
+      val df = VersionedLayout.readAsOf(s, dir, ver)
+      val fields = df.schema("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      def f(n: String, as: String) =
+        if (fields(n)) col(s"meta.$n").as(as)
+        else lit(null).as(as)
+      df.select(
+        f("language", "language_v"),
+        f("lang", "lang_v"),
+        f("source", "source_v"),
+        col("meta.n_chars").cast("long").as("nc"),
+        f("quality", "q"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("chars_total"),
+          coalesce(sum(col("q").cast("long")), lit(0L)).as("quality_total"),
+          count(coalesce(col("language_v"), col("lang_v"))).as("lang_nonnull"),
+          count(col("source_v")).as("source_nonnull"))
+        .select(lit(ver.toLong).as("version"), col("n_docs"), col("chars_total"),
+          col("quality_total"), col("lang_nonnull"), col("source_nonnull"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  private lazy val q222OracleSql: String =
+    s"""WITH b AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(n_chars) AS BIGINT) c
+       |  FROM documents),
+       |w AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(n_chars) AS BIGINT) c,
+       |  CAST(sum(n_chars % 100) AS BIGINT) q FROM documents WHERE source = 'src7'),
+       |s7 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(n_chars) AS BIGINT) c,
+       |  CAST(sum(n_chars % 50) AS BIGINT) q FROM documents WHERE doc_id % 7 = 3)
+       |SELECT CAST(0 AS BIGINT) AS version, b.n AS n_docs, b.c AS chars_total,
+       |  CAST(0 AS BIGINT) AS quality_total, b.n AS lang_nonnull,
+       |  b.n AS source_nonnull FROM b
+       |UNION ALL SELECT 1, b.n, b.c, 0, b.n, b.n FROM b
+       |UNION ALL SELECT 2, b.n + w.n, b.c + w.c, w.q, b.n + w.n, b.n + w.n FROM b, w
+       |UNION ALL SELECT 3, b.n + w.n, b.c + w.c, w.q, b.n + w.n, b.n + w.n FROM b, w
+       |UNION ALL SELECT 4, b.n + w.n, b.c + w.c, w.q, b.n + w.n, b.n + w.n FROM b, w
+       |UNION ALL SELECT 5, b.n + w.n, b.c + w.c, w.q, b.n + w.n, 0 FROM b, w
+       |UNION ALL SELECT 6, b.n + w.n + s7.n, b.c + w.c + s7.c, w.q + s7.q,
+       |  b.n + w.n + s7.n, 0 FROM b, w, s7
+       |UNION ALL SELECT 7, b.n + w.n + s7.n, b.c + w.c + s7.c, w.q + s7.q,
+       |  b.n + w.n + s7.n, 0 FROM b, w, s7
+       |ORDER BY 1""".stripMargin
+
   /** TYPE-FLIP CHANGE-FEED WINDOWS (q207) — the round-13 feed refusal
     * retired: a CDC subscription over q204's typed-re-add history is
     * served end-to-end. [[graft.operators.VersionedLayout
@@ -4629,6 +4753,7 @@ object ScalePatterns {
     QueryDef("q219_layout_sql_dml", q219, Some(q219OracleSql)),
     QueryDef("q220_layout_batch_read", q220, Some(q220OracleSql)),
     QueryDef("q221_layout_restore_flip", q221, Some(q221OracleSql)),
+    QueryDef("q222_layout_field_evolution", q222, Some(q222OracleSql)),
     QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
     QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
     QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),

@@ -175,8 +175,16 @@ final class LayoutChangeSource(
   * session without the graft extensions fails loudly here instead of
   * silently serving nothing.
   */
+object GraftLayoutTable {
+  /** Nonzero once any batch-format table was resolved in this JVM —
+    * [[graft.plans.GraftBatchReadRule]]'s O(1) analyzer fast path.
+    */
+  val everCreated = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 final case class GraftLayoutTable(dir: String, asOfVersion: Int,
     tableSchema: StructType) extends Table with SupportsRead {
+  GraftLayoutTable.everCreated.incrementAndGet()
   override def name(): String = s"graft-layout `$dir` v$asOfVersion"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =

@@ -1291,10 +1291,10 @@ class StorageSpec extends SparkSpec {
       && !whole.columns.contains("tag"), whole.columns.mkString(","))
     assert(whole.where(col("tag__as_bigint").isNotNull).count() == 2
       && whole.where(col("tag__as_string").isNotNull).count() == 2)
-    // Restore across the flip rides the feed and refuses likewise.
-    val exr = intercept[IllegalArgumentException](
-      VersionedLayout.restore(spark, dir, 2))
-    assert(exr.getMessage.contains("TYPE FLIP"), exr.getMessage)
+    // (Round 15: restore ACROSS the flip no longer refuses — covered
+    // by the dedicated flip-crossing restore test and the randomized
+    // model; not exercised here so this history's version numbering
+    // stays fixed.)
     // BASE-ORIGIN flip: rename the base column away, revive the name
     // as a string — the recorded base types key the conflict exactly.
     VersionedLayout.renameColumn(spark, dir, "value_centi", "vc")                  // v7
@@ -2458,6 +2458,7 @@ class StorageSpec extends SparkSpec {
     // including NULLs for pre-birth / post-death incarnation windows).
     final case class Ident(id: Int, var name: String, var dead: Boolean,
       var tpe: String)
+    final case class FIdent(fid: Int, var name: String, var tpe: String)
     for (seed <- Seq(11, 23, 47, 61, 83, 97)) {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-evomodel-$seed").toString + "/t"
@@ -2469,18 +2470,32 @@ class StorageSpec extends SparkSpec {
       val usedNames = scala.collection.mutable.Set("c0", "pid", "event_id")
       var rows = Map.empty[Long, Map[Int, Long]] // key -> identId -> value
       // The FIXED array<float> payload column (round 14): rides every
-      // write/delete/fold/restore like any payload, never evolved
-      // (nested evolution refuses by contract). Model value derives
-      // from (key, write version) like the scalar cells.
+      // write/delete/fold/restore like any payload, never evolved.
+      // Model value derives from (key, write version) like the scalar
+      // cells.
       var arr = Map.empty[Long, Seq[Float]]
+      // The STRUCT column (round 15): rides every mutation AND evolves
+      // at FIELD granularity (add/drop/rename/widen, fresh names only
+      // per the no-reuse contract). The model stores struct cells BY
+      // FIELD IDENTITY as written (fields live at the write version);
+      // a read at v renders the fields live at v, so a field added
+      // after a row's copy was written reads NULL for it.
+      var fNextId = 2
+      var fFresh = 0
+      val fidents = scala.collection.mutable.ArrayBuffer(
+        FIdent(0, "fa", "int"), FIdent(1, "fb", "bigint"))
+      var sRows = Map.empty[Long, Map[Int, Long]]
       val deadKeys = scala.collection.mutable.Set.empty[Long]
       var ver = 0
-      // snapshots(v) = (live identId -> its name at v, rows at v, arrays at v)
+      // snapshots(v) = (live identId -> name, rows, arrays, struct
+      // field-id -> name, struct cells) at v
       val snaps = scala.collection.mutable.ArrayBuffer
-        .empty[(Map[Int, String], Map[Long, Map[Int, Long]], Map[Long, Seq[Float]])]
+        .empty[(Map[Int, String], Map[Long, Map[Int, Long]], Map[Long, Seq[Float]],
+          Map[Int, String], Map[Long, Map[Int, Long]])]
       val oplog = scala.collection.mutable.ArrayBuffer.empty[String]
       def live = idents.filter(!_.dead)
-      def snap(): Unit = snaps += ((live.map(i => i.id -> i.name).toMap, rows, arr))
+      def snap(): Unit = snaps += ((live.map(i => i.id -> i.name).toMap, rows, arr,
+        fidents.map(f => f.fid -> f.name).toMap, sRows))
       def embOf(k: Long, v: Int): Seq[Float] =
         Seq((k * 1000 + v % 10).toFloat, (k % 97).toFloat)
       def mkDf(ks: Seq[Long]): org.apache.spark.sql.DataFrame = {
@@ -2490,16 +2505,22 @@ class StorageSpec extends SparkSpec {
           .select(Seq(pmod(col("event_id"), lit(4)).cast("int").as("pid"),
             col("event_id"),
             array(((col("event_id") * 1000) + lit(ver % 10)).cast("float"),
-              pmod(col("event_id"), lit(97)).cast("float")).as("emb")) ++
+              pmod(col("event_id"), lit(97)).cast("float")).as("emb"),
+            struct(fidents.toSeq.map(f =>
+              ((col("event_id") * 50) + lit(f.fid * 7 + ver % 5))
+                .cast(f.tpe).as(f.name)): _*).as("sm")) ++
             cols.zipWithIndex.map { case (i, x) =>
               col("vals").getItem(x).cast(i.tpe).as(i.name) }: _*)
       }
       def modelRows(ks: Seq[Long]): Map[Long, Map[Int, Long]] =
         ks.map(k => k -> live.map(i => i.id -> (k * 1000 + i.id * 10 + (ver % 10))).toMap).toMap
+      def modelSRows(ks: Seq[Long]): Map[Long, Map[Int, Long]] =
+        ks.map(k => k -> fidents.map(f => f.fid -> (k * 50 + f.fid * 7 + ver % 5)).toMap).toMap
       // v0 base: keys 1..8.
       val baseKeys = (1L to 8L)
       rows = modelRows(baseKeys)
       arr = baseKeys.map(k => k -> embOf(k, 0)).toMap
+      sRows = modelSRows(baseKeys)
       VersionedLayout.writeBaseTable(spark, mkDf(baseKeys), dir, Seq("event_id"))
       snap()
       (1 to 18).foreach { _ =>
@@ -2512,13 +2533,14 @@ class StorageSpec extends SparkSpec {
           ver += 1
           rows ++= modelRows(ks)
           arr ++= ks.map(k => k -> embOf(k, ver))
+          sRows ++= modelSRows(ks)
           oplog += s"v$ver insert ${ks.mkString(",")}"
           VersionedLayout.appendInsert(spark, dir, mkDf(ks))
           snap()
         } else if (roll < 42 && rows.nonEmpty) { // DELETE 1-3 live keys
           val ks = rnd.shuffle(rows.keys.toSeq).take(1 + rnd.nextInt(3))
           ver += 1
-          rows --= ks; arr --= ks; deadKeys ++= ks
+          rows --= ks; arr --= ks; sRows --= ks; deadKeys ++= ks
           oplog += s"v$ver delete ${ks.mkString(",")}"
           VersionedLayout.appendDelete(spark, dir, col("event_id").isin(ks: _*))
           snap()
@@ -2569,45 +2591,78 @@ class StorageSpec extends SparkSpec {
           oplog += s"v$ver widen ${i.name}(id ${i.id})"
           assert(VersionedLayout.widenColumn(spark, dir, i.name, "bigint") == ver)
           snap()
-        } else if (roll < 88) { // MAJOR FOLD: no logical change
+        } else if (roll < 85) { // MAJOR FOLD: no logical change
           val (v2, _) = VersionedLayout.majorCompact(spark, dir)
           ver = v2
           oplog += s"v$ver fold"
           snap()
+        } else if (roll < 92) { // STRUCT FIELD evolution (round 15)
+          val fr = rnd.nextInt(4)
+          ver += 1
+          if (fr == 0) { // add a fresh field
+            fFresh += 1
+            val name = s"f$fFresh"
+            fidents += FIdent({ fNextId += 1; fNextId - 1 }, name, "bigint")
+            oplog += s"v$ver fadd sm.$name(fid ${fNextId - 1})"
+            assert(VersionedLayout.addField(spark, dir, s"sm.$name", "bigint") == ver)
+          } else if (fr == 1 && fidents.size > 1) { // drop a field
+            val i = rnd.nextInt(fidents.size)
+            val f = fidents.remove(i)
+            sRows = sRows.map { case (k, m) => k -> (m - f.fid) }
+            oplog += s"v$ver fdrop sm.${f.name}(fid ${f.fid})"
+            assert(VersionedLayout.dropField(spark, dir, s"sm.${f.name}") == ver)
+          } else if (fr == 2) { // rename a field to a fresh name
+            val f = fidents(rnd.nextInt(fidents.size))
+            fFresh += 1
+            val to = s"g$fFresh"
+            oplog += s"v$ver fren sm.${f.name}->$to(fid ${f.fid})"
+            assert(VersionedLayout.renameField(spark, dir, s"sm.${f.name}", to) == ver)
+            f.name = to
+          } else if (fidents.exists(_.tpe == "int")) { // widen int->bigint
+            val cands = fidents.filter(_.tpe == "int")
+            val f = cands(rnd.nextInt(cands.size))
+            f.tpe = "bigint"
+            oplog += s"v$ver fwiden sm.${f.name}(fid ${f.fid})"
+            assert(VersionedLayout.widenField(spark, dir, s"sm.${f.name}", "bigint") == ver)
+          } else { // nothing applicable at this roll: burn the version on an add
+            fFresh += 1
+            val name = s"f$fFresh"
+            fidents += FIdent({ fNextId += 1; fNextId - 1 }, name, "bigint")
+            oplog += s"v$ver fadd sm.$name(fid ${fNextId - 1})"
+            assert(VersionedLayout.addField(spark, dir, s"sm.$name", "bigint") == ver)
+          }
+          snap()
         } else if (ver >= 1) { // RESTORE to a random past version
           val toV = rnd.nextInt(ver)
-          // The restore serves the HEAD's names/identities; the model
-          // takes toV's VALUES filtered to identities still live now
-          // (an incarnation born above toV has no value in the old
-          // snapshot, so it restores to NULL by construction). A range
-          // crossing a TYPE FLIP refuses loudly (rides the change
-          // feed's round-13 guard) — the engine consumes no version and
-          // the model moves on.
-          try {
-            val got = VersionedLayout.restore(spark, dir, toV)
-            ver += 1
-            assert(got == ver, s"restore committed $got, expected $ver")
-            val rowsAt = snaps(toV)._2
-            val liveIds = live.map(_.id).toSet
-            rows = rowsAt.map { case (k, m) => k -> m.filter(kv => liveIds(kv._1)) }
-            arr = snaps(toV)._3
-            deadKeys.clear()
-            deadKeys ++= (snaps.flatMap(_._2.keys).toSet -- rows.keys)
-            oplog += s"v$ver restore->$toV"
-            snap()
-          } catch {
-            case e: IllegalArgumentException if e.getMessage.contains("TYPE FLIP") =>
-              oplog += s"restore->$toV refused (type flip)"
-          }
+          // The restore serves the HEAD's names/identities (round 15:
+          // including across TYPE FLIPS — the old refusal is retired);
+          // the model takes toV's VALUES filtered to identities still
+          // live now (an incarnation born above toV has no value in
+          // the old snapshot, so it restores to NULL by construction).
+          // Struct cells restore to toV's written cells — fields born
+          // above toV are absent there, so they render NULL, exactly
+          // the engine's field birth gate.
+          val got = VersionedLayout.restore(spark, dir, toV)
+          ver += 1
+          assert(got == ver, s"restore committed $got, expected $ver")
+          val rowsAt = snaps(toV)._2
+          val liveIds = live.map(_.id).toSet
+          rows = rowsAt.map { case (k, m) => k -> m.filter(kv => liveIds(kv._1)) }
+          arr = snaps(toV)._3
+          sRows = snaps(toV)._5
+          deadKeys.clear()
+          deadKeys ++= (snaps.flatMap(_._2.keys).toSet -- rows.keys)
+          oplog += s"v$ver restore->$toV"
+          snap()
         } else { // nothing applicable: burn no version
           ()
         }
       }
       // Verify EVERY version against its snapshot.
       (0 to ver).foreach { v =>
-        val (names, mrows, marr) = snaps(v)
+        val (names, mrows, marr, fnames, msrows) = snaps(v)
         val df = VersionedLayout.readAsOf(spark, dir, v)
-        val expectCols = (Seq("pid", "event_id", "emb") ++ names.values).sorted
+        val expectCols = (Seq("pid", "event_id", "emb", "sm") ++ names.values).sorted
         assert(df.columns.sorted.toSeq == expectCols,
           s"seed $seed v$v: columns ${df.columns.sorted.toSeq} != $expectCols")
         val collected = df.collect()
@@ -2616,6 +2671,33 @@ class StorageSpec extends SparkSpec {
             -> r.getSeq[Float](r.fieldIndex("emb")).toSeq).toMap
         assert(gotEmb == marr,
           s"seed $seed v$v: array column diverged [${oplog.mkString("; ")}]")
+        // Struct column: the fields live at v, each cell the value as
+        // written (absent-at-write -> NULL), rename-transparent.
+        val smSchema = df.schema("sm").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        assert(smSchema.fieldNames.sorted.toSeq == fnames.values.toSeq.sorted,
+          s"seed $seed v$v: sm fields ${smSchema.fieldNames.toSeq} != " +
+            s"${fnames.values.toSeq} [${oplog.mkString("; ")}]")
+        val gotS = collected.map { r =>
+          val k = r.getLong(r.fieldIndex("event_id"))
+          val st = r.getStruct(r.fieldIndex("sm"))
+          k -> fnames.map { case (fid, n) =>
+            fid -> (st.get(smSchema.fieldIndex(n)) match {
+              case null => None
+              case x: Number => Some(x.longValue)
+              case other => fail(s"seed $seed v$v sm.$n: unexpected cell $other")
+            })
+          }
+        }.toMap
+        val wantS = msrows.filter(kv => mrows.contains(kv._1)).map { case (k, m) =>
+          k -> fnames.map { case (fid, _) => fid -> m.get(fid) }
+        }
+        assert(gotS.keySet == wantS.keySet,
+          s"seed $seed v$v: struct keys diverged [${oplog.mkString("; ")}]")
+        wantS.foreach { case (k, m) =>
+          assert(gotS(k) == m,
+            s"seed $seed v$v key $k: sm got ${gotS(k)}, want $m [${oplog.mkString("; ")}]")
+        }
         val got = collected.map { r =>
           val k = r.getLong(r.fieldIndex("event_id"))
           k -> names.map { case (id, n) =>
@@ -2687,6 +2769,87 @@ class StorageSpec extends SparkSpec {
     val head2 = VersionedLayout.readAsOf(spark, dir, rv2)
     assert(head2.count() == 14 &&
       head2.where(col("score").isNotNull).count() == 2)
+  }
+
+  test("nested FIELD evolution: add/rename/widen/drop of struct fields serve per-version schemas; folds materialize; refusals hold") {
+    import graft.operators.VersionedLayout
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-field-evo").toString + "/t"
+    def shapedBase(ids: Seq[Long]) = ids.map(i => (i, s"l$i", i.toInt)).toDF("doc_id", "lang", "n")
+      .select(pmod(col("doc_id"), lit(4)).cast("int").as("pid"),
+        col("doc_id"), struct(col("lang"), col("n")).as("meta"))
+    VersionedLayout.writeBaseTable(spark, shapedBase(1L to 8L), dir, Seq("doc_id"))
+    VersionedLayout.appendInsert(spark, dir, shapedBase(Seq(101L, 102L)))      // v1
+    assert(VersionedLayout.addField(spark, dir, "meta.quality", "bigint") == 2) // v2
+    VersionedLayout.appendInsert(spark, dir,                                    // v3
+      Seq((201L, "l201", 201, 77L)).toDF("doc_id", "lang", "n", "quality")
+        .select(pmod(col("doc_id"), lit(4)).cast("int").as("pid"), col("doc_id"),
+          struct(col("lang"), col("n"), col("quality")).as("meta")))
+    assert(VersionedLayout.renameField(spark, dir, "meta.lang", "language") == 4)
+    VersionedLayout.appendInsert(spark, dir,                                    // v5
+      Seq((301L, "l301", 301, 88L)).toDF("doc_id", "language", "n", "quality")
+        .select(pmod(col("doc_id"), lit(4)).cast("int").as("pid"), col("doc_id"),
+          struct(col("language"), col("n"), col("quality")).as("meta")))
+    assert(VersionedLayout.widenField(spark, dir, "meta.n", "bigint") == 6)
+    assert(VersionedLayout.dropField(spark, dir, "meta.quality") == 7)
+    VersionedLayout.majorCompact(spark, dir)                                    // v8
+
+    def fieldsAt(v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      VersionedLayout.readAsOf(spark, dir, v).schema("meta").dataType
+        .asInstanceOf[StructType].fields.toSeq.map(f => f.name -> f.dataType)
+    def metaOf(v: Int, id: Long): org.apache.spark.sql.Row =
+      VersionedLayout.readAsOf(spark, dir, v).where(col("doc_id") === id)
+        .select(col("meta")).collect().head.getStruct(0)
+    // v0/v1: the base shape.
+    assert(fieldsAt(1) == Seq("lang" -> org.apache.spark.sql.types.StringType,
+      "n" -> IntegerType), fieldsAt(1).toString)
+    assert(metaOf(1, 101L).toSeq == Seq("l101", 101))
+    // v2: quality added, NULL everywhere; v3: the new segment carries it.
+    assert(fieldsAt(2).map(_._1) == Seq("lang", "n", "quality"))
+    assert(metaOf(2, 5L).isNullAt(2))
+    assert(metaOf(3, 201L).toSeq == Seq("l201", 201, 77L))
+    // v4: rename serves old bytes under the new name.
+    assert(fieldsAt(4).map(_._1) == Seq("language", "n", "quality"))
+    assert(metaOf(4, 5L).getString(0) == "l5")
+    assert(metaOf(5, 301L).toSeq == Seq("l301", 301, 88L))
+    // v6: widened type, values intact (old int bytes coerce).
+    assert(fieldsAt(6) == Seq("language" -> org.apache.spark.sql.types.StringType,
+      "n" -> LongType, "quality" -> LongType), fieldsAt(6).toString)
+    assert(metaOf(6, 201L).toSeq == Seq("l201", 201L, 77L))
+    // v7: quality masked; v8 fold preserves and MATERIALIZES the shape.
+    assert(fieldsAt(7).map(_._1) == Seq("language", "n"))
+    assert(fieldsAt(8) == fieldsAt(7))
+    assert(metaOf(8, 301L).toSeq == Seq("l301", 301L))
+    val folded = spark.read.option("basePath", dir)
+      .parquet(s"$dir/pid=1").schema("meta").dataType.asInstanceOf[StructType]
+    assert(folded.fieldNames.toSeq == Seq("language", "n"),
+      s"fold did not materialize the field evolution: ${folded.treeString}")
+    // Below-fold history still serves every era exactly.
+    assert(fieldsAt(3).map(_._1) == Seq("lang", "n", "quality"))
+    assert(metaOf(3, 5L).toSeq == Seq("l5", 5, null))
+    // Row-level NULL structs stay NULL (defensive: none here, so build one).
+    // Refusals: no field-name reuse, no evolving the parent top-level,
+    // no deep paths, widen is lossless-only, parent must be a struct.
+    def msg(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(msg(VersionedLayout.addField(spark, dir, "meta.quality", "bigint"))
+      .contains("never return"))
+    assert(msg(VersionedLayout.addField(spark, dir, "meta.lang", "bigint"))
+      .contains("never return"))
+    assert(msg(VersionedLayout.renameField(spark, dir, "meta.language", "lang"))
+      .contains("never return"))
+    assert(msg(VersionedLayout.renameColumn(spark, dir, "meta", "meta2"))
+      .contains("field-evolution history"))
+    assert(msg(VersionedLayout.dropColumn(spark, dir, "meta"))
+      .contains("field-evolution history"))
+    assert(msg(VersionedLayout.addField(spark, dir, "meta.a.b", "bigint"))
+      .contains("one nesting level"))
+    assert(msg(VersionedLayout.widenField(spark, dir, "meta.n", "int"))
+      .contains("lossless"))
+    assert(msg(VersionedLayout.addField(spark, dir, "doc_id.x", "bigint"))
+      .contains("row-identity"))
   }
 
   test("bloom sidecars fold into the checkpoint: point probes read NO per-version sidecar after it, prune identically; lost-race sidecars lease away") {
