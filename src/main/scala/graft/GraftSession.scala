@@ -28,6 +28,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The `graft` DSv2 catalog (round 16): named layout tables —
+      // CREATE TABLE / SHOW TABLES / DESCRIBE / INSERT INTO /
+      // ALTER TABLE / VERSION AS OF — over the commit log. The
+      // path-backquote spelling (graft.`/dir`) resolves through the
+      // same catalog as the escape hatch. See graft.plans.GraftCatalog.
+      .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
       // Older driver testdata stored events.ts as timestamp[ns]; this
       // flag maps INT64(TIMESTAMP_NANOS) to LongType instead of failing.
       // Newer data ships timestamp[us], normalized to the same

@@ -129,6 +129,23 @@ object VersionedLayout {
     }
   }
 
+  /** [[baseTypesOf]] in DECLARATION ORDER — what an empty-base layout's
+    * schema recovery needs (a Map loses the column order the base write
+    * recorded; the regex scan returns matches in file order, which IS
+    * the declared field order).
+    */
+  private[graft] def baseTypeSeqOf(dir: String): Seq[(String, String)] = {
+    val f = metaFile(dir)
+    if (!f.isFile) Nil
+    else {
+      val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      if (!body.contains("\"types\":{")) Nil
+      else """"([A-Za-z_][A-Za-z0-9_]*)":"([^"]+)"""".r
+        .findAllMatchIn(body.split(""""types":\{""")(1).split("}")(0))
+        .map(m => m.group(1) -> m.group(2)).toSeq
+    }
+  }
+
   /** The layout's STATS COLUMN — the single numeric column whose
     * per-artifact min/max ride every data-writing log entry
     * ([[LogEntry.stats]]) and drive [[readAsOfRange]]'s plan-time data
@@ -1063,7 +1080,12 @@ object VersionedLayout {
     * written before the domain was recorded; validation is skipped).
     */
   private def pidDomain(entries: Seq[LogEntry]): Set[Int] =
-    entries.find(_.version == 0).map(_.pids.toSet).getOrElse(Set.empty)
+    // The CURRENT scheme's closed pid set: the last scheme-changing
+    // fold's declared domain ([[repartitionScheme]]), else v0's.
+    entries.filter(e => e.action == "majorcompact" && e.colName == "repartition")
+      .lastOption
+      .map(_.colType.split(",").map(_.trim.toInt).toSet)
+      .getOrElse(entries.find(_.version == 0).map(_.pids.toSet).getOrElse(Set.empty))
 
   /** Reject segment rows whose pid falls outside the base domain. A
     * pid that exists ONLY because segments introduced it has no
@@ -1657,6 +1679,48 @@ object VersionedLayout {
       s"lost the commit race $attempts times — livelocked against concurrent writers", last)
   }
 
+  /** REPLACE the table's contents as ONE committed version — the
+    * `INSERT OVERWRITE` / `df.write.mode("overwrite")` verb: tombstone
+    * every live row of the current head AND insert `rows` as the new
+    * segment. Upsert-shaped (the version-stamped mask lets same-key
+    * replacements survive their own tombstone, exactly as
+    * [[appendUpsert]]), so every reader, the change feed, incremental
+    * views, time travel, and restore treat a replace natively with zero
+    * new read-path cases — history below the replace stays fully
+    * addressable, and the feed spans it with exact deltas (all old rows
+    * as deletes, all new rows as inserts). The tombstone set is the
+    * whole pre-replace table, written SHARDED (no `coalesce(1)` — at
+    * 100 TB the pre-image key set is data-scale, unlike the bounded
+    * matched sets of upsert/merge). Deterministic from the as-of state
+    * + checkpointed input: append-family, safe under [[withWriteRetry]];
+    * `txn` stamps it for exactly-once replay ([[appendInsertOnce]]'s
+    * contract, shared "upsert" namespace).
+    */
+  def appendReplace(s: SparkSession, dir: String, rows: DataFrame,
+      txn: Long = -1L): Int = {
+    if (txn >= 0) {
+      log(dir).find(e => e.action == "upsert" && e.txn == txn) match {
+        case Some(e) => return e.version
+        case None => ()
+      }
+    }
+    val ver = currentVersion(dir) + 1
+    val tag = writerTag()
+    val current = readAsOf(s, dir, ver - 1)
+    current
+      .select(col("pid").cast("int").as("pid") +: keyColsOf(dir).map(col): _*)
+      .write.mode("overwrite").parquet(tombDir(dir, ver, tag))
+    val newRows = rows.localCheckpoint()
+    requireInDomain(dir, newRows)
+    newRows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
+    val (st, stM) = recordStats(dir, ver, tag, newRows)
+    commit(dir, LogEntry(ver, "upsert", Nil, 0, txn, tag,
+      stats = st, statsM = stM,
+      rowsW = newRows.count(),
+      rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
+    ver
+  }
+
   /** UPSERT as version `currentVersion + 1`: one committed version that
     * tombstones every row matching `cond` AND inserts `transform` of
     * those rows as a new segment — MERGE's update arm. The replacements
@@ -1734,12 +1798,27 @@ object VersionedLayout {
       insertNotMatched: Boolean = true,
       txn: Long = -1L,
       insertCond: Option[org.apache.spark.sql.Column] = None,
-      insertSet: Option[Map[String, org.apache.spark.sql.Column]] = None): Int = {
+      insertSet: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      bySourceDeleteCond: Option[org.apache.spark.sql.Column] = None,
+      bySourceUpdateCond: Option[org.apache.spark.sql.Column] = None,
+      bySourceUpdateSet: Map[String, org.apache.spark.sql.Column] = Map.empty): Int = {
     val keyCols = keyColsOf(dir)
     val banned = updateSet.keySet.intersect((keyCols :+ "pid").toSet)
     require(banned.isEmpty,
       s"updateSet may not assign key/placement column(s) ${banned.mkString(",")} — " +
         "delete + insert is the explicit spelling for a key change")
+    // WHEN NOT MATCHED BY SOURCE (round 16): the fourth Delta-shaped
+    // arm — target rows with NO source counterpart enter the merge.
+    // Conditions and assignments see ONLY target columns (there is no
+    // source side to reference); delete wins over update with the same
+    // null-safe narrowing as the matched arms. Same single commit:
+    // by-source pre-images join the tombstone set, by-source updates
+    // join the insert segment.
+    val bsBanned = bySourceUpdateSet.keySet.intersect((keyCols :+ "pid").toSet)
+    require(bsBanned.isEmpty,
+      s"bySourceUpdateSet may not assign key/placement column(s) ${bsBanned.mkString(",")}")
+    require(bySourceUpdateCond.isEmpty || bySourceUpdateSet.nonEmpty,
+      "a NOT MATCHED BY SOURCE update arm needs assignments (bySourceUpdateSet)")
     val ver = currentVersion(dir) + 1
     val tag = writerTag()
     val target = readAsOf(s, dir, ver - 1)
@@ -1772,15 +1851,42 @@ object VersionedLayout {
         "the update/delete choice would be non-deterministic (Delta's multiple-match rule)")
     val falseC = lit(false)
     val delPart = matched.where(deleteCond.getOrElse(falseC))
+    // Delete-before-update narrowing under three-valued logic: a row
+    // whose deleteCond evaluates NULL did not match the delete arm and
+    // must still be eligible for the update arm — coalesce the negated
+    // condition to false (a bare `!NULL` is NULL and the row would
+    // silently fall out of BOTH arms; round-16 advisor).
     val updPart = matched.where(
-      updateCond.getOrElse(lit(true)) && !deleteCond.getOrElse(falseC))
-    // Tombstones: pre-images of BOTH mutating arms; untouched matches
-    // stay out (no event, no rewrite).
-    delPart.unionByName(updPart)
-      .select(col("pid").cast("int").as("pid") +: keyCols.map(col): _*)
+      updateCond.getOrElse(lit(true)) &&
+        !coalesce(deleteCond.getOrElse(falseC), falseC))
+    // NOT MATCHED BY SOURCE frame: target-only rows (one anti-join on
+    // the keys — at 100 TB a small source broadcasts and the pass
+    // shares the target scan with the matched join). Only built when an
+    // arm asked for it; validated above to reference target columns
+    // only (a source reference simply fails to resolve here).
+    val bySourceActive = bySourceDeleteCond.isDefined ||
+      bySourceUpdateCond.isDefined || bySourceUpdateSet.nonEmpty
+    require(bySourceUpdateSet.keySet.subsetOf(headCols.toSet),
+      s"bySourceUpdateSet assigns unknown column(s) ${bySourceUpdateSet.keySet.diff(headCols.toSet).mkString(",")}")
+    val tOnly =
+      if (!bySourceActive) None
+      else Some(target.join(src0.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .localCheckpoint())
+    val bsDelPart = tOnly.map(_.where(bySourceDeleteCond.getOrElse(falseC)))
+    val bsUpdPart = tOnly.map(_.where(
+      bySourceUpdateCond.getOrElse(
+        if (bySourceUpdateSet.nonEmpty) lit(true) else falseC) &&
+        !coalesce(bySourceDeleteCond.getOrElse(falseC), falseC)))
+    // Tombstones: pre-images of EVERY mutating arm; untouched matches
+    // (and untouched target-only rows) stay out — no event, no rewrite.
+    (Seq(delPart, updPart) ++ bsDelPart ++ bsUpdPart)
+      .map(_.select(col("pid").cast("int").as("pid") +: keyCols.map(col): _*))
+      .reduce(_ unionByName _)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
     val updated = updPart.select(headCols.map(c =>
       updateSet.getOrElse(c, col(c)).as(c)): _*)
+    val bsUpdated = bsUpdPart.map(_.select(headCols.map(c =>
+      bySourceUpdateSet.getOrElse(c, col(c)).as(c)): _*))
     val inserted =
       if (!insertNotMatched) updated.limit(0)
       else {
@@ -1813,7 +1919,8 @@ object VersionedLayout {
             anti.select(headCols.map(col): _*)
         }
       }
-    val newRows = updated.unionByName(inserted).localCheckpoint()
+    val newRows = (Seq(updated, inserted) ++ bsUpdated)
+      .reduce(_ unionByName _).localCheckpoint()
     requireInDomain(dir, newRows)
     newRows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val (st, stM) = recordStats(dir, ver, tag, newRows)
@@ -1834,7 +1941,10 @@ object VersionedLayout {
       insertNotMatched: Boolean = true,
       txn: Long,
       insertCond: Option[org.apache.spark.sql.Column] = None,
-      insertSet: Option[Map[String, org.apache.spark.sql.Column]] = None): Int = {
+      insertSet: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      bySourceDeleteCond: Option[org.apache.spark.sql.Column] = None,
+      bySourceUpdateCond: Option[org.apache.spark.sql.Column] = None,
+      bySourceUpdateSet: Map[String, org.apache.spark.sql.Column] = Map.empty): Int = {
     // The idempotence lookup shares the txn namespace with every other
     // upsert-shaped once-commit (restoreOnce, appendInsertOnce's
     // upserts) — the -1 "non-transactional" sentinel would match any
@@ -1843,7 +1953,8 @@ object VersionedLayout {
     log(dir).find(e => e.action == "upsert" && e.txn == txn) match {
       case Some(e) => e.version
       case None => appendMerge(s, dir, source, updateSet, deleteCond,
-        updateCond, insertNotMatched, txn, insertCond, insertSet)
+        updateCond, insertNotMatched, txn, insertCond, insertSet,
+        bySourceDeleteCond, bySourceUpdateCond, bySourceUpdateSet)
     }
   }
 
@@ -2182,7 +2293,44 @@ object VersionedLayout {
     */
   def majorCompact(s: SparkSession, dir: String,
       clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      clusterParts: Int = 0): (Int, Seq[Int]) =
+    foldImpl(s, dir, clusterBy, clusterParts, None, Nil)
+
+  /** PARTITION-SCHEME EVOLUTION (round 16): re-partition the layout's
+    * pid scheme as one logged, answer-preserving maintenance fold — the
+    * verb a 100 TB table whose key distribution drifted needs. `newPid`
+    * recomputes each live row's placement (any deterministic expression
+    * over the row — a new boundary array, a different bucket count, a
+    * hash), and `newDomain` DECLARES the closed pid set of the new
+    * scheme (declared, not derived: a bucket empty at fold time must
+    * still admit later inserts).
+    *
+    * Mechanically a [[majorCompact]] whose snapshot carries recomputed
+    * pids: the pre-fold dirs (old scheme) archive under the fold
+    * version, so every AS-OF below the change reads the OLD placement
+    * exactly as committed; the fold's output lands under the NEW pids;
+    * skipping stats and Bloom sidecars are re-recorded per the new
+    * scheme by the fold's own stats pass; and from this version on
+    * [[requireInDomain]] checks inserts against `newDomain` (the commit
+    * carries it — see [[pidDomain]]). Logical answers are untouched:
+    * pid is placement, never identity, and tombstone masking joins on
+    * (pid, keys) consistently on each side of the fold because rows and
+    * their tombstones are re-keyed together (tombstones at-or-below the
+    * fold were APPLIED by it; later ones join new-scheme rows).
+    */
+  def repartitionScheme(s: SparkSession, dir: String,
+      newPid: org.apache.spark.sql.Column, newDomain: Seq[Int],
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
       clusterParts: Int = 0): (Int, Seq[Int]) = {
+    require(newDomain.nonEmpty, "repartitionScheme needs the new scheme's pid domain")
+    foldImpl(s, dir, clusterBy, clusterParts, Some(newPid), newDomain.distinct.sorted)
+  }
+
+  private def foldImpl(s: SparkSession, dir: String,
+      clusterBy: Seq[org.apache.spark.sql.Column],
+      clusterParts: Int,
+      newPid: Option[org.apache.spark.sql.Column],
+      newDomain: Seq[Int]): (Int, Seq[Int]) = {
     val entries = log(dir)
     val ver = entries.last.version + 1
     val tmpBase = s"$dir/.major-tmp"
@@ -2190,7 +2338,30 @@ object VersionedLayout {
     // 1. The folded head snapshot, written completely before any move
     //    (a crashed attempt's complete tmp is reused as-is).
     if (!new java.io.File(s"$tmpBase/_SUCCESS").isFile) {
-      val snapshot = readAsOf(s, dir, ver - 1).localCheckpoint()
+      val snapshot0 = readAsOf(s, dir, ver - 1)
+      // Scheme change: recompute placement BEFORE the fold write; the
+      // new pid must land inside the declared domain — validated on the
+      // snapshot so a bad boundary expression fails BEFORE any move,
+      // with the tmp discarded (a replay must not reuse it).
+      val snapshot = newPid match {
+        case None => snapshot0.localCheckpoint()
+        case Some(p) =>
+          val re = snapshot0.withColumn("pid", p.cast("int")).localCheckpoint()
+          // Bounded offender sample (a wrong expression could emit
+          // data-scale distinct pids — never collect them all).
+          val novel = re.select(col("pid"))
+            .where(!col("pid").isin(newDomain.map(Integer.valueOf): _*)
+              || col("pid").isNull)
+            .distinct().limit(20).collect()
+            .map(r => if (r.isNullAt(0)) "null" else r.getInt(0).toString)
+          if (novel.nonEmpty) {
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpBase))
+            throw new IllegalArgumentException(
+              s"repartitionScheme: newPid lands pid(s) ${novel.mkString(",")} " +
+                s"outside the declared domain ${newDomain.mkString(",")} of $dir")
+          }
+          re
+      }
       // The EXPLICIT partition count is deliberate: file count is a
       // layout decision here (each range partition becomes one
       // zone-mapped file), so AQE's small-shuffle coalescing must not
@@ -2243,7 +2414,14 @@ object VersionedLayout {
         (Nil, Map.empty[String, Seq[(Int, Long, Long)]])
       else recordStats(dir, ver, "", s.read.option("basePath", dir)
         .parquet(landed.map(p => s"$dir/pid=$p"): _*))
+    // A scheme-changing fold records its marker and the DECLARED new
+    // domain on the entry itself (colName/colType are free on
+    // maintenance commits — evolution scans key on action), so the
+    // domain switch commits atomically with the fold: [[pidDomain]]
+    // serves the new set from this version on.
     commit(dir, LogEntry(ver, "majorcompact", pids, 0,
+      colName = if (newPid.isDefined) "repartition" else "",
+      colType = if (newPid.isDefined) newDomain.mkString(",") else "",
       stats = postStats, statsM = postStatsM))
     (ver, pids)
   }
@@ -3128,6 +3306,14 @@ object VersionedLayout {
   private def requireProbeType(dir: String, it: ColIdentity, v: Int,
       column: String, integralProbe: Boolean): Unit = {
     val token = declaredTokenOf(dir, it)
+    // "base" = a pre-round-13 layout with no recorded base-types map:
+    // the declared type is UNKNOWN, so neither overload can be proven
+    // wrong — permit the probe (preserving pre-round-15 behavior; the
+    // caller picked the overload matching how they wrote the column).
+    // Refusing both overloads would make point probes on older layouts
+    // unusable, with each error recommending the other dead end
+    // (round-16 advisor).
+    if (token == "base") return
     val ok = if (integralProbe) integralTokens(token) else token == "string"
     require(ok,
       s"'$column' at v$v of $dir is declared '$token' — probe it with the " +
@@ -3312,7 +3498,7 @@ object VersionedLayout {
         // or archived source covers v: recover the table's schema from
         // the newest surviving archive (the fold parked the pre-state
         // there) and serve zero base rows.
-        val (archVer, arch, pidDir) = entries
+        val fromArchive = entries
           .filter(e => e.action == "compact" || e.action == "majorcompact")
           .sortBy(-_.version)
           .map(e => e.version -> new java.io.File(archiveDir(dir, e.version)))
@@ -3320,12 +3506,26 @@ object VersionedLayout {
             .find(f => f.isDirectory && f.getName.startsWith("pid="))
             .map(pd => (av, a, pd)) }
           .headOption
-          .getOrElse(throw new IllegalStateException(
-            s"$dir has no base data files and no surviving archive to derive a schema from"))
-        aliasConflicted(
-          s.read.option("basePath", arch.getAbsolutePath)
-            .parquet(pidDir.getAbsolutePath).where(lit(false)),
-          lastSchemaWriterBefore(entries, archVer))
+          .map { case (archVer, arch, pidDir) =>
+            aliasConflicted(
+              s.read.option("basePath", arch.getAbsolutePath)
+                .parquet(pidDir.getAbsolutePath).where(lit(false)),
+              lastSchemaWriterBefore(entries, archVer))
+          }
+        fromArchive.getOrElse {
+          // EMPTY-BASE layout (round 16: created with zero rows — a
+          // catalog CREATE TABLE over an empty location, or the
+          // streaming sink's empty v0): no bytes exist anywhere, so
+          // the schema comes from the base types the meta RECORDED at
+          // creation, in declaration order. Zero rows is the answer.
+          val typed = baseTypeSeqOf(dir)
+          if (typed.isEmpty) throw new IllegalStateException(
+            s"$dir has no base data files and no surviving archive to derive a schema from")
+          s.createDataFrame(
+            new java.util.ArrayList[Row](),
+            StructType(typed.map { case (n, t) =>
+              StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t)) }))
+        }
       }
       .withColumn("_src_ver", lit(m))
     val segs = entries

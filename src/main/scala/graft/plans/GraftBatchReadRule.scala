@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -38,15 +38,34 @@ final class GraftBatchReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * [[GraftDmlRule]]'s COMMAND guard (measured ~35% analyzer tax on
     * plan-heavy queries without it).
     */
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
     if (sys.props.contains("graft.r15rules.off")
-        || graft.streaming.GraftLayoutTable.everCreated.get() == 0L) plan
-    else plan resolveOperators {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftLayoutTable] =>
+        || graft.streaming.GraftLayoutTable.everCreated.get() == 0L) return plan
+    // WRITE/DML TARGET relations must keep their relation identity —
+    // AppendData/OverwriteByExpression resolve their V1 fallback write
+    // against the table, and the DML rule reads the target's dir off
+    // the relation. Collect them by reference so only READ-position
+    // relations are swapped (round 16, with the write front doors).
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case w: V2WriteCommand => w.table.foreach(writeTargets.add)
+      case m: MergeIntoTable => m.targetTable.foreach(writeTargets.add)
+      case d: DeleteFromTable => d.table.foreach(writeTargets.add)
+      case u: UpdateTable => u.table.foreach(writeTargets.add)
+      case _ => ()
+    }
+    plan resolveOperators {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftLayoutTable]
+          && !writeTargets.contains(r)
+          // A create-mode handle (df.write against an empty path) has
+          // no committed version to read.
+          && r.table.asInstanceOf[GraftLayoutTable].asOfVersion >= 0 =>
         val t = r.table.asInstanceOf[GraftLayoutTable]
         val asOf = VersionedLayout.readAsOf(spark, t.dir, t.asOfVersion)
           .queryExecution.logical
         Project(r.output.map(o =>
           Alias(UnresolvedAttribute(Seq(o.name)), o.name)(exprId = o.exprId)), asOf)
     }
+  }
 }

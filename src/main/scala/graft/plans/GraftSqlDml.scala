@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.graftshim.DmlShim
 import org.apache.spark.sql.types.LongType
 
@@ -46,21 +46,43 @@ import graft.operators.VersionedLayout
   * identity, and any other join shape would make the update
   * non-deterministic; matched arms are at most one UPDATE and one
   * DELETE (SQL first-match-wins order is honored by narrowing the
-  * later arm with the earlier one's negation); `WHEN NOT MATCHED BY
-  * SOURCE` is not supported (no engine arm; refused, not ignored).
-  * Inside arm expressions target columns resolve plain and source
-  * columns resolve through the engine's `s_<name>` matched-frame
-  * namespace — the rewrite happens HERE, so SQL authors write normal
-  * `t.x` / `s.x` references.
+  * later arm with the earlier one's null-safe negation); `WHEN NOT
+  * MATCHED BY SOURCE` (round 16) supports one UPDATE and one DELETE
+  * arm over TARGET columns only — one commit, one feed batch, full
+  * single-statement atomicity. Inside arm expressions target columns
+  * resolve plain and source columns resolve through the engine's
+  * `s_<name>` matched-frame namespace — the rewrite happens HERE, so
+  * SQL authors write normal `t.x` / `s.x` references. Targets may be
+  * the path spelling (`graft.`/dir``) or a catalog-registered name
+  * (`graft.corpus` — see [[GraftCatalog]]).
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private object GraftTarget {
+    /** Matches both spellings of a DML target: the still-unresolved
+      * `graft.<name-or-dir>` identifier, AND the relation the `graft`
+      * catalog may have already resolved it to (rule-order race inside
+      * the resolution fixpoint — whoever runs first must not lose the
+      * rewrite). Yields the layout DIR: a path-shaped name is its own
+      * address, a plain name resolves through the catalog registry;
+      * an unknown plain name falls through to ordinary resolution for
+      * the standard NoSuchTable error.
+      */
     def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
-      case SubqueryAlias(id, u: UnresolvedRelation) if isGraft(u) =>
-        Some((u.multipartIdentifier(1), Some(id.name)))
+      // The OUTERMOST alias is the SQL-visible qualifier (`AS t`, or
+      // the catalog's own name-alias layer when the user wrote none);
+      // the catalog may stack SubqueryAlias(t, SubqueryAlias(graft.x,
+      // relation)), so the core strips ALL layers.
+      case SubqueryAlias(id, inner) => core(inner).map((_, Some(id.name)))
+      case other => core(other).map((_, None))
+    }
+    private def core(plan: LogicalPlan): Option[String] = plan match {
+      case SubqueryAlias(_, inner) => core(inner)
       case u: UnresolvedRelation if isGraft(u) =>
-        Some((u.multipartIdentifier(1), None))
+        GraftCatalog.resolveDir(spark, u.multipartIdentifier(1))
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[graft.streaming.GraftLayoutTable] =>
+        Some(r.table.asInstanceOf[graft.streaming.GraftLayoutTable].dir)
       case _ => None
     }
     private def isGraft(u: UnresolvedRelation): Boolean =
@@ -141,6 +163,23 @@ private[plans] object GraftDml {
     case x => Seq(x)
   }
 
+  /** Inline Spark 4's `With` common-expression nodes (the parser
+    * desugars BETWEEN and friends into them): a `With` rebuilt with
+    * UNRESOLVED children calls `.dataType` on its CommonExpressionDef
+    * and throws INTERNAL_ERROR before the frame can re-resolve it —
+    * substituting each ref by its definition restores the plain
+    * double-evaluated shape, which the engine frames resolve normally.
+    */
+  def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+          defs.getOrElse(r.id, throw new IllegalStateException(
+            s"dangling common-expression ref ${r.id} in DML expression ${e.sql}"))
+      }
+  }
+
   /** Strip a (possibly alias-qualified) attribute to its bare column
     * name; refuse references qualified by anything else.
     */
@@ -158,11 +197,17 @@ private[plans] object GraftDml {
 
   /** Matched-frame rewrite: source refs → `s_<name>`, target refs →
     * plain. Unqualified names resolve target-first (the matched frame
-    * keeps target columns under their plain names).
+    * keeps target columns under their plain names). Already-RESOLVED
+    * references (the analyzer may bind attributes to the catalog's
+    * relation before this rule rewrites the command) route by exprId
+    * against the source plan's output when known, by name otherwise —
+    * and always convert back to unresolved names, since the engine
+    * frame is a fresh plan with fresh ids.
     */
   def matchedFrameColumn(e: Expression, tQuals: Set[String], sQuals: Set[String],
-      tgtCols: Set[String], srcCols: Set[String]): Column =
-    DmlShim.column(e.transformUp {
+      tgtCols: Set[String], srcCols: Set[String],
+      srcExprIds: Set[Long] = Set.empty): Column =
+    DmlShim.column(inlineWith(e).transformUp {
       case a: UnresolvedAttribute => a.nameParts match {
         case Seq(q, n) if sQuals(q.toLowerCase) => UnresolvedAttribute(Seq("s_" + n))
         case Seq(q, n) if tQuals(q.toLowerCase) => UnresolvedAttribute(Seq(n))
@@ -171,15 +216,37 @@ private[plans] object GraftDml {
         case _ => throw new IllegalArgumentException(
           s"cannot resolve '${a.name}' against the merge target or source")
       }
-      case a: AttributeReference if srcCols(a.name.toLowerCase)
-          && !tgtCols(a.name.toLowerCase) =>
+      case a: AttributeReference if srcExprIds(a.exprId.id)
+          || (srcCols(a.name.toLowerCase) && !tgtCols(a.name.toLowerCase)) =>
         UnresolvedAttribute(Seq("s_" + a.name))
+      case a: AttributeReference =>
+        UnresolvedAttribute(Seq(a.name))
+    })
+
+  /** NOT-MATCHED-BY-SOURCE arm rewrite: only TARGET columns are in
+    * scope (there is no source row on this side of the frame).
+    */
+  def targetFrameColumn(e: Expression, tQuals: Set[String],
+      tgtCols: Set[String], srcExprIds: Set[Long] = Set.empty): Column =
+    DmlShim.column(inlineWith(e).transformUp {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, n) if tQuals(q.toLowerCase) => UnresolvedAttribute(Seq(n))
+        case Seq(n) if tgtCols(n.toLowerCase) => a
+        case _ => throw new IllegalArgumentException(
+          s"merge NOT MATCHED BY SOURCE arm: cannot resolve '${a.name}' — " +
+            "only target columns are in scope (there is no source row)")
+      }
+      case a: AttributeReference if srcExprIds(a.exprId.id) =>
+        throw new IllegalArgumentException(
+          s"merge NOT MATCHED BY SOURCE arm: '${a.name}' is a SOURCE column — " +
+            "only target columns are in scope (there is no source row)")
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
 
   /** Insert-arm rewrite: only SOURCE columns are in scope, plain. */
   def sourceFrameColumn(e: Expression, sQuals: Set[String],
       srcCols: Set[String]): Column =
-    DmlShim.column(e.transformUp {
+    DmlShim.column(inlineWith(e).transformUp {
       case a: UnresolvedAttribute => a.nameParts match {
         case Seq(q, n) if sQuals(q.toLowerCase) => UnresolvedAttribute(Seq(n))
         case Seq(n) if srcCols(n.toLowerCase) => a
@@ -187,6 +254,11 @@ private[plans] object GraftDml {
           s"merge INSERT arm: cannot resolve '${a.name}' against the source " +
             "(target columns are out of scope when nothing matched)")
       }
+      case a: AttributeReference if srcCols(a.name.toLowerCase) =>
+        UnresolvedAttribute(Seq(a.name))
+      case a: AttributeReference => throw new IllegalArgumentException(
+        s"merge INSERT arm: cannot resolve '${a.name}' against the source " +
+          "(target columns are out of scope when nothing matched)")
     })
 
   /** Canonicalize an assignment's target column to the head schema's
@@ -202,7 +274,11 @@ private[plans] object GraftDml {
     AttributeReference("rows_deleted", LongType, nullable = false)())
 
   def resultOf(dir: String, ver: Int): Seq[Row] = {
-    val e = VersionedLayout.log(dir).last
+    // By-version lookup, never `.last` — a concurrent writer committing
+    // between our append and this read must not make the result row
+    // report ANOTHER commit's counters (round-16 advisor).
+    val e = VersionedLayout.log(dir).find(_.version == ver).getOrElse(
+      throw new IllegalStateException(s"version $ver vanished from $dir's log"))
     Seq(Row(ver.toLong, math.max(e.rowsW, 0L), math.max(e.rowsD, 0L)))
   }
 }
@@ -218,11 +294,14 @@ final case class GraftDeleteCommand(dir: String, alias: Option[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val quals = alias.map(_.toLowerCase).toSet
-    val cond = DmlShim.column(holder.e.transformUp {
+    val cond = DmlShim.column(GraftDml.inlineWith(holder.e).transformUp {
       case a: UnresolvedAttribute => a.nameParts match {
         case Seq(q, n) if quals(q.toLowerCase) => UnresolvedAttribute(Seq(n))
         case _ => a
       }
+      // Already-resolved refs (bound to the catalog relation before the
+      // rewrite): back to names — the engine frame has fresh ids.
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
     val ver = VersionedLayout.appendDelete(spark, dir, cond)
     GraftDml.resultOf(dir, ver)
@@ -244,11 +323,12 @@ final case class GraftUpdateCommand(dir: String, alias: Option[String],
   override def run(spark: SparkSession): Seq[Row] = {
     import spec.{assignments, condition}
     val quals = alias.map(_.toLowerCase).toSet
-    def xlate(e: Expression): Column = DmlShim.column(e.transformUp {
+    def xlate(e: Expression): Column = DmlShim.column(GraftDml.inlineWith(e).transformUp {
       case a: UnresolvedAttribute => a.nameParts match {
         case Seq(q, n) if quals(q.toLowerCase) => UnresolvedAttribute(Seq(n))
         case _ => a
       }
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
     val head = VersionedLayout.currentVersion(dir)
     val headCols = VersionedLayout.readAsOf(spark, dir, head).columns.toSeq
@@ -280,11 +360,15 @@ final case class GraftMergeCommand(dir: String, tAlias: Option[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     import spec.{matchedActions, mergeCond, notMatchedActions, notMatchedBySource, sourcePlan}
-    require(notMatchedBySource.isEmpty,
-      "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported by the layout " +
-        "merge (no engine arm) — express it as a separate DELETE/UPDATE")
     val source = DmlShim.ofRows(spark, sourcePlan)
     val srcCols = source.columns.map(_.toLowerCase).toSet
+    // ExprIds of the source plan's output, when the analyzer resolved
+    // it before this command was formed — the EXACT side router for
+    // already-bound references (name overlap between target and source
+    // is the norm in a merge).
+    val srcExprIds: Set[Long] =
+      if (sourcePlan.resolved) sourcePlan.output.map(_.exprId.id).toSet
+      else Set.empty
     val head = VersionedLayout.currentVersion(dir)
     val target = VersionedLayout.readAsOf(spark, dir, head)
     val headCols = target.columns.toSeq
@@ -305,7 +389,8 @@ final case class GraftMergeCommand(dir: String, tAlias: Option[String],
         case _ => throw new IllegalArgumentException(
           s"merge ON: cannot resolve '${u.name}'")
       }
-      case r: AttributeReference => ("s", r.name)
+      case r: AttributeReference =>
+        (if (srcExprIds(r.exprId.id) || !tgtCols(r.name.toLowerCase)) "s" else "t", r.name)
       case other => throw new IllegalArgumentException(
         s"merge ON must equate key columns, got ${other.sql}")
     }
@@ -328,7 +413,7 @@ final case class GraftMergeCommand(dir: String, tAlias: Option[String],
         "the engine merge joins on row identity")
 
     def xm(e: Expression): Column =
-      GraftDml.matchedFrameColumn(e, tQuals, sQuals, tgtCols, srcCols)
+      GraftDml.matchedFrameColumn(e, tQuals, sQuals, tgtCols, srcCols, srcExprIds)
     val keyish = (keyCols :+ "pid").map(_.toLowerCase).toSet
 
     // Matched arms: at most one UPDATE and one DELETE; SQL
@@ -352,22 +437,91 @@ final case class GraftMergeCommand(dir: String, tAlias: Option[String],
     val updateCond: Option[Column] = updArm.map(condOr(_, lit(true)))
     val deleteCond: Option[Column] = delArm.map { d =>
       val raw = condOr(d, lit(true))
-      // UPDATE listed first: a row satisfying both arms updates.
+      // UPDATE listed first: a row satisfying both arms updates. ANSI
+      // first-match-wins under three-valued logic: an earlier arm whose
+      // condition evaluates NULL did NOT match, so the row must fall
+      // through — coalesce the negated arm to false (a bare `!NULL` is
+      // NULL and would silently drop the row from BOTH arms;
+      // round-16 advisor).
       if (arms.headOption.exists(_.kind == "update") && updArm.isDefined)
-        raw && !updateCond.get
+        raw && !coalesce(updateCond.get, lit(false))
       else raw
     }
     val updateSet: Map[String, Column] = updArm match {
       case None => Map.empty
       case Some(a) if a.star =>
-        headCols.filter(c => !keyish(c.toLowerCase) && srcCols(c.toLowerCase))
+        // ANSI/Delta star expansion assigns EVERY target column from the
+        // same-named source column and ERRORS when one is missing — a
+        // silently-narrowed expansion would let a misspelled source
+        // column leave its target column unchanged (round-16 advisor).
+        // Key/pid columns are exempt (immutable under the merge; the ON
+        // clause already proved the keys line up).
+        val missing = headCols.filter(c =>
+          !keyish(c.toLowerCase) && !srcCols(c.toLowerCase))
+        require(missing.isEmpty,
+          s"merge UPDATE SET *: source lacks target column(s) " +
+            s"${missing.mkString(", ")} — star expansion assigns every " +
+            "non-key target column; list assignments explicitly to update a subset")
+        headCols.filter(c => !keyish(c.toLowerCase))
           .map(c => c -> col("s_" + c)).toMap
       case Some(a) =>
-        a.assigns.get.map { asg =>
+        // Key/pid IDENTITY assignments (k -> s.k) are dropped, not
+        // refused: the analyzer's own star expansion and assignment
+        // ALIGNMENT (when it runs before this rewrite) emit one
+        // assignment per target column INCLUDING the keys — and under
+        // the ON contract a same-named key assignment is a provable
+        // no-op. A GENUINE key reassignment (k -> s.v) still reaches
+        // the engine's keyish refusal.
+        def refName(e: Expression): Option[String] = e match {
+          case u: UnresolvedAttribute => Some(u.nameParts.last)
+          case r: AttributeReference => Some(r.name)
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => refName(c.child)
+          case _ => None
+        }
+        a.assigns.get.flatMap { asg =>
           val name = GraftDml.canonical(
             GraftDml.bareName(asg.key, tQuals, "merge UPDATE"), headCols, "merge UPDATE")
-          name -> xm(asg.value)
+          if (keyish(name.toLowerCase)
+              && refName(asg.value).exists(_.equalsIgnoreCase(name))) None
+          else Some(name -> xm(asg.value))
         }.toMap
+    }
+
+    // NOT MATCHED BY SOURCE arms (round 16): target-only rows — at most
+    // one UPDATE and one DELETE, first-match-wins narrowing with the
+    // same null-safe coalesce as the matched arms; expressions resolve
+    // over TARGET columns only. UPDATE SET * is meaningless here (there
+    // is no source row) and refuses.
+    def xt(e: Expression): Column =
+      GraftDml.targetFrameColumn(e, tQuals, tgtCols, srcExprIds)
+    val bsArms = notMatchedBySource.map {
+      case u: UpdateAction => Arm("update", u.condition, Some(u.assignments), star = false)
+      case _: UpdateStarAction => throw new IllegalArgumentException(
+        "merge NOT MATCHED BY SOURCE cannot UPDATE SET * — there is no source row")
+      case d: DeleteAction => Arm("delete", d.condition, None, star = false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported NOT MATCHED BY SOURCE merge action: $other")
+    }
+    require(bsArms.count(_.kind == "update") <= 1 && bsArms.count(_.kind == "delete") <= 1,
+      "merge supports at most one NOT MATCHED BY SOURCE UPDATE and one DELETE arm")
+    def bsCondOr(a: Arm, dflt: Column): Column = a.cond.map(xt).getOrElse(dflt)
+    val bsUpdArm = bsArms.find(_.kind == "update")
+    val bsDelArm = bsArms.find(_.kind == "delete")
+    val bsUpdateCond: Option[Column] = bsUpdArm.map(bsCondOr(_, lit(true)))
+    val bsDeleteCond: Option[Column] = bsDelArm.map { d =>
+      val raw = bsCondOr(d, lit(true))
+      if (bsArms.headOption.exists(_.kind == "update") && bsUpdArm.isDefined)
+        raw && !coalesce(bsUpdateCond.get, lit(false))
+      else raw
+    }
+    val bsUpdateSet: Map[String, Column] = bsUpdArm match {
+      case None => Map.empty
+      case Some(a) => a.assigns.get.map { asg =>
+        val name = GraftDml.canonical(
+          GraftDml.bareName(asg.key, tQuals, "merge BY SOURCE UPDATE"),
+          headCols, "merge BY SOURCE UPDATE")
+        name -> xt(asg.value)
+      }.toMap
     }
 
     // Not-matched arms: one INSERT, star or explicit-assignment.
@@ -392,7 +546,8 @@ final case class GraftMergeCommand(dir: String, tAlias: Option[String],
     }
 
     val ver = VersionedLayout.appendMerge(spark, dir, source, updateSet,
-      deleteCond, updateCond, insertNotMatched, -1L, insertCond, insertSet)
+      deleteCond, updateCond, insertNotMatched, -1L, insertCond, insertSet,
+      bsDeleteCond, bsUpdateCond, bsUpdateSet)
     GraftDml.resultOf(dir, ver)
   }
 }

@@ -2140,6 +2140,13 @@ object ScalePatterns {
   val sqlDeleteLo = 660000L; val sqlDeleteHi = 680000L
   val sqlUpdateLo = 830000L; val sqlUpdateHi = 850000L
   val sqlInsertKeyOffset = 80000000L
+  // v4 (round 16): the NOT MATCHED BY SOURCE merge — source carries the
+  // match band; target-only rows delete in one band, update in another.
+  // All three disjoint from every earlier band AND from the v1-inserted
+  // copies' (v + 5) range.
+  val sqlBySrcMatchLo = 700000L; val sqlBySrcMatchHi = 720000L
+  val sqlBySrcDelLo = 750000L; val sqlBySrcDelHi = 770000L
+  val sqlBySrcUpdLo = 780000L; val sqlBySrcUpdHi = 800000L
 
   /** Build (or fast-forward) q219's history — every mutation issued as
     * a SQL STATEMENT through `spark.sql` (the
@@ -2148,7 +2155,11 @@ object ScalePatterns {
     * AND d DELETE / WHEN MATCHED AND u UPDATE SET via a source column /
     * matched-neither untouched / WHEN NOT MATCHED AND i INSERT with an
     * explicit column list); v2 a `DELETE ... WHERE` band; v3 an
-    * `UPDATE ... SET ... WHERE` band. Each statement's RESULT row
+    * `UPDATE ... SET ... WHERE` band; v4 (round 16) the FOURTH arm —
+    * a MERGE whose matched rows update from the source and whose
+    * `WHEN NOT MATCHED BY SOURCE` arms delete one target-only band and
+    * update another, as ONE statement / one commit / one feed batch.
+    * Each statement's RESULT row
     * (version, rows_written, rows_deleted) is asserted against the
     * committed log entry at build time — the SQL answer and the log
     * cannot disagree.
@@ -2208,6 +2219,28 @@ object ScalePatterns {
           s"""UPDATE graft.`$dir` SET l_quantity = l_quantity + 7.0
              |WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi""".stripMargin)
           .collect(), 3)
+      // v4 (round 16): the FOURTH arm — WHEN NOT MATCHED BY SOURCE —
+      // as ONE statement, one commit, one feed batch: matched rows
+      // update from the source, target-only rows delete in one band
+      // and update (target-expression only) in another.
+      if (VersionedLayout.currentVersion(dir) < 4) {
+        VersionedLayout.readAsOf(s, dir, 3)
+          .where(col("v").between(sqlBySrcMatchLo, sqlBySrcMatchHi))
+          .select(col("v"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("qdelta", lit(9.0))
+          .createOrReplaceTempView("graft_sqldml_bysrc")
+        checkDml(s.sql(
+          s"""MERGE INTO graft.`$dir` AS t USING graft_sqldml_bysrc AS src
+             |ON t.l_orderkey = src.l_orderkey
+             |  AND t.l_linenumber = src.l_linenumber AND t.v = src.v
+             |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + src.qdelta
+             |WHEN NOT MATCHED BY SOURCE
+             |  AND t.v BETWEEN $sqlBySrcDelLo AND $sqlBySrcDelHi THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE
+             |  AND t.v BETWEEN $sqlBySrcUpdLo AND $sqlBySrcUpdHi THEN
+             |  UPDATE SET l_quantity = l_quantity + 11.0""".stripMargin)
+          .collect(), 4)
+      }
     }
     dir
   }
@@ -2229,21 +2262,21 @@ object ScalePatterns {
   private def q219(s: SparkSession, d: String): DataFrame = {
     import graft.operators.VersionedLayout
     val dir = ensureSqlDmlScenario(s, d)
-    val asOf = (0 to 3).map { ver =>
+    val asOf = (0 to 4).map { ver =>
       VersionedLayout.readAsOf(s, dir, ver)
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
           sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
         .select(lit(s"asof_v$ver").as("phase"), lit("").as("change_type"),
           col("n_rows"), col("total_centi"), col("qty_centi"))
     }.reduce(_ unionByName _)
-    val feed = VersionedLayout.changeFeed(s, dir, 1, 3)
+    val feed = VersionedLayout.changeFeed(s, dir, 1, 4)
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
         sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
       .select(lit("feed").as("phase"), col("change_type"),
         col("n_rows"), col("total_centi"), col("qty_centi"))
     val dml = VersionedLayout.describeHistory(s, dir)
-      .where(col("version").between(1, 3))
+      .where(col("version").between(1, 4))
       .select(concat(lit("dml_v"), col("version")).as("phase"),
         lit("").as("change_type"), col("rows_written").as("n_rows"),
         col("rows_deleted").as("total_centi"), col("version").as("qty_centi"))
@@ -2269,12 +2302,26 @@ object ScalePatterns {
        |v2 AS (SELECT v, qc FROM v1 WHERE v NOT BETWEEN $sqlDeleteLo AND $sqlDeleteHi),
        |v3 AS (SELECT v, CASE WHEN v BETWEEN $sqlUpdateLo AND $sqlUpdateHi
        |                      THEN qc + 700 ELSE qc END AS qc FROM v2),
+       |v4 AS (
+       |  SELECT v, CASE WHEN v BETWEEN $sqlBySrcMatchLo AND $sqlBySrcMatchHi THEN qc + 900
+       |                 WHEN v BETWEEN $sqlBySrcUpdLo AND $sqlBySrcUpdHi THEN qc + 1100
+       |                 ELSE qc END AS qc
+       |  FROM v3 WHERE v NOT BETWEEN $sqlBySrcDelLo AND $sqlBySrcDelHi),
        |fdel AS (
        |  SELECT v, qc FROM v1 WHERE v BETWEEN $sqlDeleteLo AND $sqlDeleteHi
        |  UNION ALL
-       |  SELECT v, qc FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi),
+       |  SELECT v, qc FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi
+       |  UNION ALL
+       |  SELECT v, qc FROM v3 WHERE v BETWEEN $sqlBySrcMatchLo AND $sqlBySrcMatchHi
+       |    OR v BETWEEN $sqlBySrcDelLo AND $sqlBySrcDelHi
+       |    OR v BETWEEN $sqlBySrcUpdLo AND $sqlBySrcUpdHi),
        |fins AS (
-       |  SELECT v, qc + 700 AS qc FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi)
+       |  SELECT v, qc + 700 AS qc FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi
+       |  UNION ALL
+       |  SELECT v, CASE WHEN v BETWEEN $sqlBySrcMatchLo AND $sqlBySrcMatchHi
+       |                 THEN qc + 900 ELSE qc + 1100 END AS qc
+       |  FROM v3 WHERE v BETWEEN $sqlBySrcMatchLo AND $sqlBySrcMatchHi
+       |    OR v BETWEEN $sqlBySrcUpdLo AND $sqlBySrcUpdHi)
        |SELECT 'asof_v0' AS phase, '' AS change_type,
        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(v) AS BIGINT) AS total_centi,
        |  CAST(sum(qc) AS BIGINT) AS qty_centi FROM s
@@ -2284,6 +2331,8 @@ object ScalePatterns {
        |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v2
        |UNION ALL SELECT 'asof_v3', '', CAST(count(*) AS BIGINT),
        |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v3
+       |UNION ALL SELECT 'asof_v4', '', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v4
        |UNION ALL SELECT 'feed', 'delete', CAST(count(*) AS BIGINT),
        |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM fdel
        |UNION ALL SELECT 'feed', 'insert', CAST(count(*) AS BIGINT),
@@ -2299,7 +2348,422 @@ object ScalePatterns {
        |UNION ALL SELECT 'dml_v3', '',
        |  (SELECT count(*) FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi),
        |  (SELECT count(*) FROM v2 WHERE v BETWEEN $sqlUpdateLo AND $sqlUpdateHi), 3
+       |UNION ALL SELECT 'dml_v4', '',
+       |  (SELECT count(*) FROM v3 WHERE v BETWEEN $sqlBySrcMatchLo AND $sqlBySrcMatchHi)
+       |    + (SELECT count(*) FROM v3 WHERE v BETWEEN $sqlBySrcUpdLo AND $sqlBySrcUpdHi),
+       |  (SELECT count(*) FROM v3 WHERE v BETWEEN $sqlBySrcMatchLo AND $sqlBySrcMatchHi)
+       |    + (SELECT count(*) FROM v3 WHERE v BETWEEN $sqlBySrcDelLo AND $sqlBySrcDelHi)
+       |    + (SELECT count(*) FROM v3 WHERE v BETWEEN $sqlBySrcUpdLo AND $sqlBySrcUpdHi), 4
        |ORDER BY 1, 2""".stripMargin
+
+  private[graft] def writePathLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_wpath_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val writePathLock = new Object
+
+  /** q223's bands — disjoint slices of the centi-price axis, one per
+    * write front door.
+    */
+  val wpBaseHi = 300000L          // create (df.write, empty path): v < wpBaseHi
+  val wpAppendLo = 300000L; val wpAppendHi = 400000L   // df.write append
+  val wpInsertLo = 400000L; val wpInsertHi = 500000L   // SQL INSERT INTO
+  val wpStream1Lo = 500000L; val wpStream1Hi = 550000L // sink micro-batch 0
+  val wpStream2Lo = 550000L; val wpStream2Hi = 600000L // sink micro-batch 1
+  val wpFinalHi = 100000L         // overwrite: final state = v < wpFinalHi, qty+1
+
+  /** Build (or fast-forward) q223's history — every version entering
+    * through a PUBLIC WRITE SURFACE, never the Scala mutation API:
+    * v0 CREATED by `df.write.format("graft-layout")` against an empty
+    * path (options keyCols/statsCols); v1 a `df.write.mode("append")`;
+    * v2 a SQL `INSERT INTO graft.`<dir>`` (col list)` resolved through
+    * the catalog into the V1-fallback write; v3/v4 two micro-batches of
+    * `writeStream.format("graft-layout")` — fed by a graft-layout
+    * SOURCE subscription over a feeder layout (`maxVersionsPerTrigger`
+    * 1), committed exactly-once via the sink's txn stamps; v5 a
+    * `df.write.mode("overwrite")` — the logged REPLACE
+    * ([[graft.operators.VersionedLayout.appendReplace]]).
+    */
+  private def ensureWritePathScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = writePathLayoutDir(d)
+    writePathLock.synchronized {
+      // HASH placement, not the boundary scheme: the base is one v-BAND
+      // slice, so band-derived pids would leave later bands outside the
+      // v0 domain — hash-of-key spreads every slice over the same
+      // closed pid set.
+      def shaped(lo: Long, hi: Long) =
+        Tables.lineitem(s, d)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .where(col("v") >= lo && col("v") < hi)
+          .withColumn("pid",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4)).cast("int"))
+      if (VersionedLayout.currentVersion(dir) < 0)
+        shaped(0L, wpBaseHi).write.format("graft-layout")
+          .option("path", dir)
+          .option("keyCols", "v,l_orderkey,l_linenumber")
+          .option("statsCols", "v")
+          .mode("append").save()
+      if (VersionedLayout.currentVersion(dir) < 1)
+        shaped(wpAppendLo, wpAppendHi).write.format("graft-layout")
+          .option("path", dir).mode("append").save()
+      if (VersionedLayout.currentVersion(dir) < 2) {
+        shaped(wpInsertLo, wpInsertHi).createOrReplaceTempView("graft_wpath_ins")
+        s.sql(
+          s"""INSERT INTO graft.`$dir` (v, l_orderkey, l_linenumber, l_quantity, pid)
+             |SELECT v, l_orderkey, l_linenumber, l_quantity, pid
+             |FROM graft_wpath_ins""".stripMargin)
+      }
+      if (VersionedLayout.currentVersion(dir) < 4) {
+        // Feeder layout: two insert versions whose change feed carries
+        // the stream slices; the subscription (one version per trigger)
+        // pipes them into the SINK — graft-layout on BOTH ends.
+        val feeder = s"$dir-feeder"
+        if (VersionedLayout.currentVersion(feeder) < 0)
+          VersionedLayout.writeBaseTable(s, shaped(0L, 0L), feeder,
+            Seq("v", "l_orderkey", "l_linenumber"))
+        if (VersionedLayout.currentVersion(feeder) < 1)
+          VersionedLayout.appendInsert(s, feeder, shaped(wpStream1Lo, wpStream1Hi))
+        if (VersionedLayout.currentVersion(feeder) < 2)
+          VersionedLayout.appendInsert(s, feeder, shaped(wpStream2Lo, wpStream2Hi))
+        val chk = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q223_chk_${graft.JvmId.token}_${System.nanoTime()}").getAbsolutePath
+        val q = s.readStream.format("graft-layout")
+          .option("path", feeder).option("maxVersionsPerTrigger", 1).load()
+          .select(col("v"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("pid"))
+          .writeStream.format("graft-layout")
+          .option("path", dir)
+          // Stable replay domain: a fresh checkpoint re-delivers the
+          // same (batchId -> feeder version) mapping, so the stamps
+          // make a partial prior run's commits skip, not double.
+          .option("txnAppId", "graft-q223-stream")
+          .option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(VersionedLayout.currentVersion(dir) == 4,
+          s"stream ingest landed head ${VersionedLayout.currentVersion(dir)}, expected 4")
+      }
+      if (VersionedLayout.currentVersion(dir) < 5)
+        shaped(0L, wpFinalHi)
+          .withColumn("l_quantity", col("l_quantity") + 1.0)
+          .write.format("graft-layout")
+          .option("path", dir).mode("overwrite").save()
+    }
+    dir
+  }
+
+  /** WRITE FRONT DOORS (q223, round 16) — the mirror of q219: a layout
+    * CREATED, appended, SQL-inserted, STREAM-ingested, and overwritten
+    * entirely through the public write surfaces (`df.write.format`,
+    * `INSERT INTO`, `writeStream.format`, `.mode("overwrite")`), then
+    * read back per version. Every surface lands the engine's own
+    * commits — the gate pins each version's aggregate and the commit
+    * masses (DESCRIBE HISTORY), so a byte written through any front
+    * door is indistinguishable from the Scala API's. At 100 TB these
+    * are the surfaces a pipeline actually touches: bulk backfill
+    * (df.write), analyst fixes (INSERT INTO), continuous ingest (the
+    * exactly-once sink), and logged replace for full republish — all
+    * one commit each, no data path beyond the engine's.
+    */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureWritePathScenario(s, d)
+    val asOf = (0 to 5).map { ver =>
+      VersionedLayout.readAsOf(s, dir, ver)
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+        .select(lit(s"asof_v$ver").as("phase"),
+          col("n_rows"), col("total_centi"), col("qty_centi"))
+    }.reduce(_ unionByName _)
+    val hist = VersionedLayout.describeHistory(s, dir)
+      .where(col("version").between(1, 5))
+      .select(concat(lit("commit_v"), col("version")).as("phase"),
+        col("rows_written").as("n_rows"), col("rows_deleted").as("total_centi"),
+        col("version").as("qty_centi"))
+    asOf.unionByName(hist).orderBy(col("phase"))
+  }
+
+  private lazy val q223OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+       |  FROM lineitem),
+       |b0 AS (SELECT v, qc FROM s WHERE v < $wpBaseHi),
+       |b1 AS (SELECT v, qc FROM s WHERE v >= $wpAppendLo AND v < $wpAppendHi),
+       |b2 AS (SELECT v, qc FROM s WHERE v >= $wpInsertLo AND v < $wpInsertHi),
+       |sb1 AS (SELECT v, qc FROM s WHERE v >= $wpStream1Lo AND v < $wpStream1Hi),
+       |sb2 AS (SELECT v, qc FROM s WHERE v >= $wpStream2Lo AND v < $wpStream2Hi),
+       |v1 AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+       |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM b2),
+       |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM sb1),
+       |v4 AS (SELECT * FROM v3 UNION ALL SELECT * FROM sb2),
+       |v5 AS (SELECT v, qc + 100 AS qc FROM s WHERE v < $wpFinalHi)
+       |SELECT 'asof_v0' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(v) AS BIGINT) AS total_centi, CAST(sum(qc) AS BIGINT) AS qty_centi
+       |FROM b0
+       |UNION ALL SELECT 'asof_v1', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v1
+       |UNION ALL SELECT 'asof_v2', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v2
+       |UNION ALL SELECT 'asof_v3', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v3
+       |UNION ALL SELECT 'asof_v4', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v4
+       |UNION ALL SELECT 'asof_v5', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v5
+       |UNION ALL SELECT 'commit_v1', (SELECT count(*) FROM b1), 0, 1
+       |UNION ALL SELECT 'commit_v2', (SELECT count(*) FROM b2), 0, 2
+       |UNION ALL SELECT 'commit_v3', (SELECT count(*) FROM sb1), 0, 3
+       |UNION ALL SELECT 'commit_v4', (SELECT count(*) FROM sb2), 0, 4
+       |UNION ALL SELECT 'commit_v5', (SELECT count(*) FROM v5),
+       |  (SELECT count(*) FROM v4), 5
+       |ORDER BY 1""".stripMargin
+
+  private[graft] def catalogDdlLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_catddl_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val catalogDdlLock = new Object
+  val catDdlIns1Hi = 200000L                              // v1 INSERT INTO
+  val catDdlIns2Lo = 200000L; val catDdlIns2Hi = 300000L  // v6 evolved INSERT
+
+  /** Build (or fast-forward) q224's history — the NAMED-table + SQL DDL
+    * surface: `CREATE TABLE graft.<name> ... USING graft-layout
+    * LOCATION ...` (empty v0 from the declared columns), `INSERT INTO`
+    * by NAME (v1), then one full evolution chain as `ALTER TABLE`
+    * statements — ADD COLUMNS (v2 tagx, v3 cnt), RENAME COLUMN (v4
+    * tagx->tag), ALTER COLUMN TYPE widen (v5 cnt int->bigint) — an
+    * evolved INSERT (v6), and DROP COLUMN (v7). SHOW TABLES / DESCRIBE
+    * are asserted at build time (catalog surface must answer).
+    */
+  /** q224's catalog name is SF-SCOPED: one JVM may build the scenario
+    * for several testdata dirs, and a shared name would pin the first
+    * dir for every later caller.
+    */
+  private[graft] def catalogDdlTableName(d: String): String =
+    s"graft_q224${d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase}"
+
+  private def ensureCatalogDdlScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = catalogDdlLayoutDir(d)
+    val name = catalogDdlTableName(d)
+    catalogDdlLock.synchronized {
+      val registered = s.sql("SHOW TABLES IN graft").collect()
+        .exists(_.getString(1) == name)
+      if (!registered)
+        s.sql(
+          s"""CREATE TABLE graft.$name (
+             |  pid INT, v BIGINT, l_orderkey BIGINT, l_linenumber BIGINT,
+             |  l_quantity DOUBLE)
+             |USING `graft-layout` LOCATION '$dir'
+             |TBLPROPERTIES ('keyCols' = 'v,l_orderkey,l_linenumber',
+             |               'statsCols' = 'v')""".stripMargin)
+      require(s.sql("SHOW TABLES IN graft").collect().exists(_.getString(1) == name),
+        s"SHOW TABLES IN graft does not list $name")
+      require(s.sql(s"DESCRIBE TABLE graft.$name").collect()
+        .exists(_.getString(0) == "v"), s"DESCRIBE graft.$name lost column v")
+      val uppers = rangeUppers(s, d)
+      val upLit = array(uppers.map(lit).toSeq: _*)
+      def shaped(lo: Long, hi: Long) =
+        Tables.lineitem(s, d)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_quantity"))
+          .where(col("v") >= lo && col("v") < hi)
+          .withColumn("pid", (size(filter(upLit, u => u < col("v"))) + 1).cast("int"))
+      def ver = VersionedLayout.currentVersion(dir)
+      if (ver < 1) {
+        shaped(0L, catDdlIns1Hi).createOrReplaceTempView("graft_catddl_ins1")
+        s.sql(s"""INSERT INTO graft.$name (v, l_orderkey, l_linenumber, l_quantity, pid)
+                 |SELECT v, l_orderkey, l_linenumber, l_quantity, pid
+                 |FROM graft_catddl_ins1""".stripMargin)
+      }
+      if (ver < 2) s.sql(s"ALTER TABLE graft.$name ADD COLUMNS (tagx STRING)")
+      if (ver < 3) s.sql(s"ALTER TABLE graft.$name ADD COLUMNS (cnt INT)")
+      if (ver < 4) s.sql(s"ALTER TABLE graft.$name RENAME COLUMN tagx TO tag")
+      if (ver < 5) s.sql(s"ALTER TABLE graft.$name ALTER COLUMN cnt TYPE BIGINT")
+      if (ver < 6) {
+        shaped(catDdlIns2Lo, catDdlIns2Hi)
+          .withColumn("tag", lit("x"))
+          .withColumn("cnt", col("l_linenumber"))
+          .createOrReplaceTempView("graft_catddl_ins2")
+        s.sql(s"""INSERT INTO graft.$name (v, l_orderkey, l_linenumber, l_quantity,
+                 |  pid, tag, cnt)
+                 |SELECT v, l_orderkey, l_linenumber, l_quantity, pid, tag, cnt
+                 |FROM graft_catddl_ins2""".stripMargin)
+      }
+      if (ver < 7) s.sql(s"ALTER TABLE graft.$name DROP COLUMN tag")
+    }
+    dir
+  }
+
+  /** NAMED CATALOG + SQL DDL (q224, round 16) — the `graft` DSv2
+    * TableCatalog ([[graft.plans.GraftCatalog]]) driven end-to-end from
+    * SQL text: CREATE TABLE with declared columns over an empty
+    * location, INSERT INTO by NAME, the full schema-evolution chain as
+    * ALTER TABLE statements (add / rename / widen / evolved insert /
+    * drop — each one commit-log version with the Scala verbs'
+    * artifacts), and per-version reads through `VERSION AS OF` on the
+    * NAMED table. At 100 TB this is the notebook/BI surface: names
+    * instead of paths, standard DDL instead of engine calls, and the
+    * catalog stays pure metadata — every operation is a registry touch
+    * plus commit-log reads.
+    */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureCatalogDdlScenario(s, d)
+    (0 to 7).map { ver =>
+      val cols = VersionedLayout.readAsOf(s, dir, ver).columns.toSet
+      val cntSum = if (cols("cnt")) "COALESCE(sum(cnt), 0)" else "0"
+      val nTag = if (cols("tag")) "count(tag)"
+        else if (cols("tagx")) "count(tagx)" else "0"
+      s.sql(
+        s"""SELECT 'asof_v$ver' AS phase,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(COALESCE(sum(v), 0) AS BIGINT) AS total_centi,
+           |  CAST(COALESCE(sum(CAST(round(l_quantity * 100) AS BIGINT)), 0) AS BIGINT) AS qty_centi,
+           |  CAST($cntSum AS BIGINT) AS cnt_sum,
+           |  CAST($nTag AS BIGINT) AS n_tag
+           |FROM graft.${catalogDdlTableName(d)} VERSION AS OF $ver""".stripMargin)
+    }.reduce(_ unionByName _).orderBy(col("phase"))
+  }
+
+  private lazy val q224OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    l_linenumber,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+       |  FROM lineitem),
+       |i1 AS (SELECT v, qc, CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS VARCHAR) AS tag
+       |       FROM s WHERE v < $catDdlIns1Hi),
+       |i2 AS (SELECT v, qc, CAST(l_linenumber AS BIGINT) AS cnt, 'x' AS tag
+       |       FROM s WHERE v >= $catDdlIns2Lo AND v < $catDdlIns2Hi),
+       |u AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2),
+       |ver AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS k)
+       |SELECT 'asof_v' || CAST(ver.k AS VARCHAR) AS phase,
+       |  CAST(count(t.v) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(sum(t.v), 0) AS BIGINT) AS total_centi,
+       |  CAST(COALESCE(sum(t.qc), 0) AS BIGINT) AS qty_centi,
+       |  CAST(CASE WHEN ver.k >= 3 THEN COALESCE(sum(t.cnt), 0) ELSE 0 END AS BIGINT) AS cnt_sum,
+       |  CAST(CASE WHEN ver.k >= 2 AND ver.k < 7 THEN count(t.tag) ELSE 0 END AS BIGINT) AS n_tag
+       |FROM ver LEFT JOIN u t
+       |  ON (ver.k >= 1 AND t.tag IS NULL) OR (ver.k >= 6 AND t.tag = 'x')
+       |GROUP BY ver.k ORDER BY 1""".stripMargin
+
+  private[graft] def repartitionLayoutDir(d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_lineitem_repart_${sfx}_n$scenarioNonce").getAbsolutePath
+  }
+  private val repartitionLock = new Object
+  val repDelALo = 300000L; val repDelAHi = 320000L  // v1 delete (old scheme)
+  val repInsLo = 400000L; val repInsHi = 410000L    // v3 insert (new scheme)
+  val repDelBLo = 500000L; val repDelBHi = 520000L  // v4 delete (new scheme)
+  val repRangeLo = 600000L; val repRangeHi = 650000L // pruned band read
+  val repKeyOffset = 90000000L
+  val repBuckets = 8
+
+  /** Build (or fast-forward) q225's history: v0 range-partitioned base
+    * (the boundary-array scheme every other layout scenario uses), v1 a
+    * delete band under the OLD scheme, v2 the SCHEME CHANGE
+    * ([[graft.operators.VersionedLayout.repartitionScheme]] — placement
+    * becomes hash(key) mod 8, domain 0..7, one logged fold), v3 an
+    * insert under the NEW scheme, v4 a delete spanning refolded and
+    * new-scheme rows.
+    */
+  private def ensureRepartitionScenario(s: SparkSession, d: String): String = {
+    import graft.operators.VersionedLayout
+    val dir = repartitionLayoutDir(d)
+    repartitionLock.synchronized {
+      VersionedLayout.writeBase(s, d, dir, rangeUppers(s, d))
+      def ver = VersionedLayout.currentVersion(dir)
+      if (ver < 1)
+        VersionedLayout.appendDelete(s, dir, col("v").between(repDelALo, repDelAHi))
+      if (ver < 2)
+        VersionedLayout.repartitionScheme(s, dir,
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(repBuckets)),
+          0 until repBuckets)
+      if (ver < 3) {
+        val head = VersionedLayout.readAsOf(s, dir, 2)
+        VersionedLayout.appendInsert(s, dir,
+          head.where(col("v").between(repInsLo, repInsHi))
+            .select((col("v") + 3).as("v"),
+              (col("l_orderkey") + repKeyOffset).as("l_orderkey"),
+              col("l_linenumber"), col("l_quantity"))
+            .withColumn("pid",
+              pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+                lit(repBuckets)).cast("int")))
+      }
+      if (ver < 4)
+        VersionedLayout.appendDelete(s, dir, col("v").between(repDelBLo, repDelBHi))
+    }
+    dir
+  }
+
+  /** PARTITION-SCHEME EVOLUTION (q225, round 16) — the carried r14/r15
+    * verb: the layout's placement scheme changes mid-history (range
+    * boundaries -> hash buckets) as ONE logged fold, and the gate pins
+    * that ANSWERS and HISTORY both survive — every AS-OF on each side
+    * of the change, a pruned band read on the NEW scheme's stats, and
+    * the same band read BELOW the change on the OLD scheme's (the
+    * q150/q203 machinery re-keyed per scheme by the fold's own stats
+    * pass). At 100 TB this is how a table whose key distribution
+    * drifted re-balances without downtime, without breaking one
+    * historical read, and without a second copy of the data beyond the
+    * fold's archive.
+    */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.VersionedLayout
+    val dir = ensureRepartitionScenario(s, d)
+    def aggOf(df: DataFrame, phase: String) =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("total_centi"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_centi"))
+        .select(lit(phase).as("phase"), col("n_rows"),
+          col("total_centi"), col("qty_centi"))
+    val asOf = (0 to 4).map(ver =>
+      aggOf(VersionedLayout.readAsOf(s, dir, ver), s"asof_v$ver"))
+      .reduce(_ unionByName _)
+    // Stats-pruned band reads on BOTH schemes: at head (new scheme's
+    // per-bucket bounds) and below the fold (old scheme's bands).
+    val pruned = Seq(
+      aggOf(VersionedLayout.readAsOfRange(s, dir, 4, repRangeLo, repRangeHi), "range_head"),
+      aggOf(VersionedLayout.readAsOfRange(s, dir, 1, repRangeLo, repRangeHi), "range_below"))
+      .reduce(_ unionByName _)
+    asOf.unionByName(pruned).orderBy(col("phase"))
+  }
+
+  private lazy val q225OracleSql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+       |  FROM lineitem),
+       |v1 AS (SELECT v, qc FROM s WHERE v NOT BETWEEN $repDelALo AND $repDelAHi),
+       |ins AS (SELECT v + 3 AS v, qc FROM v1
+       |        WHERE v BETWEEN $repInsLo AND $repInsHi),
+       |v3 AS (SELECT * FROM v1 UNION ALL SELECT * FROM ins),
+       |v4 AS (SELECT v, qc FROM v3 WHERE v NOT BETWEEN $repDelBLo AND $repDelBHi)
+       |SELECT 'asof_v0' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(v) AS BIGINT) AS total_centi, CAST(sum(qc) AS BIGINT) AS qty_centi
+       |FROM s
+       |UNION ALL SELECT 'asof_v1', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v1
+       |UNION ALL SELECT 'asof_v2', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v1
+       |UNION ALL SELECT 'asof_v3', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v3
+       |UNION ALL SELECT 'asof_v4', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT) FROM v4
+       |UNION ALL SELECT 'range_below', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT)
+       |FROM v1 WHERE v BETWEEN $repRangeLo AND $repRangeHi
+       |UNION ALL SELECT 'range_head', CAST(count(*) AS BIGINT),
+       |  CAST(sum(v) AS BIGINT), CAST(sum(qc) AS BIGINT)
+       |FROM v4 WHERE v BETWEEN $repRangeLo AND $repRangeHi
+       |ORDER BY 1""".stripMargin
 
   /** BATCH FORMAT READ (q220) — `spark.read.format("graft-layout")`
     * over q160's five-version CRUD history: every version via
@@ -4754,6 +5218,9 @@ object ScalePatterns {
     QueryDef("q220_layout_batch_read", q220, Some(q220OracleSql)),
     QueryDef("q221_layout_restore_flip", q221, Some(q221OracleSql)),
     QueryDef("q222_layout_field_evolution", q222, Some(q222OracleSql)),
+    QueryDef("q223_layout_write_path", q223, Some(q223OracleSql)),
+    QueryDef("q224_layout_catalog_ddl", q224, Some(q224OracleSql)),
+    QueryDef("q225_layout_repartition", q225, Some(q225OracleSql)),
     QueryDef("q213_layout_stream_ratelimit", q213, Some(crudFeedOracleSql)),
     QueryDef("q214_layout_bloom_point", q214, Some(q214OracleSql)),
     QueryDef("q215_layout_describe_detail", q215, Some(q215OracleSql)),

@@ -1,13 +1,15 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -183,16 +185,157 @@ object GraftLayoutTable {
 }
 
 final case class GraftLayoutTable(dir: String, asOfVersion: Int,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
   GraftLayoutTable.everCreated.incrementAndGet()
   override def name(): String = s"graft-layout `$dir` v$asOfVersion"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     throw new IllegalStateException(
       "graft-layout batch reads are planned by graft.plans.GraftBatchReadRule — " +
         "install the engine extensions (spark.sql.extensions=graft.GraftExtensions)")
+
+  /** BATCH WRITE front door (round 16): `df.write.format("graft-layout")`
+    * and catalog-resolved `INSERT INTO` / `INSERT OVERWRITE` plan
+    * through the standard DSv2 write commands, built as a [[V1Write]]
+    * so the WHOLE DataFrame reaches the engine's own commit verbs —
+    * [[graft.operators.VersionedLayout.appendInsert]] for appends,
+    * [[graft.operators.VersionedLayout.appendReplace]] for overwrite —
+    * one commit-log version, identical artifacts, feed events, and
+    * time-travel semantics to the Scala API (a per-partition DataWriter
+    * could not express the engine's single-commit layout). Options:
+    * `txn` stamps the commit for exactly-once replay
+    * (`appendInsertOnce`'s contract); `keyCols`/`statsCols`/`bloomCols`
+    * configure CREATION when no layout exists yet at the path (the df
+    * must then carry an integer `pid` placement column, like every
+    * other base write).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, info, overwrite = false)
+}
+
+final class GraftWriteBuilder(dir: String, info: LogicalWriteInfo,
+    overwrite: Boolean) extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = new GraftWriteBuilder(dir, info, overwrite = true)
+  override def build(): org.apache.spark.sql.connector.write.Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new GraftInsertableRelation(dir, info.options, overwrite)
+  }
+}
+
+/** The V1 fallback landing zone: receives the full batch DataFrame and
+  * drives the engine commit. Creation (no layout at `dir` yet) requires
+  * the `keyCols` option; append/overwrite against an existing layout
+  * validates the incoming columns against the HEAD schema by name
+  * (case-insensitive, every head column present, nothing extra) and
+  * casts to the head types — the engine's plan-time union would
+  * otherwise silently null-fill a typo'd column.
+  */
+final class GraftInsertableRelation(dir: String,
+    options: CaseInsensitiveStringMap, overwrite: Boolean)
+  extends InsertableRelation {
+
+  private def csv(key: String): Seq[String] =
+    Option(options.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  override def insert(data: DataFrame, overwriteLegacy: Boolean): Unit = {
+    val spark = data.sparkSession
+    val ow = overwrite || overwriteLegacy
+    val txn = Option(options.get("txn")).map(_.toLong).getOrElse(-1L)
+    val head = VersionedLayout.currentVersion(dir)
+    if (head < 0) {
+      val keyCols = csv("keyCols")
+      require(keyCols.nonEmpty,
+        s"no layout exists at $dir — creating one via df.write needs " +
+          "option 'keyCols' (comma-separated row-identity columns); " +
+          "the frame must carry an integer 'pid' placement column")
+      require(data.columns.contains("pid"),
+        s"base write to $dir must carry an integer 'pid' placement column")
+      VersionedLayout.writeBaseTable(spark, data, dir, keyCols,
+        statsCols = csv("statsCols"), bloomCols = csv("bloomCols"))
+    } else {
+      val headCols = VersionedLayout.readAsOf(spark, dir, head).schema.fields
+      val byLower = data.columns.map(c => c.toLowerCase -> c).toMap
+      val missing = headCols.map(_.name).filterNot(c => byLower.contains(c.toLowerCase))
+      val extra = data.columns.filterNot(c =>
+        headCols.exists(_.name.equalsIgnoreCase(c)))
+      require(missing.isEmpty && extra.isEmpty,
+        s"write into $dir does not match the head schema — " +
+          (if (missing.nonEmpty) s"missing column(s): ${missing.mkString(", ")}; " else "") +
+          (if (extra.nonEmpty) s"unknown column(s): ${extra.mkString(", ")}; " else "") +
+          s"head columns: ${headCols.map(_.name).mkString(", ")}")
+      val shaped = data.select(headCols.toSeq.map(f =>
+        col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)): _*)
+      if (ow) VersionedLayout.appendReplace(spark, dir, shaped, txn)
+      else if (txn >= 0) VersionedLayout.appendInsertOnce(spark, dir, shaped, txn)
+      else VersionedLayout.appendInsert(spark, dir, shaped)
+    }
+  }
+}
+
+/** Structured-streaming SINK over the layout (round 16):
+  * `df.writeStream.format("graft-layout").option("path", dir)` — each
+  * micro-batch commits EXACTLY ONCE through the engine's own txn
+  * stamps ([[graft.operators.VersionedLayout.appendInsertOnce]]): the
+  * stamp is (txnAppId hash << 20 | batchId), so a crashed epoch's
+  * replay finds its own committed stamp and skips — the same
+  * idempotence contract StreamingSpec proves for foreachBatch ingest,
+  * now behind the format string. `txnAppId` defaults to the query's
+  * checkpoint location (each checkpointed query is its own replay
+  * domain); set it explicitly when several writers share a table.
+  * Output modes: Append (per-batch [[graft.operators.VersionedLayout.appendInsertOnce]])
+  * and Complete (per-batch [[graft.operators.VersionedLayout.appendReplace]]
+  * — the table tracks the query's full result). On first batch against
+  * an empty path the sink CREATES the layout (option `keyCols`
+  * required) with an EMPTY v0 base, so batch-0 replay stays
+  * idempotent: creation is a no-op once v0 exists and the data commit
+  * carries the stamp.
+  */
+final class LayoutCommitSink(dir: String, parameters: Map[String, String],
+    outputMode: OutputMode) extends Sink {
+
+  private val keyCols = parameters.get("keyCols")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  private val txnApp = parameters.getOrElse("txnAppId",
+    parameters.getOrElse("checkpointLocation", "graft-sink"))
+  private def txnFor(batchId: Long): Long =
+    (math.abs(scala.util.hashing.MurmurHash3.stringHash(txnApp)).toLong << 20) |
+      (batchId & 0xFFFFFL)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // Re-wrap the micro-batch's materialized rows as a batch frame
+    // (the IncrementalExecution-backed frame cannot be re-planned by
+    // the engine's write path — ForeachBatchSink's move).
+    val batch = org.apache.spark.sql.graftshim.StreamingShim.asBatch(spark, data)
+    if (VersionedLayout.currentVersion(dir) < 0) {
+      require(keyCols.nonEmpty,
+        s"no layout exists at $dir — the graft-layout sink needs option " +
+          "'keyCols' to create one (the stream must carry an integer 'pid' column)")
+      require(batch.columns.contains("pid"),
+        s"graft-layout sink stream into $dir must carry an integer 'pid' column")
+      // EMPTY v0, not the first batch: batch 0's data commits under its
+      // own stamp, so a replay of batch 0 after a crash between the two
+      // writes cannot double-insert.
+      VersionedLayout.writeBaseTable(spark, batch.limit(0), dir, keyCols,
+        statsCols = parameters.get("statsCols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        bloomCols = parameters.get("bloomCols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    }
+    outputMode match {
+      case m if m == OutputMode.Complete() =>
+        VersionedLayout.appendReplace(spark, dir, batch, txnFor(batchId))
+      case _ =>
+        VersionedLayout.appendInsertOnce(spark, dir, batch, txnFor(batchId))
+    }
+  }
+
+  override def toString: String = s"LayoutCommitSink[$dir]"
 }
 
 /** `format("graft-layout")` registration (DSv1 streaming provider —
@@ -205,9 +348,22 @@ final case class GraftLayoutTable(dir: String, asOfVersion: Int,
   * directions.
   */
 final class LayoutChangeSourceProvider
-  extends StreamSourceProvider with DataSourceRegister with TableProvider {
+  extends StreamSourceProvider with StreamSinkProvider
+  with DataSourceRegister with TableProvider {
 
   override def shortName(): String = "graft-layout"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-layout sink: partitioning is the layout's own (the 'pid' column) — " +
+        "partitionBy is not supported")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft-layout sink supports Append (per-batch insert) and Complete " +
+        s"(per-batch logged replace) output modes, got $outputMode")
+    new LayoutCommitSink(dirOf(parameters), parameters, outputMode)
+  }
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -229,17 +385,48 @@ final class LayoutChangeSourceProvider
     (dir, v)
   }
 
-  override def supportsExternalMetadata(): Boolean = false
+  // TRUE (round 16): the WRITE path hands the incoming frame's schema
+  // straight to getTable — which is what lets `df.write` CREATE a
+  // layout at an empty path (inferSchema has nothing to infer there)
+  // and skips a redundant head resolution on appends. Read-path
+  // behavior is unchanged when no user schema is given (inferSchema
+  // still runs); a user-supplied read schema resolves by name against
+  // the engine plan and fails loudly on a mismatch.
+  override def supportsExternalMetadata(): Boolean = true
+
+  // The (dir, version) inferSchema resolved, reused verbatim by the
+  // getTable call that follows it on the SAME provider instance
+  // (DataSourceV2Utils.getTableFromProvider's contract): without an
+  // explicit versionAsOf, re-resolving head in getTable could pin a
+  // version committed BETWEEN the two calls, whose schema differs from
+  // the one the table reports — the by-name re-publication in
+  // GraftBatchReadRule would then drop new columns or fail resolution
+  // on dropped ones (round-16 advisor). Schema and pinned version now
+  // always come from ONE log state.
+  private var pinnedTarget: Option[(String, Int)] = None
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, v) = batchTarget(options)
+    pinnedTarget = Some((dir, v))
     // Plan-level only — building the as-of frame runs zero jobs.
     VersionedLayout.readAsOf(SparkSession.active, dir, v).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val (dir, v) = batchTarget(new CaseInsensitiveStringMap(properties))
+    val opts = new CaseInsensitiveStringMap(properties)
+    val dir0 = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-layout requires option 'path' (the layout root)"))
+    val (dir, v) = pinnedTarget match {
+      case Some((d, pv)) if d == dir0 => (d, pv)
+      // Write path (external metadata: no prior inferSchema call). An
+      // EMPTY path is legal here — it is the df.write CREATE handle
+      // (version -1); batchTarget would refuse it.
+      case _ if VersionedLayout.currentVersion(dir0) < 0 =>
+        (dir0, -1)
+      case _ => batchTarget(opts)
+    }
     GraftLayoutTable(dir, v, schema)
   }
 

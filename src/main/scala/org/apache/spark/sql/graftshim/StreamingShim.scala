@@ -21,4 +21,18 @@ object StreamingShim {
       df.asInstanceOf[ClassicDataset[Row]].queryExecution.toRdd,
       schema, isStreaming = true)
   }
+
+  /** The inverse door, for a DSv1 streaming SINK: the DataFrame a
+    * `Sink.addBatch` receives is backed by the query's
+    * IncrementalExecution and cannot be re-planned by batch writers —
+    * the standard move (Spark's own ForeachBatchSink, Delta's
+    * DeltaSink) re-wraps the micro-batch's materialized RDD as a plain
+    * batch frame before handing it to the write path.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[ClassicDataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = false)
+  }
 }

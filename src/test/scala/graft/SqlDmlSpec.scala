@@ -126,6 +126,94 @@ class SqlDmlSpec extends SparkSpec {
     assert(head.count() == 90)
   }
 
+  test("MERGE: a NULL-evaluating earlier arm condition falls through to the later arm (three-valued logic, advisor)") {
+    // ANSI MERGE first-match-wins under SQL three-valued logic: WHEN
+    // MATCHED AND <cond> with <cond> = NULL did NOT match — the row
+    // must fall to the NEXT arm, not silently drop out of both (the
+    // pre-fix `!NULL` narrowing was NULL, leaving the row untouched).
+    val dir = freshDir("nullarm")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    // op: 'u' for k<5, NULL for 5<=k<10 — the NULL rows must DELETE.
+    VersionedLayout.readAsOf(spark, dir, 0).where(col("k") < 10)
+      .withColumn("op", when(col("k") < 5, lit("u")))
+      .createOrReplaceTempView("sqldml_spec_nullarm")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_nullarm AS s2
+         |ON t.k = s2.k
+         |WHEN MATCHED AND s2.op = 'u' THEN UPDATE SET q = -1.0
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val head = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(head.where(col("k") < 5 && col("q") === -1.0).count() == 5,
+      "op='u' rows were not updated")
+    assert(head.where(col("k").between(5, 9)).count() == 0,
+      "NULL-condition rows did not fall through to the DELETE arm")
+    assert(head.count() == 95)
+    // Engine-side twin: DELETE listed first with a NULL-evaluating
+    // condition — NULL must behave as false and the row must still be
+    // ELIGIBLE for the update arm (appendMerge's updateCond && !deleteCond
+    // narrowing had the same `!NULL` gap).
+    val dir2 = freshDir("nullarm-api")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir2, Seq("k"))
+    val src2 = VersionedLayout.readAsOf(spark, dir2, 0).where(col("k") < 10)
+      .withColumn("op", when(col("k") < 5, lit("d")))
+    VersionedLayout.appendMerge(spark, dir2, src2,
+      updateSet = Map("q" -> lit(-2.0)),
+      deleteCond = Some(col("s_op") === "d"),
+      updateCond = None) // default: every remaining match updates
+    val head2 = VersionedLayout.readAsOf(spark, dir2, 1)
+    assert(head2.where(col("k") < 5).count() == 0, "op='d' rows not deleted")
+    assert(head2.where(col("k").between(5, 9) && col("q") === -2.0).count() == 5,
+      "NULL-deleteCond rows fell out of the update arm")
+  }
+
+  test("MERGE UPDATE SET * requires the source to carry every non-key target column (advisor)") {
+    val dir = freshDir("star")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    // Full-width source: star expansion assigns v and q from s_*.
+    VersionedLayout.readAsOf(spark, dir, 0).where(col("k") < 5)
+      .withColumn("v", col("v") + 100).withColumn("q", col("q") + 0.5)
+      .createOrReplaceTempView("sqldml_spec_star")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_star AS s2
+         |ON t.k = s2.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val head = VersionedLayout.readAsOf(spark, dir, 1)
+    assert(head.where(col("k") < 5 && col("v") >= 100).count() == 5)
+    // Narrow source (misspelled/missing column): ANSI star expansion
+    // ERRORS instead of silently leaving the column unchanged —
+    // either the analyzer's own expansion fails to resolve `s2.q`
+    // (when resolution runs before the DML rewrite), or the engine's
+    // explicit star check names the gap.
+    VersionedLayout.readAsOf(spark, dir, 1).where(col("k") < 5)
+      .drop("q").createOrReplaceTempView("sqldml_spec_star_narrow")
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_star_narrow AS s2
+         |ON t.k = s2.k WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect())
+    assert(ex.getMessage.contains("star expansion")
+      || ex.getMessage.toUpperCase.contains("UNRESOLVED")
+      || ex.getMessage.contains("cannot resolve")
+      || ex.getMessage.contains("resolve"), ex.getMessage)
+  }
+
+  test("point probes on a pre-round-13 layout (no recorded base types) stay usable (advisor)") {
+    val dir = freshDir("legacytypes")
+    val df = spark.range(0, 50).select(col("id").as("k"),
+      concat(lit("doc-"), col("id")).as("ck"), col("id").as("n"),
+      (col("id") % 2).cast("int").as("pid"))
+    VersionedLayout.writeBaseTable(spark, df, dir, Seq("k"),
+      bloomCols = Seq("ck", "n"))
+    // Simulate the pre-round-13 meta: strip the recorded types map.
+    val meta = new java.io.File(dir, "_log/meta.json")
+    val body = new String(Files.readAllBytes(meta.toPath))
+    assert(body.contains("\"types\":{"), "fixture assumes a typed meta")
+    Files.write(meta.toPath,
+      body.replaceAll(""","types":\{[^}]*\}""", "").getBytes)
+    // Declared type is unknown ("base") — neither overload can be
+    // proven wrong, so BOTH must serve (the pre-fix refusal made every
+    // probe on an older layout a dead end).
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 0, "ck", "doc-7").count() == 1)
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 0, "n", 7L).count() == 1)
+  }
+
   test("SQL DML contracts refuse loudly") {
     val dir = freshDir("refuse")
     VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
@@ -142,11 +230,6 @@ class SqlDmlSpec extends SparkSpec {
       s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_refuse AS s2
          |ON t.k > s2.k WHEN MATCHED THEN DELETE""".stripMargin)
       .contains("conjunction"))
-    // WHEN NOT MATCHED BY SOURCE has no engine arm.
-    assert(msg(
-      s"""MERGE INTO graft.`$dir` AS t USING sqldml_spec_refuse AS s2
-         |ON t.k = s2.k WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-      .contains("NOT MATCHED BY SOURCE"))
     // Key/placement assignment is immutable row identity.
     assert(msg(s"UPDATE graft.`$dir` SET k = k + 1 WHERE v = 1")
       .contains("key/placement"))
@@ -230,6 +313,110 @@ class SqlDmlSpec extends SparkSpec {
     // The DSv2 table addition must not break the DSv1 streaming path.
     assert(spark.readStream.format("graft-layout").option("path", dir)
       .load().isStreaming)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: SQL commits exactly the API merge, one version, one feed batch") {
+    val (a, b) = writeTwin("bysrc")
+    // Source carries k<20; target-only rows: delete 80..89, update 90..99.
+    VersionedLayout.readAsOf(spark, a, 0).where(col("k") < 20)
+      .withColumn("qdelta", lit(2.0))
+      .createOrReplaceTempView("sqldml_spec_bysrc")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$a` AS t USING sqldml_spec_bysrc AS s2
+         |ON t.k = s2.k
+         |WHEN MATCHED THEN UPDATE SET q = t.q + s2.qdelta
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 80 AND t.k < 90 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 90 THEN UPDATE SET q = -5.0""".stripMargin)
+      .collect()
+    VersionedLayout.appendMerge(spark, b,
+      VersionedLayout.readAsOf(spark, b, 0).where(col("k") < 20)
+        .withColumn("qdelta", lit(2.0)),
+      updateSet = Map("q" -> (col("q") + col("s_qdelta"))),
+      insertNotMatched = false,
+      bySourceDeleteCond = Some(col("k") >= 80 && col("k") < 90),
+      bySourceUpdateCond = Some(col("k") >= 90),
+      bySourceUpdateSet = Map("q" -> lit(-5.0)))
+    assertTwinsEqual(a, b)
+    // ONE version, one statement: 20 matched updates + 10 by-source
+    // updates written; 20 + 10 + 10 pre-images tombstoned.
+    assert(res.length == 1 && res(0).getLong(0) == 1L, res.toSeq.toString)
+    assert(res(0).getLong(1) == 30 && res(0).getLong(2) == 40, res.toSeq.toString)
+    val head = VersionedLayout.readAsOf(spark, a, 1)
+    assert(head.count() == 90)
+    assert(head.where(col("k") >= 90 && col("q") =!= -5.0).count() == 0)
+    // A by-source arm referencing the SOURCE refuses with the scope.
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$a` AS t USING sqldml_spec_bysrc AS s2
+         |ON t.k = s2.k
+         |WHEN NOT MATCHED BY SOURCE AND s2.v > 0 THEN DELETE""".stripMargin).collect())
+    assert(ex.getMessage.contains("target columns are in scope"), ex.getMessage)
+  }
+
+  test("df.write.format(graft-layout): create, append, txn-idempotent append, overwrite, schema refusals") {
+    val dir = freshDir("dfwrite")
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 10).as("v"),
+        (col("id") * lit(1.0)).as("q"), (col("id") % 4).cast("int").as("pid"))
+    // Create on an empty path needs keyCols.
+    val noKeys = intercept[Exception](slice(0, 10).write.format("graft-layout")
+      .option("path", dir).mode("append").save())
+    assert(noKeys.getMessage.contains("keyCols"), noKeys.getMessage)
+    slice(0, 100).write.format("graft-layout").option("path", dir)
+      .option("keyCols", "k").mode("append").save()
+    assert(VersionedLayout.currentVersion(dir) == 0)
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == 100)
+    // Plain append, then a txn-stamped append replayed twice = once.
+    slice(100, 150).write.format("graft-layout").option("path", dir)
+      .mode("append").save()
+    slice(150, 170).write.format("graft-layout").option("path", dir)
+      .option("txn", "42").mode("append").save()
+    slice(150, 170).write.format("graft-layout").option("path", dir)
+      .option("txn", "42").mode("append").save()
+    assert(VersionedLayout.currentVersion(dir) == 2, "txn replay double-committed")
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 170)
+    // Overwrite = logged replace; history below stays addressable.
+    slice(0, 30).write.format("graft-layout").option("path", dir)
+      .mode("overwrite").save()
+    assert(VersionedLayout.currentVersion(dir) == 3)
+    assert(VersionedLayout.readAsOf(spark, dir, 3).count() == 30)
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 170)
+    // Schema mismatches refuse loudly (missing and unknown columns).
+    val missing = intercept[Exception](slice(0, 5).drop("q")
+      .write.format("graft-layout").option("path", dir).mode("append").save())
+    assert(missing.getMessage.contains("missing column"), missing.getMessage)
+    val extra = intercept[Exception](slice(0, 5).withColumn("zz", lit(1))
+      .write.format("graft-layout").option("path", dir).mode("append").save())
+    assert(extra.getMessage.contains("unknown column"), extra.getMessage)
+  }
+
+  test("graft catalog: named tables — create over existing layout, DML by name, time travel, rename, drop keeps data") {
+    val dir = freshDir("catalog")
+    VersionedLayout.writeBaseTable(spark, baseDf, dir, Seq("k"))
+    spark.sql(s"CREATE TABLE graft.sqldml_cat_t USING `graft-layout` LOCATION '$dir'")
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .exists(_.getString(1) == "sqldml_cat_t"))
+    // Reads, by name, through the engine plan.
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t").collect()(0).getLong(0) == 100)
+    // DML by NAME (the GraftDmlRule named-target hook).
+    spark.sql("DELETE FROM graft.sqldml_cat_t WHERE v < 2")
+    assert(VersionedLayout.currentVersion(dir) == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t").collect()(0).getLong(0) == 80)
+    // SQL time travel through the catalog.
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t VERSION AS OF 0")
+      .collect()(0).getLong(0) == 100)
+    // INSERT INTO by name.
+    spark.range(500, 510).select(col("id").as("k"), lit(1L).as("v"),
+      lit(0.5).as("q"), lit(0).cast("int").as("pid"))
+      .createOrReplaceTempView("sqldml_cat_ins")
+    spark.sql("INSERT INTO graft.sqldml_cat_t SELECT k, v, q, pid FROM sqldml_cat_ins")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t").collect()(0).getLong(0) == 90)
+    // Rename the NAME (registry only), then drop: data survives both.
+    spark.sql("ALTER TABLE graft.sqldml_cat_t RENAME TO graft.sqldml_cat_t2")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t2").collect()(0).getLong(0) == 90)
+    spark.sql("DROP TABLE graft.sqldml_cat_t2")
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .exists(_.getString(1) == "sqldml_cat_t2"))
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 90, "DROP TABLE touched data")
   }
 
   test("describeDetail refuses an uncommitted layout explicitly") {

@@ -2912,4 +2912,90 @@ class StorageSpec extends SparkSpec {
     assert(fresh.exists(), "fresh (possibly in-flight) sidecar must survive the lease")
     Files.deleteIfExists(fresh.toPath)
   }
+
+  test("partition-scheme evolution (q225): answers and history survive the scheme change; domain switches; stats re-key per scheme") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-repart").toString + "/t"
+    // Old scheme: 4 range-ish pids keyed by id band; stats column w.
+    def shaped(ids: Seq[Long]) =
+      ids.map(i => (i, i * 10)).toDF("row_id", "w")
+        .select(expr("CAST(row_id / 100 AS INT)").as("pid"),
+          col("row_id"), col("w"))
+    VersionedLayout.writeBaseTable(spark, shaped(0L until 400L), dir,
+      Seq("row_id"), statsCol = Some("w"))
+    VersionedLayout.appendDelete(spark, dir, col("row_id") < 50)        // v1
+    val v1Rows = VersionedLayout.readAsOf(spark, dir, 1)
+      .select(col("row_id"), col("w")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // v2: the SCHEME CHANGE — placement becomes hash(row_id) mod 8.
+    val (foldV, prePids) = VersionedLayout.repartitionScheme(spark, dir,
+      pmod(xxhash64(col("row_id")), lit(8)), 0 until 8)
+    assert(foldV == 2 && prePids.toSet == Set(0, 1, 2, 3), s"($foldV, $prePids)")
+    def rowsAt(v: Int) = VersionedLayout.readAsOf(spark, dir, v)
+      .select(col("row_id"), col("w")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Answers preserved across the fold; history below still serves the
+    // OLD placement's state exactly.
+    assert(rowsAt(2) == v1Rows, "scheme change altered logical answers")
+    assert(rowsAt(1) == v1Rows && rowsAt(0).size == 400, "history below the change broke")
+    // Live dirs are the NEW scheme's pids.
+    val liveDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+      .map(_.getName.stripPrefix("pid=").toInt).toSet
+    assert(liveDirs.subsetOf((0 until 8).toSet) && liveDirs.size > 4, liveDirs.toString)
+    // Domain switched: pid 6 (outside the old 0..3) is now admissible;
+    // pid 9 (outside the new domain) refuses.
+    VersionedLayout.appendInsert(spark, dir,
+      Seq((6, 9001L, 42L)).toDF("pid", "row_id", "w"))                  // v3
+    val ex = intercept[IllegalArgumentException](
+      VersionedLayout.appendInsert(spark, dir,
+        Seq((9, 9002L, 43L)).toDF("pid", "row_id", "w")))
+    assert(ex.getMessage.contains("outside the base domain"), ex.getMessage)
+    assert(rowsAt(3) == v1Rows + ((9001L, 42L)))
+    // Stats re-keyed per scheme: a narrow band read prunes sources on
+    // BOTH sides of the change (new scheme at head, old scheme below).
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.count(f => !f.contains("_tombs"))
+    val headBand = VersionedLayout.readAsOfRange(spark, dir, 3, 500L, 600L)
+    val headFull = VersionedLayout.readAsOf(spark, dir, 3)
+      .where(col("w").between(500L, 600L))
+    assert(headBand.collect().map(_.getLong(1)).toSet ==
+      headFull.collect().map(_.getLong(1)).toSet)
+    val belowBand = VersionedLayout.readAsOfRange(spark, dir, 1, 500L, 600L)
+    assert(files(belowBand) < files(VersionedLayout.readAsOf(spark, dir, 1)),
+      "below-change band read stopped pruning on the old scheme's stats")
+    // A newPid landing outside the declared domain refuses LOUDLY
+    // before anything moves, and the layout stays writable.
+    val bad = intercept[IllegalArgumentException](
+      VersionedLayout.repartitionScheme(spark, dir, lit(99), 0 until 8))
+    assert(bad.getMessage.contains("outside the declared domain"), bad.getMessage)
+    VersionedLayout.appendDelete(spark, dir, col("row_id") === 9001L)   // v4 still works
+    assert(rowsAt(4) == v1Rows)
+  }
+
+  test("appendReplace: logged overwrite — history addressable, feed exact, same-key rows replaceable, txn idempotent") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-replace").toString + "/t"
+    def shaped(ids: Seq[Long], w: Long => Long) =
+      ids.map(i => (i, w(i))).toDF("row_id", "w")
+        .select(pmod(col("row_id"), lit(4)).cast("int").as("pid"), col("row_id"), col("w"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 100L, _ * 10), dir, Seq("row_id"))
+    // Replace with an overlapping-key set (1..50 keep their ids, new values).
+    val v = VersionedLayout.appendReplace(spark, dir, shaped(1L to 50L, _ * 7), txn = 77L)
+    assert(v == 1)
+    def rowsAt(ver: Int) = VersionedLayout.readAsOf(spark, dir, ver)
+      .select(col("row_id"), col("w")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowsAt(1) == (1L to 50L).map(i => (i, i * 7)).toSet, "replace state wrong")
+    assert(rowsAt(0) == (1L to 100L).map(i => (i, i * 10)).toSet, "history below replace broke")
+    // Replay with the same txn stamp is a no-op (exactly-once).
+    assert(VersionedLayout.appendReplace(spark, dir, shaped(1L to 50L, _ * 7), txn = 77L) == 1)
+    assert(VersionedLayout.currentVersion(dir) == 1)
+    // The feed spans the replace with exact deltas: 100 deletes + 50 inserts.
+    val feed = VersionedLayout.changeFeed(spark, dir, 0, 1)
+      .groupBy(col("change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("delete" -> 100L, "insert" -> 50L), feed.toString)
+  }
 }

@@ -296,6 +296,61 @@ class StreamingSpec extends SparkSpec {
       "a band outside the streamed segments' bounds still scanned them")
   }
 
+  test("graft-layout SINK (round 16): creates on first batch, commits exactly-once across restarts AND across a checkpoint reset with the same txnAppId") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/layout"
+    val in = java.nio.file.Files.createTempDirectory("graft-sink-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-sink-chk")
+    def stage(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sink-stage")
+      rows.toDF("k", "w").repartition(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+    def run(checkpoint: String): Unit = {
+      val q = spark.readStream
+        .schema(Seq((0L, 0L)).toDF("k", "w").schema)
+        .parquet(in.toString)
+        .select(pmod(col("k"), lit(4)).cast("int").as("pid"), col("k"), col("w"))
+        .writeStream.format("graft-layout")
+        .option("path", dir).option("keyCols", "k")
+        .option("txnAppId", "sink-spec")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rows() = VersionedLayout
+      .readAsOf(spark, dir, VersionedLayout.currentVersion(dir))
+      .select(col("k"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Batch 0 CREATES the layout (empty v0) and commits as v1.
+    stage("b0.parquet", (1L to 10L).map(i => (i, i * 2)))
+    run(chk.toString)
+    assert(VersionedLayout.currentVersion(dir) == 1)
+    assert(rows() == (1L to 10L).map(i => (i, i * 2)).toSet)
+    // Restart from the SAME checkpoint with one more staged file: only
+    // the new batch commits.
+    stage("b1.parquet", (11L to 15L).map(i => (i, i * 2)))
+    run(chk.toString)
+    assert(VersionedLayout.currentVersion(dir) == 2, "restart re-committed an old batch")
+    assert(rows() == (1L to 15L).map(i => (i, i * 2)).toSet)
+    // Checkpoint RESET (fresh dir, same txnAppId): every batch replays,
+    // every commit's stamp matches, nothing doubles.
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-sink-chk2")
+    run(chk2.toString)
+    assert(VersionedLayout.currentVersion(dir) == 2, "checkpoint reset double-committed")
+    assert(rows() == (1L to 15L).map(i => (i, i * 2)).toSet)
+    // The empty v0 is the CREATION commit — batch data never rode it.
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == 0)
+    // Readers see the streamed commits as ordinary versions.
+    assert(VersionedLayout.readAsOf(spark, dir, 1).count() == 10)
+  }
+
   test("streaming ingest into a GENERIC (events-keyed) layout: exactly-once commits, per-batch time travel, and a change feed that sums to the head") {
     import org.apache.spark.sql.functions._
     import graft.operators.VersionedLayout
