@@ -79,9 +79,9 @@ stable() {
 # finding.
 artifact_files() {
   local f
-  for f in BENCH_LATEST.json SLOPES.json LEAKCHECK.json DIAG.jsonl \
-           DIAG.*.jsonl COPYCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
-           BENCH_AB_*.md; do
+  for f in BENCH_LATEST.json BENCH_RECORD.json SLOPES.json LEAKCHECK.json \
+           DIAG.jsonl DIAG.*.jsonl COPYCHECK.json BENCH_r*.json \
+           CORRECTNESS_r*.json BENCH_AB_*.md; do
     [ -e "$f" ] && printf '%s\n' "$f"
   done
 }
