@@ -256,10 +256,26 @@ object VersionedLayout {
     * and its bound holds whatever the commit's distinct count does).
     * Hot path stays pure codegen'd built-ins.
     */
+  /** The data type at `path` in `df` — a plain column, or ONE struct
+    * field level down (`parent.field`); None when absent either way.
+    */
+  private def resolveTypeOf(df: DataFrame, path: String):
+      Option[org.apache.spark.sql.types.DataType] = {
+    val parts = path.split("\\.", 2)
+    val top = df.schema.fields.find(_.name == parts(0)).map(_.dataType)
+    if (parts.length == 1) top
+    else top.flatMap {
+      case st: StructType => st.fields.find(_.name == parts(1)).map(_.dataType)
+      case _ => None
+    }
+  }
+
   private def computeBlooms(
       df: DataFrame, physCols: Seq[String]): Map[String, Map[Int, (Int, Array[Byte])]] = {
-    val present = physCols.distinct.filter(c => df.columns.contains(c)
-      && bloomableType(df.schema(c).dataType))
+    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      physCols.distinct.flatMap(c => resolveTypeOf(df, c).map(c -> _)).toMap
+    val present = physCols.distinct.filter(c =>
+      typeOf.get(c).exists(bloomableType))
     if (present.isEmpty) return Map.empty
     val dAggs = present.map(c => countDistinct(col(c)).as(s"__d_$c"))
     val dRows = df.groupBy(col("pid").cast("int").as("p"))
@@ -274,7 +290,7 @@ object VersionedLayout {
     val words = df
       .select(col("pid").cast("int").as("p"),
         explode(array(present.map(c => struct(lit(c).as("c"),
-          array(bloomPositionCols(col(c), df.schema(c).dataType, mOf(c)): _*).as("ps"))): _*)).as("ch"))
+          array(bloomPositionCols(col(c), typeOf(c), mOf(c)): _*).as("ps"))): _*)).as("ch"))
       .select(col("p"), col("ch.c").as("c"), explode(col("ch.ps")).as("pos"))
       .groupBy(col("p"), col("c"), shiftrightunsigned(col("pos"), 6).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").as("mask"))
@@ -1019,15 +1035,22 @@ object VersionedLayout {
     // row identical for tombstone purposes).
     require(keyCols.nonEmpty, "a layout needs at least one row-identity column")
     val allStats = (statsCol.toSeq ++ statsCols).distinct
-    (keyCols ++ allStats ++ bloomCols).foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    (keyCols ++ allStats).foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column '$k' is not identifier-shaped — the layout meta cannot carry it"))
+    // Bloom columns may be ONE-LEVEL struct FIELD paths (round 16:
+    // `meta.quality` — q222 gave fields identities; point probes now
+    // prune one level down too). The sidecar format ('|'-separated) and
+    // the meta list (quoted strings) carry a dot verbatim.
+    bloomCols.foreach(k => require(
+      k.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"Bloom column '$k' is not a column name or one-level field path"))
     // The log-entry parser locates the legacy triple array by its
     // field name — a stats COLUMN spelled like the field would tear it.
     allStats.foreach(k => require(k != "stats" && k != "statsm",
       s"'$k' cannot be a stats column (reserved log-entry field name)"))
-    bloomCols.foreach(k => require(df.columns.contains(k)
-      && bloomableType(df.schema(k).dataType),
-      s"Bloom column '$k' must be an integral or string column of the base write"))
+    bloomCols.foreach(k => require(resolveTypeOf(df, k).exists(bloomableType),
+      s"Bloom column '$k' must be an integral or string column (or struct " +
+        "field) of the base write"))
     if (currentVersion(dir) >= 0) return
     df.repartition(col("pid"))
       .write.mode("overwrite").partitionBy("pid").parquet(dir)
@@ -3290,8 +3313,23 @@ object VersionedLayout {
     */
   private def declaredTokenOf(dir: String, it: ColIdentity): String =
     it.widens.lastOption.map(w => normType(w._2)).getOrElse {
-      if (it.birth == 0 && it.addType.isEmpty)
-        baseTypesOf(dir).get(it.eras.head._1).map(normType).getOrElse("base")
+      if (it.birth == 0 && it.addType.isEmpty) {
+        val name = it.eras.head._1
+        // A FIELD-path identity (round 16: field-keyed Blooms) declares
+        // its type through the parent's recorded base struct DDL.
+        val fromBase =
+          if (!name.contains(".")) baseTypesOf(dir).get(name)
+          else {
+            val Array(parent, fld) = name.split("\\.", 2)
+            baseTypesOf(dir).get(parent).flatMap(ddl =>
+              scala.util.Try(DataType.fromDDL(ddl)).toOption).flatMap {
+                case st: StructType =>
+                  st.fields.find(_.name == fld).map(_.dataType.simpleString)
+                case _ => None
+              }
+          }
+        fromBase.map(normType).getOrElse("base")
+      }
       else it.addType.map(normType).getOrElse("base")
     }
 

@@ -2913,6 +2913,50 @@ class StorageSpec extends SparkSpec {
     Files.deleteIfExists(fresh.toPath)
   }
 
+  test("field-keyed Bloom sidecars (round 16): point probes on struct FIELDS prune sources, stay exact, and refuse after field evolution") {
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-bloom-field").toString + "/t"
+    def shaped(ids: Seq[Long]) = ids.map(i => (i, i * 3, f"k-$i%07d"))
+      .toDF("row_id", "ref", "key")
+      .select(pmod(col("row_id"), lit(4)).cast("int").as("pid"),
+        col("row_id"), struct(col("ref"), col("key")).as("meta"))
+    VersionedLayout.writeBaseTable(spark, shaped(1L to 400L), dir,
+      Seq("row_id"), bloomCols = Seq("meta.ref", "meta.key"))
+    VersionedLayout.appendInsert(spark, dir, shaped(Seq(901L)))        // v1
+    VersionedLayout.appendDelete(spark, dir, col("row_id") === 7L)     // v2
+    def dataFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(f => !f.contains("_tombs"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("row_id")).collect().map(_.getLong(0)).toSet
+    // Integral FIELD probe: exact rows, fewer sources than the full read.
+    val p = VersionedLayout.readAsOfPoint(spark, dir, 2, "meta.ref", 33L)
+    val full = VersionedLayout.readAsOf(spark, dir, 2).where(col("meta.ref") === 33L)
+    assert(ids(p) == ids(full) && ids(p) == Set(11L))
+    assert(dataFiles(p) < dataFiles(full), "field probe did not prune")
+    // String FIELD probe; tombstoned row serves nothing; absent prunes all.
+    assert(ids(VersionedLayout.readAsOfPoint(spark, dir, 2, "meta.key",
+      "k-%07d".format(901))) == Set(901L))
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 2, "meta.key",
+      "k-%07d".format(7)).count() == 0, "tombstoned row leaked through a field probe")
+    assert(VersionedLayout.readAsOfPoint(spark, dir, 2, "meta.ref", 999999L).count() == 0)
+    // Declared-type contract holds one level down: a mis-typed probe
+    // refuses with the overload hint.
+    val e1 = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfPoint(spark, dir, 2, "meta.ref", "33"))
+    assert(e1.getMessage.contains("overload"), e1.getMessage)
+    // FIELD EVOLUTION on a bloomed path: the identity is 'mentioned' by
+    // the event, so probes refuse loudly instead of pruning wrongly.
+    VersionedLayout.renameField(spark, dir, "meta.ref", "refx")        // v3
+    val e2 = intercept[IllegalArgumentException](
+      VersionedLayout.readAsOfPoint(spark, dir, 3, "meta.ref", 33L))
+    assert(e2.getMessage.contains("readAsOf"), e2.getMessage)
+    // The UNTOUCHED sibling field keeps probing across the evolution.
+    assert(ids(VersionedLayout.readAsOfPoint(spark, dir, 3, "meta.key",
+      "k-%07d".format(11))) == Set(11L))
+  }
+
   test("partition-scheme evolution (q225): answers and history survive the scheme change; domain switches; stats re-key per scheme") {
     import graft.operators.VersionedLayout
     val spark0 = spark
