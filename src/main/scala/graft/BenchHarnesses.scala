@@ -904,6 +904,21 @@ object RulesToggleAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(qname)
+    // Arm the batch-read rule's everCreated gate (round 16): in a real
+    // session that has touched any graft-layout table, EVERY analysis
+    // pays the rule body (write-target collection + traversal) — the
+    // toggle must measure THAT state, not the O(1)-gated one a
+    // layout-free JVM gets for free.
+    locally {
+      import org.apache.spark.sql.functions._
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_rulesab_arm_p${graft.JvmId.token}").getAbsolutePath
+      graft.operators.VersionedLayout.writeBaseTable(spark,
+        spark.range(0, 10).select(lit(0).cast("int").as("pid"), col("id").as("k")),
+        dir, Seq("k"))
+      spark.read.format("graft-layout").load(dir).count()
+      require(graft.streaming.GraftLayoutTable.everCreated.get() > 0L)
+    }
     def timed(): Double = {
       val t0 = System.nanoTime(); fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
