@@ -419,6 +419,28 @@ class SqlDmlSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 90, "DROP TABLE touched data")
   }
 
+  test("CREATE TABLE AS SELECT through the graft catalog: one statement creates, registers, and loads the layout") {
+    val dir = freshDir("ctas")
+    spark.range(0, 60).select(col("id").as("k"), (col("id") % 5).as("v"),
+      (col("id") % 4).cast("int").as("pid"))
+      .createOrReplaceTempView("sqldml_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE graft.sqldml_ctas_t USING `graft-layout` LOCATION '$dir'
+         |TBLPROPERTIES ('keyCols' = 'k')
+         |AS SELECT k, v, pid FROM sqldml_ctas_src""".stripMargin)
+    // One registered name, layout created, rows landed.
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_ctas_t")
+      .collect()(0).getLong(0) == 60)
+    assert(VersionedLayout.currentVersion(dir) >= 0)
+    assert(VersionedLayout.readAsOf(spark, dir,
+      VersionedLayout.currentVersion(dir)).count() == 60)
+    // The created table is immediately mutable through every door.
+    spark.sql("DELETE FROM graft.sqldml_ctas_t WHERE v = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_ctas_t")
+      .collect()(0).getLong(0) == 48)
+    spark.sql("DROP TABLE graft.sqldml_ctas_t")
+  }
+
   test("describeDetail refuses an uncommitted layout explicitly") {
     val ex = intercept[IllegalArgumentException](
       VersionedLayout.describeDetail(spark, freshDir("empty")))
