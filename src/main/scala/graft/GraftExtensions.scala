@@ -31,6 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     args(i).eval()
   }
 
+  /** A table function's layout argument accepts a PATH or (round 16) a
+    * catalog-registered NAME — resolved through the same registry the
+    * `graft` catalog serves, so `graft_layout_history('corpus')` and
+    * `graft_layout_history('/tables/corpus')` are the same call. An
+    * unknown plain name passes through for the engine's own
+    * "no committed layout" refusal.
+    */
+  private def dirArg(args: Seq[Expression], i: Int, fn: String): String = {
+    val raw = constArg(args, i, fn).toString
+    graft.plans.GraftCatalog.resolveDir(SparkSession.active, raw).getOrElse(raw)
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IntersectSizeRewrite)
     // SQL DML over the versioned layout (round 15): MERGE INTO /
@@ -71,7 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
         "graft_layout_asof"),
       (args: Seq[Expression]) => {
-        val dir = constArg(args, 0, "graft_layout_asof").toString
+        val dir = dirArg(args, 0, "graft_layout_asof")
         val v = constArg(args, 1, "graft_layout_asof").toString.toInt
         graft.operators.VersionedLayout.readAsOf(SparkSession.active, dir, v)
           .queryExecution.logical: LogicalPlan
@@ -82,7 +94,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
         "graft_layout_asof_ts"),
       (args: Seq[Expression]) => {
-        val dir = constArg(args, 0, "graft_layout_asof_ts").toString
+        val dir = dirArg(args, 0, "graft_layout_asof_ts")
         val ts = constArg(args, 1, "graft_layout_asof_ts").toString.toLong
         graft.operators.VersionedLayout
           .readAsOfTimestamp(SparkSession.active, dir, ts)
@@ -97,7 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
         "graft_layout_history"),
       (args: Seq[Expression]) => {
-        val dir = constArg(args, 0, "graft_layout_history").toString
+        val dir = dirArg(args, 0, "graft_layout_history")
         graft.operators.VersionedLayout.describeHistory(SparkSession.active, dir)
           .queryExecution.logical: LogicalPlan
       },
@@ -120,7 +132,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
         "graft_layout_feed"),
       (args: Seq[Expression]) => {
-        val dir = constArg(args, 0, "graft_layout_feed").toString
+        val dir = dirArg(args, 0, "graft_layout_feed")
         val fromV = constArg(args, 1, "graft_layout_feed").toString.toInt
         val toV = constArg(args, 2, "graft_layout_feed").toString.toInt
         graft.operators.VersionedLayout
@@ -137,7 +149,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
         "graft_layout_feed_ts"),
       (args: Seq[Expression]) => {
-        val dir = constArg(args, 0, "graft_layout_feed_ts").toString
+        val dir = dirArg(args, 0, "graft_layout_feed_ts")
         val fromTs = constArg(args, 1, "graft_layout_feed_ts").toString.toLong
         val toTs = constArg(args, 2, "graft_layout_feed_ts").toString.toLong
         graft.operators.VersionedLayout
@@ -153,7 +165,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
         "graft_layout_detail"),
       (args: Seq[Expression]) => {
-        val dir = constArg(args, 0, "graft_layout_detail").toString
+        val dir = dirArg(args, 0, "graft_layout_detail")
         graft.operators.VersionedLayout.describeDetail(SparkSession.active, dir)
           .queryExecution.logical: LogicalPlan
       },
@@ -163,7 +175,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.operators.VersionedLayout.LogEntry].getName,
         "graft_layout_asof_range"),
       (args: Seq[Expression]) => {
-        val dir = constArg(args, 0, "graft_layout_asof_range").toString
+        val dir = dirArg(args, 0, "graft_layout_asof_range")
         val v = constArg(args, 1, "graft_layout_asof_range").toString.toInt
         val lo = constArg(args, 2, "graft_layout_asof_range").toString.toLong
         val hi = constArg(args, 3, "graft_layout_asof_range").toString.toLong

@@ -48,13 +48,17 @@ final class GraftBatchReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // relations are swapped (round 16, with the write front doors).
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
-    plan.foreach {
-      case w: V2WriteCommand => w.table.foreach(writeTargets.add)
-      case m: MergeIntoTable => m.targetTable.foreach(writeTargets.add)
-      case d: DeleteFromTable => d.table.foreach(writeTargets.add)
-      case u: UpdateTable => u.table.foreach(writeTargets.add)
-      case _ => ()
-    }
+    // Write/DML plans are Catalyst Commands — a query-shaped plan (no
+    // COMMAND bit) cannot hold a write target, so it skips the
+    // collection pass entirely (one bitset check).
+    if (plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.COMMAND))
+      plan.foreach {
+        case w: V2WriteCommand => w.table.foreach(writeTargets.add)
+        case m: MergeIntoTable => m.targetTable.foreach(writeTargets.add)
+        case d: DeleteFromTable => d.table.foreach(writeTargets.add)
+        case u: UpdateTable => u.table.foreach(writeTargets.add)
+        case _ => ()
+      }
     plan resolveOperators {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftLayoutTable]
           && !writeTargets.contains(r)

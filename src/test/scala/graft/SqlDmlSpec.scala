@@ -404,6 +404,11 @@ class SqlDmlSpec extends SparkSpec {
     // SQL time travel through the catalog.
     assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t VERSION AS OF 0")
       .collect()(0).getLong(0) == 100)
+    // The layout TVFs accept the registered NAME too (same registry).
+    assert(spark.sql("SELECT count(*) AS n FROM graft_layout_history('sqldml_cat_t')")
+      .collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_layout_asof('sqldml_cat_t', 0)")
+      .collect()(0).getLong(0) == 100)
     // INSERT INTO by name.
     spark.range(500, 510).select(col("id").as("k"), lit(1L).as("v"),
       lit(0.5).as("q"), lit(0).cast("int").as("pid"))
