@@ -55,6 +55,13 @@ import graft.streaming.GraftLayoutTable
   * matrix is drivable from SQL text with the same artifacts as the
   * Scala API.
   *
+  * `CREATE TABLE ... AS SELECT` composes out of the standard pieces
+  * (CreateTableAsSelectExec → our createTable → the V1-fallback
+  * append): the create and the first data commit are TWO log versions
+  * — non-staged CTAS, like any non-StagingTableCatalog; a crash
+  * between them leaves a registered empty table, retryable with a
+  * plain INSERT.
+  *
   * At 100 TB the catalog is PURE metadata: every operation is a
   * registry-file touch plus commit-log reads; no data pass anywhere.
   */

@@ -380,6 +380,15 @@ class SqlDmlSpec extends SparkSpec {
     assert(VersionedLayout.currentVersion(dir) == 3)
     assert(VersionedLayout.readAsOf(spark, dir, 3).count() == 30)
     assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 170)
+    // The SQL spellings of both verbs land the same commits.
+    slice(200, 210).createOrReplaceTempView("sqldml_dfw_ins")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT k, v, q, pid FROM sqldml_dfw_ins")
+    assert(VersionedLayout.readAsOf(spark, dir, 4).count() == 40)
+    spark.sql(s"INSERT OVERWRITE graft.`$dir` SELECT k, v, q, pid FROM sqldml_dfw_ins")
+    assert(VersionedLayout.currentVersion(dir) == 5)
+    assert(VersionedLayout.readAsOf(spark, dir, 5).count() == 10)
+    assert(VersionedLayout.readAsOf(spark, dir, 4).count() == 40,
+      "INSERT OVERWRITE must be a logged replace, not a history rewrite")
     // Schema mismatches refuse loudly (missing and unknown columns).
     val missing = intercept[Exception](slice(0, 5).drop("q")
       .write.format("graft-layout").option("path", dir).mode("append").save())
