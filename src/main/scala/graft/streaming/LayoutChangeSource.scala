@@ -185,10 +185,22 @@ object GraftLayoutTable {
 }
 
 final case class GraftLayoutTable(dir: String, asOfVersion: Int,
-    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   GraftLayoutTable.everCreated.incrementAndGet()
   override def name(): String = s"graft-layout `$dir` v$asOfVersion"
   override def schema(): StructType = tableSchema
+
+  /** `TRUNCATE TABLE graft.<name>` — a LOGGED full delete (one
+    * tombstone-only commit): history below stays addressable, the feed
+    * serves every removed row as a delete, and RESTORE undoes it —
+    * never a physical wipe.
+    */
+  override def truncateTable(): Boolean = {
+    VersionedLayout.appendDelete(SparkSession.active, dir,
+      org.apache.spark.sql.functions.lit(true))
+    true
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,

@@ -424,6 +424,14 @@ class SqlDmlSpec extends SparkSpec {
       .createOrReplaceTempView("sqldml_cat_ins")
     spark.sql("INSERT INTO graft.sqldml_cat_t SELECT k, v, q, pid FROM sqldml_cat_ins")
     assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t").collect()(0).getLong(0) == 90)
+    // TRUNCATE is a LOGGED full delete: head empties, history and the
+    // feed keep every row, restore can undo it.
+    spark.sql("TRUNCATE TABLE graft.sqldml_cat_t")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t").collect()(0).getLong(0) == 0)
+    assert(VersionedLayout.readAsOf(spark, dir, 2).count() == 90,
+      "TRUNCATE physically wiped history")
+    VersionedLayout.restore(spark, dir, 2)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t").collect()(0).getLong(0) == 90)
     // Rename the NAME (registry only), then drop: data survives both.
     spark.sql("ALTER TABLE graft.sqldml_cat_t RENAME TO graft.sqldml_cat_t2")
     assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_cat_t2").collect()(0).getLong(0) == 90)
