@@ -450,17 +450,101 @@ class SqlDmlSpec extends SparkSpec {
       s"""CREATE TABLE graft.sqldml_ctas_t USING `graft-layout` LOCATION '$dir'
          |TBLPROPERTIES ('keyCols' = 'k')
          |AS SELECT k, v, pid FROM sqldml_ctas_src""".stripMargin)
-    // One registered name, layout created, rows landed.
+    // One registered name, layout created, rows landed — as ONE commit
+    // (round 17, staged CTAS: the data IS the v0 base; the old
+    // non-staged composition left create + append as two versions).
     assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_ctas_t")
       .collect()(0).getLong(0) == 60)
-    assert(VersionedLayout.currentVersion(dir) >= 0)
-    assert(VersionedLayout.readAsOf(spark, dir,
-      VersionedLayout.currentVersion(dir)).count() == 60)
+    assert(VersionedLayout.currentVersion(dir) == 0,
+      "staged CTAS must land the SELECT as the single v0 base commit")
+    assert(VersionedLayout.readAsOf(spark, dir, 0).count() == 60)
     // The created table is immediately mutable through every door.
     spark.sql("DELETE FROM graft.sqldml_ctas_t WHERE v = 0")
     assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_ctas_t")
       .collect()(0).getLong(0) == 48)
     spark.sql("DROP TABLE graft.sqldml_ctas_t")
+  }
+
+  test("staged CTAS crash window: a crash between the data write and the registration CAS leaves NO visible table; a retry succeeds; abort cleans the location") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, StagingTableCatalog, SupportsWrite}
+    val dir = freshDir("ctas_crash")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val props = new java.util.HashMap[String, String]()
+    props.put("location", dir)
+    props.put("keyCols", "k")
+    val src = spark.range(0, 40).select(col("id").as("k"), (col("id") % 3).as("v"),
+      (col("id") % 4).cast("int").as("pid"))
+    def stageAndWrite(): org.apache.spark.sql.connector.catalog.StagedTable = {
+      val staged = cat.stageCreate(Identifier.of(Array.empty, "sqldml_ctas_crash"),
+        src.schema, Array.empty, props)
+      // Drive the staged write exactly as AtomicCreateTableAsSelectExec
+      // would: the V1 fallback receives the SELECT's rows.
+      val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "ctas-crash-spec"
+        override def schema() = src.schema
+        override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+      }
+      staged.asInstanceOf[SupportsWrite].newWriteBuilder(info).build()
+        .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+        .toInsertableRelation.insert(src, overwrite = false)
+      staged
+    }
+    // CRASH INJECTION: write lands, commitStagedChanges never runs.
+    stageAndWrite()
+    assert(VersionedLayout.currentVersion(dir) == 0,
+      "the staged write should have landed the v0 base at the location")
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .exists(_.getString(1) == "sqldml_ctas_crash"),
+      "a crashed CTAS must not leave a visible (registered) table")
+    val e = intercept[Exception](spark.table("graft.sqldml_ctas_crash").collect())
+    assert(e.getMessage.toLowerCase.contains("table") || e.getMessage.contains("not"))
+    // RETRY over the orphan: the full SQL CTAS stages over the
+    // unregistered leftovers and commits atomically.
+    src.createOrReplaceTempView("sqldml_ctas_crash_src")
+    spark.sql(
+      s"""CREATE TABLE graft.sqldml_ctas_crash USING `graft-layout` LOCATION '$dir'
+         |TBLPROPERTIES ('keyCols' = 'k')
+         |AS SELECT k, v, pid FROM sqldml_ctas_crash_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqldml_ctas_crash")
+      .collect()(0).getLong(0) == 40)
+    assert(VersionedLayout.currentVersion(dir) == 0, "the retry must re-stage, not append")
+    spark.sql("DROP TABLE graft.sqldml_ctas_crash")
+    // ABORT cleans the location back to pre-stage emptiness.
+    val dir2 = freshDir("ctas_abort")
+    props.put("location", dir2)
+    val staged2 = cat.stageCreate(Identifier.of(Array.empty, "sqldml_ctas_abort"),
+      src.schema, Array.empty, props)
+    staged2.abortStagedChanges()
+    assert(!new java.io.File(dir2).exists() || VersionedLayout.currentVersion(dir2) < 0)
+    // A failing SELECT inside a real SQL CTAS aborts the same way: no
+    // table, no registration.
+    val boom = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE graft.sqldml_ctas_boom USING `graft-layout` LOCATION '$dir2'
+           |TBLPROPERTIES ('keyCols' = 'k')
+           |AS SELECT k, v, pid, CAST(raise_error('boom') AS STRING) AS z
+           |FROM sqldml_ctas_crash_src""".stripMargin).collect()
+    }
+    assert(boom != null)
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .exists(_.getString(1) == "sqldml_ctas_boom"),
+      "a failed CTAS SELECT must abort the staged table, not register it")
+    // UNMARKED committed data at the location (user bytes addressed by
+    // path, or any layout not written by a stage) refuses — CTAS may
+    // only swallow bytes it can prove it wrote itself.
+    val dirUser = freshDir("ctas_user")
+    VersionedLayout.writeBaseTable(spark, src, dirUser, Seq("k"))
+    val refuse = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE graft.sqldml_ctas_user USING `graft-layout` LOCATION '$dirUser'
+           |TBLPROPERTIES ('keyCols' = 'k')
+           |AS SELECT k, v, pid FROM sqldml_ctas_crash_src""".stripMargin)
+    }
+    assert(refuse.getMessage.contains("already holds"), refuse.getMessage)
+    assert(VersionedLayout.readAsOf(spark, dirUser, 0).count() == 40,
+      "a refused CTAS must not touch the existing layout")
   }
 
   test("describeDetail refuses an uncommitted layout explicitly") {
