@@ -351,6 +351,81 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 1).count() == 10)
   }
 
+  test("graft-layout SINK Update mode (round 17): streamed upserts == batch merges, restart-safe, checkpoint-reset replays skip on stamps") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VersionedLayout
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsink").toString + "/layout"
+    val twin = java.nio.file.Files.createTempDirectory("graft-upsink-twin").toString + "/layout"
+    val in = java.nio.file.Files.createTempDirectory("graft-upsink-in")
+    val chk = java.nio.file.Files.createTempDirectory("graft-upsink-chk")
+    def stage(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-upsink-stage")
+      rows.toDF("k", "w").repartition(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, in.resolve(name))
+    }
+    def run(checkpoint: String): Unit = {
+      val q = spark.readStream
+        .schema(Seq((0L, 0L)).toDF("k", "w").schema)
+        .parquet(in.toString)
+        .select(pmod(col("k"), lit(4)).cast("int").as("pid"), col("k"), col("w"))
+        .writeStream.format("graft-layout")
+        .outputMode("update")
+        .option("path", dir).option("keyCols", "k")
+        .option("txnAppId", "upsink-spec")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rows(d: String) = VersionedLayout
+      .readAsOf(spark, d, VersionedLayout.currentVersion(d))
+      .select(col("k"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def df(rs: Seq[(Long, Long)]) = rs.toDF("k", "w")
+      .select(pmod(col("k"), lit(4)).cast("int").as("pid"), col("k"), col("w"))
+    val b0 = (1L to 10L).map(i => (i, i * 2))
+    val b1 = (6L to 12L).map(i => (i, i * 100))
+    // Batch 0: creation (empty v0) + one upsert commit.
+    stage("b0.parquet", b0)
+    run(chk.toString)
+    assert(VersionedLayout.currentVersion(dir) == 1)
+    assert(VersionedLayout.log(dir).last.action == "upsert")
+    assert(rows(dir) == b0.toSet)
+    // Restart, batch 1 OVERWRITES keys 6..10 and inserts 11..12.
+    stage("b1.parquet", b1)
+    run(chk.toString)
+    assert(VersionedLayout.currentVersion(dir) == 2, "restart re-committed an old batch")
+    val expect = ((1L to 5L).map(i => (i, i * 2)) ++ b1).toSet
+    assert(rows(dir) == expect)
+    // Checkpoint RESET with the same txnAppId: replayed batchIds skip
+    // on their stamps (the documented contract), nothing doubles.
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-upsink-chk2")
+    run(chk2.toString)
+    assert(VersionedLayout.currentVersion(dir) == 2, "checkpoint reset double-committed")
+    assert(rows(dir) == expect)
+    // ARTIFACT EQUALITY vs batch merges: the same two deliveries applied
+    // through appendMerge on a twin give identical answers AND the same
+    // action sequence.
+    VersionedLayout.writeBaseTable(spark, df(Nil), twin, Seq("k"))
+    VersionedLayout.appendMerge(spark, twin, df(b0),
+      updateSet = Map("w" -> col("s_w")))
+    VersionedLayout.appendMerge(spark, twin, df(b1),
+      updateSet = Map("w" -> col("s_w")))
+    assert(rows(twin) == rows(dir))
+    (0 to 2).foreach { v =>
+      assert(VersionedLayout.readAsOf(spark, dir, v)
+        .select(col("k"), col("w")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        VersionedLayout.readAsOf(spark, twin, v)
+          .select(col("k"), col("w")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        s"streamed-upsert and batch-merge histories diverge at v$v")
+    }
+    assert(VersionedLayout.log(dir).map(_.action) == VersionedLayout.log(twin).map(_.action))
+  }
+
   test("streaming ingest into a GENERIC (events-keyed) layout: exactly-once commits, per-batch time travel, and a change feed that sums to the head") {
     import org.apache.spark.sql.functions._
     import graft.operators.VersionedLayout
