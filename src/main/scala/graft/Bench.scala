@@ -90,6 +90,7 @@ object Bench {
       "q220_layout_batch_read", "q221_layout_restore_flip",
       "q222_layout_field_evolution", "q223_layout_write_path",
       "q224_layout_catalog_ddl", "q225_layout_repartition",
+      "q226_sql_maintenance", "q227_stream_upsert",
       "q27_ngram_jaccard", "q196_orc_roundtrip", "q60_sparse_topk",
       "q115_bm25_topk", "q24_minhash_signatures", "q26_simhash",
       "q109_bigram_fluency",
