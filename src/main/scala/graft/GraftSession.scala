@@ -28,6 +28,17 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round 17 (optimization guide §5/§6): the layout's multi-path
+      // parquet reads pass one path per pid — at 32 pids that hits the
+      // default parallelPartitionDiscovery.threshold (32) and Spark
+      // launches a whole DISTRIBUTED JOB just to list a handful of
+      // local directories, pure scheduling overhead on every plan
+      // build. Driver-side listing is the right call up to thousands
+      // of paths on any filesystem with cheap metadata ops; deployments
+      // scanning object-store tables with very wide partitioning can
+      // lower it back at submit time (it is an ordinary Spark conf).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "4096"))
       // The `graft` DSv2 catalog (round 16): named layout tables —
       // CREATE TABLE / SHOW TABLES / DESCRIBE / INSERT INTO /
       // ALTER TABLE / VERSION AS OF — over the commit log. The

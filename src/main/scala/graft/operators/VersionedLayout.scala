@@ -94,6 +94,74 @@ object VersionedLayout {
     */
   private val legacyKeyCols = Seq("l_orderkey", "l_linenumber", "v")
 
+  // ------------------------------------------------------------------
+  // SNAPSHOT-METADATA CACHES (round 17, optimization guide §5/§6).
+  //
+  // Measured on this box (PlanCost, warm): ONE `spark.read.parquet`
+  // call against an already-written layout source costs 314-427 ms of
+  // pure driver time (path resolution + file listing + footer schema
+  // inference) before a single row is read, and a full readAsOf(head)
+  // PLAN BUILD costs ~880 ms vs ~160 ms to actually EXECUTE it.
+  // Multi-version queries (q160/q190/q220...) and the change feed
+  // rebuild the same relations dozens of times, so plan construction
+  // dominated their bench time (q220: 6.6 s of its 7.5 s was
+  // DataFrame building, zero jobs).
+  //
+  // The fix is the one every table format ships: cache the RESOLVED
+  // metadata per immutable snapshot (Delta's DeltaLog snapshot cache,
+  // Iceberg's table metadata cache, Spark's own
+  // filesourcePartitionFileCacheSize for catalog tables — path-based
+  // reads bypass that built-in cache, so the layout keeps its own).
+  // Nothing here caches DATA: every execution still scans parquet
+  // bytes from disk; what is reused is the analyzed relation (file
+  // list + schema) and the composed as-of/feed LOGICAL plan.
+  //
+  // Soundness: every cache key carries (a) the owning SparkSession (a
+  // plan is session-bound), and (b) the TABLE's log identity — head
+  // version + that entry's commit timestamp + writer tag. All layout
+  // mutations commit a log entry (data, evolution, maintenance,
+  // vacuum — commit-last protocol), so any change bumps the stamp and
+  // the next read rebuilds from fresh listings; a scenario dir purged
+  // and rebuilt at the same path gets a different (ts, tag) even at
+  // the same head. Within one committed state the underlying
+  // directories are immutable by construction (files are only ever
+  // replaced across commits), so a reused file list is exactly what a
+  // fresh listing would return. Bounded: cleared wholesale past 512
+  // entries (same discipline as ckptCache) — a cache wipe only costs
+  // the next build.
+  // ------------------------------------------------------------------
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The table's current log identity — the stamp every snapshot-cache
+    * key carries so any commit (or same-path rebuild) invalidates.
+    */
+  private def logStamp(entries: Seq[LogEntry]): String =
+    entries.lastOption.map(e => s"v${e.version}t${e.ts}g${e.tag}").getOrElse("empty")
+
+  private def cachedPlan(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val hit = planCache.get(k)
+    if (hit != null) hit
+    else {
+      val df = build
+      if (planCache.size() > 512) planCache.clear()
+      planCache.put(k, df)
+      df
+    }
+  }
+
+  /** One resolved parquet relation per (session, table state, source
+    * paths) — the file listing and footer schema inference happen once
+    * per committed table state instead of once per plan build.
+    */
+  private def cachedParquet(s: SparkSession, stamp: String,
+      basePath: Option[String], paths: Seq[String]): DataFrame =
+    cachedPlan(s, s"pq|$stamp|${basePath.getOrElse("")}|${paths.mkString(",")}") {
+      val rd = basePath.map(b => s.read.option("basePath", b)).getOrElse(s.read)
+      rd.parquet(paths: _*)
+    }
+
   private def metaFile(dir: String) = new java.io.File(logDir(dir), "meta.json")
 
   /** The ROW-IDENTITY columns of this layout's table — recorded at base
@@ -2791,16 +2859,20 @@ object VersionedLayout {
   }
 
   /** The tombstone set one version committed (spec observability). */
-  def tombstonesAt(s: SparkSession, dir: String, ver: Int): DataFrame =
-    s.read.parquet(tombDirOf(dir, log(dir), ver))
+  def tombstonesAt(s: SparkSession, dir: String, ver: Int): DataFrame = {
+    val entries = log(dir)
+    cachedParquet(s, logStamp(entries), None, Seq(tombDirOf(dir, entries, ver)))
+  }
 
   /** The insert segment one version committed (incremental consumers) —
     * resolved through the fold archives when a major compaction has
     * since absorbed it, so change feeds and IVM audits keep working
     * across maintenance.
     */
-  def insertsAt(s: SparkSession, dir: String, ver: Int): DataFrame =
-    s.read.parquet(locateSegment(dir, log(dir), ver))
+  def insertsAt(s: SparkSession, dir: String, ver: Int): DataFrame = {
+    val entries = log(dir)
+    cachedParquet(s, logStamp(entries), None, Seq(locateSegment(dir, entries, ver)))
+  }
 
   /** CHANGE DATA FEED: the row-level changes committed in versions
     * (fromV, toV] — each insert-segment row tagged `insert`, each
@@ -2894,6 +2966,14 @@ object VersionedLayout {
     changeFeedImpl(s, dir, fromV, toV, forceTag = true)
 
   private def changeFeedImpl(s: SparkSession, dir: String, fromV: Int, toV: Int,
+      forceTag: Boolean): DataFrame =
+    // Same snapshot-cache discipline as readAsOf: the feed plan is
+    // deterministic from (dir, window, committed log).
+    cachedPlan(s, s"feed|$dir|$fromV|$toV|$forceTag|${logStamp(log(dir))}") {
+      buildChangeFeed(s, dir, fromV, toV, forceTag)
+    }
+
+  private def buildChangeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int,
       forceTag: Boolean): DataFrame = {
     val key = "pid" +: keyColsOf(dir)
     val entries = log(dir)
@@ -2983,8 +3063,9 @@ object VersionedLayout {
       .filter(e => (e.action == "delete" || e.action == "upsert")
         && e.version > after && e.version <= v)
       .map(_.version)
+    val stamp = logStamp(entries)
     vers.map { tv =>
-      s.read.parquet(tombDirOf(dir, entries, tv))
+      cachedParquet(s, stamp, None, Seq(tombDirOf(dir, entries, tv)))
         .withColumn("_tomb_ver", lit(tv))
     }.reduceOption(_ unionByName _)
   }
@@ -3499,6 +3580,18 @@ object VersionedLayout {
 
   private def readAsOfImpl(s: SparkSession, dir: String, v: Int,
       skip: Option[PruneSpec]): DataFrame = {
+    // Whole-plan snapshot cache (skip specs carry closures — only the
+    // plain as-of shape is keyed). The composed plan is deterministic
+    // from (dir, v, committed log), so the log stamp fully keys it.
+    if (skip.isEmpty)
+      cachedPlan(s, s"asof|$dir|$v|${logStamp(log(dir))}") {
+        buildAsOf(s, dir, v, None)
+      }
+    else buildAsOf(s, dir, v, skip)
+  }
+
+  private def buildAsOf(s: SparkSession, dir: String, v: Int,
+      skip: Option[PruneSpec]): DataFrame = {
     val entries = log(dir)
     require(v >= 0 && v <= entries.last.version, s"version $v outside log 0..${entries.last.version}")
     require(v >= horizon(dir),
@@ -3567,8 +3660,9 @@ object VersionedLayout {
       if (skip.isDefined) keepByPid(entries, Int.MaxValue, keepOf)
       else Map.empty[Int, Option[Boolean]]
     val livePids = livePidsAll.filter(p => hits(liveStats.getOrElse(p, None)))
+    val stamp = logStamp(entries)
     def liveRead(ps: Seq[Int]) = aliasConflicted(
-      s.read.option("basePath", dir).parquet(ps.map(p => s"$dir/pid=$p"): _*),
+      cachedParquet(s, stamp, Some(dir), ps.map(p => s"$dir/pid=$p")),
       lastSchemaWriterBefore(entries, Int.MaxValue))
     val liveDf = if (livePids.isEmpty) None else Some(liveRead(livePids))
     // ONE read per archive generation (multi-path), not one per pid —
@@ -3581,8 +3675,8 @@ object VersionedLayout {
       c -> ps.map(_._1).filter(p => hits(aStats.getOrElse(p, None)))
     }.filter(_._2.nonEmpty)
     def archRead(c: Int, ps: Seq[Int]) = aliasConflicted(
-      s.read.option("basePath", archiveDir(dir, c))
-        .parquet(ps.map(p => s"${archiveDir(dir, c)}/pid=$p"): _*),
+      cachedParquet(s, stamp, Some(archiveDir(dir, c)),
+        ps.map(p => s"${archiveDir(dir, c)}/pid=$p")),
       lastSchemaWriterBefore(entries, c))
     val archDf0 = archGroups.map { case (c, ps) => archRead(c, ps) }
     // If the prune dropped EVERY base source, keep one (rowless) for
@@ -3652,7 +3746,8 @@ object VersionedLayout {
         k.isEmpty || k.values.exists(identity)
       }
       .map(e => aliasConflicted(
-        s.read.parquet(locateSegment(dir, entries, e.version)), e.version)
+        cachedParquet(s, stamp, None, Seq(locateSegment(dir, entries, e.version))),
+        e.version)
         .withColumn("_src_ver", lit(e.version)))
     // Sources may differ in schema across an addColumn evolution:
     // null-fill the union, then project to the schema COMMITTED AS OF v
