@@ -279,7 +279,8 @@ private[graft] object GenChain {
     val segs = ((baseGen + 1) to gen).flatMap { g =>
       val d = new java.io.File(genDir(dir, g), "retract-ids")
       if (d.isDirectory)
-        Seq(s.read.parquet(d.getAbsolutePath).withColumn("_retract_gen", lit(g)))
+        Seq(SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, g), None,
+          Seq(d.getAbsolutePath)).withColumn("_retract_gen", lit(g)))
       else Nil
     }
     segs.reduceOption(_ unionByName _)

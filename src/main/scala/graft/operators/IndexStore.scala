@@ -116,9 +116,21 @@ object IndexStore {
   /** The reader contract: base ∪ deltas, merged. Readable at every
     * intermediate mutation state (see object scaladoc).
     */
+  /** Chain-state stamp for the snapshot cache: base mtime + chain
+    * shape. Every mutation replaces a dir by rename (fresh mtime) or
+    * changes the delta/archive set, so any change — including a
+    * same-path rebuild — invalidates; within one state all source dirs
+    * are immutable.
+    */
+  private def chainStamp(store: String): String =
+    s"b${new java.io.File(baseDir(store)).lastModified()}" +
+      s"d${deltaDirs(store).size}a${archiveDirs(store).size}"
+
   def read(s: SparkSession, store: String): DataFrame = {
     val dirs = baseDir(store) +: deltaDirs(store)
-    mergeAll(dirs.map(d => s.read.schema(indexSchema).parquet(d)))
+    val st = chainStamp(store)
+    mergeAll(dirs.map(d =>
+      SnapshotCache.parquet(s, st, None, Seq(d), Some(indexSchema))))
   }
 
   /** Rewrite base := merge(base, deltas), then ARCHIVE the folded base
@@ -187,7 +199,9 @@ object IndexStore {
     require(new java.io.File(base0).isDirectory,
       s"original base of $store is not addressable (vacuumed)")
     val dirs = base0 +: (1 to upToDelta).map(locate)
-    mergeAll(dirs.map(d => s.read.schema(indexSchema).parquet(d)))
+    val st = chainStamp(store)
+    mergeAll(dirs.map(d =>
+      SnapshotCache.parquet(s, st, None, Seq(d), Some(indexSchema))))
   }
 
   /** Drop ALL archived history (the head remains the only addressable

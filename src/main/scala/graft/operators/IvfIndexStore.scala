@@ -64,8 +64,11 @@ object IvfIndexStore {
       .getOrElse(throw new IllegalStateException(s"$dir has no full-snapshot generation <= $gen"))
 
   /** The frozen centroid table (cid, ce, cn) serving generation `gen`. */
-  def centroidsOf(s: SparkSession, dir: String, gen: Int): DataFrame =
-    s.read.parquet(s"${genDir(dir, baseGenOf(dir, gen))}/centroids")
+  def centroidsOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    val b = baseGenOf(dir, gen)
+    SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, b), None,
+      Seq(s"${genDir(dir, b)}/centroids"))
+  }
 
   /** The full-snapshot generation serving `gen` (the segment chain's
     * base) — exposed for audits that iterate the chain from its
@@ -108,18 +111,21 @@ object IvfIndexStore {
     // written as, so the chain union is schema-stable.
     def norm(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val bStamp = SnapshotCache.genStamp(dir, b)
     val baseDf = norm(cids match {
       case Some(ks) =>
         val dirs = ks.distinct.map(k => new java.io.File(basePath, s"cid=$k"))
           .filter(_.isDirectory).map(_.getAbsolutePath)
-        if (dirs.isEmpty) s.read.parquet(basePath).where(lit(false))
-        else s.read.option("basePath", basePath).parquet(dirs: _*)
-      case None => s.read.parquet(basePath)
+        if (dirs.isEmpty)
+          SnapshotCache.parquet(s, bStamp, None, Seq(basePath)).where(lit(false))
+        else SnapshotCache.parquet(s, bStamp, Some(basePath), dirs)
+      case None => SnapshotCache.parquet(s, bStamp, None, Seq(basePath))
     })
     val segs = ((b + 1) to gen).flatMap { g =>
       val d = new java.io.File(genDir(dir, g), "asg-delta")
       if (d.isDirectory) {
-        val df = norm(s.read.parquet(d.getAbsolutePath))
+        val df = norm(SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, g),
+          None, Seq(d.getAbsolutePath)))
         Seq((cids match {
           case Some(ks) => df.where(col("cid").isin(ks: _*))
           case None => df
@@ -144,10 +150,17 @@ object IvfIndexStore {
   def segmentOf(s: SparkSession, dir: String, gen: Int): DataFrame = {
     val full = new java.io.File(genDir(dir, gen), "asg")
     val delta = new java.io.File(genDir(dir, gen), "asg-delta")
+    val stamp = SnapshotCache.genStamp(dir, gen)
     val src =
-      if (full.isDirectory) s.read.parquet(full.getAbsolutePath)
-      else if (delta.isDirectory) s.read.parquet(delta.getAbsolutePath)
-      else s.read.parquet(s"${genDir(dir, baseGenOf(dir, gen))}/asg").where(lit(false))
+      if (full.isDirectory)
+        SnapshotCache.parquet(s, stamp, None, Seq(full.getAbsolutePath))
+      else if (delta.isDirectory)
+        SnapshotCache.parquet(s, stamp, None, Seq(delta.getAbsolutePath))
+      else {
+        val b = baseGenOf(dir, gen)
+        SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, b), None,
+          Seq(s"${genDir(dir, b)}/asg")).where(lit(false))
+      }
     src.select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 

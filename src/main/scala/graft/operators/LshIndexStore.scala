@@ -120,20 +120,21 @@ object LshIndexStore {
       s: SparkSession, dir: String, gen: Int, bkts: Option[Seq[Int]]): DataFrame = {
     val b = baseGenOf(dir, gen)
     val parts =
-      readPruned(s, s"${genDir(dir, b)}/bands", bkts)
+      readPruned(s, s"${genDir(dir, b)}/bands", SnapshotCache.genStamp(dir, b), bkts)
         .map(_.drop("bkt").withColumn("_row_gen", lit(b))).toSeq ++
         ((b + 1) to gen).flatMap { g =>
           // Delta segments are unpartitioned (O(delta), bounded to read
           // whole; the recompute's semi-join filters).
           val d = new java.io.File(genDir(dir, g), "bands-delta")
           if (d.isDirectory)
-            readPruned(s, d.getAbsolutePath, bkts)
+            readPruned(s, d.getAbsolutePath, SnapshotCache.genStamp(dir, g), bkts)
               .map(_.drop("bkt").withColumn("_row_gen", lit(g)))
           else None
         }
     val live = parts.reduceOption(_ unionByName _)
       .getOrElse( // no requested bucket anywhere: empty, schema from base
-        s.read.parquet(s"${genDir(dir, b)}/bands").where(lit(false))
+        SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, b), None,
+          Seq(s"${genDir(dir, b)}/bands")).where(lit(false))
           .drop("bkt").withColumn("_row_gen", lit(b)))
     retractHorizons(s, dir, b, gen) match {
       case Some(h) =>
@@ -170,8 +171,8 @@ object LshIndexStore {
     * given (file-set pruning; legacy unpartitioned tables read whole),
     * `None` result = the table holds none of the requested buckets.
     */
-  private def readPruned(
-      s: SparkSession, path: String, bkts: Option[Seq[Int]]): Option[DataFrame] = {
+  private def readPruned(s: SparkSession, path: String, stamp: String,
+      bkts: Option[Seq[Int]]): Option[DataFrame] = {
     def isPartitioned(f: java.io.File): Boolean =
       Option(f.listFiles()).exists(_.exists(_.getName.startsWith("bkt=")))
     bkts match {
@@ -180,8 +181,8 @@ object LshIndexStore {
           .map(k => new java.io.File(path, s"bkt=$k"))
           .filter(_.isDirectory).map(_.getAbsolutePath)
         if (dirs.isEmpty) None
-        else Some(s.read.option("basePath", path).parquet(dirs: _*))
-      case _ => Some(s.read.parquet(path))
+        else Some(SnapshotCache.parquet(s, stamp, Some(path), dirs))
+      case _ => Some(SnapshotCache.parquet(s, stamp, None, Seq(path)))
     }
   }
 
@@ -207,14 +208,18 @@ object LshIndexStore {
       bkts: Option[Seq[Int]] = None): DataFrame = {
     val b = baseGenOf(dir, gen)
     val parts =
-      readPruned(s, s"${genDir(dir, b)}/counts", bkts).map(_.drop("bkt")).toSeq ++
+      readPruned(s, s"${genDir(dir, b)}/counts", SnapshotCache.genStamp(dir, b), bkts)
+        .map(_.drop("bkt")).toSeq ++
         ((b + 1) to gen).flatMap { g =>
           val d = new java.io.File(genDir(dir, g), "counts-delta")
-          if (d.isDirectory) readPruned(s, d.getAbsolutePath, bkts).map(_.drop("bkt"))
+          if (d.isDirectory)
+            readPruned(s, d.getAbsolutePath, SnapshotCache.genStamp(dir, g), bkts)
+              .map(_.drop("bkt"))
           else None
         }
     parts.reduceOption(_ unionByName _)
-      .getOrElse(s.read.parquet(s"${genDir(dir, b)}/counts")
+      .getOrElse(SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, b), None,
+        Seq(s"${genDir(dir, b)}/counts"))
         .drop("bkt").where(lit(false)))
       .groupBy(col("band"), col("key")).agg(sum(col("n")).as("n"))
   }
@@ -229,7 +234,8 @@ object LshIndexStore {
     val b = baseGenOf(dir, gen)
     val segGens = ((b + 1) to gen).filter(g =>
       new java.io.File(genDir(dir, g), "touched-buckets").isDirectory)
-    val base = s.read.parquet(s"${genDir(dir, b)}/pairbands")
+    val base = SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, b), None,
+      Seq(s"${genDir(dir, b)}/pairbands"))
     if (segGens.isEmpty) base
     else {
       // Explicit schemas: an all-over-cap mutation legitimately writes a
@@ -517,7 +523,8 @@ object LshIndexStore {
     val b = baseGenOf(dir, gen)
     val segGens = ((b + 1) to gen).filter(g =>
       new java.io.File(genDir(dir, g), "touched-buckets").isDirectory)
-    val base = s.read.parquet(s"${genDir(dir, b)}/pairbands")
+    val base = SnapshotCache.parquet(s, SnapshotCache.genStamp(dir, b), None,
+      Seq(s"${genDir(dir, b)}/pairbands"))
     val readRows = base.count() + segGens.map(g =>
       s.read.schema(base.schema).parquet(s"${genDir(dir, g)}/pairbands-delta").count()).sum
     val foldedRows = pairBandsOf(s, dir, gen).count()

@@ -130,26 +130,14 @@ object VersionedLayout {
   // entries (same discipline as ckptCache) — a cache wipe only costs
   // the next build.
   // ------------------------------------------------------------------
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   /** The table's current log identity — the stamp every snapshot-cache
     * key carries so any commit (or same-path rebuild) invalidates.
     */
   private def logStamp(entries: Seq[LogEntry]): String =
     entries.lastOption.map(e => s"v${e.version}t${e.ts}g${e.tag}").getOrElse("empty")
 
-  private def cachedPlan(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = (s, key)
-    val hit = planCache.get(k)
-    if (hit != null) hit
-    else {
-      val df = build
-      if (planCache.size() > 512) planCache.clear()
-      planCache.put(k, df)
-      df
-    }
-  }
+  private def cachedPlan(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    SnapshotCache.plan(s, key)(build)
 
   /** One resolved parquet relation per (session, table state, source
     * paths) — the file listing and footer schema inference happen once
@@ -157,10 +145,7 @@ object VersionedLayout {
     */
   private def cachedParquet(s: SparkSession, stamp: String,
       basePath: Option[String], paths: Seq[String]): DataFrame =
-    cachedPlan(s, s"pq|$stamp|${basePath.getOrElse("")}|${paths.mkString(",")}") {
-      val rd = basePath.map(b => s.read.option("basePath", b)).getOrElse(s.read)
-      rd.parquet(paths: _*)
-    }
+    SnapshotCache.parquet(s, stamp, basePath, paths)
 
   private def metaFile(dir: String) = new java.io.File(logDir(dir), "meta.json")
 
