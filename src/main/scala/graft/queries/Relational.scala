@@ -626,6 +626,27 @@ object Relational {
         s"sum(${corrQuant(corrVars(i)._2, big)} * ${corrQuant(corrVars(j)._2, big)})" +
           s" AS s_${corrVars(i)._1}_${corrVars(j)._1}")
 
+  /** Engine spelling of [[corrMoments]] (round 17, guide §1.2 "per-task
+    * work"): the PER-ROW product runs in BIGINT — two centi-quantized
+    * lineitem measures are each <= ~1.1e7, so every product is
+    * <= ~1.3e14, five orders of magnitude inside Long range at ANY
+    * corpus size (the bound is per-row, not per-sum) — and only the
+    * SUM accumulates in DECIMAL(38,0). The previous spelling cast each
+    * factor to DECIMAL(38,0) first, making every row pay a checked
+    * 38-digit decimal multiply (interpreted BigDecimal, no codegen
+    * fast path): measured 1.60 s for the moment scan at sf0.1 vs
+    * 0.5 s with the long product. Same integers, same moments, same
+    * bit-identical correlation cells.
+    */
+  private def corrMomentsEngine: Seq[String] = {
+    def q(c: String) = corrQuant(c, "BIGINT")
+    corrVars.map { case (k, c) =>
+      s"sum(CAST(${q(c)} AS DECIMAL(38,0))) AS s_$k" } ++
+      (for { i <- corrVars.indices; j <- i until corrVars.size } yield
+        s"sum(CAST(${q(corrVars(i)._2)} * ${q(corrVars(j)._2)} AS DECIMAL(38,0)))" +
+          s" AS s_${corrVars(i)._1}_${corrVars(j)._1}")
+  }
+
   /** Pairwise Pearson correlation matrix over the lineitem measures —
     * the feature-redundancy screen run before any modeling pass. ONE
     * corpus scan computes every first/second integer moment (centi-
@@ -635,7 +656,7 @@ object Relational {
     * spelling. Adding a measure costs two moments, not a scan.
     */
   private def q126(s: SparkSession, d: String): DataFrame = {
-    val aggs = (s"count(1) AS n" +: corrMoments("DECIMAL(38,0)")).map(expr)
+    val aggs = (s"count(1) AS n" +: corrMomentsEngine).map(expr)
     val m = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*).localCheckpoint()
     val cells = for { i <- corrVars.indices; j <- i + 1 until corrVars.size } yield
       m.select(
