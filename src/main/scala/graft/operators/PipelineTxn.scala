@@ -723,9 +723,17 @@ object PipelineTxn {
 
   private def pairAudit(pair: String, table: DataFrame, index: DataFrame,
       key: String): DataFrame =
-    table.select(col(key)).distinct().withColumn("_t", lit(1))
-      .join(index.select(col(key)).distinct().withColumn("_i", lit(1)),
-        Seq(key), "full_outer")
+    // One exchange, not three (round 17, guide §2.4): the former
+    // distinct-each-side + full-outer join shuffled the SAME key space
+    // twice and then sorted both sides for the merge; tagging sides
+    // into one union and grouping once computes the identical four
+    // counts — the per-key presence flags partial-aggregate map-side,
+    // so the exchange carries one row per (key, side) at most.
+    table.select(col(key), lit(1).as("_side"))
+      .unionByName(index.select(col(key), lit(2).as("_side")))
+      .groupBy(col(key))
+      .agg(max(when(col("_side") === 1, 1)).as("_t"),
+        max(when(col("_side") === 2, 1)).as("_i"))
       .agg(
         count(col("_t")).as("table_keys"),
         count(col("_i")).as("index_keys"),

@@ -428,6 +428,12 @@ object PipelineTxnQueries {
     val sh = docs.select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= Dedup.shingleSize)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("toks"))).as("sh"))
+      // Round 17 (guide §1.2): this subtree feeds BOTH sides of the
+      // verify join — uncheckpointed, Catalyst inlines the whole
+      // tokenize+shingle pipeline into each side, so the corpus was
+      // tokenized three times per run (the q24 sigTable lesson,
+      // measured ~7x there). Doc-count-bounded rows of shingle arrays.
+      .localCheckpoint()
     val dupIds = LshIndexStore.pairsOf(s, p.lsh, 1)
       .select(col("doc_a"), col("doc_b"))
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
