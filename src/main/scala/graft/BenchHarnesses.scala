@@ -888,6 +888,65 @@ object StreamThroughput {
   }
 }
 
+/** Generic one-JVM kill-switch A/B (round 18): alternates an arbitrary
+  * system-property toggle around interleaved runs of named registry
+  * queries, so machine load cancels and the printed min/median delta is
+  * the toggled mechanism's true cost. The property is CLEARED for the
+  * "on" arm (optimized path) and set to "1" for the "off" arm
+  * (pre-optimization fallback). Diagnostic-only main.
+  * Run: SPARK_GRAFT_CPUS=32 runMain graft.ToggleAB <prop> <sfDir> <query...>
+  */
+object ToggleAB {
+  def main(args: Array[String]): Unit = {
+    val prop = args(0)
+    val sfDir = args(1)
+    val names = args.drop(2).toSeq
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(appName = "graft-toggle-ab", master = Some(s"local[$cpus]"),
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(q: String): Double = {
+      val t0 = System.nanoTime(); SparkEntry.queries(q)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc(); sec
+    }
+    // Cold pass per arm (codegen/JIT for BOTH plan shapes), discarded.
+    names.foreach { q =>
+      System.clearProperty(prop); timed(q)
+      System.setProperty(prop, "1"); timed(q)
+    }
+    val on = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    val off = scala.collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    // Arm order ALTERNATES per round: a fixed ON-then-OFF order hands the
+    // second arm systematically warmer page/JIT state (measured ~0.4 s on a
+    // query whose two plans are literally identical), which would masquerade
+    // as a win for whichever arm runs second.
+    (1 to rounds).foreach { r =>
+      names.foreach { q =>
+        if (r % 2 == 1) {
+          System.clearProperty(prop); on(q) = on(q) :+ timed(q)
+          System.setProperty(prop, "1"); off(q) = off(q) :+ timed(q)
+        } else {
+          System.setProperty(prop, "1"); off(q) = off(q) :+ timed(q)
+          System.clearProperty(prop); on(q) = on(q) :+ timed(q)
+        }
+      }
+    }
+    System.clearProperty(prop)
+    def fmt(xs: Seq[Double]) =
+      f"min=${xs.min}%.2f med=${xs.sorted.apply(xs.size / 2)}%.2f " +
+        xs.map(x => f"$x%.2f").mkString("[", " ", "]")
+    names.foreach { q =>
+      println(s"TOGGLE $prop $q ON(opt)  ${fmt(on(q))}")
+      println(s"TOGGLE $prop $q OFF(old) ${fmt(off(q))}")
+    }
+    spark.stop()
+  }
+}
+
 /** One-JVM toggle A/B of the round-15 resolution rules' analyzer tax:
   * alternates the `graft.r15rules.off` kill-switch around interleaved
   * runs of one plan-heavy query, so machine load cancels and the

@@ -34,7 +34,7 @@ object QueryProfile {
       .foreach(t => Tables(spark, sfDir, t).count())
 
     final case class JobRec(id: Int, desc: String, site: String,
-        var tasks: Int = 0, var start: Long = 0L, var end: Long = 0L)
+        var start: Long = 0L, var end: Long = 0L)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -47,11 +47,21 @@ object QueryProfile {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.get(je.jobId)).foreach(_.end = je.time)
       }
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val jid = sc.stageInfo.details // unused; task counts via stageInfo
-        val _ = jid
-      }
     }
+    // Streaming queries hide their per-batch breakdown from the job
+    // listener (WAL writes, offset planning, state commits run no job):
+    // print every micro-batch's engine-reported durationMs instead.
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val durs = scala.jdk.CollectionConverters.MapHasAsScala(p.durationMs)
+          .asScala.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=$v" }.mkString(" ")
+        println(s"  STREAM batch=${p.batchId} rows=${p.numInputRows} $durs")
+      }
+    })
 
     names.foreach { q =>
       // Warm pass (scenario builds, codegen) — off the clock.

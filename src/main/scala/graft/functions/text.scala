@@ -24,8 +24,28 @@ object text {
   def whitespaceTokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > lit(0))
 
-  /** Tokenize then normalize, dropping tokens that normalize to "". */
+  /** Tokenize then normalize, dropping tokens that normalize to "".
+    *
+    * Round 18 (optimization guide §4): one fused codegen expression —
+    * see [[graft.expressions.NormalizedTokens]] for the equivalence
+    * argument — instead of a regex split plus two interpreted
+    * higher-order functions with a per-token `regexp_replace`. Same
+    * values for all input; the declarative spelling below is kept (as
+    * [[normalizedTokensDeclarative]]) as the property-test oracle.
+    */
   def normalizedTokens(c: Column): Column =
+    if (System.getProperty("graft.fusedtok.off") != null) normalizedTokensDeclarative(c)
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(
+        graft.expressions.NormalizedTokens(ColumnBridge.expression(c)))
+    }
+
+  /** The pre-round-18 declarative spelling of [[normalizedTokens]] —
+    * retained ONLY as the equivalence oracle for the fused expression
+    * (ExpressionsSpec); never on a query path.
+    */
+  def normalizedTokensDeclarative(c: Column): Column =
     filter(transform(whitespaceTokens(c), t => normalizeWord(t)), t => length(t) > lit(0))
 
   /** First character of a (non-empty, normalized) word — the partition key

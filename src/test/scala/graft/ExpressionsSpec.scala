@@ -83,4 +83,41 @@ class ExpressionsSpec extends SparkSpec {
     ).collect()
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
   }
+
+  test("NormalizedTokens == declarative split/normalize pipeline and the reference Scala port") {
+    val spark0 = spark
+    import spark0.implicits._
+    val gen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaChar, 2 -> Gen.numChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      2 -> Gen.oneOf('\'', '.', '-', '\u00FC', '\u00E9', '\u00A0'))).map(_.mkString)
+    val inputs = Gen.listOfN(300, gen).sample.get ++ Seq(
+      "", " ", "  a  B  ", "don't STOP", "a-b c", "123", "..", "𝄞x𝄞 y",
+      "tab\tsep", "nl\nsep", "\u000B\f\r mixed\u00A0nbsp")
+    val df = inputs.toDF("s")
+    val got = df.select(
+      graft.functions.text.normalizedTokens(col("s")).as("fast"),
+      graft.functions.text.normalizedTokensDeclarative(col("s")).as("slow"),
+    ).as[(Seq[String], Seq[String])].collect()
+    got.zip(inputs).foreach { case ((fast, slow), in) =>
+      assert(fast == slow, s"input ${in.map(_.toInt.toHexString)}") }
+    // And against the reference port: tokens = whitespace-run split,
+    // normalize_word each, drop empties.
+    got.zip(inputs).foreach { case ((fast, _), in) =>
+      val want = in.split("\\s+").toSeq
+        .map(graft.functions.text.normalizeWordScala).filter(_.nonEmpty)
+      assert(fast == want, s"vs Scala port, input ${in.map(_.toInt.toHexString)}")
+    }
+  }
+
+  test("NormalizedTokens null propagates and token growth past the 32-byte buffer is exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val long = "Ab" * 100 // 200 letters, forces repeated buffer growth
+    val rows = Seq(Some(s"$long $long"), None).toDF("s")
+    val got = rows.select(graft.functions.text.normalizedTokens(col("s")))
+      .collect()
+    assert(got(0).getSeq[String](0) == Seq("ab" * 100, "ab" * 100))
+    assert(got(1).isNullAt(0))
+  }
 }
