@@ -488,16 +488,32 @@ object Dedup {
         array_sort(collect_list(struct(col("df"), col("el")))).as("ord"))
     // prefix length = n - ceil(tau*n) + 1 (integer ceil via (x+999)/1000)
     val plen = (col("n") - floor((col("n") * tauMilli + 999) / 1000) + 1).cast("int")
+    // Positional filter (round 18, guide §2.3/§3 — the PPJoin tightening
+    // of the basic prefix filter): carry each prefix element's POSITION
+    // in the rare-first order; `rem = n - pos` is the element count from
+    // it to the set's end (itself included). For a pair's FIRST common
+    // element, every common element sits at-or-after it in BOTH sorted
+    // sets (a common element ranked earlier would itself be an earlier
+    // first), so overlap <= least(rem_a, rem_b) — collisions whose bound
+    // cannot reach the threshold are dropped BEFORE the distinct and the
+    // array_intersect verify. Exact: a qualifying pair always survives
+    // via its first collision (bound >= true overlap >= threshold);
+    // DedupSpec's brute-force equality covers this on the real corpus.
     val prefix = ordered
       .select(col("doc_id"), col("n"),
-        explode(slice(col("ord"), lit(1), plen)).as("p"))
-      .select(col("doc_id"), col("n"), col("p.el").as("el"))
-    prefix.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("el"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("el")),
-        Seq("el"))
+        posexplode(slice(col("ord"), lit(1), plen)).as(Seq("i", "p")))
+      .select(col("doc_id"), col("n"),
+        (col("n") - col("i")).as("rem"), col("p.el").as("el"))
+    prefix.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("rem").as("rem_a"), col("el"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("rem").as("rem_b"), col("el")), Seq("el"))
       .where(col("doc_a") < col("doc_b")
         && col("n_a") * tauMilli <= col("n_b") * 1000
-        && col("n_b") * tauMilli <= col("n_a") * 1000)
+        && col("n_b") * tauMilli <= col("n_a") * 1000
+        // overlap bound vs J >= tau  <=>  (1000+tau)*inter >= tau*(n_a+n_b)
+        && least(col("rem_a"), col("rem_b")) * (1000 + tauMilli)
+          >= (col("n_a") + col("n_b")) * tauMilli)
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 

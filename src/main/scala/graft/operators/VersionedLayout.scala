@@ -718,7 +718,15 @@ object VersionedLayout {
       txn: Long = -1L, tag: String = "", colName: String = "", colType: String = "",
       ts: Long = 0L, stats: Seq[(Int, Long, Long)] = Nil,
       rowsW: Long = -1L, rowsD: Long = -1L, restoreOf: Int = -1,
-      statsM: Map[String, Seq[(Int, Long, Long)]] = Map.empty)
+      statsM: Map[String, Seq[(Int, Long, Long)]] = Map.empty,
+      // Round 18 (optimization guide §2.3/§6): the pids the commit's
+      // TOMBSTONE set touches (delete/upsert only) — recorded so the
+      // change feed's delete-preimage arm prunes its as-of read to the
+      // touched partitions instead of scanning the whole table per
+      // delete version. A separate field, NOT `pids`: `pids` sizes are
+      // a query OUTPUT (describeHistory n_pids) pinned by the oracle.
+      // Nil = unknown (pre-r18 entry) = unpruned, always sound.
+      tpids: Seq[Int] = Nil)
 
   /** Artifact-directory suffix unique to this writer (process+thread):
     * concurrent writers preparing the SAME version number write disjoint
@@ -733,7 +741,8 @@ object VersionedLayout {
 
   private def renderEntry(e: LogEntry): String =
     s"""{"version":${e.version},"action":"${e.action}",""" +
-      s""""pids":[${e.pids.mkString(",")}],"horizon":${e.horizon},""" +
+      s""""pids":[${e.pids.mkString(",")}],"tpids":[${e.tpids.mkString(",")}],""" +
+      s""""horizon":${e.horizon},""" +
       s""""tag":"${e.tag}","txn":${e.txn},""" +
       s""""colName":"${e.colName}","colType":"${e.colType}","ts":${e.ts},""" +
       s""""rowsW":${e.rowsW},"rowsD":${e.rowsD},"restoreOf":${e.restoreOf}""" +
@@ -757,6 +766,12 @@ object VersionedLayout {
     def strField(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
     val pids = body.split(""""pids":\[""")(1).split("]")(0).trim
+    // Optional (round 18): tombstone-touched pids. The `"pids":[` split
+    // above cannot tear on this field (`"tpids":[` has a `t`, not a
+    // quote, before the `pids` letters).
+    val tpids =
+      if (!body.contains("\"tpids\":[")) ""
+      else body.split(""""tpids":\[""")(1).split("]")(0).trim
     // Optional (entries written before round 13 lack it): the stats
     // array holds only integer triples, so the triple regex over the
     // remainder after `"stats":[` is exact.
@@ -793,7 +808,8 @@ object VersionedLayout {
               .map(x => (x.group(1).toInt, x.group(2).toLong, x.group(3).toLong))
               .toSeq
           }.toMap
-      })
+      },
+      if (tpids.isEmpty) Nil else tpids.split(",").map(_.trim.toInt).toSeq)
   }
 
   /** The version covered by the newest checkpoint (-1 when none). */
@@ -1294,8 +1310,13 @@ object VersionedLayout {
     readAsOf(s, dir, ver - 1).where(cond)
       .select(col("pid").cast("int").as("pid") +: keyColsOf(dir).map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
+    // One aggregate serves both the row count and the touched-pid set
+    // (same single job the count alone used to run).
+    val t = s.read.parquet(tombDir(dir, ver, tag))
+      .agg(count(lit(1)), collect_set(col("pid"))).first()
     commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag,
-      rowsW = 0L, rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
+      rowsW = 0L, rowsD = t.getLong(0),
+      tpids = t.getSeq[Int](1).sorted))
     ver
   }
 
@@ -1317,8 +1338,11 @@ object VersionedLayout {
       .join(keys.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select(col("pid").cast("int").as("pid") +: keyCols.map(col): _*)
       .coalesce(1).write.mode("overwrite").parquet(tombDir(dir, ver, tag))
+    val t = s.read.parquet(tombDir(dir, ver, tag))
+      .agg(count(lit(1)), collect_set(col("pid"))).first()
     commit(dir, LogEntry(ver, "delete", Nil, 0, txn, tag,
-      rowsW = 0L, rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
+      rowsW = 0L, rowsD = t.getLong(0),
+      tpids = t.getSeq[Int](1).sorted))
     ver
   }
 
@@ -1861,10 +1885,14 @@ object VersionedLayout {
     requireInDomain(dir, newRows)
     newRows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val (st, stM) = recordStats(dir, ver, tag, newRows)
-    commit(dir, LogEntry(ver, "upsert", Nil, 0, txn, tag,
-      stats = st, statsM = stM,
-      rowsW = newRows.count(),
-      rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
+    locally {
+      val t = s.read.parquet(tombDir(dir, ver, tag))
+        .agg(count(lit(1)), collect_set(col("pid"))).first()
+      commit(dir, LogEntry(ver, "upsert", Nil, 0, txn, tag,
+        stats = st, statsM = stM,
+        rowsW = newRows.count(), rowsD = t.getLong(0),
+        tpids = t.getSeq[Int](1).sorted))
+    }
     ver
   }
 
@@ -1890,9 +1918,13 @@ object VersionedLayout {
     requireInDomain(dir, replacements)
     replacements.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val (st, stM) = recordStats(dir, ver, tag, replacements)
+    // Count + touched-pid set in the one aggregate the count was
+    // (matched is checkpointed — this re-reads no base data).
+    val t = matched.agg(count(lit(1)), collect_set(col("pid").cast("int"))).first()
     commit(dir, LogEntry(ver, "upsert", Nil, 0, tag = tag,
       stats = st, statsM = stM,
-      rowsW = replacements.count(), rowsD = matched.count()))
+      rowsW = replacements.count(), rowsD = t.getLong(0),
+      tpids = t.getSeq[Int](1).sorted))
     ver
   }
 
@@ -2071,10 +2103,14 @@ object VersionedLayout {
     requireInDomain(dir, newRows)
     newRows.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val (st, stM) = recordStats(dir, ver, tag, newRows)
-    commit(dir, LogEntry(ver, "upsert", Nil, 0, txn, tag,
-      stats = st, statsM = stM,
-      rowsW = newRows.count(),
-      rowsD = s.read.parquet(tombDir(dir, ver, tag)).count()))
+    locally {
+      val t = s.read.parquet(tombDir(dir, ver, tag))
+        .agg(count(lit(1)), collect_set(col("pid"))).first()
+      commit(dir, LogEntry(ver, "upsert", Nil, 0, txn, tag,
+        stats = st, statsM = stM,
+        rowsW = newRows.count(), rowsD = t.getLong(0),
+        tpids = t.getSeq[Int](1).sorted))
+    }
     ver
   }
 
@@ -2281,9 +2317,12 @@ object VersionedLayout {
     projected.write.mode("overwrite").parquet(insertDir(dir, ver, tag))
     val seg = s.read.parquet(insertDir(dir, ver, tag))
     val (rSt, rStM) = recordStats(dir, ver, tag, seg)
+    val tAgg = s.read.parquet(tombDir(dir, ver, tag))
+      .agg(count(lit(1)), collect_set(col("pid"))).first()
     commit(dir, LogEntry(ver, "upsert", Nil, horizon = toVersion, txn = txn, tag = tag,
       stats = rSt, statsM = rStM,
-      rowsW = seg.count(), rowsD = s.read.parquet(tombDir(dir, ver, tag)).count(),
+      tpids = tAgg.getSeq[Int](1).sorted,
+      rowsW = seg.count(), rowsD = tAgg.getLong(0),
       // Unambiguous provenance: horizon = 0 made a legal restore TO
       // VERSION 0 indistinguishable from a plain upsert (round-13
       // advisor) — the dedicated field has no zero blind spot.
@@ -3001,12 +3040,22 @@ object VersionedLayout {
             .withColumn("change_version", lit(e.version)))
         else Nil
       val del =
-        if (e.action == "delete" || e.action == "upsert")
-          Seq(tagConflicted(readAsOf(s, dir, e.version - 1), e.version - 1)
+        if (e.action == "delete" || e.action == "upsert") {
+          // Round 18 (guide §2.3/§6): the pre-image semi-join can only
+          // match rows in the pids the tombstone set touches — recorded
+          // at commit time in the entry — so prune the as-of read to
+          // those partitions (pid is the base read's partition column:
+          // untouched pid dirs are never listed or scanned, instead of
+          // one full-table scan per delete version in the window).
+          // Nil = pre-r18 entry = unknown = unpruned.
+          val pre0 = readAsOf(s, dir, e.version - 1)
+          val pre = if (e.tpids.isEmpty) pre0
+            else pre0.where(col("pid").isin(e.tpids.map(Int.box): _*))
+          Seq(tagConflicted(pre, e.version - 1)
             .join(tombstonesAt(s, dir, e.version).select(key.map(col): _*), key, "left_semi")
             .withColumn("change_type", lit("delete"))
             .withColumn("change_version", lit(e.version)))
-        else Nil
+        } else Nil
       ins ++ del
     }
     // Empty range: same schema as the non-empty case (layout columns +
