@@ -22,8 +22,15 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // Internal subtrees a localCheckpoint hides from the registry-level
+    // dump (round-18 verdict: commit the evidence for the PRE-checkpoint
+    // aggregate a rewrite actually changed).
+    val extras: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("q126_moments" -> (graft.queries.Relational.q126Moments _))
     names.foreach { q =>
-      val df = SparkEntry.queries(q)(spark, sfDir)
+      val df = extras.get(q)
+        .map(f => f(spark, sfDir))
+        .getOrElse(SparkEntry.queries(q)(spark, sfDir))
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(

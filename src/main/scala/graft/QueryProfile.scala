@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Per-job/stage PROFILER for one or more registered queries — the
   * round-17 measurement instrument (optimization guide §1: decide
@@ -48,6 +48,16 @@ object QueryProfile {
         Option(jobs.get(je.jobId)).foreach(_.end = je.time)
       }
     }
+    // Per-stage task-duration skew (guide §2.5): a stage whose max task
+    // runs >>3x its median has a hot key/band a salting pass should
+    // split; printed for every stage with enough tasks to judge.
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Vector[Long]]()
+    val taskListener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null && te.taskInfo.successful)
+          stageTasks.merge(te.stageId, Vector(te.taskInfo.duration),
+            (a, b) => a ++ b)
+    }
     // Streaming queries hide their per-batch breakdown from the job
     // listener (WAL writes, offset planning, state commits run no job):
     // print every micro-batch's engine-reported durationMs instead.
@@ -68,7 +78,9 @@ object QueryProfile {
       SparkEntry.queries(q)(spark, sfDir).count()
       spark.catalog.clearCache(); System.gc()
       jobs.clear()
+      stageTasks.clear()
       spark.sparkContext.addSparkListener(listener)
+      spark.sparkContext.addSparkListener(taskListener)
       val t0 = System.nanoTime()
       val tPlan0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, sfDir)
@@ -76,6 +88,7 @@ object QueryProfile {
       df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
+      spark.sparkContext.removeSparkListener(taskListener)
       // Let the listener bus drain before reading.
       Thread.sleep(300)
       val recs = scala.jdk.CollectionConverters.CollectionHasAsScala(jobs.values())
@@ -85,6 +98,16 @@ object QueryProfile {
       recs.take(30).foreach { r =>
         println(f"  job ${r.id}%4d ${(r.end - r.start) / 1e3}%7.2fs  ${r.site.take(60)}%-60s ${r.desc.take(60)}")
       }
+      // Stage skew: only stages with >= 8 tasks and a max worth seeing.
+      scala.jdk.CollectionConverters.MapHasAsScala(stageTasks).asScala.toSeq
+        .filter { case (_, ds) => ds.size >= 8 && ds.max >= 100 }
+        .sortBy { case (_, ds) => -ds.max }
+        .take(10)
+        .foreach { case (sid, ds) =>
+          val sorted = ds.sorted
+          val med = sorted(sorted.size / 2)
+          println(f"  stage $sid%4d tasks=${ds.size}%4d med=${med}ms max=${ds.max}ms skew=${ds.max.toDouble / math.max(med, 1)}%.1fx")
+        }
       spark.catalog.clearCache(); System.gc()
     }
     spark.stop()

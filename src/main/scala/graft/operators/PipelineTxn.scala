@@ -729,6 +729,11 @@ object PipelineTxn {
     // into one union and grouping once computes the identical four
     // counts — the per-key presence flags partial-aggregate map-side,
     // so the exchange carries one row per (key, side) at most.
+    // NULL keys cannot occur here by construction (both sides' key is
+    // a layout row-identity / index doc-id column — non-null by the
+    // write paths' domain checks), which is what makes the groupBy
+    // spelling equivalent to the old full-outer join even though SQL
+    // GROUP BY matches NULLs where a join's equality would not.
     table.select(col(key), lit(1).as("_side"))
       .unionByName(index.select(col(key), lit(2).as("_side")))
       .groupBy(col(key))

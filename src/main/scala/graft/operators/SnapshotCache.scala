@@ -29,22 +29,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * commit AND on a same-path scenario rebuild; within one stamp the
   * underlying directories are immutable by construction (generation
   * dirs publish by atomic rename; layout artifacts only ever change
-  * across commits). Bounded: cleared wholesale past 512 entries — a
-  * wipe only costs the next build.
+  * across commits). Bounded: LRU past [[maxEntries]] (round 18 — the
+  * round-17 clear-all-at-512 made a long-lived session over many
+  * tables×versions cyclically wipe and rebuild everything; access-order
+  * eviction keeps the hot stamps and drops superseded ones first).
   */
 private[graft] object SnapshotCache {
 
+  private[graft] val maxEntries = 512
+
+  // Access-ordered LinkedHashMap = LRU; all access under the monitor
+  // (gets reorder the ring, so even reads mutate). Plan BUILDS stay
+  // outside the lock — two threads missing the same key may both build
+  // (benign duplicate work, last put wins), but a slow build can never
+  // block every other store's cache hit.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > maxEntries
+    }
+
+  private[graft] def size: Int = cache.synchronized(cache.size())
 
   def plan(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = (s, key)
-    val hit = cache.get(k)
+    val hit = cache.synchronized(cache.get(k))
     if (hit != null) hit
     else {
       val df = build
-      if (cache.size() > 512) cache.clear()
-      cache.put(k, df)
+      cache.synchronized { cache.put(k, df); () }
       df
     }
   }

@@ -2631,6 +2631,17 @@ object VersionedLayout {
       orphanLeaseMs: Long = 15 * 60 * 1000L): Unit = {
     val entries = log(dir)
     val ver = entries.last.version + 1
+    // Committed FIRST (round 18, advisor): the GC below is the one
+    // mutation that rewrites an existing artifact dir in place, so the
+    // stamp must bump BEFORE any file moves — a plan built during the
+    // vacuum then keys on the new stamp instead of caching a file index
+    // the GC is about to delete. Safe to commit early: every GC'd
+    // tombstone row is DEAD metadata (its targets were physically
+    // folded; the `_tomb_ver > _src_ver` stamp rule already ignores it
+    // against post-fold rows), so a crash between this commit and the
+    // rewrites leaves a table whose reads are byte-identical, just with
+    // unreclaimed metadata a later vacuum re-collects.
+    commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
     val compactsInScope = entries.filter(e =>
       (e.action == "compact" || e.action == "majorcompact") && e.version <= keepFrom)
     // A segment constrains GC while it stays ADDRESSABLE after this
@@ -2671,7 +2682,6 @@ object VersionedLayout {
       if (a.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(a)
     }
     sweepOrphans(dir, entries, orphanLeaseMs)
-    commit(dir, LogEntry(ver, "vacuum", Nil, keepFrom))
   }
 
   /** Rows parked in version `ver`'s archive (0 when none): the mass a

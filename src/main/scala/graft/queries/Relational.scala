@@ -655,9 +655,18 @@ object Relational {
     * arithmetic over that 1-row table in the shared bit-identical
     * spelling. Adding a measure costs two moments, not a scan.
     */
-  private def q126(s: SparkSession, d: String): DataFrame = {
+  /** q126's moment aggregate BEFORE the localCheckpoint — exposed so
+    * ExplainDump can show the scan plan the checkpoint hides (the
+    * round-17 BIGINT-product rewrite lives here; the committed r17
+    * dumps only captured the post-checkpoint cell union).
+    */
+  private[graft] def q126Moments(s: SparkSession, d: String): DataFrame = {
     val aggs = (s"count(1) AS n" +: corrMomentsEngine).map(expr)
-    val m = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val m = q126Moments(s, d).localCheckpoint()
     val cells = for { i <- corrVars.indices; j <- i + 1 until corrVars.size } yield
       m.select(
         lit(corrVars(i)._1).as("var_a"), lit(corrVars(j)._1).as("var_b"),

@@ -31,7 +31,7 @@ class CatalogCasSpec extends SparkSpec {
     dir
   }
 
-  test("CREATE racing CREATE yields exactly one winner; loser error names the table") {
+  test("CREATE racing CREATE yields exactly one winner; loser error names the table", SlowTest) {
     val dir = newLayout("race1")
     val name = "cas_race_one"
     spark.sql(s"DROP TABLE IF EXISTS graft.$name")

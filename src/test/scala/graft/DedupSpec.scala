@@ -376,7 +376,7 @@ class DedupSpec extends SparkSpec {
     assert(pairSet == afterAdmit, "lost race corrupted the committed generation")
   }
 
-  test("LshIndexStore: a doc retracted then RE-ADMITTED is live again (generation-scoped tombstones); admitOnce survives a retention vacuum") {
+  test("LshIndexStore: a doc retracted then RE-ADMITTED is live again (generation-scoped tombstones); admitOnce survives a retention vacuum", SlowTest) {
     import graft.operators.LshIndexStore
     val cap = 4
     val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"
@@ -432,7 +432,7 @@ class DedupSpec extends SparkSpec {
     assert(pairSet == before, "post-vacuum admit/retract cycle changed unrelated pairs")
   }
 
-  test("LshIndexStore chainAudit/compactIfNeeded: folded prediction equals the physical fold; the trigger fires exactly at the policy crossing") {
+  test("LshIndexStore chainAudit/compactIfNeeded: folded prediction equals the physical fold; the trigger fires exactly at the policy crossing", SlowTest) {
     import graft.operators.LshIndexStore
     val cap = 4
     val textA = "orange apple mango banana cherry lemon papaya grape kiwi plum"

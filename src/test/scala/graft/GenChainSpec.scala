@@ -45,7 +45,7 @@ class GenChainSpec extends SparkSpec {
       .where(col("vec_id") === 200L).count() == 1L)
   }
 
-  test("txn checkpoint: 100-generation chain, replay detection bounded and surviving vacuumed middles") {
+  test("txn checkpoint: 100-generation chain, replay detection bounded and surviving vacuumed middles", SlowTest) {
     val dir = freshStore("ckpt")
     // 100 transactional admits.
     (1 to 100).foreach(i => IvfIndexStore.admitOnce(spark, dir, asgRow(1000L + i), txn = i.toLong))

@@ -81,7 +81,7 @@ class PipelineTxnSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
 
-  test("every ingest crash window resumes to the clean-run state, exactly-once") {
+  test("every ingest crash window resumes to the clean-run state, exactly-once", SlowTest) {
     val clean = freshPipeline("clean")
     PipelineTxn.ingest(spark, clean, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
     val want = stateOf(clean)
@@ -129,7 +129,7 @@ class PipelineTxnSpec extends SparkSpec {
       s"as-of audit did not reconstruct the crash-time hole: $asOf")
   }
 
-  test("erase applies its durable intent even when the head moved between crash and resume") {
+  test("erase applies its durable intent even when the head moved between crash and resume", SlowTest) {
     val p = freshPipeline("erase")
     PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
     // Erase every multiple-of-4 id; crash after the intent record and
@@ -162,7 +162,7 @@ class PipelineTxnSpec extends SparkSpec {
       a("embeddings~ivf") == ((10L, 10L, 0L, 0L)), s"final audit not aligned: $a")
   }
 
-  test("streaming coordinated ingest: one pipeline txn per micro-batch across all four stores, restart + mid-batch crash replay exactly once") {
+  test("streaming coordinated ingest: one pipeline txn per micro-batch across all four stores, restart + mid-batch crash replay exactly once", SlowTest) {
     val s0 = spark
     import s0.implicits._
     val p = freshPipeline("stream")
@@ -232,7 +232,7 @@ class PipelineTxnSpec extends SparkSpec {
       a("embeddings~ivf") == ((12L, 12L, 0L, 0L)), s"audit not aligned: $a")
   }
 
-  test("erase crash windows all resume to the clean-run state") {
+  test("erase crash windows all resume to the clean-run state", SlowTest) {
     val clean = freshPipeline("eclean")
     PipelineTxn.ingest(spark, clean, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
     PipelineTxn.erase(spark, clean, col("doc_id") % 3 === 0, col("vec_id") % 3 === 0, txn = 2L)
@@ -254,7 +254,7 @@ class PipelineTxnSpec extends SparkSpec {
     }
   }
 
-  test("two concurrent pipeline transactions both commit, sequential-equivalent state across all four stores") {
+  test("two concurrent pipeline transactions both commit, sequential-equivalent state across all four stores", SlowTest) {
     val p = freshPipeline("race")
     val clean = freshPipeline("raceclean")
     PipelineTxn.ingest(spark, clean, docsDF(Seq(9L, 10L)), embDF(Seq(9L, 10L)), txn = 1L)
@@ -283,7 +283,7 @@ class PipelineTxnSpec extends SparkSpec {
     assert(stateOf(p) == want && VersionedLayout.currentVersion(p.docs) == 2)
   }
 
-  test("maintain defers history vacuum while an erase is pending; a post-vacuum resume falls back to the id retract; post-vacuum replay is a no-op") {
+  test("maintain defers history vacuum while an erase is pending; a post-vacuum resume falls back to the id retract; post-vacuum replay is a no-op", SlowTest) {
     val p = freshPipeline("vac")
     PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
     // Erase crashes after intent + docs delete (v2); LSH/emb/IVF pending.
@@ -324,7 +324,7 @@ class PipelineTxnSpec extends SparkSpec {
     assert(stateOf(p) == after, "a shallow maintain pass moved a store")
   }
 
-  test("maintain's RETAIN-window arm: the time policy vacuums both layouts at the cutoff, refuses below-horizon reads after, and still defers while an erase is pending") {
+  test("maintain's RETAIN-window arm: the time policy vacuums both layouts at the cutoff, refuses below-horizon reads after, and still defers while an erase is pending", SlowTest) {
     import graft.operators.VersionedLayout
     val p = freshPipeline("vacts")
     PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
@@ -372,7 +372,7 @@ class PipelineTxnSpec extends SparkSpec {
       "erase resumed after a deferred time-maintenance pass diverged")
   }
 
-  test("erase-vs-reingest conflict: Fail surfaces it loudly; RetractAndReadmit restores index == table for the recorded keys") {
+  test("erase-vs-reingest conflict: Fail surfaces it loudly; RetractAndReadmit restores index == table for the recorded keys", SlowTest) {
     val p = freshPipeline("conflict")
     PipelineTxn.ingest(spark, p, docsDF(deltaIds), embDF(deltaIds), txn = 1L)
     // Erase {4, 8, 12}; crash after intent + docs delete — the LSH
@@ -509,7 +509,7 @@ class PipelineTxnSpec extends SparkSpec {
     assert(!intentExists(2L))
   }
 
-  test("pipeline restore: every crash window resumes to the pre-incident state, replay moves nothing, a no-op restore skips the index arms") {
+  test("pipeline restore: every crash window resumes to the pre-incident state, replay moves nothing, a no-op restore skips the index arms", SlowTest) {
     // Pre-incident reference: base + ingest(9..12) + erase(3,4,9,10)
     // -> heads docs v2 / lsh g2 / emb v2 / ivf g2.
     val clean = freshPipeline("rst-clean")
@@ -568,7 +568,7 @@ class PipelineTxnSpec extends SparkSpec {
       && a2("embeddings~ivf") == ((12L, 12L, 0L, 0L)), s"erase-undo audit: $a2")
   }
 
-  test("multi-batch streaming soak: 24 coordinated micro-batches with interleaved erases, a mid-batch crash and a mid-stream maintenance pass converge to the ground-up rebuild") {
+  test("multi-batch streaming soak: 24 coordinated micro-batches with interleaved erases, a mid-batch crash and a mid-stream maintenance pass converge to the ground-up rebuild", SlowTest) {
     val s0 = spark
     import s0.implicits._
     val p = freshPipeline("soak")

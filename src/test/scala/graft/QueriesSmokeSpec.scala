@@ -6,11 +6,23 @@ package graft
   * registry).
   */
 class QueriesSmokeSpec extends SparkSpec {
+  // The pipeline-scenario capstones each pay a multi-store build +
+  // crash-replay scenario even at sf0.001 (12-33 s apiece, measured
+  // round 18) — slow bucket; every other query smokes in the default
+  // pass, and the driver's oracle covers all 227 values regardless.
+  private val slowSmoke = Set("q183_pipeline_txn", "q185_pipeline_maintenance",
+    "q187_scheduled_retrain", "q191_pipeline_restore")
   SparkEntry.allDefs.foreach { q =>
-    test(s"${q.name} executes and returns rows on sf0.001") {
-      val n = q.fn(spark, sf0001).count()
-      assert(n > 0, s"${q.name} returned 0 rows")
-    }
+    if (slowSmoke(q.name))
+      test(s"${q.name} executes and returns rows on sf0.001", SlowTest) {
+        val n = q.fn(spark, sf0001).count()
+        assert(n > 0, s"${q.name} returned 0 rows")
+      }
+    else
+      test(s"${q.name} executes and returns rows on sf0.001") {
+        val n = q.fn(spark, sf0001).count()
+        assert(n > 0, s"${q.name} returned 0 rows")
+      }
   }
 
   test("entry returns rows") {

@@ -313,7 +313,7 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 3).count() == total - inA - inB)
   }
 
-  test("incremental view maintenance generalizes: arbitrary commit history, every version's refresh equals the recompute") {
+  test("incremental view maintenance generalizes: arbitrary commit history, every version's refresh equals the recompute", SlowTest) {
     import graft.operators.{IncrementalView, VersionedLayout}
     import graft.queries.ScalePatterns
     val uppers = ScalePatterns.rangeUppers(spark, sf0001)
@@ -346,7 +346,7 @@ class StorageSpec extends SparkSpec {
     assert(counts(6) < counts(5))
   }
 
-  test("major compaction (q165): head reads are single-source, history routes through the fold archive, post-fold mutations work") {
+  test("major compaction (q165): head reads are single-source, history routes through the fold archive, post-fold mutations work", SlowTest) {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
     val uppers = ScalePatterns.rangeUppers(spark, sf0001)
@@ -576,7 +576,7 @@ class StorageSpec extends SparkSpec {
     assert(VersionedLayout.readAsOf(spark, dir, 4).count() == total - inBand)
   }
 
-  test("zero-copy clone (q166): hard-linked snapshot time travels like its source, isolates divergence, and survives source vacuum") {
+  test("zero-copy clone (q166): hard-linked snapshot time travels like its source, isolates divergence, and survives source vacuum", SlowTest) {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
     val uppers = ScalePatterns.rangeUppers(spark, sf0001)
@@ -812,7 +812,7 @@ class StorageSpec extends SparkSpec {
       .readAsOf(spark, dir, VersionedLayout.currentVersion(dir)).count() == total - inA - inB)
   }
 
-  test("lifecycle torture: CRUD + checkpoint + compact + clone + major fold + vacuum + re-checkpoint compose without interaction bugs") {
+  test("lifecycle torture: CRUD + checkpoint + compact + clone + major fold + vacuum + re-checkpoint compose without interaction bugs", SlowTest) {
     import graft.operators.VersionedLayout
     import graft.queries.ScalePatterns
     import ScalePatterns.{crudInsertLoCenti, crudInsertHiCenti, crudUpsertLoCenti,
@@ -2442,7 +2442,7 @@ class StorageSpec extends SparkSpec {
     assert(exWiden.getMessage.contains("lossless widenings"), exWiden.getMessage)
   }
 
-  test("randomized evolution histories match an identity-based model — insert/delete/add/drop/rename/re-add/fold/restore, every version checked") {
+  test("randomized evolution histories match an identity-based model — insert/delete/add/drop/rename/re-add/fold/restore, every version checked", SlowTest) {
     import graft.operators.VersionedLayout
     val spark0 = spark
     import spark0.implicits._

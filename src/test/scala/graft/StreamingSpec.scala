@@ -608,7 +608,7 @@ class StreamingSpec extends SparkSpec {
       s"restart re-served or lost a window: ${rows.toSet} vs $tail")
   }
 
-  test("LSH index maintained by a LAYOUT SUBSCRIPTION: feed inserts admit, feed deletes retract via before-images; converged pairs == rebuild of the head corpus") {
+  test("LSH index maintained by a LAYOUT SUBSCRIPTION: feed inserts admit, feed deletes retract via before-images; converged pairs == rebuild of the head corpus", SlowTest) {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, LshIndexStore, VersionedLayout}
     val spark0 = spark
@@ -913,7 +913,7 @@ class StreamingSpec extends SparkSpec {
       "epoch flip rewrote pre-flip history")
   }
 
-  test("streaming retract from the LSH index store: tombstone stream drives one generation per micro-batch, replays retract exactly once, end state equals the batch retract") {
+  test("streaming retract from the LSH index store: tombstone stream drives one generation per micro-batch, replays retract exactly once, end state equals the batch retract", SlowTest) {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, LshIndexStore}
     val spark0 = spark
