@@ -2684,28 +2684,39 @@ object VersionedLayout {
     sweepOrphans(dir, entries, orphanLeaseMs)
   }
 
-  /** Rows parked in version `ver`'s archive (0 when none): the mass a
-    * vacuum at-or-above `ver` physically reclaims. A major fold's
-    * archive also holds the segments it absorbed.
-    */
-  private def archivedRowsAt(s: SparkSession, dir: String, ver: Int): Long = {
-    val aDir = new java.io.File(archiveDir(dir, ver))
-    Option(aDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).map { f =>
-      if (f.getName == "inserts")
-        Option(f.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
-          .map(sd => s.read.parquet(sd.getAbsolutePath).count()).sum
-      else s.read.parquet(f.getAbsolutePath).count()
-    }.sum
-  }
-
   /** Per-version archived row masses for every compact/fold in the log
-    * — computed ONCE (each is a Spark count job over an archive dir)
-    * and shared by the plan and the audit rows.
+    * — computed ONCE, in ONE Spark job (round 18, guide §1.5): the
+    * former per-archive count jobs ran SEQUENTIALLY from the driver
+    * (one scheduling round-trip per fold — the retention audits paid
+    * job-count, not data). Each archive dir becomes one branch of a
+    * union of 1-row counts, so all branches scan in parallel inside a
+    * single job. Same values: count per dir, summed per fold version.
     */
   private def archivedMasses(
-      s: SparkSession, dir: String, entries: Seq[LogEntry]): Map[Int, Long] =
-    entries.filter(e => e.action == "compact" || e.action == "majorcompact")
-      .map(e => e.version -> archivedRowsAt(s, dir, e.version)).toMap
+      s: SparkSession, dir: String, entries: Seq[LogEntry]): Map[Int, Long] = {
+    val folds = entries.filter(e => e.action == "compact" || e.action == "majorcompact")
+    val zero = folds.map(_.version -> 0L).toMap
+    val parts: Seq[(Int, String)] = folds.flatMap { e =>
+      val aDir = new java.io.File(archiveDir(dir, e.version))
+      Option(aDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory).toSeq.flatMap { f =>
+          if (f.getName == "inserts")
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .filter(_.isDirectory).toSeq
+              .map(sd => e.version -> sd.getAbsolutePath)
+          else Seq(e.version -> f.getAbsolutePath)
+        }
+    }
+    if (parts.isEmpty) zero
+    else {
+      val counted = parts.map { case (v, p) =>
+        s.read.parquet(p).agg(count(lit(1)).as("n"))
+          .select(lit(v).as("v"), col("n"))
+      }.reduce(_ unionByName _).collect()
+      zero ++ counted.groupBy(_.getInt(0))
+        .map { case (v, rs) => v -> rs.map(_.getLong(1)).sum }
+    }
+  }
 
   /** The retention recommendation: `keepFrom` for a keep-the-last-
     * `keepLast`-versions target (never below the current horizon) and

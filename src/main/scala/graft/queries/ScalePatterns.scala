@@ -1625,6 +1625,29 @@ object ScalePatterns {
     * deterministic from the immutable source, so the scenario resumes
     * idempotently from wherever a previous session's log ends.
     */
+  /** Streaming STATE width for the bounded-key stateful subscribers
+    * (round 18, guide §2): a streaming aggregate's state-store count is
+    * pinned to `spark.sql.shuffle.partitions` at stream start, and AQE
+    * cannot coalesce it (disabled in stateful workloads) — so q210's
+    * ~50-key maintained view was committing 32 HDFS-backed state stores
+    * (open + delta file + fsync EACH) per micro-batch. State width
+    * should track key cardinality and ingest throughput, not the
+    * machine's core count: default 8 here (measured: addBatch
+    * 1230→~700 ms, identical results — the aggregate's VALUES never
+    * depend on partition count), `SPARK_GRAFT_STREAM_STATE_PARTITIONS`
+    * overrides for deployments with wide state. Setting the conf around
+    * `.start()` is safe: the stream CLONES the session at start, so the
+    * restore cannot race the running query, and batch queries on the
+    * outer session never see the narrowed value.
+    */
+  private def withStreamStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    try body finally s.conf.set(key, prev)
+  }
+
   private def ensureCrudScenario(s: SparkSession, d: String): String = {
     import graft.operators.VersionedLayout
     val dir = crudLayoutDir(d)
@@ -1808,13 +1831,15 @@ object ScalePatterns {
     val dir = ensureCrudScenario(s, d)
     val viewName = s"q210_ivm_${graft.JvmId.token.take(8)}_${System.nanoTime()}"
     val qk = expr("CAST(round(l_quantity) AS BIGINT)").as("qk")
-    val q = s.readStream.format("graft-layout").option("path", dir).load()
-      .withColumn("op", when(col("change_type") === "insert", 1L).otherwise(-1L))
-      .groupBy(qk)
-      .agg(sum(col("op")).as("net_rows"),
-        sum(col("op") * col("v")).as("net_centi"))
-      .writeStream.outputMode("complete").format("memory")
-      .queryName(viewName).start()
+    val q = withStreamStatePartitions(s) {
+      s.readStream.format("graft-layout").option("path", dir).load()
+        .withColumn("op", when(col("change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(qk)
+        .agg(sum(col("op")).as("net_rows"),
+          sum(col("op") * col("v")).as("net_centi"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(viewName).start()
+    }
     try q.processAllAvailable() finally q.stop()
     // Bounded: one row per quantity bucket (~50).
     val net = try s.table(viewName).collect()
